@@ -1,0 +1,389 @@
+"""File-based manifest metastore (replaces the reference's Cassandra service).
+
+The reference keeps table/partition/file/version state in a Cassandra
+keyspace (reference: meta/MetaTableManage.scala:48-286) with an
+undo-log + LWT-lock commit protocol (meta/MetaCommit.scala:35-100).
+Here the same logical API — getTableInfo / getAllPartitionInfo /
+getSinglePartitionDataInfo / commit — is served from a per-table
+manifest directory with atomic rename commits, the Delta/Iceberg-style
+design the reference itself vendored but never wired up
+(storage/HadoopFileSystemLogStore.scala).
+
+Layout under ``<table_path>/_star_meta``::
+
+    table_info.json                 # TableInfo
+    versions/v{N:012d}.json         # full snapshot state at commit N
+    _commit.lock                    # exclusive-create mutex
+
+Every commit writes a complete snapshot file, so MVCC time travel is
+"read versions/v{V}.json" and the reference's visibility rule
+(write_version <= read_version < expire_version,
+meta/DataOperation.scala:100-113) is implied by membership: a file is
+in snapshot V iff it was added at or before V and not yet expired.
+
+Scale note: full-state-per-commit is O(files) metadata per commit. At
+100 TB / millions of files the same API would be backed by log +
+checkpoint manifests (or a DB); the interface below (`Transaction`,
+`commit`) is designed so that swap is local to this module. Commit data
+files live under ``data/<commit_uuid>/`` so half-written files are
+never visible — visibility is manifest membership, not directory
+listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field, asdict
+from typing import Any, Iterable
+
+MAX_VERSION = 2**62
+META_DIR = "_star_meta"
+LOCK_TIMEOUT_S = 20.0  # reference: meta.commit.timeout 20s (StarLakeSQLConf.scala:184-191)
+STALE_LOCK_S = 120.0
+
+
+class MetaError(Exception):
+    pass
+
+
+class TableNotFoundError(MetaError):
+    pass
+
+
+class CommitConflictError(MetaError):
+    pass
+
+
+@dataclass
+class TableInfo:
+    """Reference: utils/MetaData.scala:54-117 (TableInfo)."""
+
+    table_path: str
+    table_id: str
+    schema_json: str  # Spark StructType.json(), like MetaData.scala:72-75
+    range_cols: list[str] = field(default_factory=list)
+    hash_cols: list[str] = field(default_factory=list)
+    bucket_num: int = -1
+    configuration: dict[str, str] = field(default_factory=dict)
+    short_name: str | None = None
+    is_material_view: bool = False
+    mv_info: dict[str, Any] | None = None  # sql_text / fingerprints / auto_update
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "TableInfo":
+        return TableInfo(**json.loads(s))
+
+
+@dataclass
+class DataFileInfo:
+    """Reference: utils/MetaData.scala:121-139 (DataFileInfo)."""
+
+    path: str  # relative to table root
+    range_value: str  # 'k=v,k2=v2' encoding (MetaUtils.scala:185-206); '' if none
+    bucket_id: int
+    size: int
+    write_version: int
+    is_base_file: bool
+    exist_cols: list[str]  # file_exist_cols (MetaData.scala:127)
+
+    def key(self) -> str:
+        return self.path
+
+
+@dataclass
+class PartitionSnapshot:
+    range_value: str
+    files: list[DataFileInfo]
+    last_update_version: int
+
+    @property
+    def delta_file_num(self) -> int:
+        return sum(1 for f in self.files if not f.is_base_file)
+
+
+@dataclass
+class Snapshot:
+    """Reference: Snapshot.scala:27-89 — immutable versioned view."""
+
+    version: int
+    partitions: dict[str, PartitionSnapshot]
+    streaming: dict[str, int]  # query_id -> last committed batch_id
+    timestamp: float
+
+    def all_files(self) -> list[DataFileInfo]:
+        return [f for p in self.partitions.values() for f in p.files]
+
+    def to_state(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp": self.timestamp,
+            "streaming": self.streaming,
+            "partitions": {
+                rv: {
+                    "last_update_version": p.last_update_version,
+                    "files": [asdict(f) for f in p.files],
+                }
+                for rv, p in self.partitions.items()
+            },
+        }
+
+    @staticmethod
+    def from_state(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            timestamp=d.get("timestamp", 0.0),
+            streaming=dict(d.get("streaming", {})),
+            partitions={
+                rv: PartitionSnapshot(
+                    range_value=rv,
+                    last_update_version=pd["last_update_version"],
+                    files=[DataFileInfo(**f) for f in pd["files"]],
+                )
+                for rv, pd in d.get("partitions", {}).items()
+            },
+        )
+
+
+def encode_range_value(range_cols: list[str], values: Iterable[Any]) -> str:
+    """'k=v,k2=v2' partition key encoding (reference MetaUtils.scala:185-206)."""
+    return ",".join(f"{c}={v}" for c, v in zip(range_cols, values))
+
+
+def decode_range_value(range_value: str) -> dict[str, str]:
+    if not range_value:
+        return {}
+    out = {}
+    for kv in range_value.split(","):
+        k, _, v = kv.partition("=")
+        out[k] = v
+    return out
+
+
+class Transaction:
+    """Accumulates adds/expires; applied atomically by ManifestStore.commit.
+
+    Reference analogue: TransactionCommit.scala:106-395 (thread-local tc
+    recording new/expired files) collapsed into an explicit object.
+    """
+
+    def __init__(self, store: "ManifestStore", read_snapshot: Snapshot):
+        self.store = store
+        self.read_snapshot = read_snapshot
+        self.commit_id = uuid.uuid4().hex[:12]
+        self.add: list[DataFileInfo] = []
+        self.expire: set[str] = set()  # file paths (relative)
+        self.expire_partitions: set[str] = set()  # whole range_values
+        self.streaming_update: tuple[str, int] | None = None
+        self.committed = False
+
+    @property
+    def data_dir(self) -> str:
+        """Directory (relative to table root) for this commit's files."""
+        return f"data/{self.commit_id}"
+
+    def add_files(self, files: Iterable[DataFileInfo]) -> None:
+        self.add.extend(files)
+
+    def expire_files(self, paths: Iterable[str]) -> None:
+        self.expire.update(paths)
+
+    def expire_partition(self, range_value: str) -> None:
+        self.expire_partitions.add(range_value)
+
+    def set_streaming_batch(self, query_id: str, batch_id: int) -> None:
+        self.streaming_update = (query_id, batch_id)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class ManifestStore:
+    """Per-table manifest state with atomic-rename commits."""
+
+    def __init__(self, table_path: str):
+        self.table_path = os.path.abspath(table_path)
+        self.meta_dir = os.path.join(self.table_path, META_DIR)
+        self.versions_dir = os.path.join(self.meta_dir, "versions")
+        self._info_cache: TableInfo | None = None
+
+    # ---------- existence / creation ----------
+
+    @staticmethod
+    def is_star_table(path: str) -> bool:
+        return os.path.isfile(os.path.join(path, META_DIR, "table_info.json"))
+
+    def exists(self) -> bool:
+        return ManifestStore.is_star_table(self.table_path)
+
+    def create(self, info: TableInfo) -> None:
+        if self.exists():
+            raise MetaError(f"table already exists at {self.table_path}")
+        os.makedirs(self.versions_dir, exist_ok=True)
+        _atomic_write(os.path.join(self.meta_dir, "table_info.json"), info.to_json())
+        empty = Snapshot(version=0, partitions={}, streaming={}, timestamp=time.time())
+        _atomic_write(self._version_path(0), json.dumps(empty.to_state()))
+        self._info_cache = info
+
+    def drop(self) -> None:
+        import shutil
+
+        if os.path.isdir(self.table_path):
+            shutil.rmtree(self.table_path)
+        self._info_cache = None
+
+    # ---------- table info ----------
+
+    def table_info(self, refresh: bool = False) -> TableInfo:
+        if self._info_cache is None or refresh:
+            p = os.path.join(self.meta_dir, "table_info.json")
+            if not os.path.isfile(p):
+                raise TableNotFoundError(f"not a star table: {self.table_path}")
+            with open(p) as f:
+                self._info_cache = TableInfo.from_json(f.read())
+        return self._info_cache
+
+    def update_table_info(self, info: TableInfo) -> None:
+        _atomic_write(os.path.join(self.meta_dir, "table_info.json"), info.to_json())
+        self._info_cache = info
+
+    # ---------- snapshots ----------
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.versions_dir, f"v{v:012d}.json")
+
+    def latest_version(self) -> int:
+        try:
+            names = [n for n in os.listdir(self.versions_dir) if n.startswith("v")]
+        except FileNotFoundError:
+            raise TableNotFoundError(f"not a star table: {self.table_path}")
+        if not names:
+            raise MetaError("no committed versions")
+        return max(int(n[1:13]) for n in names)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.latest_version() if version is None else version
+        p = self._version_path(v)
+        if not os.path.isfile(p):
+            raise MetaError(f"version {v} does not exist for {self.table_path}")
+        with open(p) as f:
+            return Snapshot.from_state(json.load(f))
+
+    def list_versions(self) -> list[int]:
+        return sorted(
+            int(n[1:13]) for n in os.listdir(self.versions_dir) if n.startswith("v")
+        )
+
+    # ---------- commit protocol ----------
+
+    def new_transaction(self) -> Transaction:
+        return Transaction(self, self.snapshot())
+
+    def _acquire_lock(self) -> str:
+        lock = os.path.join(self.meta_dir, "_commit.lock")
+        deadline = time.time() + LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > STALE_LOCK_S:
+                        os.unlink(lock)  # break stale lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise MetaError(f"commit lock timeout on {self.table_path}")
+                time.sleep(0.05)
+
+    def commit(self, txn: Transaction) -> Snapshot:
+        """Apply a transaction: one new immutable snapshot version.
+
+        Mirrors MetaCommit.doMetaCommit (MetaCommit.scala:35-100): take
+        the table lock, detect file conflicts against commits that
+        landed since the transaction's read snapshot
+        (MetaCommit.scala:700-712), then publish the new version.
+        """
+        if txn.committed:
+            raise MetaError("transaction already committed")
+        lock = self._acquire_lock()
+        try:
+            current = self.snapshot()
+            if current.version > txn.read_snapshot.version:
+                # Another commit landed. Conflict iff it expired files we
+                # also expire, or touched partitions we fully rewrite.
+                live = {f.path for f in current.all_files()}
+                for p in txn.expire:
+                    if p not in live:
+                        raise CommitConflictError(
+                            f"file {p} expired by a concurrent commit"
+                        )
+            new_version = current.version + 1
+            partitions = {
+                rv: PartitionSnapshot(rv, list(ps.files), ps.last_update_version)
+                for rv, ps in current.partitions.items()
+            }
+            touched: set[str] = set()
+            for rv in txn.expire_partitions:
+                if rv in partitions:
+                    partitions[rv].files = []
+                    touched.add(rv)
+            if txn.expire:
+                for ps in partitions.values():
+                    before = len(ps.files)
+                    ps.files = [f for f in ps.files if f.path not in txn.expire]
+                    if len(ps.files) != before:
+                        touched.add(ps.range_value)
+            for f in txn.add:
+                f.write_version = new_version
+                ps = partitions.get(f.range_value)
+                if ps is None:
+                    ps = PartitionSnapshot(f.range_value, [], new_version)
+                    partitions[f.range_value] = ps
+                ps.files.append(f)
+                touched.add(f.range_value)
+            for rv in touched:
+                if rv in partitions:
+                    partitions[rv].last_update_version = new_version
+            partitions = {rv: ps for rv, ps in partitions.items() if ps.files}
+            streaming = dict(current.streaming)
+            if txn.streaming_update is not None:
+                qid, bid = txn.streaming_update
+                streaming[qid] = bid
+            snap = Snapshot(
+                version=new_version,
+                partitions=partitions,
+                streaming=streaming,
+                timestamp=time.time(),
+            )
+            _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
+            txn.committed = True
+            return snap
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    # ---------- cleanup support ----------
+
+    def referenced_files(self, since_version: int = 0) -> set[str]:
+        refs: set[str] = set()
+        for v in self.list_versions():
+            if v >= since_version:
+                refs.update(f.path for f in self.snapshot(v).all_files())
+        return refs

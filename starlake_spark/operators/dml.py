@@ -1,0 +1,351 @@
+"""DML: upsert / update / delete / compaction / overwrite / cleanup.
+
+Reference parity (SURVEY §2.6): commands/UpsertCommand.scala:44-195,
+UpdateCommand.scala:39-154, DeleteCommand.scala:41-147,
+CompactionCommand.scala:38-185, WriteIntoTable.scala:44-146,
+CleanupCommand.scala:36-233 — re-expressed as DataFrame rewrites plus
+manifest transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from starlake_spark import merge_ops as mo
+from starlake_spark.meta import ManifestStore, TableInfo, decode_range_value
+from starlake_spark.operators import reader, writer
+
+# reference defaults (StarLakeSQLConf.scala:41-58)
+DELTA_FILE_COMPACT_TRIGGER = 5
+CLEANUP_RETENTION_S = 5 * 3600
+
+
+def _to_column(cond) -> Column:
+    return F.expr(cond) if isinstance(cond, str) else cond
+
+
+def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
+    """Schema auto-merge on write: new source columns are appended as
+    nullable fields (reference ImplicitMetadataOperation.scala:66-165 +
+    SchemaUtils.mergeSchemas). Existing columns keep their declared type
+    (source is cast); NullType columns never enter the schema."""
+    info = store.table_info(refresh=True)
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    existing = {f.name for f in schema.fields}
+    added = False
+    for f in df.schema.fields:
+        if f.name not in existing and not isinstance(f.dataType, T.NullType):
+            schema = schema.add(T.StructField(f.name, f.dataType, True))
+            added = True
+    if added:
+        if info.configuration.get("schema.autoMerge.enabled", "true") != "true":
+            raise ValueError("source has new columns and schema.autoMerge is disabled")
+        info.schema_json = schema.json()
+        store.update_table_info(info)
+    return info
+
+
+def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
+           use_delta: bool = True) -> None:
+    """MoR delta upsert (default) or CoW full-outer rewrite.
+
+    Delta path (UpsertCommand.scala:107-111): write the source as
+    key-sorted bucket files at a new commit version, expire nothing;
+    readers collapse versions per key (reader._merge_scan). O(source)
+    write cost — the 100 TB-friendly path.
+
+    CoW path (UpsertCommand.scala:112-153, USE_DELTA_FILE=false):
+    ``target FULL OUTER JOIN source`` on the merge keys with
+    ``coalesce(source.c, target.c)`` per overlapping column — note the
+    deliberate semantic difference pinned in SURVEY §7(c): explicit
+    source NULLs do *not* win here, unlike the delta path.
+    """
+    info = store.table_info()
+    if not info.hash_cols:
+        raise ValueError("upsert requires hash partition columns "
+                         "(UpsertCommand.scala:74-76)")
+    for c in info.range_cols:
+        if c not in source.columns:
+            raise ValueError(f"upsert source must carry range column '{c}' "
+                             "(UpsertCommand.scala:83-88)")
+    info = maybe_merge_schema(source, store)
+
+    if use_delta:
+        txn = store.new_transaction()
+        files = writer.write_files(spark, source, info, txn, is_base=False)
+        txn.add_files(files)
+        store.commit(txn)
+        return
+
+    keys = info.range_cols + info.hash_cols
+    target = reader.scan(spark, store)
+    src = writer.normalize_for_write(source, info, enforce_schema=False)
+    t = target.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, on=keys, how="full")
+    out_cols = []
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    for f in schema.fields:
+        if f.name in keys:
+            out_cols.append(F.col(f.name))
+        elif f.name in src.columns and f.name in target.columns:
+            out_cols.append(F.coalesce(F.col(f"s.{f.name}"), F.col(f"t.{f.name}")).alias(f.name))
+        elif f.name in src.columns:
+            out_cols.append(F.col(f"s.{f.name}").alias(f.name))
+        else:
+            out_cols.append(F.col(f"t.{f.name}").alias(f.name))
+    result = joined.select(*out_cols)
+    _rewrite_all(spark, store, info, result)
+
+
+def _rewrite_all(spark: SparkSession, store: ManifestStore, info: TableInfo,
+                 df: DataFrame) -> None:
+    txn = store.new_transaction()
+    files = writer.write_files(spark, df, info, txn, is_base=True)
+    for rv in txn.read_snapshot.partitions:
+        txn.expire_partition(rv)
+    txn.add_files(files)
+    store.commit(txn)
+
+
+def _touched_partitions(spark, store, info, cond: Column) -> list[str]:
+    """Range values of partitions containing rows matching cond."""
+    if not info.range_cols:
+        return [""]
+    df = reader.scan(spark, store)
+    rows = (
+        df.filter(cond)
+        .select(*info.range_cols)
+        .distinct()
+        .collect()
+    )
+    from starlake_spark.meta import encode_range_value
+
+    return [encode_range_value(info.range_cols, [r[c] for c in info.range_cols]) for r in rows]
+
+
+def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
+                  transform) -> None:
+    """Shared 3-case structure of UpdateCommand/DeleteCommand:
+
+    * hash tables: rewrite whole candidate partitions (the reference
+      also rewrites all candidate files for hash tables,
+      UpdateCommand.scala:96-103) — MoR deltas collapse in the process.
+    * non-hash tables: touched-file detection via ``input_file_name()``
+      and rewrite of only those files.
+    """
+    info = store.table_info()
+    snap = store.snapshot()
+
+    if info.hash_cols:
+        touched = set(_touched_partitions(spark, store, info, cond))
+        if not touched:
+            return
+        part_filter = (lambda d: True) if touched == {""} else (
+            lambda d, t=touched: ",".join(f"{k}={v}" for k, v in d.items()) in t
+        )
+        current = reader.scan(spark, store, partition_filter=part_filter)
+        rewritten = transform(current, cond)
+        txn = store.new_transaction()
+        files = writer.write_files(spark, rewritten, info, txn, is_base=True)
+        for rv in touched:
+            if rv in snap.partitions:
+                txn.expire_partition(rv)
+        txn.add_files(files)
+        store.commit(txn)
+        return
+
+    # Non-hash path: find the exact files containing matches.
+    current = reader.scan(spark, store)
+    touched_files = {
+        r[0]
+        for r in current.withColumn("_f", F.input_file_name())
+        .filter(cond)
+        .select("_f")
+        .distinct()
+        .collect()
+    }
+    if not touched_files:
+        return
+    rel_touched = {
+        os.path.relpath(p.removeprefix("file:"), store.table_path) for p in touched_files
+    }
+    by_partition: dict[str, list] = {}
+    for rv, ps in snap.partitions.items():
+        hit = [f for f in ps.files if f.path in rel_touched]
+        if hit:
+            by_partition[rv] = hit
+    all_hit = [f for fs in by_partition.values() for f in fs]
+    sub = reader._plain_scan(spark, store, info, all_hit)
+    rewritten = transform(sub, cond)
+    txn = store.new_transaction()
+    files = writer.write_files(spark, rewritten, info, txn, is_base=False)
+    txn.expire_files([f.path for f in all_hit])
+    txn.add_files(files)
+    store.commit(txn)
+
+
+def update(spark: SparkSession, store: ManifestStore, condition,
+           set_exprs: dict) -> None:
+    """UPDATE: per column ``when(cond, expr).otherwise(col)`` on touched
+    data (UpdateCommand.scala:39-154)."""
+    cond = _to_column(condition) if condition is not None else F.lit(True)
+    sets = {c: _to_column(e) for c, e in set_exprs.items()}
+    info = store.table_info()
+    for c in sets:
+        if c in info.range_cols + info.hash_cols:
+            raise ValueError(f"cannot update partition/hash column '{c}'")
+
+    def transform(df: DataFrame, cnd: Column) -> DataFrame:
+        for c, e in sets.items():
+            df = df.withColumn(c, F.when(cnd, e).otherwise(F.col(c)))
+        return df
+
+    _rewrite_rows(spark, store, cond, transform)
+
+
+def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
+    """DELETE: keep rows where NOT coalesce(cond, false)
+    (DeleteCommand.scala:41-147)."""
+    if condition is None:
+        txn = store.new_transaction()
+        for rv in txn.read_snapshot.partitions:
+            txn.expire_partition(rv)
+        store.commit(txn)
+        return
+    cond = _to_column(condition)
+
+    def transform(df: DataFrame, cnd: Column) -> DataFrame:
+        return df.filter(~F.coalesce(cnd, F.lit(False)))
+
+    _rewrite_rows(spark, store, cond, transform)
+
+
+def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
+            merge_operators: dict | None = None,
+            partition: str | None = None) -> None:
+    """Collapse base+delta files into fresh base files, per partition
+    (CompactionCommand.scala:38-185). Trigger when forced or
+    delta_file_num >= 5 (StarLakeSQLConf.scala:41-45). Invariant
+    (manual_execute_suites/CompactionDoNotChangeResult.scala): scans
+    before and after compaction are identical.
+    """
+    info = store.table_info()
+    snap = store.snapshot()
+    targets = []
+    for rv, ps in snap.partitions.items():
+        if partition is not None and rv != partition:
+            continue
+        if ps.delta_file_num == 0 and len({f.write_version for f in ps.files}) <= 1:
+            continue
+        if not force and ps.delta_file_num < DELTA_FILE_COMPACT_TRIGGER:
+            continue
+        targets.append(rv)
+    if not targets:
+        return
+    tset = set(targets)
+    part_filter = lambda d, info=info, t=tset: (
+        ",".join(f"{c}={d[c]}" for c in info.range_cols if c in d) in t
+    ) if info.range_cols else True
+    merged = reader.scan(spark, store, merge_operators=merge_operators,
+                         partition_filter=part_filter if info.range_cols else None)
+    if not info.range_cols:
+        # unpartitioned: single '' partition is the only target
+        pass
+    txn = store.new_transaction()
+    files = writer.write_files(spark, merged, info, txn, is_base=True)
+    for rv in targets:
+        txn.expire_partition(rv)
+    txn.add_files(files)
+    store.commit(txn)
+
+
+def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
+               mode: str = "append", replace_where: str | None = None) -> None:
+    """WriteIntoTable (WriteIntoTable.scala:44-146): append / overwrite /
+    partition-scoped overwrite via replaceWhere (predicate over range
+    columns, evaluated against manifest partition values — no data read).
+    Appending to a hash table is forbidden: use upsert
+    (WriteIntoTable.scala:96-97)."""
+    info = store.table_info()
+    if mode == "append" and info.hash_cols:
+        raise ValueError("append to a hash-partitioned table is forbidden; "
+                         "use upsert (WriteIntoTable.scala:96-97)")
+    info = maybe_merge_schema(df, store)
+    txn = store.new_transaction()
+    files = writer.write_files(spark, df, info, txn, is_base=True)
+    if mode == "overwrite":
+        if replace_where is not None:
+            matching = _partitions_matching(spark, store, info, replace_where)
+            new_rvs = {f.range_value for f in files}
+            if not new_rvs <= matching:
+                raise ValueError(
+                    f"replaceWhere: written partitions {new_rvs - matching} do not "
+                    f"match predicate '{replace_where}'")
+            for rv in matching:
+                txn.expire_partition(rv)
+        else:
+            for rv in txn.read_snapshot.partitions:
+                txn.expire_partition(rv)
+    elif mode != "append":
+        raise ValueError(f"unsupported mode {mode}")
+    txn.add_files(files)
+    store.commit(txn)
+
+
+def _partitions_matching(spark, store, info, predicate: str) -> set[str]:
+    """Evaluate a predicate over partition values only, the reference's
+    metadata-only partition filtering (PartitionFilter.scala:26-106):
+    build a tiny DataFrame of the distinct range values and filter it —
+    one Spark job over O(partitions) rows, never over data."""
+    snap = store.snapshot()
+    if not info.range_cols:
+        raise ValueError("replaceWhere requires range partition columns")
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    types = {f.name: f.dataType for f in schema.fields}
+    rows = []
+    for rv in snap.partitions:
+        d = decode_range_value(rv)
+        rows.append(tuple(d.get(c) for c in info.range_cols))
+    if not rows:
+        return set()
+    pdf = spark.createDataFrame(
+        rows, T.StructType([T.StructField(c, T.StringType()) for c in info.range_cols])
+    )
+    pdf = pdf.select(*[F.col(c).cast(types[c]).alias(c) for c in info.range_cols])
+    kept = pdf.filter(F.expr(predicate)).collect()
+    from starlake_spark.meta import encode_range_value
+
+    return {encode_range_value(info.range_cols, [r[c] for c in info.range_cols]) for r in kept}
+
+
+def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
+            dry_run: bool = False) -> list[str]:
+    """Vacuum: physical files not referenced by any retained manifest
+    version and older than the retention window (CleanupCommand.scala:36-233;
+    default 5h, StarLakeSQLConf.scala:54-58)."""
+    now = time.time()
+    keep_versions = [
+        v for v in store.list_versions()
+        if store.snapshot(v).timestamp >= now - retention_s
+    ]
+    # always keep the latest version's files
+    latest = store.latest_version()
+    refs = {f.path for f in store.snapshot(latest).all_files()}
+    for v in keep_versions:
+        refs.update(f.path for f in store.snapshot(v).all_files())
+    removed = []
+    data_root = os.path.join(store.table_path, "data")
+    for root, _dirs, names in os.walk(data_root):
+        for n in names:
+            p = os.path.join(root, n)
+            rel = os.path.relpath(p, store.table_path)
+            if rel not in refs and now - os.path.getmtime(p) > retention_s:
+                removed.append(rel)
+                if not dry_run:
+                    os.unlink(p)
+    return removed

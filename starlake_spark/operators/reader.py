@@ -1,0 +1,222 @@
+"""Snapshot scans: plain parquet fast path + merge-on-read key collapse.
+
+Reference parity: catalog/StarLakeScanBuilder.scala:99-158 chooses one
+of four physical scans; the decision collapses to two DataFrame recipes
+here (SURVEY §2.1):
+
+* **plain scan** — partition has a single committed file-version (all
+  base, or exactly one commit): read the parquet files directly. This
+  keeps the whole Catalyst fast path: parquet filter pushdown, column
+  pruning, partition pruning, whole-stage codegen.
+* **MoR scan** — partition carries delta files from several commits:
+  union the per-commit file groups with their commit version attached,
+  then collapse per primary key with ``groupBy(range+hash keys)`` where
+  each column takes its value from the highest version whose files
+  physically contain the column (``file_exist_cols`` semantics of
+  MergeParquetScan.scala:128-138,246-255), explicit nulls included —
+  via ``max_by`` over a per-group constant version column, or a merge
+  operator (starlake_spark.merge_ops) instead of last-wins.
+
+The reference does the same collapse with a per-bucket k-way heap merge
+(v2/merge/parquet/MergeHeap.java, MergeMultiFileWithOperator.scala:35-196)
+because its files are bucket-sorted; Spark's hash aggregate gives the
+identical result order-insensitively, spills natively, and is split
+across executors by AQE. Partitions that need no merge are unioned in
+via the plain path so compacted data never pays the shuffle.
+
+Scale note: the MoR groupBy shuffles only the *un-compacted* partitions'
+bytes on the hash keys. Regular compaction (CompactionCommand analogue)
+keeps that fraction small; the reference relies on the same discipline
+(delta_file_num trigger = 5, StarLakeSQLConf.scala:41-45).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from starlake_spark import merge_ops as mo
+from starlake_spark.meta import (
+    DataFileInfo,
+    ManifestStore,
+    Snapshot,
+    TableInfo,
+    decode_range_value,
+)
+
+_WV = "_star_wv"
+_ORD = "_star_ord_"  # per-column merge ordering prefix
+
+
+def _schema(info: TableInfo) -> T.StructType:
+    return T.StructType.fromJson(json.loads(info.schema_json))
+
+
+def _empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
+    return spark.createDataFrame([], _schema(info))
+
+
+def _group_files(files: list[DataFileInfo]) -> dict[tuple[int, str], list[DataFileInfo]]:
+    """Group by (write_version, commit data dir) — one group per commit."""
+    groups: dict[tuple[int, str], list[DataFileInfo]] = defaultdict(list)
+    for f in files:
+        # path = data/<commit_id>/[range dirs/]part-*.parquet
+        parts = f.path.split(os.sep)
+        commit_dir = os.sep.join(parts[:2])
+        groups[(f.write_version, commit_dir)].append(f)
+    return groups
+
+
+def _read_group(
+    spark: SparkSession,
+    store: ManifestStore,
+    info: TableInfo,
+    commit_dir: str,
+    files: list[DataFileInfo],
+) -> DataFrame:
+    """Read one commit's files. basePath recovers range partition columns
+    from the hive-style directory layout."""
+    base = os.path.join(store.table_path, commit_dir)
+    paths = [os.path.join(store.table_path, f.path) for f in files]
+    reader = spark.read
+    if info.range_cols:
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*paths)
+    # Align to declared types (partition-dir values are type-inferred).
+    schema = _schema(info)
+    declared = {f.name: f.dataType for f in schema.fields}
+    cols = []
+    for name in [f.name for f in schema.fields]:
+        if name in df.columns:
+            cols.append(F.col(name).cast(declared[name]).alias(name))
+        else:
+            cols.append(F.lit(None).cast(declared[name]).alias(name))
+    return df.select(*cols)
+
+
+def _plain_scan(
+    spark: SparkSession,
+    store: ManifestStore,
+    info: TableInfo,
+    files: list[DataFileInfo],
+) -> DataFrame:
+    groups = _group_files(files)
+    dfs = [
+        _read_group(spark, store, info, cdir, fs) for (_wv, cdir), fs in groups.items()
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _merge_scan(
+    spark: SparkSession,
+    store: ManifestStore,
+    info: TableInfo,
+    files: list[DataFileInfo],
+    merge_operators: dict[str, mo.MergeOperator],
+) -> DataFrame:
+    schema = _schema(info)
+    keys = info.range_cols + info.hash_cols
+    data_cols = [f for f in schema.fields if f.name not in keys]
+
+    groups = _group_files(files)
+    branches = []
+    for (wv, cdir), fs in groups.items():
+        exist = set(fs[0].exist_cols)
+        d = _read_group(spark, store, info, cdir, fs)
+        d = d.withColumn(_WV, F.lit(wv).cast("long"))
+        # Per-column ordering: the commit version if this commit's files
+        # contain the column, else null (so max_by / collect skip it).
+        # These are constant per branch — pure codegen literals.
+        for f in data_cols:
+            ordv = F.lit(wv).cast("long") if f.name in exist else F.lit(None).cast("long")
+            d = d.withColumn(_ORD + f.name, ordv)
+        branches.append(d)
+
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+
+    aggs = []
+    for f in data_cols:
+        ordc = F.col(_ORD + f.name)
+        op = merge_operators.get(f.name)
+        if op is None:
+            aggs.append(F.max_by(F.col(f.name), ordc).alias(f.name))
+        else:
+            versions = F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ordc.isNotNull(),
+                        F.struct(ordc.alias("v"), F.col(f.name).alias("x")),
+                    )
+                )
+            )
+            aggs.append(op.column(versions, f.dataType).cast(f.dataType).alias(f.name))
+
+    merged = u.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return merged.select(*[F.col(f.name) for f in schema.fields])
+
+
+def scan(
+    spark: SparkSession,
+    store: ManifestStore,
+    version: int | None = None,
+    merge_operators: dict | None = None,
+    partition_filter=None,
+    snapshot: Snapshot | None = None,
+) -> DataFrame:
+    """Build the DataFrame view of a table snapshot.
+
+    ``partition_filter``: python predicate over the decoded range-value
+    dict — manifest-level partition pruning (reference
+    PartitionFilter.scala:26-106 evaluates partition predicates before
+    file listing; same effect, zero Spark jobs).
+
+    ``merge_operators``: {column: op} where op is a name ('sum',
+    'concat', ...), a MergeOperator, or a Python callable.
+    """
+    info = store.table_info()
+    snap = snapshot or store.snapshot(version)
+    ops = {c: mo.resolve(op) for c, op in (merge_operators or {}).items()}
+    if ops and not info.hash_cols:
+        raise ValueError("merge operators require a hash-partitioned table "
+                         "(reference ExtractMergeOperator.scala:106-121)")
+    if ops:
+        known = {f.name for f in _schema(info).fields}
+        keys = set(info.range_cols + info.hash_cols)
+        for c in ops:
+            if c not in known:
+                raise KeyError(f"merge operator on unknown column '{c}'")
+            if c in keys:
+                raise ValueError(f"merge operator on partition/hash column '{c}'")
+
+    plain_files: list[DataFileInfo] = []
+    merge_files: list[DataFileInfo] = []
+    for rv, ps in snap.partitions.items():
+        if partition_filter is not None and not partition_filter(decode_range_value(rv)):
+            continue
+        needs_merge = info.hash_cols and len({f.write_version for f in ps.files}) > 1
+        (merge_files if needs_merge else plain_files).extend(ps.files)
+
+    parts = []
+    if plain_files:
+        p = _plain_scan(spark, store, info, plain_files)
+        if ops:
+            # single-version partitions still pass through the operator
+            # algebra so e.g. 'sum' over one version is identity.
+            pass
+        parts.append(p)
+    if merge_files:
+        parts.append(_merge_scan(spark, store, info, merge_files, ops))
+    if not parts:
+        return _empty_df(spark, info)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,167 @@
+"""Transactional bucketed parquet writes.
+
+Reference parity: TransactionalWrite.scala:113-225 — a write to a
+hash-partitioned table repartitions the data into ``bucket_num``
+buckets by the hash keys, sorts each bucket by the keys, and emits one
+parquet file per (range partition, bucket); DelayedCommitProtocol.scala:37-151
+collects the written files into DataFileInfo rows for the meta commit.
+
+Spark-first translation: ``df.repartition(n, *hash_cols)`` assigns each
+row to partition ``pmod(murmur3(hash_cols), n)`` — that partition id IS
+the bucket id and is stable across commits for a fixed ``n``, so delta
+files line up with base files bucket-by-bucket (same property the
+reference gets from BucketingUtils). ``sortWithinPartitions(range_cols +
+hash_cols)`` both satisfies the dynamic-partition-write required
+ordering (so Spark inserts no extra sort) and keeps rows key-sorted
+inside every file. Files land in a per-commit directory
+(``data/<commit_id>/``) so they are invisible until the manifest commit
+publishes them — the atomicity trick of Delta-style log stores.
+
+Scale note: one file per (partition, bucket) per commit means write
+parallelism = bucket_num × touched partitions; pick bucket_num so that
+100 TB / bucket_num ≈ a few hundred MB per file per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from starlake_spark.meta import DataFileInfo, TableInfo, Transaction
+
+_BUCKET_RE = re.compile(r"part-(\d+)")
+
+
+def table_schema(info: TableInfo) -> T.StructType:
+    return T.StructType.fromJson(json.loads(info.schema_json))
+
+
+def _drop_null_type_columns(df: DataFrame) -> DataFrame:
+    """NullType columns are dropped on write (reference
+    schema/SchemaUtils.scala:99-143, dropNullTypeColumns)."""
+    keep = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.NullType)]
+    if len(keep) != len(df.columns):
+        df = df.select(*keep)
+    return df
+
+
+def normalize_for_write(
+    df: DataFrame, info: TableInfo, enforce_schema: bool = True
+) -> DataFrame:
+    """Cast/align an incoming DataFrame to the table schema.
+
+    Mirrors the INSERT projection normalization of
+    rules/StarLakeAnalysis.scala:44-63,105-197 (by-name cast + nullability
+    enforcement): every table column present in the source is cast to the
+    declared type; partition/hash columns must be present and non-null
+    (schema/ImplicitMetadataOperation.scala:148-156).
+    """
+    df = _drop_null_type_columns(df)
+    schema = table_schema(info)
+    declared = {f.name: f for f in schema.fields}
+    src_cols = set(df.columns)
+
+    for c in info.range_cols + info.hash_cols:
+        if c not in src_cols:
+            raise ValueError(f"partition/hash column '{c}' missing from source data")
+
+    projected = []
+    for name in df.columns:
+        if name in declared:
+            projected.append(F.col(name).cast(declared[name].dataType).alias(name))
+        elif not enforce_schema:
+            projected.append(F.col(name))
+        else:
+            raise ValueError(
+                f"column '{name}' not in table schema; use schema merge (mergeSchema)"
+            )
+    return df.select(*projected)
+
+
+def check_not_null_invariants(df: DataFrame, info: TableInfo) -> None:
+    """Partition + hash columns are implicit NOT NULL primary keys
+    (reference schema/InvariantCheckerExec.scala:33-107). A full-column
+    null check would scan everything; limit(1) on the violation filter
+    lets Spark stop at the first offending row."""
+    cols = info.range_cols + info.hash_cols
+    if not cols:
+        return
+    cond = None
+    for c in cols:
+        cnd = F.col(c).isNull()
+        cond = cnd if cond is None else (cond | cnd)
+    if df.filter(cond).limit(1).count() > 0:
+        raise ValueError(f"NOT NULL invariant violated on partition/hash cols {cols}")
+
+
+def _list_written_files(abs_dir: str) -> list[str]:
+    out = []
+    for root, _dirs, names in os.walk(abs_dir):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.append(os.path.join(root, n))
+    return out
+
+
+def _range_value_of(file_path: str, base_dir: str, range_cols: list[str]) -> str:
+    """Recover 'k=v,...' from the hive-style directory fragments."""
+    rel = os.path.relpath(os.path.dirname(file_path), base_dir)
+    if rel == ".":
+        return ""
+    parts = [p for p in rel.split(os.sep) if "=" in p]
+    decoded = {}
+    for p in parts:
+        k, _, v = p.partition("=")
+        decoded[k] = unquote(v)
+    return ",".join(f"{c}={decoded[c]}" for c in range_cols if c in decoded)
+
+
+def write_files(
+    spark: SparkSession,
+    df: DataFrame,
+    info: TableInfo,
+    txn: Transaction,
+    is_base: bool = False,
+    check_invariants: bool = True,
+) -> list[DataFileInfo]:
+    """Write one commit's data files; returns their DataFileInfo rows.
+
+    The caller adds them to ``txn`` and commits the manifest.
+    """
+    df = normalize_for_write(df, info, enforce_schema=False)
+    if check_invariants:
+        check_not_null_invariants(df, info)
+
+    if info.hash_cols:
+        # Bucketed layout: stable bucket assignment + in-file key sort
+        # (TransactionalWrite.scala:125-129,183-211).
+        df = df.repartition(info.bucket_num, *[F.col(c) for c in info.hash_cols])
+        df = df.sortWithinPartitions(*(info.range_cols + info.hash_cols))
+
+    abs_dir = os.path.join(txn.store.table_path, txn.data_dir)
+    writer = df.write.mode("overwrite").format("parquet")
+    if info.range_cols:
+        writer = writer.partitionBy(*info.range_cols)
+    writer.save(abs_dir)
+
+    exist_cols = [c for c in df.columns if c not in info.range_cols]
+    files = []
+    for fp in _list_written_files(abs_dir):
+        m = _BUCKET_RE.search(os.path.basename(fp))
+        bucket = int(m.group(1)) if (m and info.hash_cols) else -1
+        files.append(
+            DataFileInfo(
+                path=os.path.relpath(fp, txn.store.table_path),
+                range_value=_range_value_of(fp, abs_dir, info.range_cols),
+                bucket_id=bucket,
+                size=os.path.getsize(fp),
+                write_version=-1,  # assigned at manifest commit
+                is_base_file=is_base,
+                exist_cols=exist_cols,
+            )
+        )
+    return files

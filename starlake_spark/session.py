@@ -1,0 +1,53 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults follow the scale posture in SURVEY.md §7: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow on (fast
+Pandas-UDF path), shuffle partitions sized to the local core count
+rather than Spark's default 200. On a real cluster the same builder is
+used with ``master`` unset (picked up from spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "starlake_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale notes (100 TB posture):
+      - AQE handles runtime partition coalescing and skew-join splits so
+        a fixed ``shuffle.partitions`` is only the *initial* value.
+      - ``maxPartitionBytes`` is left at 128 MB: with snappy parquet this
+        keeps scan tasks comfortably in executor memory.
+      - ANSI mode stays at the Spark 4 default (on); engine code avoids
+        out-of-bounds/overflow-throwing expressions in hot paths.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def star_session(app_name: str = "starlake_spark"):
+    """Convenience: a :class:`starlake_spark.sql.StarSession` over get_spark()."""
+    from starlake_spark.sql import StarSession
+
+    return StarSession(get_spark(app_name))

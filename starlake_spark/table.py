@@ -1,0 +1,154 @@
+"""StarTable — the user-facing table API.
+
+Parity target: the reference's Python surface
+(python/star/tables.py:20-291 — forPath / forName / isStarTable /
+registerMergeOperator, instance methods toDF / alias / delete / update /
+upsert / compaction / cleanup / dropPartition / dropTable) plus the
+Scala builder StarTable.createTable(... rangePartitions /
+hashPartitions / hashBucketNum / shortTableName, tables/StarTable.scala:413-567).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from starlake_spark import catalog
+from starlake_spark.meta import ManifestStore, TableInfo, encode_range_value
+from starlake_spark.operators import dml, reader, writer
+
+
+class StarTable:
+    def __init__(self, spark: SparkSession, store: ManifestStore):
+        self.spark = spark
+        self.store = store
+
+    # ---------- constructors ----------
+
+    @staticmethod
+    def for_path(spark: SparkSession, path: str) -> "StarTable":
+        store = ManifestStore(path)
+        store.table_info()  # raises TableNotFoundError if absent
+        return StarTable(spark, store)
+
+    @staticmethod
+    def for_name(spark: SparkSession, name: str, warehouse: str | None = None) -> "StarTable":
+        return StarTable.for_path(spark, catalog.resolve(name, warehouse))
+
+    @staticmethod
+    def is_star_table(path: str) -> bool:
+        return ManifestStore.is_star_table(path)
+
+    # ---------- reads ----------
+
+    def to_df(
+        self,
+        version: int | None = None,
+        merge_operators: dict | None = None,
+        partition_filter=None,
+    ) -> DataFrame:
+        """Snapshot view. ``version`` = MVCC time travel; ``merge_operators``
+        = per-column MoR operators (see starlake_spark.merge_ops)."""
+        return reader.scan(
+            self.spark,
+            self.store,
+            version=version,
+            merge_operators=merge_operators,
+            partition_filter=partition_filter,
+        )
+
+    toDF = to_df
+
+    @property
+    def info(self) -> TableInfo:
+        return self.store.table_info(refresh=True)
+
+    def versions(self) -> list[int]:
+        return self.store.list_versions()
+
+    # ---------- writes / DML ----------
+
+    def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None) -> "StarTable":
+        dml.write_into(self.spark, self.store, df, mode=mode, replace_where=replace_where)
+        return self
+
+    def upsert(self, source: DataFrame, use_delta: bool = True) -> "StarTable":
+        dml.upsert(self.spark, self.store, source, use_delta=use_delta)
+        return self
+
+    def update(self, condition, set_exprs: dict) -> "StarTable":
+        dml.update(self.spark, self.store, condition, set_exprs)
+        return self
+
+    def delete(self, condition=None) -> "StarTable":
+        dml.delete(self.spark, self.store, condition)
+        return self
+
+    def compaction(self, force: bool = True, merge_operators: dict | None = None,
+                   partition: str | None = None) -> "StarTable":
+        dml.compact(self.spark, self.store, force=force,
+                    merge_operators=merge_operators, partition=partition)
+        return self
+
+    def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:
+        return dml.cleanup(self.store, retention_s=retention_s, dry_run=dry_run)
+
+    def drop_partition(self, range_value: str) -> "StarTable":
+        """DropPartitionCommand (commands/DropTableCommand.scala:150-247)."""
+        txn = self.store.new_transaction()
+        if range_value not in txn.read_snapshot.partitions:
+            raise KeyError(f"no such partition: {range_value}")
+        txn.expire_partition(range_value)
+        self.store.commit(txn)
+        return self
+
+    def drop_table(self) -> None:
+        info = self.store.table_info()
+        if info.short_name:
+            catalog.unregister(info.short_name)
+        self.store.drop()
+
+
+def create_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    range_partitions: list[str] | None = None,
+    hash_partitions: list[str] | None = None,
+    hash_bucket_num: int = -1,
+    short_name: str | None = None,
+    configuration: dict[str, str] | None = None,
+    warehouse: str | None = None,
+) -> StarTable:
+    """TableCreator equivalent (tables/StarTable.scala:413-567): create a
+    table from a DataFrame with optional range (directory) partitions and
+    hash-bucketed primary keys, then write the data as base files."""
+    range_partitions = list(range_partitions or [])
+    hash_partitions = list(hash_partitions or [])
+    if hash_partitions and hash_bucket_num <= 0:
+        raise ValueError("hash_partitions requires hash_bucket_num > 0 "
+                         "(TableCreationTests.scala:99-405)")
+    for c in range_partitions + hash_partitions:
+        if c not in df.columns:
+            raise ValueError(f"partition column '{c}' not in data")
+
+    info = TableInfo(
+        table_path=path,
+        table_id=f"table_{uuid.uuid4().hex[:16]}",
+        schema_json=df.schema.json(),
+        range_cols=range_partitions,
+        hash_cols=hash_partitions,
+        bucket_num=hash_bucket_num,
+        configuration={"schema.autoMerge.enabled": "true", **(configuration or {})},
+        short_name=short_name,
+    )
+    store = ManifestStore(path)
+    store.create(info)
+    txn = store.new_transaction()
+    files = writer.write_files(spark, df, info, txn, is_base=True)
+    txn.add_files(files)
+    store.commit(txn)
+    if short_name:
+        catalog.register(short_name, path, warehouse)
+    return StarTable(spark, store)

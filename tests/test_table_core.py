@@ -1,0 +1,115 @@
+"""Core table lifecycle: create / read / write modes / partitions /
+time travel. Mirrors the reference's TableCreationTests.scala areas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import StarTable, create_table
+from starlake_spark.meta import ManifestStore
+
+
+def _mk(spark, tmp_table_dir, **kw):
+    df = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")],
+        "id int, name string, range string",
+    )
+    return create_table(spark, df, tmp_table_dir, **kw)
+
+
+def test_create_and_read_plain(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    rows = sorted((r.id, r.name, r.range) for r in t.to_df().collect())
+    assert rows == [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")]
+    assert StarTable.is_star_table(tmp_table_dir)
+    assert not StarTable.is_star_table("/tmp")
+
+
+def test_create_hash_requires_bucket_num(spark, tmp_table_dir):
+    with pytest.raises(ValueError):
+        _mk(spark, tmp_table_dir, hash_partitions=["id"])
+
+
+def test_range_partitioned_layout_and_pruning(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, range_partitions=["range"])
+    snap = t.store.snapshot()
+    assert set(snap.partitions) == {"range=r1", "range=r2"}
+    only_r1 = t.to_df(partition_filter=lambda d: d["range"] == "r1")
+    assert sorted(r.id for r in only_r1.collect()) == [1, 2]
+
+
+def test_append_and_overwrite(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, range_partitions=["range"])
+    t.write(
+        spark.createDataFrame([(4, "d", "r3")], "id int, name string, range string"),
+        mode="append",
+    )
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3, 4]
+    t.write(
+        spark.createDataFrame([(9, "z", "r9")], "id int, name string, range string"),
+        mode="overwrite",
+    )
+    assert [r.id for r in t.to_df().collect()] == [9]
+
+
+def test_append_to_hash_table_forbidden(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, hash_partitions=["id"], hash_bucket_num=2)
+    with pytest.raises(ValueError, match="upsert"):
+        t.write(
+            spark.createDataFrame([(4, "d", "r3")], "id int, name string, range string"),
+            mode="append",
+        )
+
+
+def test_replace_where(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, range_partitions=["range"])
+    t.write(
+        spark.createDataFrame([(7, "n", "r1")], "id int, name string, range string"),
+        mode="overwrite",
+        replace_where="range = 'r1'",
+    )
+    rows = sorted((r.id, r.range) for r in t.to_df().collect())
+    assert rows == [(3, "r2"), (7, "r1")]
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, range_partitions=["range"])
+    with pytest.raises(ValueError):
+        t.write(
+            spark.createDataFrame([(7, "n", "r2")], "id int, name string, range string"),
+            mode="overwrite",
+            replace_where="range = 'r1'",
+        )
+
+
+def test_time_travel(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.write(
+        spark.createDataFrame([(4, "d", "r3")], "id int, name string, range string"),
+        mode="append",
+    )
+    assert sorted(r.id for r in t.to_df(version=1).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.to_df(version=2).collect()) == [1, 2, 3, 4]
+
+
+def test_not_null_invariant_on_partition_cols(spark, tmp_table_dir):
+    df = spark.createDataFrame([(1, "a", None)], "id int, name string, range string")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        create_table(spark, df, tmp_table_dir, range_partitions=["range"])
+
+
+def test_drop_partition_and_table(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, range_partitions=["range"])
+    t.drop_partition("range=r1")
+    assert sorted(r.id for r in t.to_df().collect()) == [3]
+    t.drop_table()
+    assert not ManifestStore.is_star_table(tmp_table_dir)
+
+
+def test_for_name_catalog(spark, tmp_table_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    t = _mk(spark, tmp_table_dir)
+    from starlake_spark import catalog
+
+    catalog.register("core_t1", tmp_table_dir, wh)
+    t2 = StarTable.for_name(spark, "core_t1", wh)
+    assert sorted(r.id for r in t2.to_df().collect()) == [1, 2, 3]

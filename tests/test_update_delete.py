@@ -1,0 +1,107 @@
+"""UPDATE / DELETE rewrites. Mirrors UpdateSuiteBase.scala /
+DeleteSuiteBase.scala case structure (SURVEY §2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import create_table
+
+
+def _mk_cow(spark, path):
+    """FIXTURES F4 no_hash — copy-on-write file-rewrite path."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1" if i < 5 else "d2") for i in range(10)],
+        "key int, value string, date string",
+    )
+    return create_table(spark, df, path, range_partitions=["date"])
+
+
+def _mk_hash(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")],
+        "id int, name string, range string",
+    )
+    return create_table(spark, df, path, range_partitions=["range"],
+                        hash_partitions=["id"], hash_bucket_num=2)
+
+
+def test_update_cow(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    t.update("key >= 8", {"value": F.lit("upd")})
+    rows = dict((r.key, r.value) for r in t.to_df().collect())
+    assert rows[8] == "upd" and rows[9] == "upd" and rows[0] == "v0"
+
+
+def test_update_only_rewrites_touched_files(spark, tmp_table_dir):
+    """UpdateCommand.scala:96-103 — untouched files keep their identity."""
+    t = _mk_cow(spark, tmp_table_dir)
+    before = {f.path for f in t.store.snapshot().all_files()}
+    t.update("key = 9", {"value": F.lit("upd")})  # only d2's file touched
+    after = {f.path for f in t.store.snapshot().all_files()}
+    kept = before & after
+    assert kept, "files without matches must not be rewritten"
+
+
+def test_update_expression_referencing_columns(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    t.update("key < 2", {"value": F.concat(F.col("value"), F.lit("!"))})
+    rows = dict((r.key, r.value) for r in t.to_df().collect())
+    assert rows[0] == "v0!" and rows[1] == "v1!" and rows[2] == "v2"
+
+
+def test_update_no_match_is_noop(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    v_before = t.store.latest_version()
+    t.update("key = 12345", {"value": F.lit("x")})
+    assert t.store.latest_version() == v_before
+
+
+def test_update_partition_col_rejected(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    with pytest.raises(ValueError):
+        t.update("key = 1", {"date": F.lit("d9")})
+
+
+def test_update_hash_table_collapses_deltas(spark, tmp_table_dir):
+    t = _mk_hash(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(1, "A", "r1")], "id int, name string, range string"))
+    t.update("id = 1", {"name": F.lit("U")})
+    rows = dict((r.id, r.name) for r in t.to_df().collect())
+    assert rows == {1: "U", 2: "b", 3: "c"}
+
+
+def test_delete_cow(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    t.delete("key % 2 = 0")
+    assert sorted(r.key for r in t.to_df().collect()) == [1, 3, 5, 7, 9]
+
+
+def test_delete_null_condition_semantics(spark, tmp_table_dir):
+    """DeleteCommand keeps NOT coalesce(cond, false) rows — a NULL
+    condition result means 'keep' (DeleteCommand.scala:41-147)."""
+    df = spark.createDataFrame([(1, None), (2, 5)], "key int, x int")
+    t = create_table(spark, df, tmp_table_dir)
+    t.delete("x > 1")  # NULL > 1 is NULL -> keep key=1
+    assert sorted(r.key for r in t.to_df().collect()) == [1]
+
+
+def test_delete_all(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    t.delete()
+    assert t.to_df().count() == 0
+
+
+def test_delete_hash_table(spark, tmp_table_dir):
+    t = _mk_hash(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(4, "d", "r2")], "id int, name string, range string"))
+    t.delete("range = 'r2' and id = 3")
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 4]
+
+
+def test_cleanup_removes_orphans(spark, tmp_table_dir):
+    t = _mk_cow(spark, tmp_table_dir)
+    t.delete("key < 5")  # expires the d1 file
+    removed = t.cleanup(retention_s=0.0)
+    assert removed, "expected expired physical files to be vacuumed"
+    # table still reads fine afterwards
+    assert sorted(r.key for r in t.to_df().collect()) == [5, 6, 7, 8, 9]

@@ -1,0 +1,168 @@
+"""Upsert + merge-on-read semantics. Mirrors UpsertSuiteBase.scala:147-662,
+MergeOperatorSuite.scala:31-453, CompactionSuite.scala and the
+manual_execute_suites invariants (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import create_table
+
+
+def _mk(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")],
+        "id int, name string, range string",
+    )
+    return create_table(
+        spark, df, path, range_partitions=["range"],
+        hash_partitions=["id"], hash_bucket_num=2,
+    )
+
+
+def test_upsert_last_wins(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(1, "A", "r1"), (4, "d", "r2")],
+                                   "id int, name string, range string"))
+    t.upsert(spark.createDataFrame([(1, "AA", "r1")],
+                                   "id int, name string, range string"))
+    rows = sorted((r.id, r.name) for r in t.to_df().collect())
+    assert rows == [(1, "AA"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_upsert_explicit_null_wins_on_delta_path(spark, tmp_table_dir):
+    """MergeOperatorSuite.scala:272-296 'merge return null': the delta
+    path's default op takes the newest version even when NULL."""
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(2, None, "r1")], "id int, name string, range string"))
+    rows = dict((r.id, r.name) for r in t.to_df().collect())
+    assert rows[2] is None
+
+
+def test_upsert_cow_null_does_not_win(spark, tmp_table_dir):
+    """CoW path (UpsertCommand.scala:141-149) uses coalesce(source, target):
+    explicit source NULL keeps the target value."""
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(2, None, "r1"), (9, "i", "r1")],
+                                   "id int, name string, range string"),
+             use_delta=False)
+    rows = dict((r.id, r.name) for r in t.to_df().collect())
+    assert rows[2] == "b" and rows[9] == "i"
+
+
+def test_upsert_requires_hash_cols(spark, tmp_table_dir):
+    df = spark.createDataFrame([(1, "a", "r1")], "id int, name string, range string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["range"])
+    with pytest.raises(ValueError, match="hash"):
+        t.upsert(df)
+
+
+def test_upsert_source_must_carry_range_cols(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    with pytest.raises(ValueError, match="range"):
+        t.upsert(spark.createDataFrame([(1, "x")], "id int, name string"))
+
+
+def test_schema_evolution_partial_column_upsert(spark, tmp_table_dir):
+    """UpsertSuiteBase.scala:249-310: delta carrying a new column; old
+    column values survive, new column null-fills old keys."""
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(1, 99, "r1"), (4, 7, "r2")],
+                                   "id int, score int, range string"))
+    rows = sorted((r.id, r.name, r.score) for r in t.to_df().collect())
+    assert rows == [(1, "a", 99), (2, "b", None), (3, "c", None), (4, None, 7)]
+
+
+def test_multi_range_multi_hash(spark, tmp_table_dir):
+    """UpsertSuiteBase.scala:381-395 (FIXTURES F3)."""
+    df = spark.createDataFrame(
+        [("x", 1, 10, "h1", 1.0), ("x", 1, 20, "h2", 2.0), ("y", 2, 10, "h1", 3.0)],
+        "range1 string, range2 int, hash1 int, hash2 string, value double",
+    )
+    t = create_table(spark, df, tmp_table_dir,
+                     range_partitions=["range1", "range2"],
+                     hash_partitions=["hash1", "hash2"], hash_bucket_num=4)
+    t.upsert(spark.createDataFrame([("x", 1, 10, "h1", 9.0)],
+                                   "range1 string, range2 int, hash1 int, hash2 string, value double"))
+    rows = sorted((r.range1, r.range2, r.hash1, r.hash2, r.value)
+                  for r in t.to_df().collect())
+    assert rows == [("x", 1, 10, "h1", 9.0), ("x", 1, 20, "h2", 2.0),
+                    ("y", 2, 10, "h1", 3.0)]
+
+
+def test_merge_op_sum_and_concat(spark, tmp_table_dir):
+    """MergeOpInt sum across versions null→0 (MergeOperatorSuite.scala:299-338),
+    MergeOpString comma-concat (MergeOperator.scala:68-72)."""
+    df = spark.createDataFrame([(1, 10, "x", "r1")], "id int, v int, s string, range string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["range"],
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame([(1, 5, "y", "r1")], "id int, v int, s string, range string"))
+    t.upsert(spark.createDataFrame([(1, None, "z", "r1")], "id int, v int, s string, range string"))
+    row = t.to_df(merge_operators={"v": "sum", "s": "concat"}).collect()[0]
+    assert row.v == 15 and row.s == "x,y,z"
+    # default read still last-wins
+    row = t.to_df().collect()[0]
+    assert row.v is None and row.s == "z"
+
+
+def test_merge_op_custom_python(spark, tmp_table_dir):
+    df = spark.createDataFrame([(1, 10, "r1")], "id int, v int, range string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["range"],
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame([(1, 4, "r1")], "id int, v int, range string"))
+    row = t.to_df(merge_operators={"v": lambda vals: max(v for v in vals if v is not None)}).collect()[0]
+    assert row.v == 10
+
+
+def test_merge_op_requires_hash_table(spark, tmp_table_dir):
+    df = spark.createDataFrame([(1, "a", "r1")], "id int, name string, range string")
+    t = create_table(spark, df, tmp_table_dir)
+    with pytest.raises(ValueError):
+        t.to_df(merge_operators={"name": "concat"})
+
+
+def test_compaction_does_not_change_result(spark, tmp_table_dir):
+    """manual_execute_suites/CompactionDoNotChangeResult.scala — the
+    single most valuable reference invariant (SURVEY §5)."""
+    t = _mk(spark, tmp_table_dir)
+    for i in range(4):
+        t.upsert(spark.createDataFrame(
+            [(1 + i, f"u{i}", "r1"), (10 + i, f"n{i}", "r2")],
+            "id int, name string, range string"))
+    before = sorted(map(tuple, t.to_df().collect()))
+    snap = t.store.snapshot()
+    assert any(p.delta_file_num > 0 for p in snap.partitions.values())
+    t.compaction(force=True)
+    after = sorted(map(tuple, t.to_df().collect()))
+    assert before == after
+    snap = t.store.snapshot()
+    assert all(p.delta_file_num == 0 for p in snap.partitions.values())
+
+
+def test_upsert_after_compaction(spark, tmp_table_dir):
+    """manual_execute_suites/UpsertAfterCompaction.scala"""
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(1, "A", "r1")], "id int, name string, range string"))
+    t.compaction(force=True)
+    t.upsert(spark.createDataFrame([(1, "B", "r1"), (2, None, "r1")],
+                                   "id int, name string, range string"))
+    rows = dict((r.id, r.name) for r in t.to_df().collect())
+    assert rows == {1: "B", 2: None, 3: "c"}
+
+
+def test_compaction_with_merge_op_materializes(spark, tmp_table_dir):
+    """CompactionCommand may apply merge operators; afterwards a default
+    read sees the merged values (CompactionCommand.scala:70-109)."""
+    df = spark.createDataFrame([(1, 10, "r1")], "id int, v int, range string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["range"],
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame([(1, 5, "r1")], "id int, v int, range string"))
+    t.compaction(force=True, merge_operators={"v": "sum"})
+    assert t.to_df().collect()[0].v == 15
+
+
+def test_mvcc_concurrent_reader_sees_old_snapshot(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    old = t.to_df()  # plan pinned to snapshot v1 file list
+    t.upsert(spark.createDataFrame([(1, "NEW", "r1")], "id int, name string, range string"))
+    assert dict((r.id, r.name) for r in old.collect())[1] == "a"
+    assert dict((r.id, r.name) for r in t.to_df().collect())[1] == "NEW"
