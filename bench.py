@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every query in the engine's inventory (starlake_spark.queries)
+against ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_runtime", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a count-style action (foreachPartition
+noop would pull rows to Python; ``df.count()`` keeps everything
+JVM-side but can prune the plan, so we use ``df.write.format("noop")``
+which forces full evaluation of every column without any sink IO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    from starlake_spark.session import get_spark
+    from starlake_spark.queries import all_queries
+
+    spark = get_spark(app_name="starlake_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in queries.items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record, keep benching
+            timings[name] = -1.0
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "failed": sorted(k for k, v in timings.items() if v < 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB rationale, per operator):
+
+* **exact** — one hash-shuffle on the fingerprint; map-side partial
+  aggregation makes the shuffle carry ~unique keys only.
+* **MinHash+LSH** — signatures are computed scan-side with built-in
+  hash functions over shingle arrays (no UDF, no driver state); the
+  candidate join shuffles on (band_id, band_hash) so only colliding
+  buckets meet. Classic shingle→minhash→band→bucket-join pipeline.
+* **SimHash** — 64-bit signature via per-shingle xxhash64 bit-voting;
+  near-dup = popcount(sig1 XOR sig2) <= k over band-bucketed candidates.
+* **n-gram Jaccard** — exact pairwise similarity but only over pairs
+  that share at least one shingle (explode + self-join on shingle),
+  never a cross join.
+
+Everything is a DataFrame-in / DataFrame-out transform built from
+built-in functions, so Catalyst keeps pushdown/pruning and AQE handles
+skewed buckets (e.g. a boilerplate shingle shared by millions of docs —
+cap bucket width with `max_bucket` to bound the quadratic corner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from starlake_spark.functions import text as tx
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per distinct (cols) value — the row with min/max id.
+
+    groupBy + min-id + semi-join keeps the shuffle payload to
+    (key, id) pairs instead of whole rows."""
+    agg = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+    keep_ids = df.groupBy(*cols).agg(agg.alias(id_col))
+    return df.join(keep_ids.select(id_col), on=id_col, how="left_semi")
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup on the normalized-text fingerprint."""
+    withfp = df.withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    out = dedup_exact(withfp, ["_fp"], id_col)
+    return out.drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (JVM higher-order
+    functions; no UDF)."""
+    toks = tx.tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). array<long> of length num_hashes, computed
+    entirely in codegen (transform + array_min)."""
+    def hash_with_seed(i: int):
+        # NB: a `lambda s, i=i` default-arg would be mis-read by PySpark
+        # as the (element, index) two-arg form — bind via closure instead.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sigs = [
+        F.array_min(F.transform(shingles, hash_with_seed(i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
+
+    rows/band bucket are capped at `max_bucket` to bound the quadratic
+    blowup of degenerate buckets (boilerplate text) — dropped buckets
+    are the standard LSH trade-off, logged by callers if needed.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    w = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsz") <= max_bucket
+    ).drop("_bsz")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup dedup: LSH candidates → exact Jaccard verify → greedy
+    keep-smallest-id (a doc is dropped if it duplicates any smaller id;
+    single-pass approximation of connected components that needs no
+    iteration — at 100 TB the iterative union-find is a separate job)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    verified = verify_jaccard(df, cand, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: pairs ⋈ shingle
+    sets twice, |∩| via array_intersect — set sizes stay bounded by doc
+    length so the join rows are small."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
+    union = (F.size("_sha") + F.size("_shb") - inter).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (no LSH, no
+    cross join): explode shingles → self-join on shingle → count shared
+    → join set sizes → Jaccard. The fully-SQL-expressible variant used
+    as the duckdb oracle for the MinHash path."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash: per shingle xxhash64; each signature bit is the
+    majority vote of that bit across shingles. Bit-vote via aggregate
+    over the shingle array — stays in codegen, no UDF."""
+    sh = word_shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_for_bit(i: int):
+        mask = F.lit(1 << i if i < 63 else -(2**63))
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), vote_for_bit(i))
+        bit = F.lit(1 << i if i < 63 else -(2**63)).cast("long")
+        bits.append(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit
+    signature bands (a pair within hamming<=3 of 64 bits must agree on
+    at least one of 4 bands) so the join never goes quadratic."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("_sim"))
+    bands = sig.select(
+        id_col,
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("_sim"), k * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

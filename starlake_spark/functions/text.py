@@ -1,0 +1,182 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Each operator is a Column
+factory so it composes with filters/projections and stays pushdown- and
+prune-friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    t = F.trim(text)
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization: letter runs, digit runs, single
+    punctuation — the standard GPT-2-ish regex split, JVM-side via
+    regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(_BPE_ISH), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# normalization / fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase, collapse whitespace, strip non-alphanumerics (keeps
+    spaces) — canonical form for exact-dup hashing."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint: md5 over the normalized text.
+    Stable across engines (duckdb md5 matches), unlike murmur/xxhash."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit rolling-hash-style fingerprint for compact dedup keys
+    (xxhash64 — Spark-side only)."""
+    return F.xxhash64(normalize_text(text))
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "que"],
+    "es": ["el", "los", "que", "de", "una", "es", "las", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def _substr_count(hay: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — pure length arithmetic, so
+    semantics are identical in any SQL dialect (oracle-friendly)."""
+    return (F.length(hay) - F.length(F.replace(hay, F.lit(needle)))) / len(needle)
+
+
+def language_scores(text: Column, stopwords: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit score, normalized by token count."""
+    sw = stopwords or STOPWORDS
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, words in sw.items():
+        s = None
+        for w in words:
+            c = _substr_count(padded, f" {w} ")
+            s = c if s is None else s + c
+        out[lang] = s
+    return out
+
+
+def language_id(text: Column, stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language = argmax stopword score ('und' if all zero).
+    Ties break by language-code order for determinism."""
+    scores = language_scores(text, stopwords)
+    pairs = [
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items())
+    ]
+    # greatest(struct...) compares score first, then lang; ascending lang
+    # order means ties pick the *last* alphabetically — invert lang for
+    # deterministic smallest-code tie-break instead.
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / casing ratios — the standard
+    cheap quality filters (Gopher/C4-style rules), all length-arithmetic
+    so an external SQL oracle reproduces them bit-for-bit."""
+    n_chars = F.length(text)
+    n_tok = token_count(text)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = None
+    for w in STOPWORDS["en"]:
+        c = _substr_count(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    n_punct = sum(
+        (_substr_count(text, p) for p in [".", "!", "?", ","]), F.lit(0.0)
+    )
+    n_upper = F.length(text) - F.length(
+        F.translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "")
+    )
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    safe_tok = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": n_chars / safe_tok,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": stop_hits / safe_tok,
+    }
+
+
+def quality_score(text: Column, rounded: bool = True) -> Column:
+    """Composite [0,1]-ish quality score; higher = more natural text.
+
+    ``rounded=False`` returns the raw double — per-row scalar math is
+    bit-deterministic across engines, so differential oracles compare
+    the unrounded value exactly."""
+    c = quality_components(text)
+    len_score = F.least(c["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(c["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_pen = F.least(c["punct_ratio"] * 5.0, F.lit(1.0))
+    upper_pen = F.least(c["upper_ratio"] * 5.0, F.lit(1.0))
+    score = (
+        0.4 * len_score + 0.4 * stop_score + 0.1 * (1.0 - punct_pen) + 0.1 * (1.0 - upper_pen)
+    )
+    return F.round(score, 6) if rounded else score
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach token counts, fingerprint, language, quality."""
+    t = F.col(text_col)
+    out = df
+    for name, col in quality_components(t).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("bpe_ish_tokens", bpe_ish_token_count(t))
+        .withColumn("fingerprint", fingerprint(t))
+        .withColumn("pred_lang", language_id(t))
+        .withColumn("quality", quality_score(t))
+    )

@@ -1,0 +1,609 @@
+"""Analytical query suite over the TPC-H-ish test tables.
+
+These exercise the relational surface the reference delegates to Spark
+(SURVEY §2.3/§2.5): scans with pushdown, projections, equi/semi/anti
+joins, hash aggregation, distinct, rollup/cube/grouping sets, window
+functions, sorts/limits, set operations, scalar functions, pivot,
+JSON extraction, sessionization.
+
+Each entry: spark builder (DataFrame API, Catalyst-optimizable) + a
+duckdb oracle in duckdb dialect producing identical values/schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+DEC = "decimal(18,2)"
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong=true): floor
+    # to microseconds, matching duckdb's nanos→us truncation.
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _money(col):
+    """Exact, order-independent money term."""
+    return col.cast(DEC)
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+
+
+def _charge():
+    return (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount")).cast(DEC)
+        * (1 + F.col("l_tax")).cast(DEC)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (classic TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2)) * CAST(1+l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: revenue of building-segment orders (TPC-H Q3 shape, adapted schema)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: revenue by nation within a region (TPC-H Q5 shape) — 6-way join
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    r = ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue change (pure filter + scalar agg, pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item losers (outer-ish join + top-k)
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-10-01")
+    )
+    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = ld(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1994-10-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+def window_top_customers_per_nation(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+WINDOW_TOP_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+  FROM customer
+) WHERE rn <= 3
+ORDER BY c_nationkey, rn
+"""
+
+
+def window_running_order_totals(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lagw = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(lagw), 2).alias("prev_price"),
+        F.rank().over(
+            W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        ).alias("price_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  ROUND(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank
+FROM orders WHERE o_custkey <= 20
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+def rollup_order_status_priority(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def cube_returnflag_linestatus(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregates
+# ---------------------------------------------------------------------------
+
+def distinct_aggregates(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins, set ops
+# ---------------------------------------------------------------------------
+
+def semi_anti_customers(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.select("c_custkey", F.lit("has_orders").alias("bucket"))
+        .unionByName(without_orders.select("c_custkey", F.lit("no_orders").alias("bucket")))
+        .orderBy("bucket", "c_custkey")
+    )
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_orders' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS bucket FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY bucket, c_custkey
+"""
+
+
+def setops_suppliers_vs_customers(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = ld(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).select("nk", F.lit("both").alias("src"))
+    conly = c.subtract(s).select("nk", F.lit("customer_only").alias("src"))
+    return both.unionByName(conly).orderBy("src", "nk")
+
+
+SETOPS_SQL = """
+SELECT nk, 'both' AS src FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier)
+UNION ALL
+SELECT nk, 'customer_only' AS src FROM
+  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier)
+ORDER BY src, nk
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (string / date / math / conditional)
+# ---------------------------------------------------------------------------
+
+def scalar_functions(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+        F.year(F.col("o_orderdate")).alias("yr"),
+        F.month(F.col("o_orderdate")).alias("mo"),
+        F.dayofmonth(F.col("o_orderdate")).alias("dom"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist"),
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status2"),
+    ).orderBy("o_orderkey")
+
+
+SCALAR_SQL = """
+SELECT o_orderkey,
+  UPPER(o_orderstatus) AS status_u,
+  SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+  CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len,
+  CONCAT_WS('|', o_orderstatus, o_orderpriority) AS tag,
+  CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+  CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+  ROUND(ABS(o_totalprice - 100000.0), 2) AS dist,
+  CASE WHEN o_totalprice > 150000 THEN 'big'
+       WHEN o_totalprice > 50000 THEN 'mid'
+       ELSE 'small' END AS size_class,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: time windows, sessionization, pivot, JSON
+# ---------------------------------------------------------------------------
+
+def events_hourly_agg(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization via lag + cumulative sum — the
+    standard windowed recipe (no state store needed in batch)."""
+    e = ld(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    )
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn("new_sess", is_new).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_pivot_by_type(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
+    ]
+    return out.select(*cols).orderBy("user_id")
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    e = ld(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_id", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .orderBy("event_id")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery shape
+# ---------------------------------------------------------------------------
+
+def orders_above_avg(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    avg_by_cust = o.groupBy("o_custkey").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price")
+    )
+    return (
+        o.join(avg_by_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey, ROUND(AVG(o_totalprice), 6) AS avg_price
+      FROM orders GROUP BY o_custkey) a USING (o_custkey)
+WHERE o_totalprice > avg_price
+ORDER BY o_orderkey
+"""
+
+
+ANALYTICS_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "window_top_customers_per_nation": (window_top_customers_per_nation, WINDOW_TOP_SQL),
+    "window_running_order_totals": (window_running_order_totals, WINDOW_RUNNING_SQL),
+    "rollup_order_status_priority": (rollup_order_status_priority, ROLLUP_SQL),
+    "cube_returnflag_linestatus": (cube_returnflag_linestatus, CUBE_SQL),
+    "distinct_aggregates": (distinct_aggregates, DISTINCT_SQL),
+    "semi_anti_customers": (semi_anti_customers, SEMI_ANTI_SQL),
+    "setops_suppliers_vs_customers": (setops_suppliers_vs_customers, SETOPS_SQL),
+    "scalar_functions": (scalar_functions, SCALAR_SQL),
+    "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
+    "events_pivot_by_type": (events_pivot_by_type, EVENTS_PIVOT_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "orders_above_avg": (orders_above_avg, ORDERS_ABOVE_AVG_SQL),
+}

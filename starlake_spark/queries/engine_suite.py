@@ -1,0 +1,257 @@
+"""Lakehouse-engine query suite: each query runs a full DML scenario
+(create → upsert/update/delete/compact/stream → read) on a scratch
+star table built from the test tables, returning the final scan. The
+duckdb oracle reproduces the same end state with pure SQL over the
+*original* parquet — so the engine's MoR/commit machinery is checked
+against an independent relational emulation (FIXTURES.md F6 probes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from starlake_spark.meta import ManifestStore
+from starlake_spark.queries.analytics import ld
+from starlake_spark.table import StarTable, create_table
+
+SUITE_ROOT = os.environ.get("STARLAKE_SUITE_DIR", "/tmp/starlake_suite")
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(SUITE_ROOT, tag, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# upsert / MoR
+# ---------------------------------------------------------------------------
+
+def _build_upserted_orders(spark, sf_dir, name):
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, name),
+                     range_partitions=["o_orderpriority"],
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    # delta 1: full-row update of every 10th order
+    t.upsert(o.filter(F.col("o_orderkey") % 10 == 0)
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    # delta 2: partial-column update (status only) of every 7th order
+    t.upsert(o.filter(F.col("o_orderkey") % 7 == 0)
+              .select("o_orderkey", F.lit("X").alias("o_orderstatus"), "o_orderpriority"))
+    # delta 3: brand-new keys
+    t.upsert(o.filter(F.col("o_orderkey") % 100 == 0)
+              .withColumn("o_orderkey", F.col("o_orderkey") + 1000000))
+    return t
+
+
+UPSERT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+ORDER BY o_orderkey
+"""
+
+
+def star_upsert_mor(spark, sf_dir):
+    t = _build_upserted_orders(spark, sf_dir, "upsert_mor")
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+def star_compaction_invariance(spark, sf_dir):
+    """Same scenario + forced compaction: results must equal the
+    pre-compaction oracle (CompactionDoNotChangeResult invariant)."""
+    t = _build_upserted_orders(spark, sf_dir, "compaction_inv")
+    t.compaction(force=True)
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+def star_time_travel(spark, sf_dir):
+    t = _build_upserted_orders(spark, sf_dir, "time_travel")
+    return t.to_df(version=1).select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+TIME_TRAVEL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# update / delete
+# ---------------------------------------------------------------------------
+
+def star_update_delete(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    t = create_table(spark, c, _scratch(sf_dir, "update_delete"),
+                     hash_partitions=["c_custkey"], hash_bucket_num=4)
+    t.update("c_mktsegment = 'AUTOMOBILE'",
+             {"c_acctbal": F.col("c_acctbal") + 100.0})
+    t.delete("c_acctbal > 9000.0")
+    return t.to_df().orderBy("c_custkey")
+
+
+UPDATE_DELETE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment
+FROM customer
+WHERE NOT COALESCE(
+  (CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal + 100.0 ELSE c_acctbal END) > 9000.0,
+  FALSE)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge operators
+# ---------------------------------------------------------------------------
+
+def star_merge_op_sum(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    base = o.select("o_orderkey",
+                    F.col("o_totalprice").alias("val"),
+                    F.col("o_orderstatus").alias("tag"),
+                    "o_orderpriority")
+    t = create_table(spark, base, _scratch(sf_dir, "merge_op"),
+                     range_partitions=["o_orderpriority"],
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t.upsert(o.filter(F.col("o_orderkey") % 5 == 0)
+              .select("o_orderkey", F.lit(1000.0).alias("val"),
+                      F.lit("u1").alias("tag"), "o_orderpriority"))
+    t.upsert(o.filter(F.col("o_orderkey") % 20 == 0)
+              .select("o_orderkey", F.lit(500.0).alias("val"),
+                      F.lit("u2").alias("tag"), "o_orderpriority"))
+    return (t.to_df(merge_operators={"val": "sum", "tag": "concat"})
+            .select("o_orderkey", "val", "tag")
+            .orderBy("o_orderkey"))
+
+
+MERGE_OP_ORACLE = """
+SELECT o_orderkey,
+  o_totalprice
+    + CASE WHEN o_orderkey % 5 = 0 THEN 1000.0 ELSE 0.0 END
+    + CASE WHEN o_orderkey % 20 = 0 THEN 500.0 ELSE 0.0 END AS val,
+  o_orderstatus
+    || CASE WHEN o_orderkey % 5 = 0 THEN ',u1' ELSE '' END
+    || CASE WHEN o_orderkey % 20 = 0 THEN ',u2' ELSE '' END AS tag
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere partition overwrite
+# ---------------------------------------------------------------------------
+
+def star_replace_where(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "replace_where"),
+                     range_partitions=["o_orderpriority"])
+    newdata = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+               .withColumn("o_totalprice", F.lit(0.0))
+    t.write(newdata, mode="overwrite", replace_where="o_orderpriority = '1-URGENT'")
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+REPLACE_WHERE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+  o_orderdate, o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# CoW upsert (coalesce semantics)
+# ---------------------------------------------------------------------------
+
+def star_cow_upsert(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    t = create_table(spark, c, _scratch(sf_dir, "cow_upsert"),
+                     hash_partitions=["c_custkey"], hash_bucket_num=4)
+    delta = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),  # NULL must NOT win on CoW
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+    )
+    t.upsert(delta, use_delta=False)
+    return t.to_df().orderBy("c_custkey")
+
+
+COW_UPSERT_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment
+FROM customer ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming sink (exactly-once)
+# ---------------------------------------------------------------------------
+
+def star_streaming_sink(spark, sf_dir):
+    from starlake_spark.streaming.sink import StarStreamSink, write_stream
+
+    path = _scratch(sf_dir, "streaming_sink")
+    events = ld(spark, sf_dir, "events")
+    empty = events.limit(0)
+    create_table(spark, empty, path, hash_partitions=["event_id"], hash_bucket_num=4)
+
+    ckpt = path + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # FileStreamSource needs a directory; glob-filter to the events file.
+    # Raw schema carries ts as long (nanosAsLong) → convert per batch.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for f in raw_schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = write_stream(stream, path, query_id="suite_stream", output_mode="update",
+                     checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    # replay batch 0 manually — the exactly-once registry must skip it
+    sink = StarStreamSink(ManifestStore(path), "suite_stream", "update")
+    assert sink.write_batch(events, 0) is False, "batch replay was not skipped"
+
+    t = StarTable.for_path(spark, path)
+    return t.to_df().select("event_id", "ts", "user_id", "event_type", "value", "props") \
+            .orderBy("event_id")
+
+
+STREAMING_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id
+"""
+
+
+ENGINE_QUERIES = {
+    "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
+    "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),
+    "star_update_delete": (star_update_delete, UPDATE_DELETE_ORACLE),
+    "star_merge_op_sum": (star_merge_op_sum, MERGE_OP_ORACLE),
+    "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
+    "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
+    "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
+}

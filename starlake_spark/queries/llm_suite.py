@@ -1,0 +1,373 @@
+"""Training-data-pipeline query suite: dedup, text analysis, similarity
+search over the `documents` and `embeddings` tables.
+
+Oracle strategy: operators built from deterministic arithmetic
+(length/replace counting, md5 fingerprints, explicit fold-order dot
+products) get exact duckdb oracles. Operators that depend on Spark's
+xxhash64/murmur (MinHash, SimHash, hyperplane LSH) have no cross-engine
+hash twin → declared without oracle (driver records rows-only), with an
+exact-computation twin query (ngram jaccard / brute-force cosine) that
+IS oracle-checked to validate the semantics the approximate path
+approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from starlake_spark.functions import dedup as dd, similarity as sim, text as tx
+from starlake_spark.queries.analytics import ld
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def docs_dedup_exact(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    out = dd.dedup_exact_text(d, "text", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+DOCS_DEDUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def docs_token_stats(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+DOCS_TOKENS_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# language id
+# ---------------------------------------------------------------------------
+
+def docs_lang_id(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", tx.language_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def _count_expr(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"(length(p) - length(replace(p, '{needle}', ''))) / {len(needle)}"
+    )
+
+
+def _lang_sql() -> str:
+    score_defs = []
+    for lang, words in sorted(tx.STOPWORDS.items()):
+        total = " + ".join(_count_expr(w) for w in words)
+        score_defs.append(f"({total}) AS s_{lang}")
+    langs_desc = sorted(tx.STOPWORDS, reverse=True)  # struct-tie: max lang wins
+    best = ", ".join(f"s_{l}" for l in langs_desc)
+    case = " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs_desc
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_defs)}
+  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+), best_of AS (
+  SELECT doc_id, lang, greatest({best}) AS best, {', '.join('s_' + l for l in langs_desc)}
+  FROM scored
+)
+SELECT doc_id, lang,
+  CASE WHEN best <= 0 THEN 'und' {case} END AS pred_lang
+FROM best_of ORDER BY doc_id
+"""
+
+
+DOCS_LANG_SQL = _lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def docs_quality(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    comps = tx.quality_components(F.col("text"))
+    return d.select(
+        "doc_id",
+        comps["n_tokens"].alias("n_tokens"),
+        comps["avg_token_len"].alias("avg_token_len"),
+        comps["punct_ratio"].alias("punct_ratio"),
+        comps["upper_ratio"].alias("upper_ratio"),
+        comps["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score(F.col("text"), rounded=False).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    en = tx.STOPWORDS["en"]
+    stop_hits = " + ".join(_count_expr(w) for w in en)
+    punct = " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) / 1" for p in [".", "!", "?", ","]
+    )
+    upper = "length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+    ({punct}) AS n_punct,
+    ({upper}) AS n_upper,
+    ({stop_hits}) AS stop_hits
+  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)
+), r AS (
+  SELECT doc_id, n_tokens,
+    n_chars / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END) AS avg_token_len,
+    n_punct / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END) AS punct_ratio,
+    n_upper / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END) AS upper_ratio,
+    stop_hits / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END) AS stopword_ratio
+  FROM c
+)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio, upper_ratio, stopword_ratio,
+  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+  + 0.4 * least(stopword_ratio * 4.0, 1.0)
+  + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0))
+  + 0.1 * (1.0 - least(upper_ratio * 5.0, 1.0)) AS quality
+FROM r ORDER BY doc_id
+"""
+
+
+DOCS_QUALITY_SQL = _quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def docs_fingerprint(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+DOCS_FP_SQL = """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact — oracle twin of the MinHash path)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.15
+SHINGLE_N = 3
+
+
+def docs_ngram_jaccard(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+DOCS_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - {SHINGLE_N - 2})])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH + SimHash (Spark-hash-based → rows-only checks)
+# ---------------------------------------------------------------------------
+
+def docs_minhash_dedup(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    out = dd.minhash_dedup(d, "doc_id", "text", threshold=0.5,
+                           num_hashes=64, bands=16, shingle_n=SHINGLE_N)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def docs_minhash_candidates(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    out = dd.minhash_lsh_candidates(d, "doc_id", "text",
+                                    num_hashes=64, bands=16, shingle_n=SHINGLE_N)
+    return out.orderBy("id_a", "id_b")
+
+
+def docs_simhash_pairs(spark, sf_dir):
+    d = ld(spark, sf_dir, "documents")
+    out = dd.simhash_near_dupes(d, "doc_id", "text", max_hamming=16, shingle_n=2)
+    return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+
+
+def ann_cosine_topk(spark, sf_dir):
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.brute_force_topk(e, q, k=ANN_K, id_col="vec_id", vec_col="embedding")
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+ANN_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, ve AS cv FROM v
+), scored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN (sqrt(list_reduce([x*x FOR x IN qv], (a,b) -> a+b))
+             * sqrt(list_reduce([x*x FOR x IN cv], (a,b) -> a+b))) > 0
+         THEN list_reduce([qv[i] * cv[i] FOR i IN range(1, len(qv)+1)], (a,b) -> a+b)
+              / (sqrt(list_reduce([x*x FOR x IN qv], (a,b) -> a+b))
+               * sqrt(list_reduce([x*x FOR x IN cv], (a,b) -> a+b)))
+         ELSE 0.0 END AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN — hyperplane LSH buckets (Spark-hash-derived
+    planes → rows-only check; recall vs ann_cosine_topk is asserted in
+    tests/test_llm_ops.py)."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.lsh_topk(e, q, k=ANN_K, id_col="vec_id", vec_col="embedding",
+                       dim=64, num_planes=10, num_tables=6)
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+COSINE_PAIR_THRESHOLD = 0.93
+
+
+def embeddings_cosine_pairs(spark, sf_dir):
+    """Exact near-dup pairs on a deterministic sample (a-side
+    vec_id%7=0) — oracle twin of the LSH dedup path."""
+    e = ld(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("_va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("_vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", sim.cosine(F.col("_va"), F.col("_vb")).alias("s"))
+        .filter(F.col("s") >= COSINE_PAIR_THRESHOLD)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+COSINE_PAIRS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.ve AS va, b.ve AS vb
+  FROM v a, v b
+  WHERE a.vec_id % 7 = 0 AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM pairs
+WHERE CASE WHEN (sqrt(list_reduce([x*x FOR x IN va], (p,q) -> p+q))
+              * sqrt(list_reduce([x*x FOR x IN vb], (p,q) -> p+q))) > 0
+           THEN list_reduce([va[i] * vb[i] FOR i IN range(1, len(va)+1)], (p,q) -> p+q)
+                / (sqrt(list_reduce([x*x FOR x IN va], (p,q) -> p+q))
+                 * sqrt(list_reduce([x*x FOR x IN vb], (p,q) -> p+q)))
+           ELSE 0.0 END >= {COSINE_PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def embeddings_norm_stats(spark, sf_dir):
+    e = ld(spark, sf_dir, "embeddings")
+    n = sim.norm(F.col("embedding").cast("array<double>"))
+    return (
+        e.select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 6).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+NORM_STATS_SQL = """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(AVG(sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding], (a,b) -> a+b))), 6) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+LLM_QUERIES = {
+    "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
+    "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
+    "docs_lang_id": (docs_lang_id, DOCS_LANG_SQL),
+    "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
+    "docs_fingerprint": (docs_fingerprint, DOCS_FP_SQL),
+    "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
+    "docs_minhash_dedup": (docs_minhash_dedup, None),
+    "docs_minhash_candidates": (docs_minhash_candidates, None),
+    "docs_simhash_pairs": (docs_simhash_pairs, None),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
+    "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),
+}

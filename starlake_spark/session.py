@@ -38,6 +38,11 @@ def get_spark(app_name: str = "starlake_spark", master: str | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP(NANOS) parquet (events.ts) is unreadable by Spark 4
+        # natively; read as long and floor-div to micros at the source
+        # (starlake_spark.queries.analytics.ld) — duckdb truncates the
+        # same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
