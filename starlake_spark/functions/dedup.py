@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from starlake_spark.functions import text as tx
 
@@ -101,30 +101,52 @@ def _affine_params(num_hashes: int) -> tuple[list[int], list[int]]:
 _MINHASH_PRIME = 4294967311
 
 
+def _in_bucket_pairs(ids: Column) -> Column:
+    """All unordered pairs {id_a < id_b} of an id array, as
+    array<struct<id_a, id_b>> — nested transform + flatten (codegen).
+    Caller bounds the array size (max_bucket) so this never goes
+    quadratic on a degenerate bucket."""
+    s = F.array_sort(ids)
+
+    def pair_with_rest(x, i):
+        # pairs of element i with every later element
+        rest = F.slice(s, i + 2, F.size(s))
+        return F.transform(rest, lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))
+
+    return F.flatten(F.transform(s, pair_with_rest))
+
+
 def minhash_signature(hashes: Column, num_hashes: int = 128) -> Column:
     """MinHash signature from pre-computed shingle hashes (see
     ``shingle_hashes``): sig[i] = min over shingles of
     (a_i*(h&0xffffffff)+b_i) mod p. The mod-p wraparound is what makes
     the permutations independent — a plain affine a*h+b is monotonic in
     h, so every sig[i] would collapse to a function of the same min
-    hash. array<long>, entirely in codegen (transform + array_min);
-    each permutation is a mult-add-mod over longs, not a string
-    re-hash."""
+    hash.
+
+    Arrow-batched numpy: one (shingles × num_hashes) broadcasted
+    mult-add-mod + column-min per doc. The all-codegen alternative
+    (num_hashes separate array_min(transform(...)) expressions) compiles
+    a huge Janino method per query — measured slower and with high
+    run-to-run variance from codegen churn; this is the "UDF where
+    built-ins genuinely can't express it efficiently" case."""
     a, b = _affine_params(num_hashes)
+    A = np.asarray(a, dtype=np.int64)
+    B = np.asarray(b, dtype=np.int64)
 
-    def perm(ai: int, bi: int):
-        # NB: a `lambda h, ai=ai` default-arg would be mis-read by PySpark
-        # as a multi-arg higher-order lambda — bind via closure instead.
-        return lambda h: F.pmod(
-            h.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(ai) + F.lit(bi),
-            F.lit(_MINHASH_PRIME),
-        )
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh_np(hs: pd.Series) -> pd.Series:
+        out = []
+        empty = ((B % _MINHASH_PRIME)).astype(np.int64)
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = (np.asarray(arr, dtype=np.int64) & 0xFFFFFFFF).reshape(-1, 1)
+            out.append(((h * A + B) % _MINHASH_PRIME).min(axis=0))
+        return pd.Series(out)
 
-    sigs = [
-        F.array_min(F.transform(hashes, perm(a[i], b[i])))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return mh_np(hashes)
 
 
 def minhash_lsh_candidates(
@@ -164,19 +186,16 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    w = Window.partitionBy("band", "bh")
-    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bsz") <= max_bucket
-    ).drop("_bsz")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # pair generation via groupBy-collect, NOT a self-join: one shuffle
+    # on (band, bh), no second evaluation of the signature lineage, and
+    # the bucket-size cap is a plain size() filter. In-bucket pair
+    # explosion stays in codegen (nested transform + flatten).
     pairs = (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        banded.groupBy("band", "bh")
+        .agg(F.collect_set(F.col(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.explode(_in_bucket_pairs(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
     return pairs
@@ -334,17 +353,29 @@ def simhash_near_dupes(
             )
         ).alias("bb"),
     ).select(id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
-    return (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
+
+    # groupBy-collect pair generation (single pass, no self-join — the
+    # signature UDF lineage is evaluated exactly once); pairs carry both
+    # signatures so the hamming filter is a bit_count on the spot
+    members = F.array_sort(F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("_sim").alias("sim"))))
+    s = F.col("_members")
+
+    def pair_with_rest(x, i):
+        rest = F.slice(s, i + 2, F.size(s))
+        return F.transform(
+            rest,
+            lambda y: F.struct(
+                x["id"].alias("id_a"), y["id"].alias("id_b"),
+                F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+            ),
         )
+
+    return (
+        bands.groupBy("band", "bh")
+        .agg(members.alias("_members"))
+        .filter(F.size("_members") >= 2)
+        .select(F.explode(F.flatten(F.transform(s, pair_with_rest))).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

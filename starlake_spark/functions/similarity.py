@@ -134,6 +134,15 @@ def lsh_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
 
+    # every table's signature in ONE corpus scan (posexplode), instead of
+    # num_tables scans unioned — the corpus side is the big side
+    c_sigs = [hyperplane_signature(F.col("_cv"), dim, num_planes, seed=42 + t)
+              for t in range(num_tables)]
+    cs = c.select(
+        "neighbor_id", "_cv",
+        F.posexplode(F.array(*c_sigs)).alias("_table", "_sig"),
+    )
+
     def probes(sig: Column) -> Column:
         # the signature itself + one entry per flipped bit (probe_bits=1)
         variants = [sig]
@@ -141,14 +150,16 @@ def lsh_topk(
             variants += [sig.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
         return F.array(*variants)
 
-    cand = None
-    for t in range(num_tables):
-        cs = c.withColumn("_sig", hyperplane_signature(F.col("_cv"), dim, num_planes, seed=42 + t))
-        qs = q.withColumn(
-            "_sig", F.explode(probes(hyperplane_signature(F.col("_qv"), dim, num_planes, seed=42 + t)))
-        )
-        j = cs.join(F.broadcast(qs), on="_sig").select("query_id", "_qv", "neighbor_id", "_cv")
-        cand = j if cand is None else cand.unionByName(j)
+    q_sigs = [probes(hyperplane_signature(F.col("_qv"), dim, num_planes, seed=42 + t))
+              for t in range(num_tables)]
+    qs = q.select(
+        "query_id", "_qv",
+        F.posexplode(F.array(*q_sigs)).alias("_table", "_probes"),
+    ).select("query_id", "_qv", "_table", F.explode("_probes").alias("_sig"))
+
+    cand = cs.join(F.broadcast(qs), on=["_table", "_sig"]).select(
+        "query_id", "_qv", "neighbor_id", "_cv"
+    )
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -195,22 +206,32 @@ def embedding_cosine_dedup_pairs(
     """Embedding near-dup pairs (cosine >= threshold), LSH-bucketed so
     the pair join is bucket-local; returns (id_a, id_b, sim)."""
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    cand = None
-    for t in range(num_tables):
-        s = v.withColumn("_sig", hyperplane_signature(F.col("_v"), dim, num_planes, seed=7 + t))
-        a, b = s.alias("a"), s.alias("b")
-        j = (
-            a.join(b, on="_sig")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"a._v").alias("_va"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"b._v").alias("_vb"),
-            )
-        )
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    return cand.select(
+    sigs = [hyperplane_signature(F.col("_v"), dim, num_planes, seed=7 + t)
+            for t in range(num_tables)]
+    # one scan for all tables' signatures, then groupBy-collect pair
+    # generation (no self-join: the signature UDF lineage runs exactly
+    # once) — vectors are joined back for the few surviving pairs
+    s = v.select(
+        F.col(id_col), F.posexplode(F.array(*sigs)).alias("_table", "_sig")
+    )
+    ids = F.col("_ids")
+
+    def pair_with_rest(x, i):
+        rest = F.slice(ids, i + 2, F.size(ids))
+        return F.transform(rest, lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))
+
+    cand = (
+        s.groupBy("_table", "_sig")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.explode(F.flatten(F.transform(ids, pair_with_rest))).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+    )
+    return scored.select(
         "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim")
     ).filter(F.col("sim") >= threshold)

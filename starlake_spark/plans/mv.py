@@ -1,0 +1,542 @@
+"""Materialized views: create/refresh/staleness + query rewriting.
+
+Reference behavior being reproduced (engine-plus/StarLake):
+
+* ``CreateMaterialViewCommand`` / ``UpdateMaterialViewCommand``
+  (commands/CreateMaterialViewCommand.scala:25-69,
+  commands/UpdateMaterialViewCommand.scala:30-76): an MV is a regular
+  star table + the SQL text + per-source-table version fingerprints;
+  refresh is a full re-run iff fingerprints changed.
+* Query rewriting (rules/RewriteQueryByMaterialView.scala:44-1268):
+  candidate views must cover the query's table set
+  (:71-81); match = same join set, same agg set, filter subsumption
+  with compensation predicates (:83-225); any failure silently keeps
+  the original plan (:1158-1160).
+* Supported MV shape (material_view/MaterialViewUtils.scala:33-248):
+  one query block of Project / Filter / inner Join / <=1 Aggregate over
+  star tables — no HAVING-over-agg nesting, no non-star relations.
+
+Spark-first architecture: instead of a Catalyst rule (needs a JVM
+plugin), we own the SQL entry point (StarSession.sql). The query and
+each view's SQL are analyzed by Spark itself; we extract a QueryInfo
+from the analyzed plan's JSON (tables, join equalities, filter
+conjuncts, grouping, aggregate outputs — all as canonical strings with
+expression IDs stripped) and do containment checks in Python. A hit
+returns a DataFrame over the view table (+ compensation filters /
+re-aggregation); a miss falls through to ``spark.sql(text)``.
+
+One deliberate superset of the reference: a query WITH an aggregate can
+be rewritten onto a view WITHOUT one (same join graph, view filters
+subsumed) by re-aggregating over the view — sound because the view
+preserves join multiplicity and rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from starlake_spark import catalog
+from starlake_spark.table import StarTable, create_table
+
+
+class UnsupportedPlan(Exception):
+    """Query shape outside the MV-rewrite subset — caller falls back."""
+
+
+# ---------------------------------------------------------------------------
+# analyzed-plan JSON → trees
+# ---------------------------------------------------------------------------
+
+
+def _build_forest(flat: list[dict]) -> list[dict]:
+    """The plan/expression JSON is a flattened pre-order list with
+    ``num-children``; rebuild trees (children attached as '_children')."""
+    pos = 0
+
+    def build():
+        nonlocal pos
+        node = dict(flat[pos])
+        pos += 1
+        node["_children"] = [build() for _ in range(node.get("num-children", 0))]
+        return node
+
+    out = []
+    while pos < len(flat):
+        out.append(build())
+    return out
+
+
+def _expr(flat_list: list[dict]) -> dict:
+    trees = _build_forest(flat_list)
+    if len(trees) != 1:
+        raise UnsupportedPlan(f"expected one expression tree, got {len(trees)}")
+    return trees[0]
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+# ---------------------------------------------------------------------------
+# canonical rendering (matching) and SQL rendering (compensation preds)
+# ---------------------------------------------------------------------------
+
+_BINOPS = {
+    "EqualTo": "=", "EqualNullSafe": "<=>", "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=", "LessThan": "<", "LessThanOrEqual": "<=",
+    "Add": "+", "Subtract": "-", "Multiply": "*", "Divide": "/",
+    "Remainder": "%", "And": "and", "Or": "or", "Like": "like",
+}
+_AGG_FNS = {
+    "Count": "count", "Sum": "sum", "Average": "avg", "Min": "min",
+    "Max": "max", "First": "first", "Last": "last",
+    "CountDistinct": "count",
+}
+_FUNCS = {
+    "Lower": "lower", "Upper": "upper", "Abs": "abs", "Coalesce": "coalesce",
+    "Substring": "substring", "Length": "length", "Year": "year",
+    "Month": "month", "DayOfMonth": "day", "Round": "round", "Sqrt": "sqrt",
+    "Concat": "concat", "Not": "not", "IsNull": "isnull",
+    "IsNotNull": "isnotnull", "UnaryMinus": "negative", "CaseWhen": None,
+    "In": None, "Cast": None, "Literal": None, "AttributeReference": None,
+    "Alias": None, "AggregateExpression": None,
+}
+
+
+def canon(e: dict) -> str:
+    """Canonical matching string: attribute names lowercased, exprIds &
+    qualifiers dropped, aliases transparent."""
+    c = _cls(e)
+    ch = e["_children"]
+    if c == "AttributeReference":
+        return e["name"].lower()
+    if c == "Literal":
+        return f"lit:{e.get('dataType')}:{e.get('value')}"
+    if c == "Alias":
+        return canon(ch[0])
+    if c == "Cast":
+        return f"cast({canon(ch[0])} as {e.get('dataType')})"
+    if c == "AggregateExpression":
+        d = "distinct " if e.get("isDistinct") else ""
+        return f"aggexpr:{d}{canon(ch[0])}"
+    if c in _BINOPS:
+        return f"({canon(ch[0])} {_BINOPS[c]} {canon(ch[1])})"
+    if c in _AGG_FNS:
+        return f"{_AGG_FNS[c]}({', '.join(canon(x) for x in ch)})"
+    # generic fallback keeps matching (not SQL-renderable)
+    scalars = {k: v for k, v in e.items()
+               if k not in ("_children", "class", "num-children", "exprId",
+                            "qualifier", "resultId", "nonInheritableMetadataKeys",
+                            "metadata", "nullable", "child", "children")
+               and isinstance(v, (str, int, float, bool))}
+    inner = ", ".join(canon(x) for x in ch)
+    return f"{c}[{json.dumps(scalars, sort_keys=True)}]({inner})"
+
+
+def split_conjuncts(e: dict) -> list[dict]:
+    if _cls(e) == "And":
+        out = []
+        for ch in e["_children"]:
+            out.extend(split_conjuncts(ch))
+        return out
+    return [e]
+
+
+def canon_eq_symmetric(e: dict) -> str:
+    """Join equality a=b == b=a."""
+    if _cls(e) == "EqualTo":
+        l, r = canon(e["_children"][0]), canon(e["_children"][1])
+        lo, hi = sorted([l, r])
+        return f"({lo} = {hi})"
+    return canon(e)
+
+
+def to_sql(e: dict, colmap: dict[str, str]) -> str:
+    """Render an expression back to Spark SQL over the view's output
+    columns; unknown constructs raise UnsupportedPlan (→ no rewrite)."""
+    c = _cls(e)
+    ch = e["_children"]
+    if c == "AttributeReference":
+        key = e["name"].lower()
+        if key not in colmap:
+            raise UnsupportedPlan(f"column {key} not available on view")
+        return f"`{colmap[key]}`"
+    if c == "Literal":
+        v, dt = e.get("value"), e.get("dataType")
+        if v is None:
+            return "NULL"
+        if dt in ("integer", "long", "short", "byte", "double", "float"):
+            return str(v)
+        if dt and dt.startswith("decimal"):
+            return str(v)
+        if dt == "boolean":
+            return str(v).lower()
+        if dt == "date":
+            return f"DATE '{v}'"
+        if dt.startswith("timestamp"):
+            return f"TIMESTAMP '{v}'"
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+    if c == "Alias":
+        return to_sql(ch[0], colmap)
+    if c == "Cast":
+        return f"CAST({to_sql(ch[0], colmap)} AS {e.get('dataType')})"
+    if c == "AggregateExpression":
+        d = "DISTINCT " if e.get("isDistinct") else ""
+        fn = ch[0]
+        fname = _AGG_FNS.get(_cls(fn))
+        if fname is None:
+            raise UnsupportedPlan(f"agg fn {_cls(fn)}")
+        args = ", ".join(to_sql(x, colmap) for x in fn["_children"]) or "*"
+        return f"{fname}({d}{args})"
+    if c in _BINOPS:
+        op = _BINOPS[c].upper() if _BINOPS[c] in ("and", "or", "like") else _BINOPS[c]
+        return f"({to_sql(ch[0], colmap)} {op} {to_sql(ch[1], colmap)})"
+    if c == "Not":
+        return f"(NOT {to_sql(ch[0], colmap)})"
+    if c == "IsNull":
+        return f"({to_sql(ch[0], colmap)} IS NULL)"
+    if c == "IsNotNull":
+        return f"({to_sql(ch[0], colmap)} IS NOT NULL)"
+    if c == "In":
+        vals = ", ".join(to_sql(x, colmap) for x in ch[1:])
+        return f"({to_sql(ch[0], colmap)} IN ({vals}))"
+    if c in _FUNCS and _FUNCS[c]:
+        return f"{_FUNCS[c]}({', '.join(to_sql(x, colmap) for x in ch)})"
+    raise UnsupportedPlan(f"cannot render {c} to SQL")
+
+
+def _attrs_in(e: dict) -> set[str]:
+    out = set()
+    if _cls(e) == "AttributeReference":
+        out.add(e["name"].lower())
+    for ch in e["_children"]:
+        out |= _attrs_in(ch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# QueryInfo
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QueryInfo:
+    tables: tuple[str, ...] = ()            # sorted multiset of table names
+    join_conds: frozenset = frozenset()     # symmetric canonical equalities
+    filters_above: frozenset = frozenset()  # conjunct canons above the Aggregate
+    filters_below: frozenset = frozenset()  # conjunct canons below the Aggregate
+    group_by: frozenset = frozenset()       # canonical grouping exprs
+    has_agg: bool = False
+    outputs: list = field(default_factory=list)       # [(out_name, canon)]
+    residual_by_canon: dict = field(default_factory=dict)  # canon → expr tree
+    output_trees: list = field(default_factory=list)  # [(out_name, expr tree)]
+
+
+_ALLOWED = {"Project", "Filter", "Join", "Aggregate", "SubqueryAlias", "Sort",
+            "GlobalLimit", "LocalLimit"}
+
+
+def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
+    """Build QueryInfo from Spark's analyzed plan of ``sql_text``.
+
+    Raises UnsupportedPlan for shapes outside the supported block
+    (mirrors MaterialViewUtils.scala:33-248 guards: single block,
+    inner joins only, <=1 aggregate, only known star relations)."""
+    df = spark.sql(sql_text)
+    root = _build_forest(json.loads(df._jdf.queryExecution().analyzed().toJSON()))[0]
+
+    info = QueryInfo()
+    tables: list[str] = []
+    joins: set[str] = set()
+    above: dict[str, dict] = {}
+    below: dict[str, dict] = {}
+    state = {"agg_seen": False, "out_done": False}
+
+    def leaf_name(node: dict) -> str | None:
+        """SubqueryAlias chain ending in a known table / View boundary."""
+        while _cls(node) == "SubqueryAlias":
+            nm = node["identifier"]["name"].lower()
+            ch = node["_children"][0]
+            if _cls(ch) == "View" or nm in known_tables:
+                # prefer the innermost alias naming the real table
+                inner = node
+                while _cls(inner["_children"][0]) == "SubqueryAlias":
+                    inner = inner["_children"][0]
+                return inner["identifier"]["name"].lower()
+            node = ch
+        return None
+
+    def walk(node: dict):
+        c = _cls(node)
+        if c == "SubqueryAlias":
+            nm = leaf_name(node)
+            if nm is None:
+                raise UnsupportedPlan("subquery/derived table")
+            tables.append(nm)
+            return
+        if c not in _ALLOWED:
+            raise UnsupportedPlan(f"node {c}")
+        if c in ("Sort", "GlobalLimit", "LocalLimit"):
+            raise UnsupportedPlan(f"{c} not rewritable")
+        if c == "Project":
+            if not state["out_done"]:
+                state["out_done"] = True
+                for ex in node.get("projectList", []):
+                    t = _expr(ex)
+                    name = t.get("name") if _cls(t) in ("Alias", "AttributeReference") else None
+                    if name is None:
+                        raise UnsupportedPlan("unnamed projection")
+                    info.outputs.append((name, canon(t)))
+                    info.output_trees.append((name, t))
+            walk(node["_children"][0])
+            return
+        if c == "Filter":
+            for cj in split_conjuncts(_expr(node["condition"])):
+                (below if state["agg_seen"] else above)[canon(cj)] = cj
+            walk(node["_children"][0])
+            return
+        if c == "Join":
+            jt = node.get("joinType", {}).get("object", "")
+            if not jt.endswith("Inner$"):
+                raise UnsupportedPlan("non-inner join")
+            cond = node.get("condition")
+            if cond:
+                for cj in split_conjuncts(_expr(cond)):
+                    joins.add(canon_eq_symmetric(cj))
+            for ch in node["_children"]:
+                walk(ch)
+            return
+        if c == "Aggregate":
+            if state["agg_seen"]:
+                raise UnsupportedPlan("nested aggregate")
+            state["agg_seen"] = True
+            info.has_agg = True
+            info.group_by = frozenset(canon(_expr(g)) for g in node.get("groupingExpressions", []))
+            if not state["out_done"]:
+                state["out_done"] = True
+                for ex in node.get("aggregateExpressions", []):
+                    t = _expr(ex)
+                    name = t.get("name") if _cls(t) in ("Alias", "AttributeReference") else None
+                    if name is None:
+                        raise UnsupportedPlan("unnamed aggregate output")
+                    info.outputs.append((name, canon(t)))
+                    info.output_trees.append((name, t))
+            walk(node["_children"][0])
+            return
+
+    walk(root)
+    info.tables = tuple(sorted(tables))
+    info.join_conds = frozenset(joins)
+    info.filters_above = frozenset(above)
+    info.filters_below = frozenset(below)
+    info.residual_by_canon = {**above, **below}
+    return info
+
+
+# ---------------------------------------------------------------------------
+# MV registry (warehouse-level JSON, like the reference's material_view
+# Cassandra table: view_name → sql_text, relation fingerprints, auto_update)
+# ---------------------------------------------------------------------------
+
+
+def _registry_path(warehouse: str | None) -> str:
+    wh = warehouse or catalog.DEFAULT_WAREHOUSE
+    os.makedirs(wh, exist_ok=True)
+    return os.path.join(wh, "_material_views.json")
+
+
+def _load_registry(warehouse: str | None) -> dict:
+    p = _registry_path(warehouse)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_registry(d: dict, warehouse: str | None) -> None:
+    p = _registry_path(warehouse)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+    os.rename(tmp, p)
+
+
+def _fingerprints(session, names) -> dict[str, int]:
+    return {n: session.table(n).store.latest_version() for n in names}
+
+
+def create_material_view(session, name: str, path: str, sql_text: str,
+                         auto_update: bool = False) -> StarTable:
+    """Run the SQL and persist it as a star table + registry entry
+    (CreateMaterialViewCommand.scala:25-69). The SQL must be within the
+    rewritable subset — same guard the reference applies at creation."""
+    known = set(session._tables) | set(catalog.list_tables(session.warehouse))
+    session._sync_views()
+    vinfo = extract(session.spark, sql_text, known)  # raises if unsupported
+    df = session.spark.sql(sql_text)
+    t = create_table(session.spark, df, path, short_name=name,
+                     warehouse=session.warehouse,
+                     configuration={"is_material_view": "true"})
+    reg = _load_registry(session.warehouse)
+    if name in reg:
+        raise ValueError(f"material view '{name}' already exists")
+    reg[name] = {
+        "path": os.path.abspath(path),
+        "sql": sql_text,
+        "auto_update": bool(auto_update),
+        "fingerprints": _fingerprints(session, set(vinfo.tables)),
+        "created_at": time.time(),
+    }
+    _save_registry(reg, session.warehouse)
+    session._tables[name] = t
+    return t
+
+
+def drop_material_view(session, name: str) -> None:
+    reg = _load_registry(session.warehouse)
+    ent = reg.pop(name, None)
+    _save_registry(reg, session.warehouse)
+    session._tables.pop(name, None)
+    if ent:
+        try:
+            StarTable.for_path(session.spark, ent["path"]).drop_table()
+        except Exception:
+            pass
+
+
+def update_material_view(session, name: str, force: bool = False) -> bool:
+    """Refresh iff source-table fingerprints changed
+    (UpdateMaterialViewCommand.scala:46-67). Returns True if refreshed."""
+    reg = _load_registry(session.warehouse)
+    if name not in reg:
+        raise KeyError(f"unknown material view '{name}'")
+    ent = reg[name]
+    current = _fingerprints(session, set(ent["fingerprints"]))
+    if not force and current == ent["fingerprints"]:
+        return False
+    session._sync_views()
+    df = session.spark.sql(ent["sql"])
+    t = StarTable.for_path(session.spark, ent["path"])
+    t.write(df, mode="overwrite")
+    ent["fingerprints"] = _fingerprints(session, set(ent["fingerprints"]))
+    _save_registry(reg, session.warehouse)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# rewrite
+# ---------------------------------------------------------------------------
+
+
+def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
+               vinfo: QueryInfo) -> DataFrame | None:
+    if qinfo.tables != vinfo.tables or qinfo.join_conds != vinfo.join_conds:
+        return None
+
+    view_t = StarTable.for_path(session.spark, ent["path"])
+    vdf = view_t.to_df()
+    # canonical expr → view output column; plain columns also by attr name
+    vout: dict[str, str] = {}
+    for out_name, cn in vinfo.outputs:
+        vout.setdefault(cn, out_name)
+    colmap = {cn: nm for cn, nm in vout.items()}  # attr canon == attr name for plain cols
+
+    if vinfo.has_agg:
+        # agg sets must line up exactly (RewriteQueryByMaterialView:
+        # Aggregates replaced wholesale, :1139-1140); filters under the
+        # agg must match exactly (MaterialViewUtils.scala:111-131)
+        if not qinfo.has_agg:
+            return None
+        if qinfo.filters_below != vinfo.filters_below:
+            return None
+        if qinfo.group_by != vinfo.group_by:
+            return None
+        if not vinfo.filters_above <= qinfo.filters_above:
+            return None
+        residual = [qinfo.residual_by_canon[cn]
+                    for cn in qinfo.filters_above - vinfo.filters_above]
+        try:
+            preds = [to_sql(t, colmap) for t in residual]
+            sel = [F.expr(f"`{vout[cn]}`").alias(nm) if cn in vout else None
+                   for nm, cn in qinfo.outputs]
+            if any(s is None for s in sel):
+                return None
+        except UnsupportedPlan:
+            return None
+        out = vdf
+        for p in preds:
+            out = out.filter(F.expr(p))
+        return out.select(*sel)
+
+    # view is a plain project/filter/join materialization
+    vfilters = vinfo.filters_above | vinfo.filters_below
+    qfilters = qinfo.filters_above | qinfo.filters_below
+    if not vfilters <= qfilters:
+        return None
+    residual_canons = qfilters - vfilters
+    try:
+        preds = [to_sql(qinfo.residual_by_canon[cn], colmap) for cn in residual_canons]
+        out = vdf
+        for p in preds:
+            out = out.filter(F.expr(p))
+        if qinfo.has_agg:
+            # superset of the reference: re-aggregate over the view
+            gb = []
+            aggs = []
+            for nm, t in qinfo.output_trees:
+                sql = to_sql(t, colmap)
+                if canon(t) in qinfo.group_by or (
+                        _cls(t) in ("Alias", "AttributeReference")
+                        and canon(t if _cls(t) == "AttributeReference" else t["_children"][0]) in qinfo.group_by):
+                    gb.append((nm, sql))
+                else:
+                    aggs.append((nm, sql))
+            if not aggs:
+                return None
+            gcols = [F.expr(s).alias(nm) for nm, s in gb]
+            acols = [F.expr(s).alias(nm) for nm, s in aggs]
+            out = out.groupBy(*gcols).agg(*acols) if gcols else out.agg(*acols)
+            return out.select(*[nm for nm, _ in qinfo.outputs])
+        sel = [F.expr(to_sql(t, colmap)).alias(nm) for nm, t in qinfo.output_trees]
+        return out.select(*sel)
+    except UnsupportedPlan:
+        return None
+
+
+def try_rewrite(session, sql_text: str) -> DataFrame | None:
+    """Rewrite ``sql_text`` onto a fresh matching materialized view;
+    None = no hit (caller runs the original SQL). Stale views are
+    refreshed first when auto_update is set, else skipped
+    (StarLakeScanBuilder.scala:103-125 staleness enforcement)."""
+    reg = _load_registry(session.warehouse)
+    if not reg:
+        return None
+    known = set(session._tables) | set(catalog.list_tables(session.warehouse))
+    try:
+        qinfo = extract(session.spark, sql_text, known)
+    except UnsupportedPlan:
+        return None
+    for view_name, ent in sorted(reg.items()):
+        try:
+            vinfo = extract(session.spark, ent["sql"], known)
+        except UnsupportedPlan:
+            continue
+        if qinfo.tables != vinfo.tables:
+            continue
+        current = _fingerprints(session, set(ent["fingerprints"]))
+        if current != ent["fingerprints"]:
+            if ent.get("auto_update"):
+                update_material_view(session, view_name)
+            else:
+                continue
+        hit = _try_match(session, qinfo, view_name, ent, vinfo)
+        if hit is not None:
+            return hit
+    return None

@@ -16,7 +16,19 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from starlake_spark.functions import dedup as dd, similarity as sim, text as tx
-from starlake_spark.queries.analytics import ld
+from starlake_spark.queries.analytics import ld as _ld
+
+
+def ld(spark, sf_dir, name):
+    """documents/embeddings arrive as ONE small parquet file → one input
+    partition, serializing every per-row operator on local[N]. Spread to
+    the cluster width up front; on a real corpus (many files / many
+    partitions) this is a no-op cost-wise since the compute-heavy
+    operators all shuffle anyway."""
+    df = _ld(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 # ---------------------------------------------------------------------------
 # exact dedup
