@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -60,13 +61,12 @@ def _try_import_pillow():
 
 def _fake_decode_stats(payload: bytes) -> tuple[float, float]:
     """Deterministic stand-in for pixel statistics: mean/std of the raw
-    bytes. Replaced by a real decode when codecs are present."""
+    bytes (numpy over the buffer). Replaced by a real decode when codecs
+    are present."""
     if not payload:
         return 0.0, 0.0
-    n = len(payload)
-    mean = sum(payload) / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    return mean, var**0.5
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return float(arr.mean()), float(arr.std())
 
 
 def image_features(
@@ -81,33 +81,29 @@ def image_features(
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("sha1", T.StringType()),
+        T.StructField("sha256", T.StringType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("std_byte", T.DoubleType()),
         T.StructField("decoder", T.StringType()),
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = "fake-bytes" if pil is None else "pillow"
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col] or b""
-                if pil is not None:
-                    raise NotImplementedError(
-                        "real image decode not wired in this container"
-                    )
-                mean, std = _fake_decode_stats(bytes(payload))
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "n_bytes": len(payload),
-                        "sha1": hashlib.sha1(bytes(payload)).hexdigest(),
-                        "mean_byte": mean,
-                        "std_byte": std,
-                        "decoder": "fake-bytes" if pil is None else "pillow",
-                    }
+            if pil is not None:
+                raise NotImplementedError(
+                    "real image decode not wired in this container"
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            stats = [_fake_decode_stats(p) for p in payloads]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "n_bytes": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "mean_byte": [s[0] for s in stats],
+                "std_byte": [s[1] for s in stats],
+                "decoder": decoder,
+            })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

@@ -368,6 +368,59 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal column plumbing (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_image_features(spark, sf_dir):
+    """Opaque-binary feature extraction: documents' text re-encoded as a
+    binary payload column, pushed through the mapInPandas decode kernel
+    (starlake_spark.functions.multimodal.image_features). n_bytes and
+    sha256 are engine-independent → full duckdb oracle; the byte-stat
+    features ride along in the operator but are projected out here."""
+    from starlake_spark.functions import multimodal as mm
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = mm.image_features(d, payload_col="payload", id_col="item_id")
+    return out.select("item_id", "n_bytes", "sha256").orderBy("item_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS item_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents ORDER BY item_id
+"""
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan from video metadata only (binary column is
+    pruned away): every-30th-frame rows per item, n_frames faked from
+    n_chars. Pure JVM sequence/explode."""
+    from starlake_spark.functions import multimodal as mm
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.struct(
+            F.lit(640).alias("width"), F.lit(480).alias("height"),
+            F.lit(30.0).alias("fps"),
+            F.col("n_chars").cast("long").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("video_meta"),
+    )
+    out = mm.frame_sample_plan(d, meta_col="video_meta", id_col="item_id", every_n=30)
+    return out.select("item_id", "frame_no").orderBy("item_id", "frame_no")
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS item_id, CAST(unnest(generate_series(0, greatest(n_chars - 1, 0), 30)) AS BIGINT) AS frame_no
+FROM documents ORDER BY item_id, frame_no
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -382,4 +435,6 @@ LLM_QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, None),
     "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
     "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),
+    "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
 }

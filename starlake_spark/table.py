@@ -10,13 +10,26 @@ hashPartitions / hashBucketNum / shortTableName, tables/StarTable.scala:413-567)
 
 from __future__ import annotations
 
+import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, types as T
 
 from starlake_spark import catalog
 from starlake_spark.meta import ManifestStore, TableInfo, encode_range_value
 from starlake_spark.operators import dml, reader, writer
+
+
+def _parse_dtype(d: str) -> T.DataType:
+    mapping = {"byte": T.ByteType(), "short": T.ShortType(), "int": T.IntegerType(),
+               "integer": T.IntegerType(), "long": T.LongType(), "bigint": T.LongType(),
+               "float": T.FloatType(), "double": T.DoubleType(), "string": T.StringType(),
+               "boolean": T.BooleanType(), "date": T.DateType(), "binary": T.BinaryType(),
+               "timestamp": T.TimestampType()}
+    key = d.strip().lower()
+    if key in mapping:
+        return mapping[key]
+    return T._parse_datatype_string(d)
 
 
 class StarTable:
@@ -108,6 +121,66 @@ class StarTable:
         if info.short_name:
             catalog.unregister(info.short_name)
         self.store.drop()
+
+    # ---------- ALTER TABLE (commands/alterTableCommands.scala:58-374) ----------
+
+    def add_columns(self, columns: list[tuple[str, str]] | T.StructType) -> "StarTable":
+        """ALTER TABLE ADD COLUMNS: new nullable columns appended to the
+        stored schema; existing files simply lack them and the scan
+        fills nulls (file_exist_cols semantics)."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        existing = {f.name.lower() for f in schema.fields}
+        new_fields = (columns.fields if isinstance(columns, T.StructType)
+                      else [T.StructField(n, _parse_dtype(d), True) for n, d in columns])
+        for f in new_fields:
+            if f.name.lower() in existing:
+                raise ValueError(f"column '{f.name}' already exists")
+            if not f.nullable:
+                raise ValueError("added columns must be nullable "
+                                 "(existing files cannot backfill values)")
+            schema = schema.add(f)
+        info.schema_json = schema.json()
+        self.store.update_table_info(info)
+        return self
+
+    def change_column_type(self, name: str, new_type: str) -> "StarTable":
+        """ALTER TABLE ALTER COLUMN TYPE — safe widenings only (the
+        reference's SchemaUtils.canChangeDataType discipline)."""
+        widenings = {("byte", "short"), ("byte", "integer"), ("byte", "long"),
+                     ("short", "integer"), ("short", "long"),
+                     ("integer", "long"), ("float", "double")}
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        fields = []
+        found = False
+        for f in schema.fields:
+            if f.name.lower() == name.lower():
+                found = True
+                tgt = _parse_dtype(new_type)
+                if (f.dataType.typeName(), tgt.typeName()) not in widenings:
+                    raise ValueError(
+                        f"cannot change {f.name}: {f.dataType.simpleString()} → "
+                        f"{tgt.simpleString()} is not a safe widening")
+                f = T.StructField(f.name, tgt, f.nullable, f.metadata)
+            fields.append(f)
+        if not found:
+            raise KeyError(f"no such column: {name}")
+        info.schema_json = T.StructType(fields).json()
+        self.store.update_table_info(info)
+        return self
+
+    def set_properties(self, props: dict[str, str]) -> "StarTable":
+        info = self.store.table_info(refresh=True)
+        info.configuration = {**info.configuration, **{k: str(v) for k, v in props.items()}}
+        self.store.update_table_info(info)
+        return self
+
+    def unset_properties(self, keys: list[str]) -> "StarTable":
+        info = self.store.table_info(refresh=True)
+        info.configuration = {k: v for k, v in info.configuration.items() if k not in set(keys)}
+        self.store.update_table_info(info)
+        return self
 
 
 def create_table(

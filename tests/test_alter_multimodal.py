@@ -1,0 +1,116 @@
+"""ALTER TABLE commands (alterTableCommands.scala:58-374 analogues) and
+multimodal column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from starlake_spark.table import create_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders_t(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    return create_table(spark, orders, str(tmp_path / "orders_t"),
+                        hash_partitions=["o_orderkey"], hash_bucket_num=4)
+
+
+def test_add_columns_scan_fills_null_and_writes_carry_it(orders_t, spark):
+    n0 = orders_t.to_df().count()
+    orders_t.add_columns([("discount_pct", "double")])
+    df = orders_t.to_df()
+    assert "discount_pct" in df.columns
+    assert df.filter(F.col("discount_pct").isNull()).count() == n0
+    # new writes can populate the evolved column
+    delta = (orders_t.to_df().limit(10).drop("discount_pct")
+             .withColumn("discount_pct", F.lit(5.0)))
+    orders_t.upsert(delta)
+    assert orders_t.to_df().filter(F.col("discount_pct") == 5.0).count() == 10
+    assert orders_t.to_df().count() == n0
+
+
+def test_add_column_rejects_dup_and_nonnullable(orders_t):
+    with pytest.raises(ValueError):
+        orders_t.add_columns([("o_orderkey", "long")])
+    with pytest.raises(ValueError):
+        orders_t.add_columns(T.StructType([T.StructField("x", T.IntegerType(), False)]))
+
+
+def test_change_column_type_widening_only(orders_t):
+    orders_t.add_columns([("small_col", "int")])
+    orders_t.change_column_type("small_col", "long")
+    schema = orders_t.to_df().schema
+    assert dict((f.name, f.dataType.simpleString()) for f in schema)["small_col"] == "bigint"
+    with pytest.raises(ValueError):
+        orders_t.change_column_type("small_col", "int")  # narrowing
+    with pytest.raises(KeyError):
+        orders_t.change_column_type("nope", "long")
+
+
+def test_set_unset_properties(orders_t):
+    orders_t.set_properties({"comment": "hello", "owner": "me"})
+    assert orders_t.info.configuration["comment"] == "hello"
+    orders_t.unset_properties(["comment"])
+    assert "comment" not in orders_t.info.configuration
+    assert orders_t.info.configuration["owner"] == "me"
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_image_features_kernel(spark):
+    from starlake_spark.functions import multimodal as mm
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    d = docs.select(F.col("doc_id").alias("item_id"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = mm.image_features(d).collect()
+    assert len(out) == 20
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        payload = raw[r.item_id].encode()
+        assert r.n_bytes == len(payload)
+        assert r.sha256 == hashlib.sha256(payload).hexdigest()
+        assert 0 <= r.mean_byte <= 255
+        assert r.decoder == "fake-bytes"
+
+
+def test_frame_sample_plan_prunes_binary(spark):
+    from starlake_spark.functions import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    d = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(F.lit(640).alias("width"), F.lit(480).alias("height"),
+                 F.lit(30.0).alias("fps"),
+                 F.col("n_chars").cast("long").alias("n_frames"),
+                 F.lit("fake").alias("format")).alias("video_meta"),
+    )
+    plan_df = mm.frame_sample_plan(d, every_n=30)
+    rows = plan_df.collect()
+    metas = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for item_id, n_frames in metas.items():
+        expected = list(range(0, max(n_frames - 1, 0) + 1, 30)) or [0]
+        got = sorted(r.frame_no for r in rows if r.item_id == item_id)
+        assert got == expected, (item_id, n_frames)
+    # binary payload column must be pruned from the physical scan
+    phys = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in phys
+
+
+def test_resize_stub_schema(spark):
+    from starlake_spark.functions import multimodal as mm
+
+    d = spark.createDataFrame(
+        [(1, b"abcdef" * 100), (2, b"")],
+        T.StructType([T.StructField("item_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]))
+    out = mm.resize_stub(d, width=10, height=10)
+    rows = {r.item_id: r for r in out.collect()}
+    assert rows[1].out_w == 10 and len(rows[1].resized) == 100
+    assert len(rows[2].resized) == 1  # padded floor
