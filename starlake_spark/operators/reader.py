@@ -163,6 +163,27 @@ def _merge_scan(
     return merged.select(*[F.col(f.name) for f in schema.fields])
 
 
+def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) -> list[dict]:
+    """Evaluate a SQL predicate over the partition values (as a tiny
+    DataFrame, cast to the table's range-column types) and return the
+    decoded dicts of matching partitions."""
+    range_cols = info.range_cols
+    schema = _schema(info)
+    types = {f.name: f.dataType for f in schema.fields}
+    rows = [decode_range_value(rv) for rv in range_values]
+    if not rows:
+        return []
+    pdf = spark.createDataFrame(
+        [[r.get(c) for c in range_cols] for r in rows],
+        T.StructType([T.StructField(c, T.StringType()) for c in range_cols]),
+    )
+    for c in range_cols:
+        pdf = pdf.withColumn(c, F.col(c).cast(types.get(c, T.StringType())))
+    kept = pdf.filter(F.expr(predicate)).collect()
+    keep_keys = {tuple(str(r[c]) for c in range_cols) for r in kept}
+    return [r for r in rows if tuple(str(r.get(c)) for c in range_cols) in keep_keys]
+
+
 def scan(
     spark: SparkSession,
     store: ManifestStore,
@@ -173,10 +194,12 @@ def scan(
 ) -> DataFrame:
     """Build the DataFrame view of a table snapshot.
 
-    ``partition_filter``: python predicate over the decoded range-value
-    dict — manifest-level partition pruning (reference
+    ``partition_filter``: manifest-level partition pruning (reference
     PartitionFilter.scala:26-106 evaluates partition predicates before
-    file listing; same effect, zero Spark jobs).
+    file listing). Either a python predicate over the decoded
+    range-value dict (zero Spark jobs), or a SQL predicate string
+    evaluated over a tiny DataFrame of the partition values — the
+    reference's exact technique (PartitionFilter.scala:28-52).
 
     ``merge_operators``: {column: op} where op is a name ('sum',
     'concat', ...), a MergeOperator, or a Python callable.
@@ -195,6 +218,10 @@ def scan(
                 raise KeyError(f"merge operator on unknown column '{c}'")
             if c in keys:
                 raise ValueError(f"merge operator on partition/hash column '{c}'")
+
+    if isinstance(partition_filter, str):
+        keep = _prune_partitions_sql(spark, info, list(snap.partitions), partition_filter)
+        partition_filter = lambda d, _keep=keep: d in _keep  # noqa: E731
 
     plain_files: list[DataFileInfo] = []
     merge_files: list[DataFileInfo] = []

@@ -245,6 +245,99 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY even
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming watermark + windowed aggregation through the sink
+# ---------------------------------------------------------------------------
+
+def star_streaming_watermark(spark, sf_dir):
+    """Watermarked hourly window agg (Spark-side state) flowing through
+    the exactly-once sink in update mode: each micro-batch's updated
+    windows are delta-upserted by (hour, event_type) key. Final table ==
+    the batch aggregate (StarSinkSuite.scala:314 'aggregation +
+    watermark' parity)."""
+    from starlake_spark.streaming.sink import write_stream
+
+    path = _scratch(sf_dir, "streaming_wm")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for f in raw_schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+    empty = spark.createDataFrame([], agg.schema)
+    create_table(spark, empty, path, hash_partitions=["hour", "event_type"],
+                 hash_bucket_num=4)
+    ckpt = path + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = write_stream(agg, path, query_id="suite_wm", output_mode="update",
+                     checkpoint_dir=ckpt, spark_output_mode="update")
+    q.awaitTermination(180)
+    t = StarTable.for_path(spark, path)
+    return t.to_df().orderBy("hour", "event_type")
+
+
+STREAMING_WM_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# materialized view rewrite end-to-end
+# ---------------------------------------------------------------------------
+
+MV_VIEW_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(1) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM mvq_orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+MV_QUERY_SQL = MV_VIEW_SQL + " HAVING o_orderstatus <> 'X'"
+
+
+def star_mv_rewrite(spark, sf_dir):
+    """Create table → create MV → run a query that must REWRITE onto the
+    view (same agg set + compensation HAVING predicate). The rewrite is
+    asserted, not just attempted — a silent fallback would still produce
+    correct rows and hide a regression."""
+    from starlake_spark.sql import StarSession
+    from starlake_spark.plans import mv as mvmod
+
+    wh = _scratch(sf_dir, "mv_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    sess.create_table(o, os.path.join(wh, "orders_t"), name="mvq_orders")
+    sess.create_material_view("mvq_agg", os.path.join(wh, "mvq_agg"), MV_VIEW_SQL)
+    hit = mvmod.try_rewrite(sess, MV_QUERY_SQL)
+    assert hit is not None, "MV rewrite did not trigger"
+    return hit.orderBy("o_orderstatus", "o_orderpriority")
+
+
+MV_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus, o_orderpriority
+HAVING o_orderstatus <> 'X'
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
@@ -254,4 +347,6 @@ ENGINE_QUERIES = {
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
+    "star_streaming_watermark": (star_streaming_watermark, STREAMING_WM_ORACLE),
+    "star_mv_rewrite": (star_mv_rewrite, MV_ORACLE),
 }

@@ -71,14 +71,20 @@ def write_stream(
     output_mode: str = "append",
     trigger_available_now: bool = True,
     checkpoint_dir: str | None = None,
+    spark_output_mode: str | None = None,
 ):
     """Start a streaming write into a star table; returns the query.
 
     ``trigger_available_now=True`` drains all available input then
     stops — the batch-pipeline-over-streaming-API pattern.
-    """
+    ``spark_output_mode`` is Spark's upstream mode for stateful
+    operators (e.g. "update" so a windowed agg emits per-batch updates
+    that our sink then upserts by key); ``output_mode`` is the SINK's
+    commit mode (append / complete / update)."""
     sink = StarStreamSink(ManifestStore(table_path), query_id, output_mode)
     w = stream_df.writeStream.foreachBatch(sink.foreach_batch())
+    if spark_output_mode:
+        w = w.outputMode(spark_output_mode)
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

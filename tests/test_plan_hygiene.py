@@ -1,0 +1,85 @@
+"""Plan-hygiene assertions: the properties that make the engine viable
+at scale must be visible in the physical plan, not just hoped for.
+
+Mirrors the reference's ParquetScanSuite.scala:33-155 (scan-type
+selection) and :188-293 (efficient PK-op plans), re-expressed as
+Spark-plan checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.table import StarTable, create_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _phys(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def orders_t(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    return create_table(spark, orders, str(tmp_path / "t"),
+                        range_partitions=["o_orderstatus"],
+                        hash_partitions=["o_orderkey"], hash_bucket_num=4)
+
+
+def test_filter_pushdown_reaches_parquet(orders_t):
+    df = orders_t.to_df().filter(F.col("o_totalprice") > 100000.0).select(
+        "o_orderkey", "o_totalprice")
+    plan = _phys(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_in_read_schema(orders_t):
+    df = orders_t.to_df().select("o_orderkey", "o_totalprice")
+    plan = _phys(df)
+    # the parquet ReadSchema must not materialize unrelated wide columns
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "o_comment" not in read_cols and "o_orderpriority" not in read_cols
+
+
+def test_partition_pruning_limits_input_files(orders_t):
+    all_files = set(orders_t.to_df().inputFiles())
+    pruned = set(orders_t.to_df(partition_filter="o_orderstatus = 'F'").inputFiles())
+    assert pruned and pruned < all_files
+    for f in pruned:
+        assert "o_orderstatus=F" in f
+
+
+def test_all_base_scan_skips_mor_shuffle(orders_t, spark):
+    # compacted/base-only table → plain parquet scan, no aggregate
+    plan = _phys(orders_t.to_df())
+    assert "Aggregate" not in plan
+
+    # add a delta → MoR path appears; compaction removes it again
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    orders_t.upsert(o.limit(20).withColumn("o_totalprice", F.lit(1.0)))
+    assert "Aggregate" in _phys(orders_t.to_df())
+    orders_t.compaction(force=True)
+    assert "Aggregate" not in _phys(orders_t.to_df())
+
+
+def test_mor_shuffle_only_touches_delta_partitions(orders_t, spark):
+    """Partitions without deltas ride the plain path even when other
+    partitions merge (OnePartitionMergeBucketScan-style split,
+    StarLakeScanBuilder.scala:127-157)."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    delta = o.filter(F.col("o_orderstatus") == "F").limit(10) \
+             .withColumn("o_totalprice", F.lit(2.0))
+    orders_t.upsert(delta)
+    plan = _phys(orders_t.to_df(partition_filter="o_orderstatus = 'O'"))
+    assert "Aggregate" not in plan  # untouched partition: no merge
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _phys(j)
