@@ -194,6 +194,47 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are binned by nearest centroid
+    (``ivf_assign``), a query probes only its ``nprobe`` nearest cells,
+    then exact cosine + top-k inside the probed cells. At scale the
+    assignment is computed once at ingest and stored as a partition
+    column, making each query touch ~nprobe/nlist of the data."""
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")) \
+              .join(assigned.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+
+    cents = F.broadcast(centroids.select(
+        "centroid_id", _as_double(F.col(vec_col)).alias("_cent")))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
+    qc = q.crossJoin(cents).select(
+        "query_id", "_qv", "centroid_id",
+        cosine(F.col("_qv"), F.col("_cent")).alias("_csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    probes = qc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= nprobe) \
+               .select("query_id", "_qv", "centroid_id")
+
+    cand = c.join(F.broadcast(probes), on="centroid_id")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
+
+
 def embedding_cosine_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -246,6 +246,32 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY even
 
 
 # ---------------------------------------------------------------------------
+# schema evolution (autoMerge upsert adds a column)
+# ---------------------------------------------------------------------------
+
+def star_schema_evolution(spark, sf_dir):
+    """Partial-column upsert carrying a brand-new column: the schema
+    auto-merges (UpsertSuiteBase.scala:249-278 semantics — old rows keep
+    their values and read the new column as null)."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o.select(*ORDER_COLS), _scratch(sf_dir, "schema_evo"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    delta = (o.filter(F.col("o_orderkey") % 5 == 0)
+             .select("o_orderkey", F.lit("vip").alias("customer_tier")))
+    t.upsert(delta)
+    return (t.to_df()
+            .select(*ORDER_COLS, "customer_tier")
+            .orderBy("o_orderkey"))
+
+
+SCHEMA_EVO_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'vip' ELSE NULL END AS customer_tier
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming watermark + windowed aggregation through the sink
 # ---------------------------------------------------------------------------
 
@@ -349,4 +375,5 @@ ENGINE_QUERIES = {
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
     "star_streaming_watermark": (star_streaming_watermark, STREAMING_WM_ORACLE),
     "star_mv_rewrite": (star_mv_rewrite, MV_ORACLE),
+    "star_schema_evolution": (star_schema_evolution, SCHEMA_EVO_ORACLE),
 }

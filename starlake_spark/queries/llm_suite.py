@@ -309,6 +309,30 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-cell-probed ANN (rows-only check: cell assignment depends on
+    the centroid sample). Centroids are a deterministic corpus sample;
+    each query probes its 4 nearest of ~40 cells."""
+    e = ld(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.ivf_topk(e, q, cents, k=ANN_K, nprobe=4,
+                       id_col="vec_id", vec_col="embedding")
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+def embeddings_lsh_dedup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-LSH buckets (rows-only;
+    the exact twin embeddings_cosine_pairs is the oracle-checked
+    semantics)."""
+    e = ld(spark, sf_dir, "embeddings")
+    out = sim.embedding_cosine_dedup_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=COSINE_PAIR_THRESHOLD, dim=64, num_planes=12, num_tables=6)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 COSINE_PAIR_THRESHOLD = 0.93
 
 
@@ -433,6 +457,8 @@ LLM_QUERIES = {
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "embeddings_lsh_dedup_pairs": (embeddings_lsh_dedup_pairs, None),
     "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
     "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
