@@ -587,9 +587,171 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q4: order priority checking (EXISTS semi join)
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS semi join) on the -ish schema: orders in a
+    quarter having at least one RETURNED line (the synthetic lineitem
+    has no commit/receipt dates)."""
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    ret = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter((F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"))
+        .join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12: shipmode priority classification (join + conditional agg)
+# ---------------------------------------------------------------------------
+
+def q12_linestatus_priority(spark, sf_dir):
+    """TPC-H Q12 shape (fact-dim join + conditional counts), keyed on
+    l_linestatus (the -ish schema has no shipmode)."""
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        l.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(high).cast("bigint").alias("high_line_count"),
+             F.sum(1 - high).cast("bigint").alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion revenue share (broadcast dim join + conditional ratio)
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part")
+    disc = _disc_price()
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.filter((F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                      / F.sum(disc).cast("double"), 6)).alias("promo_revenue"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume customers (agg-filtered semi join / HAVING subquery)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 250
+
+
+def q18_large_orders(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey").agg(F.sum(_money(F.col("l_quantity"))).alias("q"))
+           .filter(F.col("q") > Q18_QTY).select("l_orderkey"))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY})
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive pushdown-hostile predicates (OR-of-ANDs join filter)
+# ---------------------------------------------------------------------------
+
+def q19_discounted_revenue(spark, sf_dir):
+    l = ld(spark, sf_dir, "lineitem")
+    p = ld(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond & (F.col("l_returnflag") != "R")).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))
+  AND l_returnflag <> 'R'
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q12_linestatus_priority": (q12_linestatus_priority, Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
