@@ -22,6 +22,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,6 +42,18 @@ def main() -> None:
 
     spark = get_spark(app_name="starlake_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up codegen, the python-UDF worker pool, and the noop sink so
+    # the first timed query doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+    warm = spark.range(10_000).select(F.col("id"))
+
+    @F.pandas_udf("long")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    warm.select(_warm_udf("id")).write.format("noop").mode("overwrite").save()
 
     queries = all_queries()
     timings: dict[str, float] = {}

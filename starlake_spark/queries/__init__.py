@@ -12,6 +12,7 @@ Cross-engine exactness rules (Spark result must hash-match duckdb):
 """
 
 from starlake_spark.queries.analytics import ANALYTICS_QUERIES
+from starlake_spark.queries.tpch_rest import TPCH_REST_QUERIES
 from starlake_spark.queries.llm_suite import LLM_QUERIES
 from starlake_spark.queries.engine_suite import ENGINE_QUERIES
 
@@ -19,7 +20,7 @@ from starlake_spark.queries.engine_suite import ENGINE_QUERIES
 def all_queries():
     """name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)."""
     out = {}
-    for d in (ANALYTICS_QUERIES, LLM_QUERIES, ENGINE_QUERIES):
+    for d in (ANALYTICS_QUERIES, TPCH_REST_QUERIES, LLM_QUERIES, ENGINE_QUERIES):
         dup = set(out) & set(d)
         if dup:
             raise ValueError(f"duplicate query names: {dup}")
