@@ -12,10 +12,76 @@ through to ``spark.sql`` — same observable semantics, no JVM plugin
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import catalog
 from starlake_spark.table import StarTable, create_table
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens/quotes (SET a=f(x,y), b=2)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)"
+    r"(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\((?P<cols>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_SETPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_UNSETPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_CHANGETYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?:ALTER|CHANGE)\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+TYPE\s+(?P<type>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class StarSession:
@@ -52,9 +118,16 @@ class StarSession:
             t.to_df().createOrReplaceTempView(name)
 
     def sql(self, text: str, rewrite: bool | None = None) -> DataFrame:
-        """Run SQL over registered star tables, trying MV rewrite first
+        """Run SQL over registered star tables. Star DDL/DML statements
+        (CREATE/ALTER/DROP TABLE, UPDATE, DELETE) are routed to the table
+        API — the reference's StarLakeCatalog + UpdateTable/DeleteFromTable
+        command path (StarLakeCatalog.scala:51-546, StarLakeAnalysis) —
+        and SELECT text tries MV rewrite first
         (RewriteQueryByMaterialView.scala:44-1268; any rewrite failure
         silently falls back to the original plan, :1158-1160)."""
+        handled = self._run_command(text.strip().rstrip(";"))
+        if handled is not None:
+            return handled
         self._sync_views()
         if rewrite is None:
             rewrite = self._mv_enabled
@@ -69,6 +142,114 @@ class StarSession:
                 pass
         return self.spark.sql(text)
 
+    # ---------- SQL command routing (StarLakeCatalog.scala:51-546) ----------
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _run_command(self, text: str) -> DataFrame | None:
+        """Dispatch star DDL/DML text; None = not a command (fall through
+        to the SELECT path). DML on names not registered as star tables is
+        also passed through, matching the reference which only intercepts
+        its own catalog's tables."""
+        m = _UPDATE_RE.match(text)
+        if m and self._known(m["name"]):
+            t = self.table(m["name"])
+            self._sync_views()
+            sets = {}
+            for clause in _split_top_level(m["sets"]):
+                col, _, expr = clause.partition("=")
+                if not expr:
+                    raise ValueError(f"bad SET clause: {clause!r}")
+                sets[col.strip()] = F.expr(expr.strip())
+            cond = F.expr(m["where"]) if m["where"] else F.lit(True)
+            t.update(cond, sets)
+            return self._empty_df()
+
+        m = _DELETE_RE.match(text)
+        if m and self._known(m["name"]):
+            t = self.table(m["name"])
+            self._sync_views()
+            t.delete(F.expr(m["where"]) if m["where"] else None)
+            return self._empty_df()
+
+        m = _DROP_RE.match(text)
+        if m and self._known(m["name"]):
+            name = m["name"]
+            self.table(name).drop_table()
+            self._tables.pop(name, None)
+            try:
+                catalog.unregister(name, self.warehouse)
+            except Exception:
+                pass
+            self.spark.catalog.dropTempView(name)
+            return self._empty_df()
+
+        m = _ALTER_ADD_RE.match(text)
+        if m and self._known(m["name"]):
+            cols = [c.rsplit(None, 1) for c in _split_top_level(m["cols"])]
+            self.table(m["name"]).add_columns([(n, ty) for n, ty in
+                                               ((c[0], c[1]) for c in cols)])
+            return self._empty_df()
+
+        m = _ALTER_CHANGETYPE_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).change_column_type(m["col"], m["type"].strip())
+            return self._empty_df()
+
+        m = _ALTER_SETPROPS_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).set_properties(_parse_kv(m["props"]))
+            return self._empty_df()
+
+        m = _ALTER_UNSETPROPS_RE.match(text)
+        if m and self._known(m["name"]):
+            keys = [k.strip().strip("'\"") for k in _split_top_level(m["props"])]
+            self.table(m["name"]).unset_properties(keys)
+            return self._empty_df()
+
+        m = _CREATE_RE.match(text)
+        if m and re.search(r"\bUSING\s+star\b", m["tail"], re.IGNORECASE):
+            return self._create_from_sql(m["name"], m["tail"])
+
+        return None
+
+    def _known(self, name: str) -> bool:
+        if name in self._tables:
+            return True
+        try:
+            catalog.resolve(name, self.warehouse)
+            return True
+        except Exception:
+            return False
+
+    def _create_from_sql(self, name: str, tail: str) -> DataFrame:
+        """CREATE TABLE name USING star [OPTIONS(...)] [PARTITIONED BY (...)]
+        LOCATION 'path' AS SELECT ... — clause order free, as in Spark DDL."""
+        loc = re.search(r"\bLOCATION\s+'([^']+)'", tail, re.IGNORECASE)
+        if not loc:
+            raise ValueError("CREATE TABLE ... USING star requires LOCATION '<path>'")
+        part = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
+        opts_m = re.search(r"\b(?:OPTIONS|TBLPROPERTIES)\s*\((.*?)\)\s*(?:PARTITIONED|LOCATION|AS\b|$)",
+                           tail, re.IGNORECASE | re.DOTALL)
+        sel = re.search(r"\bAS\s+(SELECT\b.+)$", tail, re.IGNORECASE | re.DOTALL)
+        if not sel:
+            raise ValueError("CREATE TABLE ... USING star supports only CTAS "
+                             "(AS SELECT ...); schema-only create is API-level "
+                             "(create_table)")
+        opts = _parse_kv(opts_m.group(1)) if opts_m else {}
+        df = self.sql(sel.group(1))
+        range_cols = ([c.strip() for c in part.group(1).split(",") if c.strip()]
+                      if part else _csv_opt(opts, "rangePartitions"))
+        hash_cols = _csv_opt(opts, "hashPartitions")
+        bucket_num = int(opts.get("hashBucketNum", -1))
+        t = self.create_table(df, loc.group(1), name=name,
+                              range_partitions=range_cols,
+                              hash_partitions=hash_cols,
+                              hash_bucket_num=bucket_num)
+        self._tables[name] = t
+        return self._empty_df()
+
     # ---------- materialized views ----------
 
     def create_material_view(self, name: str, path: str, sql_text: str,
@@ -81,3 +262,19 @@ class StarSession:
         from starlake_spark.plans import mv
 
         mv.update_material_view(self, name)
+
+
+def _parse_kv(text: str) -> dict[str, str]:
+    """``'k' = 'v', k2 = v2`` (OPTIONS/TBLPROPERTIES body) → dict."""
+    out = {}
+    for item in _split_top_level(text):
+        k, _, v = item.partition("=")
+        if not v:
+            raise ValueError(f"bad OPTIONS/TBLPROPERTIES entry: {item!r}")
+        out[k.strip().strip("'\"")] = v.strip().strip("'\"")
+    return out
+
+
+def _csv_opt(opts: dict[str, str], key: str) -> list[str]:
+    raw = opts.get(key, "")
+    return [c.strip() for c in raw.split(",") if c.strip()]

@@ -1,0 +1,117 @@
+"""SQL-text DDL/DML routing through StarSession (the reference's
+StarLakeCatalog surface, StarLakeCatalog.scala:51-546: CREATE/ALTER/
+DROP TABLE USING star; UPDATE/DELETE flow Spark-parsed plans →
+commands, StarSparkSessionExtension.scala:95-103)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.sql import StarSession, _split_top_level
+from starlake_spark.table import create_table
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    return StarSession(spark, warehouse=str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def orders_tbl(spark, sess, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = sess.create_table(df, str(tmp_path / "orders_t"), name="orders_t")
+    return t
+
+
+def test_split_top_level():
+    assert _split_top_level("a = f(x, y), b = 2") == ["a = f(x, y)", "b = 2"]
+    assert _split_top_level("a = 'x,y', b = 1") == ["a = 'x,y'", "b = 1"]
+
+
+def test_sql_update(sess, orders_tbl):
+    sess.sql("UPDATE orders_t SET o_orderpriority = upper('set'), "
+             "o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'P'")
+    df = orders_tbl.to_df()
+    n_p = df.filter("o_orderstatus = 'P'").count()
+    assert n_p > 0
+    assert df.filter("o_orderpriority = 'SET'").count() == n_p
+
+
+def test_sql_delete(sess, orders_tbl):
+    before = orders_tbl.to_df().count()
+    gone = orders_tbl.to_df().filter("o_orderstatus = 'F'").count()
+    sess.sql("DELETE FROM orders_t WHERE o_orderstatus = 'F'")
+    df = orders_tbl.to_df()
+    assert df.filter("o_orderstatus = 'F'").count() == 0
+    assert df.count() == before - gone
+
+
+def test_sql_ctas_partitioned_hashed(spark, sess, sf_dir, tmp_path):
+    sess.register("orders_src", sess.create_table(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        str(tmp_path / "src"), name="orders_src"))
+    path = str(tmp_path / "ctas")
+    sess.sql(
+        "CREATE TABLE big_orders USING star "
+        "OPTIONS ('hashPartitions' = 'o_orderkey', 'hashBucketNum' = '4') "
+        "PARTITIONED BY (o_orderstatus) "
+        f"LOCATION '{path}' "
+        "AS SELECT * FROM orders_src WHERE o_totalprice > 1000"
+    )
+    t = sess.table("big_orders")
+    info = t.info
+    assert info.range_cols == ["o_orderstatus"]
+    assert info.hash_cols == ["o_orderkey"]
+    assert info.bucket_num == 4
+    expect = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 1000).count()
+    assert t.to_df().count() == expect
+    # hash table: SQL UPDATE must still work on it
+    sess.sql("UPDATE big_orders SET o_orderpriority = 'Z' WHERE o_orderkey % 2 = 0")
+    assert t.to_df().filter("o_orderpriority = 'Z'").count() == \
+        t.to_df().filter("o_orderkey % 2 = 0").count()
+
+
+def test_sql_alter_and_props(sess, orders_tbl):
+    sess.sql("ALTER TABLE orders_t ADD COLUMNS (note string, score double)")
+    df = orders_tbl.to_df()
+    assert "note" in df.columns and "score" in df.columns
+    assert df.filter(F.col("note").isNotNull()).count() == 0
+
+    sess.sql("ALTER TABLE orders_t SET TBLPROPERTIES ('k1' = 'v1', 'k2' = 'v2')")
+    assert sess.table("orders_t").info.configuration.get("k1") == "v1"
+    sess.sql("ALTER TABLE orders_t UNSET TBLPROPERTIES ('k1')")
+    cfg = sess.table("orders_t").info.configuration
+    assert "k1" not in cfg and cfg.get("k2") == "v2"
+
+
+def test_sql_drop(sess, orders_tbl):
+    path = orders_tbl.store.table_path
+    sess.sql("DROP TABLE orders_t")
+    assert not os.path.exists(os.path.join(path, "_star_meta"))
+    with pytest.raises(Exception):
+        sess.table("orders_t").to_df()
+
+
+def test_select_still_works(sess, orders_tbl):
+    n = sess.sql("SELECT count(*) AS n FROM orders_t").collect()[0]["n"]
+    assert n == orders_tbl.to_df().count()
+
+
+def test_non_star_statements_fall_through(spark, sess):
+    # plain SELECT with no star tables at all
+    assert sess.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+    # UPDATE of an unknown name is not intercepted: Spark raises its own
+    # analysis error rather than our router swallowing it
+    with pytest.raises(Exception):
+        sess.sql("UPDATE nope SET x = 1")
+
+
+def test_bad_clauses_raise(sess, orders_tbl, tmp_path):
+    with pytest.raises(ValueError, match="SET"):
+        sess.sql("UPDATE orders_t SET broken")
+    with pytest.raises(ValueError, match="LOCATION"):
+        sess.sql("CREATE TABLE t2 USING star AS SELECT 1")
+    with pytest.raises(ValueError, match="CTAS"):
+        sess.sql(f"CREATE TABLE t2 USING star LOCATION '{tmp_path}/t2'")
