@@ -69,8 +69,20 @@ ORDER BY o_orderkey
 """
 
 
+# read-only queries over the same upsert scenario share one build per
+# process; mutating queries (compaction) always build their own copy
+_BUILD_CACHE: dict = {}
+
+
+def _upserted_orders_shared(spark, sf_dir):
+    key = ("shared_mor", sf_dir)
+    if key not in _BUILD_CACHE:
+        _BUILD_CACHE[key] = _build_upserted_orders(spark, sf_dir, "shared_mor")
+    return _BUILD_CACHE[key]
+
+
 def star_upsert_mor(spark, sf_dir):
-    t = _build_upserted_orders(spark, sf_dir, "upsert_mor")
+    t = _upserted_orders_shared(spark, sf_dir)
     return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
 
 
@@ -83,7 +95,7 @@ def star_compaction_invariance(spark, sf_dir):
 
 
 def star_time_travel(spark, sf_dir):
-    t = _build_upserted_orders(spark, sf_dir, "time_travel")
+    t = _upserted_orders_shared(spark, sf_dir)
     return t.to_df(version=1).select(*ORDER_COLS).orderBy("o_orderkey")
 
 

@@ -333,12 +333,21 @@ def embeddings_lsh_dedup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
-COSINE_PAIR_THRESHOLD = 0.93
+# the synthetic embeddings are near-random (max sample pair cosine
+# ~0.52), so a "near-dup" threshold of 0.9+ matches zero pairs and the
+# oracle check passes vacuously; 0.40 yields 138 pairs at sf0.1 / 10
+# at sf0.01 — a real differential check
+COSINE_PAIR_THRESHOLD = 0.40
 
 
 def embeddings_cosine_pairs(spark, sf_dir):
     """Exact near-dup pairs on a deterministic sample (a-side
-    vec_id%7=0) — oracle twin of the LSH dedup path."""
+    vec_id%7=0) — oracle twin of the LSH dedup path.
+
+    The sampled side is broadcast as a normalized matrix; the corpus
+    streams through one matmul per Arrow batch and only surviving
+    pairs are emitted (sim.cosine_pairs_broadcast) — no quadratic
+    pair rows ever materialize in the plan."""
     e = ld(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("_va")
@@ -346,11 +355,8 @@ def embeddings_cosine_pairs(spark, sf_dir):
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("_vb")
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", sim.cosine(F.col("_va"), F.col("_vb")).alias("s"))
-        .filter(F.col("s") >= COSINE_PAIR_THRESHOLD)
-        .select("id_a", "id_b")
+        sim.cosine_pairs_broadcast(a, b, COSINE_PAIR_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
 

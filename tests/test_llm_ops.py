@@ -1,0 +1,103 @@
+"""Quality/recall checks for the approximate dedup & ANN operators —
+the oracle-parity harness only pins the exact twins, so these pin the
+approximate paths' usefulness: candidate recall, hash invariants, and
+the broadcast-matmul pair kernel's equivalence to the Column cosine.
+
+Recall floors are set well under measured values on the synthetic
+corpus (near-random embeddings: ANN LSH ~0.24, IVF ~0.64; minhash
+candidate recall 1.0 at j>=0.5) so they fail on regressions, not
+noise."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.functions import dedup as dd, similarity as sim
+from starlake_spark.queries import llm_suite as L
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_ann_lsh_and_ivf_recall(spark, sf_dir):
+    exact = {(r[0], r[1]) for r in L.ann_cosine_topk(spark, sf_dir).collect()}
+    lsh = {(r[0], r[1]) for r in L.ann_lsh_topk(spark, sf_dir).collect()}
+    ivf = {(r[0], r[1]) for r in L.ann_ivf_topk(spark, sf_dir).collect()}
+    assert len(exact) == 10 * L.ANN_K
+    assert len(exact & lsh) / len(exact) >= 0.15
+    assert len(exact & ivf) / len(exact) >= 0.50
+
+
+def test_minhash_candidates_cover_exact_pairs(spark, sf_dir):
+    d = L.ld(spark, sf_dir, "documents")
+    exact = _pairs(dd.ngram_jaccard_pairs(d, threshold=0.5, shingle_n=3)
+                   .select("id_a", "id_b"))
+    cand = _pairs(dd.minhash_lsh_candidates(d, num_hashes=64, bands=16, shingle_n=3))
+    assert exact, "corpus should contain j>=0.5 near-dup pairs"
+    assert len(exact & cand) / len(exact) >= 0.9
+
+
+def test_minhash_dedup_drops_only_verified_dupes(spark, sf_dir):
+    d = L.ld(spark, sf_dir, "documents")
+    kept = dd.minhash_dedup(d, threshold=0.5, num_hashes=64, bands=16, shingle_n=3)
+    n, k = d.count(), kept.count()
+    assert 0 < k <= n
+    # every dropped doc really does have a >=0.5-jaccard twin with a
+    # smaller id among the originals
+    dropped = d.join(kept.select("doc_id"), "doc_id", "left_anti")
+    exact = dd.ngram_jaccard_pairs(d, threshold=0.5, shingle_n=3)
+    unexplained = dropped.join(
+        exact.select(F.col("id_b").alias("doc_id")), "doc_id", "left_semi"
+    ).count()
+    assert unexplained == dropped.count()
+
+
+def test_simhash_planted_near_dupes(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup
+        (3, base.replace("quick", "swift")),    # one-word change
+        (4, "completely different text about database engines and "
+            "distributed query processing at large scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", dd.simhash64(F.col("text"), 2).alias("s")).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical simhash
+    pairs = _pairs(dd.simhash_near_dupes(df, "doc_id", "text",
+                                         max_hamming=16, shingle_n=2))
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_cosine_pairs_broadcast_matches_column_cosine(spark, sf_dir):
+    e = L.ld(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("_va"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("_vb"))
+    th = 0.35
+    fast = _pairs(sim.cosine_pairs_broadcast(a, b, th))
+    slow = _pairs(
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim.cosine(F.col("_va"), F.col("_vb")) >= th)
+        .select("id_a", "id_b"))
+    assert fast == slow and fast
+
+
+def test_cosine_pairs_broadcast_zero_norm_and_modes(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    a = df.select(F.col("vid").alias("id_a"), F.col("v").alias("_va"))
+    b = df.select(F.col("vid").alias("id_b"), F.col("v").alias("_vb"))
+    # zero-norm vector scores 0.0 (never passes a positive threshold)
+    assert _pairs(sim.cosine_pairs_broadcast(a, b, 0.99)) == {(1, 2)}
+    # require_lt=False: both directions, self excluded
+    both = _pairs(sim.cosine_pairs_broadcast(a, b, 0.99, require_lt=False))
+    assert both == {(1, 2), (2, 1)}
