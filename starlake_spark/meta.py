@@ -115,6 +115,7 @@ class Snapshot:
     partitions: dict[str, PartitionSnapshot]
     streaming: dict[str, int]  # query_id -> last committed batch_id
     timestamp: float
+    commit_type: str = "write"  # the commit that produced this version
 
     def all_files(self) -> list[DataFileInfo]:
         return [f for p in self.partitions.values() for f in p.files]
@@ -123,6 +124,7 @@ class Snapshot:
         return {
             "version": self.version,
             "timestamp": self.timestamp,
+            "commit_type": self.commit_type,
             "streaming": self.streaming,
             "partitions": {
                 rv: {
@@ -138,6 +140,7 @@ class Snapshot:
         return Snapshot(
             version=d["version"],
             timestamp=d.get("timestamp", 0.0),
+            commit_type=d.get("commit_type", "write"),
             streaming=dict(d.get("streaming", {})),
             partitions={
                 rv: PartitionSnapshot(
@@ -180,6 +183,10 @@ class Transaction:
         self.expire: set[str] = set()  # file paths (relative)
         self.expire_partitions: set[str] = set()  # whole range_values
         self.streaming_update: tuple[str, int] | None = None
+        # 'write' | 'delta' | 'update' | 'delete' | 'compact' — the
+        # reference's tc.setCommitType (TransactionCommit.scala:150-156);
+        # change-stream readers skip 'compact' (logically a no-op rewrite)
+        self.commit_type = "write"
         self.committed = False
 
     @property
@@ -369,6 +376,7 @@ class ManifestStore:
                 partitions=partitions,
                 streaming=streaming,
                 timestamp=time.time(),
+                commit_type=txn.commit_type,
             )
             _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
             txn.committed = True

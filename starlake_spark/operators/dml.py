@@ -76,6 +76,7 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
 
     if use_delta:
         txn = store.new_transaction()
+        txn.commit_type = "delta"
         files = writer.write_files(spark, source, info, txn, is_base=False)
         txn.add_files(files)
         store.commit(txn)
@@ -129,7 +130,7 @@ def _touched_partitions(spark, store, info, cond: Column) -> list[str]:
 
 
 def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
-                  transform) -> None:
+                  transform, commit_type: str = "update") -> None:
     """Shared 3-case structure of UpdateCommand/DeleteCommand:
 
     * hash tables: rewrite whole candidate partitions (the reference
@@ -151,6 +152,7 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
         current = reader.scan(spark, store, partition_filter=part_filter)
         rewritten = transform(current, cond)
         txn = store.new_transaction()
+        txn.commit_type = commit_type
         files = writer.write_files(spark, rewritten, info, txn, is_base=True)
         for rv in touched:
             if rv in snap.partitions:
@@ -183,6 +185,7 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
     sub = reader._plain_scan(spark, store, info, all_hit)
     rewritten = transform(sub, cond)
     txn = store.new_transaction()
+    txn.commit_type = commit_type
     files = writer.write_files(spark, rewritten, info, txn, is_base=False)
     txn.expire_files([f.path for f in all_hit])
     txn.add_files(files)
@@ -213,6 +216,7 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
     (DeleteCommand.scala:41-147)."""
     if condition is None:
         txn = store.new_transaction()
+        txn.commit_type = "delete"
         for rv in txn.read_snapshot.partitions:
             txn.expire_partition(rv)
         store.commit(txn)
@@ -222,7 +226,7 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
     def transform(df: DataFrame, cnd: Column) -> DataFrame:
         return df.filter(~F.coalesce(cnd, F.lit(False)))
 
-    _rewrite_rows(spark, store, cond, transform)
+    _rewrite_rows(spark, store, cond, transform, commit_type="delete")
 
 
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
@@ -257,6 +261,7 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
         # unpartitioned: single '' partition is the only target
         pass
     txn = store.new_transaction()
+    txn.commit_type = "compact"
     files = writer.write_files(spark, merged, info, txn, is_base=True)
     for rv in targets:
         txn.expire_partition(rv)

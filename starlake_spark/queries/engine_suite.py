@@ -258,6 +258,58 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY even
 
 
 # ---------------------------------------------------------------------------
+# streaming SOURCE: format('star') change stream (beyond the reference)
+# ---------------------------------------------------------------------------
+
+def star_stream_source(spark, sf_dir):
+    """Tail a star table as a structured stream: base load (v1), delta
+    upsert (v2), compaction (v3, must NOT re-emit), delta upsert (v4);
+    the emitted change feed is checked row-for-row against an oracle of
+    the three real commits."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "stream_source")
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t.upsert(o.filter(F.col("o_orderkey") % 10 == 0)
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.compaction(force=True)
+    t.upsert(o.filter(F.col("o_orderkey") % 7 == 0)
+              .withColumn("o_orderstatus", F.lit("X")))
+
+    out, ckpt = path + "_out", path + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (spark.readStream.format("star").load(path)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .select(*ORDER_COLS, "_commit_version")
+            .orderBy("o_orderkey", "_commit_version"))
+
+
+STREAM_SOURCE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+       _commit_version
+FROM (
+  SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate,
+         o_orderpriority, CAST(2 AS BIGINT) FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'X', o_totalprice, o_orderdate,
+         o_orderpriority, CAST(4 AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0
+)
+ORDER BY o_orderkey, _commit_version
+"""
+
+
+# ---------------------------------------------------------------------------
 # schema evolution (autoMerge upsert adds a column)
 # ---------------------------------------------------------------------------
 
@@ -385,6 +437,7 @@ ENGINE_QUERIES = {
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
+    "star_stream_source": (star_stream_source, STREAM_SOURCE_ORACLE),
     "star_streaming_watermark": (star_streaming_watermark, STREAMING_WM_ORACLE),
     "star_mv_rewrite": (star_mv_rewrite, MV_ORACLE),
     "star_schema_evolution": (star_schema_evolution, SCHEMA_EVO_ORACLE),

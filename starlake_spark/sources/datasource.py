@@ -1,0 +1,187 @@
+"""`format("star")` — a pure-Python Spark DataSource for star tables.
+
+The reference registers "star" through DataSourceRegister
+(sources/StarLakeDataSource.scala:41-133: V1 relation + V2 TableProvider
++ StreamSinkProvider). PySpark 4's Python Data Source API lets us do
+the same without a JVM plugin:
+
+* batch: ``spark.read.format("star").load(path)`` — per-file Arrow
+  scan of the pinned snapshot. Restricted to snapshots with no delta
+  files (post-compaction state): MoR key-collapse belongs in the
+  Catalyst-optimizable DataFrame recipe (`StarTable.to_df`), not in a
+  row-through-Python reader. Delta-bearing hash tables raise with a
+  pointer to `to_df()`.
+* streaming: ``spark.readStream.format("star").load(path)`` — a real
+  change-stream SOURCE (the reference has a sink only, SURVEY §2.7):
+  offsets are manifest versions, each micro-batch reads exactly the
+  files committed in (start, end], compaction commits are skipped
+  (logically no-op rewrites, identified via Snapshot.commit_type), and
+  every record carries its `_commit_version`. Offset determinism +
+  Spark's checkpointing give exactly-once.
+
+Scale posture: one InputPartition per data file — parallelism tracks
+file count, partition pruning comes free from the manifest, and the
+read path is pyarrow → Arrow RecordBatch (zero row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from starlake_spark.meta import ManifestStore
+
+VERSION_COL = "_commit_version"
+
+
+@dataclasses.dataclass
+class _FilePartition(InputPartition):
+    abs_path: str
+    exist_cols: tuple
+    version: int
+
+
+def _table_schema(store: ManifestStore) -> T.StructType:
+    return T.StructType.fromJson(json.loads(store.table_info().schema_json))
+
+
+def _arrow_schema(spark_schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _read_aligned(part: _FilePartition, arrow_schema):
+    """One parquet file → RecordBatches matching the requested Arrow
+    schema: missing columns (file predates schema evolution) become
+    nulls, the version column is attached, types are cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.abs_path)
+    cols = []
+    for field in arrow_schema:
+        if field.name == VERSION_COL:
+            cols.append(pa.array([part.version] * len(tbl), type=field.type))
+        elif field.name in tbl.column_names:
+            cols.append(tbl[field.name].cast(field.type))
+        else:
+            cols.append(pa.nulls(len(tbl), type=field.type))
+    out = pa.Table.from_arrays(cols, schema=arrow_schema)
+    yield from out.to_batches()
+
+
+class _StarBatchReader(DataSourceReader):
+    def __init__(self, table_path: str, schema: T.StructType, version: int | None):
+        self.table_path = table_path
+        self.spark_schema = schema
+        self.version = version
+
+    def partitions(self):
+        store = ManifestStore(self.table_path)
+        snap = store.snapshot(self.version)
+        info = store.table_info()
+        deltas = [f for f in snap.all_files() if not f.is_base_file]
+        if info.hash_cols and deltas:
+            raise ValueError(
+                "format('star') batch read requires an all-base snapshot; "
+                f"{len(deltas)} delta files present — run compaction() or "
+                "read through StarTable.to_df(), which applies the "
+                "merge-on-read collapse in the Catalyst plan"
+            )
+        return [
+            _FilePartition(
+                abs_path=os.path.join(self.table_path, f.path),
+                exist_cols=tuple(f.exist_cols),
+                version=f.write_version,
+            )
+            for f in snap.all_files()
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
+
+
+class _StarStreamReader(DataSourceStreamReader):
+    """Version-tailing change stream (SURVEY §2.7 'streaming source:
+    not implemented' — this goes beyond the reference)."""
+
+    def __init__(self, table_path: str, schema: T.StructType, starting_version: int):
+        self.table_path = table_path
+        self.spark_schema = schema
+        self.starting_version = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": ManifestStore(self.table_path).latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        store = ManifestStore(self.table_path)
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            snap = store.snapshot(v)
+            if snap.commit_type == "compact":
+                continue
+            for f in snap.all_files():
+                if f.write_version == v:
+                    parts.append(
+                        _FilePartition(
+                            abs_path=os.path.join(self.table_path, f.path),
+                            exist_cols=tuple(f.exist_cols),
+                            version=v,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class StarDataSource(DataSource):
+    """Options: ``path`` (required), ``version`` (batch time travel),
+    ``startingVersion`` (stream resume point, default 0 = from table
+    creation)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "star"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('star') requires .load(path) or .option('path', ...)")
+        return path
+
+    def schema(self) -> T.StructType:
+        base = _table_schema(ManifestStore(self._path()))
+        return T.StructType(base.fields + [T.StructField(VERSION_COL, T.LongType(), False)])
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        v = self.options.get("version")
+        return _StarBatchReader(self._path(), schema, int(v) if v is not None else None)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        start = int(self.options.get("startingVersion", 0))
+        return _StarStreamReader(self._path(), schema, start)
+
+
+def register(spark) -> None:
+    """Idempotently register format('star') on this session."""
+    spark.dataSource.register(StarDataSource)

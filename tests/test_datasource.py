@@ -1,0 +1,115 @@
+"""format('star') Python DataSource: batch snapshot reads + the
+version-tailing change-stream source (beyond the reference, which has
+a streaming sink only — StarLakeDataSource.scala:41-133, SURVEY §2.7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import sources
+from starlake_spark.table import create_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    sources.register(spark)
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_batch_read_all_base(spark, orders, tmp_path):
+    create_table(spark, orders, str(tmp_path / "t"))
+    df = spark.read.format("star").load(str(tmp_path / "t"))
+    assert df.count() == orders.count()
+    assert df.columns == orders.columns + ["_commit_version"]
+    assert df.select("_commit_version").distinct().collect()[0][0] == 1
+    # values really round-trip (not just counts)
+    a = df.drop("_commit_version").orderBy("o_orderkey").collect()
+    b = orders.orderBy("o_orderkey").collect()
+    assert a == b
+
+
+def test_batch_read_version_time_travel(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"))
+    t.write(orders.limit(7), mode="overwrite")
+    latest = spark.read.format("star").load(str(tmp_path / "t"))
+    v1 = spark.read.format("star").option("version", "1").load(str(tmp_path / "t"))
+    assert latest.count() == 7
+    assert v1.count() == orders.count()
+
+
+def test_batch_read_refuses_mor_deltas(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(0.0)))
+    with pytest.raises(Exception, match="to_df|delta"):
+        spark.read.format("star").load(str(tmp_path / "t")).count()
+
+
+def _run_stream(spark, path, ckpt, out):
+    q = (spark.readStream.format("star").load(path)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_tail_exactly_once_and_compaction_skip(spark, orders, tmp_path):
+    path, ckpt, out = str(tmp_path / "t"), str(tmp_path / "ck"), str(tmp_path / "out")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n = orders.count()
+    t.upsert(orders.limit(20).withColumn("o_totalprice", F.lit(1.0)))
+
+    got = _run_stream(spark, path, ckpt, out)
+    by_v = dict(got.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 20}
+
+    # compaction (v3) must not re-emit; a following upsert (v4) must
+    t.compaction()
+    t.upsert(orders.limit(5).select(
+        "o_orderkey", F.lit("Z").alias("o_orderstatus")))
+    got = _run_stream(spark, path, ckpt, out)
+    by_v = dict(got.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 20, 4: 5}
+
+    # restart with nothing new: no duplicate emissions
+    got = _run_stream(spark, path, ckpt, out)
+    assert got.count() == n + 20 + 5
+
+
+def test_stream_starting_version(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(2.0)))
+    # startingVersion=1 skips the initial load, sees only the delta
+    q = (spark.readStream.format("star").option("startingVersion", "1").load(path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out3"))
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out3"))
+    assert dict(got.groupBy("_commit_version").count().collect()) == {2: 10}
+
+
+def test_stream_sees_schema_evolution_nulls(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t.add_columns([("note", "string")])
+    # stream schema pinned after evolution: old v1 files yield null note
+    q = (spark.readStream.format("star").load(path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == orders.count()
+    assert got.filter(F.col("note").isNotNull()).count() == 0
