@@ -83,3 +83,51 @@ def test_small_dim_join_broadcasts(spark):
     customer = spark.read.parquet(f"{SF}/customer.parquet")
     j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
     assert "BroadcastHashJoin" in _phys(j)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite plan shape: broadcasts, pushdown, no nested-loop blowups
+# ---------------------------------------------------------------------------
+
+def test_tpch_dim_joins_broadcast(spark):
+    """Every dimension join in the heavy TPC-H queries must broadcast —
+    a shuffled 25-row nation join at 100 TB wastes a full exchange."""
+    from starlake_spark.queries.tpch_rest import (
+        q2_min_cost_supplier, q7_volume_shipping, q9_product_type_profit)
+
+    for fn, min_bcast in [(q2_min_cost_supplier, 3),
+                          (q7_volume_shipping, 4),
+                          (q9_product_type_profit, 3)]:
+        plan = _phys(fn(spark, SF))
+        assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= min_bcast, \
+            f"{fn.__name__}: expected >= {min_bcast} broadcast joins\n{plan}"
+
+
+def test_tpch_filters_push_to_scan(spark):
+    """Selective predicates (p_size, p_type, date ranges) must reach the
+    parquet scan, not evaluate post-scan."""
+    from starlake_spark.queries.tpch_rest import q2_min_cost_supplier, q20_potential_promotion
+
+    plan = _phys(q2_min_cost_supplier(spark, SF))
+    assert "PushedFilters: [IsNotNull(p_size), IsNotNull(p_type), EqualTo(p_size,15)" in plan \
+        or "EqualTo(p_size,15)" in plan, plan
+    plan = _phys(q20_potential_promotion(spark, SF))
+    assert "StringStartsWith(p_name,red)" in plan, plan
+
+
+def test_q21_correlations_compile_to_semi_anti(spark):
+    """The EXISTS/NOT-EXISTS double correlation must plan as semi/anti
+    hash joins keyed on l_orderkey — never a nested-loop over lineitem."""
+    from starlake_spark.queries.tpch_rest import q21_waiting_suppliers
+
+    plan = _phys(q21_waiting_suppliers(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_scalar_subqueries_broadcast_not_collect(spark):
+    """q11/q15/q22-style scalar aggregates join via a broadcast of a
+    1-row relation (no driver collect in the query function)."""
+    from starlake_spark.queries.tpch_rest import q15_top_supplier
+
+    plan = _phys(q15_top_supplier(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
