@@ -98,6 +98,39 @@ def check_not_null_invariants(df: DataFrame, info: TableInfo) -> None:
         raise ValueError(f"NOT NULL invariant violated on partition/hash cols {cols}")
 
 
+CHECK_PREFIX = "check."
+
+
+def check_expression_invariants(df: DataFrame, info: TableInfo) -> None:
+    """Arbitrary CHECK-expression invariants (reference
+    schema/Invariants.scala:29-99 ArbitraryExpression +
+    InvariantCheckerExec.scala:33-107), stored as table properties
+    ``check.<name> = <sql expr>``. All constraints are verified in ONE
+    pass — a row violates if any NOT coalesce(expr, false) — and only
+    on violation is the failing constraint identified from the single
+    offending row."""
+    checks = {
+        k[len(CHECK_PREFIX):]: v
+        for k, v in (info.configuration or {}).items()
+        if k.startswith(CHECK_PREFIX)
+    }
+    if not checks:
+        return
+    ok = None
+    for expr in checks.values():
+        c = F.coalesce(F.expr(expr), F.lit(False))
+        ok = c if ok is None else (ok & c)
+    bad = df.filter(~ok).limit(1).collect()
+    if bad:
+        row = bad[0].asDict()
+        for name, expr in checks.items():
+            one = df.sparkSession.createDataFrame([bad[0]], df.schema)
+            if one.filter(~F.coalesce(F.expr(expr), F.lit(False))).count():
+                raise ValueError(
+                    f"CHECK constraint '{name}' ({expr}) violated by row {row}")
+        raise ValueError(f"CHECK constraint violated by row {row}")
+
+
 def _list_written_files(abs_dir: str) -> list[str]:
     out = []
     for root, _dirs, names in os.walk(abs_dir):
@@ -135,6 +168,7 @@ def write_files(
     df = normalize_for_write(df, info, enforce_schema=False)
     if check_invariants:
         check_not_null_invariants(df, info)
+        check_expression_invariants(df, info)
 
     if info.hash_cols:
         # Bucketed layout: stable bucket assignment + in-file key sort

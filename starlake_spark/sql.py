@@ -77,6 +77,16 @@ _ALTER_UNSETPROPS_RE = re.compile(
     r"\((?P<props>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_ADDCHECK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROPCHECK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_CHANGETYPE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?:ALTER|CHANGE)\s+COLUMN\s+"
     r"(?P<col>\w+)\s+TYPE\s+(?P<type>.+?)\s*$",
@@ -190,6 +200,16 @@ class StarSession:
             cols = [c.rsplit(None, 1) for c in _split_top_level(m["cols"])]
             self.table(m["name"]).add_columns([(n, ty) for n, ty in
                                                ((c[0], c[1]) for c in cols)])
+            return self._empty_df()
+
+        m = _ALTER_ADDCHECK_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).add_constraint(m["cname"], m["expr"].strip())
+            return self._empty_df()
+
+        m = _ALTER_DROPCHECK_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).drop_constraint(m["cname"])
             return self._empty_df()
 
         m = _ALTER_CHANGETYPE_RE.match(text)

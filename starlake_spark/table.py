@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import catalog
 from starlake_spark.meta import ManifestStore, TableInfo, encode_range_value
@@ -169,6 +169,22 @@ class StarTable:
         info.schema_json = T.StructType(fields).json()
         self.store.update_table_info(info)
         return self
+
+    def add_constraint(self, name: str, expr: str) -> "StarTable":
+        """CHECK-expression invariant enforced on every subsequent write
+        (Invariants.scala:29-99); existing rows are validated first so a
+        constraint can never be added in an already-violated state."""
+        from starlake_spark.operators import writer as _w
+
+        df = self.to_df()
+        if df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count():
+            raise ValueError(f"existing rows violate CHECK constraint '{name}' ({expr})")
+        return self.set_properties({f"{_w.CHECK_PREFIX}{name}": expr})
+
+    def drop_constraint(self, name: str) -> "StarTable":
+        from starlake_spark.operators import writer as _w
+
+        return self.unset_properties([f"{_w.CHECK_PREFIX}{name}"])
 
     def set_properties(self, props: dict[str, str]) -> "StarTable":
         info = self.store.table_info(refresh=True)

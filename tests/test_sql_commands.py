@@ -86,6 +86,27 @@ def test_sql_alter_and_props(sess, orders_tbl):
     assert "k1" not in cfg and cfg.get("k2") == "v2"
 
 
+def test_check_constraints(spark, sess, orders_tbl, sf_dir):
+    sess.sql("ALTER TABLE orders_t ADD CONSTRAINT pos_price CHECK (o_totalprice > 0)")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # violating write rejected, constraint named in the error
+    with pytest.raises(ValueError, match="pos_price"):
+        orders_tbl.write(orders.limit(5).withColumn(
+            "o_totalprice", F.lit(-1.0)), mode="append")
+    # conforming write passes
+    n = orders_tbl.to_df().count()
+    orders_tbl.write(orders.limit(5), mode="append")
+    assert orders_tbl.to_df().count() == n + 5
+    # cannot add a constraint existing rows violate
+    with pytest.raises(ValueError, match="existing rows"):
+        sess.sql("ALTER TABLE orders_t ADD CONSTRAINT impossible CHECK (o_totalprice > 1e12)")
+    # dropped constraint no longer enforced
+    sess.sql("ALTER TABLE orders_t DROP CONSTRAINT pos_price")
+    orders_tbl.write(orders.limit(2).withColumn(
+        "o_totalprice", F.lit(-1.0)), mode="append")
+    assert orders_tbl.to_df().filter("o_totalprice < 0").count() == 2
+
+
 def test_sql_drop(sess, orders_tbl):
     path = orders_tbl.store.table_path
     sess.sql("DROP TABLE orders_t")
