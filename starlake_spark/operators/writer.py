@@ -175,6 +175,20 @@ def write_files(
         # (TransactionalWrite.scala:125-129,183-211).
         df = df.repartition(info.bucket_num, *[F.col(c) for c in info.hash_cols])
         df = df.sortWithinPartitions(*(info.range_cols + info.hash_cols))
+    elif info.range_cols:
+        # Optimized write: co-locate each range value before partitionBy,
+        # else every task writes a file into every range directory
+        # (task_count × range_count small files per commit — manifest
+        # bloat and tiny parquet at scale). One shuffle buys one file
+        # per range value; `write.files.per.partition` salts the shuffle
+        # to split large partitions across that many files.
+        files_per = int((info.configuration or {}).get("write.files.per.partition", "1"))
+        range_exprs = [F.col(c) for c in info.range_cols]
+        if files_per > 1:
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per))
+            df = df.repartition(*range_exprs, salt)
+        else:
+            df = df.repartition(*range_exprs)
 
     abs_dir = os.path.join(txn.store.table_path, txn.data_dir)
     writer = df.write.mode("overwrite").format("parquet")

@@ -265,19 +265,21 @@ def star_stream_source(spark, sf_dir):
     """Tail a star table as a structured stream: base load (v1), delta
     upsert (v2), compaction (v3, must NOT re-emit), delta upsert (v4);
     the emitted change feed is checked row-for-row against an oracle of
-    the three real commits."""
+    the three real commits. Runs on customer (the streaming machinery's
+    per-file python-worker overhead dominates at this scale — the same
+    semantics on 10x the rows proves nothing extra)."""
     from starlake_spark import sources
 
     sources.register(spark)
     path = _scratch(sf_dir, "stream_source")
-    o = ld(spark, sf_dir, "orders")
-    t = create_table(spark, o, path,
-                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
-    t.upsert(o.filter(F.col("o_orderkey") % 10 == 0)
-              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    c = ld(spark, sf_dir, "customer")
+    t = create_table(spark, c, path,
+                     hash_partitions=["c_custkey"], hash_bucket_num=4)
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") * 2))
     t.compaction(force=True)
-    t.upsert(o.filter(F.col("o_orderkey") % 7 == 0)
-              .withColumn("o_orderstatus", F.lit("X")))
+    t.upsert(c.filter(F.col("c_custkey") % 7 == 0)
+              .withColumn("c_mktsegment", F.lit("X")))
 
     out, ckpt = path + "_out", path + "_ckpt"
     shutil.rmtree(out, ignore_errors=True)
@@ -289,23 +291,23 @@ def star_stream_source(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     return (spark.read.parquet(out)
-            .select(*ORDER_COLS, "_commit_version")
-            .orderBy("o_orderkey", "_commit_version"))
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment", "_commit_version")
+            .orderBy("c_custkey", "_commit_version"))
 
 
 STREAM_SOURCE_ORACLE = """
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-       _commit_version
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, _commit_version
 FROM (
-  SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM orders
+  SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM customer
   UNION ALL
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate,
-         o_orderpriority, CAST(2 AS BIGINT) FROM orders WHERE o_orderkey % 10 = 0
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2, c_mktsegment,
+         CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 10 = 0
   UNION ALL
-  SELECT o_orderkey, o_custkey, 'X', o_totalprice, o_orderdate,
-         o_orderpriority, CAST(4 AS BIGINT) FROM orders WHERE o_orderkey % 7 = 0
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'X',
+         CAST(4 AS BIGINT) FROM customer WHERE c_custkey % 7 = 0
 )
-ORDER BY o_orderkey, _commit_version
+ORDER BY c_custkey, _commit_version
 """
 
 

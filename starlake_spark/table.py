@@ -198,6 +198,18 @@ class StarTable:
         self.store.update_table_info(info)
         return self
 
+    # ---------- reference-API camelCase surface (tables.py:20-291) ----------
+
+    def alias(self, name: str) -> DataFrame:
+        """StarTable.alias / as — an aliased snapshot DataFrame."""
+        return self.to_df().alias(name)
+
+    forPath = for_path
+    forName = for_name
+    isStarTable = is_star_table
+    dropPartition = drop_partition
+    dropTable = drop_table
+
 
 def create_table(
     spark: SparkSession,
