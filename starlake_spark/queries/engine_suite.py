@@ -12,7 +12,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from starlake_spark.meta import ManifestStore
 from starlake_spark.queries.analytics import ld
@@ -430,6 +430,76 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def star_stateful_sessions(spark, sf_dir):
+    """Streaming sessionization with custom per-session aggregates via
+    applyInPandasWithState (beyond the reference, which delegates all
+    stateful streaming to Spark): events are replayed through 3 timed
+    micro-batches + a watermark sentinel; every emitted CLOSED session
+    must match the relational oracle. total_value is excluded from the
+    projection — the kernel accumulates in event-time order while SQL
+    SUM is unordered, so float ulp could differ; the integral-value
+    differential in tests/test_stateful_streaming.py pins it instead."""
+    from starlake_spark.streaming.stateful import sessionize_stream
+
+    path = _scratch(sf_dir, "stateful_sessions")
+    ev = (ld(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 5 == 0)
+          .select("user_id", "ts", "event_type", "value"))
+    chunks = ev.withColumn("_b", F.ntile(3).over(W.orderBy("ts")))
+    for b in (1, 2, 3):
+        chunks.filter(F.col("_b") == b).drop("_b").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{path}/src/b{b}")
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    sentinel = [(999999999, far + _dt.timedelta(days=30), "sentinel", 0.0)]
+    spark.createDataFrame(sentinel, ev.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/src/b4")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{path}/src/*"))
+    out = sessionize_stream(stream, gap_s=1800.0, watermark="0 seconds")
+    shutil.rmtree(f"{path}/out", ignore_errors=True)
+    shutil.rmtree(f"{path}/ck", ignore_errors=True)
+    q = (out.writeStream.format("parquet")
+         .option("path", f"{path}/out")
+         .option("checkpointLocation", f"{path}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return (spark.read.parquet(f"{path}/out")
+            .filter(F.col("user_id") != 999999999)
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "n_types", "first_type", "last_type")
+            .orderBy("user_id", "session_start"))
+
+
+STATEFUL_SESSIONS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE user_id % 5 = 0
+), marked AS (
+  SELECT *, CASE WHEN EXTRACT(EPOCH FROM ts - LAG(ts) OVER
+      (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+  ARG_MIN(event_type, ts) AS first_type,
+  ARG_MAX(event_type, ts) AS last_type
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
@@ -440,6 +510,7 @@ ENGINE_QUERIES = {
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
     "star_stream_source": (star_stream_source, STREAM_SOURCE_ORACLE),
+    "star_stateful_sessions": (star_stateful_sessions, STATEFUL_SESSIONS_ORACLE),
     "star_streaming_watermark": (star_streaming_watermark, STREAMING_WM_ORACLE),
     "star_mv_rewrite": (star_mv_rewrite, MV_ORACLE),
     "star_schema_evolution": (star_schema_evolution, SCHEMA_EVO_ORACLE),

@@ -1,0 +1,100 @@
+"""Differential test for the applyInPandasWithState sessionizer: the
+closed sessions emitted by the stream must equal the batch twin's
+sessions on identical input (minus sessions still open at end of
+stream)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from starlake_spark.streaming.stateful import (
+    sessionize_batch_oracle,
+    sessionize_stream,
+)
+
+BASE = dt.datetime(2026, 1, 1, 0, 0, 0)
+GAP_S = 600.0  # 10 min session gap
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("value", T.DoubleType(), False),
+])
+
+
+def _mk_events():
+    """3 users, 2 sessions each, unique ts per user, integral values."""
+    rows = []
+    for u in (1, 2, 3):
+        t0 = BASE + dt.timedelta(minutes=u)
+        # session 1: 3 events 1 min apart
+        for i, et in enumerate(["view", "click", "view"]):
+            rows.append((u, t0 + dt.timedelta(minutes=i), et, float(u * 10 + i)))
+        # session 2: 2 events, 30 min later (> gap)
+        t1 = t0 + dt.timedelta(minutes=45)
+        for i, et in enumerate(["buy", "view"]):
+            rows.append((u, t1 + dt.timedelta(minutes=i), et, float(u * 100 + i)))
+    return rows
+
+
+@pytest.fixture()
+def event_batches(tmp_path):
+    """Events split into 3 time-ordered parquet files + a watermark
+    sentinel far in the future (closes every real session)."""
+    rows = sorted(_mk_events(), key=lambda r: r[1])
+    k = len(rows) // 3
+    batches = [rows[:k], rows[k:2 * k], rows[2 * k:]]
+    batches.append([(99, BASE + dt.timedelta(days=2), "sentinel", 0.0)])
+    return batches
+
+
+def test_stream_sessions_match_batch_oracle(spark, tmp_path, event_batches):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, batch in enumerate(event_batches):
+        spark.createDataFrame(batch, EVENT_SCHEMA).coalesce(1) \
+            .write.parquet(str(src / f"b{i}"))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    out = sessionize_stream(stream, gap_s=GAP_S, watermark="0 seconds")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .orderBy("user_id", "session_start").collect())
+
+    all_rows = [r for b in event_batches for r in b]
+    events = spark.createDataFrame(all_rows, EVENT_SCHEMA)
+    want_df = sessionize_batch_oracle(events, gap_s=GAP_S)
+    # the sentinel user's session never closes (nothing advances the
+    # watermark past it) — exclude it from the expectation
+    want = (want_df.filter(F.col("user_id") != 99)
+            .orderBy("user_id", "session_start").collect())
+
+    assert len(got) == len(want) == 6
+    for g, w in zip(got, want):
+        assert g["user_id"] == w["user_id"]
+        assert g["session_start"] == w["session_start"]
+        assert g["session_end"] == w["session_end"]
+        assert g["n_events"] == w["n_events"]
+        assert g["n_types"] == w["n_types"]
+        assert g["total_value"] == w["total_value"]
+        assert g["first_type"] == w["first_type"]
+        assert g["last_type"] == w["last_type"]
+
+
+def test_batch_oracle_shapes(spark):
+    events = spark.createDataFrame(_mk_events(), EVENT_SCHEMA)
+    sess = sessionize_batch_oracle(events, gap_s=GAP_S)
+    rows = sess.orderBy("user_id", "session_start").collect()
+    assert len(rows) == 6  # 3 users x 2 sessions
+    first = rows[0]
+    assert first["n_events"] == 3 and first["n_types"] == 2
+    assert first["first_type"] == "view" and first["last_type"] == "view"
