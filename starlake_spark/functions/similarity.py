@@ -252,6 +252,47 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 40,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse spherical-k-means centroids for IVF, pure DataFrame ops.
+
+    Init = deterministic stride sample of ``nlist`` vectors; each Lloyd
+    round is assign (broadcast argmin, `ivf_assign`) then update
+    (element-wise mean via posexplode + two groupBys). Everything
+    shuffles at most (rows × dim) scalars — no driver collect of
+    vectors, so the fit scales with the corpus. Empty cells drop out
+    (nlist may shrink); output schema: (centroid_id, ``vec_col``)."""
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    n = v.count()
+    stride = max(1, n // nlist)
+    w0 = Window.orderBy(F.col(id_col))
+    cents = (
+        v.withColumn("_rn", F.row_number().over(w0))
+        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+        .limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"), F.col("_v"))
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, id_col=id_col, vec_col="_v")
+        member = v.join(assigned, id_col)
+        exploded = member.select(
+            "centroid_id", F.posexplode("_v").alias("_i", "_x"))
+        means = exploded.groupBy("centroid_id", "_i").agg(F.avg("_x").alias("_m"))
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_v"))
+        )
+    return cents.withColumnRenamed("_v", vec_col)
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell). Centroids

@@ -447,10 +447,10 @@ def star_stateful_sessions(spark, sf_dir):
 
     path = _scratch(sf_dir, "stateful_sessions")
     ev = (ld(spark, sf_dir, "events")
-          .filter(F.col("user_id") % 5 == 0)
+          .filter(F.col("user_id") % 25 == 0)
           .select("user_id", "ts", "event_type", "value"))
-    chunks = ev.withColumn("_b", F.ntile(3).over(W.orderBy("ts")))
-    for b in (1, 2, 3):
+    chunks = ev.withColumn("_b", F.ntile(2).over(W.orderBy("ts")))
+    for b in (1, 2):
         chunks.filter(F.col("_b") == b).drop("_b").coalesce(1) \
             .write.mode("overwrite").parquet(f"{path}/src/b{b}")
     far = ev.agg(F.max("ts")).collect()[0][0]
@@ -458,7 +458,7 @@ def star_stateful_sessions(spark, sf_dir):
 
     sentinel = [(999999999, far + _dt.timedelta(days=30), "sentinel", 0.0)]
     spark.createDataFrame(sentinel, ev.schema).coalesce(1) \
-        .write.mode("overwrite").parquet(f"{path}/src/b4")
+        .write.mode("overwrite").parquet(f"{path}/src/b3")
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "1")
@@ -480,7 +480,7 @@ def star_stateful_sessions(spark, sf_dir):
 
 STATEFUL_SESSIONS_ORACLE = """
 WITH ev AS (
-  SELECT user_id, ts, event_type FROM events WHERE user_id % 5 = 0
+  SELECT user_id, ts, event_type FROM events WHERE user_id % 25 = 0
 ), marked AS (
   SELECT *, CASE WHEN EXTRACT(EPOCH FROM ts - LAG(ts) OVER
       (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS new_sess

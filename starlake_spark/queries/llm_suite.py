@@ -311,11 +311,15 @@ def ann_lsh_topk(spark, sf_dir):
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF-cell-probed ANN (rows-only check: cell assignment depends on
-    the centroid sample). Centroids are a deterministic corpus sample;
-    each query probes its 4 nearest of ~40 cells."""
+    the fitted centroids). Centroids = 2 Lloyd rounds of spherical
+    k-means (DataFrame-native, sim.kmeans_centroids); each query probes
+    its 4 nearest of ~40 cells."""
     e = ld(spark, sf_dir, "embeddings")
-    cents = (e.filter(F.col("vec_id") % 50 == 0)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    # cell count scales with corpus (~50 vectors/cell) so nprobe/nlist
+    # coverage is stable across scale factors
+    nlist = max(4, e.count() // 50)
+    cents = sim.kmeans_centroids(e, nlist=nlist, iters=2,
+                                 id_col="vec_id", vec_col="embedding")
     q = e.filter(F.col("vec_id") < 10)
     out = sim.ivf_topk(e, q, cents, k=ANN_K, nprobe=4,
                        id_col="vec_id", vec_col="embedding")
