@@ -172,20 +172,22 @@ FROM orders ORDER BY o_orderkey
 # ---------------------------------------------------------------------------
 
 def star_replace_where(spark, sf_dir):
-    o = ld(spark, sf_dir, "orders")
-    t = create_table(spark, o, _scratch(sf_dir, "replace_where"),
-                     range_partitions=["o_orderpriority"])
-    newdata = o.filter(F.col("o_orderpriority") == "1-URGENT") \
-               .withColumn("o_totalprice", F.lit(0.0))
-    t.write(newdata, mode="overwrite", replace_where="o_orderpriority = '1-URGENT'")
-    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+    c = ld(spark, sf_dir, "customer")
+    t = create_table(spark, c, _scratch(sf_dir, "replace_where"),
+                     range_partitions=["c_mktsegment"])
+    newdata = c.filter(F.col("c_mktsegment") == "BUILDING") \
+               .withColumn("c_acctbal", F.lit(0.0))
+    t.write(newdata, mode="overwrite", replace_where="c_mktsegment = 'BUILDING'")
+    return (t.to_df()
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+            .orderBy("c_custkey"))
 
 
 REPLACE_WHERE_ORACLE = """
-SELECT o_orderkey, o_custkey, o_orderstatus,
-  CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE o_totalprice END AS o_totalprice,
-  o_orderdate, o_orderpriority
-FROM orders ORDER BY o_orderkey
+SELECT c_custkey, c_name, c_nationkey,
+  CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+  c_mktsegment
+FROM customer ORDER BY c_custkey
 """
 
 
