@@ -18,7 +18,9 @@ from starlake_spark.meta import ManifestStore
 from starlake_spark.queries.analytics import ld
 from starlake_spark.table import StarTable, create_table
 
-SUITE_ROOT = os.environ.get("STARLAKE_SUITE_DIR", "/tmp/starlake_suite")
+SUITE_ROOT = os.environ.get(
+    "STARLAKE_SUITE_DIR",
+    "/dev/shm/starlake_suite" if os.path.isdir("/dev/shm") else "/tmp/starlake_suite")
 
 ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
               "o_orderdate", "o_orderpriority"]

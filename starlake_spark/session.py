@@ -46,6 +46,14 @@ def get_spark(app_name: str = "starlake_spark", master: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # Shuffle/spill scratch on tmpfs when available: this host's block
+    # device throttles after sustained IO, which otherwise dominates
+    # local-mode timings. Memory is 128 GiB and test-scale shuffles are
+    # MBs; a real cluster sets spark.local.dir to fast local disks.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm" if os.path.isdir("/dev/shm") else None)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
