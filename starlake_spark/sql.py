@@ -12,6 +12,7 @@ through to ``spark.sql`` — same observable semantics, no JVM plugin
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -231,6 +232,48 @@ class StarSession:
         m = _CREATE_RE.match(text)
         if m and re.search(r"\bUSING\s+star\b", m["tail"], re.IGNORECASE):
             return self._create_from_sql(m["name"], m["tail"])
+
+        m = re.match(r"^\s*SHOW\s+TABLES\s*$", text, re.IGNORECASE)
+        if m:
+            rows = [(n, p) for n, p in sorted(catalog.list_tables(self.warehouse).items())]
+            rows += [(n, t.store.table_path) for n, t in sorted(self._tables.items())
+                     if n not in catalog.list_tables(self.warehouse)]
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, location string")
+
+        m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            info = self.table(m["name"]).info
+            schema = T.StructType.fromJson(json.loads(info.schema_json))
+            rows = [(f.name, f.dataType.simpleString(),
+                     "range partition" if f.name in info.range_cols
+                     else "hash partition" if f.name in info.hash_cols else "")
+                    for f in schema.fields]
+            rows.append(("# bucket_num", str(info.bucket_num), ""))
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string")
+
+        m = re.match(r"^\s*COMPACT\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
+                     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            part = None
+            if m["part"]:
+                part = ",".join(p.strip().replace("'", "").replace('"', "")
+                                for p in _split_top_level(m["part"]))
+            self.table(m["name"]).compaction(force=True, partition=part)
+            return self._empty_df()
+
+        m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
+                     r"(?P<hours>[\d.]+)\s+HOURS?)?\s*$", text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            kw = {}
+            if m["hours"]:
+                kw["retention_s"] = float(m["hours"]) * 3600.0
+            removed = self.table(m["name"]).cleanup(**kw)
+            return self.spark.createDataFrame(
+                [(p,) for p in removed] or [], "removed_file string")
 
         return None
 

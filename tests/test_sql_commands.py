@@ -136,3 +136,26 @@ def test_bad_clauses_raise(sess, orders_tbl, tmp_path):
         sess.sql("CREATE TABLE t2 USING star AS SELECT 1")
     with pytest.raises(ValueError, match="CTAS"):
         sess.sql(f"CREATE TABLE t2 USING star LOCATION '{tmp_path}/t2'")
+
+
+def test_show_describe_compact_vacuum(spark, sess, orders_tbl, sf_dir):
+    names = {r["table_name"] for r in sess.sql("SHOW TABLES").collect()}
+    assert "orders_t" in names
+
+    desc = {r["col_name"]: r for r in sess.sql("DESCRIBE orders_t").collect()}
+    assert desc["o_orderkey"]["data_type"] == "bigint"
+    assert "# bucket_num" in desc
+
+    # hash table with deltas: COMPACT collapses them to base files
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(orders_tbl.store.table_path) + "_h"
+    t = sess.create_table(orders, path, name="orders_h",
+                          hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(1.0)))
+    assert any(not f.is_base_file for f in t.store.snapshot().all_files())
+    sess.sql("COMPACT TABLE orders_h")
+    assert all(f.is_base_file for f in t.store.snapshot().all_files())
+
+    removed = sess.sql("VACUUM orders_h RETAIN 0 HOURS").collect()
+    assert isinstance(removed, list)  # stale pre-compaction files reported
+    assert len(removed) > 0
