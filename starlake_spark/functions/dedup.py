@@ -288,6 +288,53 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: each node repeatedly takes the smallest label among
+    itself and its neighbours until fixpoint, converging to the minimum
+    reachable id — the true transitive-closure grouping that the
+    greedy keep-smallest-id pass in `minhash_dedup` approximates.
+
+    Scale notes: dup-cluster graphs have tiny diameters, so the loop
+    runs O(diameter) rounds of one shuffle each; `localCheckpoint`
+    truncates lineage every round (an iterative plan otherwise grows
+    exponentially); convergence is a limit(1) probe, not a full count.
+    Output: (node, component) where component = min id in the cluster.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vl")), "v")
+            .groupBy("u").agg(F.min("vl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select("u", F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -234,6 +234,54 @@ ORDER BY id_a, id_b
 """
 
 
+def docs_dedup_components(spark, sf_dir):
+    """Near-dup clustering: exact-Jaccard pairs → connected components
+    (iterative min-label propagation, dd.connected_components). The
+    oracle computes the same transitive closure with a recursive CTE —
+    component = min reachable doc_id."""
+    d = ld(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    return (dd.connected_components(pairs)
+            .select("node", "component")
+            .orderBy("node"))
+
+
+DOCS_COMPONENTS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - {SHINGLE_N - 2})])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS node, MIN(r) AS component
+FROM reach GROUP BY u ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash LSH + SimHash (Spark-hash-based → rows-only checks)
 # ---------------------------------------------------------------------------
@@ -462,6 +510,7 @@ LLM_QUERIES = {
     "docs_quality": (docs_quality, DOCS_QUALITY_SQL),
     "docs_fingerprint": (docs_fingerprint, DOCS_FP_SQL),
     "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
+    "docs_dedup_components": (docs_dedup_components, DOCS_COMPONENTS_SQL),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_minhash_candidates": (docs_minhash_candidates, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
