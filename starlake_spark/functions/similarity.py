@@ -252,6 +252,53 @@ def lsh_topk(
     )
 
 
+def _centroid_matrix(centroids: DataFrame, vec_col: str):
+    """Collect the (tiny) centroid model state to the driver as a
+    cosine-normalized numpy matrix, rows sorted by centroid_id so that
+    numpy argmax tie-breaks on the lowest id — the same tie-break the
+    window-based formulation used. Centroid counts are O(√N) (FAISS
+    coarse-quantizer sizing), so this is model state, not data — the
+    corpus itself is never collected."""
+    pdf = centroids.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("_c")
+    ).toPandas()
+    order = np.argsort(pdf["centroid_id"].to_numpy(), kind="stable")
+    ids = pdf["centroid_id"].to_numpy()[order].astype(np.int64)
+    M = np.vstack(pdf["_c"].values)[order].astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    safe = norms > 0
+    M[safe] = M[safe] / norms[safe, None]
+    return ids, M
+
+
+def _batch_matrix(vs: pd.Series, dim: int) -> np.ndarray:
+    return np.array(
+        [v if v is not None and len(v) == dim else np.zeros(dim) for v in vs],
+        dtype=np.float64,
+    )
+
+
+def nearest_centroid_col(vec: Column, ids: np.ndarray, cent_mat: np.ndarray,
+                         spark) -> Column:
+    """centroid_id of the nearest (cosine) centroid, one Arrow-batched
+    (batch × dim) @ (dim × nlist) matmul per batch. Row-norm scaling
+    doesn't change the argmax, so only centroids are pre-normalized;
+    zero-norm rows score 0 everywhere and fall to the lowest id, matching
+    the Column-cosine formulation."""
+    bc = spark.sparkContext.broadcast((ids, cent_mat))
+    dim = cent_mat.shape[1]
+
+    @F.pandas_udf(LongType())
+    def assign(vs: pd.Series) -> pd.Series:
+        cids, M = bc.value
+        if len(vs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = _batch_matrix(vs, dim)
+        return pd.Series(cids[np.argmax(mat @ M.T, axis=1)])
+
+    return assign(vec)
+
+
 def kmeans_centroids(
     df: DataFrame,
     nlist: int = 40,
@@ -259,57 +306,84 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Coarse spherical-k-means centroids for IVF, pure DataFrame ops.
+    """Coarse spherical-k-means centroids for IVF, MLlib-style: the
+    centroid matrix is driver-resident model state (nlist × dim — tiny);
+    each Lloyd round is ONE job over the corpus that computes per-cell
+    partial sums inside each partition (mapInPandas, one matmul + two
+    ``np.add.at`` per Arrow batch) and ships only nlist×(dim+1) scalars
+    per partition to the driver — the treeAggregate shape Spark MLlib
+    KMeans uses, so shuffle volume is independent of corpus size.
 
-    Init = deterministic stride sample of ``nlist`` vectors; each Lloyd
-    round is assign (broadcast argmin, `ivf_assign`) then update
-    (element-wise mean via posexplode + two groupBys). Everything
-    shuffles at most (rows × dim) scalars — no driver collect of
-    vectors, so the fit scales with the corpus. Empty cells drop out
-    (nlist may shrink); output schema: (centroid_id, ``vec_col``)."""
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    n = v.count()
-    stride = max(1, n // nlist)
-    w0 = Window.orderBy(F.col(id_col))
-    cents = (
-        v.withColumn("_rn", F.row_number().over(w0))
-        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+    Init = deterministic pseudo-random sample via distributed top-nlist
+    by ``xxhash64(id)`` (TakeOrderedAndProject — no global sort). Empty
+    cells drop out (nlist may shrink). Output: (centroid_id,
+    ``vec_col``) with centroid_id = 0..nlist-1."""
+    spark = df.sparkSession
+    v = df.select(_as_double(F.col(vec_col)).alias("_v"))
+    init = (
+        df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(nlist)
-        .select(F.col(id_col).alias("centroid_id"), F.col("_v"))
+        .toPandas()
     )
+    M = np.vstack(init["_v"].values).astype(np.float64)
+    dim = M.shape[1]
+
     for _ in range(iters):
-        assigned = ivf_assign(v, cents, id_col=id_col, vec_col="_v")
-        member = v.join(assigned, id_col)
-        exploded = member.select(
-            "centroid_id", F.posexplode("_v").alias("_i", "_x"))
-        means = exploded.groupBy("centroid_id", "_i").agg(F.avg("_x").alias("_m"))
-        cents = (
-            means.groupBy("centroid_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
-                lambda s: s["_m"],
-            ).alias("_v"))
-        )
-    return cents.withColumnRenamed("_v", vec_col)
+        Mn = M.copy()
+        norms = np.linalg.norm(Mn, axis=1)
+        safe = norms > 0
+        Mn[safe] = Mn[safe] / norms[safe, None]
+        bc = spark.sparkContext.broadcast(Mn)
+
+        def part_sums(batches):
+            Mb = bc.value
+            k = Mb.shape[0]
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _batch_matrix(pdf["_v"], dim)
+                cid = np.argmax(mat @ Mb.T, axis=1)
+                np.add.at(sums, cid, mat)
+                np.add.at(counts, cid, 1)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame({
+                "_cid": hit.astype(np.int64),
+                "_s": [sums[i] for i in hit],
+                "_n": counts[hit],
+            })
+
+        partials = v.mapInPandas(
+            part_sums, "_cid long, _s array<double>, _n long"
+        ).toPandas()
+        if len(partials) == 0:
+            break
+        sums = np.zeros_like(M)
+        counts = np.zeros(M.shape[0], dtype=np.int64)
+        np.add.at(sums, partials["_cid"].to_numpy(),
+                  np.vstack(partials["_s"].values))
+        np.add.at(counts, partials["_cid"].to_numpy(), partials["_n"].to_numpy())
+        keep = counts > 0
+        M = sums[keep] / counts[keep, None]
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(M)],
+        f"centroid_id long, {vec_col} array<double>",
+    )
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF cell). Centroids
-    are broadcast; assignment is an argmin over a small array — at
+    """Assign each vector to its nearest centroid (IVF cell) — at
     100 TB this is the scan-side partitioner that makes ANN queries
-    touch ~1/nlist of the data."""
-    cents = F.broadcast(centroids.select(
-        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("_cent")
-    ))
-    joined = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).crossJoin(cents)
-    d = cosine(F.col("_v"), F.col("_cent"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
-    return (
-        joined.select(id_col, "centroid_id", d.alias("_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id")
+    touch ~nprobe/nlist of the data. One narrow projection, no join."""
+    ids, M = _centroid_matrix(centroids, vec_col)
+    return df.select(
+        F.col(id_col),
+        nearest_centroid_col(_as_double(F.col(vec_col)), ids, M,
+                             df.sparkSession).alias("centroid_id"),
     )
 
 
@@ -328,20 +402,35 @@ def ivf_topk(
     then exact cosine + top-k inside the probed cells. At scale the
     assignment is computed once at ingest and stored as a partition
     column, making each query touch ~nprobe/nlist of the data."""
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")) \
-              .join(assigned.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-
-    cents = F.broadcast(centroids.select(
-        "centroid_id", _as_double(F.col(vec_col)).alias("_cent")))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
-    qc = q.crossJoin(cents).select(
-        "query_id", "_qv", "centroid_id",
-        cosine(F.col("_qv"), F.col("_cent")).alias("_csim"),
+    ids, M = _centroid_matrix(centroids, vec_col)
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn(
+        "centroid_id",
+        nearest_centroid_col(F.col("_cv"), ids, M, spark),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
-    probes = qc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= nprobe) \
-               .select("query_id", "_qv", "centroid_id")
+
+    # nprobe nearest cells per query — same matmul kernel, top-nprobe
+    # by (sim desc, centroid_id asc) per row, exploded to probe rows
+    bc = spark.sparkContext.broadcast((ids, M))
+    dim = M.shape[1]
+
+    @F.pandas_udf("array<long>")
+    def top_cells(vs: pd.Series) -> pd.Series:
+        cids, Mb = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _batch_matrix(vs, dim)
+        sims = mat @ Mb.T
+        # stable argsort on -sims: ties fall to the lowest centroid_id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row] for row in top])
+
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
+    probes = q.select(
+        "query_id", "_qv", F.explode(top_cells(F.col("_qv"))).alias("centroid_id")
+    )
 
     cand = c.join(F.broadcast(probes), on="centroid_id")
     if exclude_self:
