@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -82,53 +83,42 @@ def normalize_for_write(
     return df.select(*projected)
 
 
-def check_not_null_invariants(df: DataFrame, info: TableInfo) -> None:
-    """Partition + hash columns are implicit NOT NULL primary keys
-    (reference schema/InvariantCheckerExec.scala:33-107). A full-column
-    null check would scan everything; limit(1) on the violation filter
-    lets Spark stop at the first offending row."""
-    cols = info.range_cols + info.hash_cols
-    if not cols:
-        return
-    cond = None
-    for c in cols:
-        cnd = F.col(c).isNull()
-        cond = cnd if cond is None else (cond | cnd)
-    if df.filter(cond).limit(1).count() > 0:
-        raise ValueError(f"NOT NULL invariant violated on partition/hash cols {cols}")
-
-
 CHECK_PREFIX = "check."
 
+_INVARIANT_MSG_RE = re.compile(
+    r"(NOT NULL invariant[^\n\"]*|CHECK constraint[^\n\"]*)")
 
-def check_expression_invariants(df: DataFrame, info: TableInfo) -> None:
-    """Arbitrary CHECK-expression invariants (reference
-    schema/Invariants.scala:29-99 ArbitraryExpression +
-    InvariantCheckerExec.scala:33-107), stored as table properties
-    ``check.<name> = <sql expr>``. All constraints are verified in ONE
-    pass — a row violates if any NOT coalesce(expr, false) — and only
-    on violation is the failing constraint identified from the single
-    offending row."""
-    checks = {
-        k[len(CHECK_PREFIX):]: v
-        for k, v in (info.configuration or {}).items()
-        if k.startswith(CHECK_PREFIX)
-    }
-    if not checks:
-        return
-    ok = None
-    for expr in checks.values():
-        c = F.coalesce(F.expr(expr), F.lit(False))
-        ok = c if ok is None else (ok & c)
-    bad = df.filter(~ok).limit(1).collect()
-    if bad:
-        row = bad[0].asDict()
-        for name, expr in checks.items():
-            one = df.sparkSession.createDataFrame([bad[0]], df.schema)
-            if one.filter(~F.coalesce(F.expr(expr), F.lit(False))).count():
-                raise ValueError(
-                    f"CHECK constraint '{name}' ({expr}) violated by row {row}")
-        raise ValueError(f"CHECK constraint violated by row {row}")
+
+def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
+    """Enforce NOT NULL primary keys + CHECK-expression invariants
+    inline, during the write pass itself — the reference wraps the write
+    plan in a validating physical node (InvariantCheckerExec.scala:33-107)
+    for the same reason: a separate pre-write check is a second full scan
+    of the source at 100 TB.
+
+    The guard folds a when/raise_error chain into the first projected
+    column, so the violation surfaces as soon as any task hits a bad row
+    and the job aborts; ``write_files`` converts it back to ValueError.
+    NOT NULL covers partition/hash cols (ImplicitMetadataOperation.scala:
+    148-156); CHECKs come from ``check.<name>`` table properties
+    (Invariants.scala:29-99), violating when NOT coalesce(expr, false).
+    """
+    conds: list[tuple] = []
+    for c in info.range_cols + info.hash_cols:
+        conds.append((F.col(c).isNull(),
+                      f"NOT NULL invariant violated on partition/hash column '{c}' "
+                      f"of {info.range_cols + info.hash_cols}"))
+    for k, expr in sorted((info.configuration or {}).items()):
+        if k.startswith(CHECK_PREFIX):
+            conds.append((~F.coalesce(F.expr(expr), F.lit(False)),
+                          f"CHECK constraint '{k[len(CHECK_PREFIX):]}' ({expr}) violated"))
+    if not conds:
+        return df
+    c0 = df.columns[0]
+    guarded = F.col(c0)
+    for cond, msg in conds:
+        guarded = F.when(cond, F.raise_error(F.lit(msg))).otherwise(guarded)
+    return df.withColumn(c0, guarded.alias(c0))
 
 
 def _list_written_files(abs_dir: str) -> list[str]:
@@ -167,8 +157,7 @@ def write_files(
     """
     df = normalize_for_write(df, info, enforce_schema=False)
     if check_invariants:
-        check_not_null_invariants(df, info)
-        check_expression_invariants(df, info)
+        df = _invariant_guard(df, info)
 
     if info.hash_cols:
         # Bucketed layout: stable bucket assignment + in-file key sort
@@ -194,7 +183,16 @@ def write_files(
     writer = df.write.mode("overwrite").format("parquet")
     if info.range_cols:
         writer = writer.partitionBy(*info.range_cols)
-    writer.save(abs_dir)
+    try:
+        writer.save(abs_dir)
+    except Exception as exc:
+        m = _INVARIANT_MSG_RE.search(str(exc))
+        if m is None:
+            raise
+        # invariant tripped mid-write: the commit dir was never published
+        # (manifest commit happens after), so just remove the partial files
+        shutil.rmtree(abs_dir, ignore_errors=True)
+        raise ValueError(m.group(1).split(" SQLSTATE")[0].strip()) from None
 
     exist_cols = [c for c in df.columns if c not in info.range_cols]
     files = []
