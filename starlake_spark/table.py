@@ -210,6 +210,23 @@ class StarTable:
     dropPartition = drop_partition
     dropTable = drop_table
 
+    @staticmethod
+    def register_merge_operator(name: str, factory) -> None:
+        """StarTable.registerMergeOperator (tables.py:20-291): register a
+        named custom merge operator usable in to_df(merge_operators=...)."""
+        from starlake_spark import merge_ops as _mo
+
+        _mo.register_merge_operator(name, factory)
+
+    registerMergeOperator = register_merge_operator
+
+    def update_expr(self, condition: str | None, set_exprs: dict) -> "StarTable":
+        """StarTable.updateExpr (tables/StarTable.scala:36-411): SQL-text
+        condition + set expressions — same engine path as ``update``."""
+        return self.update(condition, set_exprs)
+
+    updateExpr = update_expr
+
 
 def create_table(
     spark: SparkSession,

@@ -113,3 +113,22 @@ def test_for_name_catalog(spark, tmp_table_dir, tmp_path):
     catalog.register("core_t1", tmp_table_dir, wh)
     t2 = StarTable.for_name(spark, "core_t1", wh)
     assert sorted(r.id for r in t2.to_df().collect()) == [1, 2, 3]
+
+
+def test_camelcase_api_parity(spark, tmp_table_dir):
+    """python/star/tables.py:20-291 surface: every reference method name
+    resolves, and updateExpr routes through the update engine path."""
+    t = _mk(spark, tmp_table_dir, hash_partitions=["id"], hash_bucket_num=2)
+    for name in ("forPath", "forName", "isStarTable", "toDF", "alias",
+                 "dropPartition", "dropTable", "registerMergeOperator",
+                 "updateExpr", "update", "delete", "upsert", "compaction",
+                 "cleanup"):
+        assert hasattr(StarTable, name), name
+    t.updateExpr("id = 1", {"name": "upper(name)"})
+    got = {r.id: r.name for r in t.toDF().collect()}
+    assert got[1] == "A" and got[2] == "b"
+
+    from starlake_spark import merge_ops as mo
+    StarTable.registerMergeOperator("last_char", lambda: mo.PythonMergeOp(
+        lambda vals: vals[-1][-1] if vals else None))
+    assert "last_char" in mo._REGISTRY
