@@ -504,8 +504,47 @@ ORDER BY user_id, session_start
 """
 
 
+# ---------------------------------------------------------------------------
+# format('star') batch DataSource read
+# ---------------------------------------------------------------------------
+
+def star_datasource_read(spark, sf_dir):
+    """Batch snapshot read through the pure-Python format('star')
+    DataSource (sources/datasource.py): create → append → load latest
+    snapshot, plus a version=1 time-travel load that must see only the
+    original rows (checked inline; the returned frame is the latest
+    snapshot for the oracle)."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "datasource_read")
+    s = ld(spark, sf_dir, "supplier")
+    t = create_table(spark, s, path, range_partitions=["s_nationkey"])
+    t.write(s.filter(F.col("s_suppkey") % 4 == 0)
+             .withColumn("s_suppkey", F.col("s_suppkey") + 1000000),
+            mode="append")
+
+    v1 = spark.read.format("star").option("version", "1").load(path)
+    assert v1.count() == s.count(), "version=1 must see only the base commit"
+
+    return (spark.read.format("star").load(path)
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+DATASOURCE_READ_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
+  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 1000000, s_name, s_nationkey, s_acctbal
+  FROM supplier WHERE s_suppkey % 4 = 0
+) ORDER BY s_suppkey
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),
     "star_update_delete": (star_update_delete, UPDATE_DELETE_ORACLE),

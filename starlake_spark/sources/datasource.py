@@ -38,7 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from starlake_spark.meta import ManifestStore
+from starlake_spark.meta import ManifestStore, decode_range_value
 
 VERSION_COL = "_commit_version"
 
@@ -48,6 +48,50 @@ class _FilePartition(InputPartition):
     abs_path: str
     exist_cols: tuple
     version: int
+    # range-partition column values for this file, already converted to
+    # python values — they live in the manifest/directory layout, not in
+    # the parquet itself (partitionBy strips them)
+    const_cols: tuple = ()
+
+
+def _typed_part_value(v: str, dtype: T.DataType):
+    """Directory-encoded partition value string → python value of the
+    declared column type (range cols are NOT NULL by invariant)."""
+    import datetime
+    import decimal
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return v.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dtype, T.TimestampType):
+        return datetime.datetime.fromisoformat(v.replace(" ", "T"))
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(v)
+    return v
+
+
+def _file_partitions(store: ManifestStore, files, schema_types: dict) -> list:
+    parts = []
+    for f in files:
+        consts = tuple(
+            (k, _typed_part_value(v, schema_types[k]))
+            for k, v in decode_range_value(f.range_value).items()
+            if k in schema_types
+        )
+        parts.append(
+            _FilePartition(
+                abs_path=os.path.join(store.table_path, f.path),
+                exist_cols=tuple(f.exist_cols),
+                version=f.write_version,
+                const_cols=consts,
+            )
+        )
+    return parts
 
 
 def _table_schema(store: ManifestStore) -> T.StructType:
@@ -68,10 +112,13 @@ def _read_aligned(part: _FilePartition, arrow_schema):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.abs_path)
+    consts = dict(part.const_cols)
     cols = []
     for field in arrow_schema:
         if field.name == VERSION_COL:
             cols.append(pa.array([part.version] * len(tbl), type=field.type))
+        elif field.name in consts:
+            cols.append(pa.array([consts[field.name]] * len(tbl), type=field.type))
         elif field.name in tbl.column_names:
             cols.append(tbl[field.name].cast(field.type))
         else:
@@ -98,14 +145,8 @@ class _StarBatchReader(DataSourceReader):
                 "read through StarTable.to_df(), which applies the "
                 "merge-on-read collapse in the Catalyst plan"
             )
-        return [
-            _FilePartition(
-                abs_path=os.path.join(self.table_path, f.path),
-                exist_cols=tuple(f.exist_cols),
-                version=f.write_version,
-            )
-            for f in snap.all_files()
-        ]
+        types = {f.name: f.dataType for f in _table_schema(store).fields}
+        return _file_partitions(store, snap.all_files(), types)
 
     def read(self, partition: _FilePartition):
         yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
@@ -128,20 +169,14 @@ class _StarStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         store = ManifestStore(self.table_path)
+        types = {f.name: f.dataType for f in _table_schema(store).fields}
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = store.snapshot(v)
             if snap.commit_type == "compact":
                 continue
-            for f in snap.all_files():
-                if f.write_version == v:
-                    parts.append(
-                        _FilePartition(
-                            abs_path=os.path.join(self.table_path, f.path),
-                            exist_cols=tuple(f.exist_cols),
-                            version=v,
-                        )
-                    )
+            new_files = [f for f in snap.all_files() if f.write_version == v]
+            parts.extend(_file_partitions(store, new_files, types))
         return parts
 
     def read(self, partition: _FilePartition):

@@ -113,3 +113,40 @@ def test_stream_sees_schema_evolution_nulls(spark, orders, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == orders.count()
     assert got.filter(F.col("note").isNotNull()).count() == 0
+
+
+def test_batch_read_recovers_range_partition_values(spark, orders, tmp_path):
+    """Range-partition columns live in the directory layout / manifest,
+    not the parquet files — the reader must materialize them as typed
+    constants per file (regression: they read back as nulls)."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     range_partitions=["o_orderpriority"])
+    df = spark.read.format("star").load(str(tmp_path / "t"))
+    assert df.filter(F.col("o_orderpriority").isNull()).count() == 0
+    a = {(r.o_orderkey, r.o_orderpriority)
+         for r in df.select("o_orderkey", "o_orderpriority").collect()}
+    b = {(r.o_orderkey, r.o_orderpriority)
+         for r in orders.select("o_orderkey", "o_orderpriority").collect()}
+    assert a == b
+
+
+def test_stream_recovers_range_partition_values(spark, orders, tmp_path):
+    t = create_table(spark, orders.filter(F.col("o_orderkey") % 2 == 0),
+                     str(tmp_path / "t"), range_partitions=["o_orderpriority"])
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_stream(spark, str(tmp_path / "t"), ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()
+    assert got.filter(F.col("o_orderpriority").isNull()).count() == 0
+
+
+def test_batch_read_int_range_partition_typed(spark, sf_dir, tmp_path):
+    """Non-string range column round-trips with its declared type."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    create_table(spark, sup, str(tmp_path / "t"), range_partitions=["s_nationkey"])
+    df = spark.read.format("star").load(str(tmp_path / "t"))
+    assert dict(df.dtypes)["s_nationkey"] == "int"
+    a = {(r.s_suppkey, r.s_nationkey) for r in df.select("s_suppkey", "s_nationkey").collect()}
+    b = {(r.s_suppkey, r.s_nationkey) for r in sup.select("s_suppkey", "s_nationkey").collect()}
+    assert a == b
