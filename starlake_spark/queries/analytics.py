@@ -744,7 +744,55 @@ WHERE ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join: enrich events with the latest order at event time
+# ---------------------------------------------------------------------------
+
+def events_asof_latest_order(spark, sf_dir):
+    """Point-in-time enrichment via operators/asof.asof_join (the
+    reference has no join algorithms of its own, SURVEY §2.3; this is a
+    value-add pipeline operator). Event times (2024) are shifted back
+    25 calendar years into the middle of the order-date range
+    (1995-2001) so the as-of pick genuinely interleaves: some events
+    precede every order of their user and stay unmatched. The right
+    side is pre-collapsed to one row per (custkey, orderdate) with
+    max_by(orderkey) so exact-time ties are deterministic, mirroring
+    arg_max in the oracle."""
+    from starlake_spark.operators.asof import asof_join
+
+    e = (ld(spark, sf_dir, "events")
+         .select("event_id", "user_id",
+                 (F.col("ts") - F.expr("INTERVAL 25 YEARS")).alias("ts_adj")))
+    o = ld(spark, sf_dir, "orders")
+    r = (o.groupBy("o_custkey", F.col("o_orderdate").alias("asof_orderdate"))
+          .agg(F.max_by(F.struct("o_orderkey", "o_totalprice"), "o_orderkey").alias("s"))
+          .select("o_custkey", "asof_orderdate",
+                  F.col("s.o_orderkey").alias("asof_orderkey"),
+                  F.col("s.o_totalprice").alias("asof_totalprice")))
+    j = asof_join(e, r, on=[("user_id", "o_custkey")],
+                  left_time="ts_adj", right_time="asof_orderdate")
+    return j.orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts - INTERVAL 25 YEAR AS ts_adj FROM events
+), r AS (
+  SELECT o_custkey, o_orderdate AS asof_orderdate,
+         arg_max(o_orderkey, o_orderkey) AS asof_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts_adj,
+       r.asof_orderdate, r.asof_orderkey, r.asof_totalprice
+FROM e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts_adj >= r.asof_orderdate
+ORDER BY event_id
+"""
+
+
 ANALYTICS_QUERIES = {
+    "events_asof_latest_order": (events_asof_latest_order, EVENTS_ASOF_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
