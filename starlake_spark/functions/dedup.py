@@ -260,10 +260,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle (no LSH, no
     cross join): explode shingles → self-join on shingle → count shared
     → join set sizes → Jaccard. The fully-SQL-expressible variant used
-    as the duckdb oracle for the MinHash path."""
+    as the duckdb oracle for the MinHash path.
+
+    The exploded (id, shingle) frame feeds three plan branches (both
+    self-join sides + the set-size agg); Spark's exchange reuse does not
+    canonicalize them together, so without materialization the whole
+    tokenize→shingle→explode pipeline runs 3-4×. localCheckpoint
+    computes it once (MEMORY_AND_DISK, spills at scale) — the same
+    trade the iterative CC loop already makes."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
