@@ -791,8 +791,53 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# range join: events falling in each order's 30-day window
+# ---------------------------------------------------------------------------
+
+def events_in_order_window(spark, sf_dir):
+    """Interval-containment join via operators/ranges.interval_point_join
+    (bucketed equi-join — a naive inequality join here degenerates to
+    per-key nested loops). Same 25-year event-time shift as the as-of
+    query so windows genuinely overlap the event range; per-order
+    aggregates are integer-exact (count/min/max) for the hash gate."""
+    from starlake_spark.operators.ranges import interval_point_join
+
+    e = (ld(spark, sf_dir, "events")
+         .select("event_id", "user_id",
+                 (F.col("ts") - F.expr("INTERVAL 25 YEARS")).alias("ts_adj")))
+    o = (ld(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end")))
+    j = interval_point_join(e, o, on=[("user_id", "o_custkey")],
+                            point="ts_adj", start="o_orderdate", end="w_end",
+                            bucket_width=30 * 86400)
+    return (j.groupBy("o_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("event_id").alias("min_event"),
+                  F.max("event_id").alias("max_event"))
+             .orderBy("o_orderkey"))
+
+
+EVENTS_RANGE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts - INTERVAL 25 YEAR AS ts_adj FROM events
+), o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         o_orderdate + INTERVAL 30 DAY AS w_end
+  FROM orders
+)
+SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM e JOIN o ON e.user_id = o.o_custkey
+             AND e.ts_adj >= o.o_orderdate AND e.ts_adj < o.w_end
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_asof_latest_order": (events_asof_latest_order, EVENTS_ASOF_SQL),
+    "events_in_order_window": (events_in_order_window, EVENTS_RANGE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
