@@ -108,6 +108,58 @@ def image_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "audio_meta",
+    id_col: str = "item_id",
+) -> DataFrame:
+    """Per-clip audio features via mapInPandas — the audio twin of
+    ``image_features``. The metadata struct rides through the kernel
+    (flattened to columns by Arrow) exactly as a real librosa/soundfile
+    kernel would consume it; with no codec present the waveform stats
+    are deterministic byte-level fakes and duration comes straight from
+    the metadata (n_samples / sample_rate).
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms_byte", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
+            rms = []
+            for p in payloads:
+                if p:
+                    a = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                    rms.append(float(np.sqrt(np.mean(a * a))))
+                else:
+                    rms.append(0.0)
+            sr = pdf["_sr"].to_numpy(dtype=np.float64)
+            ns = pdf["_ns"].to_numpy(dtype=np.float64)
+            dur = np.where(sr > 0, ns / sr, 0.0)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "n_bytes": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "duration_s": dur,
+                "rms_byte": rms,
+                "decoder": "fake-bytes",
+            })
+
+    src = df.select(
+        id_col, payload_col,
+        F.col(f"{meta_col}.sample_rate").alias("_sr"),
+        F.col(f"{meta_col}.n_samples").alias("_ns"),
+    )
+    return src.mapInPandas(kernel, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     meta_col: str = "video_meta",

@@ -478,6 +478,38 @@ FROM documents ORDER BY item_id
 """
 
 
+def multimodal_audio_stats(spark, sf_dir):
+    """Audio-clip plumbing: text bytes as fake PCM payload + typed
+    AUDIO_META struct through the mapInPandas kernel
+    (multimodal.audio_features). n_bytes/sha256/duration are
+    engine-independent → duckdb oracle; the fake rms feature is
+    projected out like the image byte-stats."""
+    from starlake_spark.functions import multimodal as mm
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(16000).alias("sample_rate"),
+            F.col("n_chars").cast("long").alias("n_samples"),
+            F.lit(1).alias("channels"),
+            F.lit("fake-pcm").alias("format"),
+        ).alias("audio_meta"),
+    )
+    out = mm.audio_features(d, payload_col="payload",
+                            meta_col="audio_meta", id_col="item_id")
+    return out.select("item_id", "n_bytes", "sha256", "duration_s").orderBy("item_id")
+
+
+MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id AS item_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       n_chars / 16000.0 AS duration_s
+FROM documents ORDER BY item_id
+"""
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plan from video metadata only (binary column is
     pruned away): every-30th-frame rows per item, n_frames faked from
@@ -521,5 +553,6 @@ LLM_QUERIES = {
     "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
     "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
 }

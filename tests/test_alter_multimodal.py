@@ -114,3 +114,42 @@ def test_resize_stub_schema(spark):
     rows = {r.item_id: r for r in out.collect()}
     assert rows[1].out_w == 10 and len(rows[1].resized) == 100
     assert len(rows[2].resized) == 1  # padded floor
+
+
+def test_audio_features_kernel(spark):
+    from starlake_spark.functions import multimodal as mm
+    import hashlib
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    d = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(F.lit(16000).alias("sample_rate"),
+                 F.col("n_chars").cast("long").alias("n_samples"),
+                 F.lit(1).alias("channels"),
+                 F.lit("fake-pcm").alias("format")).alias("audio_meta"),
+    )
+    out = mm.audio_features(d).collect()
+    assert len(out) == 20
+    raw = {r["doc_id"]: (r["text"], r["n_chars"]) for r in docs.collect()}
+    for r in out:
+        text, n_chars = raw[r.item_id]
+        payload = text.encode()
+        assert r.n_bytes == len(payload)
+        assert r.sha256 == hashlib.sha256(payload).hexdigest()
+        assert math.isclose(r.duration_s, n_chars / 16000.0)
+        assert r.rms_byte > 0 or not payload
+        assert r.decoder == "fake-bytes"
+
+
+def test_audio_features_empty_payload(spark):
+    import pandas as pd
+    from starlake_spark.functions import multimodal as mm
+
+    d = spark.createDataFrame(pd.DataFrame({"item_id": [1]})).select(
+        "item_id", F.lit(None).cast("binary").alias("payload"),
+        F.struct(F.lit(0).alias("sample_rate"), F.lit(0).cast("long").alias("n_samples"),
+                 F.lit(1).alias("channels"), F.lit("x").alias("format")).alias("audio_meta"))
+    r = mm.audio_features(d).collect()[0]
+    assert (r.n_bytes, r.duration_s, r.rms_byte) == (0, 0.0, 0.0)
