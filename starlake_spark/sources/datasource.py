@@ -127,11 +127,48 @@ def _read_aligned(part: _FilePartition, arrow_schema):
     yield from out.to_batches()
 
 
+def _prune_by_option(parts: list, partition_filter: str | None) -> list:
+    """Manifest partition pruning via the ``partition_filter`` load
+    option (PartitionFilter.scala:26-106 parity): a SQL predicate over
+    the range-partition columns, evaluated per FILE against its decoded
+    partition values with duckdb (one tiny in-memory table — this runs
+    in the plan worker, where no SparkSession exists).
+
+    Deliberately an explicit OPTION, not DataSourceReader.pushFilters:
+    load options are immutable for the lifetime of the loaded DataFrame,
+    so the pruned file set is one consistent view no matter how many
+    queries are planned off it. pushFilters-based pruning is stateful
+    per-planning, and Spark 4.1 reuses the last planned python-datasource
+    scan for subsequent FILTERLESS queries on the same DataFrame without
+    calling back into python — a filtered action followed by an
+    unfiltered action would silently keep the pruned file set and drop
+    rows. (Verified against pyspark 4.1.2; see tests.)
+    """
+    if not partition_filter or not parts:
+        return parts
+    import duckdb
+    import pandas as pd
+
+    rows = [dict(p.const_cols) | {"_idx": i} for i, p in enumerate(parts)]
+    pdf = pd.DataFrame(rows)
+    con = duckdb.connect()
+    try:
+        con.register("parts", pdf)
+        keep = con.execute(
+            f"SELECT _idx FROM parts WHERE {partition_filter}"
+        ).df()["_idx"].tolist()
+    finally:
+        con.close()
+    return [parts[i] for i in keep]
+
+
 class _StarBatchReader(DataSourceReader):
-    def __init__(self, table_path: str, schema: T.StructType, version: int | None):
+    def __init__(self, table_path: str, schema: T.StructType, version: int | None,
+                 partition_filter: str | None = None):
         self.table_path = table_path
         self.spark_schema = schema
         self.version = version
+        self.partition_filter = partition_filter
 
     def partitions(self):
         store = ManifestStore(self.table_path)
@@ -146,9 +183,12 @@ class _StarBatchReader(DataSourceReader):
                 "merge-on-read collapse in the Catalyst plan"
             )
         types = {f.name: f.dataType for f in _table_schema(store).fields}
-        return _file_partitions(store, snap.all_files(), types)
+        parts = _file_partitions(store, snap.all_files(), types)
+        return _prune_by_option(parts, self.partition_filter)
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # zero partitions after pruning
+            return
         yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
 
 
@@ -156,10 +196,12 @@ class _StarStreamReader(DataSourceStreamReader):
     """Version-tailing change stream (SURVEY §2.7 'streaming source:
     not implemented' — this goes beyond the reference)."""
 
-    def __init__(self, table_path: str, schema: T.StructType, starting_version: int):
+    def __init__(self, table_path: str, schema: T.StructType, starting_version: int,
+                 partition_filter: str | None = None):
         self.table_path = table_path
         self.spark_schema = schema
         self.starting_version = starting_version
+        self.partition_filter = partition_filter
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -177,7 +219,7 @@ class _StarStreamReader(DataSourceStreamReader):
                 continue
             new_files = [f for f in snap.all_files() if f.write_version == v]
             parts.extend(_file_partitions(store, new_files, types))
-        return parts
+        return _prune_by_option(parts, self.partition_filter)
 
     def read(self, partition: _FilePartition):
         yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
@@ -210,11 +252,14 @@ class StarDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         v = self.options.get("version")
-        return _StarBatchReader(self._path(), schema, int(v) if v is not None else None)
+        return _StarBatchReader(self._path(), schema,
+                                int(v) if v is not None else None,
+                                self.options.get("partition_filter"))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
-        return _StarStreamReader(self._path(), schema, start)
+        return _StarStreamReader(self._path(), schema, start,
+                                 self.options.get("partition_filter"))
 
 
 def register(spark) -> None:

@@ -150,3 +150,69 @@ def test_batch_read_int_range_partition_typed(spark, sf_dir, tmp_path):
     a = {(r.s_suppkey, r.s_nationkey) for r in df.select("s_suppkey", "s_nationkey").collect()}
     b = {(r.s_suppkey, r.s_nationkey) for r in sup.select("s_suppkey", "s_nationkey").collect()}
     assert a == b
+
+
+def test_partition_filter_option_prunes_files(spark, orders, tmp_path):
+    """The partition_filter load option drops whole files at the
+    manifest layer (reader-level check) and the end-to-end result
+    equals a post-hoc filter of the full read."""
+    from starlake_spark.sources.datasource import _StarBatchReader
+
+    create_table(spark, orders, str(tmp_path / "t"),
+                 range_partitions=["o_orderpriority"])
+    schema = spark.read.format("star").load(str(tmp_path / "t")).schema
+
+    all_parts = _StarBatchReader(str(tmp_path / "t"), schema, None).partitions()
+    pruned = _StarBatchReader(
+        str(tmp_path / "t"), schema, None,
+        "o_orderpriority = '1-URGENT'").partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    assert all(dict(p.const_cols)["o_orderpriority"] == "1-URGENT" for p in pruned)
+
+    got = (spark.read.format("star")
+           .option("partition_filter", "o_orderpriority = '1-URGENT'")
+           .load(str(tmp_path / "t"))
+           .select("o_orderkey").orderBy("o_orderkey").collect())
+    want = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey").orderBy("o_orderkey").collect())
+    assert got == want
+
+
+def test_partition_filter_option_is_query_stable(spark, orders, tmp_path):
+    """Unlike pushFilters pruning (Spark 4.1 reuses the last planned
+    scan for filterless re-queries of the same DataFrame), the option
+    is part of the load — every query on either frame sees a
+    consistent file set."""
+    create_table(spark, orders, str(tmp_path / "t"),
+                 range_partitions=["o_orderpriority"])
+    full = spark.read.format("star").load(str(tmp_path / "t"))
+    part = (spark.read.format("star")
+            .option("partition_filter",
+                    "o_orderpriority IN ('1-URGENT', '2-HIGH')")
+            .load(str(tmp_path / "t")))
+    n_part = part.count()
+    n_full = full.count()
+    assert n_full == orders.count()
+    assert 0 < n_part < n_full
+    # interleave filtered and unfiltered actions on both frames
+    assert full.filter(F.col("o_orderpriority") == "5-LOW").count() > 0
+    assert full.count() == n_full
+    assert part.count() == n_part
+    # non-range predicate in the option: file set unchanged (no range
+    # column named), rows still correct because Spark doesn't even see
+    # the option as a row filter
+    assert part.filter(F.col("o_orderkey") % 2 == 0).count() < n_part
+
+
+def test_stream_partition_filter_option(spark, orders, tmp_path):
+    from starlake_spark.sources.datasource import _StarStreamReader
+
+    create_table(spark, orders, str(tmp_path / "t"),
+                 range_partitions=["o_orderpriority"])
+    schema = spark.read.format("star").load(str(tmp_path / "t")).schema
+    r = _StarStreamReader(str(tmp_path / "t"), schema, 0,
+                          "o_orderpriority = '1-URGENT'")
+    end = r.latestOffset()
+    parts = r.partitions({"version": 0}, end)
+    assert parts and all(
+        dict(p.const_cols)["o_orderpriority"] == "1-URGENT" for p in parts)
