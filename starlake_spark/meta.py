@@ -91,6 +91,13 @@ class DataFileInfo:
     write_version: int
     is_base_file: bool
     exist_cols: list[str]  # file_exist_cols (MetaData.scala:127)
+    # per-column {"min": v, "max": v} harvested from the parquet footer
+    # at write time (JSON-safe: temporals as ISO strings, decimals as
+    # strings). None on files written before stats existed, or columns
+    # whose footer bounds were absent — readers must treat missing as
+    # "could contain anything". Beyond the reference (its DataFileInfo
+    # carries no stats); Delta-style data skipping.
+    stats: dict | None = None
 
     def key(self) -> str:
         return self.path

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -184,6 +185,75 @@ def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) 
     return [r for r in rows if tuple(str(r.get(c)) for c in range_cols) in keep_keys]
 
 
+_CONJ_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*([^<>=]+?)\s*$")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+def _conjuncts(pred: str) -> list[str]:
+    """Top-level AND-split of a predicate for pruning purposes. Bails to
+    [] (= nothing safely analyzable) when the predicate contains OR or
+    parentheses — correctness never depends on this: the full predicate
+    is always re-applied row-level after any skipping."""
+    if re.search(r"[()]|\bOR\b", pred, re.IGNORECASE):
+        return []
+    return [c.strip() for c in re.split(r"\bAND\b", pred, flags=re.IGNORECASE)
+            if c.strip()]
+
+
+def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
+    """Delta-style data skipping (beyond the reference — its
+    DataFileInfo has no column stats): keep only files whose footer
+    min/max could satisfy every analyzable conjunct ``col <op>
+    literal``. A file lacking bounds for a column passes that conjunct
+    (coalesce(.., true)); the evaluation happens in a tiny driver-side
+    DataFrame so literal casting follows Spark's own coercion rules,
+    the same technique _prune_partitions_sql uses."""
+    schema_types = {f.name: f.dataType for f in _schema(info).fields}
+    conds = []
+    need_cols = set()
+    for c in conjuncts:
+        m = _CONJ_CMP_RE.match(c)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if col not in allowed_cols or col not in schema_types:
+            continue
+        if _IDENT_RE.search(lit) and not re.match(
+                r"^\s*(DATE|TIMESTAMP|INTERVAL|TRUE|FALSE)\b", lit, re.IGNORECASE):
+            continue  # column-vs-column or function call: not analyzable
+        mn, mx = f"`_min_{col}`", f"`_max_{col}`"
+        if op in ("=", "=="):
+            conds.append(f"coalesce({mn} <= {lit} AND {mx} >= {lit}, true)")
+        elif op in (">", ">="):
+            conds.append(f"coalesce({mx} {op} {lit}, true)")
+        else:  # < / <=
+            conds.append(f"coalesce({mn} {op} {lit}, true)")
+        need_cols.add(col)
+    if not conds:
+        return files
+    rows = []
+    for i, f in enumerate(files):
+        st = f.stats or {}
+        row = {"_idx": i}
+        for c in need_cols:
+            b = st.get(c)
+            row[f"_min_{c}"] = None if b is None else str(b["min"])
+            row[f"_max_{c}"] = None if b is None else str(b["max"])
+        rows.append(row)
+    fields = [T.StructField("_idx", T.IntegerType())]
+    for c in sorted(need_cols):
+        fields += [T.StructField(f"_min_{c}", T.StringType()),
+                   T.StructField(f"_max_{c}", T.StringType())]
+    pdf = spark.createDataFrame(
+        [[r.get(f.name) for f in fields] for r in rows], T.StructType(fields))
+    for c in need_cols:
+        pdf = (pdf.withColumn(f"_min_{c}", F.col(f"_min_{c}").cast(schema_types[c]))
+                  .withColumn(f"_max_{c}", F.col(f"_max_{c}").cast(schema_types[c])))
+    keep = {r["_idx"] for r in pdf.filter(F.expr(" AND ".join(conds))).collect()}
+    return [f for i, f in enumerate(files) if i in keep]
+
+
 def scan(
     spark: SparkSession,
     store: ManifestStore,
@@ -191,6 +261,7 @@ def scan(
     merge_operators: dict | None = None,
     partition_filter=None,
     snapshot: Snapshot | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Build the DataFrame view of a table snapshot.
 
@@ -223,6 +294,29 @@ def scan(
         keep = _prune_partitions_sql(spark, info, list(snap.partitions), partition_filter)
         partition_filter = lambda d, _keep=keep: d in _keep  # noqa: E731
 
+    # `where`: one predicate that (a) prunes partitions via its
+    # range-column conjuncts — the metadata/data predicate split of
+    # StarLakeUtils.scala:117-147 — (b) skips files via footer stats,
+    # (c) is ALWAYS re-applied row-level at the end, so (a)+(b) are
+    # pure I/O savings with no correctness surface.
+    where_conjs = _conjuncts(where) if where else []
+    if where_conjs and info.range_cols:
+        fields = set(_schema(info).fieldNames())
+        # a conjunct whose column references are all range columns is a
+        # metadata-only predicate → evaluable against partition values
+        part_conjs = [
+            c for c in where_conjs
+            if ({i for i in _IDENT_RE.findall(c) if i in fields}
+                and {i for i in _IDENT_RE.findall(c) if i in fields}
+                <= set(info.range_cols))
+        ]
+        if part_conjs:
+            keep2 = _prune_partitions_sql(
+                spark, info, list(snap.partitions), " AND ".join(part_conjs))
+            prev = partition_filter
+            partition_filter = (
+                lambda d, _k=keep2, _p=prev: d in _k and (_p is None or _p(d)))
+
     plain_files: list[DataFileInfo] = []
     merge_files: list[DataFileInfo] = []
     for rv, ps in snap.partitions.items():
@@ -230,6 +324,21 @@ def scan(
             continue
         needs_merge = info.hash_cols and len({f.write_version for f in ps.files}) > 1
         (merge_files if needs_merge else plain_files).extend(ps.files)
+
+    if where_conjs:
+        all_cols = set(_schema(info).fieldNames())
+        if plain_files:
+            # plain files: every row is final → any column's bounds skip
+            plain_files = _prune_files_by_stats(
+                spark, info, plain_files, where_conjs, all_cols)
+        if merge_files:
+            # MoR inputs: non-key columns change under the merge (a
+            # skipped older version would alter sum/last results) — only
+            # the groupBy keys survive identically, so only key-column
+            # conjuncts may skip pre-merge files.
+            key_cols = set(info.range_cols) | set(info.hash_cols)
+            merge_files = _prune_files_by_stats(
+                spark, info, merge_files, where_conjs, key_cols)
 
     parts = []
     if plain_files:

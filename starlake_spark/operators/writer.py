@@ -208,6 +208,64 @@ def write_files(
                 write_version=-1,  # assigned at manifest commit
                 is_base_file=is_base,
                 exist_cols=exist_cols,
+                stats=_footer_stats(fp),
             )
         )
     return files
+
+
+def _json_safe_stat(v):
+    """Footer min/max → JSON-serializable, ordering-preserving value.
+    Temporals become ISO-8601 strings (lexicographic == chronologic);
+    raw bytes are dropped (binary columns aren't skippable)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+def _footer_stats(fp: str) -> dict | None:
+    """Per-column min/max from the already-written parquet footer — no
+    second data scan (Delta computes the same bounds inside the write
+    job; reading the freshly-written local footer is the no-shuffle
+    equivalent). Parquet writers are required to WIDEN truncated
+    min/max (min rounded down, max up), so footer bounds are always
+    conservative — safe for file skipping. Columns with any row group
+    missing bounds are omitted."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fp).metadata
+    except Exception:  # unreadable footer → no stats, file always kept
+        return None
+    agg: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:  # nested fields: not skippable
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
+            if mn is None or mx is None:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            if name in agg:
+                agg[name][0] = min(agg[name][0], mn)
+                agg[name][1] = max(agg[name][1], mx)
+            else:
+                agg[name] = [mn, mx]
+    return {k: {"min": v[0], "max": v[1]} for k, v in agg.items()} or None

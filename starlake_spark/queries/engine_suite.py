@@ -170,6 +170,50 @@ FROM orders ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# footer-stats data skipping
+# ---------------------------------------------------------------------------
+
+def star_stats_skipping(spark, sf_dir):
+    """Delta-style data skipping (operators/reader._prune_files_by_stats):
+    customer written in four c_custkey bands (one commit each → disjoint
+    per-file key ranges in the footer stats), then read with
+    to_df(where=...) — the manifest drops the out-of-range files before
+    any scan. The inline assert pins that skipping actually fired; the
+    returned aggregate is oracle-checked against a plain WHERE."""
+    c = ld(spark, sf_dir, "customer")
+    hi = c.agg(F.max("c_custkey")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    t = create_table(spark, c.filter(F.col("c_custkey") < step),
+                     _scratch(sf_dir, "stats_skipping"))
+    for b in range(1, 4):
+        t.write(c.filter((F.col("c_custkey") >= b * step)
+                         & (F.col("c_custkey") < (b + 1) * step)), mode="append")
+
+    n_files = len(t.store.snapshot().all_files())
+    df = t.to_df(where=f"c_custkey < {step}")
+    assert 0 < len(df.inputFiles()) < n_files, "stats skipping must drop files"
+
+    return (df.groupBy("c_nationkey")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("acctbal_sum"))
+              .orderBy("c_nationkey"))
+
+
+# the spark side re-derives `step` from max(c_custkey); mirror it here
+STATS_SKIPPING_ORACLE = """
+WITH b AS (
+  SELECT (MAX(c_custkey) + 1) // 4 + 1 AS step FROM customer
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+FROM customer, b WHERE c_custkey < b.step
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # replaceWhere partition overwrite
 # ---------------------------------------------------------------------------
 
@@ -548,6 +592,7 @@ ENGINE_QUERIES = {
     "star_update_delete": (star_update_delete, UPDATE_DELETE_ORACLE),
     "star_merge_op_sum": (star_merge_op_sum, MERGE_OP_ORACLE),
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
+    "star_stats_skipping": (star_stats_skipping, STATS_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
     "star_stream_source": (star_stream_source, STREAM_SOURCE_ORACLE),

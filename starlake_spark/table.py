@@ -60,16 +60,25 @@ class StarTable:
         version: int | None = None,
         merge_operators: dict | None = None,
         partition_filter=None,
+        where: str | None = None,
     ) -> DataFrame:
         """Snapshot view. ``version`` = MVCC time travel; ``merge_operators``
-        = per-column MoR operators (see starlake_spark.merge_ops)."""
-        return reader.scan(
+        = per-column MoR operators (see starlake_spark.merge_ops).
+
+        ``where``: SQL predicate used three ways — range-column
+        conjuncts prune partitions at the manifest, simple conjuncts
+        skip whole files via footer min/max stats, and the full
+        predicate is re-applied row-level (so pruning is pure I/O
+        savings; semantics identical to .filter(where))."""
+        df = reader.scan(
             self.spark,
             self.store,
             version=version,
             merge_operators=merge_operators,
             partition_filter=partition_filter,
+            where=where,
         )
+        return df.filter(where) if where else df
 
     toDF = to_df
 

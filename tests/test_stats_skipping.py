@@ -1,0 +1,110 @@
+"""Footer-stats data skipping: write-side harvesting, read-side file
+pruning via to_df(where=...), MoR safety rules."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.table import StarTable, create_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def _banded_table(spark, orders, path, n_bands=4):
+    """One commit per o_orderkey band → disjoint per-file key ranges."""
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    step = hi // n_bands + 1
+    t = create_table(spark, orders.filter(F.col("o_orderkey") < step), path)
+    for b in range(1, n_bands):
+        t.write(orders.filter((F.col("o_orderkey") >= b * step)
+                              & (F.col("o_orderkey") < (b + 1) * step)),
+                mode="append")
+    return t
+
+
+def test_stats_recorded_on_write(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"))
+    files = t.store.snapshot().all_files()
+    assert files
+    for f in files:
+        assert f.stats and "o_orderkey" in f.stats
+        b = f.stats["o_orderkey"]
+        assert isinstance(b["min"], int) and b["min"] <= b["max"]
+        # timestamp bounds serialized as ISO strings
+        assert isinstance(f.stats["o_orderdate"]["min"], str)
+
+
+def test_where_skips_files_and_matches_filter(spark, orders, tmp_path):
+    t = _banded_table(spark, orders, str(tmp_path / "t"))
+    n_files = len(t.store.snapshot().all_files())
+    assert n_files >= 4
+
+    lo = t.to_df(where="o_orderkey < 100")
+    assert len(lo.inputFiles()) < n_files  # files actually skipped
+    want = (t.to_df().filter("o_orderkey < 100")
+            .orderBy("o_orderkey").collect())
+    assert lo.orderBy("o_orderkey").collect() == want
+
+    # string + timestamp conjuncts stay correct (skip or not)
+    pred = "o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    got = t.to_df(where=pred).count()
+    assert got == t.to_df().filter(pred).count() > 0
+
+
+def test_or_predicate_never_skips_wrongly(spark, orders, tmp_path):
+    t = _banded_table(spark, orders, str(tmp_path / "t"))
+    pred = "o_orderkey < 50 OR o_orderkey > 1300"
+    assert t.to_df(where=pred).count() == t.to_df().filter(pred).count() > 0
+
+
+def test_where_prunes_range_partitions(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     range_partitions=["o_orderpriority"])
+    df = t.to_df(where="o_orderpriority = '1-URGENT' AND o_orderkey >= 0")
+    files = df.inputFiles()
+    assert files and all("o_orderpriority=1-URGENT" in f for f in files)
+    assert df.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_mor_delta_not_skipped_on_value_cols(spark, orders, tmp_path):
+    """A delta whose non-key bounds fall outside the predicate still
+    participates in the merge — skipping it would resurrect stale
+    values. Key-column conjuncts may skip; value-column ones must not
+    change results."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    # delta: push 100 keys' totalprice far below the predicate range
+    delta = (orders.filter(F.col("o_orderkey") < 100)
+             .withColumn("o_totalprice", F.lit(-1.0)))
+    t.upsert(delta)
+    pred = "o_totalprice > 0"
+    got = t.to_df(where=pred).count()
+    want = t.to_df().filter(pred).count()
+    assert got == want == orders.count() - 100
+
+    # key-column conjunct on the MoR path still equals plain filter
+    pred2 = "o_orderkey < 100"
+    assert t.to_df(where=pred2).count() == t.to_df().filter(pred2).count() == 100
+
+
+def test_old_manifest_without_stats_kept(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"))
+    # simulate a pre-stats manifest
+    import json
+    import glob
+    stripped = 0
+    for mf in glob.glob(str(tmp_path / "t" / "_star_meta" / "versions" / "*.json")):
+        d = json.loads(open(mf).read())
+        for p in d.get("partitions", {}).values():
+            for f in p.get("files", []):
+                if f.pop("stats", None) is not None:
+                    stripped += 1
+        open(mf, "w").write(json.dumps(d))
+    assert stripped > 0, "simulation must actually remove stats"
+    t2 = StarTable.for_path(spark, str(tmp_path / "t"))
+    assert (t2.to_df(where="o_orderkey < 100").count()
+            == orders.filter("o_orderkey < 100").count())
