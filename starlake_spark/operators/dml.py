@@ -113,11 +113,16 @@ def _rewrite_all(spark: SparkSession, store: ManifestStore, info: TableInfo,
     store.commit(txn)
 
 
-def _touched_partitions(spark, store, info, cond: Column) -> list[str]:
-    """Range values of partitions containing rows matching cond."""
+def _touched_partitions(spark, store, info, cond: Column,
+                        cond_sql: str | None = None) -> list[str]:
+    """Range values of partitions containing rows matching cond.
+    ``cond_sql`` (the predicate's SQL text, when the caller had one)
+    lets the scan prune partitions and skip files via footer stats
+    BEFORE the detection pass — pure I/O savings, the Column filter
+    still decides membership."""
     if not info.range_cols:
         return [""]
-    df = reader.scan(spark, store)
+    df = reader.scan(spark, store, where=cond_sql)
     rows = (
         df.filter(cond)
         .select(*info.range_cols)
@@ -130,7 +135,8 @@ def _touched_partitions(spark, store, info, cond: Column) -> list[str]:
 
 
 def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
-                  transform, commit_type: str = "update") -> None:
+                  transform, commit_type: str = "update",
+                  cond_sql: str | None = None) -> None:
     """Shared 3-case structure of UpdateCommand/DeleteCommand:
 
     * hash tables: rewrite whole candidate partitions (the reference
@@ -138,12 +144,18 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
       UpdateCommand.scala:96-103) — MoR deltas collapse in the process.
     * non-hash tables: touched-file detection via ``input_file_name()``
       and rewrite of only those files.
+
+    ``cond_sql`` accelerates only the DETECTION scans (stats skipping).
+    The rewrite scans deliberately never use it: a hash-path rewrite
+    reads every row of each touched partition (non-matching rows must
+    be rewritten unchanged, and the whole partition is expired), so
+    skipping a file there would drop its rows from the table.
     """
     info = store.table_info()
     snap = store.snapshot()
 
     if info.hash_cols:
-        touched = set(_touched_partitions(spark, store, info, cond))
+        touched = set(_touched_partitions(spark, store, info, cond, cond_sql))
         if not touched:
             return
         part_filter = (lambda d: True) if touched == {""} else (
@@ -161,8 +173,9 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
         store.commit(txn)
         return
 
-    # Non-hash path: find the exact files containing matches.
-    current = reader.scan(spark, store)
+    # Non-hash path: find the exact files containing matches (stats
+    # skipping narrows the candidate scan; input_file_name() decides).
+    current = reader.scan(spark, store, where=cond_sql)
     touched_files = {
         r[0]
         for r in current.withColumn("_f", F.input_file_name())
@@ -208,7 +221,8 @@ def update(spark: SparkSession, store: ManifestStore, condition,
             df = df.withColumn(c, F.when(cnd, e).otherwise(F.col(c)))
         return df
 
-    _rewrite_rows(spark, store, cond, transform)
+    _rewrite_rows(spark, store, cond, transform,
+                  cond_sql=condition if isinstance(condition, str) else None)
 
 
 def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
@@ -226,7 +240,8 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
     def transform(df: DataFrame, cnd: Column) -> DataFrame:
         return df.filter(~F.coalesce(cnd, F.lit(False)))
 
-    _rewrite_rows(spark, store, cond, transform, commit_type="delete")
+    _rewrite_rows(spark, store, cond, transform, commit_type="delete",
+                  cond_sql=condition if isinstance(condition, str) else None)
 
 
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
