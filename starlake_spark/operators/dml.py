@@ -246,18 +246,33 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
 
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             merge_operators: dict | None = None,
-            partition: str | None = None) -> None:
+            partition: str | None = None,
+            sort_columns: list[str] | None = None,
+            target_files: int | None = None) -> None:
     """Collapse base+delta files into fresh base files, per partition
     (CompactionCommand.scala:38-185). Trigger when forced or
     delta_file_num >= 5 (StarLakeSQLConf.scala:41-45). Invariant
     (manual_execute_suites/CompactionDoNotChangeResult.scala): scans
     before and after compaction are identical.
+
+    ``sort_columns`` (beyond the reference — the OPTIMIZE/ZORDER analog
+    for footer-stats skipping): cluster the rewritten data by these
+    columns via repartitionByRange + in-file sort, so each output
+    file's min/max bounds are tight and to_df(where=...) can skip
+    aggressively. Forces a rewrite of every targeted partition even
+    without deltas. Non-hash tables only (bucket layout is a scan
+    contract). ``target_files`` bounds output files per rewrite.
     """
     info = store.table_info()
     snap = store.snapshot()
     targets = []
     for rv, ps in snap.partitions.items():
         if partition is not None and rv != partition:
+            continue
+        if not ps.files:
+            continue
+        if sort_columns:
+            targets.append(rv)
             continue
         if ps.delta_file_num == 0 and len({f.write_version for f in ps.files}) <= 1:
             continue
@@ -277,7 +292,9 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
         pass
     txn = store.new_transaction()
     txn.commit_type = "compact"
-    files = writer.write_files(spark, merged, info, txn, is_base=True)
+    files = writer.write_files(spark, merged, info, txn, is_base=True,
+                               sort_columns=sort_columns,
+                               target_files=target_files)
     for rv in targets:
         txn.expire_partition(rv)
     txn.add_files(files)

@@ -150,33 +150,58 @@ def write_files(
     txn: Transaction,
     is_base: bool = False,
     check_invariants: bool = True,
+    sort_columns: list[str] | None = None,
+    target_files: int | None = None,
 ) -> list[DataFileInfo]:
     """Write one commit's data files; returns their DataFileInfo rows.
 
     The caller adds them to ``txn`` and commits the manifest.
+
+    ``sort_columns``: cluster the commit by these columns
+    (repartitionByRange + per-file sort) so footer min/max bounds are
+    tight — the layout knob behind compaction's OPTIMIZE-style rewrite.
+    Incompatible with hash bucketing (bucket-by-key layout is a scan
+    contract the clustered layout would violate).
     """
     df = normalize_for_write(df, info, enforce_schema=False)
     if check_invariants:
         df = _invariant_guard(df, info)
 
-    if info.hash_cols:
+    if sort_columns:
+        if info.hash_cols:
+            raise ValueError(
+                "sort_columns clustering is for non-hash tables; hash "
+                "tables are bucketed by key (TransactionalWrite.scala "
+                "bucket layout) and already sorted within buckets")
+        for c in sort_columns:
+            if c not in df.columns:
+                raise ValueError(f"sort column '{c}' not in data")
+        n = target_files or spark.sparkContext.defaultParallelism
+        df = (df.repartitionByRange(n, *[F.col(c) for c in sort_columns])
+                .sortWithinPartitions(*sort_columns))
+    elif info.hash_cols:
         # Bucketed layout: stable bucket assignment + in-file key sort
         # (TransactionalWrite.scala:125-129,183-211).
         df = df.repartition(info.bucket_num, *[F.col(c) for c in info.hash_cols])
         df = df.sortWithinPartitions(*(info.range_cols + info.hash_cols))
-    elif info.range_cols:
+    else:
         # Optimized write: co-locate each range value before partitionBy,
         # else every task writes a file into every range directory
         # (task_count × range_count small files per commit — manifest
         # bloat and tiny parquet at scale). One shuffle buys one file
         # per range value; `write.files.per.partition` salts the shuffle
-        # to split large partitions across that many files.
+        # to split large partitions (or an unpartitioned table) across
+        # that many files.
         files_per = int((info.configuration or {}).get("write.files.per.partition", "1"))
         range_exprs = [F.col(c) for c in info.range_cols]
         if files_per > 1:
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per))
-            df = df.repartition(*range_exprs, salt)
-        else:
+            # explicit partition count: expression-only repartitions are
+            # AQE-coalescable, which would collapse the salt fan-out on
+            # small commits
+            n = max(files_per, spark.sparkContext.defaultParallelism)
+            df = df.repartition(n, *range_exprs, salt)
+        elif range_exprs:
             df = df.repartition(*range_exprs)
 
     abs_dir = os.path.join(txn.store.table_path, txn.data_dir)

@@ -213,6 +213,35 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def star_clustered_skipping(spark, sf_dir):
+    """OPTIMIZE-style clustered rewrite: customer lands salted across 8
+    overlapping files (no skipping possible), then
+    compaction(sort_columns=['c_custkey']) range-clusters the layout so
+    to_df(where=...) skips most files. Inline asserts pin both halves
+    (no skip before, real skip after); the aggregate is oracle-checked."""
+    c = ld(spark, sf_dir, "customer")
+    hi = c.agg(F.max("c_custkey")).collect()[0][0] + 1
+    step = hi // 4 + 1
+    t = create_table(spark, c, _scratch(sf_dir, "clustered_skipping"),
+                     configuration={"write.files.per.partition": "8"})
+    n0 = len(t.store.snapshot().all_files())
+    assert len(t.to_df(where=f"c_custkey < {step}").inputFiles()) == n0, \
+        "salted layout must not be skippable"
+    t.compaction(sort_columns=["c_custkey"], target_files=8)
+    df = t.to_df(where=f"c_custkey < {step}")
+    assert 0 < len(df.inputFiles()) < len(t.store.snapshot().all_files()), \
+        "clustered layout must skip files"
+
+    return (df.groupBy("c_nationkey")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("acctbal_sum"))
+              .orderBy("c_nationkey"))
+
+
+CLUSTERED_SKIPPING_ORACLE = STATS_SKIPPING_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # replaceWhere partition overwrite
 # ---------------------------------------------------------------------------
@@ -593,6 +622,7 @@ ENGINE_QUERIES = {
     "star_merge_op_sum": (star_merge_op_sum, MERGE_OP_ORACLE),
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_stats_skipping": (star_stats_skipping, STATS_SKIPPING_ORACLE),
+    "star_clustered_skipping": (star_clustered_skipping, CLUSTERED_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
     "star_stream_source": (star_stream_source, STREAM_SOURCE_ORACLE),

@@ -108,9 +108,15 @@ class StarTable:
         return self
 
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
-                   partition: str | None = None) -> "StarTable":
+                   partition: str | None = None,
+                   sort_columns: list[str] | None = None,
+                   target_files: int | None = None) -> "StarTable":
+        """``sort_columns`` = OPTIMIZE-style clustered rewrite so
+        footer-stats skipping (to_df(where=...)) gets tight per-file
+        bounds; non-hash tables only."""
         dml.compact(self.spark, self.store, force=force,
-                    merge_operators=merge_operators, partition=partition)
+                    merge_operators=merge_operators, partition=partition,
+                    sort_columns=sort_columns, target_files=target_files)
         return self
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:

@@ -108,3 +108,48 @@ def test_old_manifest_without_stats_kept(spark, orders, tmp_path):
     t2 = StarTable.for_path(spark, str(tmp_path / "t"))
     assert (t2.to_df(where="o_orderkey < 100").count()
             == orders.filter("o_orderkey < 100").count())
+
+
+def test_clustered_compaction_tightens_skipping(spark, orders, tmp_path):
+    """Random layout (salted multi-file write) can't skip; after
+    compaction(sort_columns=...) bounds are tight and skipping fires.
+    Content is invariant through the rewrite."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     configuration={"write.files.per.partition": "8"})
+    n0 = len(t.store.snapshot().all_files())
+    assert n0 >= 4  # salted into multiple overlapping files
+    before = t.to_df(where="o_orderkey < 100")
+    assert len(before.inputFiles()) == n0  # overlapping bounds: no skip
+    sum0 = t.to_df().agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+
+    t.compaction(sort_columns=["o_orderkey"], target_files=8)
+    n1 = len(t.store.snapshot().all_files())
+    assert n1 > 1
+    after = t.to_df(where="o_orderkey < 100")
+    assert 0 < len(after.inputFiles()) < n1  # clustered: skip fires
+    assert (after.orderBy("o_orderkey").collect()
+            == before.orderBy("o_orderkey").collect())
+    sum1 = t.to_df().agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+    assert sum0 == sum1
+
+
+def test_clustered_compaction_rejects_hash_tables(spark, orders, tmp_path):
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    with pytest.raises(ValueError, match="non-hash"):
+        t.compaction(sort_columns=["o_totalprice"])
+
+
+def test_clustered_compaction_on_range_table(spark, orders, tmp_path):
+    """Clustering composes with range partitions: files split per range
+    directory, bounds tight per file within each."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     range_partitions=["o_orderpriority"],
+                     configuration={"write.files.per.partition": "4"})
+    t.compaction(sort_columns=["o_orderkey"], target_files=4)
+    pred = "o_orderpriority = '1-URGENT' AND o_orderkey < 100"
+    df = t.to_df(where=pred)
+    files = t.store.snapshot().all_files()
+    urgent = [f for f in files if "1-URGENT" in f.range_value]
+    assert len(df.inputFiles()) < len(urgent) or len(urgent) == 1
+    assert df.count() == orders.filter(pred).count()
