@@ -265,6 +265,17 @@ class StarSession:
             self.table(m["name"]).compaction(force=True, partition=part)
             return self._empty_df()
 
+        # OPTIMIZE t [ZORDER BY (a, b)] — Delta-style alias for the
+        # clustered compaction rewrite (dml.compact sort_columns)
+        m = re.match(r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
+                     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            cols = ([c.strip().strip("`") for c in m["cols"].split(",") if c.strip()]
+                    if m["cols"] else None)
+            self.table(m["name"]).compaction(force=True, sort_columns=cols)
+            return self._empty_df()
+
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
                      r"(?P<hours>[\d.]+)\s+HOURS?)?\s*$", text, re.IGNORECASE)
         if m and self._known(m["name"]):

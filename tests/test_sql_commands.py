@@ -159,3 +159,24 @@ def test_show_describe_compact_vacuum(spark, sess, orders_tbl, sf_dir):
     removed = sess.sql("VACUUM orders_h RETAIN 0 HOURS").collect()
     assert isinstance(removed, list)  # stale pre-compaction files reported
     assert len(removed) > 0
+
+
+def test_optimize_zorder_sql(spark, sess, sf_dir, tmp_path):
+    """OPTIMIZE t ZORDER BY (col) routes to clustered compaction: the
+    salted layout can't skip, the optimized one can."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = sess.create_table(orders, str(tmp_path / "oz"), name="orders_z",
+                          configuration={"write.files.per.partition": "6"})
+    n0 = len(t.store.snapshot().all_files())
+    assert n0 > 1
+    assert len(t.to_df(where="o_orderkey < 100").inputFiles()) == n0
+
+    sess.sql("OPTIMIZE orders_z ZORDER BY (o_orderkey)")
+    n1 = len(t.store.snapshot().all_files())
+    df = t.to_df(where="o_orderkey < 100")
+    assert 0 < len(df.inputFiles()) < n1
+    assert df.count() == orders.filter("o_orderkey < 100").count()
+
+    # plain OPTIMIZE (no ZORDER) still legal on a deltaless table: noop-ish
+    sess.sql("OPTIMIZE orders_z")
+    assert t.to_df().count() == orders.count()
