@@ -27,7 +27,7 @@ the running frame keeps O(1) state per row, so memory stays flat.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def _key_pairs(on) -> list[tuple[str, str]]:
@@ -47,7 +47,8 @@ def asof_join(
     """Left outer as-of join: every left row, plus the right-side row
     with the greatest ``right_time`` <= ``left_time`` among rows with
     equal join keys (direction='backward'; 'forward' takes the smallest
-    ``right_time`` >= ``left_time``). Unmatched left rows keep nulls.
+    ``right_time`` >= ``left_time``; 'nearest' the closest in absolute
+    distance, backward winning ties). Unmatched left rows keep nulls.
 
     on          -- list of join keys: "name" (same both sides) or
                    ("left_name", "right_name") pairs.
@@ -61,8 +62,9 @@ def asof_join(
     (``right_time`` included). Right non-key names must not collide
     with left names — pre-rename on the right frame.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     pairs = _key_pairs(on)
     lkeys = [p[0] for p in pairs]
     rkeys = [p[1] for p in pairs]
@@ -73,6 +75,9 @@ def asof_join(
         if c not in right.columns:
             raise ValueError(f"right column {c!r} not found")
     payload_cols = [c for c in right.columns if c not in rkeys]
+    if direction == "nearest" and right_time not in payload_cols:
+        raise ValueError("nearest needs the right time column in the payload "
+                         f"(it is a join key: {right_time!r})")
     clash = set(payload_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)}; "
@@ -115,18 +120,44 @@ def asof_join(
     )
     u = lu.unionByName(ru)
 
-    if direction == "backward":
-        order = [F.col("_asof_t").asc(), F.col("_asof_ord").asc(),
-                 F.col("_asof_tie").asc_nulls_first()]
-    else:
-        # descending time turns "smallest right_time >= left_time" back
-        # into a running last(); tie desc so the LOWEST tie-break is the
-        # last one seen among equal forward times.
-        order = [F.col("_asof_t").desc(), F.col("_asof_ord").asc(),
+    back_order = [F.col("_asof_t").asc(), F.col("_asof_ord").asc(),
+                  F.col("_asof_tie").asc_nulls_first()]
+    # descending time turns "smallest right_time >= left_time" back
+    # into a running last(); tie desc so the LOWEST tie-break is the
+    # last one seen among equal forward times.
+    fwd_order = [F.col("_asof_t").desc(), F.col("_asof_ord").asc(),
                  F.col("_asof_tie").desc_nulls_first()]
-    w = (W.partitionBy(*ks).orderBy(*order)
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    matched = F.last("_asof_pay", ignorenulls=True).over(w)
+
+    def running(order):
+        w = (W.partitionBy(*ks).orderBy(*order)
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return F.last("_asof_pay", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        matched = running(back_order)
+    elif direction == "forward":
+        matched = running(fwd_order)
+    else:
+        # nearest: both running windows share one hash exchange (same
+        # partitioning; Spark re-sorts between them) — pick the closer
+        # match by absolute time distance, backward winning ties.
+        def dist(pay):
+            # temporal columns can't cast to double directly (Spark 4
+            # forbids ntz→double); route through timestamp_ltz like
+            # operators/ranges._numeric
+            t_l, t_r = F.col("_asof_t"), pay[right_time]
+            if isinstance(u.schema["_asof_t"].dataType,
+                          (T.TimestampType, T.TimestampNTZType, T.DateType)):
+                t_l = t_l.cast("timestamp_ltz").cast("double")
+                t_r = t_r.cast("timestamp_ltz").cast("double")
+            return F.abs(t_l.cast("double") - t_r.cast("double"))
+
+        b, f = running(back_order), running(fwd_order)
+        matched = (
+            F.when(b.isNull(), f)
+             .when(f.isNull(), b)
+             .when(dist(f) < dist(b), f)
+             .otherwise(b))
 
     out = (u.withColumn("_asof_match", matched)
             .filter(F.col("_asof_side") == 1)

@@ -835,7 +835,42 @@ GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL sketch distinct counting (mergeable partial sketches)
+# ---------------------------------------------------------------------------
+
+def events_hll_distinct(spark, sf_dir):
+    """Sketch-based distinct counting the way a 100 TB pipeline uses it:
+    per-(event_type, day) PARTIAL HLL sketches (Apache DataSketches via
+    hll_sketch_agg) merged upward with hll_union_agg — the mergeability
+    that lets rollups be maintained incrementally. The estimate itself
+    is engine-specific, so the oracled columns are the exact count and
+    a boolean pinning the estimate within 5% of it (the sketch's
+    accuracy contract); a drifting estimate fails the hash gate."""
+    e = ld(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("d"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = (daily.groupBy("event_type")
+               .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")))
+    exact = (e.groupBy("event_type")
+              .agg(F.count_distinct("user_id").cast("long").alias("n_users_exact")))
+    return (exact.join(merged, "event_type")
+            .select("event_type", "n_users_exact",
+                    ((F.abs(F.col("_est") - F.col("n_users_exact"))
+                      / F.col("n_users_exact")) <= 0.05).alias("hll_within_5pct"))
+            .orderBy("event_type"))
+
+
+EVENTS_HLL_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
+    "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_asof_latest_order": (events_asof_latest_order, EVENTS_ASOF_SQL),
     "events_in_order_window": (events_in_order_window, EVENTS_RANGE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

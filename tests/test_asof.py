@@ -74,7 +74,7 @@ def test_column_clash_and_bad_args(spark, frames):
                   on=["k"], left_time="lt", right_time="rt")
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
-                  direction="nearest")
+                  direction="sideways")
     with pytest.raises(ValueError, match="not found"):
         asof_join(left, right, on=["missing"], left_time="lt", right_time="rt")
 
@@ -87,3 +87,39 @@ def test_single_shuffle_plan(spark, frames):
                      right_time="rt")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_matches_brute_force(spark, frames):
+    left, right = frames
+    got = asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                    direction="nearest")
+    rows = {(r.k, r.lt): (r.rt, r.rval) for r in got.collect()}
+    lp, rp = left.toPandas(), right.toPandas()
+    for _, l in lp.iterrows():
+        cand = rp[rp.k == l.k]
+        if len(cand) == 0:
+            assert rows[(l.k, l["lt"])] == (None, None)
+            continue
+        d = (cand.rt - l["lt"]).abs()
+        # backward wins ties: among minimal distances prefer rt <= lt
+        best = cand.loc[d == d.min()]
+        prefer = best[best.rt <= l["lt"]]
+        pick = (prefer if len(prefer) else best).iloc[0]
+        assert rows[(l.k, l["lt"])] == (pick.rt, pick.rval), (l.k, l["lt"])
+
+
+def test_nearest_timestamp_time(spark):
+    import datetime
+    import pandas as pd
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1], "lt": [base + datetime.timedelta(minutes=10),
+                            base + datetime.timedelta(minutes=50)]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1], "rt": [base, base + datetime.timedelta(minutes=30)],
+        "rv": [1, 2]}))
+    got = {r.lt: r.rv for r in asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        direction="nearest").collect()}
+    assert got[base + datetime.timedelta(minutes=10)] == 1   # 10min vs 20min
+    assert got[base + datetime.timedelta(minutes=50)] == 2   # 50min vs 20min
