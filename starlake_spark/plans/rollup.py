@@ -1,0 +1,200 @@
+"""Incremental time-bucketed rollups — the hypertable / continuous-
+aggregate pattern, composed from this engine's own primitives.
+
+The reference has nothing like this (its materialized views are full
+re-runs, CreateMaterialViewCommand.scala:25-69); at 100 TB a fact
+table's hourly rollup cannot be rebuilt per refresh. The composition
+here is the point:
+
+* the source table's MANIFEST is the change feed — files with
+  ``write_version > last_refreshed`` are exactly the new rows (the
+  same versioned-offset idea as the streaming source in
+  sources/datasource.py);
+* the rollup table is hash-partitioned on (bucket, group keys), and a
+  refresh just UPSERTS the new rows' partial aggregates as a delta
+  commit — the MoR merge-operator algebra (sum/min/max across commit
+  versions) IS the rollup merge, so a refresh shuffles only the new
+  partials, never the history;
+* compaction with the same merge operators materializes the
+  accumulated partials without changing results (compaction
+  invariance), keeping read amplification flat.
+
+Incremental refresh is only sound when source commits are pure
+appends. Two guards: the source must have no hash columns (upserts
+REPLACE key versions — not additive), and every commit since the last
+refresh must keep all previously-live files (an update/delete/
+compact/replaceWhere expires files and fails the subset check). Any
+violation falls back to a full rebuild — never a wrong result.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from starlake_spark.meta import ManifestStore
+from starlake_spark.operators import dml, reader
+from starlake_spark.table import StarTable, create_table
+
+_CFG = "rollup."
+_VALID_AGGS = ("sum", "min", "max", "count", "avg")
+
+
+def _partials(df: DataFrame, time_col: str, bucket: str,
+              group_cols: list[str], aggs: dict[str, str]) -> DataFrame:
+    """Partial (mergeable) aggregate state for one batch of source rows.
+    sum/count/avg keep sums+counts, min/max keep extrema — all of which
+    merge across refreshes through the corresponding MoR merge operator.
+    Sums go through DECIMAL(28,6) so accumulation order (which differs
+    between incremental and full paths) cannot change the result."""
+    exprs = []
+    for c, op in aggs.items():
+        if op in ("sum", "avg"):
+            exprs.append(F.sum(F.col(c).cast("decimal(28,6)")).alias(f"{c}_sum"))
+        if op in ("avg", "count"):
+            exprs.append(F.count(F.col(c)).alias(f"{c}_cnt"))
+        if op == "min":
+            exprs.append(F.min(c).alias(f"{c}_min"))
+        if op == "max":
+            exprs.append(F.max(c).alias(f"{c}_max"))
+    exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    return (df.groupBy(F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+                       *group_cols)
+              .agg(*exprs))
+
+
+def _merge_ops_for(aggs: dict[str, str]) -> dict[str, str]:
+    ops = {"n_rows": "sum"}
+    for c, op in aggs.items():
+        if op in ("sum", "avg"):
+            ops[f"{c}_sum"] = "sum"
+        if op in ("avg", "count"):
+            ops[f"{c}_cnt"] = "sum"
+        if op == "min":
+            ops[f"{c}_min"] = "min"
+        if op == "max":
+            ops[f"{c}_max"] = "max"
+    return ops
+
+
+def create_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    time_col: str,
+    bucket: str = "hour",
+    group_cols: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    hash_bucket_num: int = 16,
+    short_name: str | None = None,
+) -> StarTable:
+    """Materialize the initial rollup of ``source_path`` (a star table)
+    and record the refresh cursor. ``bucket`` is a date_trunc unit
+    ('hour', 'day', 'week', ...); ``aggs`` maps source columns to
+    sum|min|max|count|avg."""
+    group_cols = list(group_cols or [])
+    aggs = dict(aggs or {})
+    for c, op in aggs.items():
+        if op not in _VALID_AGGS:
+            raise ValueError(f"agg {op!r} for {c!r}: must be one of {_VALID_AGGS}")
+    src = ManifestStore(source_path)
+    src_info = src.table_info()
+    if src_info.hash_cols:
+        raise ValueError(
+            "incremental rollups need an append-only source; a "
+            "hash-partitioned table supports upserts, which replace key "
+            "versions instead of adding rows")
+    cur = src.latest_version()
+    partials = _partials(reader.scan(spark, src, version=cur),
+                         time_col, bucket, group_cols, aggs)
+    t = create_table(
+        spark, partials, rollup_path,
+        hash_partitions=["bucket_ts"] + group_cols,
+        hash_bucket_num=hash_bucket_num,
+        short_name=short_name,
+        configuration={
+            _CFG + "source": source_path,
+            _CFG + "time_col": time_col,
+            _CFG + "bucket": bucket,
+            _CFG + "group_cols": json.dumps(group_cols),
+            _CFG + "aggs": json.dumps(aggs),
+            _CFG + "last_version": str(cur),
+        })
+    return t
+
+
+def _cfg(t: StarTable) -> dict:
+    c = t.info.configuration or {}
+    if (_CFG + "source") not in c:
+        raise ValueError(f"{t.store.table_path} is not a rollup table")
+    return {
+        "source": c[_CFG + "source"],
+        "time_col": c[_CFG + "time_col"],
+        "bucket": c[_CFG + "bucket"],
+        "group_cols": json.loads(c[_CFG + "group_cols"]),
+        "aggs": json.loads(c[_CFG + "aggs"]),
+        "last_version": int(c[_CFG + "last_version"]),
+    }
+
+
+def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
+    """Advance the rollup to the source's latest version.
+
+    Incremental when every commit since the cursor was a pure append
+    (all previously-live files still live); otherwise a full rebuild.
+    Returns {"mode": "noop"|"incremental"|"full", "from": v, "to": v}.
+    """
+    cfg = _cfg(t)
+    src = ManifestStore(cfg["source"])
+    last, cur = cfg["last_version"], src.latest_version()
+    if cur == last:
+        return {"mode": "noop", "from": last, "to": cur}
+
+    prev_paths = {f.path for f in src.snapshot(last).all_files()}
+    cur_files = src.snapshot(cur).all_files()
+    append_only = prev_paths <= {f.path for f in cur_files}
+
+    if append_only:
+        new_files = [f for f in cur_files if f.write_version > last]
+        new_rows = reader._plain_scan(spark, src, src.table_info(), new_files)
+        partials = _partials(new_rows, cfg["time_col"], cfg["bucket"],
+                             cfg["group_cols"], cfg["aggs"])
+        dml.upsert(spark, t.store, partials)
+        mode = "incremental"
+    else:
+        partials = _partials(reader.scan(spark, src, version=cur),
+                             cfg["time_col"], cfg["bucket"],
+                             cfg["group_cols"], cfg["aggs"])
+        dml.write_into(spark, t.store, partials, mode="overwrite")
+        mode = "full"
+    t.set_properties({_CFG + "last_version": str(cur)})
+    return {"mode": mode, "from": last, "to": cur}
+
+
+def read_rollup(spark: SparkSession, t: StarTable) -> DataFrame:
+    """Finalized rollup view: MoR-merge the partial states (sum/min/max
+    across refresh commits), then derive avg columns. Compaction with
+    the same operators (compact_rollup) leaves this view unchanged."""
+    cfg = _cfg(t)
+    df = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
+    out = []
+    for c, op in cfg["aggs"].items():
+        if op == "sum":
+            out.append(F.col(f"{c}_sum").alias(f"{c}_sum"))
+        if op == "count":
+            out.append(F.col(f"{c}_cnt").alias(f"{c}_cnt"))
+        if op == "min":
+            out.append(F.col(f"{c}_min").alias(f"{c}_min"))
+        if op == "max":
+            out.append(F.col(f"{c}_max").alias(f"{c}_max"))
+        if op == "avg":
+            out.append((F.col(f"{c}_sum") / F.col(f"{c}_cnt")).alias(f"{c}_avg"))
+    return df.select("bucket_ts", *cfg["group_cols"], *out, F.col("n_rows"))
+
+
+def compact_rollup(spark: SparkSession, t: StarTable) -> None:
+    """Materialize accumulated partials (result-invariant)."""
+    cfg = _cfg(t)
+    dml.compact(spark, t.store, force=True,
+                merge_operators=_merge_ops_for(cfg["aggs"]))

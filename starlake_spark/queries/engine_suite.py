@@ -170,6 +170,44 @@ FROM orders ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# incremental time-bucketed rollup (continuous aggregate)
+# ---------------------------------------------------------------------------
+
+def star_rollup_incremental(spark, sf_dir):
+    """Hypertable-style continuous aggregate (plans/rollup.py): hourly
+    value sums per event_type, created from half the events, advanced
+    INCREMENTALLY after appending the rest — the refresh shuffles only
+    the new rows' partials and merges through the MoR sum operator.
+    The inline assert pins that the incremental path (not a rebuild)
+    ran; the final view is oracle-checked against a flat GROUP BY of
+    everything."""
+    from starlake_spark.plans import rollup as R
+
+    e = ld(spark, sf_dir, "events")
+    src_path = _scratch(sf_dir, "rollup_src")
+    src = create_table(spark, e.filter(F.col("event_id") % 2 == 0), src_path)
+    t = R.create_rollup(spark, src_path, _scratch(sf_dir, "rollup_agg"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=8)
+    src.write(e.filter(F.col("event_id") % 2 == 1), mode="append")
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    return (R.read_rollup(spark, t)
+            .select("bucket_ts", "event_type",
+                    F.col("value_sum").cast("double").alias("value_sum"),
+                    F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("bucket_ts", "event_type"))
+
+
+ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # footer-stats data skipping
 # ---------------------------------------------------------------------------
 
@@ -622,6 +660,7 @@ ENGINE_QUERIES = {
     "star_merge_op_sum": (star_merge_op_sum, MERGE_OP_ORACLE),
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_stats_skipping": (star_stats_skipping, STATS_SKIPPING_ORACLE),
+    "star_rollup_incremental": (star_rollup_incremental, ROLLUP_ORACLE),
     "star_clustered_skipping": (star_clustered_skipping, CLUSTERED_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),

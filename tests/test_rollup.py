@@ -1,0 +1,114 @@
+"""Incremental rollups: differential vs full recompute, fallback on
+non-append commits, compaction invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.plans import rollup as R
+from starlake_spark.table import create_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from starlake_spark.queries.analytics import ld
+
+    return ld(spark, SF, "events")
+
+
+def test_incremental_refresh_matches_full(spark, events, tmp_path):
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    src = create_table(spark, half, str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"},
+                        hash_bucket_num=4)
+    src.write(rest, mode="append")
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental"
+    got = R.read_rollup(spark, t).select("bucket_ts", "event_type",
+                                         "value_sum", "n_rows")
+    want = (events.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+            .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    a = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in got.orderBy("bucket_ts", "event_type").collect()]
+    b = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in want.orderBy("bucket_ts", "event_type").collect()]
+    assert a == b
+    # second refresh with no new commits is a noop
+    assert R.refresh_rollup(spark, t)["mode"] == "noop"
+
+
+def test_min_max_avg_count_aggs(spark, events, tmp_path):
+    src = create_table(spark, events, str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=[],
+                        aggs={"value": "avg"}, hash_bucket_num=4)
+    src.write(events.withColumn("event_id", F.col("event_id") + 10_000_000),
+              mode="append")
+    assert R.refresh_rollup(spark, t)["mode"] == "incremental"
+    got = R.read_rollup(spark, t)
+    row = {str(r.bucket_ts): (r.value_avg, r.n_rows) for r in got.collect()}
+    doubled = events.union(events)
+    want = (doubled.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+            .agg((F.sum(F.col("value").cast("decimal(28,6)")) / F.count("value"))
+                 .alias("value_avg"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    for r in want.collect():
+        a_avg, a_n = row[str(r.bucket_ts)]
+        assert a_n == r.n_rows
+        assert abs(float(a_avg) - float(r.value_avg)) < 1e-9
+
+
+def test_non_append_commit_falls_back_to_full(spark, events, tmp_path):
+    src = create_table(spark, events, str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "min"},
+                        hash_bucket_num=4)
+    src.delete("event_id % 3 = 0")
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "full"
+    got = R.read_rollup(spark, t).select("bucket_ts", "event_type",
+                                         "value_min", "n_rows")
+    want = (events.filter("NOT (event_id % 3 = 0)")
+            .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+            .agg(F.min("value").alias("value_min"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    a = [(str(r.bucket_ts), r.event_type, r.value_min, r.n_rows)
+         for r in got.orderBy("bucket_ts", "event_type").collect()]
+    b = [(str(r.bucket_ts), r.event_type, r.value_min, r.n_rows)
+         for r in want.orderBy("bucket_ts", "event_type").collect()]
+    assert a == b
+
+
+def test_compaction_invariance_and_guards(spark, events, tmp_path):
+    src = create_table(spark, events, str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", aggs={"value": "sum"}, hash_bucket_num=4)
+    for i in range(2):
+        src.write(events.withColumn("event_id",
+                                    F.col("event_id") + (i + 1) * 10_000_000),
+                  mode="append")
+        R.refresh_rollup(spark, t)
+    before = _canon_sum(R.read_rollup(spark, t))
+    R.compact_rollup(spark, t)
+    assert _canon_sum(R.read_rollup(spark, t)) == before
+
+    # hash-partitioned source rejected (upserts are not additive)
+    hsrc = create_table(spark, events, str(tmp_path / "hs"),
+                        hash_partitions=["event_id"], hash_bucket_num=4)
+    with pytest.raises(ValueError, match="append-only"):
+        R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr"),
+                        time_col="ts", aggs={"value": "sum"})
+    # non-rollup table rejected by refresh
+    with pytest.raises(ValueError, match="not a rollup"):
+        R.refresh_rollup(spark, src)
+
+
+def _canon_sum(df):
+    return [(str(r.bucket_ts), str(r.value_sum), r.n_rows)
+            for r in df.orderBy("bucket_ts").collect()]
