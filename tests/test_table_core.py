@@ -132,3 +132,30 @@ def test_camelcase_api_parity(spark, tmp_table_dir):
     StarTable.registerMergeOperator("last_char", lambda: mo.PythonMergeOp(
         lambda vals: vals[-1][-1] if vals else None))
     assert "last_char" in mo._REGISTRY
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Eight threads append disjoint slices through separate StarTable
+    handles; the lock + additive-merge commit protocol must land every
+    commit with no lost updates (MetaCommit.doMetaCommit parity)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from starlake_spark.table import StarTable, create_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "t")
+    create_table(spark, orders.filter(F.col("o_orderkey") % 9 == 8), path)
+
+    def append(i):
+        t = StarTable.for_path(spark, path)
+        t.write(orders.filter(F.col("o_orderkey") % 9 == i), mode="append")
+        return i
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert sorted(ex.map(append, range(8))) == list(range(8))
+
+    t = StarTable.for_path(spark, path)
+    assert t.to_df().count() == orders.count()
+    assert t.store.latest_version() == 9  # create + 8 appends
+    keys = {r[0] for r in t.to_df().select("o_orderkey").collect()}
+    assert keys == {r[0] for r in orders.select("o_orderkey").collect()}
