@@ -295,6 +295,37 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    df: DataFrame,
+    contamination: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing at least
+    ``min_shared`` distinct word n-gram shingles with the contamination
+    corpus (held-out eval/benchmark text).
+
+    Scale posture: the contamination side collapses to its DISTINCT
+    shingle set — benchmarks are tiny next to a training corpus, so
+    Catalyst broadcasts that side and the overlap join never shuffles
+    the corpus explode; the per-document distinct-shingle count is one
+    groupBy on ids that already matched (a sliver of the corpus).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+    cont = (contamination
+            .select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+            .distinct())
+    hits = (sh.join(cont, "s")
+              .groupBy(id_col)
+              .agg(F.count_distinct("s").alias("_shared"))
+              .filter(F.col("_shared") >= min_shared)
+              .select(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -286,6 +286,42 @@ FROM reach GROUP BY u ORDER BY node
 # MinHash LSH + SimHash (Spark-hash-based → rows-only checks)
 # ---------------------------------------------------------------------------
 
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dd.decontaminate): docs with
+    doc_id % 17 == 0 play the held-out benchmark; the rest form the
+    corpus. A corpus doc sharing >= 2 distinct 4-gram shingles with the
+    benchmark is dropped."""
+    d = ld(spark, sf_dir, "documents")
+    cont = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    out = dd.decontaminate(corpus, cont, "doc_id", "text",
+                           shingle_n=4, min_shared=2)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+DOCS_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 4
+         THEN list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), cont AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+), hits AS (
+  SELECT sh.doc_id FROM sh JOIN cont USING (s)
+  WHERE sh.doc_id % 17 <> 0
+  GROUP BY sh.doc_id HAVING COUNT(DISTINCT sh.s) >= 2
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id
+"""
+
+
 def docs_minhash_dedup(spark, sf_dir):
     d = ld(spark, sf_dir, "documents")
     out = dd.minhash_dedup(d, "doc_id", "text", threshold=0.5,
@@ -543,6 +579,7 @@ LLM_QUERIES = {
     "docs_fingerprint": (docs_fingerprint, DOCS_FP_SQL),
     "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
     "docs_dedup_components": (docs_dedup_components, DOCS_COMPONENTS_SQL),
+    "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_minhash_candidates": (docs_minhash_candidates, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),

@@ -101,3 +101,32 @@ def test_cosine_pairs_broadcast_zero_norm_and_modes(spark):
     # require_lt=False: both directions, self excluded
     both = _pairs(sim.cosine_pairs_broadcast(a, b, 0.99, require_lt=False))
     assert both == {(1, 2), (2, 1)}
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    import pandas as pd
+    from starlake_spark.functions import dedup as dd
+
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog tonight"],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the quick brown fox jumps over the lazy dog tonight",  # exact dup
+            "a completely different sentence about spark engines here",
+            "quick brown fox jumps over something else entirely now",  # partial
+        ],
+    }))
+    kept = dd.decontaminate(corpus, bench, "doc_id", "text",
+                            shingle_n=4, min_shared=2)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 not in ids          # exact duplicate dropped
+    assert 2 in ids              # disjoint kept
+    # doc 3 shares 'quick brown fox jumps' + 'brown fox jumps over' -> dropped
+    assert ids == [2]
+    # contamination side must broadcast (tiny benchmark vs corpus)
+    plan = dd.decontaminate(corpus, bench, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
