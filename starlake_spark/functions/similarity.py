@@ -484,3 +484,107 @@ def embedding_cosine_dedup_pairs(
     return scored.select(
         "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index (star-table backed)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    nlist: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    short_name: str | None = None,
+):
+    """Persist an IVF index as a star table range-partitioned by cell.
+
+    This is the at-scale shape ``ivf_topk``'s docstring promises: the
+    k-means fit and cell assignment run ONCE at build time; each query
+    then probes nprobe cells as a manifest partition-pruned read —
+    I/O per query ~ nprobe/nlist of the corpus, no per-query fit.
+    The centroid matrix (nlist × dim doubles) rides in the table
+    properties as JSON — driver-resident model state, same as MLlib;
+    beyond ~10⁴ cells store it as a side table instead.
+    """
+    import json as _json
+
+    from starlake_spark.table import create_table
+
+    if nlist is None:
+        nlist = max(4, corpus.count() // 50)
+    cents = kmeans_centroids(corpus, nlist=nlist, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+    ids, M = _centroid_matrix(cents, vec_col)
+    assigned = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+    ).withColumn("centroid_id", nearest_centroid_col(F.col(vec_col), ids, M, spark))
+    t = create_table(spark, assigned, path,
+                     range_partitions=["centroid_id"], short_name=short_name)
+    t.set_properties({
+        "ivf.centroid_ids": _json.dumps([int(i) for i in ids]),
+        "ivf.centroids": _json.dumps(M.tolist()),
+        "ivf.id_col": id_col,
+        "ivf.vec_col": vec_col,
+    })
+    return t
+
+
+def ivf_index_topk(
+    spark,
+    index,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index: probe each query's ``nprobe``
+    nearest cells, read ONLY those cells through manifest partition
+    pruning, exact cosine + top-k inside them. The probed-cell list is
+    a driver-side set of ints (≤ |queries|·nprobe — queries are small
+    by construction; for huge query batches read unpruned instead)."""
+    import json as _json
+
+    cfg = index.info.configuration or {}
+    if "ivf.centroids" not in cfg:
+        raise ValueError(f"{index.store.table_path} is not an IVF index table")
+    ids = np.asarray(_json.loads(cfg["ivf.centroid_ids"]), dtype=np.int64)
+    # stored matrix is _centroid_matrix output: already cosine-normalized,
+    # so probing ranks cells exactly as build-time assignment did
+    M = np.asarray(_json.loads(cfg["ivf.centroids"]), dtype=np.float64)
+    id_col, vec_col = cfg["ivf.id_col"], cfg["ivf.vec_col"]
+    dim = M.shape[1]
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    @F.pandas_udf("array<long>")
+    def top_cells(vs: pd.Series) -> pd.Series:
+        cids, Mb = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _batch_matrix(vs, dim)
+        sims = mat @ Mb.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row] for row in top])
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_qv"))
+    probes = q.select("query_id", "_qv",
+                      F.explode(top_cells(F.col("_qv"))).alias("centroid_id"))
+    cells = sorted({r[0] for r in probes.select("centroid_id").distinct().collect()})
+    cand = index.to_df(
+        partition_filter=f"centroid_id IN ({', '.join(str(c) for c in cells)})"
+    ).select(F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).alias("_cv"), "centroid_id")
+    j = cand.join(F.broadcast(probes), on="centroid_id")
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.select("query_id", "neighbor_id",
+                      cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))

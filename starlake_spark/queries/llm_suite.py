@@ -394,19 +394,24 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-cell-probed ANN (rows-only check: cell assignment depends on
-    the fitted centroids). Centroids = 2 Lloyd rounds of spherical
-    k-means (DataFrame-native, sim.kmeans_centroids); each query probes
-    its 4 nearest of ~40 cells."""
+    """IVF ANN via a PERSISTED index table (rows-only check: cell
+    assignment depends on the fitted centroids). Build: 2 Lloyd rounds
+    of DataFrame-native spherical k-means (~50 vectors/cell), corpus
+    written range-partitioned by cell with the centroid matrix as table
+    model state — the fit runs once at build, and each query's nprobe=4
+    probe is a manifest partition-pruned read (~nprobe/nlist of the
+    corpus), asserted inline."""
+    from starlake_spark.queries.engine_suite import _scratch
+
     e = ld(spark, sf_dir, "embeddings")
-    # cell count scales with corpus (~50 vectors/cell) so nprobe/nlist
-    # coverage is stable across scale factors
-    nlist = max(4, e.count() // 50)
-    cents = sim.kmeans_centroids(e, nlist=nlist, iters=2,
-                                 id_col="vec_id", vec_col="embedding")
+    t = sim.build_ivf_index(spark, e, _scratch(sf_dir, "ivf_index"),
+                            nlist=max(4, e.count() // 50),
+                            id_col="vec_id", vec_col="embedding")
     q = e.filter(F.col("vec_id") < 10)
-    out = sim.ivf_topk(e, q, cents, k=ANN_K, nprobe=4,
-                       id_col="vec_id", vec_col="embedding")
+    out = sim.ivf_index_topk(spark, t, q, k=ANN_K, nprobe=4)
+    n_all = len(t.store.snapshot().all_files())
+    probed = len(t.to_df(partition_filter="centroid_id IN (0, 1, 2, 3)").inputFiles())
+    assert probed < n_all, "cell probe must partition-prune"
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 

@@ -130,3 +130,42 @@ def test_decontaminate_drops_overlapping_docs(spark):
     plan = dd.decontaminate(corpus, bench, "doc_id", "text")._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_index_build_and_query(spark, tmp_path):
+    from starlake_spark.functions import similarity as sim
+    from starlake_spark.table import StarTable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = sim.build_ivf_index(spark, e, str(tmp_path / "ivf"), nlist=8)
+    # centroid model state persisted with the table
+    t2 = StarTable.for_path(spark, str(tmp_path / "ivf"))
+    q = e.filter(F.col("vec_id") < 10)
+    got = sim.ivf_index_topk(spark, t2, q, k=5, nprobe=3)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+    # probing must partition-prune: nprobe=1 reads fewer files than all
+    one = sim.ivf_index_topk(spark, t2, q.limit(1), k=5, nprobe=1)
+    n_all = len(t2.store.snapshot().all_files())
+    # reconstruct the pruned read the same way the query path does
+    cand_files = t2.to_df(partition_filter="centroid_id IN (0)").inputFiles()
+    assert len(cand_files) < n_all
+    assert one.count() <= 5
+
+    # recall floor vs brute force
+    exact = sim.brute_force_topk(e, q, k=5)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    x = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & x) / len(x)
+    assert recall >= 0.5, recall
+
+    with pytest.raises(ValueError, match="not an IVF index"):
+        sim.ivf_index_topk(spark, t_not_index(spark, tmp_path), q)
+
+
+def t_not_index(spark, tmp_path):
+    from starlake_spark.table import create_table
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    return create_table(spark, o, str(tmp_path / "plain"))
