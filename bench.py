@@ -64,7 +64,8 @@ def main() -> None:
     warm.select(_warm_udf("id")).write.format("noop").mode("overwrite").save()
 
     STREAMING_DEMOS = {"star_streaming_sink", "star_streaming_watermark",
-                       "star_stream_source", "star_stateful_sessions"}
+                       "star_stream_source", "star_stateful_sessions",
+                       "star_stream_rollup"}
     queries = all_queries()
     excluded = []
     if not os.environ.get("BENCH_ALL"):

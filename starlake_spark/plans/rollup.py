@@ -146,6 +146,10 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
     Returns {"mode": "noop"|"incremental"|"full", "from": v, "to": v}.
     """
     cfg = _cfg(t)
+    if (t.info.configuration or {}).get(_CFG + "streaming") == "true":
+        raise ValueError(
+            "this rollup is maintained by stream_rollup; a manual "
+            "refresh would double-count its micro-batches")
     src = ManifestStore(cfg["source"])
     last, cur = cfg["last_version"], src.latest_version()
     if cur == last:
@@ -170,6 +174,53 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         mode = "full"
     t.set_properties({_CFG + "last_version": str(cur)})
     return {"mode": mode, "from": last, "to": cur}
+
+
+def stream_rollup(
+    spark: SparkSession,
+    t: StarTable,
+    query_id: str = "rollup_stream",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuously maintain the rollup from the source's change stream
+    (sources/datasource.py) instead of polled refreshes: each
+    micro-batch's rows are aggregated to partials inside foreachBatch
+    and committed through the exactly-once sink in update mode — the
+    same delta-upsert + MoR-sum-merge the batch refresh uses, so the
+    two paths are result-identical.
+
+    The stream starts at the rollup's creation cursor (the initial
+    full aggregate already covers everything before it), and manual
+    refresh_rollup is locked out once streaming has touched the table —
+    mixing the two would double-count. Pass ``checkpoint_dir`` for
+    restartable streams: the sink's batch registry makes replays
+    no-ops, but without a checkpoint a RESTARTED availableNow drain
+    renumbers batches from 0 and would skip genuinely new data.
+    """
+    from starlake_spark import sources
+    from starlake_spark.streaming.sink import StarStreamSink
+
+    cfg = _cfg(t)
+    sources.register(spark)
+    t.set_properties({_CFG + "streaming": "true"})
+    sink = StarStreamSink(t.store, query_id, "update")
+
+    def fb(batch_df, batch_id):
+        partials = _partials(batch_df.drop("_commit_version"),
+                             cfg["time_col"], cfg["bucket"],
+                             cfg["group_cols"], cfg["aggs"])
+        sink.write_batch(partials, batch_id)
+
+    stream = (spark.readStream.format("star")
+              .option("startingVersion", str(cfg["last_version"]))
+              .load(cfg["source"]))
+    w = stream.writeStream.foreachBatch(fb)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def read_rollup(spark: SparkSession, t: StarTable) -> DataFrame:

@@ -207,6 +207,38 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def star_stream_rollup(spark, sf_dir):
+    """Streaming rollup maintenance: change-stream source → per-batch
+    partials → exactly-once sink (update mode). Two appends drained by
+    two availableNow runs sharing a checkpoint; result must equal the
+    flat GROUP BY oracle."""
+    import os as _os
+
+    from starlake_spark.plans import rollup as R
+
+    e = ld(spark, sf_dir, "events")
+    src_path = _scratch(sf_dir, "stream_rollup_src")
+    src = create_table(spark, e.filter(F.col("event_id") % 3 == 0), src_path)
+    t = R.create_rollup(spark, src_path, _scratch(sf_dir, "stream_rollup_agg"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=8)
+    ckpt = _scratch(sf_dir, "stream_rollup_ckpt")
+    _os.makedirs(ckpt, exist_ok=True)
+    src.write(e.filter(F.col("event_id") % 3 == 1), mode="append")
+    R.stream_rollup(spark, t, checkpoint_dir=ckpt).awaitTermination(300)
+    src.write(e.filter(F.col("event_id") % 3 == 2), mode="append")
+    R.stream_rollup(spark, t, checkpoint_dir=ckpt).awaitTermination(300)
+    return (R.read_rollup(spark, t)
+            .select("bucket_ts", "event_type",
+                    F.col("value_sum").cast("double").alias("value_sum"),
+                    F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("bucket_ts", "event_type"))
+
+
+# same end state as the batch-refresh scenario: everything aggregated
+STREAM_ROLLUP_ORACLE = ROLLUP_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # footer-stats data skipping
 # ---------------------------------------------------------------------------
@@ -661,6 +693,7 @@ ENGINE_QUERIES = {
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_stats_skipping": (star_stats_skipping, STATS_SKIPPING_ORACLE),
     "star_rollup_incremental": (star_rollup_incremental, ROLLUP_ORACLE),
+    "star_stream_rollup": (star_stream_rollup, STREAM_ROLLUP_ORACLE),
     "star_clustered_skipping": (star_clustered_skipping, CLUSTERED_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),

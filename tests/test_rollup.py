@@ -112,3 +112,35 @@ def test_compaction_invariance_and_guards(spark, events, tmp_path):
 def _canon_sum(df):
     return [(str(r.bucket_ts), str(r.value_sum), r.n_rows)
             for r in df.orderBy("bucket_ts").collect()]
+
+
+def test_stream_rollup_matches_batch_twin(spark, events, tmp_path):
+    """Streaming maintenance (change-stream source -> exactly-once sink
+    in update mode) must produce the same rollup as a flat aggregate,
+    across two drains, and lock out manual refresh."""
+    src = create_table(spark, events.filter(F.col("event_id") % 3 == 0),
+                       str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    src.write(events.filter(F.col("event_id") % 3 == 1), mode="append")
+    R.stream_rollup(spark, t, checkpoint_dir=ckpt).awaitTermination(120)
+    src.write(events.filter(F.col("event_id") % 3 == 2), mode="append")
+    R.stream_rollup(spark, t, checkpoint_dir=ckpt).awaitTermination(120)
+
+    got = R.read_rollup(spark, t).select("bucket_ts", "event_type",
+                                         "value_sum", "n_rows")
+    want = (events.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"),
+                           "event_type")
+            .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    a = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in got.orderBy("bucket_ts", "event_type").collect()]
+    b = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in want.orderBy("bucket_ts", "event_type").collect()]
+    assert a == b
+
+    with pytest.raises(ValueError, match="stream_rollup"):
+        R.refresh_rollup(spark, t)
