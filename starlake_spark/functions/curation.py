@@ -1,0 +1,138 @@
+"""Dataset-curation operators for training-data pipelines: repetition
+analysis, stratified quota sampling, and sequence packing.
+
+All pure built-in-function/window plans (JVM, whole-stage codegen) —
+no Python UDFs, no driver collects. Every operator is deterministic
+arithmetic so a duckdb oracle reproduces it bit-for-bit.
+
+The reference ships none of these (SURVEY §2.5: relational ops are
+delegated to Spark); they are "beyond the reference" operators for the
+100 TB training-data posture, like the dedup/similarity family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from starlake_spark.functions.text import tokens
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent word pairs as array<string> (empty when <2 tokens)."""
+    w = tokens(text)
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Columns: n_tokens, n_distinct, type_token_ratio (distinct/total,
+    low = repetitive), top_token_share (most frequent unigram's mass),
+    top_bigram_share. Implemented as explode → two-level groupBy so the
+    per-token counting is a partial-aggregated shuffle on (id, token) —
+    no per-doc maps held in memory, scales to arbitrarily long docs.
+    """
+    ids = F.col(id_col)
+    uni = (
+        df.select(ids, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("_top_uni"),
+        )
+    )
+    bi = (
+        df.select(ids, F.explode(word_bigrams(F.col(text_col))).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_n_bi"), F.max("c").alias("_top_bi"))
+    )
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            ids,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("_top_uni") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+            F.round(
+                F.coalesce(F.col("_top_bi") / F.col("_n_bi"), F.lit(0.0)), 6
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    quota: int,
+    id_col: str,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep at most ``quota`` rows
+    per group, chosen by a content-hash shuffle order (md5 of the id by
+    default) so the sample is stable across runs/engines and unbiased
+    w.r.t. the ingestion order.
+
+    One hash-partitioned window per group — rank computation is a
+    single shuffle on group_cols; groups process independently so skew
+    is bounded by the largest group (salt the group key upstream if a
+    group is pathological). Adds ``sample_rank``.
+    """
+    salt = salt_col if salt_col is not None else F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(*group_cols).orderBy(salt.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Concat-then-chunk sequence-packing plan: documents are laid out
+    end-to-end in ``order_col`` order within each ``partition_col``
+    shard, and every ``budget`` tokens starts a new chunk. Emits, per
+    document, the chunk it STARTS in and its token offset there —
+    exactly the metadata a tokenizer-side packer needs to materialize
+    fixed-length training sequences.
+
+    A running-sum window per shard: one shuffle on the shard key, state
+    O(1) per row. Shards (source/file/date) keep the window off a
+    single global ordering, so it scales with shard count — the 100 TB
+    layout is many shards, each windowed independently.
+    """
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    start = cum - F.col(token_col)
+    return df.select(
+        "*",
+        F.floor(start / budget).cast("long").alias("chunk_id"),
+        (start % budget).cast("long").alias("chunk_offset"),
+    )

@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from starlake_spark.functions import dedup as dd, similarity as sim, text as tx
+from starlake_spark.functions import (
+    curation as cu,
+    dedup as dd,
+    similarity as sim,
+    text as tx,
+)
 from starlake_spark.queries.analytics import ld as _ld
 
 
@@ -576,6 +581,105 @@ FROM documents ORDER BY item_id, frame_no
 """
 
 
+# ---------------------------------------------------------------------------
+# curation: repetition analysis, quota sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def docs_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (curation.repetition_metrics):
+    type-token ratio + top unigram/bigram mass per document."""
+    d = ld(spark, sf_dir, "documents")
+    return cu.repetition_metrics(d, "doc_id", "text").orderBy("doc_id")
+
+
+DOCS_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY doc_id, tok
+), uagg AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_uni
+  FROM uni GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY doc_id, bg
+), bagg AS (
+  SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi FROM bi GROUP BY doc_id
+)
+SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+  ROUND(top_uni / CAST(n_tokens AS DOUBLE), 6) AS top_token_share,
+  ROUND(COALESCE(top_bi / CAST(n_bi AS DOUBLE), 0.0), 6) AS top_bigram_share
+FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
+QUOTA_PER_LANG = 20
+
+
+def docs_quota_sample(spark, sf_dir):
+    """Deterministic stratified sampling (curation.quota_sample): at
+    most QUOTA_PER_LANG docs per language, picked by content-hash order
+    so the sample is stable and ingestion-order-unbiased."""
+    d = ld(spark, sf_dir, "documents")
+    out = cu.quota_sample(d, ["lang"], QUOTA_PER_LANG, "doc_id")
+    return out.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
+DOCS_QUOTA_SQL = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS INTEGER) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {QUOTA_PER_LANG}
+ORDER BY lang, sample_rank
+"""
+
+
+PACK_BUDGET = 512
+
+
+def docs_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (curation.pack_sequences):
+    per-source running token layout → (chunk_id, chunk_offset) each doc
+    starts at, for PACK_BUDGET-token training sequences."""
+    d = ld(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = cu.pack_sequences(d, "n_tokens", PACK_BUDGET, "source", "doc_id")
+    return out.select(
+        "doc_id", "source", "n_tokens", "chunk_id", "chunk_offset"
+    ).orderBy("source", "doc_id")
+
+
+DOCS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - n_tokens AS strt
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR(strt / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id,
+  CAST(strt % {PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM c ORDER BY source, doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -585,6 +689,9 @@ LLM_QUERIES = {
     "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
     "docs_dedup_components": (docs_dedup_components, DOCS_COMPONENTS_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_repetition": (docs_repetition, DOCS_REPETITION_SQL),
+    "docs_quota_sample": (docs_quota_sample, DOCS_QUOTA_SQL),
+    "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_minhash_candidates": (docs_minhash_candidates, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
