@@ -19,11 +19,16 @@ DEC = "decimal(18,2)"
 
 def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong=true): floor
-    # to microseconds, matching duckdb's nanos→us truncation.
+    # Normalize every timestamp flavor the parquet files can carry to a
+    # single session-TZ TIMESTAMP convention (UTC session, so values are
+    # identical to duckdb's): TIMESTAMP(NANOS) arrives as long
+    # (nanosAsLong=true) → floor to micros; TIMESTAMP_NTZ → plain cast
+    # (wall-clock reinterpreted in UTC, matching duckdb TIMESTAMP).
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

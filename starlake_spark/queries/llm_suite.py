@@ -71,7 +71,7 @@ def docs_token_stats(spark, sf_dir):
 
 DOCS_TOKENS_SQL = """
 SELECT doc_id,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+  CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_actual
@@ -153,7 +153,7 @@ def _quality_sql() -> str:
 WITH c AS (
   SELECT doc_id,
     length(text) AS n_chars,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
     ({punct}) AS n_punct,
     ({upper}) AS n_upper,
@@ -617,7 +617,7 @@ SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   ROUND(top_uni / CAST(n_tokens AS DOUBLE), 6) AS top_token_share,
   ROUND(COALESCE(top_bi / CAST(n_bi AS DOUBLE), 0.0), 6) AS top_bigram_share
 FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id
-ORDER BY doc_id
+ORDER BY u.doc_id
 """
 
 
@@ -664,7 +664,7 @@ def docs_pack_sequences(spark, sf_dir):
 DOCS_PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
   FROM documents
 ), c AS (
