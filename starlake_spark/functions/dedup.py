@@ -164,12 +164,26 @@ def minhash_lsh_candidates(
     blowup of degenerate buckets (boilerplate text) — dropped buckets
     are the standard LSH trade-off, logged by callers if needed.
     """
-    rows_per_band = num_hashes // bands
     # two select boundaries: shingle hashes materialize once, then the
     # signature; inlining would re-evaluate the shingle pipeline per seed
     with_hs = df.select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    return _candidates_from_hashes(with_hs, id_col, "_hs", num_hashes, bands, max_bucket)
+
+
+def _candidates_from_hashes(
+    with_hs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Banded-LSH core over precomputed shingle hashes — split out so
+    ``minhash_dedup`` can feed a shared shingle frame instead of
+    re-deriving text→tokens→shingles a second time."""
+    rows_per_band = num_hashes // bands
     with_sig = with_hs.select(
-        id_col, minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
+        id_col, minhash_signature(F.col(hash_col), num_hashes).alias("_sig")
     )
 
     banded = with_sig.select(
@@ -213,11 +227,21 @@ def minhash_dedup(
     """Near-dup dedup: LSH candidates → exact Jaccard verify → greedy
     keep-smallest-id (a doc is dropped if it duplicates any smaller id;
     single-pass approximation of connected components that needs no
-    iteration — at 100 TB the iterative union-find is a separate job)."""
-    cand = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n
+    iteration — at 100 TB the iterative union-find is a separate job).
+
+    The shingle arrays are computed ONCE into a materialized frame that
+    feeds both the signature pipeline and the two verify sides — at
+    100 TB the text→tokenize→shingle scan is the dominant cost and must
+    not run three times. localCheckpoint persists MEMORY_AND_DISK (it
+    spills), the same trade ``ngram_jaccard_pairs`` makes."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).localCheckpoint(eager=True)
+    with_hs = sh.select(
+        F.col(id_col), F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs")
     )
-    verified = verify_jaccard(df, cand, id_col, text_col, shingle_n).filter(
+    cand = _candidates_from_hashes(with_hs, id_col, "_hs", num_hashes, bands, 1000)
+    verified = verify_jaccard_shingled(sh, cand, id_col, "_sh").filter(
         F.col("jaccard") >= threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
@@ -237,9 +261,22 @@ def verify_jaccard(
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
+    return verify_jaccard_shingled(sh, pairs, id_col, "_sh")
+
+
+def verify_jaccard_shingled(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "_sh",
+) -> DataFrame:
+    """``verify_jaccard`` over a PRE-SHINGLED frame (id, array<string>),
+    so a caller that already materialized shingles (minhash_dedup) never
+    re-runs the text pipeline on either join side."""
+    s = sh.select(F.col(id_col), F.col(shingle_col).alias("_sh"))
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        pairs.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
     union = (F.size("_sha") + F.size("_shb") - inter).cast("double")

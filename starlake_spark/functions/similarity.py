@@ -349,11 +349,15 @@ def kmeans_centroids(
                 np.add.at(sums, cid, mat)
                 np.add.at(counts, cid, 1)
             hit = np.nonzero(counts)[0]
-            yield pd.DataFrame({
-                "_cid": hit.astype(np.int64),
-                "_s": [sums[i] for i in hit],
-                "_n": counts[hit],
-            })
+            # an all-empty partition must yield NOTHING: an empty list in
+            # the _s column becomes a float64 pandas column that Arrow
+            # can't encode as array<double>
+            if hit.size:
+                yield pd.DataFrame({
+                    "_cid": hit.astype(np.int64),
+                    "_s": [sums[i] for i in hit],
+                    "_n": counts[hit],
+                })
 
         partials = v.mapInPandas(
             part_sums, "_cid long, _s array<double>, _n long"

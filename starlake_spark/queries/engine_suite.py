@@ -376,16 +376,7 @@ def star_streaming_sink(spark, sf_dir):
     ckpt = path + "_ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
     # FileStreamSource needs a directory; glob-filter to the events file.
-    # Raw schema carries ts as long (nanosAsLong) → convert per batch.
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    for f in raw_schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     q = write_stream(stream, path, query_id="suite_stream", output_mode="update",
                      checkpoint_dir=ckpt)
     q.awaitTermination(120)
@@ -488,15 +479,11 @@ FROM orders ORDER BY o_orderkey
 # streaming watermark + windowed aggregation through the sink
 # ---------------------------------------------------------------------------
 
-def star_streaming_watermark(spark, sf_dir):
-    """Watermarked hourly window agg (Spark-side state) flowing through
-    the exactly-once sink in update mode: each micro-batch's updated
-    windows are delta-upserted by (hour, event_type) key. Final table ==
-    the batch aggregate (StarSinkSuite.scala:314 'aggregation +
-    watermark' parity)."""
-    from starlake_spark.streaming.sink import write_stream
-
-    path = _scratch(sf_dir, "streaming_wm")
+def _events_stream(spark, sf_dir):
+    """readStream over events.parquet with ``ts`` normalized to plain
+    TIMESTAMP per micro-batch — the streaming twin of ``ld()``'s
+    convention (nanos-as-long → floor to micros; NTZ → session-TZ cast),
+    so stream results line up with batch/duckdb values."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -506,6 +493,21 @@ def star_streaming_watermark(spark, sf_dir):
     for f in raw_schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def star_streaming_watermark(spark, sf_dir):
+    """Watermarked hourly window agg (Spark-side state) flowing through
+    the exactly-once sink in update mode: each micro-batch's updated
+    windows are delta-upserted by (hour, event_type) key. Final table ==
+    the batch aggregate (StarSinkSuite.scala:314 'aggregation +
+    watermark' parity)."""
+    from starlake_spark.streaming.sink import write_stream
+
+    path = _scratch(sf_dir, "streaming_wm")
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))

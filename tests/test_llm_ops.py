@@ -20,12 +20,30 @@ def _pairs(df):
 
 
 def test_ann_lsh_and_ivf_recall(spark, sf_dir):
-    exact = {(r[0], r[1]) for r in L.ann_cosine_topk(spark, sf_dir).collect()}
-    lsh = {(r[0], r[1]) for r in L.ann_lsh_topk(spark, sf_dir).collect()}
-    ivf = {(r[0], r[1]) for r in L.ann_ivf_topk(spark, sf_dir).collect()}
+    """Raw-operator recall vs brute force (the query entries themselves
+    now emit contract booleans, so this drives the operators directly)."""
+    e = L.ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    kw = dict(k=L.ANN_K, id_col="vec_id", vec_col="embedding")
+    exact = {(r[0], r[1]) for r in
+             sim.brute_force_topk(e, q, **kw).select("query_id", "neighbor_id").collect()}
+    lsh = {(r[0], r[1]) for r in
+           sim.lsh_topk(e, q, dim=64, num_planes=10, num_tables=6, **kw)
+           .select("query_id", "neighbor_id").collect()}
+    cents = sim.kmeans_centroids(e, nlist=max(4, e.count() // 50),
+                                 id_col="vec_id", vec_col="embedding")
+    ivf = {(r[0], r[1]) for r in
+           sim.ivf_topk(e, q, cents, nprobe=4, **kw)
+           .select("query_id", "neighbor_id").collect()}
     assert len(exact) == 10 * L.ANN_K
     assert len(exact & lsh) / len(exact) >= 0.15
     assert len(exact & ivf) / len(exact) >= 0.50
+
+    # the contract entries themselves must come back all-TRUE
+    for entry in (L.ann_lsh_topk, L.ann_ivf_topk):
+        rows = entry(spark, sf_dir).collect()
+        assert len(rows) == 10
+        assert all(r["top1_is_planted"] and r["recall_ok"] for r in rows)
 
 
 def test_minhash_candidates_cover_exact_pairs(spark, sf_dir):
