@@ -71,7 +71,21 @@ def main() -> None:
     if not os.environ.get("BENCH_ALL"):
         excluded = sorted(STREAMING_DEMOS & set(queries))
         queries = {n: v for n, v in queries.items() if n not in STREAMING_DEMOS}
+
     timings: dict[str, float] = {}
+
+    # IVF index: the build (k-means fit + partitioned write) happens once
+    # at ingest in the real design, so time it as its own write-shaped
+    # entry; ann_ivf_topk then measures the probe path it promises.
+    try:
+        from starlake_spark.queries import llm_suite as _L
+        t0 = time.monotonic()
+        _L._ivf_index_table(spark, SF_DIR)
+        timings["ann_ivf_build"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        timings["ann_ivf_build"] = -1.0
+        print(f"[bench] ann_ivf_build FAILED: {exc}", file=sys.stderr)
+
     for name, (fn, _sql) in queries.items():
         t0 = time.monotonic()
         try:
@@ -83,7 +97,7 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    result = {
         "metric": "total_runtime",
         "value": total,
         "unit": "sec",
@@ -91,7 +105,29 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "failed": sorted(k for k, v in timings.items() if v < 0),
         "untimed_streaming_demos": excluded,
-    }))
+    }
+    # The driver's stdout capture keeps only a tail window, which
+    # truncated the head of round 1's line. Persist the full JSON in the
+    # repo (BENCH_FULL.json, committed with the round) and order the
+    # stdout line queries-first so the scalar summary sits at the
+    # surviving end.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"[bench] BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+    tail_first = {
+        "queries": timings,
+        "untimed_streaming_demos": excluded,
+        "failed": result["failed"],
+        "full_timings_file": "BENCH_FULL.json",
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+    }
+    print(json.dumps(tail_first))
 
 
 if __name__ == "__main__":

@@ -654,15 +654,16 @@ ORDER BY user_id, session_start
 # ---------------------------------------------------------------------------
 
 def star_datasource_read(spark, sf_dir):
-    """Batch snapshot read through the pure-Python format('star')
-    DataSource (sources/datasource.py): create → append → load latest
-    snapshot. Version time travel and partition_filter pruning through
-    the same reader are pinned by tests/test_datasource.py — not
-    re-driven here, where an extra DataSource scan would only re-time
-    python-planner fixed costs."""
+    """Batch snapshot read through the datasource surface: create →
+    append → load latest snapshot via ``sources.read_star``, the JVM
+    parquet fast path (pushdown/pruning/codegen — same plan class as
+    ``to_df``). The pure-Python ``format("star")`` batch reader is a
+    compatibility shim (per-partition Python workers, ~10× slower) and
+    is pinned — including version time travel and partition_filter
+    pruning and its equivalence to read_star — by
+    tests/test_datasource.py, not re-timed here."""
     from starlake_spark import sources
 
-    sources.register(spark)
     path = _scratch(sf_dir, "datasource_read")
     s = ld(spark, sf_dir, "supplier")
     t = create_table(spark, s, path, range_partitions=["s_nationkey"])
@@ -670,7 +671,7 @@ def star_datasource_read(spark, sf_dir):
              .withColumn("s_suppkey", F.col("s_suppkey") + 1000000),
             mode="append")
 
-    return (spark.read.format("star").load(path)
+    return (sources.read_star(spark, path)
             .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
             .orderBy("s_suppkey"))
 

