@@ -80,6 +80,14 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
         files = writer.write_files(spark, source, info, txn, is_base=False)
         txn.add_files(files)
         store.commit(txn)
+        # Auto-compaction (reference trigger: delta file count >= 5,
+        # StarLakeSQLConf.scala:41-45 via CompactionCommand.scala:70-109):
+        # caps the MoR union fan-out — without it, every un-compacted
+        # upsert adds a plan branch to _merge_scan, and a table with
+        # hundreds of delta commits plans hundreds of union arms.
+        # Opt out per table with compaction.auto=false.
+        if info.configuration.get("compaction.auto", "true") == "true":
+            compact(spark, store, force=False)
         return
 
     keys = info.range_cols + info.hash_cols
@@ -276,7 +284,13 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             continue
         if ps.delta_file_num == 0 and len({f.write_version for f in ps.files}) <= 1:
             continue
-        if not force and ps.delta_file_num < DELTA_FILE_COMPACT_TRIGGER:
+        # trigger on DELTA COMMITS, not files: the MoR plan grows one
+        # union arm per commit group (reader._merge_scan), and one upsert
+        # writes bucket_num files — counting files would force a full
+        # partition rewrite after nearly every upsert on wide-bucket
+        # tables (reference trigger: StarLakeSQLConf.scala:41-45)
+        delta_commits = len({f.write_version for f in ps.files if not f.is_base_file})
+        if not force and delta_commits < DELTA_FILE_COMPACT_TRIGGER:
             continue
         targets.append(rv)
     if not targets:

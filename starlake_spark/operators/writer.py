@@ -50,6 +50,42 @@ def _drop_null_type_columns(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cast_by_name(col, src: T.DataType, dst: T.DataType):
+    """Recursive BY-NAME cast to the declared type (reference
+    rules/StarLakeAnalysis.scala:161-197): Spark's plain Cast matches
+    struct fields positionally, so a source struct with reordered or
+    missing nested fields would silently garble values — here nested
+    struct fields are matched by name, missing ones become typed nulls,
+    and the recursion descends through array elements and map values.
+    """
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        src_fields = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in src_fields:
+                parts.append(
+                    _cast_by_name(col[f.name], src_fields[f.name].dataType,
+                                  f.dataType).alias(f.name))
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.when(
+            col.isNull(), F.lit(None).cast(dst)
+        ).otherwise(
+            F.transform(col, lambda x: _cast_by_name(x, src.elementType, dst.elementType))
+        )
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        out = F.transform_values(
+            col, lambda _k, v: _cast_by_name(v, src.valueType, dst.valueType))
+        if src.keyType != dst.keyType:
+            out = F.transform_keys(out, lambda k, _v: k.cast(dst.keyType))
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(out)
+    return col.cast(dst)
+
+
 def normalize_for_write(
     df: DataFrame, info: TableInfo, enforce_schema: bool = True
 ) -> DataFrame:
@@ -58,12 +94,14 @@ def normalize_for_write(
     Mirrors the INSERT projection normalization of
     rules/StarLakeAnalysis.scala:44-63,105-197 (by-name cast + nullability
     enforcement): every table column present in the source is cast to the
-    declared type; partition/hash columns must be present and non-null
-    (schema/ImplicitMetadataOperation.scala:148-156).
+    declared type — recursively by name through structs/arrays/maps
+    (``_cast_by_name``); partition/hash columns must be present and
+    non-null (schema/ImplicitMetadataOperation.scala:148-156).
     """
     df = _drop_null_type_columns(df)
     schema = table_schema(info)
     declared = {f.name: f for f in schema.fields}
+    src_types = {f.name: f.dataType for f in df.schema.fields}
     src_cols = set(df.columns)
 
     for c in info.range_cols + info.hash_cols:
@@ -73,7 +111,9 @@ def normalize_for_write(
     projected = []
     for name in df.columns:
         if name in declared:
-            projected.append(F.col(name).cast(declared[name].dataType).alias(name))
+            projected.append(
+                _cast_by_name(F.col(name), src_types[name],
+                              declared[name].dataType).alias(name))
         elif not enforce_schema:
             projected.append(F.col(name))
         else:

@@ -686,8 +686,65 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
 """
 
 
+def star_bucketed_join(spark, sf_dir):
+    """PK-join shuffle elision via bucketed materialization
+    (StarTable.to_bucketed_table — the PySpark rendition of the
+    reference's bucket-scan partitioning/ordering protocol,
+    rules/SetPartitionAndOrdering.scala:52-141): two star tables
+    hash-partitioned on o_orderkey — one upserted then compacted, one
+    written at half price — are materialized as Spark bucketed tables
+    and merge-joined on the PK. The join plans with ZERO hash exchanges
+    and zero pre-join sorts (asserted inline, the
+    ParquetScanSuite.scala:188-293 property); only the final tiny
+    per-status rollup shuffles."""
+    o = ld(spark, sf_dir, "orders")
+    t1 = create_table(spark, o, _scratch(sf_dir, "bkt_orders"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t1.upsert(o.filter(F.col("o_orderkey") % 100 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t1.compaction(force=True)
+    t2 = create_table(spark, o, _scratch(sf_dir, "bkt_orders_base"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    n1 = t1.to_bucketed_table("bkt_orders_cur")
+    n2 = t2.to_bucketed_table("bkt_orders_base")
+    a, b = spark.table(n1), spark.table(n2)
+    j = (a.hint("merge")
+         .join(b.hint("merge").select(F.col("o_orderkey"),
+                                      F.col("o_totalprice").alias("base_price")),
+               "o_orderkey"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "bucketed PK join must not shuffle"
+    assert "SortMergeJoin" in plan, "expected bucket-aligned SortMergeJoin"
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                   - F.col("base_price").cast("decimal(18,2)"))).cast("double")
+            .alias("price_delta"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), base AS (
+  SELECT o_orderkey, o_totalprice AS base_price FROM orders
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(base_price AS DECIMAL(18,2))) AS DOUBLE) AS price_delta
+FROM cur JOIN base USING (o_orderkey)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
     "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),

@@ -43,6 +43,12 @@ def get_spark(app_name: str = "starlake_spark", master: str | None = None) -> Sp
         # (starlake_spark.queries.analytics.ld) — duckdb truncates the
         # same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables written by StarTable.to_bucketed_table carry
+        # one sorted file per bucket; this flag lets the scan report
+        # that ordering so bucket-aligned SortMergeJoins skip the sort
+        # as well as the exchange (the reference's bucket-scan protocol,
+        # SetPartitionAndOrdering.scala:52-141)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -122,6 +122,54 @@ class StarTable:
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:
         return dml.cleanup(self.store, retention_s=retention_s, dry_run=dry_run)
 
+    def to_bucketed_table(self, name: str | None = None) -> str:
+        """Materialize the current snapshot as a Spark BUCKETED table so
+        repeated PK joins/aggs on the hash keys skip exchange AND sort.
+
+        This is the PySpark expression of the reference's bucket-scan
+        shuffle elision (rules/SetPartitionAndOrdering.scala:52-141,
+        proven by test/.../ParquetScanSuite.scala:188-293): the
+        reference's scan reports its hash-bucket layout to Catalyst as
+        an output partitioning/ordering; Spark only honors that protocol
+        for its own bucketed relations, so we materialize one —
+        ``bucketBy(bucket_num, hash_cols).sortBy(hash_cols)`` with a
+        pre-repartition on the same keys, which aligns rows to their
+        bucket task and yields exactly ONE file per bucket (the
+        condition for Spark to also elide the SMJ sort).
+
+        Data lands under ``<table_path>/bucketed/<name>`` (outside the
+        manifest's data/ tree, invisible to vacuum); the catalog entry
+        is session-scoped, so re-register on a new session by calling
+        this again — the write is an idempotent overwrite. Returns the
+        catalog table name; read it with ``spark.table(name)``.
+
+        Joins between two tables bucketed this way (same bucket count,
+        same key types) plan as zero-exchange zero-sort SortMergeJoins;
+        groupBy on the hash keys aggregates without exchange. At 100 TB
+        this removes the single biggest recurring shuffle the plain
+        path pays on every PK join."""
+        import os
+
+        info = self.info
+        if not info.hash_cols or info.bucket_num <= 0:
+            raise ValueError(
+                "to_bucketed_table requires a hash-partitioned table "
+                "(hash_partitions + hash_bucket_num at create_table)")
+        name = name or f"star_bkt_{info.table_id.replace('table_', '')}"
+        data_path = os.path.join(self.store.table_path, "bucketed", name)
+        n = info.bucket_num
+        cols = list(info.hash_cols)
+        (self.to_df()
+            .repartition(n, *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .option("path", data_path)
+            .saveAsTable(name))
+        self.set_properties({"bucketed.table": name, "bucketed.path": data_path})
+        return name
+
     def drop_partition(self, range_value: str) -> "StarTable":
         """DropPartitionCommand (commands/DropTableCommand.scala:150-247)."""
         txn = self.store.new_transaction()

@@ -131,3 +131,44 @@ def test_scalar_subqueries_broadcast_not_collect(spark):
 
     plan = _phys(q15_top_supplier(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bucketed_table_elides_pk_join_shuffle_and_sort(spark, tmp_path):
+    """to_bucketed_table materialization: PK merge-join between two
+    same-bucketed tables plans with no hash exchange and no pre-join
+    sort, and a groupBy on the bucket keys aggregates without exchange
+    (reference ParquetScanSuite.scala:188-293 via
+    SetPartitionAndOrdering.scala:52-141)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    t1 = create_table(spark, orders, str(tmp_path / "t1"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t2 = create_table(spark, orders.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+                      str(tmp_path / "t2"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n1, n2 = t1.to_bucketed_table(), t2.to_bucketed_table()
+    a, b = spark.table(n1), spark.table(n2)
+
+    j = a.hint("merge").join(
+        b.select("o_orderkey", F.col("o_totalprice").alias("p2")).hint("merge"),
+        "o_orderkey")
+    plan = _phys(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+
+    # result correctness vs the plain join
+    got = j.agg(F.sum(F.col("p2") - F.col("o_totalprice"))).collect()[0][0]
+    want = orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(got - want) < 1e-6 * max(abs(want), 1)
+
+    # groupBy on the bucket key: no exchange before the aggregate
+    g = a.groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("s"))
+    gplan = _phys(g)
+    assert "Exchange hashpartitioning" not in gplan, gplan
+
+
+def test_bucketed_table_requires_hash_partitions(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    t = create_table(spark, orders, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="hash"):
+        t.to_bucketed_table()

@@ -159,3 +159,46 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert t.store.latest_version() == 9  # create + 8 appends
     keys = {r[0] for r in t.to_df().select("o_orderkey").collect()}
     assert keys == {r[0] for r in orders.select("o_orderkey").collect()}
+
+
+def test_insert_nested_struct_cast_by_name(spark, tmp_table_dir):
+    """INSERT normalization descends into structs BY NAME
+    (StarLakeAnalysis.scala:161-197 parity): reordered nested fields
+    keep their values, missing nested fields become typed nulls, and
+    nested numeric widenings apply — where a positional struct cast
+    would garble or reject the row."""
+    from starlake_spark.table import create_table
+
+    base = spark.createDataFrame(
+        [(1, (10, "x", 1.5))],
+        "id long, meta struct<a:long,b:string,c:double>")
+    t = create_table(spark, base, tmp_table_dir)
+    # reordered fields, missing 'c', and a:int needing int->long widening
+    src = spark.createDataFrame(
+        [(2, ("y", 20))], "id long, meta struct<b:string,a:int>")
+    t.write(src, mode="append")
+    rows = {r["id"]: r["meta"] for r in t.to_df().collect()}
+    assert rows[1]["a"] == 10 and rows[1]["b"] == "x" and rows[1]["c"] == 1.5
+    assert rows[2]["a"] == 20 and rows[2]["b"] == "y" and rows[2]["c"] is None
+
+    # null struct stays null (not a struct of nulls)
+    src2 = spark.createDataFrame(
+        [(3, None)], "id long, meta struct<b:string,a:int>")
+    t.write(src2, mode="append")
+    got = {r["id"]: r["meta"] for r in t.to_df().collect()}
+    assert got[3] is None
+
+
+def test_insert_array_of_struct_cast_by_name(spark, tmp_table_dir):
+    from starlake_spark.table import create_table
+
+    base = spark.createDataFrame(
+        [(1, [(1, "a")])],
+        "id long, tags array<struct<k:long,v:string>>")
+    t = create_table(spark, base, tmp_table_dir)
+    src = spark.createDataFrame(
+        [(2, [("b", 2), ("c", 3)])],
+        "id long, tags array<struct<v:string,k:int>>")
+    t.write(src, mode="append")
+    rows = {r["id"]: r["tags"] for r in t.to_df().collect()}
+    assert [(x["k"], x["v"]) for x in rows[2]] == [(2, "b"), (3, "c")]

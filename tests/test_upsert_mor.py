@@ -166,3 +166,51 @@ def test_mvcc_concurrent_reader_sees_old_snapshot(spark, tmp_table_dir):
     t.upsert(spark.createDataFrame([(1, "NEW", "r1")], "id int, name string, range string"))
     assert dict((r.id, r.name) for r in old.collect())[1] == "a"
     assert dict((r.id, r.name) for r in t.to_df().collect())[1] == "NEW"
+
+
+def test_auto_compaction_caps_delta_commit_fanout(spark, sf_dir, tmp_table_dir):
+    """N delta upserts never leave DELTA_FILE_COMPACT_TRIGGER or more
+    un-compacted delta commits in any partition: the trigger fires
+    inside upsert() once the cap is reached (reference
+    StarLakeSQLConf.scala:41-45, CompactionCommand.scala:70-109), so
+    MoR plan fan-out stays bounded no matter how many upserts land."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.operators.dml import DELTA_FILE_COMPACT_TRIGGER
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    max_commits = 0
+    for i in range(12):
+        t.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(float(i))))
+        snap = t.store.snapshot()
+        for ps in snap.partitions.values():
+            n = len({f.write_version for f in ps.files if not f.is_base_file})
+            max_commits = max(max_commits, n)
+            assert n < DELTA_FILE_COMPACT_TRIGGER, (
+                f"partition holds {n} delta commits after auto-compaction")
+    assert max_commits > 0, "test never exercised the delta path"
+    # final state still answers correctly
+    got = t.to_df().filter(F.col("o_orderkey").isin(
+        [r[0] for r in orders.limit(10).select("o_orderkey").collect()]))
+    assert got.filter(F.col("o_totalprice") == 11.0).count() == 10
+
+
+def test_auto_compaction_opt_out(spark, sf_dir, tmp_table_dir):
+    from pyspark.sql import functions as F
+
+    from starlake_spark.operators.dml import DELTA_FILE_COMPACT_TRIGGER
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2,
+                     configuration={"compaction.auto": "false"})
+    for i in range(DELTA_FILE_COMPACT_TRIGGER + 2):
+        t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(float(i))))
+    snap = t.store.snapshot()
+    n = max(len({f.write_version for f in ps.files if not f.is_base_file})
+            for ps in snap.partitions.values())
+    assert n >= DELTA_FILE_COMPACT_TRIGGER, "opt-out must leave deltas un-compacted"
