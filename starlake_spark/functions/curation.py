@@ -19,7 +19,10 @@ from starlake_spark.functions.text import tokens
 
 def word_bigrams(text: Column) -> Column:
     """Adjacent word pairs as array<string> (empty when <2 tokens)."""
-    w = tokens(text)
+    return _bigrams_of(tokens(text))
+
+
+def _bigrams_of(w: Column) -> Column:
     return F.when(
         F.size(w) >= 2,
         F.transform(
@@ -31,6 +34,28 @@ def word_bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _top_multiplicity(arr: Column) -> Column:
+    """Largest multiplicity of any element in a string array: sort, then
+    one linear run-scan fold (``aggregate``). Per-row compute — the
+    distributed-count equivalent of ``MAX(c) FROM (GROUP BY element)``
+    with zero shuffle."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -38,45 +63,40 @@ def repetition_metrics(
 
     Columns: n_tokens, n_distinct, type_token_ratio (distinct/total,
     low = repetitive), top_token_share (most frequent unigram's mass),
-    top_bigram_share. Implemented as explode → two-level groupBy so the
-    per-token counting is a partial-aggregated shuffle on (id, token) —
-    no per-doc maps held in memory, scales to arbitrarily long docs.
+    top_bigram_share.
+
+    All five signals are per-document folds over the token array
+    (array_sort + run-scan ``aggregate``), so the operator is a single
+    embarrassingly-parallel projection: ZERO shuffle, no per-token rows
+    ever leave their partition. The explode → groupBy(id, token)
+    formulation this replaced shuffles every token in the corpus — at
+    100 TB that's the whole dataset through the wire for a per-doc
+    statistic. Memory per row is one sorted token array (the document
+    itself), the same envelope the tokenizer already needs.
     """
     ids = F.col(id_col)
-    uni = (
-        df.select(ids, F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("_top_uni"),
-        )
+    base = (
+        df.select(ids, tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(ids, "_t", _bigrams_of(F.col("_t")).alias("_b"))
     )
-    bi = (
-        df.select(ids, F.explode(word_bigrams(F.col(text_col))).alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("_n_bi"), F.max("c").alias("_top_bi"))
+    stats = base.select(
+        ids,
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_distinct"),
+        _top_multiplicity(F.col("_t")).alias("_top_uni"),
+        F.size("_b").cast("long").alias("_n_bi"),
+        _top_multiplicity(F.col("_b")).alias("_top_bi"),
     )
-    return (
-        uni.join(bi, id_col, "left")
-        .select(
-            ids,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("n_distinct").cast("long").alias("n_distinct"),
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
-                "type_token_ratio"
-            ),
-            F.round(F.col("_top_uni") / F.col("n_tokens"), 6).alias(
-                "top_token_share"
-            ),
-            F.round(
-                F.coalesce(F.col("_top_bi") / F.col("_n_bi"), F.lit(0.0)), 6
-            ).alias("top_bigram_share"),
-        )
+    return stats.select(
+        ids,
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(F.col("_top_uni") / F.col("n_tokens"), 6).alias("top_token_share"),
+        F.round(
+            F.coalesce(F.col("_top_bi") / F.nullif(F.col("_n_bi"), F.lit(0)), F.lit(0.0)), 6
+        ).alias("top_bigram_share"),
     )
 
 
