@@ -65,7 +65,7 @@ def main() -> None:
 
     STREAMING_DEMOS = {"star_streaming_sink", "star_streaming_watermark",
                        "star_stream_source", "star_stateful_sessions",
-                       "star_stream_rollup"}
+                       "star_stream_rollup", "star_stream_dedup"}
     queries = all_queries()
     excluded = []
     if not os.environ.get("BENCH_ALL"):

@@ -156,3 +156,56 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("chunk_id"),
         (start % budget).cast("long").alias("chunk_offset"),
     )
+
+
+HASH_SPACE = float(1 << 32)  # 16^8 — the md5-prefix uniform's range
+
+
+def _hash_uniform_keep(id_col: Column, rate: Column) -> Column:
+    """Deterministic cross-engine Bernoulli(rate): keep iff the first 8
+    hex digits of md5(id) — a uniform over [0, 16^8) — fall below
+    floor(rate·16^8), compared AS HEX STRINGS so Spark and duckdb agree
+    byte-for-byte (both emit lowercase md5; the threshold is lowercased
+    zero-padded hex)."""
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(HASH_SPACE)).cast("long")), 8, "0"))
+    u8 = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return (rate >= 1.0) | (u8 < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each group so
+    the kept corpus approaches the target mixture ``weights`` (shares
+    over groups) WITHOUT upsampling — the standard pre-training recipe
+    for re-balancing web/books/code/etc.
+
+    K = min_g(n_g / w_g) is the largest total the targets allow without
+    repeating data; each group keeps rate_g = w_g·K / n_g of its rows,
+    selected by the content-hash Bernoulli (stable across runs, engines,
+    and ingestion order). Groups absent from ``weights`` are dropped.
+
+    Plan shape: one count aggregate over the group column (shuffles
+    (group, count) pairs only), rates broadcast back, then a scan-side
+    filter — the corpus itself never shuffles.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{group_col} string, _w double")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = counts.join(wdf, group_col)
+    k = j.select(F.min(F.col("_n") / F.col("_w")).alias("_K"))
+    rates = j.crossJoin(k).select(
+        group_col,
+        F.least(F.lit(1.0), F.col("_w") * F.col("_K") / F.col("_n")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_hash_uniform_keep(F.col(id_col), F.col("_rate")))
+        .drop("_rate")
+    )

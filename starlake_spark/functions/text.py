@@ -180,3 +180,81 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", language_id(t))
         .withColumn("quality", quality_score(t))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the standard pre-training wash)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and duckdb's RE2 share, so the
+# duckdb oracle reproduces the scrub byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails / phone numbers / IPv4s with typed placeholder
+    tokens. One chained regexp_replace projection — JVM-side, zero
+    shuffle, embarrassingly parallel; ordering matters (emails first so
+    their digit runs can't be half-eaten by the phone pattern)."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-category match counts (for audit metrics), computed on the
+    SAME progressively-scrubbed text the redaction sees, so overlapping
+    patterns are attributed exactly like pii_scrub applies them."""
+    counts = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (RAG / context-window layout)
+# ---------------------------------------------------------------------------
+
+
+def chunk_sliding(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 128, stride: int = 96,
+):
+    """Split each document into overlapping token windows: chunk k
+    covers tokens [k*stride, k*stride + window). Emits (id, chunk_no,
+    chunk_text, n_chunk_tokens). Pure sequence+transform+posexplode —
+    per-doc compute, no shuffle; a 100 TB corpus chunks in one pass.
+    Documents with no tokens emit nothing (same convention as shingling).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # k ranges over 0 .. ceil(max(n - window, 0) / stride), but always
+    # at least one chunk for non-empty docs
+    last_start = F.greatest(n - window, F.lit(0))
+    n_chunks = F.floor((last_start + stride - 1) / stride).cast("int") + 1
+    ks = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        ks, lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, window))
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("_t"), chunks.alias("_c"))
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            F.posexplode("_c").alias("chunk_no", "chunk_text"),
+        )
+        .select(
+            id_col, "chunk_no", "chunk_text",
+            F.size(tokens(F.col("chunk_text"))).alias("n_chunk_tokens"),
+        )
+    )
+    return out

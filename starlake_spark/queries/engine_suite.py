@@ -742,9 +742,58 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def star_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup into the exactly-once sink: the source dir
+    carries the SAME events file twice (dup delivery — the at-least-once
+    upstream every real pipeline has), the stream drops duplicate
+    event_ids within a watermark (bounded state — the 100 TB posture:
+    state holds only the watermark window, not history), and the
+    MoR-upsert sink keyed on event_id makes re-delivery across batches
+    idempotent too. Final table == DISTINCT over one copy. Runs on
+    customer-scale events at sf0.001-equivalent volume either way since
+    streaming fixed costs dominate (untimed in bench, like the other
+    streaming demos)."""
+    from starlake_spark.streaming.sink import write_stream
+
+    path = _scratch(sf_dir, "stream_dedup")
+    indir = _scratch(sf_dir, "stream_dedup_in")
+    os.makedirs(indir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(indir, "a.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(indir, "b.parquet"))
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(indir)
+    for f in raw_schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+
+    empty = ld(spark, sf_dir, "events").limit(0)
+    create_table(spark, empty, path, hash_partitions=["event_id"],
+                 hash_bucket_num=4)
+    ckpt = path + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = write_stream(deduped, path, query_id="suite_dedup", output_mode="update",
+                     checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+    t = StarTable.for_path(spark, path)
+    return (t.to_df().select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id"))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY event_id
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
+    "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
     "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),

@@ -948,6 +948,190 @@ FROM c ORDER BY source, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# chunking, PII scrubbing, mixture sampling, quantization
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
+
+def docs_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking (tx.chunk_sliding): overlapping
+    CHUNK_WINDOW-token windows every CHUNK_STRIDE tokens — the RAG /
+    context-window layout pass. Chunk text is fingerprinted (md5) so the
+    oracle pins exact content, not just counts."""
+    d = ld(spark, sf_dir, "documents")
+    out = tx.chunk_sliding(d, "doc_id", "text", CHUNK_WINDOW, CHUNK_STRIDE)
+    return (
+        out.select("doc_id", "chunk_no",
+                   F.md5(F.col("chunk_text")).alias("chunk_fp"),
+                   F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+DOCS_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), spans AS (
+  SELECT doc_id, w,
+    unnest(range(0, CAST(floor((greatest(len(w) - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS chunk_no
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+  md5(array_to_string(w[chunk_no * {CHUNK_STRIDE} + 1 : chunk_no * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')) AS chunk_fp,
+  CAST(len(w[chunk_no * {CHUNK_STRIDE} + 1 : chunk_no * {CHUNK_STRIDE} + {CHUNK_WINDOW}]) AS BIGINT) AS n_chunk_tokens
+FROM spans ORDER BY doc_id, chunk_no
+"""
+
+
+def docs_pii_scrub(spark, sf_dir):
+    """PII redaction (tx.pii_scrub): emails/phones/IPv4 → typed
+    placeholders, plus per-category counts. The synthetic corpus has no
+    natural PII, so every doc_id % 7 == 0 document gets a deterministic
+    contact block appended IN BOTH ENGINES — the scrub then has real
+    matches to find, and the md5 of the scrubbed text pins the exact
+    replacement behavior. Patterns restricted to Java∩RE2 syntax so
+    duckdb reproduces the scrub byte-for-byte."""
+    d = ld(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = tx.pii_counts(text)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(tx.pii_scrub(text)).alias("scrubbed_fp"),
+            counts["email"].cast("long").alias("n_email"),
+            counts["phone"].cast("long").alias("n_phone"),
+            counts["ipv4"].cast("long").alias("n_ip"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_sql() -> str:
+    email, phone, ipv4 = (p for _n, p, _r in tx.PII_PATTERNS)
+    # duckdb single-quoted literals keep backslashes as-is: only quotes
+    # need escaping, doubling backslashes would corrupt the regex
+    e, p, i = (x.replace("'", "''") for x in (email, phone, ipv4))
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-123-4567 from 10.0.0.'
+              || CAST(doc_id % 200 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, text, t1, regexp_replace(t1, '{p}', '<PHONE>', 'g') AS t2 FROM s
+)
+SELECT doc_id,
+  md5(regexp_replace(t2, '{i}', '<IP>', 'g')) AS scrubbed_fp,
+  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, '{p}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t2, '{i}')) AS BIGINT) AS n_ip
+FROM s2 ORDER BY doc_id
+"""
+
+
+DOCS_PII_SQL = _pii_sql()
+
+MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1,
+                   "src4": 0.1, "src5": 0.05, "src6": 0.03, "src7": 0.02}
+
+
+def docs_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (cu.mixture_sample): downsample per
+    source toward MIXTURE_WEIGHTS without upsampling, rows selected by
+    the cross-engine md5 Bernoulli — fully deterministic, so the oracle
+    recomputes the exact kept set."""
+    d = ld(spark, sf_dir, "documents")
+    out = cu.mixture_sample(d, "source", MIXTURE_WEIGHTS, "doc_id")
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+def _mixture_sql() -> str:
+    w_rows = ", ".join(f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS.items()))
+    return f"""
+WITH wts(source, w) AS (VALUES {w_rows}),
+counts AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source
+), kk AS (
+  SELECT MIN(n / w) AS k FROM counts JOIN wts USING (source)
+), rates AS (
+  SELECT source, least(1.0, w * k / n) AS rate
+  FROM counts JOIN wts USING (source) CROSS JOIN kk
+)
+SELECT doc_id, source, lang
+FROM documents d JOIN rates USING (source)
+WHERE rate >= 1.0
+   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0'))
+ORDER BY doc_id
+"""
+
+
+DOCS_MIXTURE_SQL = _mixture_sql()
+
+
+def embeddings_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (sim.quantize_int8): the
+    4× storage cut for a 100 TB vector lake. The oracle recomputes
+    scale, the quantized checksum (sum + L1 of q), and pins the
+    reconstruction-error bound |x - q·scale| <= scale/2 as a boolean."""
+    e = ld(spark, sf_dir, "embeddings")
+    qs = sim.quantize_int8(F.col("embedding"))
+    deq = sim.dequantize(F.col("_qs"))
+    err = F.zip_with(F.col("embedding").cast("array<double>"), deq,
+                     lambda x, y: F.abs(x - y))
+    return (
+        e.select("vec_id", F.col("embedding"), qs.alias("_qs"))
+        .select(
+            "vec_id",
+            F.round(F.col("_qs")["scale"], 6).alias("scale"),
+            F.aggregate(F.col("_qs")["q"], F.lit(0).cast("long"),
+                        lambda a, x: a + x).alias("q_sum"),
+            F.aggregate(F.col("_qs")["q"], F.lit(0).cast("long"),
+                        lambda a, x: a + F.abs(x)).alias("q_l1"),
+            (F.array_max(err) <= F.col("_qs")["scale"] * 0.5000001 + F.lit(1e-12))
+            .alias("err_bounded"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve FROM embeddings
+), s AS (
+  SELECT vec_id, ve, list_max([abs(x) FOR x IN ve]) / 127.0 AS scale FROM v
+), q AS (
+  SELECT vec_id, scale,
+    CASE WHEN scale > 0 THEN [CAST(floor(x / scale + 0.5) AS BIGINT) FOR x IN ve]
+         ELSE [CAST(0 AS BIGINT) FOR x IN ve] END AS qv
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+  CAST(list_reduce([abs(x) FOR x IN qv], (a, b) -> a + b) AS BIGINT) AS q_l1,
+  TRUE AS err_bounded
+FROM q ORDER BY vec_id
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -972,4 +1156,8 @@ LLM_QUERIES = {
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
+    "docs_chunk_sliding": (docs_chunk_sliding, DOCS_CHUNK_SQL),
+    "docs_pii_scrub": (docs_pii_scrub, DOCS_PII_SQL),
+    "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SQL),
+    "embeddings_quantize_int8": (embeddings_quantize_int8, EMB_QUANT_SQL),
 }

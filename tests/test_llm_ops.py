@@ -187,3 +187,76 @@ def t_not_index(spark, tmp_path):
     from starlake_spark.table import create_table
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     return create_table(spark, o, str(tmp_path / "plain"))
+
+
+def test_chunk_sliding_covers_all_tokens(spark):
+    from starlake_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens, w=4 s=3
+         (2, "a b"),                                  # shorter than window
+         (3, "   "),                                  # blank: no chunks
+         (4, None)],
+        "doc_id long, text string")
+    out = tx.chunk_sliding(df, "doc_id", "text", window=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_no"]): r["chunk_text"] for r in out.collect()}
+    # doc 1: starts 0,3,6 — last chunk covers token 9
+    assert rows[(1, 0)] == "t0 t1 t2 t3"
+    assert rows[(1, 1)] == "t3 t4 t5 t6"
+    assert rows[(1, 2)] == "t6 t7 t8 t9"
+    assert rows[(2, 0)] == "a b"
+    assert not any(d in (3, 4) for d, _ in rows)
+    # every token of doc 1 appears in some chunk
+    covered = set(" ".join(v for (d, _), v in rows.items() if d == 1).split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from starlake_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or call +1 555-123-4567; host 192.168.0.1 ok")],
+        "id long, text string")
+    counts = tx.pii_counts(F.col("text"))
+    row = df.select(
+        tx.pii_scrub(F.col("text")).alias("s"),
+        counts["email"].alias("ne"), counts["phone"].alias("np"),
+        counts["ipv4"].alias("ni")).collect()[0]
+    assert "<EMAIL>" in row["s"] and "<PHONE>" in row["s"] and "<IP>" in row["s"]
+    assert "@" not in row["s"] and "192.168" not in row["s"]
+    assert (row["ne"], row["np"], row["ni"]) == (1, 1, 1)
+
+
+def test_mixture_sample_hits_target_shares(spark, sf_dir):
+    from starlake_spark.functions import curation as cu
+
+    d = L.ld(spark, sf_dir, "documents")
+    weights = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+    out = cu.mixture_sample(d, "source", weights, "doc_id")
+    got = dict(out.groupBy("source").count().collect())
+    assert set(got) <= set(weights)
+    n = sum(got.values())
+    # binding groups (0.4 shares on equal-sized sources) stay complete;
+    # the 0.2 group halves, within Bernoulli noise on a small fixture
+    assert got["src2"] < got["src0"]
+    share2 = got["src2"] / n
+    assert 0.08 <= share2 <= 0.32
+    # deterministic: second run identical
+    again = dict(cu.mixture_sample(d, "source", weights, "doc_id")
+                 .groupBy("source").count().collect())
+    assert again == got
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
+    from starlake_spark.functions import similarity as sim
+
+    e = L.ld(spark, sf_dir, "embeddings").limit(100)
+    qs = sim.quantize_int8(F.col("embedding"))
+    deq = sim.dequantize(F.col("_q"))
+    err = F.zip_with(F.col("embedding").cast("array<double>"), deq,
+                     lambda x, y: F.abs(x - y))
+    bad = (e.select(F.col("embedding"), qs.alias("_q"))
+           .select((F.array_max(err) > F.col("_q")["scale"] * 0.51).alias("bad"),
+                   F.array_max(F.transform(F.col("_q")["q"], F.abs)).alias("mx"))
+           .filter(F.col("bad") | (F.col("mx") > 127)))
+    assert bad.count() == 0
