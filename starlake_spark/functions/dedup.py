@@ -392,19 +392,21 @@ def connected_components(
                 labels.select(F.col("u").alias("v"), F.col("label").alias("vl")), "v")
             .groupBy("u").agg(F.min("vl").alias("nl"))
         )
+        # carry the previous label through the checkpoint so convergence
+        # detection is a filter on the materialized frame — no extra
+        # old-vs-new join job per round
         new_labels = (
             labels.join(neigh, "u", "left")
-            .select("u", F.least(
-                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"))
+            .select(
+                "u",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+                F.col("label").alias("_prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).limit(1).count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
