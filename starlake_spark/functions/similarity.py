@@ -577,9 +577,12 @@ def ivf_index_topk(
                        _as_double(F.col(vec_col)).alias("_qv"))
     probes = q.select("query_id", "_qv",
                       F.explode(top_cells(F.col("_qv"))).alias("centroid_id"))
-    cells = sorted({r[0] for r in probes.select("centroid_id").distinct().collect()})
+    cells = {int(r[0]) for r in probes.select("centroid_id").distinct().collect()}
+    # python-callable partition filter: prunes at the manifest with zero
+    # Spark jobs (the SQL-predicate variant spins up a tiny DataFrame
+    # job per probe — pure fixed cost on the query path)
     cand = index.to_df(
-        partition_filter=f"centroid_id IN ({', '.join(str(c) for c in cells)})"
+        partition_filter=lambda d: int(d["centroid_id"]) in cells
     ).select(F.col(id_col).alias("neighbor_id"),
              F.col(vec_col).alias("_cv"), "centroid_id")
     j = cand.join(F.broadcast(probes), on="centroid_id")

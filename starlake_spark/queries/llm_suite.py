@@ -629,7 +629,9 @@ def ann_ivf_topk(spark, sf_dir):
     t = _ivf_index_table(spark, sf_dir)
     approx = sim.ivf_index_topk(spark, t, q, k=ANN_K, nprobe=4)
     n_all = len(t.store.snapshot().all_files())
-    probed = len(t.to_df(partition_filter="centroid_id IN (0, 1, 2, 3)").inputFiles())
+    probed = len(t.to_df(
+        partition_filter=lambda d: int(d["centroid_id"]) in {0, 1, 2, 3}
+    ).inputFiles())
     assert probed < n_all, "cell probe must partition-prune"
     exact = sim.brute_force_topk(_planted_embeddings(e, q), q, k=ANN_K,
                                  id_col="vec_id", vec_col="embedding")
