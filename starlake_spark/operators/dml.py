@@ -256,7 +256,8 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             merge_operators: dict | None = None,
             partition: str | None = None,
             sort_columns: list[str] | None = None,
-            target_files: int | None = None) -> None:
+            target_files: int | None = None,
+            cluster_mode: str = "linear") -> None:
     """Collapse base+delta files into fresh base files, per partition
     (CompactionCommand.scala:38-185). Trigger when forced or
     delta_file_num >= 5 (StarLakeSQLConf.scala:41-45). Invariant
@@ -308,7 +309,8 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
     txn.commit_type = "compact"
     files = writer.write_files(spark, merged, info, txn, is_base=True,
                                sort_columns=sort_columns,
-                               target_files=target_files)
+                               target_files=target_files,
+                               cluster_mode=cluster_mode)
     for rv in targets:
         txn.expire_partition(rv)
     txn.add_files(files)

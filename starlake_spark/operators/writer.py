@@ -183,6 +183,57 @@ def _range_value_of(file_path: str, base_dir: str, range_cols: list[str]) -> str
     return ",".join(f"{c}={decoded[c]}" for c in range_cols if c in decoded)
 
 
+def zorder_value(df: DataFrame, cols: list[str]) -> "F.Column":
+    """Morton (Z-order) key over ``cols``: each column scales to a
+    k-bit rank against its commit-wide min/max (one tiny agg job —
+    driver-resident model state, like the centroid matrices), then the
+    per-column bits interleave into one long. Sorting by this key gives
+    every output file a tight bounding box in EVERY clustered dimension,
+    so footer-stats skipping fires for predicates on any of them — the
+    multi-column upgrade over linear sort, which only bounds the prefix
+    column. Strings fall back to a 16-bit hash (no locality — same
+    trade Delta's OPTIMIZE makes); dates/timestamps cluster on epoch.
+    Bit budget caps at 62/k so the key stays positive."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"zorder column '{c}' not in data")
+    k = len(cols)
+    bits = min(16, 62 // k)
+
+    def _as_num(c):
+        if isinstance(types[c], T.DateType):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    numeric = [c for c in cols if not isinstance(types[c], T.StringType)]
+    row = {}
+    if numeric:
+        aggs = []
+        for c in numeric:
+            aggs += [F.min(_as_num(c)).alias(f"mn_{c}"),
+                     F.max(_as_num(c)).alias(f"mx_{c}")]
+        row = df.agg(*aggs).collect()[0].asDict()
+
+    z = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        if isinstance(types[c], T.StringType):
+            s = (F.abs(F.xxhash64(F.col(c))) % (1 << bits)).cast("long")
+        else:
+            mn, mx = row.get(f"mn_{c}"), row.get(f"mx_{c}")
+            if mn is None or mx is None or mx == mn:
+                s = F.lit(0).cast("long")
+            else:
+                scaled = (_as_num(c) - F.lit(float(mn))) / F.lit(float(mx - mn)) * top
+                s = F.least(F.lit(top).cast("long"),
+                            F.coalesce(F.floor(scaled), F.lit(0)).cast("long"))
+        for i in range(bits):
+            bit = F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 def write_files(
     spark: SparkSession,
     df: DataFrame,
@@ -192,6 +243,7 @@ def write_files(
     check_invariants: bool = True,
     sort_columns: list[str] | None = None,
     target_files: int | None = None,
+    cluster_mode: str = "linear",
 ) -> list[DataFileInfo]:
     """Write one commit's data files; returns their DataFileInfo rows.
 
@@ -217,8 +269,15 @@ def write_files(
             if c not in df.columns:
                 raise ValueError(f"sort column '{c}' not in data")
         n = target_files or spark.sparkContext.defaultParallelism
-        df = (df.repartitionByRange(n, *[F.col(c) for c in sort_columns])
-                .sortWithinPartitions(*sort_columns))
+        if cluster_mode == "zorder" and len(sort_columns) > 1:
+            zv = zorder_value(df, sort_columns)
+            df = (df.withColumn("_star_zv", zv)
+                    .repartitionByRange(n, F.col("_star_zv"))
+                    .sortWithinPartitions("_star_zv")
+                    .drop("_star_zv"))
+        else:
+            df = (df.repartitionByRange(n, *[F.col(c) for c in sort_columns])
+                    .sortWithinPartitions(*sort_columns))
     elif info.hash_cols:
         # Bucketed layout: stable bucket assignment + in-file key sort
         # (TransactionalWrite.scala:125-129,183-211).

@@ -273,7 +273,9 @@ class StarSession:
         if m and self._known(m["name"]):
             cols = ([c.strip().strip("`") for c in m["cols"].split(",") if c.strip()]
                     if m["cols"] else None)
-            self.table(m["name"]).compaction(force=True, sort_columns=cols)
+            mode = "zorder" if cols and len(cols) > 1 else "linear"
+            self.table(m["name"]).compaction(force=True, sort_columns=cols,
+                                             cluster_mode=mode)
             return self._empty_df()
 
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"

@@ -110,13 +110,19 @@ class StarTable:
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
                    partition: str | None = None,
                    sort_columns: list[str] | None = None,
-                   target_files: int | None = None) -> "StarTable":
+                   target_files: int | None = None,
+                   cluster_mode: str = "linear") -> "StarTable":
         """``sort_columns`` = OPTIMIZE-style clustered rewrite so
         footer-stats skipping (to_df(where=...)) gets tight per-file
-        bounds; non-hash tables only."""
+        bounds; non-hash tables only. ``cluster_mode="zorder"`` (with
+        2+ sort columns) interleaves the columns' bits into a Morton
+        key so every file gets a tight bounding box in EVERY clustered
+        dimension — predicates on any single clustered column skip
+        files, where the linear sort only bounds the prefix column."""
         dml.compact(self.spark, self.store, force=force,
                     merge_operators=merge_operators, partition=partition,
-                    sort_columns=sort_columns, target_files=target_files)
+                    sort_columns=sort_columns, target_files=target_files,
+                    cluster_mode=cluster_mode)
         return self
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:

@@ -153,3 +153,59 @@ def test_clustered_compaction_on_range_table(spark, orders, tmp_path):
     urgent = [f for f in files if "1-URGENT" in f.range_value]
     assert len(df.inputFiles()) < len(urgent) or len(urgent) == 1
     assert df.count() == orders.filter(pred).count()
+
+
+def test_zorder_compaction_skips_on_every_clustered_dimension(spark, tmp_path):
+    """Z-order clustering (compaction(cluster_mode='zorder')): a
+    predicate on the NON-prefix clustered column must skip files, which
+    the linear sort provably cannot (its files span the full range of
+    every column after the first)."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import StarTable, create_table
+
+    # 64x64 grid: a and b independent uniform — worst case for linear
+    grid = spark.range(4096).select(
+        F.col("id"), (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"))
+
+    lin = create_table(spark, grid, str(tmp_path / "lin"))
+    lin.compaction(force=True, sort_columns=["a", "b"], target_files=16)
+    zod = create_table(spark, grid, str(tmp_path / "zod"))
+    zod.compaction(force=True, sort_columns=["a", "b"], target_files=16,
+                   cluster_mode="zorder")
+
+    n_lin = len(lin.to_df().inputFiles())
+    n_zod = len(zod.to_df().inputFiles())
+    assert n_zod >= 8  # clustering really split the data
+
+    # predicate on b (non-prefix): zorder skips, linear cannot
+    lin_read = len(lin.to_df(where="b = 7").inputFiles())
+    zod_read = len(zod.to_df(where="b = 7").inputFiles())
+    assert lin_read == n_lin, "linear sort should not skip on the non-prefix column"
+    assert zod_read < n_zod / 2, f"zorder should skip most files ({zod_read}/{n_zod})"
+
+    # predicate on a (prefix): both skip
+    assert len(zod.to_df(where="a = 3").inputFiles()) < n_zod / 2
+    assert len(lin.to_df(where="a = 3").inputFiles()) < n_lin / 2
+
+    # results identical either way
+    assert zod.to_df(where="b = 7").count() == 64
+    assert lin.to_df(where="b = 7").count() == 64
+    assert sorted(r["id"] for r in zod.to_df(where="a = 3 AND b = 7").collect()) == [451]
+
+
+def test_sql_optimize_zorder_routes_to_zorder(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from starlake_spark.sql import StarSession
+    from starlake_spark.table import create_table
+
+    grid = spark.range(4096).select(
+        F.col("id"), (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"))
+    create_table(spark, grid, str(tmp_path / "t"), short_name="zot")
+    ss = StarSession(spark)
+    ss.sql("OPTIMIZE zot ZORDER BY (a, b)")
+    t = ss.table("zot")
+    n = len(t.to_df().inputFiles())
+    assert len(t.to_df(where="b = 9").inputFiles()) < n
+    t.drop_table()
