@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field, asdict
@@ -277,14 +278,26 @@ class ManifestStore:
     def _version_path(self, v: int) -> str:
         return os.path.join(self.versions_dir, f"v{v:012d}.json")
 
-    def latest_version(self) -> int:
+    # strictly committed manifests only: _atomic_write's in-flight temp
+    # files (v....json.tmp.<hex>) live in the same dir and also start
+    # with "v" — matching them would let a reader observe a version
+    # number before its rename lands (a real race under concurrent
+    # writers)
+    _VERSION_RE = re.compile(r"^v(\d{12})\.json$")
+
+    def _version_numbers(self) -> list[int]:
         try:
-            names = [n for n in os.listdir(self.versions_dir) if n.startswith("v")]
+            names = os.listdir(self.versions_dir)
         except FileNotFoundError:
             raise TableNotFoundError(f"not a star table: {self.table_path}")
-        if not names:
+        return [int(m.group(1)) for n in names
+                if (m := self._VERSION_RE.match(n))]
+
+    def latest_version(self) -> int:
+        versions = self._version_numbers()
+        if not versions:
             raise MetaError("no committed versions")
-        return max(int(n[1:13]) for n in names)
+        return max(versions)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
@@ -295,9 +308,7 @@ class ManifestStore:
             return Snapshot.from_state(json.load(f))
 
     def list_versions(self) -> list[int]:
-        return sorted(
-            int(n[1:13]) for n in os.listdir(self.versions_dir) if n.startswith("v")
-        )
+        return sorted(self._version_numbers())
 
     # ---------- commit protocol ----------
 
@@ -345,6 +356,19 @@ class ManifestStore:
                     if p not in live:
                         raise CommitConflictError(
                             f"file {p} expired by a concurrent commit"
+                        )
+                # A full-partition expire (compaction / partition rewrite)
+                # blanks whatever the partition holds AT COMMIT TIME — if
+                # a concurrent commit touched the partition since our read
+                # snapshot, committing would silently drop its files
+                # (MetaCommit.scala:700-712 partition-version conflict).
+                for rv in txn.expire_partitions:
+                    cur_ps = current.partitions.get(rv)
+                    if cur_ps and cur_ps.last_update_version > txn.read_snapshot.version:
+                        raise CommitConflictError(
+                            f"partition '{rv}' changed by a concurrent commit "
+                            f"(v{cur_ps.last_update_version} > read "
+                            f"v{txn.read_snapshot.version}); retry the rewrite"
                         )
             new_version = current.version + 1
             partitions = {

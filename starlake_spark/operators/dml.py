@@ -87,7 +87,13 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
         # hundreds of delta commits plans hundreds of union arms.
         # Opt out per table with compaction.auto=false.
         if info.configuration.get("compaction.auto", "true") == "true":
-            compact(spark, store, force=False)
+            from starlake_spark.meta import CommitConflictError
+            try:
+                compact(spark, store, force=False)
+            except CommitConflictError:
+                # maintenance, not the user's write: a persistently-hot
+                # partition just compacts on a later upsert instead
+                pass
         return
 
     keys = info.range_cols + info.hash_cols
@@ -258,6 +264,32 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             sort_columns: list[str] | None = None,
             target_files: int | None = None,
             cluster_mode: str = "linear") -> None:
+    """Retry wrapper over one compaction attempt: a concurrent writer
+    landing between our read snapshot and commit surfaces as
+    CommitConflictError (partition-version check in meta.commit) — the
+    rewrite is stale, so rebuild it from a fresh snapshot and try again
+    (MetaCommit.scala retry discipline)."""
+    from starlake_spark.meta import CommitConflictError
+
+    for attempt in range(3):
+        try:
+            return _compact_once(spark, store, force=force,
+                                 merge_operators=merge_operators,
+                                 partition=partition,
+                                 sort_columns=sort_columns,
+                                 target_files=target_files,
+                                 cluster_mode=cluster_mode)
+        except CommitConflictError:
+            if attempt == 2:
+                raise
+
+
+def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
+                  merge_operators: dict | None = None,
+                  partition: str | None = None,
+                  sort_columns: list[str] | None = None,
+                  target_files: int | None = None,
+                  cluster_mode: str = "linear") -> None:
     """Collapse base+delta files into fresh base files, per partition
     (CompactionCommand.scala:38-185). Trigger when forced or
     delta_file_num >= 5 (StarLakeSQLConf.scala:41-45). Invariant

@@ -98,3 +98,85 @@ def test_dml_churn_matches_model(spark, tmp_path, seed):
         got = {r["k"]: {"v": r["v"], "tag": r["tag"]}
                for r in t.to_df().collect()}
         assert got == model, f"seed={seed} diverged after op {i} ({op})"
+
+def test_partition_expire_conflict_detected(spark, sf_dir, tmp_table_dir):
+    """A compaction-style transaction built against snapshot v must NOT
+    commit after a concurrent upsert touched the partition: the blanket
+    expire_partition would silently drop the new delta files (the
+    MetaCommit partition-version conflict). The conflict must raise, and
+    a fresh compaction must retry cleanly keeping all rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starlake_spark.meta import CommitConflictError
+    from starlake_spark.operators import writer
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2,
+                     configuration={"compaction.auto": "false"})
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(1.0)))
+
+    # stale compaction: read snapshot now, but commit only after a
+    # concurrent upsert lands
+    store = t.store
+    info = store.table_info()
+    stale_txn = store.new_transaction()
+    stale_txn.commit_type = "compact"
+    merged = t.to_df()
+    files = writer.write_files(spark, merged, info, stale_txn, is_base=True)
+    stale_txn.add_files(files)
+    for rv in stale_txn.read_snapshot.partitions:
+        stale_txn.expire_partition(rv)
+
+    t.upsert(orders.limit(3).withColumn("o_totalprice", F.lit(2.0)))
+
+    with pytest.raises(CommitConflictError, match="concurrent"):
+        store.commit(stale_txn)
+
+    # the concurrent upsert's rows survived, and a fresh compaction works
+    assert t.to_df().filter(F.col("o_totalprice") == 2.0).count() == 3
+    t.compaction(force=True)
+    assert t.to_df().filter(F.col("o_totalprice") == 2.0).count() == 3
+    assert t.to_df().count() == orders.count()
+
+
+def test_concurrent_upserts_with_auto_compaction(spark, sf_dir, tmp_table_dir):
+    """Threaded upserts with the auto-compaction trigger active: every
+    writer's final value must survive (last-wins per key by commit
+    version) and no rows may be lost to compaction races."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    keys = [r[0] for r in orders.limit(40).select("o_orderkey").collect()]
+    errs = []
+
+    def writer_thread(i):
+        try:
+            mine = orders.filter(F.col("o_orderkey").isin(keys[i * 5:(i + 1) * 5])) \
+                         .withColumn("o_totalprice", F.lit(100.0 + i))
+            for _ in range(3):
+                t.upsert(mine)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer_thread, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    final = t.to_df()
+    assert final.count() == orders.count()
+    for i in range(8):
+        got = final.filter(F.col("o_orderkey").isin(keys[i * 5:(i + 1) * 5]))
+        vals = {r[0] for r in got.select("o_totalprice").collect()}
+        assert vals == {100.0 + i}, f"writer {i}: {vals}"
