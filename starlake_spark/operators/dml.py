@@ -117,6 +117,91 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
     _rewrite_all(spark, store, info, result)
 
 
+def merge_into(
+    spark: SparkSession,
+    store: ManifestStore,
+    source: DataFrame,
+    condition: str,
+    matched_update: dict | str | None = None,
+    matched_delete: bool = False,
+    not_matched_insert: dict | str | None = None,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> None:
+    """ANSI-style MERGE INTO (beyond the reference, whose surface stops
+    at upsert): arbitrary ON condition, WHEN MATCHED THEN UPDATE SET /
+    DELETE, WHEN NOT MATCHED THEN INSERT.
+
+    Semantics are the standard ones: target rows with a source match
+    are updated (or deleted), unmatched source rows are inserted,
+    unmatched target rows pass through; a target row matching MORE THAN
+    ONE source row is an error (nondeterministic update — the Delta/SQL
+    standard rule, enforced with one cheap duplicate probe).
+
+    ``matched_update`` / ``not_matched_insert``: "*" = take source
+    columns by name; or {column: sql_expr} where expressions may
+    reference both aliases (default ``t``/``s``).
+
+    Execution is one full-outer join + projection + CoW rewrite — the
+    same shape as the CoW upsert path. At scale prefer ``upsert`` for
+    pure key-equality merges (delta commit, O(source) write); MERGE is
+    the general tool where the condition or actions don't fit MoR.
+    """
+    if matched_update is None and not matched_delete and not_matched_insert is None:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    info = maybe_merge_schema(source, store) if not_matched_insert else store.table_info()
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    src_cols = set(source.columns)
+
+    target = (reader.scan(spark, store)
+              .withColumn("_t_rid", F.monotonically_increasing_id())
+              .alias(target_alias))
+    src = source.withColumn("_s_mark", F.lit(1)).alias(source_alias)
+    joined = target.join(src, F.expr(condition), "full_outer")
+    matched = F.col("_t_rid").isNotNull() & F.col("_s_mark").isNotNull()
+    s_only = F.col("_t_rid").isNull()
+
+    dup = (joined.filter(matched).groupBy("_t_rid")
+           .agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+           .limit(1).count())
+    if dup:
+        raise ValueError(
+            "MERGE: a target row matched multiple source rows — "
+            "nondeterministic update (refine the ON condition)")
+
+    def _tcol(c):
+        return F.col(f"{target_alias}.{c}")
+
+    def _scol(c):
+        return F.col(f"{source_alias}.{c}")
+
+    keep = F.lit(True)
+    if matched_delete:
+        keep = keep & ~matched
+    if not_matched_insert is None:
+        keep = keep & ~s_only
+
+    out_cols = []
+    for f in schema.fields:
+        c = f.name
+        t_val = _tcol(c)
+        upd = t_val
+        if matched_update == "*":
+            upd = _scol(c) if c in src_cols else t_val
+        elif isinstance(matched_update, dict) and c in matched_update:
+            upd = F.expr(matched_update[c])
+        ins = F.lit(None)
+        if not_matched_insert == "*":
+            ins = _scol(c) if c in src_cols else F.lit(None)
+        elif isinstance(not_matched_insert, dict):
+            ins = F.expr(not_matched_insert[c]) if c in not_matched_insert else F.lit(None)
+        out_cols.append(
+            F.when(s_only, ins).when(matched, upd).otherwise(t_val)
+            .cast(f.dataType).alias(c))
+    result = joined.filter(keep).select(*out_cols)
+    _rewrite_all(spark, store, info, result)
+
+
 def _rewrite_all(spark: SparkSession, store: ManifestStore, info: TableInfo,
                  df: DataFrame) -> None:
     txn = store.new_transaction()

@@ -790,10 +790,68 @@ FROM events ORDER BY event_id
 """
 
 
+def star_merge_into(spark, sf_dir):
+    """ANSI MERGE INTO (dml.merge_into — beyond the reference's SQL
+    surface): one statement updates matched keys (status flag + doubled
+    price via s-alias expressions) AND inserts unmatched source rows
+    (INSERT *). Executed through the SQL router; result pinned against
+    the equivalent CASE/UNION oracle."""
+    from starlake_spark.sql import StarSession
+
+    from starlake_spark import catalog as _catalog
+
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "merge_into")
+    try:  # the scratch path varies per sf_dir; drop any stale mapping
+        _catalog.unregister("merge_demo")
+    except Exception:
+        pass
+    create_table(spark, o, path, short_name="merge_demo")
+    src = (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+         .unionByName(
+             o.filter(F.col("o_orderkey") % 77 == 0)
+              .withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000))
+    )
+    src.createOrReplaceTempView("merge_demo_src")
+    ss = StarSession(spark)
+    ss.sql("""
+        MERGE INTO merge_demo t USING merge_demo_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice,
+                                     o_orderstatus = 'M'
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    t = ss.table("merge_demo")
+    out = (t.to_df()
+           .select("o_orderkey", "o_orderstatus",
+                   F.col("o_totalprice").cast("double").alias("o_totalprice"))
+           .orderBy("o_orderkey"))
+    return out
+
+
+MERGE_INTO_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 50 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), ins AS (
+  SELECT o_orderkey + 5000000 AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 77 = 0
+)
+SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+ORDER BY o_orderkey
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
     "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
+    "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),
     "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),

@@ -954,6 +954,69 @@ FROM c ORDER BY source, doc_id
 # chunking, PII scrubbing, mixture sampling, quantization
 # ---------------------------------------------------------------------------
 
+def docs_canonical_pick(spark, sf_dir):
+    """Cluster-canonical selection — the step real dedup pipelines run
+    AFTER near-dup clustering: within each connected component of the
+    Jaccard graph keep the best document (longest text, ties to the
+    smallest doc_id) instead of blindly keeping the smallest id.
+    Composition of ngram_jaccard_pairs → connected_components → one
+    per-component window; singletons are their own component. Output
+    pins the full clustering AND the canonical choice per doc."""
+    d = ld(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, 0.5)
+    comp = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    base = (
+        d.select("doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"))
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    w = W.partitionBy("component").orderBy(F.col("_len").desc(), F.col("doc_id").asc())
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .select("doc_id", "component", (F.col("_rk") == 1).alias("is_canonical"))
+        .orderBy("doc_id")
+    )
+
+
+DOCS_CANONICAL_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - {SHINGLE_N - 2})])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), prs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs UNION ALL SELECT id_b, id_a FROM prs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+), comp AS (
+  SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
+), base AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         length(COALESCE(d.text, '')) AS _len
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+  ROW_NUMBER() OVER (PARTITION BY component ORDER BY _len DESC, doc_id ASC) = 1 AS is_canonical
+FROM base ORDER BY doc_id
+"""
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
 
 
@@ -1158,6 +1221,7 @@ LLM_QUERIES = {
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
+    "docs_canonical_pick": (docs_canonical_pick, DOCS_CANONICAL_SQL),
     "docs_chunk_sliding": (docs_chunk_sliding, DOCS_CHUNK_SQL),
     "docs_pii_scrub": (docs_pii_scrub, DOCS_PII_SQL),
     "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SQL),

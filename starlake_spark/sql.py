@@ -58,6 +58,23 @@ _DELETE_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)(?P<clauses>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_UPDATE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>\*|.+?)(?=\s+WHEN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_MERGE_INSERT_STAR_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE)
+_MERGE_INSERT_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\((?P<cols>[^)]*)\)\s*"
+    r"VALUES\s*\((?P<vals>(?:[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE | re.DOTALL)
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)"
     r"(?P<tail>.*)$",
@@ -158,6 +175,53 @@ class StarSession:
     def _empty_df(self) -> DataFrame:
         return self.spark.createDataFrame([], T.StructType([]))
 
+    def _merge_from_sql(self, m) -> DataFrame:
+        """MERGE INTO t [AS a] USING (src|(<subquery>)) [AS b] ON cond
+        WHEN MATCHED THEN UPDATE SET */c=expr,... | DELETE
+        WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)
+        → StarTable.merge (dml.merge_into). Beyond the reference's SQL
+        surface (its catalog stops at upsert)."""
+        talias = m["talias"] or "t"
+        salias = m["salias"] or "s"
+        src_text = m["src"].strip()
+        self._sync_views()
+        if src_text.startswith("("):
+            source = self.spark.sql(src_text[1:-1])
+        else:
+            source = self.spark.table(src_text)
+
+        clauses = m["clauses"]
+        matched_update = None
+        mu = _MERGE_UPDATE_RE.search(clauses)
+        if mu:
+            sets = mu["sets"].strip()
+            if sets == "*":
+                matched_update = "*"
+            else:
+                matched_update = {}
+                for part in _split_top_level(sets):
+                    col, _, expr = part.partition("=")
+                    matched_update[col.strip().strip("`")] = expr.strip()
+        matched_delete = bool(_MERGE_DELETE_RE.search(clauses))
+        not_matched_insert = None
+        if _MERGE_INSERT_STAR_RE.search(clauses):
+            not_matched_insert = "*"
+        else:
+            mi = _MERGE_INSERT_RE.search(clauses)
+            if mi:
+                cols = [c.strip().strip("`") for c in _split_top_level(mi["cols"])]
+                vals = _split_top_level(mi["vals"])
+                if len(cols) != len(vals):
+                    raise ValueError("MERGE INSERT: column/value count mismatch")
+                not_matched_insert = dict(zip(cols, (v.strip() for v in vals)))
+        self.table(m["target"]).merge(
+            source, m["on"].strip(),
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+            target_alias=talias, source_alias=salias)
+        return self._empty_df()
+
     def _run_command(self, text: str) -> DataFrame | None:
         """Dispatch star DDL/DML text; None = not a command (fall through
         to the SELECT path). DML on names not registered as star tables is
@@ -183,6 +247,10 @@ class StarSession:
             self._sync_views()
             t.delete(F.expr(m["where"]) if m["where"] else None)
             return self._empty_df()
+
+        m = _MERGE_RE.match(text)
+        if m and self._known(m["target"]):
+            return self._merge_from_sql(m)
 
         m = _DROP_RE.match(text)
         if m and self._known(m["name"]):

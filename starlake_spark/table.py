@@ -103,6 +103,21 @@ class StarTable:
         dml.update(self.spark, self.store, condition, set_exprs)
         return self
 
+    def merge(self, source: DataFrame, condition: str,
+              matched_update: dict | str | None = None,
+              matched_delete: bool = False,
+              not_matched_insert: dict | str | None = None,
+              target_alias: str = "t", source_alias: str = "s") -> "StarTable":
+        """ANSI MERGE INTO — see dml.merge_into. ``"*"`` takes source
+        columns by name; dict values are SQL expressions over both
+        aliases (default t/s)."""
+        dml.merge_into(self.spark, self.store, source, condition,
+                       matched_update=matched_update,
+                       matched_delete=matched_delete,
+                       not_matched_insert=not_matched_insert,
+                       target_alias=target_alias, source_alias=source_alias)
+        return self
+
     def delete(self, condition=None) -> "StarTable":
         dml.delete(self.spark, self.store, condition)
         return self

@@ -180,3 +180,63 @@ def test_optimize_zorder_sql(spark, sess, sf_dir, tmp_path):
     # plain OPTIMIZE (no ZORDER) still legal on a deltaless table: noop-ish
     sess.sql("OPTIMIZE orders_z")
     assert t.to_df().count() == orders.count()
+
+
+def test_merge_into_api(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, tag string, val double")
+    t = create_table(spark, base, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id long, tag string, val double")
+
+    t.merge(src, "t.id = s.id",
+            matched_update={"val": "s.val", "tag": "upper(t.tag)"},
+            not_matched_insert="*")
+    got = {r["id"]: (r["tag"], r["val"]) for r in t.to_df().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # matched delete
+    t.merge(spark.createDataFrame([(1,)], "id long"), "t.id = s.id",
+            matched_delete=True)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [2, 3, 4]
+
+    # multi-match must error
+    dup = spark.createDataFrame([(2, 1.0), (2, 2.0)], "id long, val double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        t.merge(dup, "t.id = s.id", matched_update={"val": "s.val"})
+
+
+def test_merge_into_sql(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+    from starlake_spark.table import create_table
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, tag string, val double")
+    create_table(spark, base, str(tmp_path / "t"), short_name="mrg_t")
+    spark.createDataFrame(
+        [(2, "B", 200.0), (5, "e", 50.0)], "id long, tag string, val double"
+    ).createOrReplaceTempView("mrg_src")
+
+    ss = StarSession(spark)
+    ss.sql("""
+        MERGE INTO mrg_t AS t USING mrg_src AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val + 1, tag = s.tag
+        WHEN NOT MATCHED THEN INSERT (id, tag, val) VALUES (s.id, s.tag, s.val * 2)
+    """)
+    got = {r["id"]: (r["tag"], r["val"]) for r in ss.table("mrg_t").to_df().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 201.0), 5: ("e", 100.0)}
+
+    # subquery source + INSERT * + DELETE
+    ss.sql("""
+        MERGE INTO mrg_t t USING (SELECT 1 AS id, 'x' AS tag, 0.0 AS val) s
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE
+    """)
+    assert sorted(r["id"] for r in ss.table("mrg_t").to_df().collect()) == [2, 5]
+    ss.table("mrg_t").drop_table()
