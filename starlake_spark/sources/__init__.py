@@ -1,3 +1,8 @@
-from starlake_spark.sources.datasource import StarDataSource, read_star, register
+from starlake_spark.sources.datasource import (
+    StarDataSource,
+    read_star,
+    register,
+    table_changes,
+)
 
-__all__ = ["StarDataSource", "read_star", "register"]
+__all__ = ["StarDataSource", "read_star", "register", "table_changes"]

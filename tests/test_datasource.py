@@ -264,3 +264,35 @@ def test_read_star_refuses_mor_deltas(spark, orders, tmp_path):
     t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(0.0)))
     with pytest.raises(Exception, match="to_df|delta"):
         sources.read_star(spark, str(tmp_path / "t"))
+
+
+def test_table_changes_batch_cdf(spark, orders, tmp_path):
+    """Batch change feed matches the streaming source's semantics:
+    (start, end] additions only, compaction rewrites suppressed,
+    _commit_version tagged per row."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n = orders.count()
+    t.upsert(orders.limit(20).withColumn("o_totalprice", F.lit(1.0)))   # v2
+    t.compaction(force=True)                                            # v3
+    t.upsert(orders.limit(5).withColumn("o_orderstatus", F.lit("Z")))   # v4
+
+    all_changes = sources.table_changes(spark, path)
+    by_v = dict(all_changes.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 20, 4: 5}
+
+    tail = sources.table_changes(spark, path, start_version=2)
+    assert dict(tail.groupBy("_commit_version").count().collect()) == {4: 5}
+
+    window = sources.table_changes(spark, path, start_version=1, end_version=2)
+    assert dict(window.groupBy("_commit_version").count().collect()) == {2: 20}
+
+    # empty window -> empty frame with the right schema
+    none = sources.table_changes(spark, path, start_version=4)
+    assert none.count() == 0
+    assert "_commit_version" in none.columns
+
+    # JVM plan (no python data source node)
+    plan = all_changes._jdf.queryExecution().executedPlan().toString()
+    assert "PythonDataSource" not in plan and "FileScan parquet" in plan
