@@ -209,3 +209,31 @@ def mixture_sample(
         .filter(_hash_uniform_keep(F.col(id_col), F.col("_rate")))
         .drop("_rate")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    ratios: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5-prefix
+    uniform (salted, so different splits of the same corpus are
+    independent) lands in one of the ``ratios`` bands, in sorted split
+    name order. Pure projection — no shuffle, stable across runs,
+    engines, and corpus growth (a doc keeps its split when new docs
+    arrive — the property random splits lack)."""
+    total = sum(ratios.values())
+    u8 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8)
+    expr = None
+    acc = 0.0
+    names = sorted(ratios)
+    for name in names[:-1]:
+        acc += ratios[name] / total
+        bound = F.lit(format(int(acc * HASH_SPACE), "08x"))
+        cond = u8 < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -1152,6 +1152,38 @@ ORDER BY doc_id
 DOCS_MIXTURE_SQL = _mixture_sql()
 
 
+SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (cu.split_assign): a
+    salted md5-prefix uniform bands each doc into its split — stable
+    under corpus growth, zero shuffle. The oracle recomputes the exact
+    banding with the same hex bounds."""
+    d = ld(spark, sf_dir, "documents")
+    out = cu.split_assign(d, "doc_id", SPLIT_RATIOS)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def _split_sql() -> str:
+    total = sum(SPLIT_RATIOS.values())
+    names = sorted(SPLIT_RATIOS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_RATIOS[name] / total
+        bound = format(int(acc * (1 << 32)), "08x")
+        cases.append(
+            f"WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{bound}' THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+DOCS_SPLIT_SQL = _split_sql()
+
+
 def embeddings_quantize_int8(spark, sf_dir):
     """Per-vector symmetric int8 quantization (sim.quantize_int8): the
     4× storage cut for a 100 TB vector lake. The oracle recomputes
@@ -1225,5 +1257,6 @@ LLM_QUERIES = {
     "docs_chunk_sliding": (docs_chunk_sliding, DOCS_CHUNK_SQL),
     "docs_pii_scrub": (docs_pii_scrub, DOCS_PII_SQL),
     "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SQL),
+    "docs_split_assign": (docs_split_assign, DOCS_SPLIT_SQL),
     "embeddings_quantize_int8": (embeddings_quantize_int8, EMB_QUANT_SQL),
 }
