@@ -390,6 +390,18 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
     contract). ``target_files`` bounds output files per rewrite.
     """
     info = store.table_info()
+    # Tables whose reads depend on merge operators (rollups, counter
+    # tables) MUST compact with the same operators or the rewrite
+    # last-wins-collapses their partials. The declared default lives in
+    # the table property compaction.merge_operators (JSON col->opname,
+    # set e.g. by create_rollup) so every compaction path — including
+    # the auto-trigger inside upsert() — applies them without the
+    # caller having to know (reference: compaction takes the table's
+    # mergeOperatorInfo the same way, CompactionCommand.scala:70-109).
+    if merge_operators is None:
+        prop = (info.configuration or {}).get("compaction.merge_operators")
+        if prop:
+            merge_operators = json.loads(prop)
     snap = store.snapshot()
     targets = []
     for rv, ps in snap.partitions.items():

@@ -120,6 +120,10 @@ def create_rollup(
             _CFG + "group_cols": json.dumps(group_cols),
             _CFG + "aggs": json.dumps(aggs),
             _CFG + "last_version": str(cur),
+            # EVERY compaction of this table (including the auto-trigger
+            # inside upsert) must merge partials with these operators —
+            # a default last-wins collapse would corrupt the sums
+            "compaction.merge_operators": json.dumps(_merge_ops_for(aggs)),
         })
     return t
 

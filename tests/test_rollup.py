@@ -144,3 +144,43 @@ def test_stream_rollup_matches_batch_twin(spark, events, tmp_path):
 
     with pytest.raises(ValueError, match="stream_rollup"):
         R.refresh_rollup(spark, t)
+
+
+def test_rollup_survives_auto_compaction(spark, sf_dir, tmp_path):
+    """6+ incremental refreshes trip the auto-compaction trigger inside
+    upsert(); the rollup table declares compaction.merge_operators so
+    the triggered rewrite merges partials with sum/min/max instead of
+    last-wins — the final view must equal the from-scratch aggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark.plans import rollup as R
+    from starlake_spark.table import create_table
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    events = events.withColumn(
+        "ts", F.col("ts").cast("timestamp")) if dict(events.dtypes)["ts"] != "bigint" \
+        else events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src_path = str(tmp_path / "src")
+    first = events.filter(F.col("event_id") % 8 == 0)
+    src_t = create_table(spark, first, src_path)
+    roll = R.create_rollup(spark, src_path, str(tmp_path / "roll"),
+                           time_col="ts", bucket="day",
+                           group_cols=["event_type"], aggs={"value": "sum"})
+    assert "compaction.merge_operators" in (roll.info.configuration or {})
+
+    for i in range(1, 8):  # 7 incremental appends -> auto-compact fires
+        src_t.write(events.filter(F.col("event_id") % 8 == i), mode="append")
+        R.refresh_rollup(spark, roll)
+
+    got = (R.read_rollup(spark, roll)
+           .select("bucket_ts", "event_type",
+                   F.round(F.col("value_sum").cast("double"), 6).alias("s"))
+           .orderBy("bucket_ts", "event_type").collect())
+    want = (events.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+                           "event_type")
+            .agg(F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias("s"))
+            .orderBy("bucket_ts", "event_type").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    shutil.rmtree(str(tmp_path / "roll"), ignore_errors=True)
