@@ -277,6 +277,16 @@ def scan(
     """
     info = store.table_info()
     snap = snapshot or store.snapshot(version)
+    # Tables can DECLARE their merge operators (compaction.merge_operators
+    # property, set e.g. by create_rollup): every scan that isn't given
+    # explicit operators then collapses MoR versions with the declared
+    # ones — so update/delete/CoW rewrites and plain to_df() reads see
+    # the same canonical view compaction materializes, instead of
+    # silently last-wins-collapsing partial-aggregate tables.
+    if merge_operators is None:
+        prop = (info.configuration or {}).get("compaction.merge_operators")
+        if prop:
+            merge_operators = json.loads(prop)
     ops = {c: mo.resolve(op) for c, op in (merge_operators or {}).items()}
     if ops and not info.hash_cols:
         raise ValueError("merge operators require a hash-partitioned table "

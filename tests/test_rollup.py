@@ -184,3 +184,40 @@ def test_rollup_survives_auto_compaction(spark, sf_dir, tmp_path):
             .orderBy("bucket_ts", "event_type").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     shutil.rmtree(str(tmp_path / "roll"), ignore_errors=True)
+
+
+def test_declared_merge_ops_apply_to_plain_reads(spark, sf_dir, tmp_path):
+    """to_df() with no explicit operators on a declared-operator table
+    (compaction.merge_operators) must collapse deltas with the declared
+    ops — update/delete/CoW paths read through the same scan, so a
+    last-wins default here would corrupt partial-aggregate tables."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark.plans import rollup as R
+    from starlake_spark.table import create_table
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    if dict(events.dtypes)["ts"] == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src_path = str(tmp_path / "src")
+    src_t = create_table(spark, events.filter(F.col("event_id") % 2 == 0), src_path)
+    roll = R.create_rollup(spark, src_path, str(tmp_path / "roll"),
+                           time_col="ts", bucket="day",
+                           group_cols=["event_type"], aggs={"value": "sum"})
+    src_t.write(events.filter(F.col("event_id") % 2 == 1), mode="append")
+    R.refresh_rollup(spark, roll)  # leaves un-compacted deltas
+
+    plain = {(r[0], r[1]): round(r[2], 6) for r in
+             roll.to_df().select("bucket_ts", "event_type",
+                                 F.col("value_sum").cast("double")).collect()}
+    explicit = {(r[0], r[1]): round(r[2], 6) for r in
+                roll.to_df(merge_operators={"value_sum": "sum", "n_rows": "sum",
+                                            })
+                .select("bucket_ts", "event_type",
+                        F.col("value_sum").cast("double")).collect()}
+    assert plain == explicit
+    shutil.rmtree(str(tmp_path / "roll"), ignore_errors=True)
