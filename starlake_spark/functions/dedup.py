@@ -215,6 +215,27 @@ def _candidates_from_hashes(
     return pairs
 
 
+def minhash_lsh_candidates_shingled(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "_sh",
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """``minhash_lsh_candidates`` over a PRE-SHINGLED frame — pairs with
+    ``ngram_jaccard_pairs_shingled`` when several pipelines share one
+    materialized shingle frame. The trade is real only when the
+    text→shingle scan dominates (wide corpora at scale): materializing
+    shingle string arrays costs ~3× their text, so at small scale the
+    straight-from-text variants measure faster — pick per workload."""
+    with_hs = shingled.select(
+        F.col(id_col),
+        F.transform(F.col(shingle_col), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
+    return _candidates_from_hashes(with_hs, id_col, "_hs", num_hashes, bands, max_bucket)
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -223,6 +244,7 @@ def minhash_dedup(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates → exact Jaccard verify → greedy
     keep-smallest-id (a doc is dropped if it duplicates any smaller id;
@@ -233,14 +255,13 @@ def minhash_dedup(
     feeds both the signature pipeline and the two verify sides — at
     100 TB the text→tokenize→shingle scan is the dominant cost and must
     not run three times. localCheckpoint persists MEMORY_AND_DISK (it
-    spills), the same trade ``ngram_jaccard_pairs`` makes."""
-    sh = df.select(
+    spills), the same trade ``ngram_jaccard_pairs`` makes. Callers that
+    already hold a materialized (id, shingle-array) frame pass it as
+    ``shingled`` and skip the text scan entirely."""
+    sh = shingled if shingled is not None else df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     ).localCheckpoint(eager=True)
-    with_hs = sh.select(
-        F.col(id_col), F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs")
-    )
-    cand = _candidates_from_hashes(with_hs, id_col, "_hs", num_hashes, bands, 1000)
+    cand = minhash_lsh_candidates_shingled(sh, id_col, "_sh", num_hashes, bands)
     verified = verify_jaccard_shingled(sh, cand, id_col, "_sh").filter(
         F.col("jaccard") >= threshold
     )
@@ -306,7 +327,23 @@ def ngram_jaccard_pairs(
     computes it once (MEMORY_AND_DISK, spills at scale) — the same
     trade the iterative CC loop already makes."""
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    return ngram_jaccard_pairs_shingled(sh, id_col, "_sh", threshold)
+
+
+def ngram_jaccard_pairs_shingled(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "_sh",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` over a PRE-SHINGLED frame
+    (id, array<string>) — callers that already materialized shingles
+    (the minhash contract entries share ONE shingle pass between the
+    LSH and exact pipelines) skip the text re-scan."""
+    sh = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("s")
     ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.alias("a")
