@@ -369,10 +369,17 @@ def docs_minhash_dedup(spark, sf_dir):
     them while verify-Jaccard treats them as identical (0/0 := 1)."""
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
+    # ONE shingle pass feeds the LSH pipeline, both verify sides, AND the
+    # exact-Jaccard contract side — the text→tokenize→shingle scan is the
+    # dominant cost of the whole entry and must not run twice.
+    sh = corpus.select(
+        F.col("doc_id"), dd.word_shingles(F.col("text"), SHINGLE_N).alias("_sh")
+    ).localCheckpoint(eager=True)
     kept = dd.minhash_dedup(corpus, "doc_id", "text", threshold=0.5,
-                            num_hashes=64, bands=16, shingle_n=SHINGLE_N)
+                            num_hashes=64, bands=16, shingle_n=SHINGLE_N,
+                            shingled=sh)
     exact_dropped = (
-        dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N, 0.5)
+        dd.ngram_jaccard_pairs_shingled(sh, "doc_id", "_sh", 0.5)
         .select(F.col("id_b").alias("doc_id")).distinct()
     )
     is_planted = F.col("doc_id") >= PLANT_ID
@@ -435,10 +442,14 @@ def docs_minhash_candidates(spark, sf_dir):
     gate pins real similarity numbers."""
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
-    cand = dd.minhash_lsh_candidates(corpus, "doc_id", "text",
-                                     num_hashes=64, bands=16, shingle_n=SHINGLE_N)
-    hi = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N,
-                                MINHASH_CAND_FLOOR)
+    # one shared shingle pass for the LSH candidates and the exact pairs
+    sh = corpus.select(
+        F.col("doc_id"), dd.word_shingles(F.col("text"), SHINGLE_N).alias("_sh")
+    ).localCheckpoint(eager=True)
+    cand = dd.minhash_lsh_candidates_shingled(sh, "doc_id", "_sh",
+                                              num_hashes=64, bands=16)
+    hi = dd.ngram_jaccard_pairs_shingled(sh, "doc_id", "_sh",
+                                         MINHASH_CAND_FLOOR)
     return (
         hi.join(cand.withColumn("_f", F.lit(True)), ["id_a", "id_b"], "left")
         .select(
@@ -493,9 +504,12 @@ def docs_simhash_pairs(spark, sf_dir):
     """
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
+    # both pair frames feed TWO plan branches each (recall numerator +
+    # planted join); checkpoint so the simhash-UDF and the shingle
+    # self-join lineages run once, not per branch
     sh = dd.simhash_near_dupes(corpus, "doc_id", "text",
-                               max_hamming=16, shingle_n=2)
-    nat = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N, 0.8)
+                               max_hamming=16, shingle_n=2).localCheckpoint(eager=True)
+    nat = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N, 0.8).localCheckpoint(eager=True)
     nat_found = nat.join(sh, ["id_a", "id_b"], "left_semi")
     recall = (
         nat.agg(F.count(F.lit(1)).alias("_n"))
