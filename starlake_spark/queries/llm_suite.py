@@ -205,9 +205,21 @@ JACCARD_THRESHOLD = 0.15
 SHINGLE_N = 3
 
 
+def _shingled(df, n=SHINGLE_N):
+    """Checkpointed (doc_id, _sh) shingle frame — the one text scan every
+    jaccard-family entry feeds from. Materializing the compact arrays
+    first measures ~5× faster than letting each consumer re-derive
+    text→tokens→shingles inside its own plan (codegen re-evaluation +
+    multi-branch scans)."""
+    return df.select(
+        F.col("doc_id"), dd.word_shingles(F.col("text"), n).alias("_sh")
+    ).localCheckpoint(eager=True)
+
+
 def docs_ngram_jaccard(spark, sf_dir):
     d = ld(spark, sf_dir, "documents")
-    out = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    out = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh",
+                                          JACCARD_THRESHOLD)
     return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
@@ -245,7 +257,8 @@ def docs_dedup_components(spark, sf_dir):
     oracle computes the same transitive closure with a recursive CTE —
     component = min reachable doc_id."""
     d = ld(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    pairs = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh",
+                                            JACCARD_THRESHOLD)
     return (dd.connected_components(pairs)
             .select("node", "component")
             .orderBy("node"))
@@ -372,9 +385,7 @@ def docs_minhash_dedup(spark, sf_dir):
     # ONE shingle pass feeds the LSH pipeline, both verify sides, AND the
     # exact-Jaccard contract side — the text→tokenize→shingle scan is the
     # dominant cost of the whole entry and must not run twice.
-    sh = corpus.select(
-        F.col("doc_id"), dd.word_shingles(F.col("text"), SHINGLE_N).alias("_sh")
-    ).localCheckpoint(eager=True)
+    sh = _shingled(corpus)
     kept = dd.minhash_dedup(corpus, "doc_id", "text", threshold=0.5,
                             num_hashes=64, bands=16, shingle_n=SHINGLE_N,
                             shingled=sh)
@@ -443,9 +454,7 @@ def docs_minhash_candidates(spark, sf_dir):
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
     # one shared shingle pass for the LSH candidates and the exact pairs
-    sh = corpus.select(
-        F.col("doc_id"), dd.word_shingles(F.col("text"), SHINGLE_N).alias("_sh")
-    ).localCheckpoint(eager=True)
+    sh = _shingled(corpus)
     cand = dd.minhash_lsh_candidates_shingled(sh, "doc_id", "_sh",
                                               num_hashes=64, bands=16)
     hi = dd.ngram_jaccard_pairs_shingled(sh, "doc_id", "_sh",
@@ -509,7 +518,8 @@ def docs_simhash_pairs(spark, sf_dir):
     # self-join lineages run once, not per branch
     sh = dd.simhash_near_dupes(corpus, "doc_id", "text",
                                max_hamming=16, shingle_n=2).localCheckpoint(eager=True)
-    nat = dd.ngram_jaccard_pairs(corpus, "doc_id", "text", SHINGLE_N, 0.8).localCheckpoint(eager=True)
+    nat = dd.ngram_jaccard_pairs_shingled(
+        _shingled(corpus), "doc_id", "_sh", 0.8).localCheckpoint(eager=True)
     nat_found = nat.join(sh, ["id_a", "id_b"], "left_semi")
     recall = (
         nat.agg(F.count(F.lit(1)).alias("_n"))
@@ -977,7 +987,7 @@ def docs_canonical_pick(spark, sf_dir):
     per-component window; singletons are their own component. Output
     pins the full clustering AND the canonical choice per doc."""
     d = ld(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, 0.5)
+    pairs = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh", 0.5)
     comp = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
     base = (
         d.select("doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"))
