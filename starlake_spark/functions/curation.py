@@ -100,6 +100,111 @@ def repetition_metrics(
     )
 
 
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
+
+
+def gopher_filter_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    min_alpha_ratio: float = 0.6,
+    max_top_share: float = 0.25,
+) -> DataFrame:
+    """Gopher-style document quality rules, each as its own boolean so a
+    pipeline can audit WHY a doc was dropped (the published recipe's
+    word-count / mean-word-length / alphabetic-word / stopword /
+    repetition gates, thresholds as knobs). ``keep`` = all rules pass.
+
+    One embarrassingly-parallel projection: every signal is a fold over
+    the doc's own token array (zero shuffle, the repetition_metrics
+    posture) — the filter runs scan-side at 100 TB and composes with
+    pushdown. All arithmetic is exact-rational or plain double division
+    so an external SQL oracle reproduces it bit-for-bit.
+    """
+    ids = F.col(id_col)
+    base = df.select(ids, F.col(text_col).alias("_txt"),
+                     tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    sum_len = F.aggregate(
+        F.col("_t"), F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(F.col("_t"), lambda x: x.rlike("[A-Za-z]")))
+    padded = F.concat(F.lit(" "), F.lower(F.col("_txt")), F.lit(" "))
+    stop_hits = None
+    for wd in GOPHER_STOPWORDS:
+        c = (F.length(padded) - F.length(F.replace(padded, F.lit(f" {wd} ")))) / len(f" {wd} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    top = _top_multiplicity(F.col("_t"))
+    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    flags = base.select(
+        ids,
+        n.cast("long").alias("n_tokens"),
+        F.round(sum_len / safe_n, 6).alias("mean_token_len"),
+        F.round(n_alpha / safe_n, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(top / safe_n, 6).alias("top_token_share"),
+    )
+    return flags.select(
+        "*",
+        (F.col("n_tokens") >= min_tokens).alias("ok_min_tokens"),
+        (F.col("n_tokens") <= max_tokens).alias("ok_max_tokens"),
+        F.col("mean_token_len").between(min_mean_len, max_mean_len).alias("ok_mean_len"),
+        (F.col("alpha_ratio") >= min_alpha_ratio).alias("ok_alpha"),
+        (F.col("stopword_hits") >= 1).alias("ok_stopwords"),
+        (F.col("top_token_share") <= max_top_share).alias("ok_repetition"),
+    ).select(
+        "*",
+        (F.col("ok_min_tokens") & F.col("ok_max_tokens") & F.col("ok_mean_len")
+         & F.col("ok_alpha") & F.col("ok_stopwords") & F.col("ok_repetition")
+         ).alias("keep"),
+    )
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    min_df: int = 10,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-frequent-span (boilerplate) detection: a document whose
+    word ``shingle_n``-gram shingles mostly occur in ≥ ``min_df`` OTHER
+    documents is template/boilerplate text (nav bars, license headers),
+    the RefinedWeb-style corpus-level strip signal. Emits per doc:
+    n_shingles, n_frequent, boilerplate_ratio, is_boilerplate.
+
+    Plan: one explode → distinct (doc, shingle) → groupBy(shingle) for
+    document frequency → join back → per-doc count. Two shuffles, both
+    on shingle-sized keys with map-side combine; the shingle DF table is
+    vocabulary-bounded. No UDFs, exactly reproducible in SQL.
+    """
+    from starlake_spark.functions.dedup import word_shingles
+
+    ids = F.col(id_col)
+    sh = (
+        df.select(ids, F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+    ).localCheckpoint(eager=True)
+    freq = sh.groupBy("s").agg(F.count_distinct(ids).alias("_df"))
+    per_doc = (
+        sh.join(freq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias("n_frequent"),
+        )
+    )
+    ratio = F.col("n_frequent") / F.col("n_shingles")
+    return per_doc.select(
+        id_col, "n_shingles", "n_frequent",
+        F.round(ratio, 6).alias("boilerplate_ratio"),
+        (ratio > max_ratio).alias("is_boilerplate"),
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: list[str],

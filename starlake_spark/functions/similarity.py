@@ -598,6 +598,70 @@ def ivf_index_topk(
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then intra-cluster cosine)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int | None = None,
+    iters: int = 2,
+    max_cell: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: coarse k-means cells
+    (``kmeans_centroids``), exact cosine pairs WITHIN each cell, drop
+    the larger id of every pair ≥ ``threshold``. Returns the kept rows
+    of ``df``.
+
+    This is the scalable shape of embedding dedup: the quadratic pair
+    work is bounded per cell (cells are ~corpus/nlist, capped at
+    ``max_cell`` like the LSH ``max_bucket``), and at 100 TB the cell
+    assignment is a partition column so each cell dedups independently
+    with no cross-cell shuffle. Identical vectors always land in the
+    same cell (same argmax row), so exact-duplicate recall is a theorem;
+    near-dups split across a cell boundary are the standard SemDeDup
+    trade-off.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if nlist is None:
+        nlist = max(4, df.count() // 50)
+    cents = kmeans_centroids(df, nlist=nlist, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+    ids, M = _centroid_matrix(cents, vec_col)
+    assigned = v.withColumn(
+        "_cell", nearest_centroid_col(F.col("_v"), ids, M, df.sparkSession))
+
+    # groupBy-collect pair generation per cell (the LSH-bucket recipe:
+    # one shuffle, the assignment UDF lineage runs once, bounded width)
+    cids = F.col("_ids")
+
+    def pair_with_rest(x, i):
+        rest = F.slice(cids, i + 2, F.size(cids))
+        return F.transform(rest, lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))
+
+    cand = (
+        assigned.groupBy("_cell")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_cell))
+        .select(F.explode(F.flatten(F.transform(cids, pair_with_rest))).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+    )
+    scored = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
+    )
+    losers = (
+        scored.filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization (4× storage cut for the 100 TB vector lake)
 # ---------------------------------------------------------------------------
 

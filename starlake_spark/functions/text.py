@@ -219,6 +219,58 @@ def pii_counts(text: Column) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: tf = in-doc count of the
+    lowercased whitespace token, idf = ln((N+1)/(df+1)) with df = number
+    of documents containing the term (smoothed so corpus-universal terms
+    still score > 0). Emits (id, term, tf, df, score, rank), rank by
+    (score desc, term asc) — the tie-break and the 6-dp rounding make
+    the ordering reproducible bit-for-bit in an external SQL engine.
+
+    Plan shape at 100 TB: one explode → groupBy(id, term) for tf (the
+    shuffle carries (id, term, count) — map-side combine collapses
+    repeats), one groupBy(term) for df (vocabulary-sized), a shuffle
+    join tf⋈df on term, then a per-doc window. No driver collects; the
+    df side is vocabulary-bounded, not corpus-bounded.
+    """
+    ids = F.col(id_col)
+    toks = df.select(ids, F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # N as a broadcast 1-row frame, not a driver count: keeps the whole
+    # operator one lazy plan (no extra job before the real one)
+    n_docs = df.select(F.count_distinct(ids).alias("_n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            ids, "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding-window chunking (RAG / context-window layout)
 # ---------------------------------------------------------------------------
 

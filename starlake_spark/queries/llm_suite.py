@@ -1253,6 +1253,201 @@ FROM q ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def docs_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by smoothed TF-IDF (tx.tfidf_topk). Rank
+    uses the 6-dp-ROUNDED score with a term tie-break in both engines,
+    so the ordering is engine-exact despite ln()."""
+    d = ld(spark, sf_dir, "documents")
+    out = tx.tfidf_topk(d, "doc_id", "text", k=TFIDF_K)
+    return out.orderBy("doc_id", "rank")
+
+
+DOCS_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id, term, tf, df,
+    ROUND(tf * ln((n + 1.0) / (df + 1)), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter battery
+# ---------------------------------------------------------------------------
+
+def docs_gopher_filter(spark, sf_dir):
+    """Per-doc quality-rule booleans (cu.gopher_filter_flags): token
+    count bounds, mean token length, alphabetic-token ratio, English
+    stopword presence, top-token repetition share — each auditable, all
+    per-row folds (zero shuffle)."""
+    d = ld(spark, sf_dir, "documents")
+    return cu.gopher_filter_flags(d, "doc_id", "text").orderBy("doc_id")
+
+
+DOCS_GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+), topm AS (
+  SELECT doc_id, MAX(cnt) AS top FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT b.doc_id,
+    CAST(len(b.w) AS BIGINT) AS n_tokens,
+    ROUND(CASE WHEN len(b.w) = 0 THEN 0.0
+          ELSE list_sum([CAST(length(x) AS DOUBLE) FOR x IN b.w]) / len(b.w) END, 6) AS mean_token_len,
+    ROUND(CASE WHEN len(b.w) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(b.w) END, 6) AS alpha_ratio,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+       + (length(p) - length(replace(p, ' and ', ''))) / 5
+       + (length(p) - length(replace(p, ' of ', ''))) / 4
+       + (length(p) - length(replace(p, ' to ', ''))) / 4
+       + (length(p) - length(replace(p, ' is ', ''))) / 4
+       + (length(p) - length(replace(p, ' in ', ''))) / 4
+       + (length(p) - length(replace(p, ' that ', ''))) / 6
+       + (length(p) - length(replace(p, ' it ', ''))) / 4 AS BIGINT) AS stopword_hits,
+    ROUND(CASE WHEN len(b.w) = 0 THEN 0.0
+          ELSE CAST(COALESCE(t.top, 0) AS DOUBLE) / len(b.w) END, 6) AS top_token_share
+  FROM base b
+  LEFT JOIN topm t ON b.doc_id = t.doc_id
+  CROSS JOIN LATERAL (SELECT ' ' || lower(b.text) || ' ' AS p) pad
+)
+SELECT *,
+  (ok_min_tokens AND ok_max_tokens AND ok_mean_len AND ok_alpha
+   AND ok_stopwords AND ok_repetition) AS keep
+FROM (
+  SELECT *,
+    n_tokens >= 15 AS ok_min_tokens,
+    n_tokens <= 100000 AS ok_max_tokens,
+    mean_token_len BETWEEN 2.0 AND 12.0 AS ok_mean_len,
+    alpha_ratio >= 0.6 AS ok_alpha,
+    stopword_hits >= 1 AS ok_stopwords,
+    top_token_share <= 0.25 AS ok_repetition
+  FROM stats
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequent-span (boilerplate) detection
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DF = 3
+
+
+def docs_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate signal (cu.boilerplate_flags): per doc,
+    the share of its 4-gram shingles occurring in >= 3 documents. The
+    synthetic dup clusters make real variance (max df is 4)."""
+    d = ld(spark, sf_dir, "documents")
+    return cu.boilerplate_flags(d, "doc_id", "text", shingle_n=4,
+                                min_df=BOILER_MIN_DF, max_ratio=0.5).orderBy("doc_id")
+
+
+DOCS_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 4
+         THEN list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), freq AS (
+  SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s
+), per_doc AS (
+  SELECT sh.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+    CAST(SUM(CASE WHEN f.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent
+  FROM sh JOIN freq f USING (s) GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_frequent,
+  ROUND(CAST(n_frequent AS DOUBLE) / n_shingles, 6) AS boilerplate_ratio,
+  CAST(n_frequent AS DOUBLE) / n_shingles > 0.5 AS is_boilerplate
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: k-means cells → intra-cell cosine)
+# ---------------------------------------------------------------------------
+
+def embeddings_semantic_dedup(spark, sf_dir):
+    """SemDeDup contract entry: plant an identical twin of every
+    nonzero-norm vec_id % 13 == 0 vector at +PLANT_ID, run
+    sim.semantic_dedup at threshold 0.99. Identical vectors share a
+    k-means cell (same argmax row) and cosine 1.0 >= 0.99, so the twin
+    (larger id) is ALWAYS dropped — a theorem; the original survives
+    because the synthetic embeddings are near-random (max natural pair
+    cosine ~0.52 < 0.99). The oracle predicts both booleans."""
+    e = ld(spark, sf_dir, "embeddings")
+    nz = e.filter(sim.norm(F.col("embedding").cast("array<double>")) > 0)
+    sample = nz.filter(F.col("vec_id") % 13 == 0)
+    corpus = e.unionByName(
+        sample.withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_ID)))
+    # one Lloyd round: the contract only needs cell CONSISTENCY
+    # (identical vectors → same cell), not converged clusters; fixed
+    # nlist skips the sizing count() job
+    kept = sim.semantic_dedup(corpus, "vec_id", "embedding", threshold=0.99,
+                              iters=1, nlist=48)
+    # the kept-id frame feeds two joins; checkpoint so the dedup
+    # lineage (assignment UDF + pair join) runs once
+    kept_ids = (kept.select("vec_id").withColumn("_k", F.lit(True))
+                .localCheckpoint(eager=True))
+    want = sample.select(F.col("vec_id").alias("id_a"),
+                         (F.col("vec_id") + PLANT_ID).alias("id_b"))
+    return (
+        want.join(kept_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left")
+        .withColumnRenamed("_k", "_kb")
+        .join(kept_ids.withColumnRenamed("vec_id", "id_a"), "id_a", "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(F.col("_kb"), F.lit(False)).alias("twin_kept"),
+            F.coalesce(F.col("_k"), F.lit(False)).alias("orig_kept"),
+        )
+        .orderBy("id_a")
+    )
+
+
+EMB_SEMANTIC_SQL = f"""
+SELECT vec_id AS id_a, vec_id + {PLANT_ID} AS id_b,
+       FALSE AS twin_kept, TRUE AS orig_kept
+FROM embeddings
+WHERE vec_id % 13 = 0
+  AND sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding], (a,b) -> a+b)) > 0
+ORDER BY id_a
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -1283,4 +1478,8 @@ LLM_QUERIES = {
     "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SQL),
     "docs_split_assign": (docs_split_assign, DOCS_SPLIT_SQL),
     "embeddings_quantize_int8": (embeddings_quantize_int8, EMB_QUANT_SQL),
+    "docs_tfidf_topk": (docs_tfidf_topk, DOCS_TFIDF_SQL),
+    "docs_gopher_filter": (docs_gopher_filter, DOCS_GOPHER_SQL),
+    "docs_boilerplate": (docs_boilerplate, DOCS_BOILERPLATE_SQL),
+    "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
 }

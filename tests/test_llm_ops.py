@@ -260,3 +260,55 @@ def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
                    F.array_max(F.transform(F.col("_q")["q"], F.abs)).alias("mx"))
            .filter(F.col("bad") | (F.col("mx") > 127)))
     assert bad.count() == 0
+
+
+def test_semantic_dedup_keeps_one_per_identical_group(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    # 30 base vectors, ids 0..29; ids 0..9 get identical twins at +100
+    for i in range(30):
+        v = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i < 10:
+            rows.append((i + 100, list(v)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sim.semantic_dedup(df, "vec_id", "embedding",
+                              threshold=0.999, nlist=4, iters=1)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    # every twin (larger id) dropped, every original kept
+    assert all(i in kept_ids for i in range(30))
+    assert all(i + 100 not in kept_ids for i in range(10))
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    docs = [
+        (1, "the cat sat on the mat and it is in that spot now really " * 3),  # passes
+        (2, "word " * 5),                        # too short + no stopwords
+        (3, "the " + "spam " * 40),              # repetition gate
+        (4, "the quick 12345 67890 " + " ".join("9" * 5 for _ in range(20))),  # alpha gate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from starlake_spark.functions import curation as cu
+
+    out = {r["doc_id"]: r.asDict() for r in
+           cu.gopher_filter_flags(df, "doc_id", "text").collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_min_tokens"]
+    assert not out[3]["ok_repetition"] and not out[3]["keep"]
+    assert not out[4]["ok_alpha"]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = [(1, "alpha beta gamma"), (2, "alpha beta delta"),
+            (3, "alpha epsilon zeta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from starlake_spark.functions import text as tx
+
+    out = tx.tfidf_topk(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'alpha' is in every doc → lowest idf; each doc's unique term wins
+    assert top[1] == "gamma"
+    assert top[2] == "delta"
+    assert top[3] == "epsilon" or top[3] == "zeta"
