@@ -309,6 +309,16 @@ class StarSession:
             return self.spark.createDataFrame(
                 rows or [], "table_name string, location string")
 
+        m = re.match(r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            return self.table(m["name"]).history()
+
+        m = re.match(r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            return self.table(m["name"]).partitions()
+
         m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):

@@ -89,6 +89,59 @@ class StarTable:
     def versions(self) -> list[int]:
         return self.store.list_versions()
 
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (Delta DESCRIBE HISTORY analog;
+        the reference keeps the same facts in its undo_log/partition
+        versions). One row per manifest version: commit type, UTC
+        timestamp, files added/removed vs the previous version, live
+        file count/bytes. Manifest-only — no data files are read."""
+        from datetime import datetime, timezone
+
+        rows = []
+        prev: set[str] = set()
+        for v in self.store.list_versions():
+            snap = self.store.snapshot(v)
+            files = {f.path for f in snap.all_files()}
+            rows.append((
+                v,
+                snap.commit_type,
+                datetime.fromtimestamp(snap.timestamp, tz=timezone.utc)
+                .replace(tzinfo=None),
+                len(files - prev),
+                len(prev - files),
+                len(files),
+                sum(f.size for f in snap.all_files()),
+            ))
+            prev = files
+        return self.spark.createDataFrame(
+            rows,
+            "version long, commit_type string, committed_at timestamp, "
+            "files_added long, files_removed long, live_files long, "
+            "live_bytes long",
+        )
+
+    def partitions(self) -> DataFrame:
+        """Partition inventory (SHOW PARTITIONS analog): per range
+        partition the live file count, MoR delta-file count, bytes, and
+        last-update version — the delta_file_num surface the reference
+        exposes through its partition_info table."""
+        snap = self.store.snapshot()
+        rows = [
+            (
+                p.range_value,
+                len(p.files),
+                p.delta_file_num,
+                sum(f.size for f in p.files),
+                p.last_update_version,
+            )
+            for p in sorted(snap.partitions.values(), key=lambda p: p.range_value)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, n_files long, delta_files long, "
+            "bytes long, last_update_version long",
+        )
+
     # ---------- writes / DML ----------
 
     def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None) -> "StarTable":

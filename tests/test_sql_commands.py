@@ -240,3 +240,30 @@ def test_merge_into_sql(spark, tmp_path):
     """)
     assert sorted(r["id"] for r in ss.table("mrg_t").to_df().collect()) == [2, 5]
     ss.table("mrg_t").drop_table()
+
+
+def test_history_and_partitions(spark, sess, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    t = sess.create_table(
+        df, str(tmp_path / "hist_t"), name="hist_t",
+        range_partitions=["o_orderpriority"],
+        hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    t.upsert(df.limit(10).withColumn("o_totalprice", F.lit(1.0)))
+    t.compaction(force=True)
+
+    h = sess.sql("DESCRIBE HISTORY hist_t").collect()
+    assert [r["version"] for r in h] == sorted(r["version"] for r in h)
+    types = [r["commit_type"] for r in h]
+    assert types[0] == "write" and "compact" in types
+    # compaction replaces files: the compaction row must remove some
+    comp = next(r for r in h if r["commit_type"] == "compact")
+    assert comp["files_removed"] > 0 and comp["files_added"] > 0
+    # the create commit (version 0) holds no files yet
+    assert all(r["live_files"] > 0 and r["live_bytes"] > 0 for r in h[1:])
+
+    p = sess.sql("SHOW PARTITIONS hist_t").collect()
+    assert len(p) == 5  # five order priorities
+    assert all(r["partition"].startswith("o_orderpriority=") for r in p)
+    assert all(r["delta_files"] == 0 for r in p)  # compacted
+    assert sum(r["n_files"] for r in p) == sum(r2["live_files"] for r2 in h[-1:])
