@@ -376,6 +376,8 @@ def decontaminate(
     text_col: str = "text",
     shingle_n: int = 4,
     min_shared: int = 2,
+    corpus_shingles: DataFrame | None = None,
+    cont_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop corpus documents sharing at least
     ``min_shared`` distinct word n-gram shingles with the contamination
@@ -387,16 +389,129 @@ def decontaminate(
     the corpus explode; the per-document distinct-shingle count is one
     groupBy on ids that already matched (a sliver of the corpus).
     """
-    sh = df.select(
+    sh = corpus_shingles if corpus_shingles is not None else df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
-    cont = (contamination
+    cont = (cont_shingles if cont_shingles is not None else contamination
             .select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
-            .distinct())
+            ).select("s").distinct()
     hits = (sh.join(cont, "s")
               .groupBy(id_col)
               .agg(F.count_distinct("s").alias("_shared"))
               .filter(F.col("_shared") >= min_shared)
               .select(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (set-membership at 100 TB)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEED_MASK = np.uint64(0xFFFFFFFF)
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per input hash by Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i·h2) mod m, h1/h2 the hash's two 32-bit
+    halves (h2 forced odd so the stride cycles the whole table).
+    Deterministic — build and probe agree on every engine."""
+    u = h.astype(np.uint64)
+    h1 = u & _BLOOM_SEED_MASK
+    h2 = ((u >> np.uint64(32)) | np.uint64(1))
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits))
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str, m_bits: int = 1 << 22, k: int = 5
+) -> np.ndarray:
+    """Distributed Bloom-filter build over an int64 hash column: each
+    partition folds its hashes into a local m-bit numpy bitmap
+    (mapInPandas), the driver ORs the partials. Driver traffic is
+    partitions × m/8 bytes — independent of cardinality, which is the
+    whole point: a contamination set too big to broadcast as a distinct
+    list still compresses to a fixed bitmap. False-positive rate for n
+    keys ≈ (1 - e^(-kn/m))^k; NO false negatives (the containment
+    theorem downstream contracts rely on)."""
+    words = m_bits // 64
+
+    def fold(batches):
+        bits = np.zeros(words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            pos = _bloom_positions(pdf[hash_col].to_numpy(), m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(fold, "bits binary").collect()
+    out = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        out |= np.frombuffer(r["bits"], dtype=np.uint64)
+    return out
+
+
+def bloom_contains(hash_col: Column, bits: np.ndarray, m_bits: int, k: int,
+                   spark) -> Column:
+    """Membership probe against a broadcast Bloom bitmap — one
+    vectorized gather per Arrow batch."""
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def probe(hs: pd.Series) -> pd.Series:
+        b = bc.value
+        if len(hs) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        pos = _bloom_positions(hs.to_numpy(), m_bits, k)
+        hit = (b[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return probe(hash_col)
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    contamination: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    min_shared: int = 2,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    corpus_shingles: DataFrame | None = None,
+    cont_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """``decontaminate`` with the contamination side compressed to a
+    Bloom bitmap instead of a broadcast distinct-shingle list — the
+    100 TB shape when the held-out set itself is large (the bitmap is
+    fixed-size regardless of shingle cardinality) or when a join-free
+    scan-side filter is wanted. Because Bloom filters have no false
+    negatives, every document the exact overlap-join would drop is also
+    dropped here; false positives can only drop extra docs (rate set by
+    m/k), never keep a contaminated one."""
+    spark = df.sparkSession
+    cont_h = (
+        cont_shingles.select(F.xxhash64("s").alias("h"))
+        if cont_shingles is not None
+        else contamination.select(
+            F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("h"))
+    ).distinct()
+    bits = build_bloom(cont_h, "h", m_bits, k)
+    sh = (
+        corpus_shingles.select(F.col(id_col), F.xxhash64("s").alias("h"))
+        if corpus_shingles is not None
+        else df.select(
+            F.col(id_col), F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("h"))
+    )
+    hits = (
+        sh.filter(bloom_contains(F.col("h"), bits, m_bits, k, spark))
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select(id_col)
+    )
     return df.join(hits, id_col, "left_anti")
 
 

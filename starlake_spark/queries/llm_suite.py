@@ -340,6 +340,75 @@ ORDER BY doc_id
 """
 
 
+def docs_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (dd.bloom_decontaminate) under the
+    no-false-negative containment contract: the contamination shingle
+    set is compressed to a fixed-size bitmap (the 100 TB shape when the
+    held-out set is itself too large to broadcast), and since Bloom
+    filters never miss a member, every document the exact overlap-join
+    drops is also Bloom-dropped — ``ok`` is a theorem. ``exact_dropped``
+    rides along so the hash gate pins the true decontamination answer,
+    which the oracle recomputes independently."""
+    d = ld(spark, sf_dir, "documents")
+    cont = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    # ONE exploded shingle frame feeds the bloom build, the bloom probe,
+    # and both sides of the exact overlap join
+    sh_all = d.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"), 4)).alias("s")
+    ).localCheckpoint(eager=True)
+    cont_sh = sh_all.filter(F.col("doc_id") % 17 == 0)
+    corp_sh = sh_all.filter(F.col("doc_id") % 17 != 0)
+    bloom_kept = dd.bloom_decontaminate(corpus, cont, "doc_id", "text",
+                                        shingle_n=4, min_shared=2,
+                                        corpus_shingles=corp_sh,
+                                        cont_shingles=cont_sh)
+    exact_kept = dd.decontaminate(corpus, cont, "doc_id", "text",
+                                  shingle_n=4, min_shared=2,
+                                  corpus_shingles=corp_sh,
+                                  cont_shingles=cont_sh)
+    bk = F.coalesce(F.col("_bk"), F.lit(False))
+    ek = F.coalesce(F.col("_ek"), F.lit(False))
+    return (
+        corpus.select("doc_id")
+        .join(bloom_kept.select("doc_id").withColumn("_bk", F.lit(True)),
+              "doc_id", "left")
+        .join(exact_kept.select("doc_id").withColumn("_ek", F.lit(True)),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            (~ek).alias("exact_dropped"),
+            # exact-dropped ⇒ bloom-dropped (no false negatives)
+            (ek | ~bk).alias("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_BLOOM_DECON_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 4
+         THEN list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), cont AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+), hits AS (
+  SELECT sh.doc_id FROM sh JOIN cont USING (s)
+  WHERE sh.doc_id % 17 <> 0
+  GROUP BY sh.doc_id HAVING COUNT(DISTINCT sh.s) >= 2
+)
+SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS exact_dropped,
+       TRUE AS ok
+FROM documents WHERE doc_id % 17 <> 0
+ORDER BY doc_id
+"""
+
+
 # Contract-oracle scaffolding for the approximate operators: plant an
 # exact twin of every doc_id % 11 == 0 document at doc_id + PLANT_ID.
 # Identical text ⇒ identical shingle hashes ⇒ identical MinHash/SimHash
@@ -1457,6 +1526,7 @@ LLM_QUERIES = {
     "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
     "docs_dedup_components": (docs_dedup_components, DOCS_COMPONENTS_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_bloom_decontaminate": (docs_bloom_decontaminate, DOCS_BLOOM_DECON_SQL),
     "docs_repetition": (docs_repetition, DOCS_REPETITION_SQL),
     "docs_quota_sample": (docs_quota_sample, DOCS_QUOTA_SQL),
     "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),

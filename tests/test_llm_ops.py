@@ -312,3 +312,35 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[1] == "gamma"
     assert top[2] == "delta"
     assert top[3] == "epsilon" or top[3] == "zeta"
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 5000).select(F.xxhash64("id").alias("h"))
+    bits = dd.build_bloom(members, "h", m_bits=1 << 18, k=5)
+    assert isinstance(bits, np.ndarray)
+    # every member must probe true (no false negatives — the theorem)
+    probe = members.filter(
+        ~dd.bloom_contains(F.col("h"), bits, 1 << 18, 5, spark))
+    assert probe.count() == 0
+    # non-members mostly probe false (fp rate sane at this sizing)
+    others = spark.range(100000, 110000).select(F.xxhash64("id").alias("h"))
+    fp = others.filter(
+        dd.bloom_contains(F.col("h"), bits, 1 << 18, 5, spark)).count()
+    assert fp < 1000, fp  # ~0.9% expected at n=5000, m=2^18, k=5
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cont = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    exact = {r["doc_id"] for r in
+             dd.decontaminate(corpus, cont, "doc_id", "text", 4, 2)
+             .select("doc_id").collect()}
+    bloom = {r["doc_id"] for r in
+             dd.bloom_decontaminate(corpus, cont, "doc_id", "text", 4, 2)
+             .select("doc_id").collect()}
+    # bloom keeps a SUBSET of the exact keeps (fp can only drop extra)
+    assert bloom <= exact
