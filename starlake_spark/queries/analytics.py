@@ -345,6 +345,40 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    totals by (status, priority), by status alone, and the grand total —
+    but NOT by priority alone, which neither rollup nor cube can
+    express. DataFrame API: Spark 4 groupingSets."""
+    o = ld(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 # distinct aggregates
 # ---------------------------------------------------------------------------
@@ -941,6 +975,7 @@ ANALYTICS_QUERIES = {
     "window_running_order_totals": (window_running_order_totals, WINDOW_RUNNING_SQL),
     "rollup_order_status_priority": (rollup_order_status_priority, ROLLUP_SQL),
     "cube_returnflag_linestatus": (cube_returnflag_linestatus, CUBE_SQL),
+    "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_SQL),
     "distinct_aggregates": (distinct_aggregates, DISTINCT_SQL),
     "semi_anti_customers": (semi_anti_customers, SEMI_ANTI_SQL),
     "setops_suppliers_vs_customers": (setops_suppliers_vs_customers, SETOPS_SQL),

@@ -172,3 +172,32 @@ def test_bucketed_table_requires_hash_partitions(spark, tmp_path):
     t = create_table(spark, orders, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="hash"):
         t.to_bucketed_table()
+
+
+def test_gopher_filter_is_pure_projection(spark):
+    """The quality-filter battery must stay a scan-side projection:
+    zero Exchange in the plan (every signal is a per-row array fold)."""
+    from starlake_spark.functions import curation as cu
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _phys(cu.gopher_filter_flags(d, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_probe_is_join_free(spark):
+    """The Bloom decontamination probe is a scan-side filter — the
+    corpus side must see NO join and NO shuffle before the per-doc
+    hit-count aggregate (the whole point vs the overlap-join path)."""
+    from starlake_spark.functions import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    cont = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    kept = dd.bloom_decontaminate(corpus, cont, "doc_id", "text", 4, 2)
+    # AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    # joins in the final section only
+    plan = _phys(kept).split("== Initial Plan ==")[0]
+    # one anti-join stitches the kept set back; no other join may appear
+    assert plan.count("Join") == 1, plan
+    # the probe itself is a scan-side Python filter, not a join
+    assert "ArrowEvalPython" in plan
