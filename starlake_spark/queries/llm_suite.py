@@ -79,6 +79,154 @@ FROM documents ORDER BY doc_id
 """
 
 
+VOCAB_K = 50
+
+
+def docs_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 terms by count with cumulative
+    coverage share (the Zipf curve a tokenizer-sizing pass reads).
+    explode → groupBy(term) with map-side combine → TakeOrdered top-k
+    (never a global sort) → running-share window over 50 rows."""
+    d = ld(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = (counts.orderBy(F.col("n").desc(), F.col("term").asc())
+           .limit(VOCAB_K).crossJoin(F.broadcast(total)))
+    w = (W.orderBy(F.col("n").desc(), F.col("term").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    return top.select(
+        "term", "n",
+        F.round(F.sum("n").over(w) / F.col("_tot"), 6).alias("cum_share"),
+    ).orderBy(F.col("n").desc(), F.col("term").asc())
+
+
+DOCS_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term
+), top AS (
+  SELECT term, n FROM counts ORDER BY n DESC, term ASC LIMIT {VOCAB_K}
+)
+SELECT term, n,
+  ROUND(SUM(n) OVER (ORDER BY n DESC, term ASC ROWS UNBOUNDED PRECEDING)
+        / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts), 6) AS cum_share
+FROM top ORDER BY n DESC, term ASC
+"""
+
+
+LEN_BUCKET = 16
+
+
+def docs_length_histogram(spark, sf_dir):
+    """Document-length histogram in fixed 16-token buckets, per lang —
+    the layout-planning stat (sequence packing efficiency, truncation
+    share). One groupBy on (lang, bucket) — tiny key space."""
+    d = ld(spark, sf_dir, "documents")
+    n = tx.token_count(F.col("text"))
+    return (
+        d.select("lang", (F.floor(n / LEN_BUCKET) * LEN_BUCKET).cast("long").alias("bucket_lo"))
+        .groupBy("lang", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "bucket_lo")
+    )
+
+
+DOCS_LENHIST_SQL = f"""
+SELECT lang,
+  CAST(floor(CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\\s+')) END / {LEN_BUCKET}) AS BIGINT) * {LEN_BUCKET} AS bucket_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2 ORDER BY lang, bucket_lo
+"""
+
+
+def docs_source_quality_report(spark, sf_dir):
+    """Per-source corpus health report: doc counts, token mass, mean
+    quality score, share passing the Gopher keep gate — the dashboard
+    aggregate a curation run ends with. Reuses quality_score and
+    gopher_filter_flags; one groupBy on the source key."""
+    d = ld(spark, sf_dir, "documents")
+    flags = cu.gopher_filter_flags(d, "doc_id", "text").select("doc_id", "keep")
+    q = d.select("doc_id", "source",
+                 tx.token_count(F.col("text")).alias("_nt"),
+                 tx.quality_score(F.col("text"), rounded=False).alias("_q"))
+    return (
+        q.join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("_q"), 6).alias("avg_quality"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# the oracle recomputes quality_score and the gopher gate from scratch
+DOCS_SOURCE_REPORT_SQL = """
+WITH base AS (
+  SELECT doc_id, source, text,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS w,
+    ' ' || lower(text) || ' ' AS p
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+), topm AS (
+  SELECT doc_id, MAX(cnt) AS top FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT b.doc_id, b.source, len(b.w) AS n_tokens,
+    CASE WHEN len(b.w) = 0 THEN 1.0 ELSE CAST(len(b.w) AS DOUBLE) END AS safe_tok,
+    CASE WHEN length(b.text) = 0 THEN 1.0 ELSE CAST(length(b.text) AS DOUBLE) END AS safe_chars,
+    length(b.text) AS n_chars,
+    (length(p) - length(replace(p, ' the ', ''))) / 5.0
+      + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+      + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+      + (length(p) - length(replace(p, ' to ', ''))) / 4.0
+      + (length(p) - length(replace(p, ' is ', ''))) / 4.0
+      + (length(p) - length(replace(p, ' in ', ''))) / 4.0
+      + (length(p) - length(replace(p, ' that ', ''))) / 6.0
+      + (length(p) - length(replace(p, ' it ', ''))) / 4.0 AS stop_hits,
+    length(b.text) - length(replace(b.text, '.', ''))
+      + length(b.text) - length(replace(b.text, '!', ''))
+      + length(b.text) - length(replace(b.text, '?', ''))
+      + length(b.text) - length(replace(b.text, ',', '')) AS n_punct,
+    length(b.text) - length(
+      translate(b.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '')) AS n_upper,
+    CASE WHEN len(b.w) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(b.w) END AS alpha_ratio,
+    CASE WHEN len(b.w) = 0 THEN 0.0
+         ELSE CAST(COALESCE(t.top, 0) AS DOUBLE) / len(b.w) END AS top_share,
+    CASE WHEN len(b.w) = 0 THEN 0.0
+         ELSE list_sum([CAST(length(x) AS DOUBLE) FOR x IN b.w]) / len(b.w) END AS mean_len
+  FROM base b LEFT JOIN topm t ON b.doc_id = t.doc_id
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+    0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.4 * least((stop_hits / safe_tok) * 4.0, 1.0)
+      + 0.1 * (1.0 - least((n_punct / safe_chars) * 5.0, 1.0))
+      + 0.1 * (1.0 - least((n_upper / safe_chars) * 5.0, 1.0)) AS q,
+    (n_tokens >= 15 AND n_tokens <= 100000
+     AND round(mean_len, 6) BETWEEN 2.0 AND 12.0
+     AND round(alpha_ratio, 6) >= 0.6
+     AND CAST(stop_hits AS BIGINT) >= 1
+     AND round(top_share, 6) <= 0.25) AS keep
+  FROM stats
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(AVG(q), 6) AS avg_quality,
+  ROUND(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_share
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # language id
 # ---------------------------------------------------------------------------
@@ -1549,6 +1697,9 @@ LLM_QUERIES = {
     "docs_split_assign": (docs_split_assign, DOCS_SPLIT_SQL),
     "embeddings_quantize_int8": (embeddings_quantize_int8, EMB_QUANT_SQL),
     "docs_tfidf_topk": (docs_tfidf_topk, DOCS_TFIDF_SQL),
+    "docs_vocab_topk": (docs_vocab_topk, DOCS_VOCAB_SQL),
+    "docs_length_histogram": (docs_length_histogram, DOCS_LENHIST_SQL),
+    "docs_source_quality_report": (docs_source_quality_report, DOCS_SOURCE_REPORT_SQL),
     "docs_gopher_filter": (docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_boilerplate": (docs_boilerplate, DOCS_BOILERPLATE_SQL),
     "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
