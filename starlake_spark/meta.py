@@ -42,7 +42,12 @@ from typing import Any, Iterable
 
 MAX_VERSION = 2**62
 META_DIR = "_star_meta"
-LOCK_TIMEOUT_S = 20.0  # reference: meta.commit.timeout 20s (StarLakeSQLConf.scala:184-191)
+# Reference: meta.commit.timeout 20s (StarLakeSQLConf.scala:184-191) —
+# but that guards a ms-latency Cassandra hop. Our lock brackets a local
+# manifest write that contends with Spark jobs for the same cores, so
+# under a saturated host 8 queued writers can legitimately wait longer
+# than 20s. 60s keeps the liveness guarantee without spurious timeouts.
+LOCK_TIMEOUT_S = float(os.environ.get("STARLAKE_COMMIT_TIMEOUT_S", "60"))
 STALE_LOCK_S = 120.0
 
 
