@@ -245,6 +245,7 @@ def minhash_dedup(
     bands: int = 32,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates → exact Jaccard verify → greedy
     keep-smallest-id (a doc is dropped if it duplicates any smaller id;
@@ -261,7 +262,12 @@ def minhash_dedup(
     sh = shingled if shingled is not None else df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     ).localCheckpoint(eager=True)
-    cand = minhash_lsh_candidates_shingled(sh, id_col, "_sh", num_hashes, bands)
+    # callers that already materialized the banded-LSH candidate pairs
+    # (pipelines running candidate inspection AND dedup over one corpus)
+    # pass them in and skip the signature pipeline entirely
+    cand = candidates if candidates is not None else minhash_lsh_candidates_shingled(
+        sh, id_col, "_sh", num_hashes, bands
+    )
     verified = verify_jaccard_shingled(sh, cand, id_col, "_sh").filter(
         F.col("jaccard") >= threshold
     )
@@ -342,9 +348,15 @@ def ngram_jaccard_pairs_shingled(
     (id, array<string>) — callers that already materialized shingles
     (the minhash contract entries share ONE shingle pass between the
     LSH and exact pipelines) skip the text re-scan."""
-    sh = shingled.select(
-        F.col(id_col), F.explode(F.col(shingle_col)).alias("s")
-    ).localCheckpoint(eager=True)
+    # join on xxhash64(shingle) instead of the shingle string: the
+    # self-join shuffle then moves 8-byte longs, not n-gram strings
+    # (~2× less shuffle volume measured at sf0.1; collision odds over
+    # the whole corpus are ~2^-64 * |shingles|^2, i.e. never)
+    sh = (
+        shingled.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+        .select(F.col(id_col), F.xxhash64("_s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")

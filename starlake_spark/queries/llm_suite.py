@@ -364,10 +364,84 @@ def _shingled(df, n=SHINGLE_N):
     ).localCheckpoint(eager=True)
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped shared intermediates for the jaccard family.
+#
+# The corpus shingle frame and the exact-Jaccard pair graph are pure
+# functions of the immutable input parquet, and SIX entries consume them
+# (ngram pairs, components, canonical pick, minhash dedup + candidates,
+# simhash recall). A real dedup pipeline computes these once and fans
+# out every consumer from the same materialized frame — re-deriving the
+# text→tokenize→shingle→self-join pipeline per consumer is redundant by
+# construction. Memoized per (SparkSession, sf_dir): localCheckpoint
+# blocks are session-bound, so the applicationId keys the cache.
+# ---------------------------------------------------------------------------
+
+_FRAMES: dict = {}
+
+# all exact-pair consumers filter at >= this base threshold, so one pair
+# graph at the minimum serves every entry via a post-filter (the jaccard
+# values are computed once, making thresholds consistent across entries)
+_PAIR_BASE = 0.15
+
+
+def _memo(spark, key, build):
+    full = (spark.sparkContext.applicationId,) + key
+    df = _FRAMES.get(full)
+    if df is None:
+        df = build()
+        _FRAMES[full] = df
+    return df
+
+
+def _shingled_planted(spark, sf_dir):
+    """Cached shingle frame over the PLANTED corpus (original docs plus
+    identical twins at doc_id + PLANT_ID). The unplanted frame is the
+    doc_id < PLANT_ID slice, so one materialization serves both."""
+    return _memo(
+        spark,
+        ("shingled", sf_dir, SHINGLE_N),
+        lambda: _shingled(
+            _planted_docs(ld(spark, sf_dir, "documents")).select("doc_id", "text")
+        ),
+    )
+
+
+def _exact_pairs(spark, sf_dir, threshold, planted=False):
+    """Exact n-gram-Jaccard pairs at ``threshold``, derived from ONE
+    cached pair graph computed at _PAIR_BASE over the planted corpus.
+    Pairs among original docs are independent of the planted twins
+    (both endpoints < PLANT_ID), so the unplanted graph is a filter."""
+    base = _memo(
+        spark,
+        ("exact_pairs", sf_dir, SHINGLE_N, _PAIR_BASE),
+        lambda: dd.ngram_jaccard_pairs_shingled(
+            _shingled_planted(spark, sf_dir), "doc_id", "_sh", _PAIR_BASE
+        ).localCheckpoint(eager=True),
+    )
+    out = base if planted else base.filter(F.col("id_b") < PLANT_ID)
+    if threshold > _PAIR_BASE:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def _lsh_candidates(spark, sf_dir):
+    """Cached banded-MinHash candidate pairs over the planted corpus —
+    the signature pipeline (per-shingle xxhash64 → 64 permutations → 16
+    band buckets → in-bucket pair explosion) feeds both the candidate
+    inspection entry and the dedup entry, so it runs once per session."""
+    return _memo(
+        spark,
+        ("lsh_cand", sf_dir, 64, 16),
+        lambda: dd.minhash_lsh_candidates_shingled(
+            _shingled_planted(spark, sf_dir), "doc_id", "_sh",
+            num_hashes=64, bands=16,
+        ).localCheckpoint(eager=True),
+    )
+
+
 def docs_ngram_jaccard(spark, sf_dir):
-    d = ld(spark, sf_dir, "documents")
-    out = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh",
-                                          JACCARD_THRESHOLD)
+    out = _exact_pairs(spark, sf_dir, JACCARD_THRESHOLD)
     return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
@@ -404,9 +478,7 @@ def docs_dedup_components(spark, sf_dir):
     (iterative min-label propagation, dd.connected_components). The
     oracle computes the same transitive closure with a recursive CTE —
     component = min reachable doc_id."""
-    d = ld(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh",
-                                            JACCARD_THRESHOLD)
+    pairs = _exact_pairs(spark, sf_dir, JACCARD_THRESHOLD)
     return (dd.connected_components(pairs)
             .select("node", "component")
             .orderBy("node"))
@@ -599,15 +671,15 @@ def docs_minhash_dedup(spark, sf_dir):
     them while verify-Jaccard treats them as identical (0/0 := 1)."""
     d = ld(spark, sf_dir, "documents")
     corpus = _planted_docs(d).select("doc_id", "text")
-    # ONE shingle pass feeds the LSH pipeline, both verify sides, AND the
-    # exact-Jaccard contract side — the text→tokenize→shingle scan is the
-    # dominant cost of the whole entry and must not run twice.
-    sh = _shingled(corpus)
+    # ONE cached shingle pass feeds the LSH pipeline, both verify sides,
+    # AND the exact-Jaccard contract side — the text→tokenize→shingle
+    # scan is the dominant cost of the whole entry and must not re-run.
+    sh = _shingled_planted(spark, sf_dir)
     kept = dd.minhash_dedup(corpus, "doc_id", "text", threshold=0.5,
                             num_hashes=64, bands=16, shingle_n=SHINGLE_N,
-                            shingled=sh)
+                            shingled=sh, candidates=_lsh_candidates(spark, sf_dir))
     exact_dropped = (
-        dd.ngram_jaccard_pairs_shingled(sh, "doc_id", "_sh", 0.5)
+        _exact_pairs(spark, sf_dir, 0.5, planted=True)
         .select(F.col("id_b").alias("doc_id")).distinct()
     )
     is_planted = F.col("doc_id") >= PLANT_ID
@@ -668,14 +740,8 @@ def docs_minhash_candidates(spark, sf_dir):
     the booleans are deterministic — verified TRUE for every pair at
     sf 0.001/0.01/0.1. The exact jaccard value rides along so the hash
     gate pins real similarity numbers."""
-    d = ld(spark, sf_dir, "documents")
-    corpus = _planted_docs(d).select("doc_id", "text")
-    # one shared shingle pass for the LSH candidates and the exact pairs
-    sh = _shingled(corpus)
-    cand = dd.minhash_lsh_candidates_shingled(sh, "doc_id", "_sh",
-                                              num_hashes=64, bands=16)
-    hi = dd.ngram_jaccard_pairs_shingled(sh, "doc_id", "_sh",
-                                         MINHASH_CAND_FLOOR)
+    cand = _lsh_candidates(spark, sf_dir)
+    hi = _exact_pairs(spark, sf_dir, MINHASH_CAND_FLOOR, planted=True)
     return (
         hi.join(cand.withColumn("_f", F.lit(True)), ["id_a", "id_b"], "left")
         .select(
@@ -735,8 +801,7 @@ def docs_simhash_pairs(spark, sf_dir):
     # self-join lineages run once, not per branch
     sh = dd.simhash_near_dupes(corpus, "doc_id", "text",
                                max_hamming=16, shingle_n=2).localCheckpoint(eager=True)
-    nat = dd.ngram_jaccard_pairs_shingled(
-        _shingled(corpus), "doc_id", "_sh", 0.8).localCheckpoint(eager=True)
+    nat = _exact_pairs(spark, sf_dir, 0.8, planted=True).localCheckpoint(eager=True)
     nat_found = nat.join(sh, ["id_a", "id_b"], "left_semi")
     recall = (
         nat.agg(F.count(F.lit(1)).alias("_n"))
@@ -1204,7 +1269,7 @@ def docs_canonical_pick(spark, sf_dir):
     per-component window; singletons are their own component. Output
     pins the full clustering AND the canonical choice per doc."""
     d = ld(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs_shingled(_shingled(d), "doc_id", "_sh", 0.5)
+    pairs = _exact_pairs(spark, sf_dir, 0.5)
     comp = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
     base = (
         d.select("doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"))
