@@ -342,3 +342,59 @@ def split_assign(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram-LM perplexity (CCNet-style quality signal, with the
+# corpus itself as the language model instead of an external KenLM)
+# ---------------------------------------------------------------------------
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under the corpus unigram LM:
+    ppl(d) = exp(-(1/n) * sum_i ln p(w_i)), p(w) = count(w)/total.
+
+    Cross-engine exactness: each distinct word's ln p is rounded to 9 dp
+    and summed as DECIMAL(28,9) weighted by the in-doc count, so the
+    per-doc aggregate is exact and order-independent; only the final
+    exp/round touches floats. Scale shape: one token explode, one
+    vocabulary-bounded shuffle to count words, one shuffle back on the
+    word to attach log-probs (vocabulary ≪ corpus, so AQE broadcasts
+    the count side when it fits), one per-doc agg."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+    )
+    # (doc, word) -> in-doc count: shrinks the join-back to distinct
+    # (doc, word) pairs instead of every token occurrence
+    doc_word = toks.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = doc_word.groupBy("_w").agg(F.sum("_c").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_tot"))
+    # DECIMAL(18,9) * DECIMAL(10,0) keeps the product inside Spark's
+    # 38-digit cap at scale 9 — a wider operand (e.g. 28,9 * bigint)
+    # silently loses scale to 6 under allowPrecisionLoss and the
+    # aggregate stops matching the oracle
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "_w",
+        F.round(F.log(F.col("_cnt").cast("double") / F.col("_tot")), 9)
+        .cast("decimal(18,9)")
+        .alias("_lp"),
+    )
+    return (
+        doc_word.join(logp, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum(F.col("_lp") * F.col("_c").cast("decimal(10,0)")).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.exp(-(F.col("_slp").cast("double")) / F.col("n_tokens")), 6
+            ).alias("ppl"),
+        )
+    )

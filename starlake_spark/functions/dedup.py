@@ -667,3 +667,88 @@ def simhash_near_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"). The reference engine has no text
+# operators at all (SURVEY §2.5 — relational only); this is part of the
+# training-data suite built on top of the same scan layer.
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document statistics of text spans duplicated ACROSS documents:
+    every k-token window whose content appears in >= 2 distinct docs is
+    a duplicated window; overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands over window positions).
+
+    Returns (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) for every
+    non-blank doc. Scale shape: the window explode is O(total tokens)
+    rows of (id, pos, hash64) — windows travel as xxhash64 longs, never
+    strings; document-frequency is one shuffle on the hash; the island
+    merge is a per-doc window over the (small) duplicated subset. A
+    full suffix-array dedup is O(corpus log corpus) on one machine —
+    fixed-k windows are the standard distributed approximation.
+    """
+    toks = df.select(
+        F.col(id_col),
+        tx.tokens(F.lower(F.col(text_col))).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    wins = (
+        toks.filter(F.size("_t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, k))).alias("h"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    )
+    dup_h = (
+        wins.select(id_col, "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    dp = wins.join(dup_h, "h").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        dp.withColumn("_prev", F.lag("pos").over(w_ord))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w_ord))
+    )
+    spans = isl.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("_st"), (F.max("pos") + k - 1).alias("_en")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("_en") - F.col("_st") + 1).alias("dup_tokens"),
+    )
+    return (
+        toks.select(id_col, F.size("_t").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

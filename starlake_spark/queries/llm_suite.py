@@ -1730,6 +1730,93 @@ ORDER BY id_a
 """
 
 
+SPAN_K = 8
+
+
+def docs_substring_spans(spark, sf_dir):
+    """Duplicated-substring span detection (Lee et al. 2022): k-token
+    windows appearing in >= 2 distinct docs, merged into maximal spans
+    per doc (gaps-and-islands). Output pins per-doc span counts, covered
+    token counts, and the duplicated-token fraction — the signal the
+    substring-level dedup pass cuts on."""
+    d = ld(spark, sf_dir, "documents")
+    return (
+        dd.duplicated_span_stats(d, "doc_id", "text", k=SPAN_K)
+        .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens", "dup_frac")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), tk AS (
+  SELECT * FROM toks WHERE len(w) >= {SPAN_K}
+), wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{SPAN_K - 1}], ' ') AS s
+  FROM tk, UNNEST(range(1, len(w) - {SPAN_K} + 2)) AS t(i)
+), duph AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM wins) GROUP BY s HAVING COUNT(*) >= 2
+), dp AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (s)
+), lagged AS (
+  SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp
+), isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + {SPAN_K} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + {SPAN_K} - 1 AS en
+  FROM isl GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+  ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.w), 6) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def docs_unigram_perplexity(spark, sf_dir):
+    """Per-doc perplexity under the corpus's own unigram LM (CCNet-style
+    quality signal without an external model). Log-probs are rounded to
+    9 dp and summed as DECIMAL so both engines aggregate exactly."""
+    d = ld(spark, sf_dir, "documents")
+    return (
+        cu.unigram_perplexity(d, "doc_id", "text")
+        .select("doc_id", "n_tokens", "ppl")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), doc_word AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w, SUM(c) AS cnt FROM doc_word GROUP BY w
+), tot AS (
+  SELECT SUM(cnt) AS t FROM vocab
+), logp AS (
+  SELECT w, CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t), 9) AS DECIMAL(18,9)) AS lp
+  FROM vocab, tot
+)
+SELECT dw.doc_id,
+  CAST(SUM(dw.c) AS BIGINT) AS n_tokens,
+  ROUND(exp(-CAST(SUM(l.lp * CAST(dw.c AS DECIMAL(10,0))) AS DOUBLE) / SUM(dw.c)), 6) AS ppl
+FROM doc_word dw JOIN logp l USING (w)
+GROUP BY dw.doc_id ORDER BY dw.doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -1768,4 +1855,6 @@ LLM_QUERIES = {
     "docs_gopher_filter": (docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_boilerplate": (docs_boilerplate, DOCS_BOILERPLATE_SQL),
     "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
+    "docs_substring_spans": (docs_substring_spans, DOCS_SUBSTRING_SQL),
+    "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
 }

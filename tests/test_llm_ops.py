@@ -344,3 +344,50 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
              .select("doc_id").collect()}
     # bloom keeps a SUBSET of the exact keeps (fp can only drop extra)
     assert bloom <= exact
+
+
+def test_duplicated_span_stats_merges_overlaps(spark):
+    """Two docs sharing one 10-token run → each doc reports exactly ONE
+    merged span of 10 tokens (3 overlapping k=8 windows collapse), and a
+    doc with no cross-doc k-run reports zeros."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, shared + " xa xb xc"),
+        (2, "ya yb " + shared),
+        (3, "unique words only here nothing shared at all beyond runs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dd.duplicated_span_stats(df, "doc_id", "text", k=8).collect()}
+    for i in (1, 2):
+        assert out[i]["n_dup_spans"] == 1
+        assert out[i]["dup_tokens"] == 10
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[1]["dup_frac"] == round(10 / 13, 6)
+
+
+def test_duplicated_span_stats_distinct_spans_stay_split(spark):
+    """Two shared runs separated by a unique gap → two spans, not one."""
+    run_a = " ".join(f"a{i}" for i in range(8))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, run_a + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 " + run_b),
+        (2, run_a + " z1 z2 " + run_b + " tail1 tail2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dd.duplicated_span_stats(df, "doc_id", "text", k=8).collect()}
+    assert out[1]["n_dup_spans"] == 2 and out[1]["dup_tokens"] == 16
+
+
+def test_unigram_perplexity_uniform_corpus(spark):
+    """On a corpus where every word is equally frequent the unigram LM
+    is uniform → every doc's perplexity equals the vocabulary size."""
+    from starlake_spark.functions import curation as cu
+    rows = [(1, "aa bb cc dd"), (2, "dd cc bb aa"), (3, "aa bb cc dd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cu.unigram_perplexity(df, "doc_id", "text").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_tokens"] == 4
+        assert abs(r["ppl"] - 4.0) < 1e-6
