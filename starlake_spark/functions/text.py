@@ -310,3 +310,68 @@ def chunk_sliding(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi-BM25 ranked retrieval of the top-k documents for a bag of
+    query terms. Scale shape: the token explode filters to the query
+    vocabulary immediately (surviving rows ≈ matches, not the corpus),
+    document frequencies aggregate that same tiny frame, and corpus
+    stats (N, avgdl) are a broadcast one-row aggregate — no shuffle ever
+    carries non-matching tokens.
+
+    Cross-engine exactness: idf and each per-term partial score are
+    rounded to 9 dp and summed as DECIMAL so the per-doc score is
+    order-independent; the final score is ROUND(..., 6)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        toks.filter(F.col("_w").isin(*query_terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dft = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "_w", "_n", "_avgdl",
+        F.round(
+            F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0), 9
+        ).alias("_idf"),
+    )
+    term_score = (
+        tf.join(idf, "_w")
+        .join(doclen, id_col)
+        .select(
+            id_col,
+            F.round(
+                F.col("_idf")
+                * (F.col("_tf") * (k1 + 1))
+                / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+                9,
+            ).cast("decimal(18,9)").alias("_s"),
+        )
+    )
+    return (
+        term_score.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -956,7 +956,107 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel + retention (classic event-analytics shapes)
+# ---------------------------------------------------------------------------
+
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at a stage only if the stage event happened strictly AFTER their
+    earliest previous-stage completion. Three user-keyed aggregates —
+    no self-join explosion, every shuffle is on user_id."""
+    e = ld(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("tv"))
+         .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("tc"))
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    n1 = v.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("stage"), "n")
+    n2 = c.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("stage"), "n")
+    n3 = p.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("stage"), "n")
+    base = v.agg(F.count(F.lit(1)).alias("_b"))
+    return (
+        n1.unionByName(n2).unionByName(n3)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            F.col("n").cast("long").alias("n_users"),
+            F.round(F.col("n").cast("double") / F.col("_b"), 6).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+), s AS (
+  SELECT '1_view' AS stage, COUNT(*) AS n FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+)
+SELECT stage, CAST(n AS BIGINT) AS n_users,
+  ROUND(CAST(n AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS conversion
+FROM s ORDER BY stage
+"""
+
+
+RETENTION_OFFSETS = (0, 1, 3, 7, 14)
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day; for each
+    cohort, how many were active again exactly D days later. One
+    user-keyed aggregate for cohorts + one distinct (user, day) frame —
+    both shuffles on bounded keys; the offset filter is a broadcast-free
+    isin over a constant list."""
+    e = ld(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset_days").isin(*RETENTION_OFFSETS))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        # ISO string so both engines agree on the dtype surface (duckdb
+        # DATE round-trips to pandas as datetime64, Spark's as date)
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset_days").cast("int").alias("offset_days"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS offset_days,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+WHERE datediff('day', f.cohort_day, a.day) IN {RETENTION_OFFSETS}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_percentile_sketch": (events_percentile_sketch, EVENTS_PCT_SQL),
     "events_asof_latest_order": (events_asof_latest_order, EVENTS_ASOF_SQL),

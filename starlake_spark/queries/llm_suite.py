@@ -136,7 +136,7 @@ def docs_length_histogram(spark, sf_dir):
 
 DOCS_LENHIST_SQL = f"""
 SELECT lang,
-  CAST(floor(CASE WHEN length(trim(text)) = 0 THEN 0
+  CAST(floor(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         ELSE len(string_split_regex(trim(text), '\\s+')) END / {LEN_BUCKET}) AS BIGINT) * {LEN_BUCKET} AS bucket_lo,
   CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
@@ -171,7 +171,7 @@ def docs_source_quality_report(spark, sf_dir):
 DOCS_SOURCE_REPORT_SQL = """
 WITH base AS (
   SELECT doc_id, source, text,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
          ELSE string_split_regex(trim(text), '\\s+') END AS w,
     ' ' || lower(text) || ' ' AS p
   FROM documents
@@ -1592,7 +1592,7 @@ def docs_gopher_filter(spark, sf_dir):
 DOCS_GOPHER_SQL = """
 WITH base AS (
   SELECT doc_id, text,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
          ELSE string_split_regex(trim(text), '\\s+') END AS w
   FROM documents
 ), tf AS (
@@ -1817,6 +1817,49 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id
 """
 
 
+BM25_TERMS = ["merge", "batch", "hash"]
+
+
+def docs_bm25_search(spark, sf_dir):
+    """Okapi-BM25 ranked retrieval (tx.bm25_topk) for a fixed query bag.
+    idf and per-term partials are 9-dp-rounded and DECIMAL-summed so
+    both engines rank identically; top-20 with doc_id tie-break."""
+    d = ld(spark, sf_dir, "documents")
+    out = tx.bm25_topk(d, BM25_TERMS, "doc_id", "text", k=20)
+    return out.select("doc_id", "n_terms_matched", "score")
+
+
+DOCS_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ('merge', 'batch', 'hash') GROUP BY 1, 2
+), dft AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT w, n, avgdl, ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+  FROM dft, stats
+), term_score AS (
+  SELECT t.doc_id,
+    -- (1.2 + 1), not the literal 2.2: the two are different doubles and
+    -- the Spark side computes k1 + 1
+    CAST(ROUND(i.idf * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / i.avgdl)), 9)
+         AS DECIMAL(18,9)) AS s
+  FROM tf t JOIN idf i USING (w) JOIN doclen d USING (doc_id)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+  ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+FROM term_score GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -1857,4 +1900,5 @@ LLM_QUERIES = {
     "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
     "docs_substring_spans": (docs_substring_spans, DOCS_SUBSTRING_SQL),
     "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
+    "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
 }
