@@ -68,6 +68,7 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
     if not info.hash_cols:
         raise ValueError("upsert requires hash partition columns "
                          "(UpsertCommand.scala:74-76)")
+    source = writer.align_case(source, info)
     for c in info.range_cols:
         if c not in source.columns:
             raise ValueError(f"upsert source must carry range column '{c}' "
@@ -309,8 +310,18 @@ def update(spark: SparkSession, store: ManifestStore, condition,
     """UPDATE: per column ``when(cond, expr).otherwise(col)`` on touched
     data (UpdateCommand.scala:39-154)."""
     cond = _to_column(condition) if condition is not None else F.lit(True)
-    sets = {c: _to_column(e) for c, e in set_exprs.items()}
     info = store.table_info()
+    # canonicalize SET keys to the table's declared casing (Spark's
+    # case-insensitive resolver; reference CaseSensitivitySuite):
+    # withColumn('VALUE', ...) on a table with 'value' would otherwise
+    # add a case-twin column and break downstream resolution
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType.fromJson(_json.loads(store.table_info().schema_json))
+    canon = {f.name.lower(): f.name for f in schema.fields}
+    sets = {canon.get(c.lower(), c): _to_column(e) for c, e in set_exprs.items()}
     for c in sets:
         if c in info.range_cols + info.hash_cols:
             raise ValueError(f"cannot update partition/hash column '{c}'")

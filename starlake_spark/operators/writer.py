@@ -86,6 +86,33 @@ def _cast_by_name(col, src: T.DataType, dst: T.DataType):
     return col.cast(dst)
 
 
+def align_case(df: DataFrame, info: TableInfo) -> DataFrame:
+    """Case-insensitive source→schema alignment (Spark's default
+    resolver; reference CaseSensitivitySuite behavior): a source column
+    matching a declared column modulo case is renamed to the table's
+    canonical casing; two source columns collapsing onto one name are
+    rejected rather than silently merged. Runs BEFORE any partition-col
+    presence check or autoMerge — otherwise a mixed-case source column
+    would be treated as a brand-new column by schema evolution."""
+    declared = {f.name.lower(): f.name for f in table_schema(info).fields}
+    seen: dict[str, str] = {}
+    renamed = []
+    any_renames = False
+    for name in df.columns:
+        canon = declared.get(name.lower(), name)
+        if canon.lower() in seen:
+            raise ValueError(
+                f"source columns '{seen[canon.lower()]}' and '{name}' differ "
+                f"only in case — ambiguous under case-insensitive resolution"
+            )
+        seen[canon.lower()] = name
+        renamed.append(canon)
+        any_renames = any_renames or canon != name
+    if any_renames:
+        df = df.select(*[F.col(f"`{c}`").alias(n) for c, n in zip(df.columns, renamed)])
+    return df
+
+
 def normalize_for_write(
     df: DataFrame, info: TableInfo, enforce_schema: bool = True
 ) -> DataFrame:
@@ -98,7 +125,7 @@ def normalize_for_write(
     (``_cast_by_name``); partition/hash columns must be present and
     non-null (schema/ImplicitMetadataOperation.scala:148-156).
     """
-    df = _drop_null_type_columns(df)
+    df = align_case(_drop_null_type_columns(df), info)
     schema = table_schema(info)
     declared = {f.name: f for f in schema.fields}
     src_types = {f.name: f.dataType for f in df.schema.fields}

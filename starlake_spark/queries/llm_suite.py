@@ -425,6 +425,19 @@ def _exact_pairs(spark, sf_dir, threshold, planted=False):
     return out
 
 
+def _shingled4_exploded(spark, sf_dir):
+    """Cached exploded 4-gram shingle frame over ALL documents — both
+    decontamination entries (broadcast-distinct and Bloom) slice it into
+    benchmark/corpus sides, so the text→shingle scan runs once."""
+    return _memo(
+        spark,
+        ("sh4", sf_dir),
+        lambda: ld(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(dd.word_shingles(F.col("text"), 4)).alias("s"))
+        .localCheckpoint(eager=True),
+    )
+
+
 def _lsh_candidates(spark, sf_dir):
     """Cached banded-MinHash candidate pairs over the planted corpus —
     the signature pipeline (per-shingle xxhash64 → 64 permutations → 16
@@ -532,8 +545,11 @@ def docs_decontaminate(spark, sf_dir):
     d = ld(spark, sf_dir, "documents")
     cont = d.filter(F.col("doc_id") % 17 == 0)
     corpus = d.filter(F.col("doc_id") % 17 != 0)
+    sh_all = _shingled4_exploded(spark, sf_dir)
     out = dd.decontaminate(corpus, cont, "doc_id", "text",
-                           shingle_n=4, min_shared=2)
+                           shingle_n=4, min_shared=2,
+                           corpus_shingles=sh_all.filter(F.col("doc_id") % 17 != 0),
+                           cont_shingles=sh_all.filter(F.col("doc_id") % 17 == 0))
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
@@ -572,11 +588,10 @@ def docs_bloom_decontaminate(spark, sf_dir):
     d = ld(spark, sf_dir, "documents")
     cont = d.filter(F.col("doc_id") % 17 == 0)
     corpus = d.filter(F.col("doc_id") % 17 != 0)
-    # ONE exploded shingle frame feeds the bloom build, the bloom probe,
-    # and both sides of the exact overlap join
-    sh_all = d.select(
-        "doc_id", F.explode(dd.word_shingles(F.col("text"), 4)).alias("s")
-    ).localCheckpoint(eager=True)
+    # ONE cached exploded shingle frame feeds the bloom build, the bloom
+    # probe, both sides of the exact overlap join, AND the sibling
+    # docs_decontaminate entry
+    sh_all = _shingled4_exploded(spark, sf_dir)
     cont_sh = sh_all.filter(F.col("doc_id") % 17 == 0)
     corp_sh = sh_all.filter(F.col("doc_id") % 17 != 0)
     bloom_kept = dd.bloom_decontaminate(corpus, cont, "doc_id", "text",

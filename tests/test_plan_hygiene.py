@@ -201,3 +201,47 @@ def test_bloom_probe_is_join_free(spark):
     assert plan.count("Join") == 1, plan
     # the probe itself is a scan-side Python filter, not a join
     assert "ArrowEvalPython" in plan
+
+
+def test_bm25_filters_before_shuffle_and_broadcasts_stats(spark):
+    """BM25's token explode must filter to the query vocabulary BEFORE
+    any exchange (shuffles carry matches, not the corpus), and the
+    corpus-stats side must attach via broadcast, never a shuffled join."""
+    from starlake_spark.functions import text as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _phys(tx.bm25_topk(d, ["merge", "batch", "hash"], k=20))
+    final = plan.split("== Initial Plan ==")[0]
+    # the stats/idf frames are 1-row/3-row: every join with them must be
+    # a broadcast variant (the doclen join may hash — it is doc-keyed)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+    # vocabulary filter exists pre-aggregation (IN-list on the token)
+    assert "_w#" in plan and ("IN (" in plan or "in(" in plan.lower())
+
+
+def test_substring_spans_shuffles_hashes_not_strings(spark):
+    """The duplicated-span pipeline must never shuffle window STRINGS:
+    every exchange key set is (hash long | doc id), and there is no
+    cartesian/self-join on text."""
+    from starlake_spark.functions import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _phys(dd.duplicated_span_stats(d, "doc_id", "text", k=8))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final and "BroadcastNestedLoopJoin" not in final
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
+        keys = m.group(1)
+        assert "s#" not in keys, f"window string in shuffle keys: {keys}"
+
+
+def test_funnel_is_user_keyed_aggregation_tree(spark):
+    """The funnel must stay user-keyed: no cartesian product anywhere;
+    only the 1-row denominator may ride a broadcast nested-loop."""
+    from starlake_spark.queries.analytics import events_funnel
+
+    out = events_funnel(spark, SF)
+    plan = _phys(out)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final

@@ -214,3 +214,24 @@ def test_auto_compaction_opt_out(spark, sf_dir, tmp_table_dir):
     n = max(len({f.write_version for f in ps.files if not f.is_base_file})
             for ps in snap.partitions.values())
     assert n >= DELTA_FILE_COMPACT_TRIGGER, "opt-out must leave deltas un-compacted"
+
+
+def test_case_insensitive_source_columns(spark, tmp_table_dir):
+    """Reference CaseSensitivitySuite behavior: source columns matching
+    the schema modulo case resolve to the declared columns (never become
+    new columns via autoMerge); case-twin source columns are rejected."""
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                 ["id", "name", "value"])
+    t = create_table(spark, base, tmp_table_dir,
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame([(2, "B2", 200)], ["ID", "NAME", "VALUE"]))
+    rows = {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()}
+    assert rows == {1: ("a", 10), 2: ("B2", 200)}
+    assert [f.name for f in t.to_df().schema.fields] == ["id", "name", "value"]
+
+    t.update("ID = 1", {"VALUE": F.lit(99)})
+    assert {r["id"]: r["value"] for r in t.to_df().collect()} == {1: 99, 2: 200}
+
+    ambiguous = spark.createDataFrame([(3, 1, 2)], ["id", "value", "VALUE"])
+    with pytest.raises(ValueError, match="differ\\s+only in case"):
+        t.upsert(ambiguous)
