@@ -423,6 +423,57 @@ class ManifestStore:
             except FileNotFoundError:
                 pass
 
+    # ---------- restore / clone ----------
+
+    def import_state(
+        self, partitions: dict[str, "PartitionSnapshot"], commit_type: str
+    ) -> Snapshot:
+        """Publish a new version whose partition state is supplied
+        verbatim — files keep their ORIGINAL write_version so MoR
+        collapse ordering survives (a Transaction would re-stamp them).
+        Used by restore (rewind to an old snapshot) and clone import."""
+        lock = self._acquire_lock()
+        try:
+            current = self.snapshot()
+            new_version = current.version + 1
+            snap = Snapshot(
+                version=new_version,
+                partitions={
+                    rv: PartitionSnapshot(rv, list(ps.files), new_version)
+                    for rv, ps in partitions.items()
+                },
+                streaming=dict(current.streaming),
+                timestamp=time.time(),
+                commit_type=commit_type,
+            )
+            _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
+            return snap
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def restore(self, version: int) -> Snapshot:
+        """RESTORE TABLE TO VERSION: a NEW commit re-pointing the table
+        at an old snapshot's exact file state (Delta-style RESTORE).
+        History is preserved — time travel to the interim versions still
+        works — and the restored files keep their write_versions, so a
+        restored MoR state still merges in the original order. Fails if
+        cleanup() already removed any file the target version needs."""
+        target = self.snapshot(version)
+        missing = [
+            f.path
+            for f in target.all_files()
+            if not os.path.exists(os.path.join(self.table_path, f.path))
+        ]
+        if missing:
+            raise MetaError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) removed by cleanup, e.g. {missing[0]}"
+            )
+        return self.import_state(target.partitions, commit_type="restore")
+
     # ---------- cleanup support ----------
 
     def referenced_files(self, since_version: int = 0) -> set[str]:

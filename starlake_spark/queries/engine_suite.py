@@ -847,8 +847,21 @@ ORDER BY o_orderkey
 """
 
 
+def star_restore_clone(spark, sf_dir):
+    """RESTORE + SHALLOW CLONE round-trip: upsert-churned orders table
+    is restored to version 1 (pre-upsert), then shallow-cloned; the
+    clone of the restored table must read exactly the original orders.
+    Oracle = plain orders — any contamination from the interim upserts,
+    a broken restore rewind, or clone metadata drift breaks the hash."""
+    t = _build_upserted_orders(spark, sf_dir, "restore_clone")
+    t.restore(1)
+    c = t.clone(_scratch(sf_dir, "restore_clone_c"), shallow=True)
+    return c.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_restore_clone": (star_restore_clone, TIME_TRAVEL_ORACLE),
     "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
     "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
     "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),

@@ -80,6 +80,18 @@ _CREATE_RE = re.compile(
     r"(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<version>\d+)\s*$",
+    re.IGNORECASE,
+)
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+    r"(?:(?P<mode>SHALLOW|DEEP)\s+)?CLONE\s+(?P<src>[\w.]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?"
+    r"(?:\s+LOCATION\s+'[^']+')?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
     r"\((?P<cols>.+)\)\s*$",
@@ -295,6 +307,23 @@ class StarSession:
         if m and self._known(m["name"]):
             keys = [k.strip().strip("'\"") for k in _split_top_level(m["props"])]
             self.table(m["name"]).unset_properties(keys)
+            return self._empty_df()
+
+        m = _RESTORE_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).restore(int(m["version"]))
+            return self._empty_df()
+
+        m = _CLONE_RE.match(text)
+        if m and self._known(m["src"]):
+            loc = re.search(r"\bLOCATION\s+'([^']+)'", text, re.IGNORECASE)
+            if not loc:
+                raise ValueError("CREATE TABLE ... CLONE requires LOCATION '<path>'")
+            version = int(m["version"]) if m["version"] else None
+            shallow = (m["mode"] or "SHALLOW").upper() == "SHALLOW"
+            self._tables[m["name"]] = self.table(m["src"]).clone(
+                loc.group(1), version=version, shallow=shallow,
+                short_name=m["name"])
             return self._empty_df()
 
         m = _CREATE_RE.match(text)

@@ -11,7 +11,9 @@ hashPartitions / hashBucketNum / shortTableName, tables/StarTable.scala:413-567)
 from __future__ import annotations
 
 import json
+import os
 import uuid
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -258,6 +260,66 @@ class StarTable:
         if info.short_name:
             catalog.unregister(info.short_name)
         self.store.drop()
+
+    def restore(self, version: int) -> "StarTable":
+        """RESTORE TABLE TO VERSION AS OF n (Delta-style, beyond the
+        reference): a new commit re-points the table at version n's
+        exact file state. History is preserved (interim versions remain
+        time-travelable), restored MoR files keep their write_versions
+        so merge ordering survives, and the change stream sees nothing
+        (no file carries the new commit's write_version)."""
+        self.store.restore(version)
+        return self
+
+    def clone(self, dest_path: str, version: int | None = None,
+              shallow: bool = True, short_name: str | None = None) -> "StarTable":
+        """CLONE (Delta-style, beyond the reference): create a new table
+        whose first snapshot references this table's data files as of
+        ``version`` (latest if None). Shallow clones point at the SOURCE
+        files via absolute paths — zero data copied, O(metadata); a
+        later cleanup() on the source can break them (the same caveat
+        Delta shallow clones carry). Deep clones copy the files into the
+        clone's own directory. Writes to the clone never touch the
+        source: new files land under the clone root, and rewrites just
+        drop source references from the clone's manifest."""
+        import shutil as _sh
+
+        from starlake_spark.meta import PartitionSnapshot as _PS
+
+        src_info = self.store.table_info()
+        snap = self.store.snapshot(version)
+        dest = ManifestStore(dest_path)
+        info = TableInfo(
+            table_path=dest_path,
+            table_id=f"table_{uuid.uuid4().hex[:16]}",
+            schema_json=src_info.schema_json,
+            range_cols=list(src_info.range_cols),
+            hash_cols=list(src_info.hash_cols),
+            bucket_num=src_info.bucket_num,
+            configuration=dict(src_info.configuration),
+            short_name=short_name,
+        )
+        dest.create(info)
+        partitions = {}
+        for rv, ps in snap.partitions.items():
+            files = []
+            for f in ps.files:
+                nf = replace(f)
+                src_abs = os.path.join(self.store.table_path, f.path)
+                if shallow:
+                    nf.path = src_abs
+                else:
+                    rel = os.path.join("data", "clone_v0", f.path.replace(os.sep, "_"))
+                    dst_abs = os.path.join(dest_path, rel)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    _sh.copy2(src_abs, dst_abs)
+                    nf.path = rel
+                files.append(nf)
+            partitions[rv] = _PS(rv, files, 1)
+        dest.import_state(partitions, commit_type="clone")
+        if short_name:
+            catalog.register(short_name, dest_path, None)
+        return StarTable(self.spark, dest)
 
     # ---------- ALTER TABLE (commands/alterTableCommands.scala:58-374) ----------
 

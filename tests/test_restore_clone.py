@@ -1,0 +1,85 @@
+"""RESTORE TO VERSION and SHALLOW/DEEP CLONE (Delta-style features
+beyond the reference): rewind commits preserve history and MoR merge
+order; clones are independent of their source for writes."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import create_table
+from starlake_spark.meta import MetaError
+
+
+def _mk(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(1, 6)], "id int, name string, value int")
+    return create_table(spark, df, path, hash_partitions=["id"], hash_bucket_num=2)
+
+
+def test_restore_rewinds_and_preserves_history(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.upsert(spark.createDataFrame([(3, "X", 999)], "id int, name string, value int"))
+    t.delete("id = 1")
+    t.restore(1)
+    rows = {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()}
+    assert rows == {i: (f"n{i}", i * 10) for i in range(1, 6)}
+    # interim versions still time-travelable
+    assert t.to_df(version=2).filter("id = 3 AND name = 'X'").count() == 1
+    assert t.to_df(version=3).count() == 4
+
+
+def test_restore_mor_state_keeps_merge_order(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.set_properties({"compaction.auto": "false"})
+    t.upsert(spark.createDataFrame([(2, "v1", 1)], "id int, name string, value int"))
+    t.upsert(spark.createDataFrame([(2, "v2", 2)], "id int, name string, value int"))
+    mor_version = t.versions()[-1]
+    t.delete("id = 2")
+    t.restore(mor_version)
+    # last delta must still win after restore (write_versions preserved)
+    row = t.to_df().filter("id = 2").collect()[0]
+    assert (row["name"], row["value"]) == ("v2", 2)
+
+
+def test_restore_fails_after_cleanup_removed_files(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.write(spark.createDataFrame([(9, "z", 0)], "id int, name string, value int"),
+            mode="overwrite")
+    t.cleanup(retention_s=0.0)
+    with pytest.raises(MetaError, match="removed by cleanup"):
+        t.restore(1)
+
+
+def test_shallow_clone_independent_writes(spark, tmp_table_dir, tmp_path):
+    t = _mk(spark, tmp_table_dir)
+    c = t.clone(str(tmp_path / "c1"), version=1, shallow=True)
+    c.upsert(spark.createDataFrame([(2, "CLONED", 0)], "id int, name string, value int"))
+    assert c.to_df().filter("name = 'CLONED'").count() == 1
+    assert t.to_df().filter("name = 'CLONED'").count() == 0
+    # clone rewrites never delete source files
+    c.delete("id = 4")
+    assert t.to_df().filter("id = 4").count() == 1
+
+
+def test_deep_clone_survives_source_drop(spark, tmp_table_dir, tmp_path):
+    t = _mk(spark, tmp_table_dir)
+    c = t.clone(str(tmp_path / "c2"), shallow=False)
+    t.drop_table()
+    assert c.to_df().count() == 5
+
+
+def test_restore_and_clone_sql_routing(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    base.createOrReplaceTempView("_rc_src")
+    ss.sql(f"CREATE TABLE rc_t USING star OPTIONS (hashPartitions = 'id', "
+           f"hashBucketNum = '2') LOCATION '{tmp_path}/rc_t' AS SELECT * FROM _rc_src")
+    ss.sql("UPDATE rc_t SET v = 99 WHERE id = 1")
+    ss.sql("RESTORE TABLE rc_t TO VERSION AS OF 1")
+    assert {r["v"] for r in ss.sql("SELECT v FROM rc_t").collect()} == {10, 20}
+    ss.sql(f"CREATE TABLE rc_c SHALLOW CLONE rc_t VERSION AS OF 1 "
+           f"LOCATION '{tmp_path}/rc_c'")
+    assert ss.sql("SELECT COUNT(*) AS n FROM rc_c").collect()[0]["n"] == 2
