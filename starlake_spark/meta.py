@@ -63,6 +63,11 @@ class CommitConflictError(MetaError):
     pass
 
 
+class DuplicateTxnError(MetaError):
+    """An idempotent transaction (query_id/app_id + monotonic version)
+    was already committed — the retry must become a no-op."""
+
+
 @dataclass
 class TableInfo:
     """Reference: utils/MetaData.scala:54-117 (TableInfo)."""
@@ -353,6 +358,17 @@ class ManifestStore:
         lock = self._acquire_lock()
         try:
             current = self.snapshot()
+            # idempotence gate, enforced UNDER the lock (a pre-write
+            # check alone loses the race between two retries of the same
+            # batch): monotonic per registry key, as the reference's
+            # StreamingRecord.getBatchId guard (StarLakeSink.scala:60-63)
+            if txn.streaming_update is not None:
+                qid, bid = txn.streaming_update
+                if current.streaming.get(qid, -1) >= bid:
+                    raise DuplicateTxnError(
+                        f"transaction '{qid}' version {bid} already committed "
+                        f"(have {current.streaming.get(qid)})"
+                    )
             if current.version > txn.read_snapshot.version:
                 # Another commit landed. Conflict iff it expired files we
                 # also expire, or touched partitions we fully rewrite.

@@ -50,7 +50,9 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
 
 
 def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
-           use_delta: bool = True) -> None:
+           use_delta: bool = True,
+           txn_app_id: str | None = None,
+           txn_version: int | None = None) -> None:
     """MoR delta upsert (default) or CoW full-outer rewrite.
 
     Delta path (UpsertCommand.scala:107-111): write the source as
@@ -75,12 +77,30 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
                              "(UpsertCommand.scala:83-88)")
     info = maybe_merge_schema(source, store)
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None
+    if txn_key is not None:
+        if not use_delta:
+            raise ValueError("idempotent upsert requires the delta path")
+        if store.snapshot().streaming.get(txn_key, -1) >= txn_version:
+            return
+
     if use_delta:
+        from starlake_spark.meta import DuplicateTxnError
+
         txn = store.new_transaction()
         txn.commit_type = "delta"
         files = writer.write_files(spark, source, info, txn, is_base=False)
         txn.add_files(files)
-        store.commit(txn)
+        if txn_key is not None:
+            txn.set_streaming_batch(txn_key, txn_version)
+            try:
+                store.commit(txn)
+            except DuplicateTxnError:
+                return  # concurrent retry already landed this version
+        else:
+            store.commit(txn)
         # Auto-compaction (reference trigger: delta file count >= 5,
         # StarLakeSQLConf.scala:41-45 via CompactionCommand.scala:70-109):
         # caps the MoR union fan-out — without it, every un-compacted
@@ -458,16 +478,31 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
 
 
 def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
-               mode: str = "append", replace_where: str | None = None) -> None:
+               mode: str = "append", replace_where: str | None = None,
+               txn_app_id: str | None = None,
+               txn_version: int | None = None) -> None:
     """WriteIntoTable (WriteIntoTable.scala:44-146): append / overwrite /
     partition-scoped overwrite via replaceWhere (predicate over range
     columns, evaluated against manifest partition values — no data read).
     Appending to a hash table is forbidden: use upsert
-    (WriteIntoTable.scala:96-97)."""
+    (WriteIntoTable.scala:96-97).
+
+    ``txn_app_id``/``txn_version`` make the write IDEMPOTENT (Delta's
+    txnAppId/txnVersion): a retry carrying a version <= the last
+    committed one for that app is a no-op — pre-checked cheaply, and
+    enforced race-free under the commit lock via the same monotonic
+    registry the streaming sink uses."""
+    from starlake_spark.meta import DuplicateTxnError
+
     info = store.table_info()
     if mode == "append" and info.hash_cols:
         raise ValueError("append to a hash-partitioned table is forbidden; "
                          "use upsert (WriteIntoTable.scala:96-97)")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None
+    if txn_key is not None and store.snapshot().streaming.get(txn_key, -1) >= txn_version:
+        return
     info = maybe_merge_schema(df, store)
     txn = store.new_transaction()
     files = writer.write_files(spark, df, info, txn, is_base=True)
@@ -487,7 +522,14 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
     elif mode != "append":
         raise ValueError(f"unsupported mode {mode}")
     txn.add_files(files)
-    store.commit(txn)
+    if txn_key is not None:
+        txn.set_streaming_batch(txn_key, txn_version)
+        try:
+            store.commit(txn)
+        except DuplicateTxnError:
+            return  # concurrent retry already landed this version
+    else:
+        store.commit(txn)
 
 
 def _partitions_matching(spark, store, info, predicate: str) -> set[str]:

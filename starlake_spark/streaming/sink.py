@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from starlake_spark.meta import ManifestStore
+from starlake_spark.meta import DuplicateTxnError, ManifestStore
 from starlake_spark.operators import dml, writer
 
 
@@ -56,7 +56,13 @@ class StarStreamSink:
                 txn.expire_partition(rv)
         txn.add_files(files)
         txn.set_streaming_batch(self.query_id, batch_id)
-        self.store.commit(txn)
+        try:
+            self.store.commit(txn)
+        except DuplicateTxnError:
+            # a concurrent retry of the same batch won the lock first —
+            # its commit IS this batch; files written here are orphans
+            # that cleanup() collects
+            return False
         return True
 
     def foreach_batch(self):

@@ -146,12 +146,20 @@ class StarTable:
 
     # ---------- writes / DML ----------
 
-    def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None) -> "StarTable":
-        dml.write_into(self.spark, self.store, df, mode=mode, replace_where=replace_where)
+    def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None,
+              txn_app_id: str | None = None, txn_version: int | None = None) -> "StarTable":
+        """``txn_app_id``/``txn_version`` (Delta txnAppId/txnVersion
+        analog) make the write idempotent: retries carrying an
+        already-committed version are no-ops, enforced race-free under
+        the commit lock."""
+        dml.write_into(self.spark, self.store, df, mode=mode, replace_where=replace_where,
+                       txn_app_id=txn_app_id, txn_version=txn_version)
         return self
 
-    def upsert(self, source: DataFrame, use_delta: bool = True) -> "StarTable":
-        dml.upsert(self.spark, self.store, source, use_delta=use_delta)
+    def upsert(self, source: DataFrame, use_delta: bool = True,
+               txn_app_id: str | None = None, txn_version: int | None = None) -> "StarTable":
+        dml.upsert(self.spark, self.store, source, use_delta=use_delta,
+                   txn_app_id=txn_app_id, txn_version=txn_version)
         return self
 
     def update(self, condition, set_exprs: dict) -> "StarTable":
