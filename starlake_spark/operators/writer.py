@@ -332,6 +332,18 @@ def write_files(
 
     abs_dir = os.path.join(txn.store.table_path, txn.data_dir)
     writer = df.write.mode("overwrite").format("parquet")
+    # Parquet-native Bloom filter indexes (point-lookup row-group
+    # skipping INSIDE files — complements the manifest's min/max file
+    # skipping, which equality predicates on high-cardinality unsorted
+    # columns defeat). Spark's parquet reader consumes them
+    # automatically on `col = x` pushdown; no custom read path. Default:
+    # the hash (primary-key) columns; override with the
+    # `bloom.index.cols` table property (comma-separated, '' disables).
+    bloom_cols = (info.configuration or {}).get(
+        "bloom.index.cols", ",".join(info.hash_cols))
+    for c in [c.strip() for c in bloom_cols.split(",") if c.strip()]:
+        if c in df.columns:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if info.range_cols:
         writer = writer.partitionBy(*info.range_cols)
     try:

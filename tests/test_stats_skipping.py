@@ -209,3 +209,45 @@ def test_sql_optimize_zorder_routes_to_zorder(spark, tmp_path):
     n = len(t.to_df().inputFiles())
     assert len(t.to_df(where="b = 9").inputFiles()) < n
     t.drop_table()
+
+
+def test_parquet_bloom_index_written_for_hash_cols(spark, tmp_table_dir):
+    """Point-lookup skipping inside files: data files of a hash table
+    carry a parquet-native Bloom filter on the hash columns (consumed
+    automatically by the scan on equality pushdown); other columns
+    don't pay the index cost. Disabled via bloom.index.cols=''."""
+    import os
+
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = create_table(spark, o, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+
+    def bloom_offsets(path):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(path), conf)
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            cols = rdr.getFooter().getBlocks().get(0).getColumns()
+            return {cols.get(i).getPath().toDotString():
+                    cols.get(i).getBloomFilterOffset()
+                    for i in range(cols.size())}
+        finally:
+            rdr.close()
+
+    f = t.store.snapshot().all_files()[0]
+    offs = bloom_offsets(os.path.join(tmp_table_dir, f.path))
+    assert offs["o_orderkey"] >= 0
+    assert offs["o_custkey"] == -1
+    # point lookup stays correct through the indexed scan
+    assert t.to_df().filter("o_orderkey = 32").count() == 1
+
+    # opt-out property suppresses the index on subsequent writes
+    t.set_properties({"bloom.index.cols": ""})
+    t.upsert(o.limit(10))
+    newest = max(t.store.snapshot().all_files(), key=lambda x: x.write_version)
+    offs2 = bloom_offsets(os.path.join(tmp_table_dir, newest.path))
+    assert offs2["o_orderkey"] == -1
