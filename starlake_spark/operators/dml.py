@@ -355,9 +355,49 @@ def update(spark: SparkSession, store: ManifestStore, condition,
                   cond_sql=condition if isinstance(condition, str) else None)
 
 
-def delete(spark: SparkSession, store: ManifestStore, condition=None) -> None:
+def delete(spark: SparkSession, store: ManifestStore, condition=None,
+           use_delta: bool = False) -> None:
     """DELETE: keep rows where NOT coalesce(cond, false)
-    (DeleteCommand.scala:41-147)."""
+    (DeleteCommand.scala:41-147).
+
+    ``use_delta=True`` (beyond the reference — the deletion-vector /
+    merge-on-read DELETE shape): instead of rewriting every touched
+    file, write a TOMBSTONE delta file holding just the matched keys
+    (flag column true, data columns explicit nulls). The MoR collapse
+    filters tombstoned keys at scan time; a later upsert resurrects the
+    key with insert-after-delete semantics (unset columns are null).
+    Write cost is O(deleted keys), not O(touched files) — the 100 TB
+    shape for selective deletes on huge hash tables. Compaction
+    materializes the deletion and drops the tombstones. Hash tables
+    only; rejected when the table declares merge operators (a tombstone
+    would feed sum/concat-style ops a spurious null version)."""
+    if use_delta and condition is not None:
+        info = store.table_info()
+        if not info.hash_cols:
+            raise ValueError("delta delete requires hash partition columns; "
+                             "use the rewrite path for range-only tables")
+        if (info.configuration or {}).get("compaction.merge_operators"):
+            raise ValueError(
+                "delta delete is not supported on tables with declared "
+                "merge operators — the tombstone's null version would be "
+                "merged; use the rewrite path (use_delta=False)")
+        cond = _to_column(condition)
+        keys = info.range_cols + info.hash_cols
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        tomb = (reader.scan(spark, store)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .select(*keys))
+        for f in schema.fields:
+            if f.name not in keys:
+                tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
+        tomb = tomb.withColumn(reader.TOMBSTONE_COL, F.lit(True))
+        txn = store.new_transaction()
+        txn.commit_type = "delete_delta"
+        files = writer.write_files(spark, tomb, info, txn, is_base=False,
+                                   check_invariants=False)
+        txn.add_files(files)
+        store.commit(txn)
+        return
     if condition is None:
         txn = store.new_transaction()
         txn.commit_type = "delete"

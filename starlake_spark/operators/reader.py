@@ -50,6 +50,9 @@ from starlake_spark.meta import (
 
 _WV = "_star_wv"
 _ORD = "_star_ord_"  # per-column merge ordering prefix
+# physical flag column in tombstone delta files (delta DELETE path):
+# collapses last-wins per key, true ⇒ the key is filtered from the scan
+TOMBSTONE_COL = "_star_tombstone"
 
 
 def _schema(info: TableInfo) -> T.StructType:
@@ -95,6 +98,8 @@ def _read_group(
             cols.append(F.col(name).cast(declared[name]).alias(name))
         else:
             cols.append(F.lit(None).cast(declared[name]).alias(name))
+    if TOMBSTONE_COL in df.columns:
+        cols.append(F.col(TOMBSTONE_COL).cast("boolean").alias(TOMBSTONE_COL))
     return df.select(*cols)
 
 
@@ -127,6 +132,7 @@ def _merge_scan(
 
     groups = _group_files(files)
     branches = []
+    any_tomb = any(TOMBSTONE_COL in fs[0].exist_cols for fs in groups.values())
     for (wv, cdir), fs in groups.items():
         exist = set(fs[0].exist_cols)
         d = _read_group(spark, store, info, cdir, fs)
@@ -137,6 +143,17 @@ def _merge_scan(
         for f in data_cols:
             ordv = F.lit(wv).cast("long") if f.name in exist else F.lit(None).cast("long")
             d = d.withColumn(_ORD + f.name, ordv)
+        if any_tomb:
+            # every branch asserts an opinion on liveness: tombstone
+            # files carry the physical flag (true), everything else
+            # injects a literal false — last version wins below, so a
+            # later upsert resurrects a deleted key (with nulls for
+            # columns the tombstone blanked, the insert-after-delete
+            # semantics)
+            if TOMBSTONE_COL not in d.columns:
+                d = d.withColumn(TOMBSTONE_COL, F.lit(False))
+        elif TOMBSTONE_COL in d.columns:
+            d = d.drop(TOMBSTONE_COL)
         branches.append(d)
 
     u = branches[0]
@@ -160,7 +177,13 @@ def _merge_scan(
             )
             aggs.append(op.column(versions, f.dataType).cast(f.dataType).alias(f.name))
 
+    if any_tomb:
+        # liveness collapses like any last-wins column, keyed on the
+        # always-present commit version
+        aggs.append(F.max_by(F.col(TOMBSTONE_COL), F.col(_WV)).alias(TOMBSTONE_COL))
     merged = u.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    if any_tomb:
+        merged = merged.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
     return merged.select(*[F.col(f.name) for f in schema.fields])
 
 

@@ -859,9 +859,38 @@ def star_restore_clone(spark, sf_dir):
     return c.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
 
 
+def star_delta_delete(spark, sf_dir):
+    """Tombstone-delta DELETE + resurrect: delete every F-status order
+    (O(matched keys) tombstone write, no file rewrite), then re-upsert a
+    slice of them with only the status column set — scan must show the
+    survivors plus the resurrected keys with nulls for every column the
+    tombstone blanked (insert-after-delete semantics)."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "delta_delete"),
+                     range_partitions=["o_orderpriority"],
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t.set_properties({"compaction.auto": "false"})
+    t.delete("o_orderstatus = 'F'", use_delta=True)
+    t.upsert(o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0))
+              .select("o_orderkey", "o_orderpriority",
+                      F.lit("R").alias("o_orderstatus")))
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+DELTA_DELETE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderkey, NULL, 'R', NULL, NULL, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+ORDER BY o_orderkey
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_restore_clone": (star_restore_clone, TIME_TRAVEL_ORACLE),
+    "star_delta_delete": (star_delta_delete, DELTA_DELETE_ORACLE),
     "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
     "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
     "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),

@@ -215,7 +215,7 @@ class _StarStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = store.snapshot(v)
-            if snap.commit_type == "compact":
+            if snap.commit_type in ("compact", "delete_delta"):
                 continue
             new_files = [f for f in snap.all_files() if f.write_version == v]
             parts.extend(_file_partitions(store, new_files, types))
@@ -349,7 +349,7 @@ def table_changes(spark, path: str, start_version: int = 0,
     dfs = []
     for v in range(start_version + 1, end + 1):
         snap = store.snapshot(v)
-        if snap.commit_type == "compact":
+        if snap.commit_type in ("compact", "delete_delta"):
             continue
         new_files = [f for f in snap.all_files() if f.write_version == v]
         if not new_files:

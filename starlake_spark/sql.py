@@ -323,7 +323,7 @@ class StarSession:
             shallow = (m["mode"] or "SHALLOW").upper() == "SHALLOW"
             self._tables[m["name"]] = self.table(m["src"]).clone(
                 loc.group(1), version=version, shallow=shallow,
-                short_name=m["name"])
+                short_name=m["name"], warehouse=self.warehouse)
             return self._empty_df()
 
         m = _CREATE_RE.match(text)

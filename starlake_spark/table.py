@@ -181,8 +181,10 @@ class StarTable:
                        target_alias=target_alias, source_alias=source_alias)
         return self
 
-    def delete(self, condition=None) -> "StarTable":
-        dml.delete(self.spark, self.store, condition)
+    def delete(self, condition=None, use_delta: bool = False) -> "StarTable":
+        """``use_delta=True``: tombstone-delta DELETE — O(matched keys)
+        write instead of rewriting touched files; see dml.delete."""
+        dml.delete(self.spark, self.store, condition, use_delta=use_delta)
         return self
 
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
@@ -280,7 +282,8 @@ class StarTable:
         return self
 
     def clone(self, dest_path: str, version: int | None = None,
-              shallow: bool = True, short_name: str | None = None) -> "StarTable":
+              shallow: bool = True, short_name: str | None = None,
+              warehouse: str | None = None) -> "StarTable":
         """CLONE (Delta-style, beyond the reference): create a new table
         whose first snapshot references this table's data files as of
         ``version`` (latest if None). Shallow clones point at the SOURCE
@@ -326,7 +329,7 @@ class StarTable:
             partitions[rv] = _PS(rv, files, 1)
         dest.import_state(partitions, commit_type="clone")
         if short_name:
-            catalog.register(short_name, dest_path, None)
+            catalog.register(short_name, dest_path, warehouse)
         return StarTable(self.spark, dest)
 
     # ---------- ALTER TABLE (commands/alterTableCommands.scala:58-374) ----------

@@ -105,3 +105,56 @@ def test_cleanup_removes_orphans(spark, tmp_table_dir):
     assert removed, "expected expired physical files to be vacuumed"
     # table still reads fine afterwards
     assert sorted(r.key for r in t.to_df().collect()) == [5, 6, 7, 8, 9]
+
+
+def test_delta_delete_tombstones(spark, tmp_table_dir):
+    """MoR tombstone DELETE: O(matched keys) delta write, scan filters
+    the keys, later upsert resurrects with insert-after-delete nulls,
+    compaction materializes without changing results."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(i, f"n{i}", i * 10) for i in range(1, 6)],
+                               "id int, name string, value int")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.set_properties({"compaction.auto": "false"})
+    t.delete("value >= 30", use_delta=True)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+    # resurrect one key with a partial-column upsert
+    t.upsert(spark.createDataFrame([(3, 7)], "id int, value int"))
+    rows = {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()}
+    assert rows[3] == (None, 7)  # pre-delete 'n3' must NOT leak back
+    t.compaction(force=True)
+    rows2 = {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()}
+    assert rows2 == rows
+
+
+def test_delta_delete_guards(spark, tmp_table_dir):
+    import pytest as _pt
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, "a", "r")], "id int, v string, rng string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["rng"])
+    with _pt.raises(ValueError, match="hash partition"):
+        t.delete("id = 1", use_delta=True)
+
+    d2 = spark.createDataFrame([(1, 5)], "id int, v int")
+    t2 = create_table(spark, d2, tmp_table_dir + "_2",
+                      hash_partitions=["id"], hash_bucket_num=2)
+    t2.set_properties({"compaction.merge_operators": '{"v": "sum"}'})
+    with _pt.raises(ValueError, match="merge operators"):
+        t2.delete("id = 1", use_delta=True)
+
+
+def test_delta_delete_invisible_to_change_stream(spark, tmp_table_dir):
+    from starlake_spark.sources.datasource import table_changes
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 4)], "id int, v int")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["id"], hash_bucket_num=2)
+    v0 = t.versions()[-1]
+    t.delete("id = 2", use_delta=True)
+    ch = table_changes(spark, tmp_table_dir, v0)
+    assert ch is None or ch.count() == 0
