@@ -326,9 +326,19 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
 
 
 def update(spark: SparkSession, store: ManifestStore, condition,
-           set_exprs: dict) -> None:
+           set_exprs: dict, use_delta: bool = False) -> None:
     """UPDATE: per column ``when(cond, expr).otherwise(col)`` on touched
-    data (UpdateCommand.scala:39-154)."""
+    data (UpdateCommand.scala:39-154).
+
+    ``use_delta=True`` (beyond the reference): instead of rewriting
+    every touched file, read ONLY the matched rows, apply the SET
+    expressions, and commit them as a delta upsert — the MoR collapse
+    makes the new versions win. Write cost O(matched rows), not
+    O(touched files); the scan-side read still prunes by partition and
+    footer stats. Hash tables only (the delta path needs keys);
+    rejected on merge-operator tables, where re-written full rows would
+    be MERGED with (not replace) their history (a sum column would
+    double-count)."""
     cond = _to_column(condition) if condition is not None else F.lit(True)
     info = store.table_info()
     # canonicalize SET keys to the table's declared casing (Spark's
@@ -345,6 +355,25 @@ def update(spark: SparkSession, store: ManifestStore, condition,
     for c in sets:
         if c in info.range_cols + info.hash_cols:
             raise ValueError(f"cannot update partition/hash column '{c}'")
+
+    if use_delta:
+        if not info.hash_cols:
+            raise ValueError("delta update requires hash partition columns; "
+                             "use the rewrite path for range-only tables")
+        if (info.configuration or {}).get("compaction.merge_operators"):
+            raise ValueError(
+                "delta update is not supported on tables with declared "
+                "merge operators — re-written rows would be merged with "
+                "their history instead of replacing it")
+        matched = reader.scan(spark, store).filter(F.coalesce(cond, F.lit(False)))
+        for c, e in sets.items():
+            matched = matched.withColumn(c, e)
+        txn = store.new_transaction()
+        txn.commit_type = "delta"
+        files = writer.write_files(spark, matched, info, txn, is_base=False)
+        txn.add_files(files)
+        store.commit(txn)
+        return
 
     def transform(df: DataFrame, cnd: Column) -> DataFrame:
         for c, e in sets.items():

@@ -162,8 +162,10 @@ class StarTable:
                    txn_app_id=txn_app_id, txn_version=txn_version)
         return self
 
-    def update(self, condition, set_exprs: dict) -> "StarTable":
-        dml.update(self.spark, self.store, condition, set_exprs)
+    def update(self, condition, set_exprs: dict, use_delta: bool = False) -> "StarTable":
+        """``use_delta=True``: O(matched rows) delta-upsert UPDATE
+        instead of rewriting touched files; see dml.update."""
+        dml.update(self.spark, self.store, condition, set_exprs, use_delta=use_delta)
         return self
 
     def merge(self, source: DataFrame, condition: str,

@@ -158,3 +158,40 @@ def test_delta_delete_invisible_to_change_stream(spark, tmp_table_dir):
     t.delete("id = 2", use_delta=True)
     ch = table_changes(spark, tmp_table_dir, v0)
     assert ch is None or ch.count() == 0
+
+
+def test_delta_update_matches_rewrite_semantics(spark, tmp_table_dir):
+    """Delta UPDATE: only matched rows are re-committed as a delta;
+    results equal the rewrite path, compaction keeps them, and the
+    update is invisible to untouched keys' file lineage."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(i, f"n{i}", i * 10) for i in range(1, 6)],
+                               "id int, name string, value int")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.set_properties({"compaction.auto": "false"})
+    t.update("value >= 30", {"name": F.concat(F.col("name"), F.lit("!")),
+                             "value": F.col("value") + 1}, use_delta=True)
+    rows = {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()}
+    assert rows == {1: ("n1", 10), 2: ("n2", 20), 3: ("n3!", 31),
+                    4: ("n4!", 41), 5: ("n5!", 51)}
+    # delta files hold only the 3 matched keys
+    newest_wv = max(f.write_version for f in t.store.snapshot().all_files())
+    delta_rows = sum(
+        spark.read.parquet(tmp_table_dir + "/" + f.path).count()
+        for f in t.store.snapshot().all_files() if f.write_version == newest_wv)
+    assert delta_rows == 3
+    t.compaction(force=True)
+    assert {r["id"]: (r["name"], r["value"]) for r in t.to_df().collect()} == rows
+
+
+def test_delta_update_guards(spark, tmp_table_dir):
+    import pytest as _pt
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, "a", "r")], "id int, v string, rng string")
+    t = create_table(spark, df, tmp_table_dir, range_partitions=["rng"])
+    with _pt.raises(ValueError, match="hash partition"):
+        t.update("id = 1", {"v": F.lit("x")}, use_delta=True)
