@@ -325,6 +325,17 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
     store.commit(txn)
 
 
+def _delta_dml_default(info) -> bool:
+    """True when dml.delta.enabled=true AND the table is eligible for
+    the delta UPDATE/DELETE paths (hash-keyed, no declared merge ops) —
+    ineligible tables silently keep the rewrite path so the property is
+    safe to set table-wide."""
+    cfg = info.configuration or {}
+    return (cfg.get("dml.delta.enabled", "false") == "true"
+            and bool(info.hash_cols)
+            and not cfg.get("compaction.merge_operators"))
+
+
 def update(spark: SparkSession, store: ManifestStore, condition,
            set_exprs: dict, use_delta: bool = False) -> None:
     """UPDATE: per column ``when(cond, expr).otherwise(col)`` on touched
@@ -356,6 +367,11 @@ def update(spark: SparkSession, store: ManifestStore, condition,
         if c in info.range_cols + info.hash_cols:
             raise ValueError(f"cannot update partition/hash column '{c}'")
 
+    # table property dml.delta.enabled=true opts SQL/API callers into the
+    # delta paths wherever ELIGIBLE (hash table, no merge operators) —
+    # the soft-default analog of the reference's USE_DELTA_FILE conf
+    if not use_delta and _delta_dml_default(info):
+        use_delta = True
     if use_delta:
         if not info.hash_cols:
             raise ValueError("delta update requires hash partition columns; "
@@ -400,6 +416,8 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
     materializes the deletion and drops the tombstones. Hash tables
     only; rejected when the table declares merge operators (a tombstone
     would feed sum/concat-style ops a spurious null version)."""
+    if not use_delta and condition is not None and _delta_dml_default(store.table_info()):
+        use_delta = True
     if use_delta and condition is not None:
         info = store.table_info()
         if not info.hash_cols:

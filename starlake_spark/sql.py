@@ -426,10 +426,15 @@ class StarSession:
                       if part else _csv_opt(opts, "rangePartitions"))
         hash_cols = _csv_opt(opts, "hashPartitions")
         bucket_num = int(opts.get("hashBucketNum", -1))
+        # every other OPTIONS/TBLPROPERTIES key is a table property
+        # (dml.delta.enabled, compaction.auto, bloom.index.cols, ...)
+        known = {"rangepartitions", "hashpartitions", "hashbucketnum"}
+        extra = {k: v for k, v in opts.items() if k.lower() not in known}
         t = self.create_table(df, loc.group(1), name=name,
                               range_partitions=range_cols,
                               hash_partitions=hash_cols,
-                              hash_bucket_num=bucket_num)
+                              hash_bucket_num=bucket_num,
+                              configuration=extra or None)
         self._tables[name] = t
         return self._empty_df()
 

@@ -195,3 +195,25 @@ def test_delta_update_guards(spark, tmp_table_dir):
     t = create_table(spark, df, tmp_table_dir, range_partitions=["rng"])
     with _pt.raises(ValueError, match="hash partition"):
         t.update("id = 1", {"v": F.lit("x")}, use_delta=True)
+
+
+def test_dml_delta_enabled_property_routes_sql(spark, tmp_table_dir):
+    """dml.delta.enabled=true makes plain UPDATE/DELETE (API and SQL
+    text) take the delta paths on eligible tables: version count grows
+    by delta commits, newest files hold only matched keys."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 6)], "id int, v int")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["id"], hash_bucket_num=2,
+                     configuration={"dml.delta.enabled": "true",
+                                    "compaction.auto": "false"})
+    t.update("id = 2", {"v": F.lit(99)})
+    newest = max(f.write_version for f in t.store.snapshot().all_files())
+    n_rows = sum(spark.read.parquet(tmp_table_dir + "/" + f.path).count()
+                 for f in t.store.snapshot().all_files()
+                 if f.write_version == newest)
+    assert n_rows == 1  # delta holds only the matched key
+    t.delete("id = 5")
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3, 4]
+    assert {r["id"]: r["v"] for r in t.to_df().collect()}[2] == 99
