@@ -521,6 +521,12 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
         if prop:
             merge_operators = json.loads(prop)
     snap = store.snapshot()
+    # logically-dropped columns whose bytes still live in a partition's
+    # files force that partition's rewrite even if it's already compact
+    # (the rewrite projects the current schema, making the drop physical
+    # and re-addable — table._maybe_clear_dropped_markers)
+    dropped = set(filter(None, (info.configuration or {})
+                         .get("dropped.columns", "").split(",")))
     targets = []
     for rv, ps in snap.partitions.items():
         if partition is not None and rv != partition:
@@ -530,7 +536,11 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
         if sort_columns:
             targets.append(rv)
             continue
-        if ps.delta_file_num == 0 and len({f.write_version for f in ps.files}) <= 1:
+        carries_dropped = dropped and any(
+            c.lower() in dropped for f in ps.files for c in f.exist_cols)
+        if (ps.delta_file_num == 0
+                and len({f.write_version for f in ps.files}) <= 1
+                and not (force and carries_dropped)):
             continue
         # trigger on DELTA COMMITS, not files: the MoR plan grows one
         # union arm per commit group (reader._merge_scan), and one upsert

@@ -80,6 +80,11 @@ _CREATE_RE = re.compile(
     r"(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_DROPCOLS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(?P<cols>[\w\s,`]+?)\s*\)?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
     r"(?P<version>\d+)\s*$",
@@ -307,6 +312,12 @@ class StarSession:
         if m and self._known(m["name"]):
             keys = [k.strip().strip("'\"") for k in _split_top_level(m["props"])]
             self.table(m["name"]).unset_properties(keys)
+            return self._empty_df()
+
+        m = _ALTER_DROPCOLS_RE.match(text)
+        if m and self._known(m["name"]):
+            cols = [c.strip().strip("`") for c in m["cols"].split(",") if c.strip()]
+            self.table(m["name"]).drop_columns(cols)
             return self._empty_df()
 
         m = _RESTORE_RE.match(text)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import replace
 
@@ -205,7 +206,25 @@ class StarTable:
                     merge_operators=merge_operators, partition=partition,
                     sort_columns=sort_columns, target_files=target_files,
                     cluster_mode=cluster_mode)
+        self._maybe_clear_dropped_markers()
         return self
+
+    def _maybe_clear_dropped_markers(self) -> None:
+        """Once no live file still carries a logically-dropped column
+        (exist_cols is the write-time record), the drop is physical and
+        the name becomes re-addable."""
+        info = self.store.table_info(refresh=True)
+        dropped = set(filter(None, (info.configuration or {})
+                             .get("dropped.columns", "").split(",")))
+        if not dropped:
+            return
+        live = {c.lower() for f in self.store.snapshot().all_files()
+                for c in f.exist_cols}
+        remaining = dropped & live
+        if remaining != dropped:
+            info.configuration = {**info.configuration,
+                                  "dropped.columns": ",".join(sorted(remaining))}
+            self.store.update_table_info(info)
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:
         return dml.cleanup(self.store, retention_s=retention_s, dry_run=dry_run)
@@ -345,14 +364,62 @@ class StarTable:
         existing = {f.name.lower() for f in schema.fields}
         new_fields = (columns.fields if isinstance(columns, T.StructType)
                       else [T.StructField(n, _parse_dtype(d), True) for n, d in columns])
+        dropped = set(filter(None, (info.configuration or {})
+                             .get("dropped.columns", "").split(",")))
         for f in new_fields:
             if f.name.lower() in existing:
                 raise ValueError(f"column '{f.name}' already exists")
+            if f.name.lower() in dropped:
+                raise ValueError(
+                    f"column '{f.name}' was dropped but un-compacted files "
+                    f"still hold its bytes (no column-id mapping) — run "
+                    f"compaction(force=True) first, then re-add")
             if not f.nullable:
                 raise ValueError("added columns must be nullable "
                                  "(existing files cannot backfill values)")
             schema = schema.add(f)
         info.schema_json = schema.json()
+        self.store.update_table_info(info)
+        return self
+
+    def drop_columns(self, names: list[str]) -> "StarTable":
+        """ALTER TABLE DROP COLUMN[S] (beyond reference — Delta-style
+        logical drop, no rewrite): the column leaves the declared schema;
+        readers project the schema so existing files' bytes become
+        invisible immediately, new writes stop carrying the column, and
+        the next compaction physically removes it. Partition/hash keys
+        and CHECK-referenced columns are protected. Re-adding the same
+        name later would RESURRECT the old bytes from un-compacted files
+        (we have no column-id mapping), so dropped names are remembered
+        in `dropped.columns` and re-adding one requires compacting
+        first."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        lower = {f.name.lower(): f.name for f in schema.fields}
+        protected = {c.lower() for c in info.range_cols + info.hash_cols}
+        checks = " ".join(v for k, v in (info.configuration or {}).items()
+                          if k.startswith("check."))
+        drop = set()
+        for n in names:
+            canon = lower.get(n.lower())
+            if canon is None:
+                raise ValueError(f"no such column: {n}")
+            if n.lower() in protected:
+                raise ValueError(f"cannot drop partition/hash column '{canon}'")
+            if re.search(rf"\b{re.escape(canon)}\b", checks):
+                raise ValueError(
+                    f"column '{canon}' is referenced by a CHECK constraint; "
+                    f"drop the constraint first")
+            drop.add(canon)
+        if len(drop) >= len(schema.fields):
+            raise ValueError("cannot drop every column")
+        info.schema_json = T.StructType(
+            [f for f in schema.fields if f.name not in drop]).json()
+        prev = (info.configuration or {}).get("dropped.columns", "")
+        info.configuration = {**(info.configuration or {}),
+                              "dropped.columns": ",".join(
+                                  sorted(set(filter(None, prev.split(","))) |
+                                         {d.lower() for d in drop}))}
         self.store.update_table_info(info)
         return self
 

@@ -153,3 +153,58 @@ def test_audio_features_empty_payload(spark):
                  F.lit(1).alias("channels"), F.lit("x").alias("format")).alias("audio_meta"))
     r = mm.audio_features(d).collect()[0]
     assert (r.n_bytes, r.duration_s, r.rms_byte) == (0, 0.0, 0.0)
+
+
+def test_drop_column_logical_then_physical(spark, tmp_path):
+    """DROP COLUMN: logical immediately (schema projection hides bytes),
+    physical after compaction; re-adding the name is blocked until the
+    bytes are really gone (no column-id mapping)."""
+    import pytest as _pt
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                               "id int, name string, value int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["id"], hash_bucket_num=2)
+    t.drop_columns(["name"])
+    assert [f.name for f in t.to_df().schema.fields] == ["id", "value"]
+    # upsert without the dropped column works; MoR read stays clean
+    t.upsert(spark.createDataFrame([(1, 99)], "id int, value int"))
+    assert {r["id"]: r["value"] for r in t.to_df().collect()} == {1: 99, 2: 20}
+    # blocked re-add while old bytes live
+    with _pt.raises(ValueError, match="compaction"):
+        t.add_columns([("name", "string")])
+    t.compaction(force=True)
+    t.add_columns([("name", "string")])  # now legal
+    vals = {r["id"]: r["name"] for r in t.to_df().collect()}
+    assert vals == {1: None, 2: None}  # old bytes did NOT resurrect
+
+
+def test_drop_column_guards(spark, tmp_path):
+    import pytest as _pt
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, "a", 10)], "id int, name string, value int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["id"], hash_bucket_num=2)
+    with _pt.raises(ValueError, match="partition/hash"):
+        t.drop_columns(["id"])
+    t.add_constraint("v_pos", "value >= 0")
+    with _pt.raises(ValueError, match="CHECK"):
+        t.drop_columns(["value"])
+    with _pt.raises(ValueError, match="no such column"):
+        t.drop_columns(["ghost"])
+
+
+def test_drop_column_sql_route(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame([(1, "x", 5)], "id int, c string, v int") \
+        .createOrReplaceTempView("_dropsrc")
+    ss.sql(f"CREATE TABLE dc_t USING star OPTIONS (hashPartitions = 'id', "
+           f"hashBucketNum = '2') LOCATION '{tmp_path}/dc_t' AS SELECT * FROM _dropsrc")
+    ss.sql("ALTER TABLE dc_t DROP COLUMN c")
+    assert [f.name for f in ss.sql("SELECT * FROM dc_t").schema.fields] == ["id", "v"]
