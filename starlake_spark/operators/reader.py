@@ -208,20 +208,60 @@ def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) 
     return [r for r in rows if tuple(str(r.get(c)) for c in range_cols) in keep_keys]
 
 
+_IN_LIST_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
 _CONJ_CMP_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*([^<>=]+?)\s*$")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
 
+def _split_top_and(pred: str) -> list[str]:
+    """Split on AND at paren depth 0, respecting single-quoted strings."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and pred[j] != "'":
+                j += 1
+            buf.append(pred[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and re.match(r"\bAND\b", pred[i:i + 4], re.IGNORECASE) \
+                and (i == 0 or not pred[i - 1].isalnum()):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_LITERAL = r"(?:'[^']*'|[^\s()']+)"
+
+
 def _conjuncts(pred: str) -> list[str]:
-    """Top-level AND-split of a predicate for pruning purposes. Bails to
-    [] (= nothing safely analyzable) when the predicate contains OR or
-    parentheses — correctness never depends on this: the full predicate
-    is always re-applied row-level after any skipping."""
-    if re.search(r"[()]|\bOR\b", pred, re.IGNORECASE):
-        return []
-    return [c.strip() for c in re.split(r"\bAND\b", pred, flags=re.IGNORECASE)
-            if c.strip()]
+    """Top-level AND-split of a predicate for pruning purposes.
+    Conjuncts the analyzer can't handle (ORs, function calls, NOT, …)
+    are simply dropped from the skipping decision — correctness never
+    depends on this: skipping uses a SUBSET of the conjuncts and the
+    full predicate is always re-applied row-level. BETWEEN normalizes
+    to a comparison pair first (so its inner AND doesn't split it)."""
+    pred = re.sub(
+        rf"\b([A-Za-z_]\w*)\s+BETWEEN\s+({_LITERAL})\s+AND\s+({_LITERAL})",
+        r"\1 >= \2 AND \1 <= \3", pred, flags=re.IGNORECASE)
+    out = []
+    for c in _split_top_and(pred):
+        if re.search(r"\bOR\b|\bNOT\b", c, re.IGNORECASE):
+            continue
+        out.append(c)
+    return out
 
 
 def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
@@ -236,6 +276,28 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     conds = []
     need_cols = set()
     for c in conjuncts:
+        mi = _IN_LIST_RE.match(c)
+        if mi:
+            col, body = mi.group(1), mi.group(2)
+            items = [x.strip() for x in body.split(",") if x.strip()]
+            def _is_literal(x: str) -> bool:
+                if x.startswith("'"):
+                    return True
+                if _IDENT_RE.search(x):
+                    return bool(re.match(
+                        r"^(DATE|TIMESTAMP|TRUE|FALSE)\b", x, re.IGNORECASE))
+                return True
+            if (col in allowed_cols and col in schema_types and items
+                    and all(_is_literal(x) for x in items)):
+                lits = ", ".join(items)
+                mn, mx = f"`_min_{col}`", f"`_max_{col}`"
+                # range check against the list's envelope: a file whose
+                # [min,max] misses [least,greatest] can't hold any member
+                conds.append(
+                    f"coalesce({mn} <= greatest({lits}) AND "
+                    f"{mx} >= least({lits}), true)")
+                need_cols.add(col)
+            continue
         m = _CONJ_CMP_RE.match(c)
         if not m:
             continue

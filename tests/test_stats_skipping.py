@@ -251,3 +251,33 @@ def test_parquet_bloom_index_written_for_hash_cols(spark, tmp_table_dir):
     newest = max(t.store.snapshot().all_files(), key=lambda x: x.write_version)
     offs2 = bloom_offsets(os.path.join(tmp_table_dir, newest.path))
     assert offs2["o_orderkey"] == -1
+
+
+def test_skipping_handles_in_between_and_mixed_predicates(spark, tmp_table_dir):
+    """IN-lists skip by range envelope, BETWEEN normalizes to a
+    comparison pair, and unanalyzable conjuncts (OR/NOT/functions) are
+    dropped from the skipping decision without disabling it — results
+    always match an unskipped filter."""
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = create_table(spark, o, tmp_table_dir)
+    t.compaction(force=True, sort_columns=["o_orderkey"], target_files=8)
+
+    preds = [
+        "o_orderkey IN (5, 6, 7)",
+        "o_orderkey BETWEEN 10 AND 40",
+        "o_orderkey BETWEEN 10 AND 40 AND o_totalprice > 1000.0",
+        "o_orderkey IN (5, 6) AND (o_orderstatus = 'F' OR o_orderstatus = 'O')",
+        "o_orderkey < 100 AND upper(o_orderstatus) = 'F'",
+    ]
+    for p in preds:
+        skipped = t.to_df(where=p)
+        full = t.to_df().filter(p)
+        assert sorted(r["o_orderkey"] for r in skipped.collect()) == \
+               sorted(r["o_orderkey"] for r in full.collect()), p
+
+    # the IN and BETWEEN forms actually skip files on the clustered table
+    all_n = len(t.to_df().inputFiles())
+    for p in ("o_orderkey IN (5, 6, 7)", "o_orderkey BETWEEN 10 AND 40"):
+        assert len(t.to_df(where=p).inputFiles()) < all_n, p
