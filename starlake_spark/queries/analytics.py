@@ -963,28 +963,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 def events_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: a user counts
     at a stage only if the stage event happened strictly AFTER their
-    earliest previous-stage completion. Three user-keyed aggregates —
-    no self-join explosion, every shuffle is on user_id."""
+    earliest previous-stage completion AND within a 1-day window of it
+    (first view, first qualifying click, first qualifying purchase — identical to the min-ts-after
+    formulation). ONE user-keyed shuffle: per-user sorted event fold in
+    a codegen `aggregate` — the 3-joins/3-aggs formulation pays three
+    shuffle rounds for the same answer."""
     e = ld(spark, sf_dir, "events")
-    v = (e.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("tv")))
-    c = (e.filter(F.col("event_type") == "click")
-         .join(v, "user_id").filter(F.col("ts") > F.col("tv"))
-         .groupBy("user_id").agg(F.min("ts").alias("tc")))
-    p = (e.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id").filter(F.col("ts") > F.col("tc"))
-         .groupBy("user_id").agg(F.min("ts").alias("tp")))
-    n1 = v.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("stage"), "n")
-    n2 = c.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("stage"), "n")
-    n3 = p.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("stage"), "n")
-    base = v.agg(F.count(F.lit(1)).alias("_b"))
+    ev = (e.filter(F.col("event_type").isin("view", "click", "purchase"))
+          .groupBy("user_id")
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("ts"), F.col("event_type").alias("et")))).alias("_evs")))
+    # fold state: (v, c, p) stage-completion flags as reached timestamps
+    nil = F.lit(None).cast("timestamp")
+    state0 = F.struct(nil.alias("tv"), nil.alias("tc"), nil.alias("tp"))
+    day = F.expr("INTERVAL 1 DAY")
+    step = lambda s, x: F.struct(
+        F.when(s["tv"].isNull() & (x["et"] == "view"), x["ts"]).otherwise(s["tv"]).alias("tv"),
+        F.when(s["tc"].isNull() & (x["et"] == "click")
+               & s["tv"].isNotNull() & (x["ts"] > s["tv"])
+               & (x["ts"] <= s["tv"] + day), x["ts"])
+        .otherwise(s["tc"]).alias("tc"),
+        F.when(s["tp"].isNull() & (x["et"] == "purchase")
+               & s["tc"].isNotNull() & (x["ts"] > s["tc"])
+               & (x["ts"] <= s["tc"] + day), x["ts"])
+        .otherwise(s["tp"]).alias("tp"),
+    )
+    fun = ev.select(F.aggregate(F.col("_evs"), state0, step).alias("_f"))
+    counts = fun.agg(
+        F.count(F.col("_f.tv")).alias("nv"),
+        F.count(F.col("_f.tc")).alias("nc"),
+        F.count(F.col("_f.tp")).alias("np"),
+    )
+    stage = F.explode(F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("nv").alias("n")),
+        F.struct(F.lit("2_click").alias("stage"), F.col("nc").alias("n")),
+        F.struct(F.lit("3_purchase").alias("stage"), F.col("np").alias("n")),
+    ))
     return (
-        n1.unionByName(n2).unionByName(n3)
-        .crossJoin(F.broadcast(base))
+        counts.select(stage.alias("s"), F.col("nv"))
         .select(
-            "stage",
-            F.col("n").cast("long").alias("n_users"),
-            F.round(F.col("n").cast("double") / F.col("_b"), 6).alias("conversion"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n").cast("long").alias("n_users"),
+            F.round(F.col("s.n").cast("double") / F.col("nv"), 6).alias("conversion"),
         )
         .orderBy("stage")
     )
@@ -995,10 +1015,12 @@ WITH v AS (
   SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
 ), c AS (
   SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+    AND e.ts <= v.tv + INTERVAL 1 DAY GROUP BY 1
 ), p AS (
   SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+    AND e.ts <= c.tc + INTERVAL 1 DAY GROUP BY 1
 ), s AS (
   SELECT '1_view' AS stage, COUNT(*) AS n FROM v
   UNION ALL SELECT '2_click', COUNT(*) FROM c
