@@ -1076,8 +1076,62 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_anomaly_zscore(spark, sf_dir):
+    """Daily event-count anomaly detection: each (event_type, day)
+    count is z-scored against the trailing 7 days (excluding itself).
+    Mean/variance come from integer window sums (exact in both engines);
+    only the final sqrt/divide touches floats. One shuffle to the daily
+    grain, one window pass — the counts frame is tiny at any scale."""
+    e = ld(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("c").over(w)
+    s2 = F.sum(F.col("c") * F.col("c")).over(w)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - n * mean * mean) / (n - 1)
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        daily.withColumn("_n", n).withColumn("_z", z)
+        .filter(F.col("_n") == 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round("_z", 6).alias("zscore"),
+            (F.abs(F.col("_z")) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, c,
+    COUNT(*)  OVER w AS n,
+    SUM(c)    OVER w AS s1,
+    SUM(c*c)  OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(c AS BIGINT) AS n_events,
+  ROUND((c - CAST(s1 AS DOUBLE)/n) /
+        sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) / (n-1)), 6) AS zscore,
+  abs((c - CAST(s1 AS DOUBLE)/n) /
+      sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) / (n-1))) > 2.0 AS is_anomaly
+FROM win WHERE n = 7
+ORDER BY event_type, day
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_percentile_sketch": (events_percentile_sketch, EVENTS_PCT_SQL),
