@@ -208,6 +208,41 @@ def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) 
     return [r for r in rows if tuple(str(r.get(c)) for c in range_cols) in keep_keys]
 
 
+def _generated_conjuncts(info, where_conjs: list[str]) -> list[str]:
+    """Translate predicates on a generated column's SOURCE into
+    partition conjuncts on the generated column (Delta's
+    generated-column partition-pruning rule, for the to_date family):
+    with day = to_date(ts), ``ts >= L`` implies ``day >= to_date(L)``
+    because to_date is monotone — so queries that only mention ts still
+    prune day directories. Equality maps to day equality; strict
+    comparisons widen to the containing day (safe: pruning keeps a
+    superset, rows re-filter later)."""
+    out = []
+    gen = {k[len("generated."):]: v
+           for k, v in (info.configuration or {}).items()
+           if k.startswith("generated.")}
+    for gcol, gexpr in gen.items():
+        if gcol not in info.range_cols:
+            continue
+        m = re.fullmatch(r"\s*to_date\(\s*([A-Za-z_]\w*)\s*\)\s*", gexpr,
+                         re.IGNORECASE)
+        if not m:
+            continue  # only the monotone to_date(src) form is translatable
+        src = m.group(1)
+        for c in where_conjs:
+            mc = _CONJ_CMP_RE.match(c)
+            if not mc or mc.group(1) != src:
+                continue
+            lit = mc.group(3).strip()
+            if _IDENT_RE.search(lit) and not re.match(
+                    r"^\s*(DATE|TIMESTAMP)\b", lit, re.IGNORECASE):
+                continue
+            op = {"<": "<=", "<=": "<=", ">": ">=", ">=": ">=",
+                  "=": "=", "==": "="}[mc.group(2)]
+            out.append(f"`{gcol}` {op} to_date({lit})")
+    return out
+
+
 _IN_LIST_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
 _CONJ_CMP_RE = re.compile(
@@ -405,6 +440,7 @@ def scan(
                 and {i for i in _IDENT_RE.findall(c) if i in fields}
                 <= set(info.range_cols))
         ]
+        part_conjs += _generated_conjuncts(info, where_conjs)
         if part_conjs:
             keep2 = _prune_partitions_sql(
                 spark, info, list(snap.partitions), " AND ".join(part_conjs))

@@ -128,6 +128,15 @@ def normalize_for_write(
     df = align_case(_drop_null_type_columns(df), info)
     schema = table_schema(info)
     declared = {f.name: f for f in schema.fields}
+    # generated partition columns (generated.<col> = <sql expr> table
+    # property): computed automatically when the source omits them —
+    # consistency of caller-provided values is enforced by
+    # _invariant_guard during the write pass
+    for k, expr in (info.configuration or {}).items():
+        if k.startswith("generated."):
+            c = k[len("generated."):]
+            if c not in df.columns and c in declared:
+                df = df.withColumn(c, F.expr(expr).cast(declared[c].dataType))
     src_types = {f.name: f.dataType for f in df.schema.fields}
     src_cols = set(df.columns)
 
@@ -153,7 +162,8 @@ def normalize_for_write(
 CHECK_PREFIX = "check."
 
 _INVARIANT_MSG_RE = re.compile(
-    r"(NOT NULL invariant[^\n\"]*|CHECK constraint[^\n\"]*)")
+    r"(NOT NULL invariant[^\n\"]*|CHECK constraint[^\n\"]*"
+    r"|generated column[^\n\"]*)")
 
 
 def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
@@ -179,6 +189,15 @@ def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
         if k.startswith(CHECK_PREFIX):
             conds.append((~F.coalesce(F.expr(expr), F.lit(False)),
                           f"CHECK constraint '{k[len(CHECK_PREFIX):]}' ({expr}) violated"))
+        elif k.startswith("generated."):
+            # caller-provided values must equal the generating expression
+            # (Delta's generated-column write check) — else partition
+            # routing and pruning would silently disagree with the data
+            c = k[len("generated."):]
+            if c in df.columns:
+                conds.append((
+                    ~F.col(c).eqNullSafe(F.expr(expr).cast(df.schema[c].dataType)),
+                    f"generated column '{c}' does not match its expression ({expr})"))
     if not conds:
         return df
     c0 = df.columns[0]

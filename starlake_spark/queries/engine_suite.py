@@ -887,10 +887,45 @@ ORDER BY o_orderkey
 """
 
 
+def star_generated_partitions(spark, sf_dir):
+    """Generated partition column (day = to_date(ts)): events land in
+    day directories the writer derives automatically, and a query that
+    only mentions ts prunes them (to_date is monotone, so ts-range
+    conjuncts translate to day-range partition predicates). The inline
+    assert pins that pruning fired; the returned hourly aggregate is
+    oracle-checked against a plain WHERE."""
+    e = ld(spark, sf_dir, "events")
+    t = create_table(spark, e, _scratch(sf_dir, "generated_parts"),
+                     range_partitions=["day"], generated={"day": "to_date(ts)"})
+    pred = ("ts >= TIMESTAMP '2024-01-05 00:00:00' AND "
+            "ts < TIMESTAMP '2024-01-08 00:00:00'")
+    df = t.to_df(where=pred)
+    n_all = len(t.to_df().inputFiles())
+    assert 0 < len(df.inputFiles()) < n_all, \
+        "generated-column partition pruning must drop day directories"
+    return (df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                           .cast("double"), 6).alias("value_sum"))
+              .orderBy("hour"))
+
+
+GENERATED_PARTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_restore_clone": (star_restore_clone, TIME_TRAVEL_ORACLE),
     "star_delta_delete": (star_delta_delete, DELTA_DELETE_ORACLE),
+    "star_generated_partitions": (star_generated_partitions, GENERATED_PARTS_ORACLE),
     "star_bucketed_join": (star_bucketed_join, BUCKETED_JOIN_ORACLE),
     "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
     "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),

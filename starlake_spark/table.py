@@ -517,15 +517,34 @@ def create_table(
     short_name: str | None = None,
     configuration: dict[str, str] | None = None,
     warehouse: str | None = None,
+    generated: dict[str, str] | None = None,
 ) -> StarTable:
     """TableCreator equivalent (tables/StarTable.scala:413-567): create a
     table from a DataFrame with optional range (directory) partitions and
-    hash-bucketed primary keys, then write the data as base files."""
+    hash-bucketed primary keys, then write the data as base files.
+
+    ``generated`` (beyond reference — Delta generated-column analog):
+    {range_col: sql_expr}, e.g. ``{"day": "to_date(ts)"}`` — the
+    canonical time-partitioned event layout. Writers compute the column
+    automatically when absent (and enforce consistency when present),
+    and reads translate predicates on the SOURCE column into partition
+    pruning on the generated column (reader.scan), so
+    ``to_df(where="ts >= X")`` prunes day directories without the query
+    mentioning ``day``."""
     range_partitions = list(range_partitions or [])
     hash_partitions = list(hash_partitions or [])
     if hash_partitions and hash_bucket_num <= 0:
         raise ValueError("hash_partitions requires hash_bucket_num > 0 "
                          "(TableCreationTests.scala:99-405)")
+    generated = dict(generated or {})
+    for c, expr in generated.items():
+        if c not in range_partitions:
+            raise ValueError(
+                f"generated column '{c}' must be a range partition column "
+                f"(its purpose is ingest-time partitioning + query-time "
+                f"pruning)")
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
     for c in range_partitions + hash_partitions:
         if c not in df.columns:
             raise ValueError(f"partition column '{c}' not in data")
@@ -537,7 +556,9 @@ def create_table(
         range_cols=range_partitions,
         hash_cols=hash_partitions,
         bucket_num=hash_bucket_num,
-        configuration={"schema.autoMerge.enabled": "true", **(configuration or {})},
+        configuration={"schema.autoMerge.enabled": "true",
+                       **{f"generated.{c}": x for c, x in generated.items()},
+                       **(configuration or {})},
         short_name=short_name,
     )
     store = ManifestStore(path)

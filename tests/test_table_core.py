@@ -202,3 +202,32 @@ def test_insert_array_of_struct_cast_by_name(spark, tmp_table_dir):
     t.write(src, mode="append")
     rows = {r["id"]: r["tags"] for r in t.to_df().collect()}
     assert [(x["k"], x["v"]) for x in rows[2]] == [(2, "b"), (3, "c")]
+
+
+def test_generated_partition_column(spark, tmp_table_dir):
+    """generated={"day": "to_date(ts)"}: writer derives the partition
+    column when absent, enforces consistency when present, and ts-range
+    predicates prune day directories without mentioning day."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    e = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 9) + 1:02d} 10:00:00") for i in range(40)],
+        "id int, s string").select("id", F.col("s").cast("timestamp").alias("ts"))
+    t = create_table(spark, e, tmp_table_dir,
+                     range_partitions=["day"], generated={"day": "to_date(ts)"})
+    assert len(t.store.snapshot().partitions) == 9
+    df = t.to_df(where="ts >= TIMESTAMP '2024-01-03 00:00:00' "
+                       "AND ts < TIMESTAMP '2024-01-05 00:00:00'")
+    assert len(df.inputFiles()) < len(t.to_df().inputFiles())
+    assert df.count() == e.filter("ts >= '2024-01-03' AND ts < '2024-01-05'").count()
+    # consistency enforcement
+    bad = e.limit(3).withColumn("day", F.lit("1999-01-01").cast("date"))
+    with _pt.raises(ValueError, match="generated column"):
+        t.write(bad, mode="append")
+    # generated col must be a range partition
+    with _pt.raises(ValueError, match="range partition"):
+        create_table(spark, e, tmp_table_dir + "_x",
+                     generated={"day": "to_date(ts)"})
