@@ -72,7 +72,9 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
                          "(UpsertCommand.scala:74-76)")
     source = writer.align_case(source, info)
     for c in info.range_cols:
-        if c not in source.columns:
+        # generated range columns are derived by normalize_for_write
+        if c not in source.columns and \
+                f"generated.{c}" not in (info.configuration or {}):
             raise ValueError(f"upsert source must carry range column '{c}' "
                              "(UpsertCommand.scala:83-88)")
     info = maybe_merge_schema(source, store)
@@ -464,6 +466,7 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             merge_operators: dict | None = None,
             partition: str | None = None,
+            partition_predicate: str | None = None,
             sort_columns: list[str] | None = None,
             target_files: int | None = None,
             cluster_mode: str = "linear") -> None:
@@ -479,6 +482,7 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             return _compact_once(spark, store, force=force,
                                  merge_operators=merge_operators,
                                  partition=partition,
+                                 partition_predicate=partition_predicate,
                                  sort_columns=sort_columns,
                                  target_files=target_files,
                                  cluster_mode=cluster_mode)
@@ -490,6 +494,7 @@ def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
 def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
                   merge_operators: dict | None = None,
                   partition: str | None = None,
+                  partition_predicate: str | None = None,
                   sort_columns: list[str] | None = None,
                   target_files: int | None = None,
                   cluster_mode: str = "linear") -> None:
@@ -521,6 +526,17 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
         if prop:
             merge_operators = json.loads(prop)
     snap = store.snapshot()
+    # partition_predicate: OPTIMIZE ... WHERE — metadata-only predicate
+    # over range-partition values selects which partitions to rewrite
+    # (the maintenance-window pattern: optimize only recent days)
+    pred_keep: set | None = None
+    if partition_predicate is not None:
+        matched = reader._prune_partitions_sql(
+            spark, info, list(snap.partitions), partition_predicate)
+        from starlake_spark.meta import encode_range_value
+        pred_keep = {encode_range_value(info.range_cols,
+                                        [m.get(c) for c in info.range_cols])
+                     for m in matched}
     # logically-dropped columns whose bytes still live in a partition's
     # files force that partition's rewrite even if it's already compact
     # (the rewrite projects the current schema, making the drop physical
@@ -530,6 +546,8 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
     targets = []
     for rv, ps in snap.partitions.items():
         if partition is not None and rv != partition:
+            continue
+        if pred_keep is not None and rv not in pred_keep:
             continue
         if not ps.files:
             continue

@@ -383,16 +383,21 @@ class StarSession:
             self.table(m["name"]).compaction(force=True, partition=part)
             return self._empty_df()
 
-        # OPTIMIZE t [ZORDER BY (a, b)] — Delta-style alias for the
-        # clustered compaction rewrite (dml.compact sort_columns)
+        # OPTIMIZE t [WHERE <range-partition predicate>]
+        #            [ZORDER BY (a, b)] — Delta-style alias for the
+        # clustered compaction rewrite (dml.compact sort_columns); the
+        # WHERE selects partitions to rewrite (maintenance-window
+        # pattern: optimize only recent days), metadata-only evaluation
         m = re.match(r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
+                     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
                      r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
-                     text, re.IGNORECASE)
+                     text, re.IGNORECASE | re.DOTALL)
         if m and self._known(m["name"]):
             cols = ([c.strip().strip("`") for c in m["cols"].split(",") if c.strip()]
                     if m["cols"] else None)
             mode = "zorder" if cols and len(cols) > 1 else "linear"
             self.table(m["name"]).compaction(force=True, sort_columns=cols,
+                                             partition_predicate=m["pred"],
                                              cluster_mode=mode)
             return self._empty_df()
 

@@ -192,6 +192,7 @@ class StarTable:
 
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
                    partition: str | None = None,
+                   partition_predicate: str | None = None,
                    sort_columns: list[str] | None = None,
                    target_files: int | None = None,
                    cluster_mode: str = "linear") -> "StarTable":
@@ -204,6 +205,7 @@ class StarTable:
         files, where the linear sort only bounds the prefix column."""
         dml.compact(self.spark, self.store, force=force,
                     merge_operators=merge_operators, partition=partition,
+                    partition_predicate=partition_predicate,
                     sort_columns=sort_columns, target_files=target_files,
                     cluster_mode=cluster_mode)
         self._maybe_clear_dropped_markers()

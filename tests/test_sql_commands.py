@@ -267,3 +267,26 @@ def test_history_and_partitions(spark, sess, sf_dir, tmp_path):
     assert all(r["partition"].startswith("o_orderpriority=") for r in p)
     assert all(r["delta_files"] == 0 for r in p)  # compacted
     assert sum(r["n_files"] for r in p) == sum(r2["live_files"] for r2 in h[-1:])
+
+
+def test_optimize_where_scopes_compaction(spark, sess, tmp_path):
+    """OPTIMIZE ... WHERE rewrites only the partitions matching the
+    metadata-only predicate; other partitions keep their delta files."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"r{i % 3}", i) for i in range(30)], "id int, rng string, v int")
+    ss = sess
+    df.createOrReplaceTempView("_ow_src")
+    ss.sql(f"CREATE TABLE ow_t USING star OPTIONS (hashPartitions = 'id', "
+           f"hashBucketNum = '2', \"compaction.auto\" = 'false') "
+           f"PARTITIONED BY (rng) LOCATION '{tmp_path}/ow_t' AS SELECT * FROM _ow_src")
+    t = ss.table("ow_t")
+    t.upsert(spark.createDataFrame([(1, "r1", 99), (0, "r0", 98)],
+                                   "id int, rng string, v int"))
+    before = {rv: ps.delta_file_num for rv, ps in t.store.snapshot().partitions.items()}
+    assert before["rng=r1"] > 0 and before["rng=r0"] > 0
+    ss.sql("OPTIMIZE ow_t WHERE rng = 'r1'")
+    after = {rv: ps.delta_file_num for rv, ps in t.store.snapshot().partitions.items()}
+    assert after["rng=r1"] == 0 and after["rng=r0"] == before["rng=r0"]
+    assert {r["id"]: r["v"] for r in t.to_df().collect()}[1] == 99
