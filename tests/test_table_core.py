@@ -231,3 +231,29 @@ def test_generated_partition_column(spark, tmp_table_dir):
     with _pt.raises(ValueError, match="range partition"):
         create_table(spark, e, tmp_table_dir + "_x",
                      generated={"day": "to_date(ts)"})
+
+
+def test_streaming_sink_into_generated_partition_table(spark, tmp_table_dir):
+    """The canonical ingest flow: micro-batches without the generated
+    day column land in the right day directories via the sink (the
+    writer derives the column on every path, not just batch)."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.meta import ManifestStore
+    from starlake_spark.streaming.sink import StarStreamSink
+    from starlake_spark.table import StarTable, create_table
+
+    e = spark.createDataFrame(
+        [(i, f"2024-02-{(i % 3) + 1:02d} 08:00:00", float(i)) for i in range(12)],
+        "event_id int, s string, value double"
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"), "value")
+    t = create_table(spark, e.limit(0), tmp_table_dir,
+                     range_partitions=["day"], generated={"day": "to_date(ts)"},
+                     hash_partitions=["event_id"], hash_bucket_num=2)
+    sink = StarStreamSink(ManifestStore(tmp_table_dir), "genq")
+    assert sink.write_batch(e.filter("event_id < 6"), 0)
+    assert sink.write_batch(e.filter("event_id >= 6"), 1)
+    assert not sink.write_batch(e, 1)  # retry skipped
+    assert sorted(t.store.snapshot().partitions) == [
+        "day=2024-02-01", "day=2024-02-02", "day=2024-02-03"]
+    assert t.to_df().count() == 12
