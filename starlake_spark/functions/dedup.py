@@ -761,3 +761,87 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    new_shingled: DataFrame | None = None,
+    old_shingled: DataFrame | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop NEW docs that near-duplicate
+    any EXISTING doc. Candidates come from a banded-MinHash equi-join
+    between the two corpora's band buckets (never new↔new or old↔old —
+    the existing corpus is already deduped), then exact-Jaccard verify.
+
+    Scale shape: the old side's signatures are computed once per batch
+    wave (callers pass ``old_shingled`` to amortize; in production the
+    band table is a PERSISTED index appended per ingest), the join
+    shuffles on (band, band_hash) so only colliding buckets meet, and
+    per-bucket width is capped on the old side (``max_bucket``) to
+    bound degenerate boilerplate buckets. Returns the kept NEW docs.
+    """
+    def _sh(df, pre):
+        if pre is not None:
+            return pre
+        return df.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+        ).localCheckpoint(eager=True)
+
+    sh_new = _sh(new_df, new_shingled)
+    sh_old = _sh(old_df, old_shingled)
+
+    def _bands(sh):
+        with_hs = sh.select(
+            F.col(id_col),
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"))
+        sig = with_hs.select(
+            id_col, minhash_signature(F.col("_hs"), num_hashes).alias("_sig"))
+        rpb = num_hashes // bands
+        return sig.select(
+            id_col,
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice(F.col("_sig"), b * rpb + 1, rpb)).alias("bh"),
+                ) for b in range(bands)
+            ])).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    b_new = _bands(sh_new)
+    # cap degenerate buckets on the OLD side (the unbounded one)
+    b_old = _bands(sh_old).withColumn(
+        "_rk", F.row_number().over(
+            Window.partitionBy("band", "bh").orderBy(F.col(id_col)))
+    ).filter(F.col("_rk") <= max_bucket).drop("_rk")
+    cand = (
+        b_new.join(b_old.withColumnRenamed(id_col, "_old_id"), ["band", "bh"])
+        .select(F.col(id_col).alias("id_a"), F.col("_old_id").alias("id_b"))
+        .distinct()
+    )
+    # verify_jaccard_shingled joins both sides against ONE frame; here
+    # the sides come from different corpora, so join each side manually
+    j = (cand
+         .join(sh_new.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+         .join(sh_old.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
+    union = (F.size("_sha") + F.size("_shb") - inter).cast("double")
+    dup_new = (
+        j.select("id_a",
+                 F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .select(F.col("id_a").alias(id_col)).distinct()
+    )
+    return new_df.join(dup_new, id_col, "left_anti")

@@ -1875,6 +1875,108 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+INC_MOD = 5          # docs with doc_id % 5 == 0 play the "new batch"
+INC_PLANT = 2_000_000  # planted twins of OLD docs inside the new batch
+
+
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (dd.minhash_dedup_against): a NEW
+    batch is deduped against the EXISTING corpus — candidates come from
+    a cross-corpus banded-MinHash join (never old↔old or new↔new).
+    Contracts per new doc: planted twins of existing docs MUST drop
+    (identical shingles ⇒ identical signature ⇒ shared band buckets ⇒
+    verify at 1.0 — a theorem); natural new docs satisfy minhash-drop ⇒
+    exact-drop (every LSH drop was exact-verified). ``exact_kept`` is
+    the true cross-corpus answer, recomputed independently in SQL."""
+    d = ld(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % INC_MOD != 0).select("doc_id", "text")
+    planted = (old.filter(F.col("doc_id") % 11 == 0)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(INC_PLANT)))
+    new = (d.filter(F.col("doc_id") % INC_MOD == 0).select("doc_id", "text")
+           .unionByName(planted))
+    kept = dd.minhash_dedup_against(new, old, "doc_id", "text",
+                                    threshold=0.5, num_hashes=64, bands=16,
+                                    shingle_n=SHINGLE_N)
+    sh_new = _shingled(new)
+    sh_old = _shingled(old)
+    pairs = dd.ngram_jaccard_pairs_shingled(
+        sh_new.unionByName(sh_old), "doc_id", "_sh", 0.5
+    ).localCheckpoint(eager=True)
+    # keep only cross pairs (new, old), in either id order
+    cross = (pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+             .unionByName(
+                 pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))))
+    exact_dropped = (
+        cross.join(new.select(F.col("doc_id").alias("x")), "x", "left_semi")
+        .join(old.select(F.col("doc_id").alias("y")), "y", "left_semi")
+        .select(F.col("x").alias("doc_id")).distinct()
+    )
+    is_planted = F.col("doc_id") >= INC_PLANT
+    mk = F.coalesce(F.col("_mk"), F.lit(False))
+    ed = F.coalesce(F.col("_ed"), F.lit(False))
+    return (
+        new.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id")
+        .join(kept.select("doc_id").withColumn("_mk", F.lit(True)), "doc_id", "left")
+        .join(exact_dropped.withColumn("_ed", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            is_planted.alias("is_planted"),
+            (~ed).alias("exact_kept"),
+            F.when(is_planted, ~mk).otherwise(mk | ed).alias("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_INC_DEDUP_SQL = f"""
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} <> 0
+), new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {INC_PLANT}, text FROM documents
+  WHERE doc_id % {INC_MOD} <> 0 AND doc_id % 11 = 0
+), toks_new AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM new
+  WHERE length(trim(text)) > 0
+), toks_old AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM old
+  WHERE length(trim(text)) > 0
+), shn AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN list_distinct([array_to_string(w[i:i+{SHINGLE_N - 1}], ' ')
+                             FOR i IN range(1, len(w) - {SHINGLE_N - 2})])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks_new
+), sho AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN list_distinct([array_to_string(w[i:i+{SHINGLE_N - 1}], ' ')
+                             FOR i IN range(1, len(w) - {SHINGLE_N - 2})])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks_old
+), sizes_n AS (
+  SELECT doc_id, COUNT(*) AS nsh FROM shn GROUP BY 1
+), sizes_o AS (
+  SELECT doc_id, COUNT(*) AS nsh FROM sho GROUP BY 1
+), shared AS (
+  SELECT n.doc_id AS nid, o.doc_id AS oid, COUNT(*) AS inter
+  FROM shn n JOIN sho o USING (s) GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT nid AS doc_id FROM shared
+  JOIN sizes_n sn ON sn.doc_id = nid
+  JOIN sizes_o so ON so.doc_id = oid
+  WHERE CAST(inter AS DOUBLE) / (sn.nsh + so.nsh - inter) >= 0.5
+)
+SELECT t.doc_id, t.doc_id >= {INC_PLANT} AS is_planted,
+       t.doc_id NOT IN (SELECT doc_id FROM dropped) AS exact_kept,
+       TRUE AS ok
+FROM toks_new t ORDER BY t.doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -1916,4 +2018,5 @@ LLM_QUERIES = {
     "docs_substring_spans": (docs_substring_spans, DOCS_SUBSTRING_SQL),
     "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
     "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
+    "docs_incremental_dedup": (docs_incremental_dedup, DOCS_INC_DEDUP_SQL),
 }

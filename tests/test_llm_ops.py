@@ -391,3 +391,23 @@ def test_unigram_perplexity_uniform_corpus(spark):
     for r in out:
         assert r["n_tokens"] == 4
         assert abs(r["ppl"] - 4.0) < 1e-6
+
+
+def test_minhash_dedup_against_drops_only_cross_dupes(spark):
+    """Cross-corpus dedup: a new doc identical to an existing doc drops;
+    new docs that only duplicate EACH OTHER both survive (the operator
+    never pairs new↔new); unrelated docs survive."""
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+         (11, "totally different words nothing shared here at all"),
+         (12, "twin content repeated inside the new batch only"),
+         (13, "twin content repeated inside the new batch only")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            dd.minhash_dedup_against(new, old, threshold=0.5,
+                                     num_hashes=64, bands=16).collect()}
+    assert kept == {11, 12, 13}
