@@ -685,3 +685,29 @@ def quantize_int8(vec: Column) -> Column:
 def dequantize(qstruct: Column) -> Column:
     """Inverse of quantize_int8: x̂_i = q_i · scale (array<double>)."""
     return F.transform(qstruct["q"], lambda q: q.cast("double") * qstruct["scale"])
+
+
+def ivf_index_append(spark, index, new_vectors: DataFrame):
+    """Incrementally maintain a persisted IVF index: assign NEW vectors
+    to their nearest existing centroid and append them into the
+    matching cell partitions — no k-means refit, no index rebuild. The
+    production shape for a growing corpus: ingest waves land as
+    partition-local appends (write cost O(new vectors)); queries keep
+    probing the same centroids. Re-fit (build_ivf_index) only when
+    cell-size skew degrades recall — the same rebuild policy as FAISS's
+    add() vs train().
+    """
+    import json as _json
+
+    import numpy as _np
+
+    info = index.info
+    cfg = info.configuration or {}
+    ids = _np.asarray(_json.loads(cfg["ivf.centroid_ids"]), dtype=_np.int64)
+    M = _np.asarray(_json.loads(cfg["ivf.centroids"]), dtype=_np.float64)
+    id_col, vec_col = cfg["ivf.id_col"], cfg["ivf.vec_col"]
+    assigned = new_vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+    ).withColumn("centroid_id", nearest_centroid_col(F.col(vec_col), ids, M, spark))
+    index.write(assigned, mode="append")
+    return index

@@ -411,3 +411,25 @@ def test_minhash_dedup_against_drops_only_cross_dupes(spark):
             dd.minhash_dedup_against(new, old, threshold=0.5,
                                      num_hashes=64, bands=16).collect()}
     assert kept == {11, 12, 13}
+
+
+def test_ivf_index_append_finds_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: vectors appended after the build
+    are probe-visible; a planted twin of an appended vector ranks 1."""
+    from starlake_spark.functions import similarity as sim
+
+    e = L.ld(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 400)
+    idx = sim.build_ivf_index(spark, base, str(tmp_path / "ivf"), nlist=8)
+    n0 = idx.to_df().count()
+    extra = e.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    sim.ivf_index_append(spark, idx, extra)
+    assert idx.to_df().count() == n0 + extra.count()
+    # planted twin of an appended vector must come back at rank 1
+    twin = extra.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    target = twin.collect()[0]["vec_id"] - 1_000_000
+    hits = sim.ivf_index_topk(spark, idx, twin, k=3, nprobe=4,
+                              exclude_self=False)
+    top = hits.filter("rank = 1").collect()[0]
+    assert top["neighbor_id"] == target
