@@ -96,3 +96,47 @@ def write_stream(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+class DedupIngestSink(StarStreamSink):
+    """Dedup-on-ingest: each micro-batch is (1) exact-deduped within
+    itself, (2) near-dedup'd AGAINST the table's current contents via
+    the cross-corpus banded-MinHash join (functions.dedup.
+    minhash_dedup_against), then (3) upserted exactly-once. The
+    standard continuous-crawl shape: the corpus only ever grows by
+    novel documents, and re-delivered or re-crawled near-duplicates
+    never land.
+
+    Batch-vs-table candidate generation scales as the batch's band
+    table joined against the corpus band table; at 100 TB the corpus
+    side is a PERSISTED band index maintained per wave — here it is
+    derived from the table contents each batch, which is the correct
+    semantics and the simple form of the same plan."""
+
+    def __init__(self, store: ManifestStore, query_id: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.8, num_hashes: int = 64,
+                 bands: int = 16, shingle_n: int = 3):
+        super().__init__(store, query_id, output_mode="update")
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold, self.num_hashes = threshold, num_hashes
+        self.bands, self.shingle_n = bands, shingle_n
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        from starlake_spark.functions import dedup as dd
+        from starlake_spark.operators import reader
+
+        if batch_id <= self.last_batch_id():
+            return False
+        spark = batch_df.sparkSession
+        # within-batch exact dedup first (cheap, shrinks the band join)
+        batch = dd.dedup_exact_text(batch_df, self.text_col, self.id_col)
+        existing = reader.scan(spark, self.store).select(
+            self.id_col, self.text_col)
+        if existing.limit(1).count() > 0:
+            batch = dd.minhash_dedup_against(
+                batch, existing, self.id_col, self.text_col,
+                threshold=self.threshold, num_hashes=self.num_hashes,
+                bands=self.bands, shingle_n=self.shingle_n)
+        batch = batch.localCheckpoint(eager=True)  # one plan, two uses below
+        return super().write_batch(batch, batch_id)

@@ -98,3 +98,35 @@ def test_batch_oracle_shapes(spark):
     first = rows[0]
     assert first["n_events"] == 3 and first["n_types"] == 2
     assert first["first_type"] == "view" and first["last_type"] == "view"
+
+def test_dedup_ingest_sink_blocks_cross_batch_near_dupes(spark, tmp_path):
+    """Dedup-on-ingest: batch 2's exact re-delivery and near-duplicate
+    of batch 1 content never land; novel docs do; retries skip."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.meta import ManifestStore
+    from starlake_spark.streaming.sink import DedupIngestSink
+    from starlake_spark.table import create_table
+
+    t = create_table(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        str(tmp_path / "corpus"),
+        hash_partitions=["doc_id"], hash_bucket_num=2,
+        configuration={"compaction.auto": "false"})
+    sink = DedupIngestSink(ManifestStore(str(tmp_path / "corpus")), "ingest",
+                           threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely unrelated sentence about database engines here")],
+        ["doc_id", "text"])
+    assert sink.write_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),   # exact re-crawl
+         (11, "the quick brown fox jumps over the lazy dog today"),     # near-dup
+         (12, "a genuinely novel document with entirely fresh content")],
+        ["doc_id", "text"])
+    assert sink.write_batch(b2, 1)
+    assert not sink.write_batch(b2, 1)  # retry skipped
+    ids = sorted(r["doc_id"] for r in t.to_df().collect())
+    assert ids == [1, 2, 12], ids
