@@ -921,8 +921,47 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def star_idempotent_load(spark, sf_dir):
+    """Retried batch ingestion lands exactly-once: a 3-batch loader runs
+    TWICE end-to-end (txn_app_id/txn_version idempotence), then a few
+    spot re-deliveries of single batches — the table must equal one
+    clean pass of orders. Any double-append breaks the oracle hash."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o.limit(0), _scratch(sf_dir, "idempotent_load"),
+                     range_partitions=["o_orderstatus"])
+    statuses = ["F", "O", "P"]
+    for _attempt in range(2):
+        for v, st in enumerate(statuses):
+            t.write(o.filter(F.col("o_orderstatus") == st),
+                    txn_app_id="loader", txn_version=v)
+    t.write(o.filter(F.col("o_orderstatus") == "F"),
+            txn_app_id="loader", txn_version=0)  # late straggler retry
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+def star_drop_column(spark, sf_dir):
+    """Logical DROP COLUMN end-to-end: the dropped column disappears
+    from scans immediately (schema projection), writes without it keep
+    working, and compaction makes the drop physical. Oracle = customer
+    without the dropped column."""
+    c = ld(spark, sf_dir, "customer")
+    t = create_table(spark, c, _scratch(sf_dir, "drop_column"),
+                     hash_partitions=["c_custkey"], hash_bucket_num=4)
+    t.drop_columns(["c_mktsegment"])
+    t.compaction(force=True)
+    return t.to_df().orderBy("c_custkey")
+
+
+DROP_COLUMN_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer ORDER BY c_custkey
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),
+    "star_drop_column": (star_drop_column, DROP_COLUMN_ORACLE),
     "star_restore_clone": (star_restore_clone, TIME_TRAVEL_ORACLE),
     "star_delta_delete": (star_delta_delete, DELTA_DELETE_ORACLE),
     "star_generated_partitions": (star_generated_partitions, GENERATED_PARTS_ORACLE),
