@@ -958,8 +958,62 @@ FROM customer ORDER BY c_custkey
 """
 
 
+INGEST_RECRAWL_ID = 5_000_000
+
+
+def star_ingest_dedup(spark, sf_dir):
+    """Dedup-on-ingest sink end-to-end: wave 1 loads the full corpus;
+    wave 2 carries re-crawls of every 10th doc (same text, new ids) plus
+    five provably-novel synthetic docs; the batch is retried. Contract:
+    every re-crawl must be blocked (identical text ⇒ identical bands ⇒
+    verify at 1.0 — a theorem), every novel doc must land, the retry
+    must be a no-op. Any failure flips a boolean the oracle pins."""
+    from starlake_spark.streaming.sink import DedupIngestSink
+
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _scratch(sf_dir, "ingest_dedup")
+    t = create_table(spark, d.limit(0), path,
+                     hash_partitions=["doc_id"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false"})
+    sink = DedupIngestSink(ManifestStore(path), "ingest", threshold=0.5)
+    sink.write_batch(d, 0)
+    recrawl = (d.filter(F.col("doc_id") % 10 == 0)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(INGEST_RECRAWL_ID)))
+    novel = spark.createDataFrame(
+        [(INGEST_RECRAWL_ID * 2 + i,
+          " ".join(f"zzqx{i}w{j}" for j in range(12))) for i in range(5)],
+        "doc_id long, text string")
+    wave2 = recrawl.unionByName(novel)
+    sink.write_batch(wave2, 1)
+    sink.write_batch(wave2, 1)  # retry: exactly-once registry skips it
+    landed = t.to_df().select("doc_id").withColumn("_l", F.lit(True))
+    is_recrawl = F.col("doc_id") < INGEST_RECRAWL_ID * 2
+    return (
+        wave2.select("doc_id")
+        .join(landed, "doc_id", "left")
+        .select(
+            "doc_id",
+            is_recrawl.alias("is_recrawl"),
+            F.coalesce(F.col("_l"), F.lit(False)).alias("landed"),
+            (F.coalesce(F.col("_l"), F.lit(False)) == ~is_recrawl).alias("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INGEST_DEDUP_ORACLE = f"""
+SELECT doc_id + {INGEST_RECRAWL_ID} AS doc_id, TRUE AS is_recrawl,
+       FALSE AS landed, TRUE AS ok
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT {INGEST_RECRAWL_ID * 2} + i, FALSE, TRUE, TRUE FROM range(5) t(i)
+ORDER BY doc_id
+"""
+
+
 ENGINE_QUERIES = {
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
+    "star_ingest_dedup": (star_ingest_dedup, INGEST_DEDUP_ORACLE),
     "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),
     "star_drop_column": (star_drop_column, DROP_COLUMN_ORACLE),
     "star_restore_clone": (star_restore_clone, TIME_TRAVEL_ORACLE),
