@@ -845,3 +845,77 @@ def minhash_dedup_against(
         .select(F.col("id_a").alias(id_col)).distinct()
     )
     return new_df.join(dup_new, id_col, "left_anti")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cut every cross-document duplicated k-token span from every doc
+    (the REMOVAL pass behind duplicated_span_stats: content appearing in
+    >= 2 docs is template/boilerplate and is dropped everywhere). Spans
+    are the same maximal merged intervals the stats operator reports;
+    remaining tokens re-join in order. Scale shape identical to the
+    stats pass plus one groupBy collecting each doc's (small) span list
+    back to its row — tokens never shuffle, only positions do."""
+    toks = df.select(
+        F.col(id_col), tx.tokens(F.lower(F.col(text_col))).alias("_t")
+    ).filter(F.size("_t") > 0)
+    wins = (
+        toks.filter(F.size("_t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, k))).alias("h"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    )
+    dup_h = (
+        wins.select(id_col, "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2).select("h")
+    )
+    dp = wins.join(dup_h, "h").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dp.withColumn("_prev", F.lag("pos").over(w_ord))
+        .withColumn("_new", F.when(
+            F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k), 1
+        ).otherwise(0))
+        .withColumn("_island", F.sum("_new").over(w_ord))
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("st"), (F.max("pos") + k - 1).alias("en"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("st", "en"))).alias("_spans"))
+    )
+    covered = lambda i: F.exists(
+        F.col("_spans"), lambda s: (i >= s["st"]) & (i <= s["en"]))
+    kept = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(1), F.size("_t")),
+            lambda w, i: F.when(~covered(i), w),
+        ),
+        lambda w: w.isNotNull(),
+    )
+    return (
+        toks.join(spans, id_col, "left")
+        .withColumn("_spans", F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<st:int,en:int>>")))
+        .select(
+            id_col,
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept_tokens"),
+            F.md5(F.concat_ws(" ", kept)).alias("cleaned_fp"),
+        )
+    )

@@ -2020,3 +2020,65 @@ LLM_QUERIES = {
     "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, DOCS_INC_DEDUP_SQL),
 }
+
+
+def docs_remove_dup_spans(spark, sf_dir):
+    """The REMOVAL pass behind docs_substring_spans: cut every
+    cross-document duplicated k-token span from every doc (content in
+    >= 2 docs is template boilerplate). Output pins the per-doc removed
+    counts AND an md5 of the cleaned token stream, so the oracle checks
+    the exact surviving text, not just sizes."""
+    d = ld(spark, sf_dir, "documents")
+    return (
+        dd.remove_duplicated_spans(d, "doc_id", "text", k=SPAN_K)
+        .select("doc_id", "n_tokens", "n_kept_tokens", "cleaned_fp")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_REMOVE_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), tk AS (
+  SELECT * FROM toks WHERE len(w) >= {SPAN_K}
+), wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{SPAN_K - 1}], ' ') AS s
+  FROM tk, UNNEST(range(1, len(w) - {SPAN_K} + 2)) AS t(i)
+), duph AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM wins) GROUP BY s HAVING COUNT(*) >= 2
+), dp AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (s)
+), lagged AS (
+  SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp
+), isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + {SPAN_K} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + {SPAN_K} - 1 AS en
+  FROM isl GROUP BY 1, 2
+), tokpos AS (
+  SELECT t.doc_id, u.i AS pos, t.w[u.i] AS tok
+  FROM toks t, UNNEST(range(1, len(t.w) + 1)) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON s.doc_id = tp.doc_id AND tp.pos BETWEEN s.st AND s.en
+  WHERE s.doc_id IS NULL
+)
+SELECT t.doc_id,
+  CAST(len(t.w) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_kept_tokens,
+  md5(COALESCE(k.txt, '')) AS cleaned_fp
+FROM toks t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+LLM_QUERIES["docs_remove_dup_spans"] = (docs_remove_dup_spans, DOCS_REMOVE_SPANS_SQL)

@@ -433,3 +433,22 @@ def test_ivf_index_append_finds_new_vectors(spark, sf_dir, tmp_path):
                               exclude_self=False)
     top = hits.filter("rank = 1").collect()[0]
     assert top["neighbor_id"] == target
+
+
+def test_remove_duplicated_spans_cuts_shared_run(spark):
+    """Two docs sharing a 10-token run → both lose exactly those 10
+    tokens; a doc without cross-doc runs is untouched (fp = full text)."""
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [(1, shared + " xa xb xc"),
+            (2, "ya yb " + shared),
+            (3, "unique words only here nothing shared at all beyond runs")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dd.remove_duplicated_spans(df, "doc_id", "text", k=8).collect()}
+    assert out[1]["n_kept_tokens"] == 3 and out[2]["n_kept_tokens"] == 2
+    assert out[1]["cleaned_fp"] == hashlib.md5(b"xa xb xc").hexdigest()
+    assert out[2]["cleaned_fp"] == hashlib.md5(b"ya yb").hexdigest()
+    assert out[3]["n_kept_tokens"] == out[3]["n_tokens"]
+    assert out[3]["cleaned_fp"] == hashlib.md5(rows[2][1].encode()).hexdigest()
