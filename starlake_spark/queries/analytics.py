@@ -1129,8 +1129,59 @@ ORDER BY event_type, day
 """
 
 
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per customer, Recency (latest order
+    date), Frequency (order count), Monetary (DECIMAL-exact spend) —
+    each quartiled by ntile(4) under a fully tie-broken total order
+    (metric, then custkey) so both engines bucket identically. One
+    customer-keyed aggregate plus three window passes over the (small)
+    per-customer frame. Scale note: the global-order ntile funnels the
+    per-customer frame through one task — fine while customers ≪ rows
+    (the usual RFM shape); at billions of customers switch the cutpoints
+    to approx_percentile boundaries and bucket by comparison instead."""
+    o = ld(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("monetary"),
+    )
+    r_q = F.ntile(4).over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+    f_q = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m_q = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    return (
+        per_cust
+        .withColumn("r_q", r_q).withColumn("f_q", f_q).withColumn("m_q", m_q)
+        .select(
+            "o_custkey", "frequency", "monetary",
+            "r_q", "f_q", "m_q",
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORDERS_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_order,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, frequency, monetary,
+  ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
+  ntile(4) OVER (ORDER BY last_order DESC, o_custkey) || '-' ||
+  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) || '-' ||
+  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS segment
+FROM per_cust ORDER BY o_custkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "orders_rfm_segments": (orders_rfm_segments, ORDERS_RFM_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
