@@ -33,12 +33,12 @@ def _apply_model(model, op, payload):
             else:
                 model[k] = {"v": v, "tag": None}
     elif op == "update":
-        mod, add = payload
+        mod, add = payload[0], payload[1]
         for k in list(model):
             if k % mod == 0:
                 model[k]["v"] = (model[k]["v"] or 0) + add
     elif op == "delete":
-        (mod,) = payload
+        mod = payload[0]
         for k in list(model):
             if k % mod == 0:
                 del model[k]
@@ -60,9 +60,12 @@ def _random_ops(rng, n):
             ks = rng.sample(KEYS, rng.randint(1, 12))
             ops.append((kind, [(k, rng.randint(100, 199)) for k in ks]))
         elif kind == "update":
-            ops.append((kind, (rng.choice([2, 3, 5]), rng.randint(1, 9))))
+            # third element: take the delta (O(matched)) path or the
+            # file-rewrite path — semantics must be indistinguishable
+            ops.append((kind, (rng.choice([2, 3, 5]), rng.randint(1, 9),
+                               rng.random() < 0.5)))
         elif kind == "delete":
-            ops.append((kind, (rng.choice([4, 6, 7]),)))
+            ops.append((kind, (rng.choice([4, 6, 7]), rng.random() < 0.5)))
         else:
             ops.append((kind, None))
     return ops
@@ -85,12 +88,13 @@ def test_dml_churn_matches_model(spark, tmp_path, seed):
                 payload,
                 T.StructType([SCHEMA[0], SCHEMA[1]])))
         elif op == "update":
-            mod, add = payload
+            mod, add, use_delta = payload
             t.update(F.col("k") % mod == 0,
-                     {"v": F.coalesce(F.col("v"), F.lit(0)) + add})
+                     {"v": F.coalesce(F.col("v"), F.lit(0)) + add},
+                     use_delta=use_delta)
         elif op == "delete":
-            (mod,) = payload
-            t.delete(F.col("k") % mod == 0)
+            mod, use_delta = payload
+            t.delete(F.col("k") % mod == 0, use_delta=use_delta)
         else:
             t.compaction(force=True)
         _apply_model(model, op, payload)
