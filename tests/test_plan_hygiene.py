@@ -245,3 +245,17 @@ def test_funnel_is_user_keyed_aggregation_tree(spark):
     plan = _phys(out)
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
+
+
+def test_span_removal_shuffles_hashes_not_strings(spark):
+    """The span-REMOVAL pipeline inherits the stats pipeline's plan
+    property: no window strings in any exchange key set, no cartesian."""
+    from starlake_spark.functions import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _phys(dd.remove_duplicated_spans(d, "doc_id", "text", k=8))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final and "BroadcastNestedLoopJoin" not in final
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
+        assert "s#" not in m.group(1), m.group(1)
