@@ -442,16 +442,25 @@ class ManifestStore:
     # ---------- restore / clone ----------
 
     def import_state(
-        self, partitions: dict[str, "PartitionSnapshot"], commit_type: str
+        self, partitions: dict[str, "PartitionSnapshot"], commit_type: str,
+        min_version: int = 0,
     ) -> Snapshot:
         """Publish a new version whose partition state is supplied
         verbatim — files keep their ORIGINAL write_version so MoR
         collapse ordering survives (a Transaction would re-stamp them).
-        Used by restore (rewind to an old snapshot) and clone import."""
+        Used by restore (rewind to an old snapshot) and clone import.
+
+        ``min_version`` floors the published version: clone passes the
+        max write_version of the imported files so every POST-import
+        commit stamps a strictly higher write_version — otherwise a
+        clone of snapshot N>=2 would hand out write_version 2,3,... to
+        new commits while imported files already carry up to N, and the
+        MoR max_by collapse would prefer stale source rows over fresh
+        upserts (or tie nondeterministically)."""
         lock = self._acquire_lock()
         try:
             current = self.snapshot()
-            new_version = current.version + 1
+            new_version = max(current.version + 1, min_version)
             snap = Snapshot(
                 version=new_version,
                 partitions={

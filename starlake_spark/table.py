@@ -350,7 +350,15 @@ class StarTable:
                     nf.path = rel
                 files.append(nf)
             partitions[rv] = _PS(rv, files, 1)
-        dest.import_state(partitions, commit_type="clone")
+        # Publish the clone's first snapshot at >= the max write_version
+        # of the imported files, so every post-clone commit stamps a
+        # strictly higher write_version and MoR collapse never prefers
+        # stale source rows over fresh clone-side upserts/deletes.
+        max_wv = max(
+            (f.write_version for ps in partitions.values() for f in ps.files),
+            default=0,
+        )
+        dest.import_state(partitions, commit_type="clone", min_version=max_wv)
         if short_name:
             catalog.register(short_name, dest_path, warehouse)
         return StarTable(self.spark, dest)

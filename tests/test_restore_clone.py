@@ -62,6 +62,32 @@ def test_shallow_clone_independent_writes(spark, tmp_table_dir, tmp_path):
     assert t.to_df().filter("id = 4").count() == 1
 
 
+def test_clone_of_later_snapshot_accepts_new_writes(spark, tmp_table_dir, tmp_path):
+    """Cloning a snapshot with version >= 2 must publish the clone's
+    first snapshot at >= max(write_version of imported files); otherwise
+    post-clone commits stamp LOWER write_versions than the imported MoR
+    deltas and the max_by collapse keeps stale source rows."""
+    t = _mk(spark, tmp_table_dir)
+    t.set_properties({"compaction.auto": "false"})
+    t.upsert(spark.createDataFrame([(2, "src_v1", 1)], "id int, name string, value int"))
+    t.upsert(spark.createDataFrame([(2, "src_v2", 2)], "id int, name string, value int"))
+    c = t.clone(str(tmp_path / "c_late"), shallow=True)  # latest: version >= 3
+    # the clone sees the source's latest MoR state
+    row = c.to_df().filter("id = 2").collect()[0]
+    assert (row["name"], row["value"]) == ("src_v2", 2)
+    # fresh clone-side upsert must beat the imported deltas
+    c.upsert(spark.createDataFrame(
+        [(2, "clone_wins", 7)], "id int, name string, value int"))
+    row = c.to_df().filter("id = 2").collect()[0]
+    assert (row["name"], row["value"]) == ("clone_wins", 7)
+    # clone-side delete of an imported MoR key must stick too
+    c.delete("id = 2")
+    assert c.to_df().filter("id = 2").count() == 0
+    # source untouched
+    row = t.to_df().filter("id = 2").collect()[0]
+    assert (row["name"], row["value"]) == ("src_v2", 2)
+
+
 def test_deep_clone_survives_source_drop(spark, tmp_table_dir, tmp_path):
     t = _mk(spark, tmp_table_dir)
     c = t.clone(str(tmp_path / "c2"), shallow=False)
