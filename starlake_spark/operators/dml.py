@@ -49,6 +49,25 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
     return info
 
 
+def _maybe_auto_compact(spark: SparkSession, store: ManifestStore,
+                        info: TableInfo) -> None:
+    """Auto-compaction (reference trigger: delta file count >= 5,
+    StarLakeSQLConf.scala:41-45 via CompactionCommand.scala:70-109):
+    caps the MoR union fan-out — without it, every un-compacted delta
+    commit (upsert, delta UPDATE, tombstone DELETE) adds a plan branch
+    to _merge_scan, and a table with hundreds of delta commits plans
+    hundreds of union arms. Opt out per table with
+    compaction.auto=false."""
+    if (info.configuration or {}).get("compaction.auto", "true") == "true":
+        from starlake_spark.meta import CommitConflictError
+        try:
+            compact(spark, store, force=False)
+        except CommitConflictError:
+            # maintenance, not the user's write: a persistently-hot
+            # partition just compacts on a later delta commit instead
+            pass
+
+
 def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
            use_delta: bool = True,
            txn_app_id: str | None = None,
@@ -103,20 +122,7 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
                 return  # concurrent retry already landed this version
         else:
             store.commit(txn)
-        # Auto-compaction (reference trigger: delta file count >= 5,
-        # StarLakeSQLConf.scala:41-45 via CompactionCommand.scala:70-109):
-        # caps the MoR union fan-out — without it, every un-compacted
-        # upsert adds a plan branch to _merge_scan, and a table with
-        # hundreds of delta commits plans hundreds of union arms.
-        # Opt out per table with compaction.auto=false.
-        if info.configuration.get("compaction.auto", "true") == "true":
-            from starlake_spark.meta import CommitConflictError
-            try:
-                compact(spark, store, force=False)
-            except CommitConflictError:
-                # maintenance, not the user's write: a persistently-hot
-                # partition just compacts on a later upsert instead
-                pass
+        _maybe_auto_compact(spark, store, info)
         return
 
     keys = info.range_cols + info.hash_cols
@@ -391,6 +397,7 @@ def update(spark: SparkSession, store: ManifestStore, condition,
         files = writer.write_files(spark, matched, info, txn, is_base=False)
         txn.add_files(files)
         store.commit(txn)
+        _maybe_auto_compact(spark, store, info)
         return
 
     def transform(df: DataFrame, cnd: Column) -> DataFrame:
@@ -446,6 +453,7 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
                                    check_invariants=False)
         txn.add_files(files)
         store.commit(txn)
+        _maybe_auto_compact(spark, store, info)
         return
     if condition is None:
         txn = store.new_transaction()

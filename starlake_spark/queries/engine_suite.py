@@ -1011,7 +1011,60 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CDF change types (Delta-CDF-style _change_type, beyond the reference)
+# ---------------------------------------------------------------------------
+
+def star_cdf_types(spark, sf_dir):
+    """Change-data-feed with change types over an upsert → tombstone-
+    delete → re-upsert sequence: the feed must tag the initial load
+    'insert', MoR upsert deltas 'update_postimage', and — crucially —
+    surface the delete_delta commit as 'delete' rows carrying the
+    tombstoned keys (data columns null) instead of silently skipping
+    it, so an incremental consumer can retract deleted rows. The
+    re-upsert after the delete proves delete→insert ordering survives
+    in the log."""
+    from starlake_spark.sources.datasource import table_changes
+
+    c = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    path = _scratch(sf_dir, "cdf_types")
+    t = create_table(spark, c, path,
+                     hash_partitions=["c_custkey"], hash_bucket_num=4)
+    t.set_properties({"compaction.auto": "false"})
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") * 2))        # v2
+    t.delete("c_custkey % 20 = 0", use_delta=True)                      # v3
+    t.upsert(c.filter(F.col("c_custkey") % 20 == 0)
+              .withColumn("c_mktsegment", F.lit("X")))                  # v4
+    return (table_changes(spark, path, 0, with_change_type=True)
+            .orderBy("_commit_version", "c_custkey"))
+
+
+CDF_TYPES_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, _commit_version, _change_type
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2, c_mktsegment,
+         CAST(2 AS BIGINT), 'update_postimage'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(3 AS BIGINT), 'delete'
+  FROM customer WHERE c_custkey % 20 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, 'X', CAST(4 AS BIGINT), 'update_postimage'
+  FROM customer WHERE c_custkey % 20 = 0
+)
+ORDER BY _commit_version, c_custkey
+"""
+
+
 ENGINE_QUERIES = {
+    "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_ingest_dedup": (star_ingest_dedup, INGEST_DEDUP_ORACLE),
     "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),

@@ -41,6 +41,28 @@ from pyspark.sql.datasource import (
 from starlake_spark.meta import ManifestStore, decode_range_value
 
 VERSION_COL = "_commit_version"
+CHANGE_TYPE_COL = "_change_type"
+
+# Snapshot.commit_type → CDF _change_type (Delta-Lake-style CDF labels).
+# None ⇒ the commit is logically a no-op rewrite and contributes no
+# change rows. Rewrite commits (CoW update/delete) are emitted coarsely:
+# their added files are the POST-IMAGE of every touched partition (row
+# -level pre/post diffing would mean re-reading the pre-commit snapshot
+# per feed read — the delta DML paths are the full-fidelity CDF shape).
+_CHANGE_TYPES = {
+    "write": "insert",
+    "delta": "update_postimage",
+    "delete_delta": "delete",
+    "update": "update_postimage",
+    "delete": "update_postimage",
+    "compact": None,
+    "restore": None,
+    "clone": None,
+}
+
+
+def _change_type_for(commit_type: str) -> str | None:
+    return _CHANGE_TYPES.get(commit_type, "insert")
 
 
 @dataclasses.dataclass
@@ -52,6 +74,7 @@ class _FilePartition(InputPartition):
     # python values — they live in the manifest/directory layout, not in
     # the parquet itself (partitionBy strips them)
     const_cols: tuple = ()
+    change_type: str = "insert"
 
 
 def _typed_part_value(v: str, dtype: T.DataType):
@@ -75,7 +98,8 @@ def _typed_part_value(v: str, dtype: T.DataType):
     return v
 
 
-def _file_partitions(store: ManifestStore, files, schema_types: dict) -> list:
+def _file_partitions(store: ManifestStore, files, schema_types: dict,
+                     change_type: str = "insert") -> list:
     parts = []
     for f in files:
         consts = tuple(
@@ -89,6 +113,7 @@ def _file_partitions(store: ManifestStore, files, schema_types: dict) -> list:
                 exist_cols=tuple(f.exist_cols),
                 version=f.write_version,
                 const_cols=consts,
+                change_type=change_type,
             )
         )
     return parts
@@ -117,6 +142,8 @@ def _read_aligned(part: _FilePartition, arrow_schema):
     for field in arrow_schema:
         if field.name == VERSION_COL:
             cols.append(pa.array([part.version] * len(tbl), type=field.type))
+        elif field.name == CHANGE_TYPE_COL:
+            cols.append(pa.array([part.change_type] * len(tbl), type=field.type))
         elif field.name in consts:
             cols.append(pa.array([consts[field.name]] * len(tbl), type=field.type))
         elif field.name in tbl.column_names:
@@ -194,14 +221,25 @@ class _StarBatchReader(DataSourceReader):
 
 class _StarStreamReader(DataSourceStreamReader):
     """Version-tailing change stream (SURVEY §2.7 'streaming source:
-    not implemented' — this goes beyond the reference)."""
+    not implemented' — this goes beyond the reference).
+
+    ``change_types=True`` (load option ``changeTypes``) emits a Delta-
+    CDF-style ``_change_type`` column and surfaces delete_delta commits
+    as ``delete`` rows (the tombstoned keys, data columns null).
+    Without it, a delete_delta commit in range RAISES unless
+    ``ignoreDeletes=true`` — an append-only consumer must opt into
+    skipping deletions rather than silently retaining deleted rows
+    forever."""
 
     def __init__(self, table_path: str, schema: T.StructType, starting_version: int,
-                 partition_filter: str | None = None):
+                 partition_filter: str | None = None,
+                 change_types: bool = False, ignore_deletes: bool = False):
         self.table_path = table_path
         self.spark_schema = schema
         self.starting_version = starting_version
         self.partition_filter = partition_filter
+        self.change_types = change_types
+        self.ignore_deletes = ignore_deletes
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -215,10 +253,20 @@ class _StarStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = store.snapshot(v)
-            if snap.commit_type in ("compact", "delete_delta"):
+            ct = _change_type_for(snap.commit_type)
+            if ct is None:
                 continue
+            if snap.commit_type == "delete_delta" and not self.change_types:
+                if self.ignore_deletes:
+                    continue
+                raise ValueError(
+                    "stream source hit a delete_delta commit at version "
+                    f"{v}: downstream would silently retain deleted rows. "
+                    "Read with .option('changeTypes', 'true') to receive "
+                    "delete rows, or .option('ignoreDeletes', 'true') to "
+                    "acknowledge an append-only view")
             new_files = [f for f in snap.all_files() if f.write_version == v]
-            parts.extend(_file_partitions(store, new_files, types))
+            parts.extend(_file_partitions(store, new_files, types, change_type=ct))
         return _prune_by_option(parts, self.partition_filter)
 
     def read(self, partition: _FilePartition):
@@ -246,9 +294,15 @@ class StarDataSource(DataSource):
             raise ValueError("format('star') requires .load(path) or .option('path', ...)")
         return path
 
+    def _flag(self, name: str) -> bool:
+        return str(self.options.get(name, "false")).lower() == "true"
+
     def schema(self) -> T.StructType:
         base = _table_schema(ManifestStore(self._path()))
-        return T.StructType(base.fields + [T.StructField(VERSION_COL, T.LongType(), False)])
+        fields = base.fields + [T.StructField(VERSION_COL, T.LongType(), False)]
+        if self._flag("changeTypes"):
+            fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType(), False))
+        return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         v = self.options.get("version")
@@ -259,7 +313,9 @@ class StarDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
         return _StarStreamReader(self._path(), schema, start,
-                                 self.options.get("partition_filter"))
+                                 self.options.get("partition_filter"),
+                                 change_types=self._flag("changeTypes"),
+                                 ignore_deletes=self._flag("ignoreDeletes"))
 
 
 def register(spark) -> None:
@@ -330,7 +386,9 @@ def F_lit_long(v):
 
 
 def table_changes(spark, path: str, start_version: int = 0,
-                  end_version: int | None = None):
+                  end_version: int | None = None,
+                  with_change_type: bool = False,
+                  ignore_deletes: bool = False):
     """Batch change-data-feed: rows ADDED in versions
     (start_version, end_version], each tagged with ``_commit_version`` —
     the batch twin of the streaming change-source (same semantics:
@@ -339,7 +397,14 @@ def table_changes(spark, path: str, start_version: int = 0,
     JVM parquet scan per commit group, so incremental consumers
     (rollup refresh, downstream sync jobs) read only the delta bytes —
     at 100 TB this is the difference between an incremental pipeline
-    and a daily full re-scan."""
+    and a daily full re-scan.
+
+    ``with_change_type=True`` adds a Delta-CDF-style ``_change_type``
+    column (insert / update_postimage / delete) and surfaces
+    delete_delta commits as ``delete`` rows: the tombstoned keys with
+    data columns null. Without it, a delete_delta commit in range
+    RAISES unless ``ignore_deletes=True`` — consumers must explicitly
+    choose an append-only view over silently retaining deleted rows."""
     from pyspark.sql import functions as F
     from starlake_spark.operators import reader as rd
 
@@ -349,16 +414,33 @@ def table_changes(spark, path: str, start_version: int = 0,
     dfs = []
     for v in range(start_version + 1, end + 1):
         snap = store.snapshot(v)
-        if snap.commit_type in ("compact", "delete_delta"):
+        ct = _change_type_for(snap.commit_type)
+        if ct is None:
             continue
+        if snap.commit_type == "delete_delta" and not with_change_type:
+            if ignore_deletes:
+                continue
+            raise ValueError(
+                f"table_changes hit a delete_delta commit at version {v}: "
+                "downstream would silently retain deleted rows. Pass "
+                "with_change_type=True to receive delete rows, or "
+                "ignore_deletes=True to acknowledge an append-only view")
         new_files = [f for f in snap.all_files() if f.write_version == v]
         if not new_files:
             continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
-            dfs.append(d.withColumn(VERSION_COL, F_lit_long(wv)))
+            if rd.TOMBSTONE_COL in d.columns:
+                d = d.drop(rd.TOMBSTONE_COL)
+            d = d.withColumn(VERSION_COL, F_lit_long(wv))
+            if with_change_type:
+                d = d.withColumn(CHANGE_TYPE_COL, F.lit(ct))
+            dfs.append(d)
     if not dfs:
-        return rd._empty_df(spark, info).withColumn(VERSION_COL, F_lit_long(None))
+        out = rd._empty_df(spark, info).withColumn(VERSION_COL, F_lit_long(None))
+        if with_change_type:
+            out = out.withColumn(CHANGE_TYPE_COL, F.lit(None).cast("string"))
+        return out
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

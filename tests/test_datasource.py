@@ -98,6 +98,53 @@ def test_stream_starting_version(spark, orders, tmp_path):
     assert dict(got.groupBy("_commit_version").count().collect()) == {2: 10}
 
 
+def test_stream_change_types_and_delete_rows(spark, tmp_path):
+    """changeTypes=true: _change_type column tags inserts, MoR upserts
+    and tombstone deletes; delete_delta commits emit the deleted keys.
+    Without the option, a delete in range fails the stream unless
+    ignoreDeletes=true acknowledges the append-only view."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 6)], "id int, v int")
+    t = create_table(spark, df, path, hash_partitions=["id"], hash_bucket_num=2)
+    t.set_properties({"compaction.auto": "false"})
+    t.upsert(spark.createDataFrame([(2, 999)], "id int, v int"))
+    t.delete("id = 3", use_delta=True)
+
+    q = (spark.readStream.format("star").option("changeTypes", "true").load(path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out_ct"))
+         .option("checkpointLocation", str(tmp_path / "ck_ct"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out_ct"))
+    by_type = dict(got.groupBy("_change_type").count().collect())
+    assert by_type == {"insert": 5, "update_postimage": 1, "delete": 1}
+    del_row = got.filter("_change_type = 'delete'").collect()[0]
+    assert (del_row["id"], del_row["v"]) == (3, None)
+
+    # default mode: the delete commit must fail the stream...
+    q2 = (spark.readStream.format("star").load(path)
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "out_plain"))
+          .option("checkpointLocation", str(tmp_path / "ck_plain"))
+          .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="delete_delta|changeTypes"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
+
+    # ...and ignoreDeletes=true restores the (explicit) append-only view
+    q3 = (spark.readStream.format("star").option("ignoreDeletes", "true").load(path)
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "out_ign"))
+          .option("checkpointLocation", str(tmp_path / "ck_ign"))
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    got3 = spark.read.parquet(str(tmp_path / "out_ign"))
+    assert got3.count() == 6  # 5 inserts + 1 upsert, no delete rows
+    assert "_change_type" not in got3.columns
+
+
 def test_stream_sees_schema_evolution_nulls(spark, orders, tmp_path):
     path = str(tmp_path / "t")
     t = create_table(spark, orders, path,

@@ -147,7 +147,12 @@ def test_delta_delete_guards(spark, tmp_table_dir):
         t2.delete("id = 1", use_delta=True)
 
 
-def test_delta_delete_invisible_to_change_stream(spark, tmp_table_dir):
+def test_delta_delete_surfaces_in_change_feed(spark, tmp_table_dir):
+    """Tombstone deletes must not vanish from the CDF: default raises
+    (no silent retention downstream), ignore_deletes opts into the
+    append-only view, with_change_type emits the deleted keys."""
+    import pytest as _pt
+
     from starlake_spark.sources.datasource import table_changes
     from starlake_spark.table import create_table
 
@@ -156,8 +161,12 @@ def test_delta_delete_invisible_to_change_stream(spark, tmp_table_dir):
                      hash_partitions=["id"], hash_bucket_num=2)
     v0 = t.versions()[-1]
     t.delete("id = 2", use_delta=True)
-    ch = table_changes(spark, tmp_table_dir, v0)
-    assert ch is None or ch.count() == 0
+    with _pt.raises(ValueError, match="delete_delta"):
+        table_changes(spark, tmp_table_dir, v0).count()
+    assert table_changes(spark, tmp_table_dir, v0, ignore_deletes=True).count() == 0
+    ch = table_changes(spark, tmp_table_dir, v0, with_change_type=True).collect()
+    assert len(ch) == 1
+    assert (ch[0]["id"], ch[0]["v"], ch[0]["_change_type"]) == (2, None, "delete")
 
 
 def test_delta_update_matches_rewrite_semantics(spark, tmp_table_dir):
