@@ -847,6 +847,99 @@ def minhash_dedup_against(
     return new_df.join(dup_new, id_col, "left_anti")
 
 
+def minhash_band_sig(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persisted-band-index rows for a corpus slice: per doc, ``bands``
+    rows (id, band, bh, sig=null) for the LSH equi-join plus ONE
+    sentinel row (id, band=-1, bh=0, sig) carrying the full MinHash
+    signature for candidate verification. Storing the signature (64
+    longs) instead of the shingle set keeps the index tiny relative to
+    the text it summarizes, and lets an ingest sink verify candidates
+    by signature-agreement Jaccard WITHOUT ever re-reading the corpus
+    text column — the property that makes dedup-on-ingest O(batch +
+    wave) instead of O(corpus) per micro-batch at 100 TB."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    with_hs = sh.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"))
+    sig = with_hs.select(
+        id_col, minhash_signature(F.col("_hs"), num_hashes).alias("_sig"))
+    rpb = num_hashes // bands
+    rows = sig.select(
+        id_col,
+        F.explode(F.array(
+            F.struct(F.lit(-1).alias("band"), F.lit(0).cast("long").alias("bh"),
+                     F.col("_sig").alias("sig")),
+            *[F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(F.col("_sig"), b * rpb + 1, rpb)).alias("bh"),
+                F.lit(None).cast("array<long>").alias("sig"),
+            ) for b in range(bands)],
+        )).alias("_r"),
+    )
+    return rows.select(id_col, "_r.band", "_r.bh", "_r.sig")
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    new_band_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ingestion dedup against a PERSISTED band index
+    (rows from :func:`minhash_band_sig`): drop NEW docs whose banded
+    MinHash collides with an indexed doc AND whose signature-agreement
+    Jaccard estimate (fraction of equal minhash positions — the
+    standard unbiased MinHash estimator) clears ``threshold``.
+
+    Unlike :func:`minhash_dedup_against`, the corpus side never touches
+    text: candidates come from the index's band rows, verification from
+    its signature sentinels. Per-batch cost is O(batch bands joined
+    against the index) — the index is (id, band, bh, sig[64]) rows, a
+    fixed few-hundred-bytes-per-doc summary regardless of doc size.
+    Returns the kept NEW docs; pass ``new_band_sig`` to reuse the
+    batch's own band/sig rows (e.g. for a follow-up index append)."""
+    if new_band_sig is None:
+        new_band_sig = minhash_band_sig(
+            new_df, id_col, text_col, num_hashes, bands, shingle_n)
+    b_new = new_band_sig.filter(F.col("band") >= 0).select(id_col, "band", "bh")
+    s_new = (new_band_sig.filter(F.col("band") == -1)
+             .select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga")))
+    b_old = (index_df.filter(F.col("band") >= 0)
+             .select(F.col(id_col).alias("_old_id"), "band", "bh")
+             .withColumn("_rk", F.row_number().over(
+                 Window.partitionBy("band", "bh").orderBy(F.col("_old_id"))))
+             .filter(F.col("_rk") <= max_bucket).drop("_rk"))
+    s_old = (index_df.filter(F.col("band") == -1)
+             .select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb")))
+    cand = (b_new.join(b_old, ["band", "bh"])
+            .select(F.col(id_col).alias("id_a"), F.col("_old_id").alias("id_b"))
+            .distinct())
+    j = cand.join(s_new, "id_a").join(s_old, "id_b")
+    agree = F.size(F.filter(
+        F.zip_with(F.col("_siga"), F.col("_sigb"),
+                   lambda a, b: F.when(a == b, F.lit(1))),
+        lambda x: x.isNotNull()))
+    dup_new = (
+        j.select("id_a", (agree.cast("double") / F.lit(num_hashes)).alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .select(F.col("id_a").alias(id_col)).distinct())
+    return new_df.join(dup_new, id_col, "left_anti")
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

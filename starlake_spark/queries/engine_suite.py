@@ -983,9 +983,22 @@ def star_ingest_dedup(spark, sf_dir):
         [(INGEST_RECRAWL_ID * 2 + i,
           " ".join(f"zzqx{i}w{j}" for j in range(12))) for i in range(5)],
         "doc_id long, text string")
+    idx_v_after_w1 = ManifestStore(sink.index_path).latest_version()
     wave2 = recrawl.unionByName(novel)
     sink.write_batch(wave2, 1)
     sink.write_batch(wave2, 1)  # retry: exactly-once registry skips it
+    # Scale invariant (the O(corpus)-per-batch killer is gone): every
+    # index commit after the wave-1 sync bands ONLY docs committed to
+    # the corpus since the previous sync — wave-1 docs are never
+    # re-shingled, so the corpus text column is read exactly once per
+    # doc across the sink's lifetime.
+    from starlake_spark.sources.datasource import table_changes
+    wave1_resynced = (
+        table_changes(spark, sink.index_path,
+                      start_version=idx_v_after_w1, ignore_deletes=True)
+        .filter(F.col("doc_id") < F.lit(INGEST_RECRAWL_ID)).count())
+    assert wave1_resynced == 0, (
+        f"wave-2 index sync rebuilt {wave1_resynced} wave-1 band rows")
     landed = t.to_df().select("doc_id").withColumn("_l", F.lit(True))
     is_recrawl = F.col("doc_id") < INGEST_RECRAWL_ID * 2
     return (

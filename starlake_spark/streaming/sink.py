@@ -19,7 +19,9 @@ with an idempotent batch check:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, functions as F
 
 from starlake_spark.meta import DuplicateTxnError, ManifestStore
 from starlake_spark.operators import dml, writer
@@ -100,27 +102,97 @@ def write_stream(
 
 class DedupIngestSink(StarStreamSink):
     """Dedup-on-ingest: each micro-batch is (1) exact-deduped within
-    itself, (2) near-dedup'd AGAINST the table's current contents via
-    the cross-corpus banded-MinHash join (functions.dedup.
-    minhash_dedup_against), then (3) upserted exactly-once. The
-    standard continuous-crawl shape: the corpus only ever grows by
-    novel documents, and re-delivered or re-crawled near-duplicates
-    never land.
+    itself, (2) near-dedup'd AGAINST the corpus via a PERSISTED
+    banded-MinHash index, then (3) upserted exactly-once. The standard
+    continuous-crawl shape: the corpus only ever grows by novel
+    documents, and re-delivered or re-crawled near-duplicates never
+    land.
 
-    Batch-vs-table candidate generation scales as the batch's band
-    table joined against the corpus band table; at 100 TB the corpus
-    side is a PERSISTED band index maintained per wave — here it is
-    derived from the table contents each batch, which is the correct
-    semantics and the simple form of the same plan."""
+    The index is a companion star table ``<table>_bandidx`` of
+    (id, band, bh, sig) rows (functions.dedup.minhash_band_sig): band
+    rows drive the LSH candidate equi-join, signature sentinels drive
+    verification via the MinHash agreement estimator — so on wave >= 2
+    the corpus TEXT column is never re-read; per-batch work is
+    O(batch + previous wave), not O(corpus). The index is derived
+    state, synced by version catch-up: its registry records the last
+    corpus version whose docs are banded, and each batch first bands
+    exactly the rows committed since (read through the CDF, so a
+    crashed-between-commits sink self-heals on the next batch)."""
+
+    IDX_REGISTRY_KEY = "_bandidx_src"
 
     def __init__(self, store: ManifestStore, query_id: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.8, num_hashes: int = 64,
-                 bands: int = 16, shingle_n: int = 3):
+                 bands: int = 16, shingle_n: int = 3,
+                 index_path: str | None = None):
         super().__init__(store, query_id, output_mode="update")
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.num_hashes = threshold, num_hashes
         self.bands, self.shingle_n = bands, shingle_n
+        # default: nested inside the table dir — shares the table's
+        # lifecycle (drop_table removes it) and is invisible to the
+        # corpus scan (manifest-listed files only) and to cleanup()
+        # (which walks <table>/data only)
+        self.index_path = index_path or os.path.join(
+            store.table_path, "_bandidx")
+
+    def _index_store(self, spark) -> ManifestStore:
+        import os
+
+        from pyspark.sql import types as T
+
+        from starlake_spark.table import create_table
+
+        if not os.path.isdir(os.path.join(self.index_path, "_star_meta")):
+            id_type = next(f.dataType for f in self._corpus_schema(spark).fields
+                           if f.name == self.id_col)
+            empty = spark.createDataFrame([], T.StructType([
+                T.StructField(self.id_col, id_type, True),
+                T.StructField("band", T.IntegerType(), True),
+                T.StructField("bh", T.LongType(), True),
+                T.StructField("sig", T.ArrayType(T.LongType()), True),
+            ]))
+            create_table(spark, empty, self.index_path)
+        return ManifestStore(self.index_path)
+
+    def _corpus_schema(self, spark):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        return T.StructType.fromJson(
+            _json.loads(self.store.table_info(refresh=True).schema_json))
+
+    def _sync_index(self, spark) -> ManifestStore:
+        """Band+sign every corpus row committed since the last sync —
+        idempotent catch-up keyed on the corpus version, O(new wave)."""
+        from starlake_spark.functions import dedup as dd
+        from starlake_spark.sources.datasource import table_changes
+
+        idx_store = self._index_store(spark)
+        synced = idx_store.snapshot().streaming.get(self.IDX_REGISTRY_KEY, 0)
+        cur = self.store.latest_version()
+        if cur <= synced:
+            return idx_store
+        fresh = table_changes(
+            spark, self.store.table_path, start_version=synced,
+            end_version=cur, ignore_deletes=True,
+        ).select(self.id_col, self.text_col).filter(
+            F.col(self.text_col).isNotNull())
+        rows = dd.minhash_band_sig(
+            fresh, self.id_col, self.text_col,
+            self.num_hashes, self.bands, self.shingle_n)
+        info = dml.maybe_merge_schema(rows, idx_store)
+        txn = idx_store.new_transaction()
+        files = writer.write_files(spark, rows, info, txn, is_base=True)
+        txn.add_files(files)
+        txn.set_streaming_batch(self.IDX_REGISTRY_KEY, cur)
+        try:
+            idx_store.commit(txn)
+        except DuplicateTxnError:
+            pass  # a concurrent sync already covered this range
+        return idx_store
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
         from starlake_spark.functions import dedup as dd
@@ -131,12 +203,16 @@ class DedupIngestSink(StarStreamSink):
         spark = batch_df.sparkSession
         # within-batch exact dedup first (cheap, shrinks the band join)
         batch = dd.dedup_exact_text(batch_df, self.text_col, self.id_col)
-        existing = reader.scan(spark, self.store).select(
-            self.id_col, self.text_col)
-        if existing.limit(1).count() > 0:
-            batch = dd.minhash_dedup_against(
-                batch, existing, self.id_col, self.text_col,
-                threshold=self.threshold, num_hashes=self.num_hashes,
-                bands=self.bands, shingle_n=self.shingle_n)
+        idx_store = self._sync_index(spark)
+        index_df = reader.scan(spark, idx_store)
+        batch = dd.minhash_dedup_against_index(
+            batch, index_df, self.id_col, self.text_col,
+            threshold=self.threshold, num_hashes=self.num_hashes,
+            bands=self.bands, shingle_n=self.shingle_n)
         batch = batch.localCheckpoint(eager=True)  # one plan, two uses below
-        return super().write_batch(batch, batch_id)
+        landed = super().write_batch(batch, batch_id)
+        if landed:
+            # keep the index warm for the next wave (crash-safe: the
+            # next batch's catch-up covers it if this never runs)
+            self._sync_index(spark)
+        return landed

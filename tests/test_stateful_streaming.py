@@ -130,3 +130,58 @@ def test_dedup_ingest_sink_blocks_cross_batch_near_dupes(spark, tmp_path):
     assert not sink.write_batch(b2, 1)  # retry skipped
     ids = sorted(r["doc_id"] for r in t.to_df().collect())
     assert ids == [1, 2, 12], ids
+
+
+def test_dedup_ingest_sink_persisted_band_index(spark, tmp_path):
+    """The sink's band index is persisted and incrementally appended:
+    wave 2's sync commit bands ONLY the docs wave 2 landed — wave-1
+    docs are never re-shingled (the corpus text column is read once
+    per doc across the sink's lifetime, the 100 TB contract)."""
+    from starlake_spark.meta import ManifestStore
+    from starlake_spark.operators import reader
+    from starlake_spark.sources.datasource import table_changes
+    from starlake_spark.streaming.sink import DedupIngestSink
+    from starlake_spark.table import create_table
+
+    t = create_table(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        str(tmp_path / "corpus"),
+        hash_partitions=["doc_id"], hash_bucket_num=2,
+        configuration={"compaction.auto": "false"})
+    sink = DedupIngestSink(ManifestStore(str(tmp_path / "corpus")), "ingest",
+                           threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten eleven")],
+        ["doc_id", "text"])
+    assert sink.write_batch(b1, 0)
+    idx_store = ManifestStore(sink.index_path)
+    idx1 = reader.scan(spark, idx_store)
+    # per doc: `bands` band rows + 1 signature sentinel
+    assert idx1.filter("band >= 0").count() == 2 * sink.bands
+    assert idx1.filter("band = -1 AND sig IS NOT NULL").count() == 2
+    v_after_w1 = idx_store.latest_version()
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # recrawl
+         (11, "totally novel words nowhere else written under this sky")],
+        ["doc_id", "text"])
+    assert sink.write_batch(b2, 1)
+    assert sorted(r["doc_id"] for r in t.to_df().collect()) == [1, 2, 11]
+    # wave-2 sync bands exactly the landed novel doc — nothing rebuilt
+    fresh = table_changes(spark, sink.index_path, start_version=v_after_w1,
+                          ignore_deletes=True)
+    assert set(r["doc_id"] for r in fresh.collect()) == {11}
+    # a restarted sink (fresh object) reuses the persisted index as-is
+    sink2 = DedupIngestSink(ManifestStore(str(tmp_path / "corpus")), "ingest2",
+                            threshold=0.5)
+    b3 = spark.createDataFrame(
+        [(20, "one two three four five six seven eight nine ten eleven")],
+        ["doc_id", "text"])
+    assert sink2.write_batch(b3, 0)
+    assert sorted(r["doc_id"] for r in t.to_df().collect()) == [1, 2, 11]
+    # blocked wave added no index rows — still only wave-1/2 docs banded
+    fresh3 = table_changes(spark, sink.index_path, start_version=v_after_w1,
+                           ignore_deletes=True)
+    assert set(r["doc_id"] for r in fresh3.collect()) == {11}
