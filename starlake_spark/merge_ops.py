@@ -29,9 +29,19 @@ from pyspark.sql import Column, functions as F, types as T
 
 class MergeOperator:
     """Base: subclass and override ``column(versions, dtype)`` for
-    JVM-side ops, or pass a Python callable to :class:`PythonMergeOp`."""
+    JVM-side ops, or pass a Python callable to :class:`PythonMergeOp`.
+
+    ``singleton_identity``: True iff ``op([x]) == x`` — i.e. the
+    operator is the identity on a single-version list. All built-ins
+    are (last/sum/concat/min/max of one value is that value), which
+    lets the reader serve already-compacted partitions as a plain
+    columnar scan. Operators WITHOUT this property (e.g. a
+    count-of-versions or length-style custom op) force the reader to
+    route even single-version partitions through the operator algebra,
+    so results are consistent across a half-compacted table."""
 
     name = "base"
+    singleton_identity = True
 
     def column(self, versions: Column, dtype: T.DataType) -> Column:
         raise NotImplementedError
@@ -101,10 +111,16 @@ class PythonMergeOp(MergeOperator):
     when the built-ins can't express the semantics (SURVEY §2.4)."""
 
     name = "python"
+    # conservative: an opaque callable is NOT assumed identity on a
+    # singleton version list — pass singleton_identity=True to restore
+    # the plain-scan fast path for ops that are (e.g. a custom max)
+    singleton_identity = False
 
-    def __init__(self, fn: Callable, result_type: T.DataType | str | None = None):
+    def __init__(self, fn: Callable, result_type: T.DataType | str | None = None,
+                 singleton_identity: bool = False):
         self.fn = fn
         self.result_type = result_type
+        self.singleton_identity = singleton_identity
 
     def column(self, versions: Column, dtype: T.DataType) -> Column:
         fn = self.fn

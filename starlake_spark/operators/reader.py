@@ -456,6 +456,16 @@ def scan(
         needs_merge = info.hash_cols and len({f.write_version for f in ps.files}) > 1
         (merge_files if needs_merge else plain_files).extend(ps.files)
 
+    # An operator that is NOT identity on a singleton version list
+    # (PythonMergeOp default) must also see single-version partitions —
+    # otherwise a half-compacted table would apply the op on deltaed
+    # partitions and return raw values on compacted ones. Built-ins are
+    # all singleton-identity, so this costs nothing in the common case.
+    if plain_files and ops and not all(
+            op.singleton_identity for op in ops.values()):
+        merge_files = merge_files + plain_files
+        plain_files = []
+
     if where_conjs:
         all_cols = set(_schema(info).fieldNames())
         if plain_files:
@@ -473,12 +483,9 @@ def scan(
 
     parts = []
     if plain_files:
-        p = _plain_scan(spark, store, info, plain_files)
-        if ops:
-            # single-version partitions still pass through the operator
-            # algebra so e.g. 'sum' over one version is identity.
-            pass
-        parts.append(p)
+        # reaching here with ops ⇒ every op is singleton-identity, so a
+        # plain columnar scan IS the operator result on these partitions
+        parts.append(_plain_scan(spark, store, info, plain_files))
     if merge_files:
         parts.append(_merge_scan(spark, store, info, merge_files, ops))
     if not parts:
