@@ -212,6 +212,108 @@ def to_sql(e: dict, colmap: dict[str, str]) -> str:
     raise UnsupportedPlan(f"cannot render {c} to SQL")
 
 
+_CMP = {"GreaterThan": ">", "GreaterThanOrEqual": ">=",
+        "LessThan": "<", "LessThanOrEqual": "<=", "EqualTo": "="}
+_NUM_TYPES = ("integer", "long", "short", "byte", "double", "float")
+
+
+def _unwrap_numeric_cast(e: dict) -> dict:
+    """Peel CAST(x AS <numeric>) wrappers — the analyzer wraps integer
+    literals compared against double columns in widening casts, which
+    are value-preserving for the implication check."""
+    while (_cls(e) == "Cast"
+           and (e.get("dataType") in _NUM_TYPES
+                or (e.get("dataType") or "").startswith("decimal"))):
+        e = e["_children"][0]
+    return e
+
+
+def _cmp_parts(e: dict):
+    """``<expr> <cmp> <numeric literal>`` (literal either side, flipped
+    to the right) → (expr_canon, op, value); else None."""
+    c = _cls(e)
+    if c not in _CMP:
+        return None
+    l, r = (_unwrap_numeric_cast(x) for x in e["_children"])
+    flip = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+    if _cls(r) == "Literal":
+        expr, lit, op = l, r, _CMP[c]
+    elif _cls(l) == "Literal":
+        expr, lit, op = r, l, flip[_CMP[c]]
+    else:
+        return None
+    dt, v = lit.get("dataType"), lit.get("value")
+    if v is None or not (dt in _NUM_TYPES or (dt or "").startswith("decimal")):
+        return None
+    try:
+        return (canon(expr), op, float(v))
+    except (TypeError, ValueError):
+        return None
+
+
+def _implies_atom(q: dict, v: dict) -> bool:
+    """q ⟹ v for atomic predicates: exact canonical match, or range
+    strengthening on the same expression with numeric literals
+    (reference OrInfo.scala:31-220 interval logic, conservative)."""
+    if canon(q) == canon(v):
+        return True
+    qp, vp = _cmp_parts(q), _cmp_parts(v)
+    if not qp or not vp or qp[0] != vp[0]:
+        return False
+    _, qop, qv = qp
+    _, vop, vv = vp
+    if qop == "=":
+        return {"=": qv == vv, ">": qv > vv, ">=": qv >= vv,
+                "<": qv < vv, "<=": qv <= vv}[vop]
+    if vop == "=":
+        return False
+    if vop in (">", ">=") and qop in (">", ">="):
+        return qv > vv or (qv == vv and (vop == ">=" or qop == ">"))
+    if vop in ("<", "<=") and qop in ("<", "<="):
+        return qv < vv or (qv == vv and (vop == "<=" or qop == "<"))
+    return False
+
+
+def _or_disjuncts(e: dict) -> list[dict]:
+    if _cls(e) == "Or":
+        out = []
+        for ch in e["_children"]:
+            out.extend(_or_disjuncts(ch))
+        return out
+    return [e]
+
+
+def _implies(q: dict, v: dict) -> bool:
+    """q ⟹ v in disjunctive form: every disjunct of q must imply some
+    disjunct of v (so ``a=1`` implies ``a=1 OR a=2``, and
+    ``a>5 OR a<-5`` implies ``a>3 OR a<0``)."""
+    return all(
+        any(_implies_atom(qd, vd) for vd in _or_disjuncts(v))
+        for qd in _or_disjuncts(q)
+    )
+
+
+def _filters_covered(vset: frozenset, qset: frozenset,
+                     vinfo: "QueryInfo", qinfo: "QueryInfo") -> bool:
+    """Every VIEW conjunct must be implied by the query's filters —
+    otherwise the view is missing rows the query needs. Exact canonical
+    matches are free; the rest must be OR-contained / range-weakened
+    versions of some query conjunct (OrInfo.scala:31-220 semantics,
+    exercised by RewriteQueryByMaterialViewBase OR cases). Sound
+    because the covering query conjunct is always re-applied as a
+    compensation predicate (it lives in qset - vset)."""
+    for vc in vset - qset:
+        vtree = vinfo.residual_by_canon.get(vc)
+        if vtree is None:
+            return False
+        if not any(
+            _implies(qinfo.residual_by_canon[qc], vtree)
+            for qc in qset - vset if qc in qinfo.residual_by_canon
+        ):
+            return False
+    return True
+
+
 def _attrs_in(e: dict) -> set[str]:
     out = set()
     if _cls(e) == "AttributeReference":
@@ -411,6 +513,21 @@ def drop_material_view(session, name: str) -> None:
             pass
 
 
+def drop_views_on(session, table_name: str) -> list[str]:
+    """DROP-cascade (reference DropTableCommand.scala:30-247): dropping
+    a source table drops every materialized view whose fingerprint set
+    references it. Without this, a dropped-and-recreated source leaves
+    a stale registered view — staleness fingerprints keep it from
+    rewriting (fail-safe), but it lingers in SHOW/registry forever.
+    Returns the dropped view names."""
+    reg = _load_registry(session.warehouse)
+    victims = [vn for vn, ent in reg.items()
+               if table_name in ent.get("fingerprints", {})]
+    for vn in victims:
+        drop_material_view(session, vn)
+    return victims
+
+
 def update_material_view(session, name: str, force: bool = False) -> bool:
     """Refresh iff source-table fingerprints changed
     (UpdateMaterialViewCommand.scala:46-67). Returns True if refreshed."""
@@ -450,18 +567,31 @@ def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
 
     if vinfo.has_agg:
         # agg sets must line up exactly (RewriteQueryByMaterialView:
-        # Aggregates replaced wholesale, :1139-1140); filters under the
-        # agg must match exactly (MaterialViewUtils.scala:111-131)
+        # Aggregates replaced wholesale, :1139-1140). Filters under the
+        # agg: the view's must be implied by the query's (incl. OR
+        # containment / range weakening, OrInfo.scala:31-220), and any
+        # query-only conjunct must reference GROUPING columns only —
+        # group-determined predicates filter identical row sets pre-
+        # and post-aggregation, so they compensate on the view; a
+        # predicate on an aggregated column's inputs cannot.
         if not qinfo.has_agg:
-            return None
-        if qinfo.filters_below != vinfo.filters_below:
             return None
         if qinfo.group_by != vinfo.group_by:
             return None
-        if not vinfo.filters_above <= qinfo.filters_above:
+        if not _filters_covered(vinfo.filters_below, qinfo.filters_below,
+                                vinfo, qinfo):
             return None
-        residual = [qinfo.residual_by_canon[cn]
-                    for cn in qinfo.filters_above - vinfo.filters_above]
+        group_cols = set(vinfo.group_by) & set(colmap)
+        below_residual = [qinfo.residual_by_canon[cn]
+                          for cn in qinfo.filters_below - vinfo.filters_below]
+        if any(not _attrs_in(t) <= group_cols for t in below_residual):
+            return None
+        if not _filters_covered(vinfo.filters_above, qinfo.filters_above,
+                                vinfo, qinfo):
+            return None
+        residual = below_residual + [
+            qinfo.residual_by_canon[cn]
+            for cn in qinfo.filters_above - vinfo.filters_above]
         try:
             preds = [to_sql(t, colmap) for t in residual]
             sel = [F.expr(f"`{vout[cn]}`").alias(nm) if cn in vout else None
@@ -478,7 +608,7 @@ def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
     # view is a plain project/filter/join materialization
     vfilters = vinfo.filters_above | vinfo.filters_below
     qfilters = qinfo.filters_above | qinfo.filters_below
-    if not vfilters <= qfilters:
+    if not _filters_covered(vfilters, qfilters, vinfo, qinfo):
         return None
     residual_canons = qfilters - vfilters
     try:

@@ -271,6 +271,8 @@ class StarSession:
 
         m = _DROP_RE.match(text)
         if m and self._known(m["name"]):
+            from starlake_spark.plans import mv as _mv
+
             name = m["name"]
             self.table(name).drop_table()
             self._tables.pop(name, None)
@@ -279,6 +281,9 @@ class StarSession:
             except Exception:
                 pass
             self.spark.catalog.dropTempView(name)
+            # cascade: views built on the dropped table go with it
+            # (DropTableCommand.scala:30-247)
+            _mv.drop_views_on(self, name)
             return self._empty_df()
 
         m = _ALTER_ADD_RE.match(text)

@@ -83,6 +83,80 @@ def test_rewrite_misses(sess, tmp_path):
     assert mv.try_rewrite(sess, q) is None
 
 
+OR_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, c.c_name
+FROM orders_t o JOIN customer_t c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O' OR o.o_orderstatus = 'F'
+"""
+
+
+def test_rewrite_or_disjunct_selection(sess, tmp_path):
+    """Query keeps one disjunct of the view's OR filter → rewrite with
+    the stronger predicate as compensation (OrInfo.scala:31-220 via
+    RewriteQueryByMaterialViewBase OR cases)."""
+    sess.create_material_view("mv_or", str(tmp_path / "mv_or"), OR_JOIN_SQL)
+    q = OR_JOIN_SQL.replace("o.o_orderstatus = 'O' OR o.o_orderstatus = 'F'",
+                            "o.o_orderstatus = 'O'")
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+
+
+def test_rewrite_or_subset_of_disjuncts(sess, tmp_path):
+    """Query's OR is a sub-disjunction of the view's wider OR → hit;
+    a disjunct OUTSIDE the view's OR → miss (view lacks those rows)."""
+    wide = OR_JOIN_SQL.replace(
+        "o.o_orderstatus = 'O' OR o.o_orderstatus = 'F'",
+        "o.o_orderstatus = 'O' OR o.o_orderstatus = 'F' OR o.o_orderstatus = 'P'")
+    sess.create_material_view("mv_or3", str(tmp_path / "mv_or3"), wide)
+    hit = mv.try_rewrite(sess, OR_JOIN_SQL)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(OR_JOIN_SQL))
+    outside = OR_JOIN_SQL.replace(
+        "o.o_orderstatus = 'O' OR o.o_orderstatus = 'F'",
+        "o.o_orderstatus = 'O' OR o.o_orderstatus = 'X'")
+    assert mv.try_rewrite(sess, outside) is None
+
+
+def test_rewrite_range_strengthening(sess, tmp_path):
+    """Query range STRONGER than the view's → hit with compensation;
+    weaker → miss. Mixed with OR: each query disjunct must imply some
+    view disjunct."""
+    sess.create_material_view("mv_join", str(tmp_path / "mv_join"), JOIN_SQL)
+    stronger = JOIN_SQL.replace("o.o_totalprice > 500", "o.o_totalprice > 2000")
+    hit = mv.try_rewrite(sess, stronger)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(stronger))
+    weaker = JOIN_SQL.replace("o.o_totalprice > 500", "o.o_totalprice > 100")
+    assert mv.try_rewrite(sess, weaker) is None
+    ge_same = JOIN_SQL.replace("o.o_totalprice > 500", "o.o_totalprice >= 500")
+    assert mv.try_rewrite(sess, ge_same) is None  # >= 500 does NOT imply > 500
+
+
+def test_rewrite_agg_group_filter_compensation(sess, tmp_path):
+    """Below-agg filter on a GROUPING column compensates post-agg on
+    the view (group-determined predicates are sound); on an aggregated
+    column's input → miss."""
+    base = """
+    SELECT o_orderstatus, count(1) AS n, sum(o_totalprice) AS total
+    FROM orders_t GROUP BY o_orderstatus
+    """
+    sess.create_material_view("mv_agg_all", str(tmp_path / "mv_agg_all"), base)
+    q = """
+    SELECT o_orderstatus, count(1) AS n, sum(o_totalprice) AS total
+    FROM orders_t WHERE o_orderstatus = 'O' OR o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+    bad = """
+    SELECT o_orderstatus, count(1) AS n, sum(o_totalprice) AS total
+    FROM orders_t WHERE o_totalprice > 1000 GROUP BY o_orderstatus
+    """
+    assert mv.try_rewrite(sess, bad) is None
+
+
 def test_session_sql_routes_through_mv(sess, tmp_path):
     sess.create_material_view("mv_agg", str(tmp_path / "mv_agg"), AGG_SQL)
     assert rows(sess.sql(AGG_SQL)) == rows(sess.sql(AGG_SQL, rewrite=False))
@@ -116,6 +190,25 @@ def test_unsupported_shapes_rejected(sess, tmp_path):
         sess.create_material_view(
             "mv_bad", str(tmp_path / "mv_bad"),
             "SELECT o_orderkey FROM orders_t ORDER BY o_orderkey LIMIT 5")
+
+
+def test_drop_table_cascades_to_views(sess, tmp_path):
+    """DROP TABLE on a source drops dependent MVs (DropTableCommand
+    .scala:30-247 cascade): gone from the registry, never consulted by
+    the rewriter; views on OTHER tables survive."""
+    sess.create_material_view("mv_agg", str(tmp_path / "mv_agg"), AGG_SQL)
+    sess.create_material_view("mv_cust", str(tmp_path / "mv_cust"),
+                              "SELECT c_custkey, c_name FROM customer_t")
+    assert "mv_agg" in mv._load_registry(sess.warehouse)
+    sess.sql("DROP TABLE orders_t")
+    reg = mv._load_registry(sess.warehouse)
+    assert "mv_agg" not in reg
+    assert "mv_cust" in reg  # unrelated view untouched
+    # a recreated source table must not hit the stale view
+    orders = sess.spark.read.parquet(f"{SF}/orders.parquet")
+    sess.create_table(orders, str(tmp_path / "orders_t2"), name="orders_t")
+    sess._sync_views()
+    assert mv.try_rewrite(sess, AGG_SQL) is None
 
 
 def test_drop_material_view(sess, tmp_path):
