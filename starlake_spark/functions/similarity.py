@@ -602,6 +602,24 @@ def ivf_index_topk(
 # ---------------------------------------------------------------------------
 
 
+def _approx_row_count(df: DataFrame) -> int:
+    """Row estimate from Catalyst plan statistics — NO Spark job. Uses
+    the optimizer's rowCount when available (CBO / exact relations),
+    else sizeInBytes divided by a nominal embedding-row width. Only for
+    knob defaulting (cell counts, list sizes), never correctness."""
+    try:
+        st = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = st.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(st.sizeInBytes()))
+        # embeddings dominate width; a float64 d≈128 row ≈ 1 KiB in
+        # Spark's estimate — right order of magnitude is all nlist needs
+        return max(1, size // 1024)
+    except Exception:
+        return 1000  # opaque plan: a fixed mid-size default, still no job
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -627,7 +645,11 @@ def semantic_dedup(
     """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     if nlist is None:
-        nlist = max(4, df.count() // 50)
+        # parameter defaulting must never cost a full-scan count job:
+        # estimate rows from the optimizer's plan statistics (file sizes
+        # for parquet/star scans — zero jobs). nlist only tunes cell
+        # granularity; correctness is independent of the estimate.
+        nlist = max(4, _approx_row_count(df) // 50)
     cents = kmeans_centroids(df, nlist=nlist, iters=iters,
                              id_col=id_col, vec_col=vec_col)
     ids, M = _centroid_matrix(cents, vec_col)

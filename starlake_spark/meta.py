@@ -109,6 +109,12 @@ class DataFileInfo:
     # "could contain anything". Beyond the reference (its DataFileInfo
     # carries no stats); Delta-style data skipping.
     stats: dict | None = None
+    # footer row count harvested at write time; -1 on files written
+    # before the field existed. Powers zero-job size/row estimates
+    # (StarTable.stats) for parameter defaulting and join-size hints —
+    # at 100 TB an operator must never run a full-scan count just to
+    # pick a knob.
+    num_rows: int = -1
 
     def key(self) -> str:
         return self.path

@@ -381,6 +381,7 @@ def write_files(
     for fp in _list_written_files(abs_dir):
         m = _BUCKET_RE.search(os.path.basename(fp))
         bucket = int(m.group(1)) if (m and info.hash_cols) else -1
+        stats, num_rows = _footer_stats(fp)
         files.append(
             DataFileInfo(
                 path=os.path.relpath(fp, txn.store.table_path),
@@ -390,7 +391,8 @@ def write_files(
                 write_version=-1,  # assigned at manifest commit
                 is_base_file=is_base,
                 exist_cols=exist_cols,
-                stats=_footer_stats(fp),
+                stats=stats,
+                num_rows=num_rows,
             )
         )
     return files
@@ -419,13 +421,14 @@ def _footer_stats(fp: str) -> dict | None:
     equivalent). Parquet writers are required to WIDEN truncated
     min/max (min rounded down, max up), so footer bounds are always
     conservative — safe for file skipping. Columns with any row group
-    missing bounds are omitted."""
+    missing bounds are omitted. Returns (stats, num_rows); num_rows is
+    -1 when the footer is unreadable."""
     import pyarrow.parquet as pq
 
     try:
         md = pq.ParquetFile(fp).metadata
     except Exception:  # unreadable footer → no stats, file always kept
-        return None
+        return None, -1
     agg: dict[str, list] = {}
     dropped: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -450,4 +453,5 @@ def _footer_stats(fp: str) -> dict | None:
                 agg[name][1] = max(agg[name][1], mx)
             else:
                 agg[name] = [mn, mx]
-    return {k: {"min": v[0], "max": v[1]} for k, v in agg.items()} or None
+    return ({k: {"min": v[0], "max": v[1]} for k, v in agg.items()} or None,
+            md.num_rows)

@@ -475,6 +475,27 @@ class StarTable:
 
         return self.unset_properties([f"{_w.CHECK_PREFIX}{name}"])
 
+    def stats(self, version: int | None = None) -> dict:
+        """Zero-job size estimates from the manifest: file count, total
+        bytes, and an approximate row count summed from the per-file
+        footer counts harvested at write time. For MoR snapshots the
+        row figure is an UPPER bound (delta versions of the same key
+        each count once — the collapse dedups them); files written
+        before row-count harvesting contribute 0 rows but are tallied
+        in ``files_without_rowcount``. This is the parameter-defaulting
+        and join-size-hint path — at 100 TB an operator should consult
+        this, never run a count job, to pick a knob."""
+        snap = self.store.snapshot(version)
+        files = list(snap.all_files())
+        missing = sum(1 for f in files if f.num_rows < 0)
+        return {
+            "num_files": len(files),
+            "total_bytes": sum(f.size for f in files),
+            "approx_rows": sum(f.num_rows for f in files if f.num_rows > 0),
+            "files_without_rowcount": missing,
+            "num_partitions": len(snap.partitions),
+        }
+
     def set_properties(self, props: dict[str, str]) -> "StarTable":
         info = self.store.table_info(refresh=True)
         info.configuration = {**info.configuration, **{k: str(v) for k, v in props.items()}}

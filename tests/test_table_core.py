@@ -257,3 +257,26 @@ def test_streaming_sink_into_generated_partition_table(spark, tmp_table_dir):
     assert sorted(t.store.snapshot().partitions) == [
         "day=2024-02-01", "day=2024-02-02", "day=2024-02-03"]
     assert t.to_df().count() == 12
+
+
+def test_manifest_stats_zero_job_estimates(spark, tmp_path):
+    """StarTable.stats(): footer row counts ride the manifest, so size
+    and row estimates cost zero Spark jobs and survive upsert/compact."""
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = orders.count()
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false"})
+    s = t.stats()
+    assert s["approx_rows"] == n
+    assert s["files_without_rowcount"] == 0
+    assert s["total_bytes"] > 0 and s["num_files"] >= 4
+    # MoR deltas overlap keys -> estimate becomes an upper bound
+    t.upsert(orders.limit(25))
+    assert t.stats()["approx_rows"] == n + 25
+    t.compaction(force=True)
+    assert t.stats()["approx_rows"] == n
+    # time travel sees the old snapshot's estimate
+    assert t.stats(version=1)["approx_rows"] == n
