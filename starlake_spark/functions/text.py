@@ -336,6 +336,10 @@ def bm25_topk(
     Cross-engine exactness: idf and each per-term partial score are
     rounded to 9 dp and summed as DECIMAL so the per-doc score is
     order-independent; the final score is ROUND(..., 6)."""
+    if not query_terms:
+        # F.col._w.isin() with zero args raises an opaque py4j error;
+        # fail fast with an actionable message instead
+        raise ValueError("bm25_topk requires a non-empty query_terms list")
     toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
     doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     stats = doclen.agg(

@@ -57,14 +57,44 @@ def _maybe_auto_compact(spark: SparkSession, store: ManifestStore,
     commit (upsert, delta UPDATE, tombstone DELETE) adds a plan branch
     to _merge_scan, and a table with hundreds of delta commits plans
     hundreds of union arms. Opt out per table with
-    compaction.auto=false."""
-    if (info.configuration or {}).get("compaction.auto", "true") == "true":
-        from starlake_spark.meta import CommitConflictError
+    compaction.auto=false.
+
+    Even with compaction.auto=false a hard backstop remains: once any
+    partition accumulates >= compaction.maxDeltas delta files
+    (default 64; 0 disables), a forced compaction runs with a warning —
+    a table upserted hundreds of times without OPTIMIZE would otherwise
+    plan hundreds of union arms and regress scans unboundedly (the
+    part-merge OOM-guard analog, StarLakePartFileMerge.scala:31-161)."""
+    from starlake_spark.meta import CommitConflictError
+
+    conf = info.configuration or {}
+    if conf.get("compaction.auto", "true") == "true":
         try:
             compact(spark, store, force=False)
         except CommitConflictError:
             # maintenance, not the user's write: a persistently-hot
             # partition just compacts on a later delta commit instead
+            pass
+        return
+    try:
+        cap = int(conf.get("compaction.maxDeltas", "64"))
+    except ValueError:
+        cap = 64
+    if cap <= 0:
+        return
+    worst = max((ps.delta_file_num for ps in
+                 store.snapshot().partitions.values()), default=0)
+    if worst >= cap:
+        import warnings
+
+        warnings.warn(
+            f"table {store.table_path}: a partition reached {worst} delta "
+            f"files with compaction.auto=false — forcing compaction "
+            f"(raise/disable via table property compaction.maxDeltas)",
+            stacklevel=3)
+        try:
+            compact(spark, store, force=True)
+        except CommitConflictError:
             pass
 
 

@@ -452,3 +452,11 @@ def test_remove_duplicated_spans_cuts_shared_run(spark):
     assert out[2]["cleaned_fp"] == hashlib.md5(b"ya yb").hexdigest()
     assert out[3]["n_kept_tokens"] == out[3]["n_tokens"]
     assert out[3]["cleaned_fp"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_bm25_empty_query_terms_raises_clearly(spark):
+    from starlake_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty query_terms"):
+        tx.bm25_topk(df, [])

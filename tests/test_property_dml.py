@@ -232,3 +232,100 @@ def test_merge_into_matches_pandas_model(spark, tmp_table_dir):
             model.pop(k, None)
     got = {r["id"]: [r["tag"], r["val"]] for r in t.to_df().collect()}
     assert got == model
+
+
+def test_max_deltas_backstop_fires_with_auto_off(spark, tmp_path):
+    """compaction.auto=false must not mean unbounded MoR union fan-out:
+    at compaction.maxDeltas delta files a forced compaction fires with
+    a warning, and results are unchanged (the part-merge OOM-guard
+    analog, StarLakePartFileMerge.scala:31-161)."""
+    import warnings as _w
+
+    df = spark.createDataFrame([(i, 0) for i in range(1, 9)], "id int, v int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["id"], hash_bucket_num=2,
+                     configuration={"compaction.auto": "false",
+                                    "compaction.maxDeltas": "6"})
+
+    def deltas():
+        return sum(ps.delta_file_num
+                   for ps in t.store.snapshot().partitions.values())
+
+    t.upsert(spark.createDataFrame([(1, 1)], "id int, v int"))
+    t.upsert(spark.createDataFrame([(2, 2)], "id int, v int"))
+    assert deltas() > 0  # auto=false really leaves deltas under the cap
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        for i in range(3, 9):
+            t.upsert(spark.createDataFrame([(i, i)], "id int, v int"))
+            if deltas() == 0:
+                break
+    assert deltas() == 0, "backstop never fired"
+    assert any("compaction.maxDeltas" in str(w.message) for w in caught)
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got[1] == 1 and got[2] == 2
+    # maxDeltas=0 disables the backstop entirely
+    t2 = create_table(spark, df, str(tmp_path / "t2"),
+                      hash_partitions=["id"], hash_bucket_num=2,
+                      configuration={"compaction.auto": "false",
+                                     "compaction.maxDeltas": "0"})
+    for i in range(1, 9):
+        t2.upsert(spark.createDataFrame([(i, i)], "id int, v int"))
+    assert sum(ps.delta_file_num
+               for ps in t2.store.snapshot().partitions.values()) >= 8
+
+
+def _mp_committer(table_path: str, proc_id: int, n_commits: int):
+    """Child-process body for the cross-process storm: raw manifest
+    commits through the same lock + additive-merge protocol Spark
+    writers use (meta-layer only — children carry no JVM)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os as _os
+
+    from starlake_spark.meta import DataFileInfo, ManifestStore
+
+    store = ManifestStore(table_path)
+    for i in range(n_commits):
+        rel = _os.path.join("data", f"mp_{proc_id}_{i}", "part-0.parquet")
+        abs_p = _os.path.join(table_path, rel)
+        _os.makedirs(_os.path.dirname(abs_p), exist_ok=True)
+        pq.write_table(pa.table({
+            "id": pa.array([(proc_id + 1) * 1000 + i], type=pa.int64()),
+            "v": pa.array([i], type=pa.int64()),
+        }), abs_p)
+        txn = store.new_transaction()
+        txn.add_files([DataFileInfo(
+            path=rel, range_value="", bucket_id=-1,
+            size=_os.path.getsize(abs_p), write_version=-1,
+            is_base_file=True, exist_cols=["id", "v"], num_rows=1)])
+        store.commit(txn)
+    return proc_id
+
+
+def test_cross_process_commit_storm_no_lost_updates(spark, tmp_path):
+    """The commit lock is an O_EXCL file, so it must serialize commits
+    across PROCESSES, not just threads (VERDICT r2 next-round #8): 3
+    spawned writers x 8 commits each land every commit, the version
+    chain has no gaps, and the final scan sees every row."""
+    import multiprocessing as mp
+
+    df = spark.createDataFrame([(0, 0)], "id long, v long")
+    t = create_table(spark, df, str(tmp_path / "t"))
+    path = str(tmp_path / "t")
+
+    ctx = mp.get_context("spawn")  # no JVM/fork hazards in children
+    with ctx.Pool(3) as pool:
+        results = pool.starmap(_mp_committer, [(path, p, 8) for p in range(3)])
+    assert sorted(results) == [0, 1, 2]
+
+    assert t.store.latest_version() == 1 + 3 * 8  # no lost commits
+    snap = t.store.snapshot()
+    paths = {f.path for f in snap.all_files()}
+    for p in range(3):
+        for i in range(8):
+            assert any(f"mp_{p}_{i}/" in x for x in paths), (p, i)
+    got = t.to_df()
+    assert got.count() == 1 + 3 * 8
+    assert got.filter("id >= 1000").count() == 3 * 8
