@@ -164,9 +164,17 @@ class DedupIngestSink(StarStreamSink):
         return T.StructType.fromJson(
             _json.loads(self.store.table_info(refresh=True).schema_json))
 
-    def _sync_index(self, spark) -> ManifestStore:
+    def _sync_index(self, spark, precomputed: DataFrame | None = None,
+                    expect_synced: int | None = None) -> ManifestStore:
         """Band+sign every corpus row committed since the last sync —
-        idempotent catch-up keyed on the corpus version, O(new wave)."""
+        idempotent catch-up keyed on the corpus version, O(new wave).
+
+        ``precomputed``: band/sig rows already in memory for the rows
+        of the range being synced (the just-landed wave) — skips the
+        re-read + re-shingle of the wave; only taken when
+        ``expect_synced`` confirms our commit is the sole missing range
+        (otherwise full catch-up runs, e.g. after a crash or a
+        concurrent writer)."""
         from starlake_spark.functions import dedup as dd
         from starlake_spark.sources.datasource import table_changes
 
@@ -175,17 +183,31 @@ class DedupIngestSink(StarStreamSink):
         cur = self.store.latest_version()
         if cur <= synced:
             return idx_store
-        fresh = table_changes(
-            spark, self.store.table_path, start_version=synced,
-            end_version=cur, ignore_deletes=True,
-        ).select(self.id_col, self.text_col).filter(
-            F.col(self.text_col).isNotNull())
-        rows = dd.minhash_band_sig(
-            fresh, self.id_col, self.text_col,
-            self.num_hashes, self.bands, self.shingle_n)
-        info = dml.maybe_merge_schema(rows, idx_store)
+        if precomputed is not None and expect_synced == synced \
+                and cur == synced + 1:
+            rows = precomputed
+        else:
+            # skip the Spark work entirely when the missing range holds
+            # no data files (registry-only commits, skipped batches)
+            has_files = any(
+                f.write_version == v
+                for v in range(synced + 1, cur + 1)
+                for f in self.store.snapshot(v).all_files())
+            rows = None
+            if has_files:
+                fresh = table_changes(
+                    spark, self.store.table_path, start_version=synced,
+                    end_version=cur, ignore_deletes=True,
+                ).select(self.id_col, self.text_col).filter(
+                    F.col(self.text_col).isNotNull())
+                rows = dd.minhash_band_sig(
+                    fresh, self.id_col, self.text_col,
+                    self.num_hashes, self.bands, self.shingle_n)
         txn = idx_store.new_transaction()
-        files = writer.write_files(spark, rows, info, txn, is_base=True)
+        files = []
+        if rows is not None:
+            info = dml.maybe_merge_schema(rows, idx_store)
+            files = writer.write_files(spark, rows, info, txn, is_base=True)
         txn.add_files(files)
         txn.set_streaming_batch(self.IDX_REGISTRY_KEY, cur)
         try:
@@ -204,15 +226,25 @@ class DedupIngestSink(StarStreamSink):
         # within-batch exact dedup first (cheap, shrinks the band join)
         batch = dd.dedup_exact_text(batch_df, self.text_col, self.id_col)
         idx_store = self._sync_index(spark)
+        synced_now = idx_store.snapshot().streaming.get(self.IDX_REGISTRY_KEY, 0)
         index_df = reader.scan(spark, idx_store)
+        band_sig = dd.minhash_band_sig(
+            batch, self.id_col, self.text_col,
+            self.num_hashes, self.bands, self.shingle_n
+        ).localCheckpoint(eager=True)  # shingle the batch exactly once
         batch = dd.minhash_dedup_against_index(
             batch, index_df, self.id_col, self.text_col,
             threshold=self.threshold, num_hashes=self.num_hashes,
-            bands=self.bands, shingle_n=self.shingle_n)
+            bands=self.bands, shingle_n=self.shingle_n,
+            new_band_sig=band_sig)
         batch = batch.localCheckpoint(eager=True)  # one plan, two uses below
         landed = super().write_batch(batch, batch_id)
         if landed:
-            # keep the index warm for the next wave (crash-safe: the
-            # next batch's catch-up covers it if this never runs)
-            self._sync_index(spark)
+            # keep the index warm for the next wave, reusing the batch's
+            # own band rows (kept docs only) — crash-safe: the next
+            # batch's catch-up covers it if this never runs
+            kept = band_sig.join(
+                batch.select(self.id_col), self.id_col, "left_semi")
+            self._sync_index(spark, precomputed=kept,
+                             expect_synced=synced_now)
         return landed
