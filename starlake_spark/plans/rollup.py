@@ -100,11 +100,13 @@ def create_rollup(
             raise ValueError(f"agg {op!r} for {c!r}: must be one of {_VALID_AGGS}")
     src = ManifestStore(source_path)
     src_info = src.table_info()
-    if src_info.hash_cols:
+    if src_info.hash_cols and not set(aggs.values()) <= {"sum", "count", "avg"}:
         raise ValueError(
-            "incremental rollups need an append-only source; a "
-            "hash-partitioned table supports upserts, which replace key "
-            "versions instead of adding rows")
+            "rollups over a hash-partitioned (upsertable) source refresh "
+            "through the signed change feed, which can retract sum/count/"
+            "avg but not min/max (a deleted extremum is unrecoverable "
+            f"without a rescan) — got {sorted(set(aggs.values()))}. Use "
+            "an append-only source for min/max rollups")
     cur = src.latest_version()
     partials = _partials(reader.scan(spark, src, version=cur),
                          time_col, bucket, group_cols, aggs)
@@ -142,11 +144,48 @@ def _cfg(t: StarTable) -> dict:
     }
 
 
+def _signed_partials(ch: DataFrame, time_col: str, bucket: str,
+                     group_cols: list[str], aggs: dict[str, str]) -> DataFrame:
+    """Signed (retractable) partials from a typed CDC frame: inserts and
+    update_postimages contribute +1, deletes and update_preimages -1 —
+    so an UPDATE nets (new - old), a DELETE nets a retraction, and the
+    rollup's sum merge-ops accumulate the difference. Only sound for
+    sum/count/avg (create_rollup enforces that for hash sources)."""
+    sign = (F.when(F.col("_change_type").isin("insert", "update_postimage"),
+                   F.lit(1))
+             .when(F.col("_change_type").isin("delete", "update_preimage"),
+                   F.lit(-1)))
+    ch = ch.withColumn("_sign", sign).filter(F.col("_sign").isNotNull())
+    exprs = []
+    for c, op in aggs.items():
+        if op in ("sum", "avg"):
+            exprs.append(F.sum(F.col(c).cast("decimal(28,6)")
+                               * F.col("_sign")).alias(f"{c}_sum"))
+        if op in ("avg", "count"):
+            exprs.append(F.sum(F.when(F.col(c).isNotNull(), F.col("_sign"))
+                               .otherwise(F.lit(0))).cast("long").alias(f"{c}_cnt"))
+    exprs.append(F.sum("_sign").cast("long").alias("n_rows"))
+    return (ch.groupBy(F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+                       *group_cols)
+              .agg(*exprs))
+
+
+# commit types the signed-CDC refresh understands; anything else on a
+# hash source (CoW rewrites replace whole partitions untraceably, a
+# RESTORE rewinds state outside the delta log) falls back to a full
+# rebuild — never a wrong result
+_CDC_SAFE_COMMITS = {"delta", "delete_delta", "compact"}
+
+
 def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
     """Advance the rollup to the source's latest version.
 
-    Incremental when every commit since the cursor was a pure append
-    (all previously-live files still live); otherwise a full rebuild.
+    Append-only sources: incremental when every commit since the cursor
+    was a pure append (all previously-live files still live).
+    Hash-partitioned sources: incremental through the typed change feed
+    with pre-images (sources/datasource.py) — upserts net (new - old),
+    tombstone deletes net retractions — whenever every commit in range
+    is a delta/compact; CoW rewrites force a full rebuild.
     Returns {"mode": "noop"|"incremental"|"full", "from": v, "to": v}.
     """
     cfg = _cfg(t)
@@ -158,6 +197,30 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
     last, cur = cfg["last_version"], src.latest_version()
     if cur == last:
         return {"mode": "noop", "from": last, "to": cur}
+    src_info = src.table_info()
+
+    if src_info.hash_cols:
+        safe = all(
+            src.snapshot(v).commit_type in _CDC_SAFE_COMMITS
+            for v in range(last + 1, cur + 1))
+        if safe:
+            from starlake_spark.sources.datasource import table_changes
+
+            ch = table_changes(spark, cfg["source"], start_version=last,
+                               end_version=cur, with_change_type=True,
+                               with_preimages=True)
+            partials = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
+                                        cfg["group_cols"], cfg["aggs"])
+            dml.upsert(spark, t.store, partials)
+            mode = "incremental"
+        else:
+            partials = _partials(reader.scan(spark, src, version=cur),
+                                 cfg["time_col"], cfg["bucket"],
+                                 cfg["group_cols"], cfg["aggs"])
+            dml.write_into(spark, t.store, partials, mode="overwrite")
+            mode = "full"
+        t.set_properties({_CFG + "last_version": str(cur)})
+        return {"mode": mode, "from": last, "to": cur}
 
     prev_paths = {f.path for f in src.snapshot(last).all_files()}
     cur_files = src.snapshot(cur).all_files()

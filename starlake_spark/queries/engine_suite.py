@@ -207,6 +207,52 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def star_dml_rollup(spark, sf_dir):
+    """Delete-aware incremental rollup over a MUTABLE (hash-partitioned)
+    source — the continuous aggregate nobody gets for free: the source
+    takes an insert wave, an UPDATE wave (upsert value*3), and a
+    tombstone DELETE, and ONE refresh advances the hourly rollup
+    through the typed change feed with pre-images (update nets
+    new - old, delete nets a retraction) — no rescan of the source's
+    history. The inline assert pins that the incremental path ran; the
+    final view must equal a flat GROUP BY of the source's final state."""
+    from starlake_spark.plans import rollup as R
+
+    e = ld(spark, sf_dir, "events")
+    src_path = _scratch(sf_dir, "dml_rollup_src")
+    src = create_table(spark, e.filter(F.col("event_id") % 10 != 0), src_path,
+                       hash_partitions=["event_id"], hash_bucket_num=8)
+    t = R.create_rollup(spark, src_path, _scratch(sf_dir, "dml_rollup_agg"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=8)
+    src.upsert(e.filter(F.col("event_id") % 10 == 0))                    # inserts
+    src.upsert(e.filter(F.col("event_id") % 7 == 0)
+                .withColumn("value", F.col("value") * 3))                # updates
+    src.delete("event_id % 13 = 0", use_delta=True)                      # deletes
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    return (R.read_rollup(spark, t)
+            .filter(F.col("n_rows") > 0)
+            .select("bucket_ts", "event_type",
+                    F.col("value_sum").cast("double").alias("value_sum"),
+                    F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("bucket_ts", "event_type"))
+
+
+DML_ROLLUP_ORACLE = """
+WITH final AS (
+  SELECT ts, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value * 3 ELSE value END AS value
+  FROM events
+  WHERE event_id % 13 != 0
+)
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM final GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def star_stream_rollup(spark, sf_dir):
     """Streaming rollup maintenance: change-stream source → per-batch
     partials → exactly-once sink (update mode). Two appends drained by
@@ -1096,6 +1142,7 @@ ENGINE_QUERIES = {
     "star_replace_where": (star_replace_where, REPLACE_WHERE_ORACLE),
     "star_stats_skipping": (star_stats_skipping, STATS_SKIPPING_ORACLE),
     "star_rollup_incremental": (star_rollup_incremental, ROLLUP_ORACLE),
+    "star_dml_rollup": (star_dml_rollup, DML_ROLLUP_ORACLE),
     "star_stream_rollup": (star_stream_rollup, STREAM_ROLLUP_ORACLE),
     "star_clustered_skipping": (star_clustered_skipping, CLUSTERED_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),

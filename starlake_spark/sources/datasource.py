@@ -388,7 +388,8 @@ def F_lit_long(v):
 def table_changes(spark, path: str, start_version: int = 0,
                   end_version: int | None = None,
                   with_change_type: bool = False,
-                  ignore_deletes: bool = False):
+                  ignore_deletes: bool = False,
+                  with_preimages: bool = False):
     """Batch change-data-feed: rows ADDED in versions
     (start_version, end_version], each tagged with ``_commit_version`` —
     the batch twin of the streaming change-source (same semantics:
@@ -404,12 +405,28 @@ def table_changes(spark, path: str, start_version: int = 0,
     delete_delta commits as ``delete`` rows: the tombstoned keys with
     data columns null. Without it, a delete_delta commit in range
     RAISES unless ``ignore_deletes=True`` — consumers must explicitly
-    choose an append-only view over silently retaining deleted rows."""
+    choose an append-only view over silently retaining deleted rows.
+
+    ``with_preimages=True`` (requires ``with_change_type``) upgrades
+    delta commits on hash tables to FULL-fidelity CDC: each affected
+    key emits its merged state at v-1 (``update_preimage`` /
+    ``delete`` with real values) and at v (``insert`` /
+    ``update_postimage``) — correct even for partial-column upserts
+    and merge-operator tables, because both sides come from the MoR
+    collapse, not the raw delta file. This is what makes DELETE- and
+    UPDATE-aware incremental aggregate maintenance possible
+    (plans/incremental.py). Cost: two key-pruned MoR scans per delta
+    commit — the storage layer writes O(keys) deltas and the feed pays
+    the join, the standard trade when CDC files aren't logged at
+    commit time; intended for per-commit incremental consumption."""
     from pyspark.sql import functions as F
     from starlake_spark.operators import reader as rd
 
+    if with_preimages and not with_change_type:
+        raise ValueError("with_preimages requires with_change_type=True")
     store = ManifestStore(path)
     info = store.table_info()
+    keys = info.range_cols + info.hash_cols
     end = store.latest_version() if end_version is None else end_version
     dfs = []
     for v in range(start_version + 1, end + 1):
@@ -428,6 +445,11 @@ def table_changes(spark, path: str, start_version: int = 0,
         new_files = [f for f in snap.all_files() if f.write_version == v]
         if not new_files:
             continue
+        if (with_preimages and info.hash_cols
+                and snap.commit_type in ("delta", "delete_delta")):
+            dfs.extend(_preimage_changes(
+                spark, store, info, keys, v, new_files))
+            continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
             if rd.TOMBSTONE_COL in d.columns:
@@ -445,3 +467,36 @@ def table_changes(spark, path: str, start_version: int = 0,
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _preimage_changes(spark, store, info, keys, v, new_files):
+    """Full-fidelity change rows for one delta commit: the commit's
+    affected KEY SET (read cheaply from the raw delta/tombstone files —
+    keys only) prunes two MoR scans, at v-1 and v; the key-level diff
+    classifies insert / update_preimage / update_postimage / delete,
+    every row carrying real merged values."""
+    from pyspark.sql import functions as F
+    from starlake_spark.operators import reader as rd
+
+    kdf = None
+    for (_wv, cdir), fs in rd._group_files(new_files).items():
+        d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
+        kdf = d if kdf is None else kdf.unionByName(d)
+    kdf = kdf.distinct()
+    prev = rd.scan(spark, store, version=v - 1).join(kdf, keys, "left_semi")
+    cur = rd.scan(spark, store, version=v).join(kdf, keys, "left_semi")
+    prev = prev.localCheckpoint(eager=False)
+    cur = cur.localCheckpoint(eager=False)
+    pk = prev.select(*keys)
+    ck = cur.select(*keys)
+
+    def tag(d, ct):
+        return (d.withColumn(VERSION_COL, F_lit_long(v))
+                 .withColumn(CHANGE_TYPE_COL, F.lit(ct)))
+
+    return [
+        tag(cur.join(pk, keys, "left_anti"), "insert"),
+        tag(prev.join(ck, keys, "left_semi"), "update_preimage"),
+        tag(cur.join(pk, keys, "left_semi"), "update_postimage"),
+        tag(prev.join(ck, keys, "left_anti"), "delete"),
+    ]

@@ -145,6 +145,36 @@ def test_stream_change_types_and_delete_rows(spark, tmp_path):
     assert "_change_type" not in got3.columns
 
 
+def test_table_changes_preimages_full_fidelity(spark, tmp_path):
+    """with_preimages: delta commits emit MoR-merged states at v-1 and
+    v per affected key — update_preimage/update_postimage pairs carry
+    real old/new values, deletes carry the deleted row's values, and a
+    PARTIAL-column upsert's postimage shows the merged row (not the
+    raw delta file's nulls)."""
+    from starlake_spark import sources
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"n{i}") for i in range(1, 5)], "id int, v int, name string")
+    t = create_table(spark, df, path, hash_partitions=["id"], hash_bucket_num=2)
+    t.set_properties({"compaction.auto": "false"})
+    # v2: partial-column upsert touches id 2 (update) and id 9 (insert)
+    t.upsert(spark.createDataFrame([(2, 999), (9, 90)], "id int, v int"))
+    # v3: tombstone delete of id 3
+    t.delete("id = 3", use_delta=True)
+
+    ch = sources.table_changes(spark, path, start_version=1,
+                               with_change_type=True, with_preimages=True)
+    rows = {(r["_commit_version"], r["_change_type"], r["id"]):
+            (r["v"], r["name"]) for r in ch.collect()}
+    assert rows[(2, "insert", 9)] == (90, None)
+    assert rows[(2, "update_preimage", 2)] == (20, "n2")
+    # partial upsert: postimage merges the untouched column
+    assert rows[(2, "update_postimage", 2)] == (999, "n2")
+    assert rows[(3, "delete", 3)] == (30, "n3")
+    assert len(rows) == 4
+
+
 def test_stream_sees_schema_evolution_nulls(spark, orders, tmp_path):
     path = str(tmp_path / "t")
     t = create_table(spark, orders, path,

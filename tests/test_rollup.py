@@ -98,12 +98,15 @@ def test_compaction_invariance_and_guards(spark, events, tmp_path):
     R.compact_rollup(spark, t)
     assert _canon_sum(R.read_rollup(spark, t)) == before
 
-    # hash-partitioned source rejected (upserts are not additive)
+    # hash-partitioned source: sum/count/avg supported via the signed
+    # CDC refresh; min/max rejected (retraction can't recover extrema)
     hsrc = create_table(spark, events, str(tmp_path / "hs"),
                         hash_partitions=["event_id"], hash_bucket_num=4)
-    with pytest.raises(ValueError, match="append-only"):
-        R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr"),
-                        time_col="ts", aggs={"value": "sum"})
+    with pytest.raises(ValueError, match="min/max"):
+        R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr_bad"),
+                        time_col="ts", aggs={"value": "min"})
+    R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr"),
+                    time_col="ts", aggs={"value": "sum"})
     # non-rollup table rejected by refresh
     with pytest.raises(ValueError, match="not a rollup"):
         R.refresh_rollup(spark, src)
@@ -221,3 +224,59 @@ def test_declared_merge_ops_apply_to_plain_reads(spark, sf_dir, tmp_path):
                         F.col("value_sum").cast("double")).collect()}
     assert plain == explicit
     shutil.rmtree(str(tmp_path / "roll"), ignore_errors=True)
+
+
+def test_dml_source_rollup_fallback_and_guards(spark, tmp_path):
+    """Hash-source rollups: CDC-incremental for delta DML, full rebuild
+    when a CoW rewrite appears in range, min/max rejected at create."""
+    import pytest as _pt
+
+    from starlake_spark.plans import rollup as R
+    from starlake_spark.table import create_table
+
+    rows = [(i, f"2024-01-01 0{i % 3}:00:00", f"g{i % 2}", float(i))
+            for i in range(1, 21)]
+    df = (spark.createDataFrame(rows, "id int, ts string, g string, x double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    src_path = str(tmp_path / "src")
+    src = create_table(spark, df, src_path,
+                       hash_partitions=["id"], hash_bucket_num=2)
+
+    with _pt.raises(ValueError, match="min/max"):
+        R.create_rollup(spark, src_path, str(tmp_path / "bad"),
+                        time_col="ts", group_cols=["g"], aggs={"x": "max"})
+
+    t = R.create_rollup(spark, src_path, str(tmp_path / "agg"),
+                        time_col="ts", group_cols=["g"],
+                        aggs={"x": "sum"}, hash_bucket_num=2)
+
+    def expect_equal():
+        got = {(str(r["bucket_ts"]), r["g"]): (float(r["value"]), r["n"])
+               for r in R.read_rollup(spark, t).filter("n_rows > 0")
+               .selectExpr("bucket_ts", "g",
+                           "CAST(x_sum AS DOUBLE) AS value",
+                           "CAST(n_rows AS LONG) AS n").collect()}
+        want = {(str(r["bucket_ts"]), r["g"]): (float(r["value"]), r["n"])
+                for r in src.to_df()
+                .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "g")
+                .agg(F.sum("x").alias("value"), F.count(F.lit(1)).alias("n"))
+                .collect()}
+        assert got == want, (got, want)
+
+    # delta churn -> incremental
+    src.upsert(spark.createDataFrame(
+        [(2, "2024-01-01 01:00:00", "g0", 100.0)], "id int, ts string, g string, x double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src.delete("id = 5", use_delta=True)
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    expect_equal()
+
+    # CoW UPDATE (rewrite commit) -> full rebuild, still correct
+    src.update("id = 7", {"x": F.lit(700.0)}, use_delta=False)
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "full", res
+    expect_equal()
+
+    # noop
+    assert R.refresh_rollup(spark, t)["mode"] == "noop"
