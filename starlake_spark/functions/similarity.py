@@ -733,3 +733,154 @@ def ivf_index_append(spark, index, new_vectors: DataFrame):
     ).withColumn("centroid_id", nearest_centroid_col(F.col(vec_col), ids, M, spark))
     index.write(assigned, mode="append")
     return index
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN path for a 100 TB
+# vector lake: m sub-codes of log2(ksub) bits replace the full vector
+# (64 float32 dims → 16 bytes at m=16/ksub=32), and queries rank by
+# asymmetric distance computation (ADC) over a per-query lookup table,
+# entirely JVM-side. FAISS IndexPQ semantics, Spark-first execution.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 10,
+    sample: int = 20000,
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train per-subspace L2 codebooks → ndarray (m, ksub, dim/m).
+
+    Fit runs on a DETERMINISTIC hash-sample collected to the driver —
+    codebooks are model state and FAISS likewise trains its quantizers
+    on a bounded sample; the corpus itself is never collected. With
+    ``normalize`` (the cosine-ANN setup) vectors are L2-normalized so
+    ADC's L2 ordering equals the cosine ordering exactly on unit
+    vectors (||a-b||² = 2 - 2·cosθ)."""
+    pdf = (df.select(F.col(id_col).alias("_id"),
+                     _as_double(F.col(vec_col)).alias("_v"))
+             .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+             .limit(sample).toPandas())
+    X = np.vstack(pdf["_v"].values).astype(np.float64)
+    if normalize:
+        n = np.linalg.norm(X, axis=1)
+        X[n > 0] = X[n > 0] / n[n > 0, None]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        uniq = np.unique(Xj, axis=0)
+        C = uniq[:ksub].copy()
+        if len(C) < ksub:  # degenerate subspace: pad by repetition
+            C = np.vstack([C] * (ksub // max(1, len(C)) + 1))[:ksub]
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(len(C)):
+                hit = Xj[a == c]
+                if len(hit):
+                    C[c] = hit.mean(0)
+        books[j, :len(C)] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """→ (id_col, codes array<int>): per subspace, the index of the
+    nearest codebook centroid — one Arrow-batched matmul per subspace
+    per batch, no per-row Python."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m, ksub, dsub = codebooks.shape
+    dim = m * dsub
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(vs: pd.Series) -> pd.Series:
+        B = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = _batch_matrix(vs, dim)
+        if normalize:
+            n = np.linalg.norm(X, axis=1)
+            X[n > 0] = X[n > 0] / n[n > 0, None]
+        codes = np.zeros((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            C = B[j]
+            # ||x-c||² = ||x||² - 2xc + ||c||²; ||x||² constant per row
+            d = -2.0 * (Xj @ C.T) + (C ** 2).sum(1)[None, :]
+            codes[:, j] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k: each query gets an (m × ksub) table of EXACT subspace
+    distances to every centroid (computed driver-side — queries are the
+    small side by definition), and every code row scores as m array
+    lookups summed in codegen: one corpus scan, no Python in the loop,
+    16 bytes read per vector instead of 256. Output (query_id,
+    neighbor_id, dist, rank) — rank ties break on neighbor id."""
+    spark = codes_df.sparkSession
+    m, ksub, dsub = codebooks.shape
+    dim = m * dsub
+    qid = query_id_col or id_col
+    qpdf = (queries.select(F.col(qid).alias("query_id"),
+                           _as_double(F.col(vec_col)).alias("_qv"))
+            .toPandas())
+    rows = []
+    for _, r in qpdf.iterrows():
+        qv = np.asarray(r["_qv"], dtype=np.float64)
+        if normalize:
+            nn = np.linalg.norm(qv)
+            if nn > 0:
+                qv = qv / nn
+        lut = np.zeros((m, ksub))
+        for j in range(m):
+            qj = qv[j * dsub:(j + 1) * dsub]
+            lut[j] = ((codebooks[j] - qj[None, :]) ** 2).sum(1)
+        rows.append((int(r["query_id"]), [[float(x) for x in row] for row in lut]))
+    luts = spark.createDataFrame(rows, "query_id long, _lut array<array<double>>")
+    joined = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes") \
+                     .crossJoin(F.broadcast(luts))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(
+            F.element_at(F.col("_lut"), i),
+            F.element_at(F.col("codes"), i) + 1),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (joined.select("query_id", "neighbor_id", dist.alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist", "rank"))

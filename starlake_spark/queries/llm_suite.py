@@ -959,6 +959,27 @@ def ann_ivf_topk(spark, sf_dir):
     return _ann_contract(approx, exact)
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (sim.pq_train/pq_encode/pq_topk) under
+    the planted twin + recall contract: vectors L2-normalize, split
+    into m=16 subspaces with 32-centroid codebooks (trained on a
+    deterministic driver-side sample, FAISS-style), and queries rank by
+    ADC — an (m × ksub) exact-distance lookup table summed JVM-side
+    over each row's 16 codes. The twin encodes to the query's own code
+    word, whose ADC distance is the global minimum by construction, so
+    twin-in-top-1 is a theorem up to code collisions (~16^-16)."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = _planted_embeddings(e, q)
+    books = sim.pq_train(corpus, "embedding", m=16, ksub=32, iters=10)
+    codes = sim.pq_encode(corpus, books, "vec_id", "embedding")
+    approx = sim.pq_topk(codes, q, books, k=ANN_K, id_col="vec_id",
+                         vec_col="embedding")
+    exact = sim.brute_force_topk(corpus, q, k=ANN_K,
+                                 id_col="vec_id", vec_col="embedding")
+    return _ann_contract(approx, exact)
+
+
 def _ivf_index_table(spark, sf_dir):
     """Build-once IVF index over the PLANTED corpus: k-means fit + cell
     write happen on the first call per (sf_dir, process); later calls —
@@ -1996,6 +2017,7 @@ LLM_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_CONTRACT_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_CONTRACT_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_CONTRACT_SQL),
     "embeddings_lsh_dedup_pairs": (embeddings_lsh_dedup_pairs, EMB_LSH_DEDUP_SQL),
     "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
     "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),

@@ -460,3 +460,30 @@ def test_bm25_empty_query_terms_raises_clearly(spark):
     df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty query_terms"):
         tx.bm25_topk(df, [])
+
+
+def test_pq_adc_planted_twin_and_code_shape(spark):
+    """PQ: twin of a query encodes to the query's own code word, whose
+    ADC distance is the global minimum — rank 1 by construction; codes
+    have m entries in [0, ksub)."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    corpus = df.unionByName(q.selectExpr("vec_id + 1000 AS vec_id", "embedding"))
+    books = sim.pq_train(corpus, "embedding", m=16, ksub=16, iters=5)
+    assert books.shape == (16, 16, 4)
+    codes = sim.pq_encode(corpus, books, "vec_id", "embedding")
+    row = codes.filter("vec_id = 0").collect()[0]["codes"]
+    assert len(row) == 16 and all(0 <= c < 16 for c in row)
+    # twin and query share the code word exactly
+    twin = codes.filter("vec_id = 1000").collect()[0]["codes"]
+    assert row == twin
+    top = sim.pq_topk(codes, q, books, k=3)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in top.filter("rank = 1").collect()}
+    assert top1 == {0: 1000, 1: 1001, 2: 1002}, top1
