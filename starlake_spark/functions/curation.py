@@ -398,3 +398,75 @@ def unigram_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer-interpolated
+    corpus bigram LM: p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1-λ)·c(w2)/total,
+    scored over each doc's n-1 bigram positions — the KenLM-lite
+    quality signal (CCNet filters on exactly this kind of LM score,
+    one order up from unigram_perplexity).
+
+    Cross-engine exactness (same discipline as unigram_perplexity):
+    each distinct bigram's ln p is computed in one fixed expression
+    shape, rounded to 9 dp, and DECIMAL-summed weighted by in-doc
+    count; only the final exp/round is float. Scale shape: one array
+    zip per doc builds bigrams with ZERO shuffle, then three
+    vocabulary-bounded shuffles (bigram counts, w1 contexts derived
+    from the bigram table, unigram counts) and one per-doc agg — no
+    shuffle ever carries positions or raw text."""
+    toks = (df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t"))
+              .filter(F.size("_t") >= 2))
+    n_tok = toks.select(id_col, F.size("_t").cast("long").alias("n_tokens"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(F.col("_t"), 1, F.size("_t") - 1),
+            F.slice(F.col("_t"), 2, F.size("_t") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )).alias("_bg"),
+    )
+    doc_bg = bg.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    bg_cnt = doc_bg.groupBy("_bg").agg(F.sum("_c").alias("_cb"))
+    ctx = (bg_cnt.groupBy(F.split(F.col("_bg"), " ")[0].alias("_w1"))
+                 .agg(F.sum("_cb").alias("_c1")))
+    uni = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+             .groupBy("_w").agg(F.count(F.lit(1)).alias("_cu")))
+    tot = uni.agg(F.sum("_cu").alias("_tot"))
+    logp = (
+        bg_cnt
+        .withColumn("_w1", F.split(F.col("_bg"), " ")[0])
+        .withColumn("_w2", F.split(F.col("_bg"), " ")[1])
+        .join(ctx, "_w1")
+        .join(uni.withColumnRenamed("_w", "_w2"), "_w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_bg",
+            F.round(F.log(
+                F.lit(lam) * (F.col("_cb").cast("double") / F.col("_c1"))
+                + F.lit(1.0 - lam) * (F.col("_cu").cast("double") / F.col("_tot"))
+            ), 9).cast("decimal(18,9)").alias("_lp"),
+        )
+    )
+    return (
+        doc_bg.join(logp, "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_lp") * F.col("_c").cast("decimal(10,0)")).alias("_slp"),
+        )
+        .join(n_tok, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_bigrams",
+            F.round(
+                F.exp(-(F.col("_slp").cast("double")) / F.col("n_bigrams")), 6
+            ).alias("ppl"),
+        )
+    )

@@ -1831,6 +1831,66 @@ def docs_unigram_perplexity(spark, sf_dir):
     )
 
 
+def docs_bigram_perplexity(spark, sf_dir):
+    """Per-doc perplexity under the corpus's Jelinek-Mercer bigram LM
+    (λ=0.75 bigram ML, 0.25 unigram backoff) — the KenLM-lite quality
+    signal one order above docs_unigram_perplexity. Same cross-engine
+    discipline: fixed expression shape for p, ln rounded to 9 dp,
+    DECIMAL-weighted per-doc sums."""
+    d = ld(spark, sf_dir, "documents")
+    return (
+        cu.bigram_perplexity(d, "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_bigrams", "ppl")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_BIGRAM_PPL_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), tt AS (
+  SELECT doc_id, ws FROM t WHERE len(ws) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM tt
+), doc_bg AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), bg_cnt AS (
+  SELECT b, SUM(c) AS cb FROM doc_bg GROUP BY b
+), ctx AS (
+  SELECT string_split(b, ' ')[1] AS w1, SUM(cb) AS c1 FROM bg_cnt GROUP BY 1
+), uni AS (
+  SELECT w, COUNT(*) AS cu FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY w
+), tot AS (
+  SELECT SUM(cu) AS t FROM uni
+), logp AS (
+  SELECT b, CAST(ROUND(ln(
+      0.75 * (CAST(cb AS DOUBLE) / c1) + 0.25 * (CAST(cu AS DOUBLE) / t)
+  ), 9) AS DECIMAL(18,9)) AS lp
+  FROM bg_cnt
+  JOIN ctx ON string_split(bg_cnt.b, ' ')[1] = ctx.w1
+  JOIN uni ON string_split(bg_cnt.b, ' ')[2] = uni.w
+  CROSS JOIN tot
+), per_doc AS (
+  SELECT dw.doc_id,
+         CAST(SUM(dw.c) AS BIGINT) AS n_bigrams,
+         ROUND(exp(-CAST(SUM(l.lp * CAST(dw.c AS DECIMAL(10,0))) AS DOUBLE)
+                   / SUM(dw.c)), 6) AS ppl
+  FROM doc_bg dw JOIN logp l USING (b)
+  GROUP BY dw.doc_id
+)
+SELECT p.doc_id, CAST(len(tt.ws) AS BIGINT) AS n_tokens, p.n_bigrams, p.ppl
+FROM per_doc p JOIN tt ON p.doc_id = tt.doc_id
+ORDER BY p.doc_id
+"""
+
+
 DOCS_PPL_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -2039,6 +2099,7 @@ LLM_QUERIES = {
     "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
     "docs_substring_spans": (docs_substring_spans, DOCS_SUBSTRING_SQL),
     "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
+    "docs_bigram_perplexity": (docs_bigram_perplexity, DOCS_BIGRAM_PPL_SQL),
     "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, DOCS_INC_DEDUP_SQL),
 }
