@@ -1012,3 +1012,55 @@ def remove_duplicated_spans(
             F.md5(F.concat_ws(" ", kept)).alias("cleaned_fp"),
         )
     )
+
+
+def ngram_overlap_frac(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-document n-gram overlap against a held-out eval set — the
+    GPT-3/Llama-style decontamination SCORE (the boolean
+    ``decontaminate`` drops on a shared-shingle count; training-data
+    audits want the graded overlap fraction): for each corpus doc,
+    |distinct n-grams ∩ eval n-grams| / |distinct n-grams|, flagged at
+    ``threshold``. Docs shorter than n tokens score over their single
+    whole-text gram.
+
+    Scale shape: n-grams travel as xxhash64 longs (never strings), the
+    eval side collapses to DISTINCT hashes before the join (eval sets
+    are ≪ corpus; AQE broadcasts it when it fits), and the join carries
+    only distinct (doc, hash) pairs."""
+    def _grams(df):
+        toks = df.select(
+            F.col(id_col), tx.tokens(F.lower(F.col(text_col))).alias("_t")
+        ).filter(F.size("_t") > 0)
+        return toks.select(
+            id_col,
+            F.explode(F.when(
+                F.size("_t") >= n,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - n + 1),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, n)))))
+            ).otherwise(
+                F.array(F.xxhash64(F.concat_ws(" ", F.col("_t"))))
+            )).alias("_h"),
+        )
+    eval_h = _grams(eval_df).select("_h").distinct()
+    doc_h = _grams(corpus)
+    per_doc = (
+        doc_h.join(eval_h.withColumn("_hit", F.lit(1)), "_h", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"))
+    )
+    return per_doc.select(
+        id_col, "n_ngrams", "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_ngrams"), 6)
+        .alias("overlap_frac"),
+        (F.col("n_overlap").cast("double") / F.col("n_ngrams")
+         > F.lit(threshold)).alias("contaminated"),
+    )

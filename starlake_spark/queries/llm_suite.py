@@ -553,6 +553,47 @@ def docs_decontaminate(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def docs_contamination_frac(spark, sf_dir):
+    """Graded decontamination (dd.ngram_overlap_frac): per corpus doc,
+    the fraction of its distinct 5-grams that appear anywhere in the
+    held-out eval slice (doc_id % 17 == 0), flagged above 5% — the
+    GPT-3/Llama-style overlap REPORT that complements the boolean
+    docs_decontaminate drop."""
+    d = ld(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return (dd.ngram_overlap_frac(corpus, ev, "doc_id", "text",
+                                  n=5, threshold=0.05)
+            .orderBy("doc_id"))
+
+
+DOCS_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 5
+         THEN list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)])
+         ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), ev AS (
+  SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0
+), dg AS (
+  SELECT doc_id, s FROM g WHERE doc_id % 17 != 0
+), per AS (
+  SELECT dg.doc_id, COUNT(*) AS n_ngrams,
+         SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM dg LEFT JOIN ev USING (s) GROUP BY dg.doc_id
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_ngrams, 6) AS overlap_frac,
+       CAST(n_overlap AS DOUBLE) / n_ngrams > 0.05 AS contaminated
+FROM per ORDER BY doc_id
+"""
+
+
 DOCS_DECONTAMINATE_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
@@ -1253,6 +1294,55 @@ SELECT doc_id, lang, sample_rank FROM (
     ) AS INTEGER) AS sample_rank
   FROM documents
 ) WHERE sample_rank <= {QUOTA_PER_LANG}
+ORDER BY lang, sample_rank
+"""
+
+
+PIPE_MIN_TOK, PIPE_MAX_TOK, PIPE_QUOTA = 10, 400, 150
+
+
+def docs_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pipeline — the composition a training-data
+    run actually executes, proving the operators chain: (1) token-count
+    quality gate [PIPE_MIN_TOK, PIPE_MAX_TOK], (2) exact-content dedup
+    (normalized-text fingerprint, min-id wins) over the SURVIVORS only,
+    (3) per-language quota sample of PIPE_QUOTA docs in content-hash
+    order. Every stage is the same operator its standalone entry pins;
+    the oracle recomputes the whole chain in one SQL."""
+    d = ld(spark, sf_dir, "documents")
+    gated = (d.withColumn("n_tokens", tx.token_count(F.col("text")))
+               .filter(F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK)))
+    deduped = dd.dedup_exact_text(gated, "text", "doc_id")
+    sampled = cu.quota_sample(deduped, ["lang"], PIPE_QUOTA, "doc_id")
+    return (sampled.select("doc_id", "lang", "source",
+                           F.col("n_tokens").cast("long").alias("n_tokens"),
+                           "sample_rank")
+            .orderBy("lang", "sample_rank"))
+
+
+DOCS_PIPELINE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), f AS (
+  SELECT * FROM t WHERE n_tokens BETWEEN {PIPE_MIN_TOK} AND {PIPE_MAX_TOK}
+), kept AS (
+  SELECT * FROM f WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM f
+    GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+  )
+), s AS (
+  SELECT doc_id, lang, source, n_tokens,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS INTEGER) AS sample_rank
+  FROM kept
+)
+SELECT doc_id, lang, source, n_tokens, sample_rank
+FROM s WHERE sample_rank <= {PIPE_QUOTA}
 ORDER BY lang, sample_rank
 """
 
@@ -2067,9 +2157,11 @@ LLM_QUERIES = {
     "docs_ngram_jaccard": (docs_ngram_jaccard, DOCS_JACCARD_SQL),
     "docs_dedup_components": (docs_dedup_components, DOCS_COMPONENTS_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_contamination_frac": (docs_contamination_frac, DOCS_CONTAMINATION_SQL),
     "docs_bloom_decontaminate": (docs_bloom_decontaminate, DOCS_BLOOM_DECON_SQL),
     "docs_repetition": (docs_repetition, DOCS_REPETITION_SQL),
     "docs_quota_sample": (docs_quota_sample, DOCS_QUOTA_SQL),
+    "docs_curation_pipeline": (docs_curation_pipeline, DOCS_PIPELINE_SQL),
     "docs_pack_sequences": (docs_pack_sequences, DOCS_PACK_SQL),
     "docs_minhash_dedup": (docs_minhash_dedup, DOCS_MINHASH_DEDUP_SQL),
     "docs_minhash_candidates": (docs_minhash_candidates, DOCS_MINHASH_CAND_SQL),
