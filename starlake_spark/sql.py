@@ -173,6 +173,7 @@ class StarSession:
         handled = self._run_command(text.strip().rstrip(";"))
         if handled is not None:
             return handled
+        text = self._expand_cdf_tvf(text)
         self._sync_views()
         if rewrite is None:
             rewrite = self._mv_enabled
@@ -186,6 +187,35 @@ class StarSession:
             except Exception:
                 pass
         return self.spark.sql(text)
+
+    _CDF_TVF_RE = re.compile(
+        r"table_changes\(\s*'(?P<name>[\w.]+)'\s*,\s*(?P<start>\d+)\s*"
+        r"(?:,\s*(?P<end>\d+)\s*)?\)",
+        re.IGNORECASE)
+
+    def _expand_cdf_tvf(self, text: str) -> str:
+        """Delta-parity ``table_changes('t', start[, end])`` table-valued
+        function: each occurrence becomes a temp view over the typed
+        change feed (always carries ``_change_type`` — delete_delta
+        commits surface as delete rows, Delta CDF semantics)."""
+        import uuid as _uuid
+
+        from starlake_spark.sources.datasource import table_changes
+
+        def repl(m):
+            if not self._known(m["name"]):
+                return m.group(0)
+            t = self.table(m["name"])
+            df = table_changes(
+                self.spark, t.store.table_path,
+                start_version=int(m["start"]),
+                end_version=int(m["end"]) if m["end"] else None,
+                with_change_type=True)
+            vn = f"_star_cdf_{_uuid.uuid4().hex[:12]}"
+            df.createOrReplaceTempView(vn)
+            return vn
+
+        return self._CDF_TVF_RE.sub(repl, text)
 
     # ---------- SQL command routing (StarLakeCatalog.scala:51-546) ----------
 

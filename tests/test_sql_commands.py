@@ -290,3 +290,27 @@ def test_optimize_where_scopes_compaction(spark, sess, tmp_path):
     after = {rv: ps.delta_file_num for rv, ps in t.store.snapshot().partitions.items()}
     assert after["rng=r1"] == 0 and after["rng=r0"] == before["rng=r0"]
     assert {r["id"]: r["v"] for r in t.to_df().collect()}[1] == 99
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    """Delta-parity SQL surface: SELECT ... FROM table_changes('t', n)
+    resolves to the typed change feed, including delete rows."""
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 4)], "id int, v int")
+    t = ss.create_table(df, str(tmp_path / "cdf_t"), name="cdf_t",
+                        hash_partitions=["id"], hash_bucket_num=2)
+    t.set_properties({"compaction.auto": "false"})
+    t.upsert(spark.createDataFrame([(2, 999)], "id int, v int"))
+    t.delete("id = 3", use_delta=True)
+
+    rows = ss.sql(
+        "SELECT id, v, _commit_version, _change_type "
+        "FROM table_changes('cdf_t', 1) ORDER BY _commit_version, id"
+    ).collect()
+    got = [(r["id"], r["v"], r["_commit_version"], r["_change_type"]) for r in rows]
+    assert got == [(2, 999, 2, "update_postimage"), (3, None, 3, "delete")], got
+    # windowed form + aggregation over the feed
+    n = ss.sql("SELECT COUNT(*) AS n FROM table_changes('cdf_t', 1, 2)").collect()[0]["n"]
+    assert n == 1
