@@ -259,3 +259,56 @@ def test_span_removal_shuffles_hashes_not_strings(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
         assert "s#" not in m.group(1), m.group(1)
+
+
+def test_pq_adc_scoring_is_pure_codegen(spark):
+    """PQ ADC ranking must keep Python OUT of the scoring loop: once
+    codes exist, the distance evaluation is array lookups in codegen —
+    no ArrowEvalPython/BatchEvalPython between the codes scan and the
+    top-k window (encode is the one sanctioned Arrow kernel and is
+    materialized before scoring here)."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = sim.pq_train(df, "embedding", m=16, ksub=16, iters=2)
+    codes = sim.pq_encode(df, books, "vec_id", "embedding").localCheckpoint()
+    q = df.filter("vec_id < 2")
+    plan = _phys(sim.pq_topk(codes, q, books, k=3))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final, final
+    assert "CartesianProduct" not in final
+
+
+def test_bigram_perplexity_no_python_and_bounded_shuffles(spark):
+    """The bigram LM is built-ins end to end (no UDF anywhere) and no
+    exchange carries raw text or positions — only bigram/word keys and
+    the doc id."""
+    from starlake_spark.functions import curation as cu
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _phys(cu.bigram_perplexity(d, "doc_id", "text"))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final, final
+    assert "CartesianProduct" not in final  # only the 1-row total broadcasts
+
+
+def test_contamination_shuffles_hashes_not_strings(spark):
+    """n-gram contamination: grams travel as xxhash64 longs; no
+    exchange key set contains a gram STRING."""
+    import re
+
+    from starlake_spark.functions import dedup as dd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = d.filter("doc_id % 17 = 0")
+    corpus = d.filter("doc_id % 17 != 0")
+    plan = _phys(dd.ngram_overlap_frac(corpus, ev, "doc_id", "text", n=5))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
+        keys = m.group(1)
+        assert "_h#" in keys or "doc_id#" in keys, keys
