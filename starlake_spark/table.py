@@ -496,6 +496,22 @@ class StarTable:
             "num_partitions": len(snap.partitions),
         }
 
+    def count(self, version: int | None = None) -> int:
+        """Row count — metadata-only when the snapshot can answer
+        exactly: an all-base snapshot with footer row counts on every
+        file returns sum(num_rows) with ZERO Spark jobs (every row in a
+        base file is live, so the manifest figure is exact — the
+        count-star pushdown a 100 TB table needs). MoR snapshots (delta
+        versions overlap keys) and pre-rowcount files fall back to the
+        full scan count."""
+        snap = self.store.snapshot(version)
+        files = list(snap.all_files())
+        if files and all(f.is_base_file and f.num_rows >= 0 for f in files):
+            return sum(f.num_rows for f in files)
+        if not files:
+            return 0
+        return self.to_df(version=version).count()
+
     def set_properties(self, props: dict[str, str]) -> "StarTable":
         info = self.store.table_info(refresh=True)
         info.configuration = {**info.configuration, **{k: str(v) for k, v in props.items()}}

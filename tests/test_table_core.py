@@ -280,3 +280,31 @@ def test_manifest_stats_zero_job_estimates(spark, tmp_path):
     assert t.stats()["approx_rows"] == n
     # time travel sees the old snapshot's estimate
     assert t.stats(version=1)["approx_rows"] == n
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """count(): exact and ZERO Spark jobs on all-base snapshots; MoR
+    snapshots fall back to the scan count and stay correct."""
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = orders.count()
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false"})
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    assert t.count() == n
+    assert len(st.getJobIdsForGroup(None) or []) == before  # no jobs ran
+
+    # MoR delta (10 updates + 1 new key) -> scan fallback, still right
+    delta = orders.limit(10).unionByName(
+        orders.limit(1).withColumn("o_orderkey", F.lit(99999999)))
+    t.upsert(delta)
+    assert t.count() == n + 1
+    t.compaction(force=True)
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    assert t.count() == n + 1
+    assert len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) == before
+    # time travel answers from the old snapshot
+    assert t.count(version=1) == n
