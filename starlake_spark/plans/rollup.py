@@ -170,23 +170,20 @@ def _signed_partials(ch: DataFrame, time_col: str, bucket: str,
               .agg(*exprs))
 
 
-# commit types the signed-CDC refresh understands; anything else on a
-# hash source (CoW rewrites replace whole partitions untraceably, a
-# RESTORE rewinds state outside the delta log) falls back to a full
-# rebuild — never a wrong result
-_CDC_SAFE_COMMITS = {"delta", "delete_delta", "compact"}
-
-
 def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
     """Advance the rollup to the source's latest version.
 
     Append-only sources: incremental when every commit since the cursor
     was a pure append (all previously-live files still live).
-    Hash-partitioned sources: incremental through the typed change feed
-    with pre-images (sources/datasource.py) — upserts net (new - old),
-    tombstone deletes net retractions — whenever every commit in range
-    is a delta/compact; CoW rewrites force a full rebuild.
-    Returns {"mode": "noop"|"incremental"|"full", "from": v, "to": v}.
+    Hash-partitioned sources: incremental through the COALESCED range
+    CDC (sources.range_changes — the net state diff for keys touched
+    in the window, exactly two key-pruned MoR scans regardless of how
+    many commits accumulated): upserts net (new - old), deletes net
+    retractions, intermediate churn cancels; correct under delta DML,
+    CoW rewrites, compaction and restore alike (symmetric file-set
+    diff). Falls back to a full rebuild only if a window file was
+    already vacuumed. Returns {"mode": "noop"|"incremental"|"full",
+    "from": v, "to": v}.
     """
     cfg = _cfg(t)
     if (t.info.configuration or {}).get(_CFG + "streaming") == "true":
@@ -200,15 +197,19 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
     src_info = src.table_info()
 
     if src_info.hash_cols:
-        safe = all(
-            src.snapshot(v).commit_type in _CDC_SAFE_COMMITS
-            for v in range(last + 1, cur + 1))
-        if safe:
-            from starlake_spark.sources.datasource import table_changes
+        import os as _os
 
-            ch = table_changes(spark, cfg["source"], start_version=last,
-                               end_version=cur, with_change_type=True,
-                               with_preimages=True)
+        from starlake_spark.sources.datasource import range_changes
+
+        # driver-side pre-check, BEFORE any write: the window diff needs
+        # the cursor snapshot's files still on disk (cleanup retention ≫
+        # refresh cadence in practice); a vacuumed one → rebuild
+        window_ok = all(
+            _os.path.exists(_os.path.join(src.table_path, f.path))
+            for f in src.snapshot(last).all_files())
+        if window_ok:
+            ch = range_changes(spark, cfg["source"], start_version=last,
+                               end_version=cur)
             partials = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
                                         cfg["group_cols"], cfg["aggs"])
             dml.upsert(spark, t.store, partials)

@@ -448,7 +448,7 @@ def table_changes(spark, path: str, start_version: int = 0,
         if (with_preimages and info.hash_cols
                 and snap.commit_type in ("delta", "delete_delta")):
             dfs.extend(_preimage_changes(
-                spark, store, info, keys, v, new_files))
+                spark, store, info, keys, v - 1, v, v, new_files))
             continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
@@ -469,12 +469,68 @@ def table_changes(spark, path: str, start_version: int = 0,
     return out
 
 
-def _preimage_changes(spark, store, info, keys, v, new_files):
-    """Full-fidelity change rows for one delta commit: the commit's
+def range_changes(spark, path: str, start_version: int,
+                  end_version: int | None = None):
+    """COALESCED full-fidelity CDC for one commit window on a hash
+    table: the net state diff between ``start_version`` and
+    ``end_version`` for every key touched in between — exactly TWO
+    key-pruned MoR scans regardless of how many commits accumulated
+    (intermediate churn cancels: a key upserted 5 times emits one
+    update pair; inserted-then-deleted emits nothing). This is the
+    refresh shape for incremental consumers that only need net change
+    (aggregate maintenance, sync jobs); use ``table_changes`` when the
+    per-commit history matters. Rows tag ``_commit_version`` =
+    end_version.
+
+    The affected-key set is read from the SYMMETRIC DIFFERENCE of the
+    two boundary snapshots' file sets — every possible state change
+    (delta upsert, tombstone delete, CoW rewrite incl. whole-partition
+    deletes, compaction, even RESTORE) manifests as a file-set change,
+    and keys in files present on both sides are untouched by
+    definition. Caveat: files expired in the window must still exist
+    on disk (cleanup retention ≫ refresh cadence); a vacuumed file
+    raises at read time — callers fall back to a rebuild."""
+    from starlake_spark.operators import reader as rd
+
+    store = ManifestStore(path)
+    info = store.table_info()
+    if not info.hash_cols:
+        raise ValueError("range_changes requires a hash-partitioned table "
+                         "(key-level diffs need merge keys)")
+    keys = info.range_cols + info.hash_cols
+    end = store.latest_version() if end_version is None else end_version
+    sf = {f.path: f for f in store.snapshot(start_version).all_files()}
+    ef = {f.path: f for f in store.snapshot(end).all_files()}
+    touched = ([f for p, f in ef.items() if p not in sf]
+               + [f for p, f in sf.items() if p not in ef])
+    if not touched:
+        out = rd._empty_df(spark, info).withColumn(VERSION_COL, F_lit_long(None))
+        return out.withColumn(CHANGE_TYPE_COL,
+                              F_lit_str_null())
+    dfs = _preimage_changes(spark, store, info, keys, start_version, end,
+                            end, touched)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def F_lit_str_null():
+    from pyspark.sql import functions as F
+
+    return F.lit(None).cast("string")
+
+
+def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
+                      new_files):
+    """Full-fidelity change rows for a commit window: the window's
     affected KEY SET (read cheaply from the raw delta/tombstone files —
-    keys only) prunes two MoR scans, at v-1 and v; the key-level diff
-    classifies insert / update_preimage / update_postimage / delete,
-    every row carrying real merged values."""
+    keys only) prunes two MoR scans, at ``v_pre`` and ``v_cur``; the
+    key-level diff classifies insert / update_preimage /
+    update_postimage / delete, every row carrying real merged values.
+    Used per-commit by the feed (v_pre = v-1, v_cur = v) and over the
+    whole range by ``coalesce_range`` (intermediate churn cancels in
+    the state diff)."""
     from pyspark.sql import functions as F
     from starlake_spark.operators import reader as rd
 
@@ -483,15 +539,28 @@ def _preimage_changes(spark, store, info, keys, v, new_files):
         d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
         kdf = d if kdf is None else kdf.unionByName(d)
     kdf = kdf.distinct()
-    prev = rd.scan(spark, store, version=v - 1).join(kdf, keys, "left_semi")
-    cur = rd.scan(spark, store, version=v).join(kdf, keys, "left_semi")
+    prev = rd.scan(spark, store, version=v_pre).join(kdf, keys, "left_semi")
+    cur = rd.scan(spark, store, version=v_cur).join(kdf, keys, "left_semi")
     prev = prev.localCheckpoint(eager=False)
     cur = cur.localCheckpoint(eager=False)
+    # no-op pairs (key present on both sides with EVERY column equal —
+    # e.g. the untouched keys of a rewritten/compacted file) are not
+    # changes: drop them so the feed is minimal and logically-no-op
+    # rewrites contribute nothing
+    data_cols = [c for c in prev.columns if c not in keys]
+    p, c = prev.alias("_p"), cur.alias("_c")
+    same = F.lit(True)
+    for col in data_cols:
+        same = same & F.col(f"_p.{col}").eqNullSafe(F.col(f"_c.{col}"))
+    noop_keys = (p.join(c, keys).filter(same)
+                 .select(*[F.col(f"_p.{k}").alias(k) for k in keys]))
+    prev = prev.join(noop_keys, keys, "left_anti").localCheckpoint(eager=False)
+    cur = cur.join(noop_keys, keys, "left_anti").localCheckpoint(eager=False)
     pk = prev.select(*keys)
     ck = cur.select(*keys)
 
     def tag(d, ct):
-        return (d.withColumn(VERSION_COL, F_lit_long(v))
+        return (d.withColumn(VERSION_COL, F_lit_long(tag_version))
                  .withColumn(CHANGE_TYPE_COL, F.lit(ct)))
 
     return [

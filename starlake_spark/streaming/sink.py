@@ -153,7 +153,13 @@ class DedupIngestSink(StarStreamSink):
                 T.StructField("bh", T.LongType(), True),
                 T.StructField("sig", T.ArrayType(T.LongType()), True),
             ]))
-            create_table(spark, empty, self.index_path)
+            try:
+                create_table(spark, empty, self.index_path)
+            except Exception:
+                # a concurrent sink won the create race — reuse its table
+                if not os.path.isdir(os.path.join(self.index_path,
+                                                  "_star_meta")):
+                    raise
         return ManifestStore(self.index_path)
 
     def _corpus_schema(self, spark):

@@ -272,8 +272,23 @@ def test_dml_source_rollup_fallback_and_guards(spark, tmp_path):
     assert res["mode"] == "incremental", res
     expect_equal()
 
-    # CoW UPDATE (rewrite commit) -> full rebuild, still correct
+    # CoW UPDATE (rewrite commit): the symmetric file-set diff nets the
+    # rewritten partition's unchanged rows to zero -> still incremental
     src.update("id = 7", {"x": F.lit(700.0)}, use_delta=False)
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    expect_equal()
+
+    # CoW DELETE (rows leave via expired files only) -> incremental too
+    src.delete("id = 9", use_delta=False)
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    expect_equal()
+
+    # a vacuumed window file forces the full rebuild (pre-checked,
+    # nothing double-applies)
+    src.update("id = 11", {"x": F.lit(1100.0)}, use_delta=False)
+    src.cleanup(retention_s=0.0)
     res = R.refresh_rollup(spark, t)
     assert res["mode"] == "full", res
     expect_equal()
