@@ -1070,6 +1070,60 @@ ORDER BY doc_id
 """
 
 
+def star_stream_cdf(spark, sf_dir):
+    """STREAMING typed change feed: tail a table with changeTypes=true
+    through readStream while it takes an insert load, a MoR upsert and
+    a tombstone delete — the drained sink must hold the full typed log
+    (delete rows included, carrying the tombstoned keys), proving an
+    always-on downstream consumer can maintain a replica including
+    deletions. Runs on customer (streaming fixed costs dominate at any
+    sf; see star_stream_source)."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "stream_cdf")
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = create_table(spark, c, path,
+                     hash_partitions=["c_custkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false"})
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") * 2))        # v2
+    t.delete("c_custkey % 20 = 0", use_delta=True)                      # v3
+
+    out, ckpt = path + "_out", path + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (spark.readStream.format("star").option("changeTypes", "true").load(path)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .select("c_custkey", "c_name", "c_acctbal",
+                    "_commit_version", "_change_type")
+            .orderBy("_commit_version", "c_custkey"))
+
+
+STREAM_CDF_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, _commit_version, _change_type
+FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2,
+         CAST(2 AS BIGINT), 'update_postimage'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(3 AS BIGINT), 'delete'
+  FROM customer WHERE c_custkey % 20 = 0
+)
+ORDER BY _commit_version, c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDF change types (Delta-CDF-style _change_type, beyond the reference)
 # ---------------------------------------------------------------------------
@@ -1124,6 +1178,7 @@ ORDER BY _commit_version, c_custkey
 
 ENGINE_QUERIES = {
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
+    "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_ingest_dedup": (star_ingest_dedup, INGEST_DEDUP_ORACLE),
     "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),
