@@ -21,7 +21,7 @@ Reference parity citations use ``file:line`` of /root/reference.
 """
 
 from starlake_spark.session import get_spark, star_session
-from starlake_spark.table import StarTable, create_table
+from starlake_spark.table import StarTable, convert_to_star, create_table
 from starlake_spark.sql import StarSession
 from starlake_spark import merge_ops
 
@@ -30,6 +30,7 @@ __version__ = "0.1.0"
 __all__ = [
     "StarTable",
     "StarSession",
+    "convert_to_star",
     "create_table",
     "get_spark",
     "star_session",

@@ -64,12 +64,18 @@ def _empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
 
 
 def _group_files(files: list[DataFileInfo]) -> dict[tuple[int, str], list[DataFileInfo]]:
-    """Group by (write_version, commit data dir) — one group per commit."""
+    """Group by (write_version, commit data dir) — one group per commit.
+    Writer-produced paths look like data/<commit_id>/[range dirs/]part-
+    *.parquet; ADOPTED files (convert_to_star) live outside data/ and
+    group under the table root, whose hive dirs (if any) recover the
+    range columns via basePath exactly like a commit dir's do."""
     groups: dict[tuple[int, str], list[DataFileInfo]] = defaultdict(list)
     for f in files:
-        # path = data/<commit_id>/[range dirs/]part-*.parquet
         parts = f.path.split(os.sep)
-        commit_dir = os.sep.join(parts[:2])
+        if parts[0] == "data" and len(parts) > 2:
+            commit_dir = os.sep.join(parts[:2])
+        else:
+            commit_dir = ""  # adopted/loose file: table root is the base
         groups[(f.write_version, commit_dir)].append(f)
     return groups
 

@@ -1070,6 +1070,51 @@ ORDER BY doc_id
 """
 
 
+def star_convert_in_place(spark, sf_dir):
+    """CONVERT TO STAR (Delta CONVERT TO DELTA analog): two copies of
+    the orders parquet adopted IN PLACE — zero data bytes rewritten
+    (asserted inline: same file set, same sizes), footer stats and row
+    counts harvested during conversion (metadata-only count asserted),
+    then the normal DML lifecycle continues with a CoW DELETE. Oracle =
+    doubled orders minus the deleted status."""
+    import os as _os
+
+    from starlake_spark.table import convert_to_star
+
+    path = _scratch(sf_dir, "convert_in_place")
+    _os.makedirs(path, exist_ok=True)
+    src = _os.path.join(sf_dir, "orders.parquet")
+    shutil.copy(src, _os.path.join(path, "a.parquet"))
+    shutil.copy(src, _os.path.join(path, "b.parquet"))
+    sizes = {p: _os.path.getsize(_os.path.join(path, p))
+             for p in ("a.parquet", "b.parquet")}
+    t = convert_to_star(spark, path)
+    adopted = {_os.path.basename(f.path): f
+               for f in t.store.snapshot().all_files()}
+    assert set(adopted) == set(sizes), adopted
+    assert all(_os.path.getsize(_os.path.join(path, p)) == sz
+               for p, sz in sizes.items()), "conversion rewrote data bytes"
+    expected = 2 * ld(spark, sf_dir, "orders").count()
+    st = spark.sparkContext.statusTracker()
+    n_jobs = len(st.getJobIdsForGroup(None) or [])
+    assert t.count() == expected
+    assert len(st.getJobIdsForGroup(None) or []) == n_jobs, \
+        "adopted count() ran a Spark job"
+    t.delete("o_orderstatus = 'P'")
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey", "o_custkey")
+
+
+CONVERT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM (
+  SELECT * FROM orders UNION ALL SELECT * FROM orders
+)
+WHERE o_orderstatus != 'P'
+ORDER BY o_orderkey, o_custkey
+"""
+
+
 def star_stream_cdf(spark, sf_dir):
     """STREAMING typed change feed: tail a table with changeTypes=true
     through readStream while it takes an insert load, a MoR upsert and
@@ -1179,6 +1224,7 @@ ORDER BY _commit_version, c_custkey
 ENGINE_QUERIES = {
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
+    "star_convert_in_place": (star_convert_in_place, CONVERT_ORACLE),
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_ingest_dedup": (star_ingest_dedup, INGEST_DEDUP_ORACLE),
     "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),

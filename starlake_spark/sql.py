@@ -372,6 +372,22 @@ class StarSession:
                 short_name=m["name"], warehouse=self.warehouse)
             return self._empty_df()
 
+        m = re.match(
+            r"^\s*CONVERT\s+TO\s+STAR\s+'(?P<path>[^']+)'"
+            r"(?:\s+AS\s+(?P<name>[\w.]+))?"
+            r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*$",
+            text, re.IGNORECASE)
+        if m:
+            from starlake_spark.table import convert_to_star
+
+            parts = [c.strip() for c in (m["parts"] or "").split(",") if c.strip()]
+            t = convert_to_star(self.spark, m["path"],
+                                range_partitions=parts or None,
+                                short_name=m["name"], warehouse=self.warehouse)
+            if m["name"]:
+                self._tables[m["name"]] = t
+            return self._empty_df()
+
         m = _CREATE_RE.match(text)
         if m and re.search(r"\bUSING\s+star\b", m["tail"], re.IGNORECASE):
             return self._create_from_sql(m["name"], m["tail"])

@@ -18,8 +18,16 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from urllib.parse import unquote
+
 from starlake_spark import catalog
-from starlake_spark.meta import ManifestStore, TableInfo, encode_range_value
+from starlake_spark.meta import (
+    DataFileInfo,
+    ManifestStore,
+    MetaError,
+    TableInfo,
+    encode_range_value,
+)
 from starlake_spark.operators import dml, reader, writer
 
 
@@ -552,6 +560,98 @@ class StarTable:
         return self.update(condition, set_exprs)
 
     updateExpr = update_expr
+
+
+def convert_to_star(
+    spark: SparkSession,
+    path: str,
+    range_partitions: list[str] | None = None,
+    short_name: str | None = None,
+    warehouse: str | None = None,
+    configuration: dict[str, str] | None = None,
+) -> StarTable:
+    """CONVERT TO STAR (Delta's CONVERT TO DELTA analog): adopt an
+    existing parquet directory as a star table IN PLACE — zero data
+    rewritten, O(files) metadata work. Every parquet file under
+    ``path`` becomes a referenced base file; footer min/max stats and
+    row counts are harvested during the same footer read, so data
+    skipping and metadata-only count() work immediately on adopted
+    data. ``range_partitions`` declares hive-style ``col=value``
+    directory partitioning (values recovered from the layout, as
+    Spark's own partition discovery would). The converted table has no
+    hash buckets (adopted files carry no bucket-sort contract) — use
+    the normal write/overwrite/delete/compaction lifecycle, or rewrite
+    into a hash table for upserts.
+
+    Caveat (documented trade): adopted files live OUTSIDE the table's
+    ``data/`` directory, so cleanup() never physically deletes them
+    even after a rewrite expires them — the same conservative stance
+    Delta takes on converted files."""
+    from starlake_spark.operators.writer import _footer_stats
+
+    range_partitions = list(range_partitions or [])
+    store = ManifestStore(path)
+    if store.exists():
+        raise MetaError(f"already a star table: {path}")
+    reader_ = spark.read
+    if range_partitions:
+        reader_ = reader_.option("basePath", path)
+    df = reader_.parquet(path)
+    schema = df.schema
+    for c in range_partitions:
+        if c not in schema.fieldNames():
+            raise ValueError(f"partition column '{c}' not found in layout")
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        if os.path.basename(root).startswith("_star_meta"):
+            continue
+        for n in sorted(names):
+            if not n.endswith(".parquet") or n.startswith((".", "_")):
+                continue
+            fp = os.path.join(root, n)
+            rel = os.path.relpath(fp, path)
+            decoded = {}
+            for part in os.path.dirname(rel).split(os.sep):
+                k, sep, v = part.partition("=")
+                if sep:
+                    decoded[k] = unquote(v)
+            missing = [c for c in range_partitions if c not in decoded]
+            if missing:
+                raise ValueError(
+                    f"file {rel} lacks hive directories for {missing}")
+            rv = ",".join(f"{c}={decoded[c]}" for c in range_partitions)
+            stats, num_rows = _footer_stats(fp)
+            import pyarrow.parquet as pq
+
+            phys_cols = [f for f in pq.ParquetFile(fp).schema_arrow.names
+                         if f in schema.fieldNames()]
+            files.append(DataFileInfo(
+                path=rel, range_value=rv, bucket_id=-1,
+                size=os.path.getsize(fp), write_version=-1,
+                is_base_file=True, exist_cols=phys_cols,
+                stats=stats, num_rows=num_rows))
+    if not files:
+        raise ValueError(f"no parquet files found under {path}")
+
+    info = TableInfo(
+        table_path=path,
+        table_id=f"table_{uuid.uuid4().hex[:16]}",
+        schema_json=schema.json(),
+        range_cols=range_partitions,
+        hash_cols=[],
+        bucket_num=-1,
+        configuration=dict(configuration or {}),
+        short_name=short_name,
+    )
+    store.create(info)
+    txn = store.new_transaction()
+    txn.commit_type = "convert"
+    txn.add_files(files)
+    store.commit(txn)
+    if short_name:
+        catalog.register(short_name, path, warehouse)
+    return StarTable(spark, store)
 
 
 def create_table(

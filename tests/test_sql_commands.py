@@ -314,3 +314,18 @@ def test_table_changes_tvf(spark, tmp_path):
     # windowed form + aggregation over the feed
     n = ss.sql("SELECT COUNT(*) AS n FROM table_changes('cdf_t', 1, 2)").collect()[0]["n"]
     assert n == 1
+
+
+def test_convert_to_star_sql(spark, tmp_path):
+    import os
+    import shutil
+
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    shutil.copy("/root/testdata/sf0.001/customer.parquet", flat + "/c.parquet")
+    ss.sql(f"CONVERT TO STAR '{flat}' AS cust_conv")
+    n = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert ss.sql("SELECT COUNT(*) AS n FROM cust_conv").collect()[0]["n"] == n

@@ -308,3 +308,49 @@ def test_metadata_only_count(spark, tmp_path):
     assert len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) == before
     # time travel answers from the old snapshot
     assert t.count(version=1) == n
+
+
+def test_convert_to_star_in_place(spark, tmp_path):
+    """CONVERT TO STAR adopts an existing parquet layout without
+    touching a data byte: same files referenced, stats/rowcounts
+    harvested (metadata count works), partition dirs become range
+    partitions with pruning, and the normal DML lifecycle continues."""
+    import os
+    import shutil
+
+    from starlake_spark import convert_to_star
+    from starlake_spark.meta import MetaError
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = orders.count()
+    # unpartitioned: two loose parquet files
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", flat + "/a.parquet")
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", flat + "/b.parquet")
+    sizes_before = {p: os.path.getsize(os.path.join(flat, p))
+                    for p in ("a.parquet", "b.parquet")}
+    t = convert_to_star(spark, flat)
+    assert t.count() == 2 * n  # metadata-only, exact
+    assert {os.path.basename(f.path) for f in t.store.snapshot().all_files()} \
+        == {"a.parquet", "b.parquet"}
+    for p, sz in sizes_before.items():  # zero bytes rewritten
+        assert os.path.getsize(os.path.join(flat, p)) == sz
+    # footer stats power skipping on adopted data
+    assert all(f.stats for f in t.store.snapshot().all_files())
+    # lifecycle continues: delete rewrites, time travel sees v1
+    t.delete("o_orderstatus = 'P'")
+    survivors = 2 * orders.filter("o_orderstatus != 'P'").count()
+    assert t.to_df().count() == survivors
+    assert t.to_df(version=1).count() == 2 * n
+    with pytest.raises(MetaError, match="already a star"):
+        convert_to_star(spark, flat)
+
+    # hive-partitioned adoption with pruning
+    part = str(tmp_path / "part")
+    orders.write.partitionBy("o_orderstatus").parquet(part)
+    t2 = convert_to_star(spark, part, range_partitions=["o_orderstatus"])
+    assert t2.count() == n
+    pruned = t2.to_df(partition_filter="o_orderstatus = 'F'")
+    assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
+    assert all("o_orderstatus=F" in f for f in pruned.inputFiles())
