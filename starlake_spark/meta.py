@@ -485,6 +485,21 @@ class ManifestStore:
             except FileNotFoundError:
                 pass
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest committed version whose commit timestamp <= ``ts``
+        (Delta TIMESTAMP AS OF resolution). O(versions) driver-side
+        manifest reads — version files are tiny JSON."""
+        best = None
+        for v in self.list_versions():
+            snap = self.snapshot(v)
+            if snap.timestamp <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise MetaError(
+                f"no snapshot at or before timestamp {ts} "
+                f"(table created later)")
+        return best
+
     def restore(self, version: int) -> Snapshot:
         """RESTORE TABLE TO VERSION: a NEW commit re-pointing the table
         at an old snapshot's exact file state (Delta-style RESTORE).

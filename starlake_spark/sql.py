@@ -86,8 +86,9 @@ _ALTER_DROPCOLS_RE = re.compile(
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
-    r"(?P<version>\d+)\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*$",
     re.IGNORECASE,
 )
 _CLONE_RE = re.compile(
@@ -357,7 +358,10 @@ class StarSession:
 
         m = _RESTORE_RE.match(text)
         if m and self._known(m["name"]):
-            self.table(m["name"]).restore(int(m["version"]))
+            if m["version"] is not None:
+                self.table(m["name"]).restore(int(m["version"]))
+            else:
+                self.table(m["name"]).restore(timestamp=m["ts"])
             return self._empty_df()
 
         m = _CLONE_RE.match(text)

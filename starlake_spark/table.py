@@ -72,15 +72,23 @@ class StarTable:
         merge_operators: dict | None = None,
         partition_filter=None,
         where: str | None = None,
+        timestamp=None,
     ) -> DataFrame:
-        """Snapshot view. ``version`` = MVCC time travel; ``merge_operators``
-        = per-column MoR operators (see starlake_spark.merge_ops).
+        """Snapshot view. ``version`` = MVCC time travel; ``timestamp``
+        (epoch float, datetime, or ISO string — Delta TIMESTAMP AS OF)
+        resolves to the latest version committed at or before it;
+        ``merge_operators`` = per-column MoR operators (see
+        starlake_spark.merge_ops).
 
         ``where``: SQL predicate used three ways — range-column
         conjuncts prune partitions at the manifest, simple conjuncts
         skip whole files via footer min/max stats, and the full
         predicate is re-applied row-level (so pruning is pure I/O
         savings; semantics identical to .filter(where))."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.store.version_at_timestamp(_to_epoch(timestamp))
         df = reader.scan(
             self.spark,
             self.store,
@@ -302,13 +310,19 @@ class StarTable:
             catalog.unregister(info.short_name)
         self.store.drop()
 
-    def restore(self, version: int) -> "StarTable":
-        """RESTORE TABLE TO VERSION AS OF n (Delta-style, beyond the
-        reference): a new commit re-points the table at version n's
-        exact file state. History is preserved (interim versions remain
-        time-travelable), restored MoR files keep their write_versions
-        so merge ordering survives, and the change stream sees nothing
-        (no file carries the new commit's write_version)."""
+    def restore(self, version: int | None = None,
+                timestamp=None) -> "StarTable":
+        """RESTORE TABLE TO VERSION AS OF n / TIMESTAMP AS OF ts
+        (Delta-style, beyond the reference): a new commit re-points the
+        table at the target snapshot's exact file state. History is
+        preserved (interim versions remain time-travelable), restored
+        MoR files keep their write_versions so merge ordering survives,
+        and the change stream sees nothing (no file carries the new
+        commit's write_version)."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("pass exactly one of version / timestamp")
+        if timestamp is not None:
+            version = self.store.version_at_timestamp(_to_epoch(timestamp))
         self.store.restore(version)
         return self
 
@@ -560,6 +574,19 @@ class StarTable:
         return self.update(condition, set_exprs)
 
     updateExpr = update_expr
+
+
+def _to_epoch(ts) -> float:
+    """datetime / ISO string / epoch number → epoch seconds."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, _dt.datetime):
+        return ts.timestamp()
+    if isinstance(ts, str):
+        return _dt.datetime.fromisoformat(ts.replace(" ", "T")).timestamp()
+    raise TypeError(f"cannot interpret timestamp {ts!r}")
 
 
 def convert_to_star(

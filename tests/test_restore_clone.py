@@ -109,3 +109,52 @@ def test_restore_and_clone_sql_routing(spark, tmp_path):
     ss.sql(f"CREATE TABLE rc_c SHALLOW CLONE rc_t VERSION AS OF 1 "
            f"LOCATION '{tmp_path}/rc_c'")
     assert ss.sql("SELECT COUNT(*) AS n FROM rc_c").collect()[0]["n"] == 2
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_table_dir):
+    """TIMESTAMP AS OF (Delta-style): to_df(timestamp=...) resolves to
+    the latest snapshot committed at or before the instant; restore by
+    timestamp rewinds the same way; too-early timestamps error."""
+    import time as _time
+
+    t = _mk(spark, tmp_table_dir)
+    created = _time.time()
+    _time.sleep(0.05)
+    t.upsert(spark.createDataFrame([(3, "X", 999)],
+                                   "id int, name string, value int"))
+    after_upsert = _time.time()
+
+    mid = t.to_df(timestamp=created)
+    assert mid.filter("name = 'X'").count() == 0
+    assert mid.count() == 5
+    now_df = t.to_df(timestamp=after_upsert)
+    assert now_df.filter("name = 'X'").count() == 1
+    # ISO-string form
+    import datetime as _dt
+    iso = _dt.datetime.fromtimestamp(created).isoformat()
+    assert t.to_df(timestamp=iso).count() == 5
+    with pytest.raises(MetaError, match="no snapshot"):
+        t.to_df(timestamp=created - 10000)
+    with pytest.raises(ValueError, match="not both"):
+        t.to_df(version=1, timestamp=created)
+    # restore by timestamp
+    t.restore(timestamp=created)
+    assert t.to_df().filter("name = 'X'").count() == 0
+
+
+def test_restore_sql_timestamp_form(spark, tmp_path):
+    import datetime as _dt
+    import time as _time
+
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    base.createOrReplaceTempView("_ts_src")
+    ss.sql(f"CREATE TABLE ts_t USING star OPTIONS (hashPartitions = 'id', "
+           f"hashBucketNum = '2') LOCATION '{tmp_path}/ts_t' AS SELECT * FROM _ts_src")
+    created = _dt.datetime.now().isoformat()
+    _time.sleep(0.05)
+    ss.sql("UPDATE ts_t SET v = 99 WHERE id = 1")
+    ss.sql(f"RESTORE TABLE ts_t TO TIMESTAMP AS OF '{created}'")
+    assert {r["v"] for r in ss.sql("SELECT v FROM ts_t").collect()} == {10, 20}
