@@ -409,6 +409,22 @@ class StarSession:
         if m and self._known(m["name"]):
             return self.table(m["name"]).history()
 
+        m = re.match(r"^\s*DESC(?:RIBE)?\s+DETAIL\s+(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            t = self.table(m["name"])
+            info, s = t.info, t.stats()
+            return self.spark.createDataFrame(
+                [(info.table_id, t.store.table_path,
+                  list(info.range_cols), list(info.hash_cols),
+                  info.bucket_num, t.store.latest_version(),
+                  s["num_files"], s["total_bytes"], s["approx_rows"],
+                  s["num_partitions"])],
+                "table_id string, location string, range_cols array<string>, "
+                "hash_cols array<string>, bucket_num int, version long, "
+                "num_files long, total_bytes long, approx_rows long, "
+                "num_partitions long")
+
         m = re.match(r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):

@@ -329,3 +329,15 @@ def test_convert_to_star_sql(spark, tmp_path):
     ss.sql(f"CONVERT TO STAR '{flat}' AS cust_conv")
     n = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
     assert ss.sql("SELECT COUNT(*) AS n FROM cust_conv").collect()[0]["n"] == n
+
+
+def test_describe_detail(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    ss = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id int, v int")
+    ss.create_table(df, str(tmp_path / "dd_t"), name="dd_t",
+                    hash_partitions=["id"], hash_bucket_num=2)
+    row = ss.sql("DESCRIBE DETAIL dd_t").collect()[0]
+    assert row["approx_rows"] == 10 and row["num_files"] >= 2
+    assert row["hash_cols"] == ["id"] and row["version"] == 1
