@@ -256,6 +256,41 @@ _CONJ_CMP_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
 
+def _bucket_for_point_lookup(spark, info: TableInfo,
+                             conjuncts: list[str]) -> int | None:
+    """Bucket id when EVERY hash column is equality-pinned to a literal
+    — the reference's bucket pruning (ParquetScanSuite point lookups):
+    the writer places a key's rows in bucket pmod(hash(keys), n) via
+    repartition's HashPartitioning, so a point lookup needs exactly one
+    bucket's files per partition (1/bucket_num of the table). The
+    bucket is computed by Spark itself over the SAME murmur3 hash()
+    the shuffle used, with the literal cast to the declared column type
+    (hash(5) != hash(5L) — the cast is load-bearing)."""
+    if info.bucket_num <= 0 or not info.hash_cols:
+        return None
+    schema_types = {f.name: f.dataType for f in _schema(info).fields}
+    lits: dict[str, str] = {}
+    for c in conjuncts:
+        m = _CONJ_CMP_RE.match(c)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if op not in ("=", "==") or col not in info.hash_cols:
+            continue
+        if _IDENT_RE.search(lit) and not re.match(
+                r"^\s*(DATE|TIMESTAMP|TRUE|FALSE)\b", lit, re.IGNORECASE):
+            continue  # column-vs-column / function: not a literal
+        lits[col] = lit
+    if set(lits) != set(info.hash_cols):
+        return None
+    args = ", ".join(
+        f"CAST({lits[c]} AS {schema_types[c].simpleString()})"
+        for c in info.hash_cols)
+    row = spark.sql(
+        f"SELECT pmod(hash({args}), {info.bucket_num}) AS b").collect()[0]
+    return None if row["b"] is None else int(row["b"])
+
+
 def _split_top_and(pred: str) -> list[str]:
     """Split on AND at paren depth 0, respecting single-quoted strings."""
     parts, buf, depth, i, n = [], [], 0, 0, len(pred)
@@ -471,6 +506,14 @@ def scan(
             op.singleton_identity for op in ops.values()):
         merge_files = merge_files + plain_files
         plain_files = []
+
+    if where_conjs and (plain_files or merge_files):
+        # bucket pruning: a full-key equality lookup touches exactly one
+        # bucket's files per partition (adopted bucket_id=-1 files pass)
+        b = _bucket_for_point_lookup(spark, info, where_conjs)
+        if b is not None:
+            plain_files = [f for f in plain_files if f.bucket_id in (b, -1)]
+            merge_files = [f for f in merge_files if f.bucket_id in (b, -1)]
 
     if where_conjs:
         all_cols = set(_schema(info).fieldNames())

@@ -312,3 +312,30 @@ def test_contamination_shuffles_hashes_not_strings(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
         keys = m.group(1)
         assert "_h#" in keys or "doc_id#" in keys, keys
+
+
+def test_bucket_pruning_for_point_lookups(spark, tmp_path):
+    """A full-hash-key equality lookup reads exactly ONE bucket's files
+    per partition (1/bucket_num of the table) — and stays correct for
+    every key, including through the MoR path."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    t = create_table(spark, orders, str(tmp_path / "bp"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8,
+                     configuration={"compaction.auto": "false"})
+    all_files = len(t.to_df().inputFiles())
+    keys = [r["o_orderkey"] for r in orders.limit(30).collect()]
+    for k in keys[:5]:
+        df = t.to_df(where=f"o_orderkey = {k}")
+        assert len(df.inputFiles()) * 8 <= all_files * 1.01, k
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["o_orderkey"] == k
+    # every key still found (hash parity writer<->lookup, all buckets)
+    for k in keys:
+        assert t.to_df(where=f"o_orderkey = {k}").count() == 1, k
+    # MoR: upsert one key, point lookup sees the delta through pruning
+    t.upsert(orders.filter(F.col("o_orderkey") == keys[0])
+             .withColumn("o_totalprice", F.lit(0.5)))
+    row = t.to_df(where=f"o_orderkey = {keys[0]}").collect()
+    assert len(row) == 1 and row[0]["o_totalprice"] == 0.5
+    # non-point predicates never prune by bucket
+    assert t.to_df(where="o_orderkey >= 0").count() == orders.count()
