@@ -1070,6 +1070,37 @@ ORDER BY doc_id
 """
 
 
+def star_point_lookup(spark, sf_dir):
+    """Primary-key point lookups with bucket pruning: every hash-column
+    equality pins the scan to ONE bucket's files per partition —
+    asserted inline (file count <= total/bucket_num per probe) — and
+    the 20 probed keys' rows are oracle-exact. The 1/bucket_num I/O
+    shape is what makes key lookups on a 100 TB table affordable
+    without an external index."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "point_lookup"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=16)
+    n_all = len(t.to_df().inputFiles())
+    outs = []
+    for k in range(1, 21):  # orderkeys 1..20 exist at every sf
+        df = t.to_df(where=f"o_orderkey = {k}")
+        n_read = len(df.inputFiles())
+        assert n_read * 16 <= n_all * 1.01, (k, n_read, n_all)
+        outs.append(df)
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out.select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+POINT_LOOKUP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey BETWEEN 1 AND 20
+ORDER BY o_orderkey
+"""
+
+
 def star_convert_in_place(spark, sf_dir):
     """CONVERT TO STAR (Delta CONVERT TO DELTA analog): two copies of
     the orders parquet adopted IN PLACE — zero data bytes rewritten
@@ -1225,6 +1256,7 @@ ENGINE_QUERIES = {
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
     "star_convert_in_place": (star_convert_in_place, CONVERT_ORACLE),
+    "star_point_lookup": (star_point_lookup, POINT_LOOKUP_ORACLE),
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),
     "star_ingest_dedup": (star_ingest_dedup, INGEST_DEDUP_ORACLE),
     "star_idempotent_load": (star_idempotent_load, TIME_TRAVEL_ORACLE),
