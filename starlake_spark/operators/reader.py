@@ -72,7 +72,16 @@ def _group_files(files: list[DataFileInfo]) -> dict[tuple[int, str], list[DataFi
     groups: dict[tuple[int, str], list[DataFileInfo]] = defaultdict(list)
     for f in files:
         parts = f.path.split(os.sep)
-        if parts[0] == "data" and len(parts) > 2:
+        if os.path.isabs(f.path):
+            # shallow-clone reference into the SOURCE table: group by
+            # the source commit dir (last .../data/<commit>/ segment)
+            # so hive range dirs under it resolve against basePath
+            data_idx = [i for i, p in enumerate(parts[:-1]) if p == "data"]
+            if data_idx and data_idx[-1] + 1 < len(parts) - 0:
+                commit_dir = os.sep.join(parts[:data_idx[-1] + 2])
+            else:
+                commit_dir = os.path.dirname(f.path)
+        elif parts[0] == "data" and len(parts) > 2:
             commit_dir = os.sep.join(parts[:2])
         else:
             commit_dir = ""  # adopted/loose file: table root is the base
