@@ -38,10 +38,21 @@ class MergeOperator:
     columnar scan. Operators WITHOUT this property (e.g. a
     count-of-versions or length-style custom op) force the reader to
     route even single-version partitions through the operator algebra,
-    so results are consistent across a half-compacted table."""
+    so results are consistent across a half-compacted table.
+
+    ``associative``: True iff ``op(vs1 + vs2) == op([op(vs1)] + vs2)``
+    for any version-ordered split — i.e. folding a contiguous PREFIX of
+    versions into one intermediate value and re-folding gives the same
+    answer. This is exactly what the part-merge OOM guard does
+    (StarLakePartFileMerge.scala:31-104 merges the oldest chunk of
+    files into an intermediate stamped before the rest), so chunked
+    compaction is only offered to tables whose declared operators all
+    have it. Every built-in does (last / sum / min / max, and concat
+    because the chunk is a contiguous version prefix)."""
 
     name = "base"
     singleton_identity = True
+    associative = True
 
     def column(self, versions: Column, dtype: T.DataType) -> Column:
         raise NotImplementedError
@@ -113,14 +124,18 @@ class PythonMergeOp(MergeOperator):
     name = "python"
     # conservative: an opaque callable is NOT assumed identity on a
     # singleton version list — pass singleton_identity=True to restore
-    # the plain-scan fast path for ops that are (e.g. a custom max)
+    # the plain-scan fast path for ops that are (e.g. a custom max) —
+    # nor assumed associative (part-merge falls back to the one-shot
+    # full merge rather than chunk-fold an op like count-of-versions)
     singleton_identity = False
+    associative = False
 
     def __init__(self, fn: Callable, result_type: T.DataType | str | None = None,
-                 singleton_identity: bool = False):
+                 singleton_identity: bool = False, associative: bool = False):
         self.fn = fn
         self.result_type = result_type
         self.singleton_identity = singleton_identity
+        self.associative = associative
 
     def column(self, versions: Column, dtype: T.DataType) -> Column:
         fn = self.fn

@@ -211,6 +211,12 @@ class Transaction:
         # reference's tc.setCommitType (TransactionCommit.scala:150-156);
         # change-stream readers skip 'compact' (logically a no-op rewrite)
         self.commit_type = "write"
+        # Part-merge commits (PartMergeTransactionCommit,
+        # StarLakePartFileMerge.scala:83 newFiles.copy(write_version=0))
+        # publish files that must sort BEFORE the partition's remaining
+        # delta versions in the MoR collapse — they keep the
+        # caller-stamped write_version instead of the new commit version.
+        self.preserve_write_versions = False
         self.committed = False
 
     @property
@@ -414,7 +420,8 @@ class ManifestStore:
                     if len(ps.files) != before:
                         touched.add(ps.range_value)
             for f in txn.add:
-                f.write_version = new_version
+                if not (txn.preserve_write_versions and 0 <= f.write_version):
+                    f.write_version = new_version
                 ps = partitions.get(f.range_value)
                 if ps is None:
                     ps = PartitionSnapshot(f.range_value, [], new_version)

@@ -63,8 +63,10 @@ def _maybe_auto_compact(spark: SparkSession, store: ManifestStore,
     partition accumulates >= compaction.maxDeltas delta files
     (default 64; 0 disables), a forced compaction runs with a warning —
     a table upserted hundreds of times without OPTIMIZE would otherwise
-    plan hundreds of union arms and regress scans unboundedly (the
-    part-merge OOM-guard analog, StarLakePartFileMerge.scala:31-161)."""
+    plan hundreds of union arms and regress scans unboundedly. The
+    forced compaction itself chunk-folds long histories via the
+    part-merge guard (_part_merge_partition), so even the catch-up pass
+    never plans more than compaction.part.merge.max arms at once."""
     from starlake_spark.meta import CommitConflictError
 
     conf = info.configuration or {}
@@ -501,6 +503,75 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
                   cond_sql=condition if isinstance(condition, str) else None)
 
 
+def _part_merge_partition(spark: SparkSession, store: ManifestStore,
+                          info: TableInfo, rv: str, max_groups: int,
+                          merge_operators: dict | None) -> int:
+    """Part-merge OOM guard (StarLakePartFileMerge.scala:31-104): when a
+    partition has accumulated more delta commit-groups than one merge
+    pass should union, collapse the OLDEST ``max_groups`` groups into an
+    intermediate file stamped at the chunk's top write_version, commit,
+    and repeat until the partition is under the cap. The reference
+    accumulates oldest-first until PART_MERGE_FILE_MINIMUM_NUM files /
+    a size budget, merges everything below the cursor version, and
+    republishes the output at version 0 so the remaining deltas still
+    sort after it (:65,:83); stamping max(merged) is the same ordering.
+
+    Spark-first difference: the reference's guard protects executor
+    HEAP (its heap-merge reader materializes every input file's row
+    group at once); the groupBy collapse here spills natively, so what
+    this bounds is the PLAN — union arms and per-key version-list width
+    stay <= ``max_groups`` per pass instead of growing with commit
+    count. Returns the number of part-merge commits made.
+
+    Safety gates: every declared operator must be ``associative`` (the
+    chunk fold re-parenthesizes the version list), and when operators
+    are declared the chunk's files must share one ``exist_cols`` set —
+    a partial-column commit mixed into the chunk would turn per-key
+    "column absent" into "explicit null at the merged version", which
+    ops like sum(null->0) can observe. Either gate failing falls back
+    to the ordinary one-shot full merge, which is always correct.
+
+    The chunk is a strict PREFIX of the partition's live history, so
+    collapsing it (tombstoned keys dropped, _merge_scan's normal
+    filter) and republishing as a base file is exact: nothing earlier
+    exists for a tombstone to mask, and later deltas fold on top of
+    the intermediate exactly as they folded on top of its inputs.
+    """
+    ops = {c: mo.resolve(op) for c, op in (merge_operators or {}).items()}
+    if any(not op.associative for op in ops.values()):
+        return 0
+    commits = 0
+    while True:
+        snap = store.snapshot()
+        ps = snap.partitions.get(rv)
+        if ps is None:
+            return commits
+        versions = sorted({f.write_version for f in ps.files})
+        if len(versions) <= max_groups:
+            return commits
+        chunk_versions = set(versions[:max_groups])
+        chunk = [f for f in ps.files if f.write_version in chunk_versions]
+        union_exist = sorted({c for f in chunk for c in f.exist_cols})
+        if ops and len({tuple(sorted(f.exist_cols)) for f in chunk}) > 1:
+            return commits
+        merged = reader._merge_scan(spark, store, info, chunk, ops)
+        txn = store.new_transaction()
+        txn.commit_type = "part_compaction"
+        txn.preserve_write_versions = True
+        files = writer.write_files(spark, merged, info, txn, is_base=True)
+        top = max(chunk_versions)
+        for f in files:
+            f.write_version = top
+            # keep the merged inputs' column footprint: columns no chunk
+            # file carried stay "absent" for the operator algebra even
+            # though the intermediate physically materializes them
+            f.exist_cols = union_exist
+        txn.add_files(files)
+        txn.expire_files([f.path for f in chunk])
+        store.commit(txn)
+        commits += 1
+
+
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             merge_operators: dict | None = None,
             partition: str | None = None,
@@ -609,6 +680,24 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
         targets.append(rv)
     if not targets:
         return
+    # part-merge OOM guard: partitions whose commit history outgrew one
+    # merge pass get chunk-folded first, so the full merge below (and
+    # any concurrent MoR reader after each chunk commit) never plans
+    # more than `compaction.part.merge.max` union arms per partition.
+    # 0 disables (the reference's guard keys off
+    # PART_MERGE_FILE_MINIMUM_NUM, StarLakeSQLConf.scala part.merge.*).
+    if info.hash_cols:
+        try:
+            part_cap = int((info.configuration or {})
+                           .get("compaction.part.merge.max", "16"))
+        except ValueError:
+            part_cap = 16
+        if part_cap >= 2:
+            for rv in targets:
+                _part_merge_partition(
+                    spark, store, info, rv, part_cap, merge_operators)
+            # the full-merge scan below re-snapshots, so it reads the
+            # part-merged state automatically
     tset = set(targets)
     part_filter = lambda d, info=info, t=tset: (
         ",".join(f"{c}={d[c]}" for c in info.range_cols if c in d) in t

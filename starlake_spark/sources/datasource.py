@@ -56,6 +56,7 @@ _CHANGE_TYPES = {
     "update": "update_postimage",
     "delete": "update_postimage",
     "compact": None,
+    "part_compaction": None,  # OOM-guard chunk merge: a no-op rewrite
     "restore": None,
     "clone": None,
 }
