@@ -551,7 +551,11 @@ def _part_merge_partition(spark: SparkSession, store: ManifestStore,
             return commits
         chunk_versions = set(versions[:max_groups])
         chunk = [f for f in ps.files if f.write_version in chunk_versions]
-        union_exist = sorted({c for f in chunk for c in f.exist_cols})
+        # the chunk collapse RESOLVES liveness (prefix-of-history ⇒
+        # tombstoned keys drop), so the intermediate never carries the
+        # tombstone column even when chunk files did
+        union_exist = sorted({c for f in chunk for c in f.exist_cols}
+                             - {reader.TOMBSTONE_COL})
         if ops and len({tuple(sorted(f.exist_cols)) for f in chunk}) > 1:
             return commits
         merged = reader._merge_scan(spark, store, info, chunk, ops)

@@ -103,6 +103,54 @@ def test_dml_churn_matches_model(spark, tmp_path, seed):
                for r in t.to_df().collect()}
         assert got == model, f"seed={seed} diverged after op {i} ({op})"
 
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_dml_churn_with_part_merge_matches_model(spark, tmp_path, seed):
+    """Same model equivalence, but compaction is forced through the
+    part-merge OOM guard: auto-compaction off, histories grow long, and
+    every compact chunk-folds with a tiny cap (3) — so the guard sees
+    partial-column deltas (mixed exist_cols), tombstone deletes and
+    delta updates in random interleavings, and must stay
+    indistinguishable from the one-shot merge."""
+    rng = random.Random(seed)
+    base = [(k, rng.randint(0, 99), rng.choice(["a", "b", "c"])) for k in KEYS]
+    df = spark.createDataFrame(base, SCHEMA)
+    t = create_table(spark, df, str(tmp_path / f"pm{seed}"),
+                     hash_partitions=["k"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false",
+                                    "compaction.maxDeltas": "0",
+                                    "compaction.part.merge.max": "3"})
+    model = {k: {"v": v, "tag": tag} for k, v, tag in base}
+
+    ops = _random_ops(rng, 14)
+    ops[6] = ("compact", None)   # guarantee mid- and end-history folds
+    ops[13] = ("compact", None)
+    for i, (op, payload) in enumerate(ops):
+        if op == "upsert_full":
+            t.upsert(spark.createDataFrame(payload, SCHEMA))
+        elif op == "upsert_partial":
+            t.upsert(spark.createDataFrame(
+                payload,
+                T.StructType([SCHEMA[0], SCHEMA[1]])))
+        elif op == "update":
+            mod, add, use_delta = payload
+            t.update(F.col("k") % mod == 0,
+                     {"v": F.coalesce(F.col("v"), F.lit(0)) + add},
+                     use_delta=use_delta)
+        elif op == "delete":
+            mod, use_delta = payload
+            t.delete(F.col("k") % mod == 0, use_delta=use_delta)
+        else:
+            t.compaction(force=True)
+        _apply_model(model, op, payload)
+
+        got = {r["k"]: {"v": r["v"], "tag": r["tag"]}
+               for r in t.to_df().collect()}
+        assert got == model, f"seed={seed} diverged after op {i} ({op})"
+    hist = [r.commit_type for r in t.history().collect()]
+    assert "part_compaction" in hist, "guard never fired — test misbuilt"
+
+
 def test_partition_expire_conflict_detected(spark, sf_dir, tmp_table_dir):
     """A compaction-style transaction built against snapshot v must NOT
     commit after a concurrent upsert touched the partition: the blanket
