@@ -22,6 +22,7 @@ from starlake_spark.operators import reader, writer
 # reference defaults (StarLakeSQLConf.scala:41-58)
 DELTA_FILE_COMPACT_TRIGGER = 5
 CLEANUP_RETENTION_S = 5 * 3600
+CDC_DIR = "_cdc"
 
 
 def _to_column(cond) -> Column:
@@ -149,11 +150,12 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
         if txn_key is not None:
             txn.set_streaming_batch(txn_key, txn_version)
             try:
-                store.commit(txn)
+                snap = store.commit(txn)
             except DuplicateTxnError:
                 return  # concurrent retry already landed this version
         else:
-            store.commit(txn)
+            snap = store.commit(txn)
+        _maybe_log_cdc(spark, store, info, files, snap.version)
         _maybe_auto_compact(spark, store, info)
         return
 
@@ -428,7 +430,8 @@ def update(spark: SparkSession, store: ManifestStore, condition,
         txn.commit_type = "delta"
         files = writer.write_files(spark, matched, info, txn, is_base=False)
         txn.add_files(files)
-        store.commit(txn)
+        snap = store.commit(txn)
+        _maybe_log_cdc(spark, store, info, files, snap.version)
         _maybe_auto_compact(spark, store, info)
         return
 
@@ -484,7 +487,8 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
         files = writer.write_files(spark, tomb, info, txn, is_base=False,
                                    check_invariants=False)
         txn.add_files(files)
-        store.commit(txn)
+        snap = store.commit(txn)
+        _maybe_log_cdc(spark, store, info, files, snap.version)
         _maybe_auto_compact(spark, store, info)
         return
     if condition is None:
@@ -778,6 +782,71 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
         store.commit(txn)
 
 
+def _maybe_log_cdc(spark, store, info: TableInfo, new_files, version: int) -> None:
+    """Write-time CDC logging (``cdf.enabled=true`` table property —
+    Delta's delta.enableChangeDataFeed analog): after a delta DML
+    commit, the commit's typed change rows (full-fidelity pre/post
+    images — the same derivation ``table_changes(with_preimages=True)``
+    performs on demand) are materialized ONCE under
+    ``<table>/_cdc/<version>/`` with an atomic directory rename.
+    Consumers then read O(changes) bytes per commit instead of each
+    paying two key-pruned MoR scans — the write-once/read-many trade
+    CDC wants at 100 TB, where a table often feeds many incremental
+    consumers (rollups, sync jobs, feature stores).
+
+    Crash-safe by construction: the log is an OPTIMIZATION, never the
+    source of truth — a missing directory (writer died before the
+    rename, log vacuumed, or the table predates the property) just
+    means readers fall back to the scan derivation, which is always
+    available while the window's files exist. A concurrent duplicate
+    logger loses the rename race and cleans up after itself.
+    """
+    if (info.configuration or {}).get("cdf.enabled") != "true":
+        return
+    import shutil
+    import uuid as _uuid
+
+    from starlake_spark.sources import datasource as ds
+
+    keys = info.range_cols + info.hash_cols
+    dfs = ds._preimage_changes(spark, store, info, keys, version - 1,
+                               version, version, new_files)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    final = os.path.join(store.table_path, CDC_DIR, str(version))
+    if os.path.exists(final):
+        return
+    tmp = os.path.join(store.table_path, CDC_DIR,
+                       f".tmp-{version}-{_uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_cdc_log(spark, store, info: TableInfo, version: int):
+    """Read the logged change rows for one commit, or None when no log
+    exists (reader falls back to scan derivation). Columns align to the
+    CURRENT table schema — a log written before a schema evolution
+    serves missing columns as typed nulls, same as the file reader."""
+    p = os.path.join(store.table_path, CDC_DIR, str(version))
+    if not os.path.isdir(p):
+        return None
+    df = spark.read.parquet(p)
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.append(F.col("_commit_version").cast("long").alias("_commit_version"))
+    cols.append(F.col("_change_type").cast("string").alias("_change_type"))
+    return df.select(*cols)
+
+
 def _partitions_matching(spark, store, info, predicate: str) -> set[str]:
     """Evaluate a predicate over partition values only, the reference's
     metadata-only partition filtering (PartitionFilter.scala:26-106):
@@ -829,4 +898,24 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                 removed.append(rel)
                 if not dry_run:
                     os.unlink(p)
+    # CDC logs age out with the same retention as the versions they
+    # describe (Delta ties change-data retention to log retention the
+    # same way): a feed window starting before retention already can't
+    # be served — its expired data files may be gone too.
+    cdc_root = os.path.join(store.table_path, CDC_DIR)
+    if os.path.isdir(cdc_root):
+        import shutil
+
+        keep = set(keep_versions) | {latest}
+        for name in os.listdir(cdc_root):
+            p = os.path.join(cdc_root, name)
+            if (name.isdigit() and int(name) not in keep
+                    and now - os.path.getmtime(p) > retention_s):
+                removed.append(os.path.relpath(p, store.table_path))
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif name.startswith(".tmp-") and now - os.path.getmtime(p) > retention_s:
+                removed.append(os.path.relpath(p, store.table_path))
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
     return removed

@@ -1252,7 +1252,69 @@ ORDER BY _commit_version, c_custkey
 """
 
 
+def star_cdc_log(spark, sf_dir):
+    """Write-time CDC logging (cdf.enabled — Delta
+    enableChangeDataFeed analog): every delta DML commit materializes
+    its full-fidelity pre/post-image rows under <table>/_cdc/<v> at
+    write time, so the change feed reads O(changes) bytes per commit
+    instead of re-deriving with two key-pruned MoR scans per consumer.
+    The inline assert pins that all three DML commits produced logs;
+    the oracle pins the complete typed feed — update pre/post pairs
+    (no-op pairs where the doubled balance is unchanged must be
+    absent), delete rows carrying REAL merged pre-state values, and
+    insert rows for keys resurrected after the delete."""
+    import os as _os
+
+    from starlake_spark.operators.dml import CDC_DIR
+    from starlake_spark.sources.datasource import table_changes
+
+    c = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    path = _scratch(sf_dir, "cdc_log")
+    t = create_table(spark, c, path,
+                     hash_partitions=["c_custkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false",
+                                    "cdf.enabled": "true"})
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") * 2))        # v2
+    t.delete("c_custkey % 20 = 0", use_delta=True)                      # v3
+    t.upsert(c.filter(F.col("c_custkey") % 20 == 0)
+              .withColumn("c_mktsegment", F.lit("X")))                  # v4
+    logs = sorted(d for d in _os.listdir(_os.path.join(path, CDC_DIR))
+                  if d.isdigit())
+    assert logs == ["2", "3", "4"], f"CDC logs missing: {logs}"
+    return (table_changes(spark, path, 1, with_change_type=True,
+                          with_preimages=True)
+            .orderBy("_commit_version", "_change_type", "c_custkey"))
+
+
+CDC_LOG_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, _commit_version, _change_type
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(2 AS BIGINT) AS _commit_version, 'update_preimage' AS _change_type
+  FROM customer
+  WHERE c_custkey % 10 = 0 AND c_acctbal IS NOT NULL AND c_acctbal <> 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal, c_mktsegment,
+         CAST(2 AS BIGINT), 'update_postimage'
+  FROM customer
+  WHERE c_custkey % 10 = 0 AND c_acctbal IS NOT NULL AND c_acctbal <> 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal, c_mktsegment,
+         CAST(3 AS BIGINT), 'delete'
+  FROM customer WHERE c_custkey % 20 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, 'X' AS c_mktsegment,
+         CAST(4 AS BIGINT), 'insert'
+  FROM customer WHERE c_custkey % 20 = 0
+)
+ORDER BY _commit_version, _change_type, c_custkey
+"""
+
+
 ENGINE_QUERIES = {
+    "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
     "star_convert_in_place": (star_convert_in_place, CONVERT_ORACLE),

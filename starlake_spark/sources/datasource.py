@@ -448,8 +448,19 @@ def table_changes(spark, path: str, start_version: int = 0,
             continue
         if (with_preimages and info.hash_cols
                 and snap.commit_type in ("delta", "delete_delta")):
-            dfs.extend(_preimage_changes(
-                spark, store, info, keys, v - 1, v, v, new_files))
+            # write-time CDC log (cdf.enabled): this commit's change
+            # rows were already materialized — read O(changes) bytes
+            # instead of re-deriving with two key-pruned MoR scans.
+            # Missing log (disabled / crashed writer / vacuumed) falls
+            # back to the derivation, which stays the source of truth.
+            from starlake_spark.operators.dml import read_cdc_log
+
+            logged = read_cdc_log(spark, store, info, v)
+            if logged is not None:
+                dfs.append(logged)
+            else:
+                dfs.extend(_preimage_changes(
+                    spark, store, info, keys, v - 1, v, v, new_files))
             continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
