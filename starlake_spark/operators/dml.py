@@ -37,9 +37,21 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
     info = store.table_info(refresh=True)
     schema = T.StructType.fromJson(json.loads(info.schema_json))
     existing = {f.name for f in schema.fields}
+    # a renamed-away name must not silently fork a NEW column: the
+    # writer almost certainly predates the rename and means the
+    # renamed column — reject loudly instead of splitting the data
+    renamed_away = {a.lower(): logical
+                    for k, v in (info.configuration or {}).items()
+                    if k.startswith("aliases.")
+                    for logical in [k[len("aliases."):]]
+                    for a in v.split(",") if a}
     added = False
     for f in df.schema.fields:
         if f.name not in existing and not isinstance(f.dataType, T.NullType):
+            if f.name.lower() in renamed_away:
+                raise ValueError(
+                    f"source column '{f.name}' was renamed to "
+                    f"'{renamed_away[f.name.lower()]}' — write the new name")
             schema = schema.add(T.StructField(f.name, f.dataType, True))
             added = True
     if added:
@@ -660,6 +672,12 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
     # and re-addable — table._maybe_clear_dropped_markers)
     dropped = set(filter(None, (info.configuration or {})
                          .get("dropped.columns", "").split(",")))
+    # pre-rename physical names work the same way: a forced compaction
+    # rewrites partitions still carrying them so the layout converges
+    # on the new name and the alias marker can clear
+    # (table._maybe_clear_dropped_markers)
+    dropped |= {a.lower() for k, v in (info.configuration or {}).items()
+                if k.startswith("aliases.") for a in v.split(",") if a}
     targets = []
     for rv, ps in snap.partitions.items():
         if partition is not None and rv != partition:
@@ -836,10 +854,13 @@ def read_cdc_log(spark, store, info: TableInfo, version: int):
         return None
     df = spark.read.parquet(p)
     schema = T.StructType.fromJson(json.loads(info.schema_json))
+    amap = reader.alias_map(info)
+    present = set(df.columns)
     cols = []
     for f in schema.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        phys = reader._resolve_physical(f.name, present, amap)
+        if phys is not None:
+            cols.append(F.col(phys).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     cols.append(F.col("_commit_version").cast("long").alias("_commit_version"))

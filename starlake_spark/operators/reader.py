@@ -59,6 +59,33 @@ def _schema(info: TableInfo) -> T.StructType:
     return T.StructType.fromJson(json.loads(info.schema_json))
 
 
+def alias_map(info: TableInfo) -> dict[str, list[str]]:
+    """Historical physical names per logical column (RENAME COLUMN
+    name-mapping, the Delta column-mapping 'name mode' analog): the
+    table property ``aliases.<logical-lower>`` lists the names a
+    column's bytes were written under before the rename(s). Readers
+    resolve per FILE GROUP — a group physically carrying an alias
+    serves it under the current logical name; groups written after the
+    rename carry the logical name directly. Empty for tables that
+    never renamed (the common case costs one dict probe)."""
+    out: dict[str, list[str]] = {}
+    for k, v in (info.configuration or {}).items():
+        if k.startswith("aliases."):
+            out[k[len("aliases."):]] = [a for a in v.split(",") if a]
+    return out
+
+
+def _resolve_physical(name: str, present, amap: dict[str, list[str]]):
+    """The physical column serving logical ``name`` in a file group
+    with columns/exist-cols ``present``, or None."""
+    if name in present:
+        return name
+    for a in amap.get(name.lower(), ()):
+        if a in present:
+            return a
+    return None
+
+
 def _empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
     return spark.createDataFrame([], _schema(info))
 
@@ -104,13 +131,18 @@ def _read_group(
     if info.range_cols:
         reader = reader.option("basePath", base)
     df = reader.parquet(*paths)
-    # Align to declared types (partition-dir values are type-inferred).
+    # Align to declared types (partition-dir values are type-inferred);
+    # renamed columns resolve their file-local physical name via the
+    # alias map (zero cost when the table never renamed).
     schema = _schema(info)
     declared = {f.name: f.dataType for f in schema.fields}
+    amap = alias_map(info)
+    present = set(df.columns)
     cols = []
     for name in [f.name for f in schema.fields]:
-        if name in df.columns:
-            cols.append(F.col(name).cast(declared[name]).alias(name))
+        phys = _resolve_physical(name, present, amap)
+        if phys is not None:
+            cols.append(F.col(phys).cast(declared[name]).alias(name))
         else:
             cols.append(F.lit(None).cast(declared[name]).alias(name))
     if TOMBSTONE_COL in df.columns:
@@ -147,16 +179,20 @@ def _merge_scan(
 
     groups = _group_files(files)
     branches = []
+    amap = alias_map(info)
     any_tomb = any(TOMBSTONE_COL in fs[0].exist_cols for fs in groups.values())
     for (wv, cdir), fs in groups.items():
         exist = set(fs[0].exist_cols)
         d = _read_group(spark, store, info, cdir, fs)
         d = d.withColumn(_WV, F.lit(wv).cast("long"))
         # Per-column ordering: the commit version if this commit's files
-        # contain the column, else null (so max_by / collect skip it).
-        # These are constant per branch — pure codegen literals.
+        # contain the column (under its current or a pre-rename name),
+        # else null (so max_by / collect skip it). These are constant
+        # per branch — pure codegen literals.
         for f in data_cols:
-            ordv = F.lit(wv).cast("long") if f.name in exist else F.lit(None).cast("long")
+            ordv = (F.lit(wv).cast("long")
+                    if _resolve_physical(f.name, exist, amap) is not None
+                    else F.lit(None).cast("long"))
             d = d.withColumn(_ORD + f.name, ordv)
         if any_tomb:
             # every branch asserts an opinion on liveness: tombstone
@@ -402,12 +438,17 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
         need_cols.add(col)
     if not conds:
         return files
+    amap = alias_map(info)
     rows = []
     for i, f in enumerate(files):
         st = f.stats or {}
         row = {"_idx": i}
         for c in need_cols:
-            b = st.get(c)
+            # pre-rename files recorded footer bounds under the old
+            # physical name — resolve through the alias map so renamed
+            # columns keep skipping (missing either way ⇒ file kept)
+            phys = _resolve_physical(c, st, amap)
+            b = None if phys is None else st.get(phys)
             row[f"_min_{c}"] = None if b is None else str(b["min"])
             row[f"_max_{c}"] = None if b is None else str(b["max"])
         rows.append(row)

@@ -1313,7 +1313,36 @@ ORDER BY _commit_version, _change_type, c_custkey
 """
 
 
+def star_rename_column(spark, sf_dir):
+    """RENAME COLUMN via name-mapping (zero bytes rewritten): customer
+    loads under c_mktsegment, the column renames to `segment`, and a
+    partial upsert lands PREMIUM rows under the NEW name — so the scan
+    must resolve the renamed column per file group (base files carry
+    the old physical name, the delta the new one) and merge them per
+    key. The inline assert pins that the rename was logical (alias
+    marker present ⇒ no rewrite happened)."""
+    c = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    t = create_table(spark, c, _scratch(sf_dir, "rename_column"),
+                     hash_partitions=["c_custkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false"})
+    t.rename_column("c_mktsegment", "segment")
+    assert "aliases.segment" in t.info.configuration, \
+        "rename must be logical (name-mapping), not a rewrite"
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .select("c_custkey", F.lit("PREMIUM").alias("segment")))
+    return t.to_df().orderBy("c_custkey")
+
+
+RENAME_COLUMN_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal,
+       CASE WHEN c_custkey % 10 = 0 THEN 'PREMIUM' ELSE c_mktsegment END AS segment
+FROM customer ORDER BY c_custkey
+"""
+
+
 ENGINE_QUERIES = {
+    "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
     "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),

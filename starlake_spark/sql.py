@@ -128,6 +128,11 @@ _ALTER_CHANGETYPE_RE = re.compile(
     r"(?P<col>\w+)\s+TYPE\s+(?P<type>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*$",
+    re.IGNORECASE,
+)
 
 
 class StarSession:
@@ -337,6 +342,11 @@ class StarSession:
         m = _ALTER_CHANGETYPE_RE.match(text)
         if m and self._known(m["name"]):
             self.table(m["name"]).change_column_type(m["col"], m["type"].strip())
+            return self._empty_df()
+
+        m = _ALTER_RENAME_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).rename_column(m["old"], m["new"])
             return self._empty_df()
 
         m = _ALTER_SETPROPS_RE.match(text)

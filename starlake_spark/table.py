@@ -230,18 +230,36 @@ class StarTable:
     def _maybe_clear_dropped_markers(self) -> None:
         """Once no live file still carries a logically-dropped column
         (exist_cols is the write-time record), the drop is physical and
-        the name becomes re-addable."""
+        the name becomes re-addable. Rename alias markers clear the
+        same way: when no live file carries a column's pre-rename
+        physical name any more (compaction rewrote them), the alias is
+        dead weight and the old name frees up for reuse."""
         info = self.store.table_info(refresh=True)
         dropped = set(filter(None, (info.configuration or {})
                              .get("dropped.columns", "").split(",")))
-        if not dropped:
+        alias_props = {k: v for k, v in (info.configuration or {}).items()
+                       if k.startswith("aliases.")}
+        if not dropped and not alias_props:
             return
         live = {c.lower() for f in self.store.snapshot().all_files()
                 for c in f.exist_cols}
-        remaining = dropped & live
-        if remaining != dropped:
-            info.configuration = {**info.configuration,
-                                  "dropped.columns": ",".join(sorted(remaining))}
+        cfg = dict(info.configuration or {})
+        changed = False
+        if dropped:
+            remaining = dropped & live
+            if remaining != dropped:
+                cfg["dropped.columns"] = ",".join(sorted(remaining))
+                changed = True
+        for k, v in alias_props.items():
+            keep = [a for a in v.split(",") if a and a.lower() in live]
+            if keep != [a for a in v.split(",") if a]:
+                if keep:
+                    cfg[k] = ",".join(keep)
+                else:
+                    cfg.pop(k, None)
+                changed = True
+        if changed:
+            info.configuration = cfg
             self.store.update_table_info(info)
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:
@@ -447,11 +465,87 @@ class StarTable:
             raise ValueError("cannot drop every column")
         info.schema_json = T.StructType(
             [f for f in schema.fields if f.name not in drop]).json()
-        prev = (info.configuration or {}).get("dropped.columns", "")
-        info.configuration = {**(info.configuration or {}),
-                              "dropped.columns": ",".join(
-                                  sorted(set(filter(None, prev.split(","))) |
-                                         {d.lower() for d in drop}))}
+        cfg = dict(info.configuration or {})
+        marked = {d.lower() for d in drop}
+        for d in drop:
+            # a renamed column's bytes live under its PRE-rename names:
+            # retire the alias chain and mark those physical names
+            # dropped too, so neither the new nor any old name can be
+            # re-added while un-compacted files still carry the bytes
+            chain = cfg.pop(f"aliases.{d.lower()}", "")
+            marked |= {a.lower() for a in chain.split(",") if a}
+        prev = cfg.get("dropped.columns", "")
+        cfg["dropped.columns"] = ",".join(
+            sorted(set(filter(None, prev.split(","))) | marked))
+        info.configuration = cfg
+        self.store.update_table_info(info)
+        return self
+
+    def rename_column(self, old: str, new: str) -> "StarTable":
+        """ALTER TABLE RENAME COLUMN (beyond reference — the Delta
+        column-mapping 'name mode' analog, ZERO bytes rewritten): the
+        declared schema adopts the new logical name immediately; files
+        keep whatever physical name they were written with, and the
+        ``aliases.<new>`` table property remembers the historical
+        names so every read path (plain scan, MoR ordering, footer
+        stats skipping, CDC logs) resolves per file group. New writes
+        carry the new name; compaction converges the physical layout,
+        after which the alias marker clears itself and the old name
+        frees up (same lifecycle as ``dropped.columns``).
+
+        Partition/hash columns cannot rename — their names are layout
+        contracts (hive directory fragments, manifest range keys, the
+        bucket hash input). Columns referenced by CHECK constraints or
+        generated-column expressions must shed those first (the
+        expressions store the name as SQL text)."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        lower = {f.name.lower(): f.name for f in schema.fields}
+        canon = lower.get(old.lower())
+        if canon is None:
+            raise ValueError(f"no such column: {old}")
+        if new.lower() in lower and new.lower() != old.lower():
+            raise ValueError(f"column '{new}' already exists")
+        if old.lower() in {c.lower() for c in info.range_cols + info.hash_cols}:
+            raise ValueError(
+                f"cannot rename partition/hash column '{canon}' — its name "
+                f"is baked into the physical layout (directories, bucket "
+                f"hashing)")
+        cfg = dict(info.configuration or {})
+        exprs = " ".join(v for k, v in cfg.items()
+                         if k.startswith("check.") or k.startswith("generated."))
+        if re.search(rf"\b{re.escape(canon)}\b", exprs):
+            raise ValueError(
+                f"column '{canon}' is referenced by a CHECK constraint or "
+                f"generated-column expression; drop those first")
+        live = {c.lower() for f in self.store.snapshot().all_files()
+                for c in f.exist_cols}
+        if new.lower() != old.lower() and new.lower() in live:
+            raise ValueError(
+                f"live files still physically carry a column named '{new}' "
+                f"(dropped or previously renamed away) — compact first, or "
+                f"the old bytes would resurrect under the new name")
+        # the new logical name inherits the old name's alias chain plus
+        # the old name itself (files written before THIS rename)
+        chain = [a for a in cfg.pop(f"aliases.{old.lower()}", "").split(",") if a]
+        cfg[f"aliases.{new.lower()}"] = ",".join(chain + [canon])
+        # per-column property keys follow the logical name
+        prop = cfg.get("compaction.merge_operators")
+        if prop:
+            ops = json.loads(prop)
+            if canon in ops:
+                ops[new] = ops.pop(canon)
+                cfg["compaction.merge_operators"] = json.dumps(ops)
+        bloom = cfg.get("bloom.index.cols")
+        if bloom:
+            cfg["bloom.index.cols"] = ",".join(
+                new if c.strip().lower() == old.lower() else c.strip()
+                for c in bloom.split(","))
+        info.schema_json = T.StructType([
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == canon else f
+            for f in schema.fields]).json()
+        info.configuration = cfg
         self.store.update_table_info(info)
         return self
 
