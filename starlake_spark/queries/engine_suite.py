@@ -1146,6 +1146,65 @@ ORDER BY o_orderkey, o_custkey
 """
 
 
+def star_stream_preimage_cdf(spark, sf_dir):
+    """STREAMING full-fidelity CDC off write-time logs: a cdf.enabled
+    table takes a MoR upsert and a tombstone delete; the preimage
+    stream (changeTypes + withPreimages) must drain the logged
+    update_preimage/update_postimage pairs and delete rows carrying
+    REAL merged pre-state values — the raw-file stream would emit only
+    postimages and null-valued tombstone keys. startingVersion=1 skips
+    the bulk initial insert, so the sink holds exactly the churn."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "stream_pre_cdf")
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = create_table(spark, c, path,
+                     hash_partitions=["c_custkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false",
+                                    "cdf.enabled": "true"})
+    t.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+              .withColumn("c_acctbal", F.col("c_acctbal") * 2))        # v2
+    t.delete("c_custkey % 20 = 0", use_delta=True)                      # v3
+
+    out, ckpt = path + "_out", path + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (spark.readStream.format("star")
+         .option("changeTypes", "true").option("withPreimages", "true")
+         .option("startingVersion", "1").load(path)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .select("c_custkey", "c_name", "c_acctbal",
+                    "_commit_version", "_change_type")
+            .orderBy("_commit_version", "_change_type", "c_custkey"))
+
+
+STREAM_PREIMAGE_CDF_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, _commit_version, _change_type
+FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST(2 AS BIGINT) AS _commit_version, 'update_preimage' AS _change_type
+  FROM customer
+  WHERE c_custkey % 10 = 0 AND c_acctbal IS NOT NULL AND c_acctbal <> 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+         CAST(2 AS BIGINT), 'update_postimage'
+  FROM customer
+  WHERE c_custkey % 10 = 0 AND c_acctbal IS NOT NULL AND c_acctbal <> 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+         CAST(3 AS BIGINT), 'delete'
+  FROM customer WHERE c_custkey % 20 = 0
+)
+ORDER BY _commit_version, _change_type, c_custkey
+"""
+
+
 def star_stream_cdf(spark, sf_dir):
     """STREAMING typed change feed: tail a table with changeTypes=true
     through readStream while it takes an insert load, a MoR upsert and
@@ -1346,6 +1405,8 @@ ENGINE_QUERIES = {
     "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
+    "star_stream_preimage_cdf": (star_stream_preimage_cdf,
+                                 STREAM_PREIMAGE_CDF_ORACLE),
     "star_convert_in_place": (star_convert_in_place, CONVERT_ORACLE),
     "star_point_lookup": (star_point_lookup, POINT_LOOKUP_ORACLE),
     "star_upsert_mor": (star_upsert_mor, UPSERT_ORACLE),

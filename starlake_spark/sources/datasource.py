@@ -75,7 +75,12 @@ class _FilePartition(InputPartition):
     # python values — they live in the manifest/directory layout, not in
     # the parquet itself (partitionBy strips them)
     const_cols: tuple = ()
-    change_type: str = "insert"
+    # None ⇒ the file carries its own _commit_version/_change_type
+    # columns (a write-time CDC log, dml._maybe_log_cdc)
+    change_type: str | None = "insert"
+    # RENAME COLUMN name-mapping: ((logical, (old_physical, ...)), ...)
+    # so pre-rename files resolve in the plan-worker read path too
+    aliases: tuple = ()
 
 
 def _typed_part_value(v: str, dtype: T.DataType):
@@ -99,8 +104,16 @@ def _typed_part_value(v: str, dtype: T.DataType):
     return v
 
 
+def _alias_pairs(store: ManifestStore) -> tuple:
+    from starlake_spark.operators.reader import alias_map
+
+    return tuple((k, tuple(v))
+                 for k, v in alias_map(store.table_info()).items())
+
+
 def _file_partitions(store: ManifestStore, files, schema_types: dict,
                      change_type: str = "insert") -> list:
+    aliases = _alias_pairs(store)
     parts = []
     for f in files:
         consts = tuple(
@@ -115,6 +128,7 @@ def _file_partitions(store: ManifestStore, files, schema_types: dict,
                 version=f.write_version,
                 const_cols=consts,
                 change_type=change_type,
+                aliases=aliases,
             )
         )
     return parts
@@ -133,24 +147,40 @@ def _arrow_schema(spark_schema: T.StructType):
 def _read_aligned(part: _FilePartition, arrow_schema):
     """One parquet file → RecordBatches matching the requested Arrow
     schema: missing columns (file predates schema evolution) become
-    nulls, the version column is attached, types are cast."""
+    nulls, renamed columns resolve their pre-rename physical name, the
+    version/change-type columns attach as constants — or come from the
+    file itself when ``change_type`` is None (a CDC log file carries
+    per-row values)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.abs_path)
     consts = dict(part.const_cols)
+    amap = dict(part.aliases)
+
+    def _physical(name):
+        if name in tbl.column_names:
+            return name
+        for a in amap.get(name.lower(), ()):
+            if a in tbl.column_names:
+                return a
+        return None
+
+    from_file = part.change_type is None
     cols = []
     for field in arrow_schema:
-        if field.name == VERSION_COL:
+        if field.name == VERSION_COL and not from_file:
             cols.append(pa.array([part.version] * len(tbl), type=field.type))
-        elif field.name == CHANGE_TYPE_COL:
+        elif field.name == CHANGE_TYPE_COL and not from_file:
             cols.append(pa.array([part.change_type] * len(tbl), type=field.type))
-        elif field.name in consts:
+        elif field.name in consts and not from_file:
             cols.append(pa.array([consts[field.name]] * len(tbl), type=field.type))
-        elif field.name in tbl.column_names:
-            cols.append(tbl[field.name].cast(field.type))
         else:
-            cols.append(pa.nulls(len(tbl), type=field.type))
+            phys = _physical(field.name)
+            if phys is not None:
+                cols.append(tbl[phys].cast(field.type))
+            else:
+                cols.append(pa.nulls(len(tbl), type=field.type))
     out = pa.Table.from_arrays(cols, schema=arrow_schema)
     yield from out.to_batches()
 
@@ -230,17 +260,37 @@ class _StarStreamReader(DataSourceStreamReader):
     Without it, a delete_delta commit in range RAISES unless
     ``ignoreDeletes=true`` — an append-only consumer must opt into
     skipping deletions rather than silently retaining deleted rows
-    forever."""
+    forever.
+
+    ``with_preimages=True`` (option ``withPreimages``, requires
+    ``changeTypes``) upgrades the stream to FULL-fidelity CDC by
+    reading the write-time CDC logs (``cdf.enabled`` tables,
+    dml._maybe_log_cdc): each delta commit streams its logged
+    update_preimage/update_postimage/insert/delete rows with REAL
+    merged values. Streaming preimages are log-only by design — the
+    batch feed can re-derive them with two MoR scans per commit, but a
+    plan worker has no SparkSession, so a delta commit without a log
+    RAISES (enable cdf.enabled before the commits you want to stream,
+    or use the batch ``table_changes`` for historical windows)."""
 
     def __init__(self, table_path: str, schema: T.StructType, starting_version: int,
                  partition_filter: str | None = None,
-                 change_types: bool = False, ignore_deletes: bool = False):
+                 change_types: bool = False, ignore_deletes: bool = False,
+                 with_preimages: bool = False):
+        if with_preimages and not change_types:
+            raise ValueError("withPreimages requires changeTypes=true")
+        if with_preimages and partition_filter:
+            raise ValueError(
+                "withPreimages is incompatible with partition_filter: CDC "
+                "log files carry range values as data, not directory "
+                "constants — filter the stream DataFrame instead")
         self.table_path = table_path
         self.spark_schema = schema
         self.starting_version = starting_version
         self.partition_filter = partition_filter
         self.change_types = change_types
         self.ignore_deletes = ignore_deletes
+        self.with_preimages = with_preimages
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -266,6 +316,28 @@ class _StarStreamReader(DataSourceStreamReader):
                     "Read with .option('changeTypes', 'true') to receive "
                     "delete rows, or .option('ignoreDeletes', 'true') to "
                     "acknowledge an append-only view")
+            if (self.with_preimages
+                    and snap.commit_type in ("delta", "delete_delta")):
+                from starlake_spark.operators.dml import CDC_DIR
+
+                log_dir = os.path.join(store.table_path, CDC_DIR, str(v))
+                if not os.path.isdir(log_dir):
+                    raise ValueError(
+                        f"withPreimages stream: commit {v} "
+                        f"({snap.commit_type}) has no CDC log — enable the "
+                        "cdf.enabled table property before writing, or use "
+                        "batch table_changes(with_preimages=True), which "
+                        "can re-derive historical commits")
+                aliases = _alias_pairs(store)
+                parts.extend(
+                    _FilePartition(
+                        abs_path=os.path.join(log_dir, n),
+                        exist_cols=(), version=v, const_cols=(),
+                        change_type=None,  # CDF columns come from the file
+                        aliases=aliases)
+                    for n in sorted(os.listdir(log_dir))
+                    if n.endswith(".parquet") and not n.startswith((".", "_")))
+                continue
             new_files = [f for f in snap.all_files() if f.write_version == v]
             parts.extend(_file_partitions(store, new_files, types, change_type=ct))
         return _prune_by_option(parts, self.partition_filter)
@@ -316,7 +388,8 @@ class StarDataSource(DataSource):
         return _StarStreamReader(self._path(), schema, start,
                                  self.options.get("partition_filter"),
                                  change_types=self._flag("changeTypes"),
-                                 ignore_deletes=self._flag("ignoreDeletes"))
+                                 ignore_deletes=self._flag("ignoreDeletes"),
+                                 with_preimages=self._flag("withPreimages"))
 
 
 def register(spark) -> None:

@@ -373,3 +373,65 @@ def test_table_changes_batch_cdf(spark, orders, tmp_path):
     # JVM plan (no python data source node)
     plan = all_changes._jdf.queryExecution().executedPlan().toString()
     assert "PythonDataSource" not in plan and "FileScan parquet" in plan
+
+
+def test_stream_with_preimages_reads_cdc_logs(spark, tmp_path):
+    """Full-fidelity streaming CDC off the write-time logs: update
+    pre/post pairs with real values, deletes carrying the merged
+    pre-state (a raw tombstone would stream nulls)."""
+    path = str(tmp_path / "pcdc")
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)], "id int, name string, v int")
+    t = create_table(spark, df, path, hash_partitions=["id"],
+                     hash_bucket_num=2,
+                     configuration={"compaction.auto": "false",
+                                    "cdf.enabled": "true"})
+    t.upsert(spark.createDataFrame([(1, "A", 10)], "id int, name string, v int"))
+    t.delete("id = 2", use_delta=True)
+    q = (spark.readStream.format("star")
+         .option("changeTypes", "true").option("withPreimages", "true")
+         .option("startingVersion", "1").load(path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.id, r._change_type): (r.name, r.v, r._commit_version)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {
+        (1, "update_preimage"): ("a", 1, 2),
+        (1, "update_postimage"): ("A", 10, 2),
+        (2, "delete"): ("b", 2, 3),   # REAL merged values, not nulls
+    }
+
+
+def test_stream_with_preimages_requires_logs(spark, tmp_path):
+    """A delta commit without a CDC log fails the preimage stream
+    loudly (plan workers cannot re-derive: no SparkSession)."""
+    path = str(tmp_path / "nolog")
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    t = create_table(spark, df, path, hash_partitions=["id"],
+                     hash_bucket_num=2,
+                     configuration={"compaction.auto": "false"})
+    t.upsert(spark.createDataFrame([(1, "A")], "id int, name string"))
+    q = (spark.readStream.format("star")
+         .option("changeTypes", "true").option("withPreimages", "true")
+         .load(path)
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="no CDC log|cdf.enabled"):
+        q.awaitTermination(120)
+
+
+def test_python_batch_reader_resolves_renamed_columns(spark, tmp_path):
+    """format('star') pure-python batch path serves pre-rename files
+    under the new logical name (the plan-worker twin of the JVM
+    reader's alias resolution)."""
+    path = str(tmp_path / "ren")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    t = create_table(spark, df, path, hash_partitions=["id"], hash_bucket_num=2)
+    t.rename_column("name", "label")
+    got = spark.read.format("star").load(path)
+    assert "label" in got.columns and "name" not in got.columns
+    assert {r.id: r.label for r in got.collect()} == {1: "a", 2: "b"}
