@@ -296,6 +296,8 @@ def _generated_conjuncts(info, where_conjs: list[str]) -> list[str]:
 
 _IN_LIST_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
+_IS_NULL_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
 _CONJ_CMP_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*([^<>=]+?)\s*$")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
@@ -379,7 +381,11 @@ def _conjuncts(pred: str) -> list[str]:
         r"\1 >= \2 AND \1 <= \3", pred, flags=re.IGNORECASE)
     out = []
     for c in _split_top_and(pred):
-        if re.search(r"\bOR\b|\bNOT\b", c, re.IGNORECASE):
+        if re.search(r"\bOR\b", c, re.IGNORECASE):
+            continue
+        # NOT is unanalyzable except the IS NOT NULL form, which the
+        # null-count skipper understands
+        if re.search(r"\bNOT\b", c, re.IGNORECASE) and not _IS_NULL_RE.match(c):
             continue
         out.append(c)
     return out
@@ -396,7 +402,22 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     schema_types = {f.name: f.dataType for f in _schema(info).fields}
     conds = []
     need_cols = set()
+    null_cols = set()
     for c in conjuncts:
+        mn_ = _IS_NULL_RE.match(c)
+        if mn_:
+            col, neg = mn_.group(1), bool(mn_.group(2))
+            if col not in allowed_cols or col not in schema_types:
+                continue
+            # footer null counts: `IS NULL` skips files with zero nulls
+            # in the column; `IS NOT NULL` skips files that are ALL
+            # null (null count == row count). Unknown counts pass.
+            if neg:
+                conds.append(f"coalesce(`_nulls_{col}` < `_rows`, true)")
+            else:
+                conds.append(f"coalesce(`_nulls_{col}` > 0, true)")
+            null_cols.add(col)
+            continue
         mi = _IN_LIST_RE.match(c)
         if mi:
             col, body = mi.group(1), mi.group(2)
@@ -442,20 +463,28 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     rows = []
     for i, f in enumerate(files):
         st = f.stats or {}
-        row = {"_idx": i}
+        row = {"_idx": i, "_rows": f.num_rows if f.num_rows >= 0 else None}
         for c in need_cols:
             # pre-rename files recorded footer bounds under the old
             # physical name — resolve through the alias map so renamed
             # columns keep skipping (missing either way ⇒ file kept)
             phys = _resolve_physical(c, st, amap)
-            b = None if phys is None else st.get(phys)
-            row[f"_min_{c}"] = None if b is None else str(b["min"])
-            row[f"_max_{c}"] = None if b is None else str(b["max"])
+            b = ({} if phys is None else st.get(phys)) or {}
+            mn, mx = b.get("min"), b.get("max")
+            row[f"_min_{c}"] = None if mn is None else str(mn)
+            row[f"_max_{c}"] = None if mx is None else str(mx)
+        for c in null_cols:
+            phys = _resolve_physical(c, st, amap)
+            b = ({} if phys is None else st.get(phys)) or {}
+            row[f"_nulls_{c}"] = b.get("nulls")
         rows.append(row)
-    fields = [T.StructField("_idx", T.IntegerType())]
+    fields = [T.StructField("_idx", T.IntegerType()),
+              T.StructField("_rows", T.LongType())]
     for c in sorted(need_cols):
         fields += [T.StructField(f"_min_{c}", T.StringType()),
                    T.StructField(f"_max_{c}", T.StringType())]
+    for c in sorted(null_cols):
+        fields.append(T.StructField(f"_nulls_{c}", T.LongType()))
     pdf = spark.createDataFrame(
         [[r.get(f.name) for f in fields] for r in rows], T.StructType(fields))
     for c in need_cols:

@@ -431,14 +431,28 @@ def _footer_stats(fp: str) -> dict | None:
         return None, -1
     agg: dict[str, list] = {}
     dropped: set[str] = set()
+    # null counts aggregate independently of min/max (an all-null
+    # column has no bounds but a perfectly good null count — that is
+    # exactly the file IS NULL / IS NOT NULL skipping wants)
+    nulls: dict[str, int] = {}
+    null_dropped: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name or name in dropped:  # nested fields: not skippable
+            if "." in name:  # nested fields: not skippable
                 continue
             st = col.statistics
+            if name not in null_dropped:
+                nc = None if st is None else st.null_count
+                if nc is None:
+                    null_dropped.add(name)
+                    nulls.pop(name, None)
+                else:
+                    nulls[name] = nulls.get(name, 0) + nc
+            if name in dropped:
+                continue
             if st is None or not st.has_min_max:
                 dropped.add(name)
                 agg.pop(name, None)
@@ -453,5 +467,7 @@ def _footer_stats(fp: str) -> dict | None:
                 agg[name][1] = max(agg[name][1], mx)
             else:
                 agg[name] = [mn, mx]
-    return ({k: {"min": v[0], "max": v[1]} for k, v in agg.items()} or None,
-            md.num_rows)
+    out: dict[str, dict] = {k: {"min": v[0], "max": v[1]} for k, v in agg.items()}
+    for k, n in nulls.items():
+        out.setdefault(k, {})["nulls"] = n
+    return (out or None, md.num_rows)

@@ -281,3 +281,46 @@ def test_skipping_handles_in_between_and_mixed_predicates(spark, tmp_table_dir):
     all_n = len(t.to_df().inputFiles())
     for p in ("o_orderkey IN (5, 6, 7)", "o_orderkey BETWEEN 10 AND 40"):
         assert len(t.to_df(where=p).inputFiles()) < all_n, p
+
+
+def test_null_count_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL prune on footer null counts: a commit with
+    zero nulls is skipped by IS NULL; an all-null commit is skipped by
+    IS NOT NULL; results always match the row-level filter."""
+    def _df(rows):
+        return spark.createDataFrame(rows, "id int, tag string").coalesce(1)
+
+    t = create_table(spark, _df([(1, "a"), (2, "b")]), str(tmp_path / "t"))
+    t.write(_df([(3, None), (4, None)]), mode="append")
+    t.write(_df([(5, "e"), (6, None)]), mode="append")
+    files = [f for f in t.store.snapshot().all_files() if f.num_rows > 0]
+    assert {f.stats["tag"].get("nulls") for f in files} == {0, 1, 2}
+    n_files = len(t.to_df().inputFiles())
+
+    isnull = t.to_df(where="tag IS NULL")
+    assert len(isnull.inputFiles()) < n_files      # no-null commit skipped
+    assert sorted(r.id for r in isnull.collect()) == [3, 4, 6]
+
+    notnull = t.to_df(where="tag IS NOT NULL")
+    assert len(notnull.inputFiles()) < n_files     # all-null commit skipped
+    assert sorted(r.id for r in notnull.collect()) == [1, 2, 5]
+
+    # combined with a comparison conjunct
+    both = t.to_df(where="tag IS NOT NULL AND id >= 5")
+    assert sorted(r.id for r in both.collect()) == [5]
+
+
+def test_null_count_on_all_null_column_without_bounds(spark, tmp_path):
+    """An all-null column has NO min/max (parquet writes no bounds) but
+    a perfectly good null count — stats must still carry it and range
+    predicates on the column must stay correct (pass-through)."""
+    t = create_table(
+        spark,
+        spark.createDataFrame([(1, None), (2, None)], "id int, v double")
+        .coalesce(1),
+        str(tmp_path / "t"))
+    f = [f for f in t.store.snapshot().all_files() if f.num_rows > 0][0]
+    assert f.stats["v"] == {"nulls": 2}
+    assert t.to_df(where="v IS NOT NULL").count() == 0
+    assert t.to_df(where="v > 1.0").count() == 0
+    assert t.to_df(where="v IS NULL").count() == 2
