@@ -259,14 +259,53 @@ def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) 
     return [r for r in rows if tuple(str(r.get(c)) for c in range_cols) in keep_keys]
 
 
+def _generated_translator(gexpr: str):
+    """(source_col, λ literal → partition-side SQL) for a MONOTONE
+    generated-column expression, else None. Every supported form is a
+    floor/prefix function of its input, so ``src >= L`` implies
+    ``g >= f(L)`` — Delta's generated-column partition-pruning rule
+    across the common time-partitioning layouts. date_format patterns
+    qualify only when chronological prefixes of ISO order (yyyy,
+    yyyy-MM, ...); month()/day() alone are cyclic, NOT monotone, and
+    deliberately absent."""
+    m = re.fullmatch(r"\s*to_date\(\s*([A-Za-z_]\w*)\s*\)\s*", gexpr, re.IGNORECASE)
+    if m:
+        return m.group(1), lambda l: f"to_date({l})"
+    m = re.fullmatch(r"\s*cast\(\s*([A-Za-z_]\w*)\s+as\s+date\s*\)\s*",
+                     gexpr, re.IGNORECASE)
+    if m:
+        return m.group(1), lambda l: f"to_date({l})"
+    m = re.fullmatch(r"\s*date_trunc\(\s*'(\w+)'\s*,\s*([A-Za-z_]\w*)\s*\)\s*",
+                     gexpr, re.IGNORECASE)
+    if m and m.group(1).upper() in (
+            "YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND"):
+        unit = m.group(1)
+        return m.group(2), lambda l, u=unit: f"date_trunc('{u}', {l})"
+    m = re.fullmatch(r"\s*year\(\s*([A-Za-z_]\w*)\s*\)\s*", gexpr, re.IGNORECASE)
+    if m:
+        return m.group(1), lambda l: f"year({l})"
+    m = re.fullmatch(r"\s*substr(?:ing)?\(\s*([A-Za-z_]\w*)\s*,\s*1\s*,\s*(\d+)\s*\)\s*",
+                     gexpr, re.IGNORECASE)
+    if m:
+        n = int(m.group(2))
+        return m.group(1), lambda l, n=n: f"substring(CAST({l} AS STRING), 1, {n})"
+    m = re.fullmatch(
+        r"\s*date_format\(\s*([A-Za-z_]\w*)\s*,\s*"
+        r"'(yyyy(?:-MM(?:-dd(?: HH)?)?)?)'\s*\)\s*", gexpr, re.IGNORECASE)
+    if m:
+        fmt = m.group(2)
+        return m.group(1), lambda l, f_=fmt: f"date_format({l}, '{f_}')"
+    return None
+
+
 def _generated_conjuncts(info, where_conjs: list[str]) -> list[str]:
     """Translate predicates on a generated column's SOURCE into
-    partition conjuncts on the generated column (Delta's
-    generated-column partition-pruning rule, for the to_date family):
-    with day = to_date(ts), ``ts >= L`` implies ``day >= to_date(L)``
-    because to_date is monotone — so queries that only mention ts still
-    prune day directories. Equality maps to day equality; strict
-    comparisons widen to the containing day (safe: pruning keeps a
+    partition conjuncts on the generated column: with day = to_date(ts)
+    (or date_trunc / year / ISO-prefix substring / date_format — every
+    monotone form _generated_translator knows), ``ts >= L`` implies
+    ``day >= f(L)`` — so queries that only mention ts still prune
+    directories. Equality maps to partition equality; strict
+    comparisons widen to the containing bucket (safe: pruning keeps a
     superset, rows re-filter later)."""
     out = []
     gen = {k[len("generated."):]: v
@@ -275,11 +314,10 @@ def _generated_conjuncts(info, where_conjs: list[str]) -> list[str]:
     for gcol, gexpr in gen.items():
         if gcol not in info.range_cols:
             continue
-        m = re.fullmatch(r"\s*to_date\(\s*([A-Za-z_]\w*)\s*\)\s*", gexpr,
-                         re.IGNORECASE)
-        if not m:
-            continue  # only the monotone to_date(src) form is translatable
-        src = m.group(1)
+        tr = _generated_translator(gexpr)
+        if tr is None:
+            continue  # non-monotone / unrecognized: no translation
+        src, fn = tr
         for c in where_conjs:
             mc = _CONJ_CMP_RE.match(c)
             if not mc or mc.group(1) != src:
@@ -290,7 +328,7 @@ def _generated_conjuncts(info, where_conjs: list[str]) -> list[str]:
                 continue
             op = {"<": "<=", "<=": "<=", ">": ">=", ">=": ">=",
                   "=": "=", "==": "="}[mc.group(2)]
-            out.append(f"`{gcol}` {op} to_date({lit})")
+            out.append(f"`{gcol}` {op} {fn(lit)}")
     return out
 
 

@@ -324,3 +324,29 @@ def test_null_count_on_all_null_column_without_bounds(spark, tmp_path):
     assert t.to_df(where="v IS NOT NULL").count() == 0
     assert t.to_df(where="v > 1.0").count() == 0
     assert t.to_df(where="v IS NULL").count() == 2
+
+
+@pytest.mark.parametrize("gexpr,gtype", [
+    ("date_trunc('hour', ts)", "timestamp"),
+    ("year(ts)", "int"),
+    ("substring(ts, 1, 10)", "string"),
+    ("date_format(ts, 'yyyy-MM-dd')", "string"),
+])
+def test_generated_partition_pruning_monotone_forms(spark, tmp_path, gexpr, gtype):
+    """Predicates on the SOURCE column prune generated partitions for
+    every monotone layout form, not just to_date."""
+    df = spark.sql("""
+        SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,
+               CAST(id AS DOUBLE) AS v
+        FROM range(0, 96) AS r(id)
+    """)
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     range_partitions=["g"], generated={"g": gexpr})
+    n_all = len(t.to_df().inputFiles())
+    pred = ("ts >= TIMESTAMP '2024-01-02 00:00:00' AND "
+            "ts < TIMESTAMP '2024-01-03 00:00:00'")
+    got = t.to_df(where=pred)
+    if gexpr != "year(ts)":  # year(): one partition holds everything
+        assert 0 < len(got.inputFiles()) < n_all, gexpr
+    assert got.count() == df.filter(pred).count() > 0
+    assert sorted(r.id for r in got.collect()) == list(range(24, 48))
