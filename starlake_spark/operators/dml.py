@@ -592,6 +592,72 @@ def _part_merge_partition(spark: SparkSession, store: ManifestStore,
         commits += 1
 
 
+def compact_small_files(spark: SparkSession, store: ManifestStore,
+                        threshold_bytes: int = 32 * 1024 * 1024,
+                        partition: str | None = None) -> int:
+    """Bin-packing small-file compaction (Delta OPTIMIZE's default
+    behavior, beyond the reference): per partition, merge ONLY the
+    files under ``threshold_bytes`` into fresh right-sized files,
+    leaving well-sized files untouched — the standing maintenance op
+    for append-heavy ingest, where every micro-batch lands another
+    sliver of parquet and a full-partition rewrite would re-copy
+    terabytes to fix megabytes. Non-hash tables only: on hash tables
+    small delta files carry MoR version semantics, and merging across
+    versions is exactly what the part-merge guard / full compaction
+    already do correctly. Partitions with fewer than two small files
+    are left alone. Returns the number of files merged away.
+
+    Schema-evolution-safe: inputs read through the aligned group
+    reader (old files' missing/renamed columns resolve), output
+    projects the current schema. The commit is a logical no-op
+    rewrite (commit_type 'compact'): CDF and stream readers skip it.
+    """
+    from starlake_spark.meta import CommitConflictError
+
+    info = store.table_info()
+    if info.hash_cols:
+        raise ValueError(
+            "small-file compaction is for non-hash tables; hash tables "
+            "compact through the MoR-aware paths (compaction/part-merge)")
+    for attempt in range(3):
+        try:
+            return _compact_small_once(spark, store, info,
+                                       threshold_bytes, partition)
+        except CommitConflictError:
+            if attempt == 2:
+                raise
+
+
+def _compact_small_once(spark, store, info, threshold_bytes, partition) -> int:
+    snap = store.snapshot()
+    merged_away = 0
+    txn = store.new_transaction()
+    txn.commit_type = "compact"
+    all_small: list = []
+    for rv, ps in snap.partitions.items():
+        if partition is not None and rv != partition:
+            continue
+        small = [f for f in ps.files if f.size < threshold_bytes]
+        if len(small) < 2:
+            continue
+        all_small.extend(small)
+    if not all_small:
+        return 0
+    merged = reader._plain_scan(spark, store, info, all_small)
+    if not info.range_cols:
+        # bin-pack toward ~threshold-sized outputs; range tables get
+        # their one-file-per-partition consolidation from the write
+        # path's range repartition instead
+        total = sum(f.size for f in all_small)
+        merged = merged.coalesce(max(1, -(-total // threshold_bytes)))
+    files = writer.write_files(spark, merged, info, txn, is_base=True)
+    txn.add_files(files)
+    txn.expire_files([f.path for f in all_small])
+    store.commit(txn)
+    merged_away = len(all_small)
+    return merged_away
+
+
 def compact(spark: SparkSession, store: ManifestStore, force: bool = True,
             merge_operators: dict | None = None,
             partition: str | None = None,

@@ -1372,6 +1372,45 @@ ORDER BY _commit_version, _change_type, c_custkey
 """
 
 
+def star_small_file_compaction(spark, sf_dir):
+    """Bin-packing small-file maintenance (Delta OPTIMIZE default
+    shape): orders lands as one right-sized commit plus six sliver
+    appends; compact_small_files must merge ONLY the slivers — the
+    inline asserts pin that every big file survives under its original
+    path and the sliver count drops — and the table still reads as
+    exactly orders plus the appended rows."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o.coalesce(4), _scratch(sf_dir, "small_files"))
+    extra = o.orderBy("o_orderkey").limit(6).select(
+        (F.col("o_orderkey") + F.lit(50_000_000)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+    for k in [r.o_orderkey for r in extra.select("o_orderkey").collect()]:
+        t.write(extra.filter(F.col("o_orderkey") == k).coalesce(1),
+                mode="append")
+    threshold = 64 * 1024
+    files0 = {f.path for f in t.store.snapshot().all_files()
+              if f.size >= threshold}
+    n = t.compact_small_files(threshold_bytes=threshold)
+    assert n >= 6, f"expected the six slivers to merge, got {n}"
+    files1 = {f.path for f in t.store.snapshot().all_files()}
+    assert files0 <= files1, "right-sized files must survive untouched"
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+SMALL_FILES_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 6)
+)
+ORDER BY o_orderkey
+"""
+
+
 def star_rename_column(spark, sf_dir):
     """RENAME COLUMN via name-mapping (zero bytes rewritten): customer
     loads under c_mktsegment, the column renames to `segment`, and a
@@ -1402,6 +1441,7 @@ FROM customer ORDER BY c_custkey
 
 ENGINE_QUERIES = {
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
+    "star_small_file_compaction": (star_small_file_compaction, SMALL_FILES_ORACLE),
     "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),

@@ -227,6 +227,18 @@ class StarTable:
         self._maybe_clear_dropped_markers()
         return self
 
+    def compact_small_files(self, threshold_bytes: int = 32 * 1024 * 1024,
+                            partition: str | None = None) -> int:
+        """Bin-packing small-file merge (Delta OPTIMIZE default shape):
+        coalesce only the files under ``threshold_bytes`` per
+        partition, leave right-sized files untouched. The maintenance
+        op for append-heavy ingest; see dml.compact_small_files."""
+        n = dml.compact_small_files(self.spark, self.store,
+                                    threshold_bytes=threshold_bytes,
+                                    partition=partition)
+        self._maybe_clear_dropped_markers()
+        return n
+
     def _maybe_clear_dropped_markers(self) -> None:
         """Once no live file still carries a logically-dropped column
         (exist_cols is the write-time record), the drop is physical and
