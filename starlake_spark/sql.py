@@ -464,6 +464,18 @@ class StarSession:
             self.table(m["name"]).compaction(force=True, partition=part)
             return self._empty_df()
 
+        # OPTIMIZE t SMALL FILES [THRESHOLD <n> MB] — bin-packing merge
+        # of sub-threshold files only (dml.compact_small_files)
+        m = re.match(r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s+SMALL\s+FILES"
+                     r"(?:\s+THRESHOLD\s+(?P<mb>\d+)\s*MB)?\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            kw = {}
+            if m["mb"]:
+                kw["threshold_bytes"] = int(m["mb"]) * 1024 * 1024
+            n = self.table(m["name"]).compact_small_files(**kw)
+            return self.spark.createDataFrame([(n,)], "files_merged int")
+
         # OPTIMIZE t [WHERE <range-partition predicate>]
         #            [ZORDER BY (a, b)] — Delta-style alias for the
         # clustered compaction rewrite (dml.compact sort_columns); the

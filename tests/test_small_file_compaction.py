@@ -73,3 +73,20 @@ def test_small_file_compaction_noop_when_nothing_small(spark, tmp_path):
     v0 = t.store.latest_version()
     assert t.compact_small_files(threshold_bytes=1) == 0  # nothing under 1B
     assert t.store.latest_version() == v0                 # no empty commit
+
+
+def test_optimize_small_files_sql(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    wh = str(tmp_path / "wh")
+    ss = StarSession(spark, warehouse=wh)
+    t = create_table(spark,
+                     spark.createDataFrame([(1, "a")], "id int, v string")
+                     .coalesce(1),
+                     wh + "/sf", short_name="sf", warehouse=wh)
+    for i in range(3):
+        t.write(spark.createDataFrame([(10 + i, "x")], "id int, v string")
+                .coalesce(1), mode="append")
+    out = ss.sql("OPTIMIZE sf SMALL FILES THRESHOLD 1 MB").collect()
+    assert out[0].files_merged >= 4
+    assert sorted(r.id for r in ss.sql("SELECT * FROM sf").collect()) == [1, 10, 11, 12]
