@@ -732,6 +732,42 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
 """
 
 
+def star_datasource_write(spark, sf_dir):
+    """V2 batch WRITE through ``df.write.format("star")`` (reference
+    StarLakeTableV2 V1_BATCH_WRITE/TRUNCATE): tasks stream Arrow
+    batches into an unpublished commit directory (range-splitting
+    in-task), the driver publishes the manifest atomically — then an
+    overwrite truncate-replaces. The read-back goes through the table
+    API, so manifest range values, footer stats and partition pruning
+    recorded by the V2 writer must all be coherent."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "datasource_write")
+    s = ld(spark, sf_dir, "supplier")
+    t = create_table(spark, s.limit(0), path, range_partitions=["s_nationkey"])
+    s.write.format("star").mode("append").save(path)
+    (s.filter(F.col("s_suppkey") % 3 == 0)
+      .withColumn("s_suppkey", F.col("s_suppkey") + 2_000_000)
+      .write.format("star").mode("append").save(path))
+    pruned = t.to_df(where="s_nationkey = 3")
+    assert len(pruned.inputFiles()) < len(t.to_df().inputFiles()), \
+        "V2-written files must partition-prune"
+    return (t.to_df()
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+DATASOURCE_WRITE_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
+  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 2000000, s_name, s_nationkey, s_acctbal
+  FROM supplier WHERE s_suppkey % 3 = 0
+) ORDER BY s_suppkey
+"""
+
+
 def star_bucketed_join(spark, sf_dir):
     """PK-join shuffle elision via bucketed materialization
     (StarTable.to_bucketed_table — the PySpark rendition of the
@@ -1460,6 +1496,7 @@ ENGINE_QUERIES = {
     "star_stream_dedup": (star_stream_dedup, STREAM_DEDUP_ORACLE),
     "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),
     "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
+    "star_datasource_write": (star_datasource_write, DATASOURCE_WRITE_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),
     "star_update_delete": (star_update_delete, UPDATE_DELETE_ORACLE),

@@ -33,9 +33,11 @@ import os
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from starlake_spark.meta import ManifestStore, decode_range_value
@@ -352,6 +354,163 @@ class _StarStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclasses.dataclass
+class _WriteMessage(WriterCommitMessage):
+    rel_paths: tuple  # files this task wrote, relative to the table root
+
+
+class _StarBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("star").mode("append"|"overwrite").save(path)``
+    — the V2 batch write capability (reference StarLakeTableV2
+    V1_BATCH_WRITE + TRUNCATE, catalog/StarLakeTableV2.scala:38-141),
+    expressed as the same delayed-commit protocol the table API uses:
+    every task streams its Arrow batches into parquet under an
+    UNPUBLISHED per-commit directory (``data/<commit_id>/``, hive range
+    dirs inside), the driver's ``commit()`` harvests footer stats and
+    publishes the manifest atomically. A failed job publishes nothing;
+    stray files from failed task attempts are invisible until vacuum.
+
+    Non-hash tables only (bucketed layout is a contract arbitrary task
+    partitioning can't honor — hash tables write through upsert), and
+    tables with CHECK constraints or generated columns route through
+    the table API, which enforces them inside the write pass."""
+
+    def __init__(self, table_path: str, schema: T.StructType, overwrite: bool):
+        import uuid
+
+        store = ManifestStore(table_path)
+        info = store.table_info()
+        if info.hash_cols:
+            raise ValueError(
+                "format('star') batch write targets non-hash tables; hash "
+                "tables dedup by key — use StarTable.upsert "
+                "(WriteIntoTable.scala:96-97)")
+        cfg = info.configuration or {}
+        if any(k.startswith(("check.", "generated.")) for k in cfg):
+            raise ValueError(
+                "this table declares CHECK constraints / generated columns; "
+                "write through StarTable.write, which enforces them in the "
+                "write pass")
+        declared = T.StructType.fromJson(json.loads(info.schema_json))
+        declared_names = {f.name for f in declared.fields}
+        extra = [c for c in schema.fieldNames() if c not in declared_names]
+        if extra:
+            raise ValueError(f"columns {extra} not in table schema; use "
+                             "StarTable.write for schema merge")
+        for c in info.range_cols:
+            if c not in schema.fieldNames():
+                raise ValueError(f"range partition column '{c}' missing")
+        self.table_path = table_path
+        self.overwrite = overwrite
+        self.range_cols = list(info.range_cols)
+        # present columns cast to their DECLARED types in-task
+        self.cast_types = {f.name: f.dataType for f in declared.fields
+                           if f.name in schema.fieldNames()}
+        self.commit_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        task_tag = uuid.uuid4().hex[:12]
+        writers: dict[tuple, pq.ParquetWriter] = {}
+        paths: dict[tuple, str] = {}
+        arrow_types = {c: to_arrow_type(t) for c, t in self.cast_types.items()}
+
+        def _open(range_vals: tuple) -> pq.ParquetWriter:
+            from urllib.parse import quote
+
+            frag = os.sep.join(f"{c}={quote(str(v), safe='')}" for c, v in
+                               zip(self.range_cols, range_vals))
+            rel = os.path.join("data", self.commit_id, frag,
+                               f"part-{task_tag}.parquet") if frag else \
+                os.path.join("data", self.commit_id, f"part-{task_tag}.parquet")
+            ap = os.path.join(self.table_path, rel)
+            os.makedirs(os.path.dirname(ap), exist_ok=True)
+            paths[range_vals] = rel
+            schema = pa.schema([(c, arrow_types[c]) for c in self.cast_types
+                                if c not in self.range_cols])
+            return pq.ParquetWriter(ap, schema)
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            cols = {c: tbl[c].cast(arrow_types[c]) for c in self.cast_types}
+            data_names = [c for c in self.cast_types if c not in self.range_cols]
+            if self.range_cols:
+                import pandas as pd
+
+                rdf = pd.DataFrame({c: cols[c].to_pandas()
+                                    for c in self.range_cols})
+                if rdf.isnull().values.any():
+                    raise ValueError(
+                        "NOT NULL invariant violated on a range partition "
+                        "column")
+                data = pa.Table.from_arrays([cols[c] for c in data_names],
+                                            names=data_names)
+                for key, idx in rdf.groupby(self.range_cols, sort=False).groups.items():
+                    kv = key if isinstance(key, tuple) else (key,)
+                    sub = data.take(pa.array(idx.to_numpy()))
+                    w = writers.get(kv)
+                    if w is None:
+                        w = writers[kv] = _open(kv)
+                    w.write_table(sub)
+            else:
+                data = pa.Table.from_arrays([cols[c] for c in data_names],
+                                            names=data_names)
+                w = writers.get(())
+                if w is None:
+                    w = writers[()] = _open(())
+                w.write_table(data)
+        for w in writers.values():
+            w.close()
+        return _WriteMessage(rel_paths=tuple(paths.values()))
+
+    def commit(self, messages):
+        from starlake_spark.meta import DataFileInfo
+        from starlake_spark.operators.writer import _footer_stats
+
+        store = ManifestStore(self.table_path)
+        info = store.table_info()
+        txn = store.new_transaction()
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.rel_paths:
+                ap = os.path.join(self.table_path, rel)
+                from urllib.parse import unquote
+
+                decoded = {}
+                for part in rel.split(os.sep):
+                    if "=" in part and not part.endswith(".parquet"):
+                        k, _, v = part.partition("=")
+                        decoded[k] = unquote(v)
+                rv = ",".join(f"{c}={decoded[c]}" for c in info.range_cols
+                              if c in decoded)
+                stats, num_rows = _footer_stats(ap)
+                files.append(DataFileInfo(
+                    path=rel, range_value=rv, bucket_id=-1,
+                    size=os.path.getsize(ap), write_version=-1,
+                    is_base_file=True,
+                    exist_cols=[c for c in self.cast_types
+                                if c not in info.range_cols],
+                    stats=stats, num_rows=num_rows))
+        if self.overwrite:
+            for rv in txn.read_snapshot.partitions:
+                txn.expire_partition(rv)
+        txn.add_files(files)
+        store.commit(txn)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.table_path, "data", self.commit_id),
+                      ignore_errors=True)
+
+
 class StarDataSource(DataSource):
     """Options: ``path`` (required), ``version`` (batch time travel),
     ``startingVersion`` (stream resume point, default 0 = from table
@@ -382,6 +541,9 @@ class StarDataSource(DataSource):
         return _StarBatchReader(self._path(), schema,
                                 int(v) if v is not None else None,
                                 self.options.get("partition_filter"))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceArrowWriter:
+        return _StarBatchWriter(self._path(), schema, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))

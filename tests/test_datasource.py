@@ -435,3 +435,54 @@ def test_python_batch_reader_resolves_renamed_columns(spark, tmp_path):
     got = spark.read.format("star").load(path)
     assert "label" in got.columns and "name" not in got.columns
     assert {r.id: r.label for r in got.collect()} == {1: "a", 2: "b"}
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_path):
+    """df.write.format('star'): delayed-commit V2 write — append lands
+    atomically, overwrite truncates, range partitioning splits in-task,
+    stats are harvested, and reads (table API + format('star')) agree."""
+    path = str(tmp_path / "w")
+    base = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r2")], "id int, v string, r string")
+    t = create_table(spark, base, path, range_partitions=["r"])
+    more = spark.createDataFrame(
+        [(3, "c", "r1"), (4, "d", "r3")], "id int, v string, r string")
+    more.write.format("star").mode("append").save(path)
+    got = {r.id: (r.v, r.r) for r in t.to_df().collect()}
+    assert got == {1: ("a", "r1"), 2: ("b", "r2"),
+                   3: ("c", "r1"), 4: ("d", "r3")}
+    # partition dirs + manifest range values + footer stats all present
+    snap = t.store.snapshot()
+    assert "r=r3" in snap.partitions
+    newf = [f for f in snap.all_files() if f.write_version == 2]
+    assert newf and all(f.stats and "id" in f.stats for f in newf)
+    # pruning works on the new files
+    assert {r.id for r in t.to_df(where="r = 'r3'").collect()} == {4}
+
+    spark.createDataFrame([(9, "z", "r9")], "id int, v string, r string") \
+        .write.format("star").mode("overwrite").save(path)
+    assert {r.id for r in t.to_df().collect()} == {9}
+
+
+def test_batch_write_guards(spark, tmp_path):
+    hashed = create_table(spark,
+                          spark.createDataFrame([(1, "a")], "id int, v string"),
+                          str(tmp_path / "h"),
+                          hash_partitions=["id"], hash_bucket_num=2)
+    df = spark.createDataFrame([(2, "b")], "id int, v string")
+    with pytest.raises(Exception, match="upsert"):
+        df.write.format("star").mode("append").save(str(tmp_path / "h"))
+
+    checked = create_table(spark,
+                           spark.createDataFrame([(1, "a")], "id int, v string"),
+                           str(tmp_path / "c"))
+    checked.add_constraint("idpos", "id > 0")
+    with pytest.raises(Exception, match="CHECK"):
+        df.write.format("star").mode("append").save(str(tmp_path / "c"))
+
+    plain = create_table(spark,
+                         spark.createDataFrame([(1, "a")], "id int, v string"),
+                         str(tmp_path / "p"))
+    bad = spark.createDataFrame([(1, "a", 3.0)], "id int, v string, extra double")
+    with pytest.raises(Exception, match="not in table schema"):
+        bad.write.format("star").mode("append").save(str(tmp_path / "p"))
