@@ -441,6 +441,40 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY even
 """
 
 
+def star_native_stream_sink(spark, sf_dir):
+    """NATIVE streaming sink (writeStream.format("star"), the V2
+    StreamSinkProvider parity — vs star_streaming_sink's foreachBatch
+    recipe): events drain into a range-partitioned star table through
+    the Arrow stream writer, each micro-batch committing under the
+    exactly-once (sink id, batch id) registry. A full checkpointed
+    re-run must add zero commits (the inline assert), and the table
+    must read back as exactly the events slice."""
+    from starlake_spark import sources
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "native_stream_sink")
+    events = ld(spark, sf_dir, "events")
+    create_table(spark, events.limit(0), path, range_partitions=["event_type"])
+    ckpt = path + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def _drain():
+        q = (_events_stream(spark, sf_dir)
+             .writeStream.format("star")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(path))
+        q.awaitTermination(120)
+
+    _drain()
+    t = StarTable.for_path(spark, path)
+    v0 = t.store.latest_version()
+    _drain()  # checkpoint restart, no new input
+    assert t.store.latest_version() == v0, \
+        "restart with no new input must commit nothing"
+    return t.to_df().select("event_id", "ts", "user_id", "event_type",
+                            "value", "props").orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # streaming SOURCE: format('star') change stream (beyond the reference)
 # ---------------------------------------------------------------------------
@@ -1509,6 +1543,7 @@ ENGINE_QUERIES = {
     "star_clustered_skipping": (star_clustered_skipping, CLUSTERED_SKIPPING_ORACLE),
     "star_cow_upsert": (star_cow_upsert, COW_UPSERT_ORACLE),
     "star_streaming_sink": (star_streaming_sink, STREAMING_ORACLE),
+    "star_native_stream_sink": (star_native_stream_sink, STREAMING_ORACLE),
     "star_stream_source": (star_stream_source, STREAM_SOURCE_ORACLE),
     "star_stateful_sessions": (star_stateful_sessions, STATEFUL_SESSIONS_ORACLE),
     "star_streaming_watermark": (star_streaming_watermark, STREAMING_WM_ORACLE),

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -359,6 +360,129 @@ class _WriteMessage(WriterCommitMessage):
     rel_paths: tuple  # files this task wrote, relative to the table root
 
 
+def _validate_write_target(table_path: str, schema: T.StructType):
+    """Shared driver-side guards for the V2 write paths; returns
+    (info, cast_types) — the declared types for the present columns."""
+    store = ManifestStore(table_path)
+    info = store.table_info()
+    if info.hash_cols:
+        raise ValueError(
+            "format('star') writes target non-hash tables; hash tables "
+            "dedup by key — use StarTable.upsert / streaming.write_stream "
+            "(WriteIntoTable.scala:96-97)")
+    cfg = info.configuration or {}
+    if any(k.startswith(("check.", "generated.")) for k in cfg):
+        raise ValueError(
+            "this table declares CHECK constraints / generated columns; "
+            "write through the table API, which enforces them in the "
+            "write pass")
+    declared = T.StructType.fromJson(json.loads(info.schema_json))
+    declared_names = {f.name for f in declared.fields}
+    extra = [c for c in schema.fieldNames() if c not in declared_names]
+    if extra:
+        raise ValueError(f"columns {extra} not in table schema; use "
+                         "StarTable.write for schema merge")
+    for c in info.range_cols:
+        if c not in schema.fieldNames():
+            raise ValueError(f"range partition column '{c}' missing")
+    cast_types = {f.name: f.dataType for f in declared.fields
+                  if f.name in schema.fieldNames()}
+    return info, cast_types
+
+
+def _write_task_batches(iterator, table_path: str, dir_name: str,
+                        cast_types: dict, range_cols: list) -> tuple:
+    """Task side of the delayed-commit V2 writes: stream Arrow batches
+    into per-range parquet files under ``data/<dir_name>/`` (hive
+    fragments quoted), casting present columns to their declared
+    types. Returns the relative paths written."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    task_tag = uuid.uuid4().hex[:12]
+    writers: dict[tuple, pq.ParquetWriter] = {}
+    paths: dict[tuple, str] = {}
+    arrow_types = {c: to_arrow_type(t) for c, t in cast_types.items()}
+    data_names = [c for c in cast_types if c not in range_cols]
+
+    def _open(range_vals: tuple) -> pq.ParquetWriter:
+        from urllib.parse import quote
+
+        frag = os.sep.join(f"{c}={quote(str(v), safe='')}" for c, v in
+                           zip(range_cols, range_vals))
+        rel = os.path.join("data", dir_name,
+                           *( [frag] if frag else [] ),
+                           f"part-{task_tag}.parquet")
+        ap = os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(ap), exist_ok=True)
+        paths[range_vals] = rel
+        schema = pa.schema([(c, arrow_types[c]) for c in data_names])
+        return pq.ParquetWriter(ap, schema)
+
+    for batch in iterator:
+        tbl = pa.Table.from_batches([batch])
+        cols = {c: tbl[c].cast(arrow_types[c]) for c in cast_types}
+        data = pa.Table.from_arrays([cols[c] for c in data_names],
+                                    names=data_names)
+        if range_cols:
+            import pandas as pd
+
+            rdf = pd.DataFrame({c: cols[c].to_pandas() for c in range_cols})
+            if rdf.isnull().values.any():
+                raise ValueError(
+                    "NOT NULL invariant violated on a range partition column")
+            for key, idx in rdf.groupby(range_cols, sort=False).groups.items():
+                kv = key if isinstance(key, tuple) else (key,)
+                sub = data.take(pa.array(idx.to_numpy()))
+                w = writers.get(kv)
+                if w is None:
+                    w = writers[kv] = _open(kv)
+                w.write_table(sub)
+        else:
+            w = writers.get(())
+            if w is None:
+                w = writers[()] = _open(())
+            w.write_table(data)
+    for w in writers.values():
+        w.close()
+    return tuple(paths.values())
+
+
+def _collect_file_infos(table_path: str, info, messages, cast_types) -> list:
+    """Driver side: turn task commit messages into DataFileInfo rows
+    with footer stats harvested locally."""
+    from starlake_spark.meta import DataFileInfo
+    from starlake_spark.operators.writer import _footer_stats
+
+    files = []
+    for m in messages:
+        if m is None:
+            continue
+        for rel in m.rel_paths:
+            from urllib.parse import unquote
+
+            ap = os.path.join(table_path, rel)
+            decoded = {}
+            for part in rel.split(os.sep):
+                if "=" in part and not part.endswith(".parquet"):
+                    k, _, v = part.partition("=")
+                    decoded[k] = unquote(v)
+            rv = ",".join(f"{c}={decoded[c]}" for c in info.range_cols
+                          if c in decoded)
+            stats, num_rows = _footer_stats(ap)
+            files.append(DataFileInfo(
+                path=rel, range_value=rv, bucket_id=-1,
+                size=os.path.getsize(ap), write_version=-1,
+                is_base_file=True,
+                exist_cols=[c for c in cast_types
+                            if c not in info.range_cols],
+                stats=stats, num_rows=num_rows))
+    return files
+
+
 class _StarBatchWriter(DataSourceArrowWriter):
     """``df.write.format("star").mode("append"|"overwrite").save(path)``
     — the V2 batch write capability (reference StarLakeTableV2
@@ -378,126 +502,24 @@ class _StarBatchWriter(DataSourceArrowWriter):
     def __init__(self, table_path: str, schema: T.StructType, overwrite: bool):
         import uuid
 
-        store = ManifestStore(table_path)
-        info = store.table_info()
-        if info.hash_cols:
-            raise ValueError(
-                "format('star') batch write targets non-hash tables; hash "
-                "tables dedup by key — use StarTable.upsert "
-                "(WriteIntoTable.scala:96-97)")
-        cfg = info.configuration or {}
-        if any(k.startswith(("check.", "generated.")) for k in cfg):
-            raise ValueError(
-                "this table declares CHECK constraints / generated columns; "
-                "write through StarTable.write, which enforces them in the "
-                "write pass")
-        declared = T.StructType.fromJson(json.loads(info.schema_json))
-        declared_names = {f.name for f in declared.fields}
-        extra = [c for c in schema.fieldNames() if c not in declared_names]
-        if extra:
-            raise ValueError(f"columns {extra} not in table schema; use "
-                             "StarTable.write for schema merge")
-        for c in info.range_cols:
-            if c not in schema.fieldNames():
-                raise ValueError(f"range partition column '{c}' missing")
+        info, cast_types = _validate_write_target(table_path, schema)
         self.table_path = table_path
         self.overwrite = overwrite
         self.range_cols = list(info.range_cols)
-        # present columns cast to their DECLARED types in-task
-        self.cast_types = {f.name: f.dataType for f in declared.fields
-                           if f.name in schema.fieldNames()}
+        self.cast_types = cast_types
         self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        task_tag = uuid.uuid4().hex[:12]
-        writers: dict[tuple, pq.ParquetWriter] = {}
-        paths: dict[tuple, str] = {}
-        arrow_types = {c: to_arrow_type(t) for c, t in self.cast_types.items()}
-
-        def _open(range_vals: tuple) -> pq.ParquetWriter:
-            from urllib.parse import quote
-
-            frag = os.sep.join(f"{c}={quote(str(v), safe='')}" for c, v in
-                               zip(self.range_cols, range_vals))
-            rel = os.path.join("data", self.commit_id, frag,
-                               f"part-{task_tag}.parquet") if frag else \
-                os.path.join("data", self.commit_id, f"part-{task_tag}.parquet")
-            ap = os.path.join(self.table_path, rel)
-            os.makedirs(os.path.dirname(ap), exist_ok=True)
-            paths[range_vals] = rel
-            schema = pa.schema([(c, arrow_types[c]) for c in self.cast_types
-                                if c not in self.range_cols])
-            return pq.ParquetWriter(ap, schema)
-
-        for batch in iterator:
-            tbl = pa.Table.from_batches([batch])
-            cols = {c: tbl[c].cast(arrow_types[c]) for c in self.cast_types}
-            data_names = [c for c in self.cast_types if c not in self.range_cols]
-            if self.range_cols:
-                import pandas as pd
-
-                rdf = pd.DataFrame({c: cols[c].to_pandas()
-                                    for c in self.range_cols})
-                if rdf.isnull().values.any():
-                    raise ValueError(
-                        "NOT NULL invariant violated on a range partition "
-                        "column")
-                data = pa.Table.from_arrays([cols[c] for c in data_names],
-                                            names=data_names)
-                for key, idx in rdf.groupby(self.range_cols, sort=False).groups.items():
-                    kv = key if isinstance(key, tuple) else (key,)
-                    sub = data.take(pa.array(idx.to_numpy()))
-                    w = writers.get(kv)
-                    if w is None:
-                        w = writers[kv] = _open(kv)
-                    w.write_table(sub)
-            else:
-                data = pa.Table.from_arrays([cols[c] for c in data_names],
-                                            names=data_names)
-                w = writers.get(())
-                if w is None:
-                    w = writers[()] = _open(())
-                w.write_table(data)
-        for w in writers.values():
-            w.close()
-        return _WriteMessage(rel_paths=tuple(paths.values()))
+        return _WriteMessage(rel_paths=_write_task_batches(
+            iterator, self.table_path, self.commit_id,
+            self.cast_types, self.range_cols))
 
     def commit(self, messages):
-        from starlake_spark.meta import DataFileInfo
-        from starlake_spark.operators.writer import _footer_stats
-
         store = ManifestStore(self.table_path)
         info = store.table_info()
         txn = store.new_transaction()
-        files = []
-        for m in messages:
-            if m is None:
-                continue
-            for rel in m.rel_paths:
-                ap = os.path.join(self.table_path, rel)
-                from urllib.parse import unquote
-
-                decoded = {}
-                for part in rel.split(os.sep):
-                    if "=" in part and not part.endswith(".parquet"):
-                        k, _, v = part.partition("=")
-                        decoded[k] = unquote(v)
-                rv = ",".join(f"{c}={decoded[c]}" for c in info.range_cols
-                              if c in decoded)
-                stats, num_rows = _footer_stats(ap)
-                files.append(DataFileInfo(
-                    path=rel, range_value=rv, bucket_id=-1,
-                    size=os.path.getsize(ap), write_version=-1,
-                    is_base_file=True,
-                    exist_cols=[c for c in self.cast_types
-                                if c not in info.range_cols],
-                    stats=stats, num_rows=num_rows))
+        files = _collect_file_infos(self.table_path, info, messages,
+                                    self.cast_types)
         if self.overwrite:
             for rv in txn.read_snapshot.partitions:
                 txn.expire_partition(rv)
@@ -509,6 +531,62 @@ class _StarBatchWriter(DataSourceArrowWriter):
 
         shutil.rmtree(os.path.join(self.table_path, "data", self.commit_id),
                       ignore_errors=True)
+
+
+class _StarStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("star").start(path)`` — the native
+    streaming SINK (reference StarLakeSink.scala:30-96 /
+    StreamSinkProvider), with the same exactly-once discipline as the
+    foreachBatch sink: each micro-batch commits under the monotonic
+    (sink id, batch_id) registry, so a restarted or duplicated batch
+    is a no-op and its files stay unpublished orphans until vacuum.
+    ``outputMode("complete")`` truncate-replaces per batch. Non-hash
+    append tables; hash-table (update-mode, MoR delta) streaming goes
+    through streaming.write_stream, which owns the bucketed layout."""
+
+    def __init__(self, table_path: str, schema: T.StructType,
+                 overwrite: bool, sink_id: str):
+        info, cast_types = _validate_write_target(table_path, schema)
+        self.table_path = table_path
+        self.overwrite = overwrite
+        self.range_cols = list(info.range_cols)
+        self.cast_types = cast_types
+        self.sink_id = sink_id
+
+    def write(self, iterator):
+        import uuid
+
+        return _WriteMessage(rel_paths=_write_task_batches(
+            iterator, self.table_path, f"s{uuid.uuid4().hex[:12]}",
+            self.cast_types, self.range_cols))
+
+    def commit(self, messages, batchId):
+        from starlake_spark.meta import DuplicateTxnError
+
+        store = ManifestStore(self.table_path)
+        info = store.table_info()
+        txn = store.new_transaction()
+        files = _collect_file_infos(self.table_path, info, messages,
+                                    self.cast_types)
+        if self.overwrite:
+            for rv in txn.read_snapshot.partitions:
+                txn.expire_partition(rv)
+        txn.add_files(files)
+        txn.set_streaming_batch(self.sink_id, batchId)
+        try:
+            store.commit(txn)
+        except DuplicateTxnError:
+            pass  # a retry already landed this batch; files orphan -> vacuum
+
+    def abort(self, messages, batchId):
+        for m in messages or ():
+            if m is None:
+                continue
+            for rel in m.rel_paths:
+                try:
+                    os.unlink(os.path.join(self.table_path, rel))
+                except OSError:
+                    pass
 
 
 class StarDataSource(DataSource):
@@ -544,6 +622,10 @@ class StarDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceArrowWriter:
         return _StarBatchWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return _StarStreamWriter(self._path(), schema, overwrite,
+                                 self.options.get("sinkId", "star-stream-sink"))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))

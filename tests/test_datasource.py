@@ -486,3 +486,37 @@ def test_batch_write_guards(spark, tmp_path):
     bad = spark.createDataFrame([(1, "a", 3.0)], "id int, v string, extra double")
     with pytest.raises(Exception, match="not in table schema"):
         bad.write.format("star").mode("append").save(str(tmp_path / "p"))
+
+
+def test_native_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('star'): the native streaming SINK — drained
+    rate-limited input lands append-exactly-once through the
+    (sink id, batch id) registry; a checkpoint-restart with no new
+    input re-commits nothing."""
+    src_dir = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame([(i, f"v{i}", f"r{i % 2}") for i in range(8)],
+                               "id int, v string, r string")
+    df.coalesce(1).write.json(src_dir)
+    t = create_table(spark, df.limit(0), path, range_partitions=["r"])
+
+    def _drain():
+        q = (spark.readStream.schema("id int, v string, r string")
+             .option("maxFilesPerTrigger", "1").json(src_dir)
+             .writeStream.format("star")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start(path))
+        q.awaitTermination(120)
+
+    _drain()
+    got = sorted((r.id, r.v, r.r) for r in t.to_df().collect())
+    assert got == sorted((r.id, r.v, r.r) for r in df.collect())
+    assert "r=r0" in t.store.snapshot().partitions
+    v0 = t.store.latest_version()
+    _drain()  # restart, nothing new: no duplicate rows, no new commits
+    assert t.to_df().count() == 8
+    assert t.store.latest_version() == v0
+    # batch registry recorded the sink id
+    assert any(k == "star-stream-sink"
+               for k in t.store.snapshot().streaming)
