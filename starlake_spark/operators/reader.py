@@ -341,39 +341,63 @@ _CONJ_CMP_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
 
-def _bucket_for_point_lookup(spark, info: TableInfo,
-                             conjuncts: list[str]) -> int | None:
-    """Bucket id when EVERY hash column is equality-pinned to a literal
-    — the reference's bucket pruning (ParquetScanSuite point lookups):
-    the writer places a key's rows in bucket pmod(hash(keys), n) via
-    repartition's HashPartitioning, so a point lookup needs exactly one
-    bucket's files per partition (1/bucket_num of the table). The
-    bucket is computed by Spark itself over the SAME murmur3 hash()
-    the shuffle used, with the literal cast to the declared column type
-    (hash(5) != hash(5L) — the cast is load-bearing)."""
+_MAX_LOOKUP_COMBOS = 64
+
+
+def _buckets_for_lookup(spark, info: TableInfo,
+                        conjuncts: list[str]) -> set[int] | None:
+    """Bucket ids when EVERY hash column is pinned to literal(s) —
+    the reference's bucket pruning (ParquetScanSuite point lookups),
+    extended to IN-lists: the writer places a key's rows in bucket
+    pmod(hash(keys), n) via repartition's HashPartitioning, so a point
+    lookup needs exactly one bucket's files per partition and a
+    ``k IN (a, b, c)`` lookup at most three. Buckets are computed by
+    Spark itself over the SAME murmur3 hash() the shuffle used, with
+    literals cast to the declared column types (hash(5) != hash(5L) —
+    the cast is load-bearing). Returns None (no pruning) when any hash
+    column is unpinned or the value-combination count exceeds
+    ``_MAX_LOOKUP_COMBOS`` (a wide IN-list reads most buckets anyway).
+    """
     if info.bucket_num <= 0 or not info.hash_cols:
         return None
     schema_types = {f.name: f.dataType for f in _schema(info).fields}
-    lits: dict[str, str] = {}
+
+    def _is_literal(x: str) -> bool:
+        return not _IDENT_RE.search(x) or bool(re.match(
+            r"^\s*(DATE|TIMESTAMP|TRUE|FALSE)\b", x, re.IGNORECASE))
+
+    lits: dict[str, list[str]] = {}
     for c in conjuncts:
         m = _CONJ_CMP_RE.match(c)
-        if not m:
+        if m:
+            col, op, lit = m.group(1), m.group(2), m.group(3)
+            if op in ("=", "==") and col in info.hash_cols and _is_literal(lit):
+                lits[col] = [lit]
             continue
-        col, op, lit = m.group(1), m.group(2), m.group(3)
-        if op not in ("=", "==") or col not in info.hash_cols:
-            continue
-        if _IDENT_RE.search(lit) and not re.match(
-                r"^\s*(DATE|TIMESTAMP|TRUE|FALSE)\b", lit, re.IGNORECASE):
-            continue  # column-vs-column / function: not a literal
-        lits[col] = lit
+        mi = _IN_LIST_RE.match(c)
+        if mi and mi.group(1) in info.hash_cols:
+            items = [x.strip() for x in mi.group(2).split(",") if x.strip()]
+            if items and all(_is_literal(x) for x in items):
+                # equality beats IN when both pin the column (narrower)
+                lits.setdefault(mi.group(1), items)
     if set(lits) != set(info.hash_cols):
         return None
-    args = ", ".join(
-        f"CAST({lits[c]} AS {schema_types[c].simpleString()})"
-        for c in info.hash_cols)
-    row = spark.sql(
-        f"SELECT pmod(hash({args}), {info.bucket_num}) AS b").collect()[0]
-    return None if row["b"] is None else int(row["b"])
+    n_combos = 1
+    for v in lits.values():
+        n_combos *= len(v)
+    if n_combos > _MAX_LOOKUP_COMBOS:
+        return None
+    import itertools
+
+    selects = []
+    for combo in itertools.product(*[lits[c] for c in info.hash_cols]):
+        args = ", ".join(
+            f"CAST({lit} AS {schema_types[c].simpleString()})"
+            for c, lit in zip(info.hash_cols, combo))
+        selects.append(f"SELECT pmod(hash({args}), {info.bucket_num}) AS b")
+    rows = spark.sql(" UNION ALL ".join(selects)).collect()
+    out = {int(r["b"]) for r in rows if r["b"] is not None}
+    return out or None
 
 
 def _split_top_and(pred: str) -> list[str]:
@@ -626,11 +650,13 @@ def scan(
 
     if where_conjs and (plain_files or merge_files):
         # bucket pruning: a full-key equality lookup touches exactly one
-        # bucket's files per partition (adopted bucket_id=-1 files pass)
-        b = _bucket_for_point_lookup(spark, info, where_conjs)
-        if b is not None:
-            plain_files = [f for f in plain_files if f.bucket_id in (b, -1)]
-            merge_files = [f for f in merge_files if f.bucket_id in (b, -1)]
+        # bucket's files per partition, an IN-list lookup at most one
+        # per listed key (adopted bucket_id=-1 files pass)
+        bs = _buckets_for_lookup(spark, info, where_conjs)
+        if bs is not None:
+            keep = bs | {-1}
+            plain_files = [f for f in plain_files if f.bucket_id in keep]
+            merge_files = [f for f in merge_files if f.bucket_id in keep]
 
     if where_conjs:
         all_cols = set(_schema(info).fieldNames())

@@ -339,3 +339,21 @@ def test_bucket_pruning_for_point_lookups(spark, tmp_path):
     assert len(row) == 1 and row[0]["o_totalprice"] == 0.5
     # non-point predicates never prune by bucket
     assert t.to_df(where="o_orderkey >= 0").count() == orders.count()
+
+def test_bucket_pruning_for_in_list_lookups(spark, tmp_path):
+    """k IN (a, b, c) reads at most three buckets' files — and exactly
+    the right rows; a too-wide IN list silently skips pruning."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    t = create_table(spark, orders, str(tmp_path / "bi"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8,
+                     configuration={"compaction.auto": "false"})
+    all_files = len(t.to_df().inputFiles())
+    keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    inlist = ", ".join(str(k) for k in keys)
+    df = t.to_df(where=f"o_orderkey IN ({inlist})")
+    assert len(df.inputFiles()) * 8 <= all_files * 3.01
+    assert sorted(r.o_orderkey for r in df.collect()) == sorted(keys)
+    # width guard: >64 combos → no pruning, still exact
+    wide = ", ".join(str(k) for k in
+                     [r["o_orderkey"] for r in orders.limit(70).collect()])
+    assert t.to_df(where=f"o_orderkey IN ({wide})").count() == 70
