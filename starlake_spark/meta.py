@@ -507,17 +507,33 @@ class ManifestStore:
                 f"(table created later)")
         return best
 
-    def restore(self, version: int) -> Snapshot:
+    def restore(self, version: int, partition: str | None = None) -> Snapshot:
         """RESTORE TABLE TO VERSION: a NEW commit re-pointing the table
         at an old snapshot's exact file state (Delta-style RESTORE).
         History is preserved — time travel to the interim versions still
         works — and the restored files keep their write_versions, so a
         restored MoR state still merges in the original order. Fails if
-        cleanup() already removed any file the target version needs."""
+        cleanup() already removed any file the target version needs.
+
+        ``partition`` (beyond Delta — surgical rollback): rewind ONE
+        range partition to its state at ``version``, leaving every
+        other partition at its CURRENT state. The merge happens under
+        the commit lock against the state read there, so concurrent
+        commits to other partitions are never clobbered. A partition
+        absent at the target version is dropped (its rollback state is
+        'did not exist')."""
         target = self.snapshot(version)
+        if partition is None:
+            check = list(target.all_files())
+        else:
+            if (partition not in target.partitions
+                    and partition not in self.snapshot().partitions):
+                raise MetaError(f"unknown partition '{partition}'")
+            check = list(target.partitions[partition].files) \
+                if partition in target.partitions else []
         missing = [
             f.path
-            for f in target.all_files()
+            for f in check
             if not os.path.exists(os.path.join(self.table_path, f.path))
         ]
         if missing:
@@ -525,7 +541,35 @@ class ManifestStore:
                 f"cannot restore to version {version}: {len(missing)} data "
                 f"file(s) removed by cleanup, e.g. {missing[0]}"
             )
-        return self.import_state(target.partitions, commit_type="restore")
+        if partition is None:
+            return self.import_state(target.partitions, commit_type="restore")
+        lock = self._acquire_lock()
+        try:
+            current = self.snapshot()
+            new_version = current.version + 1
+            parts = {
+                rv: PartitionSnapshot(rv, list(ps.files), ps.last_update_version)
+                for rv, ps in current.partitions.items() if rv != partition
+            }
+            tps = target.partitions.get(partition)
+            if tps is not None and tps.files:
+                parts[partition] = PartitionSnapshot(
+                    partition, list(tps.files), new_version)
+            snap = Snapshot(
+                version=new_version,
+                partitions=parts,
+                streaming=dict(current.streaming),
+                timestamp=time.time(),
+                commit_type="restore",
+            )
+            _atomic_write(self._version_path(new_version),
+                          json.dumps(snap.to_state()))
+            return snap
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # ---------- cleanup support ----------
 

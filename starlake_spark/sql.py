@@ -86,7 +86,8 @@ _ALTER_DROPCOLS_RE = re.compile(
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+"
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)"
+    r"(?:\s+PARTITION\s+'(?P<part>[^']+)')?\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*$",
     re.IGNORECASE,
@@ -369,9 +370,11 @@ class StarSession:
         m = _RESTORE_RE.match(text)
         if m and self._known(m["name"]):
             if m["version"] is not None:
-                self.table(m["name"]).restore(int(m["version"]))
+                self.table(m["name"]).restore(int(m["version"]),
+                                              partition=m["part"])
             else:
-                self.table(m["name"]).restore(timestamp=m["ts"])
+                self.table(m["name"]).restore(timestamp=m["ts"],
+                                              partition=m["part"])
             return self._empty_df()
 
         m = _CLONE_RE.match(text)

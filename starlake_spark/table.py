@@ -120,7 +120,10 @@ class StarTable:
         prev: set[str] = set()
         for v in self.store.list_versions():
             snap = self.store.snapshot(v)
-            files = {f.path for f in snap.all_files()}
+            all_files = list(snap.all_files())
+            files = {f.path for f in all_files}
+            rows_added = sum(f.num_rows for f in all_files
+                             if f.path not in prev and f.num_rows > 0)
             rows.append((
                 v,
                 snap.commit_type,
@@ -128,15 +131,16 @@ class StarTable:
                 .replace(tzinfo=None),
                 len(files - prev),
                 len(prev - files),
+                rows_added,
                 len(files),
-                sum(f.size for f in snap.all_files()),
+                sum(f.size for f in all_files),
             ))
             prev = files
         return self.spark.createDataFrame(
             rows,
             "version long, commit_type string, committed_at timestamp, "
-            "files_added long, files_removed long, live_files long, "
-            "live_bytes long",
+            "files_added long, files_removed long, rows_added long, "
+            "live_files long, live_bytes long",
         )
 
     def partitions(self) -> DataFrame:
@@ -341,19 +345,23 @@ class StarTable:
         self.store.drop()
 
     def restore(self, version: int | None = None,
-                timestamp=None) -> "StarTable":
+                timestamp=None, partition: str | None = None) -> "StarTable":
         """RESTORE TABLE TO VERSION AS OF n / TIMESTAMP AS OF ts
         (Delta-style, beyond the reference): a new commit re-points the
         table at the target snapshot's exact file state. History is
         preserved (interim versions remain time-travelable), restored
         MoR files keep their write_versions so merge ordering survives,
         and the change stream sees nothing (no file carries the new
-        commit's write_version)."""
+        commit's write_version).
+
+        ``partition`` = surgical rollback: only that range partition
+        rewinds; everything else keeps its current state (merged under
+        the commit lock — concurrent commits elsewhere are safe)."""
         if (version is None) == (timestamp is None):
             raise ValueError("pass exactly one of version / timestamp")
         if timestamp is not None:
             version = self.store.version_at_timestamp(_to_epoch(timestamp))
-        self.store.restore(version)
+        self.store.restore(version, partition=partition)
         return self
 
     def clone(self, dest_path: str, version: int | None = None,

@@ -158,3 +158,59 @@ def test_restore_sql_timestamp_form(spark, tmp_path):
     ss.sql("UPDATE ts_t SET v = 99 WHERE id = 1")
     ss.sql(f"RESTORE TABLE ts_t TO TIMESTAMP AS OF '{created}'")
     assert {r["v"] for r in ss.sql("SELECT v FROM ts_t").collect()} == {10, 20}
+
+
+def test_partition_scoped_restore(spark, tmp_path):
+    """Surgical rollback: one range partition rewinds to an old
+    version, other partitions keep their CURRENT state; a partition
+    absent at the target version is dropped; history stays
+    time-travelable; SQL form works."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    wh = str(tmp_path / "wh")
+    ss = StarSession(spark, warehouse=wh)
+    df = spark.createDataFrame(
+        [(1, 10, "r1"), (2, 20, "r2")], "id int, v int, r string")
+    t = create_table(spark, df, wh + "/pr", range_partitions=["r"],
+                     short_name="pr", warehouse=wh)                      # v1
+    t.write(spark.createDataFrame([(3, 30, "r1")], "id int, v int, r string"),
+            mode="append")                                               # v2
+    t.write(spark.createDataFrame([(4, 40, "r2")], "id int, v int, r string"),
+            mode="append")                                               # v3
+    t.write(spark.createDataFrame([(5, 50, "r3")], "id int, v int, r string"),
+            mode="append")                                               # v4
+
+    # rewind ONLY r1 to v1: r1 loses id=3; r2 keeps id=4; r3 survives
+    t.restore(1, partition="r=r1")
+    got = sorted((r.id, r.r) for r in t.to_df().collect())
+    assert got == [(1, "r1"), (2, "r2"), (4, "r2"), (5, "r3")]
+
+    # r3 didn't exist at v1: partition restore drops it
+    t.restore(1, partition="r=r3")
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 4]
+
+    # interim versions still time-travel
+    assert sorted(r.id for r in t.to_df(version=4).collect()) == [1, 2, 3, 4, 5]
+
+    # SQL form brings r1 back to its v2 state
+    ss.sql("RESTORE TABLE pr PARTITION 'r=r1' TO VERSION AS OF 2")
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3, 4]
+
+    import pytest as _pt
+    with _pt.raises(Exception, match="unknown partition"):
+        t.restore(1, partition="r=zzz")
+
+
+def test_history_rows_added_metric(spark, tmp_path):
+    from starlake_spark import create_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    t = create_table(spark, df.coalesce(1), str(tmp_path / "h"))
+    t.write(spark.createDataFrame([(3, "c")], "id int, v string").coalesce(1),
+            mode="append")
+    hist = {r.version: (r.rows_added, r.files_added)
+            for r in t.history().collect()}
+    assert hist[1][0] == 2 and hist[2][0] == 1
