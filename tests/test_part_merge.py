@@ -165,3 +165,25 @@ def test_part_merge_disabled_by_property(spark, tmp_table_dir):
     hist = [r.commit_type for r in t.history().collect()]
     assert "part_compaction" not in hist
     assert {r.name for r in t.to_df().filter("id = 1").collect()} == {"x7"}
+
+
+def test_sixty_delta_fanout_stress(spark, tmp_table_dir):
+    """60 delta commits with auto-compaction fully disabled: reads stay
+    exact at every fan-out level the guard permits, and the final
+    forced compaction chunk-folds all the way down (union width <= cap
+    per pass) to a single-version partition with the right data."""
+    t = _mk(spark, tmp_table_dir, extra_props={
+        "compaction.part.merge.max": "8"})
+    expected = {1: "v0", 2: "v0", 3: "v0"}
+    for i in range(60):
+        key = (i % 7) + 1
+        rng = "r2" if key == 3 else "r1"
+        _upsert(spark, t, [(key, f"u{i}", 1, rng)])
+        expected[key] = f"u{i}"
+    assert {r.id: r.name for r in t.to_df().collect()} == expected
+    t.compaction(force=True)
+    assert {r.id: r.name for r in t.to_df().collect()} == expected
+    hist = [r.commit_type for r in t.history().collect()]
+    assert hist.count("part_compaction") >= 6   # 61 groups, cap 8
+    for ps in t.store.snapshot().partitions.values():
+        assert len({f.write_version for f in ps.files}) == 1

@@ -90,3 +90,59 @@ def test_optimize_small_files_sql(spark, tmp_path):
     out = ss.sql("OPTIMIZE sf SMALL FILES THRESHOLD 1 MB").collect()
     assert out[0].files_merged >= 4
     assert sorted(r.id for r in ss.sql("SELECT * FROM sf").collect()) == [1, 10, 11, 12]
+
+
+def test_concurrent_appends_and_small_file_compaction(spark, tmp_path):
+    """Maintenance races ingest: writer threads append slivers while a
+    maintenance thread loops the bin-packing pass. Conflict detection +
+    retry must lose no rows and never double-merge."""
+    import threading
+
+    path = str(tmp_path / "race")
+    t = create_table(spark,
+                     spark.createDataFrame([(0, "seed")], "id int, v string")
+                     .coalesce(1), path)
+    errors = []
+    N_WRITERS, PER = 3, 5
+
+    def _writer(w):
+        try:
+            for i in range(PER):
+                t.write(spark.createDataFrame(
+                    [(1000 * (w + 1) + i, f"w{w}b{i}")], "id int, v string")
+                    .coalesce(1), mode="append")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    stop = threading.Event()
+
+    def _maintenance():
+        from starlake_spark.meta import CommitConflictError
+        while not stop.is_set():
+            try:
+                t.compact_small_files(threshold_bytes=10 * 1024 * 1024)
+            except CommitConflictError:
+                pass  # a writer won the race; next loop retries
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=_writer, args=(w,))
+               for w in range(N_WRITERS)]
+    m = threading.Thread(target=_maintenance)
+    m.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    m.join()
+    assert not errors, errors
+    got = sorted(r.id for r in t.to_df().collect())
+    want = sorted([0] + [1000 * (w + 1) + i
+                         for w in range(N_WRITERS) for i in range(PER)])
+    assert got == want
+    # a final pass leaves at most a handful of files
+    t.compact_small_files(threshold_bytes=10 * 1024 * 1024)
+    live = [f for f in t.store.snapshot().all_files() if f.num_rows != 0]
+    assert len(live) <= 3
