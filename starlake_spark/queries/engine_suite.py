@@ -1442,6 +1442,39 @@ ORDER BY _commit_version, _change_type, c_custkey
 """
 
 
+def star_partition_restore(spark, sf_dir):
+    """Partition-scoped RESTORE (surgical rollback): orders lands
+    partitioned by status, both F and O take corrupting appends, and
+    only F rewinds to v1 — the result must be pristine F rows plus the
+    still-corrupted O partition, proving the rollback touched exactly
+    one partition. The inline assert pins that interim versions stay
+    time-travelable after the restore commit."""
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "partition_restore")
+    t = create_table(spark, o, path, range_partitions=["o_orderstatus"])
+    bad = (o.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 9_000_000))
+    t.write(bad.filter(F.col("o_orderstatus") == "F"), mode="append")  # v2
+    t.write(bad.filter(F.col("o_orderstatus") == "O"), mode="append")  # v3
+    t.restore(1, partition="o_orderstatus=F")
+    assert t.to_df(version=3).count() > t.to_df().count(), \
+        "interim versions must stay time-travelable"
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+PARTITION_RESTORE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT o_orderkey + 9000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderstatus = 'O'
+)
+ORDER BY o_orderkey
+"""
+
+
 def star_small_file_compaction(spark, sf_dir):
     """Bin-packing small-file maintenance (Delta OPTIMIZE default
     shape): orders lands as one right-sized commit plus six sliver
@@ -1512,6 +1545,7 @@ FROM customer ORDER BY c_custkey
 ENGINE_QUERIES = {
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
     "star_small_file_compaction": (star_small_file_compaction, SMALL_FILES_ORACLE),
+    "star_partition_restore": (star_partition_restore, PARTITION_RESTORE_ORACLE),
     "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
