@@ -1442,6 +1442,78 @@ ORDER BY _commit_version, _change_type, c_custkey
 """
 
 
+def star_part_merge(spark, sf_dir):
+    """Part-merge OOM guard under oracle check: 10 MoR upserts build an
+    11-group history with auto-compaction fully disabled, then a forced
+    compaction must chunk-fold (cap 4 — the inline asserts pin that
+    part_compaction commits fired and the partition ended single-
+    version) and the result must equal the last-wins fold the oracle
+    computes directly: each key's balance is base + 100*(highest
+    upsert index whose modulus selected it)."""
+    c = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    t = create_table(spark, c, _scratch(sf_dir, "part_merge"),
+                     hash_partitions=["c_custkey"], hash_bucket_num=4,
+                     configuration={"compaction.auto": "false",
+                                    "compaction.maxDeltas": "0",
+                                    "compaction.part.merge.max": "4"})
+    for i in range(10):
+        t.upsert(c.filter(F.col("c_custkey") % (i + 2) == 0)
+                  .withColumn("c_acctbal",
+                              F.col("c_acctbal") + F.lit(100.0 * (i + 1))))
+    t.compaction(force=True)
+    hist = [r.commit_type for r in t.history().collect()]
+    assert hist.count("part_compaction") >= 2, \
+        f"guard must chunk-fold an 11-group history at cap 4: {hist}"
+    for ps in t.store.snapshot().partitions.values():
+        assert len({f.write_version for f in ps.files}) == 1, \
+            "compaction must end single-version"
+    return t.to_df().orderBy("c_custkey")
+
+
+_PM_CASES = ", ".join(
+    f"CASE WHEN c_custkey % {i + 2} = 0 THEN {i + 1} ELSE 0 END"
+    for i in range(10))
+PART_MERGE_ORACLE = f"""
+SELECT c_custkey, c_name,
+       c_acctbal + 100.0 * GREATEST({_PM_CASES}) AS c_acctbal,
+       c_mktsegment
+FROM customer ORDER BY c_custkey
+"""
+
+
+def star_null_skipping(spark, sf_dir):
+    """Null-count data skipping end-to-end: orders lands as three
+    commits with distinct null profiles in a widened column (all-set /
+    all-null / mixed); IS NULL and IS NOT NULL reads must prune files
+    (asserted inline on inputFiles) and return exactly the rows the
+    oracle derives from the same modulus rule."""
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "null_skipping")
+    tagged = o.withColumn(
+        "clerk_note",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")))
+    t = create_table(spark, tagged.filter("o_orderkey % 3 = 0").coalesce(2),
+                     path)
+    t.write(tagged.filter("o_orderkey % 3 = 1").coalesce(2), mode="append")
+    t.write(tagged.filter("o_orderkey % 3 = 2").coalesce(2), mode="append")
+    n_all = len(t.to_df().inputFiles())
+    nn = t.to_df(where="clerk_note IS NOT NULL")
+    isn = t.to_df(where="clerk_note IS NULL")
+    assert len(nn.inputFiles()) < n_all, "IS NOT NULL must skip all-null files"
+    assert len(isn.inputFiles()) < n_all, "IS NULL must skip no-null files"
+    return (nn.select("o_orderkey", "clerk_note")
+            .unionByName(isn.select("o_orderkey", "clerk_note"))
+            .orderBy("o_orderkey"))
+
+
+NULL_SKIPPING_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS clerk_note
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def star_partition_restore(spark, sf_dir):
     """Partition-scoped RESTORE (surgical rollback): orders lands
     partitioned by status, both F and O take corrupting appends, and
@@ -1546,6 +1618,8 @@ ENGINE_QUERIES = {
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
     "star_small_file_compaction": (star_small_file_compaction, SMALL_FILES_ORACLE),
     "star_partition_restore": (star_partition_restore, PARTITION_RESTORE_ORACLE),
+    "star_part_merge": (star_part_merge, PART_MERGE_ORACLE),
+    "star_null_skipping": (star_null_skipping, NULL_SKIPPING_ORACLE),
     "star_cdc_log": (star_cdc_log, CDC_LOG_ORACLE),
     "star_cdf_types": (star_cdf_types, CDF_TYPES_ORACLE),
     "star_stream_cdf": (star_stream_cdf, STREAM_CDF_ORACLE),
