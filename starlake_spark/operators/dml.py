@@ -892,22 +892,32 @@ def _maybe_log_cdc(spark, store, info: TableInfo, new_files, version: int) -> No
 
     from starlake_spark.sources import datasource as ds
 
-    keys = info.range_cols + info.hash_cols
-    dfs = ds._preimage_changes(spark, store, info, keys, version - 1,
-                               version, version, new_files)
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    final = os.path.join(store.table_path, CDC_DIR, str(version))
-    if os.path.exists(final):
-        return
-    tmp = os.path.join(store.table_path, CDC_DIR,
-                       f".tmp-{version}-{_uuid.uuid4().hex[:8]}")
-    out.write.mode("overwrite").parquet(tmp)
     try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        keys = info.range_cols + info.hash_cols
+        dfs = ds._preimage_changes(spark, store, info, keys, version - 1,
+                                   version, version, new_files)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        final = os.path.join(store.table_path, CDC_DIR, str(version))
+        if os.path.exists(final):
+            return
+        tmp = os.path.join(store.table_path, CDC_DIR,
+                           f".tmp-{version}-{_uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:
+        # the DATA commit already succeeded and the log is an
+        # optimization with a derivation fallback — a failed logger
+        # must not turn a successful DML into an error
+        import warnings
+
+        warnings.warn(f"CDC log for version {version} not written "
+                      f"({exc}); readers will derive this commit",
+                      stacklevel=2)
 
 
 def read_cdc_log(spark, store, info: TableInfo, version: int):

@@ -100,3 +100,25 @@ def test_vacuum_reaps_expired_logs_keeps_latest(spark, tmp_path):
     derived_twin = _mk(spark, str(tmp_path / "twin"), logged=False)
     _churn(spark, derived_twin)
     assert _feed(spark, str(tmp_path / "t")) == _feed(spark, str(tmp_path / "twin"))
+
+
+def test_failed_logger_degrades_to_derivation(spark, tmp_path, monkeypatch):
+    """A CDC logger failure must not fail the DML (the data commit
+    already landed); the feed silently derives that commit instead."""
+    import warnings
+
+    t = _mk(spark, str(tmp_path / "t"), logged=True)
+
+    def _boom(*a, **k):
+        raise RuntimeError("disk gremlin")
+    monkeypatch.setattr(ds, "_preimage_changes", _boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t.upsert(spark.createDataFrame([(1, "A", 10)],
+                                       "id int, name string, v int"))
+    assert any("CDC log" in str(w.message) for w in caught)
+    monkeypatch.undo()
+    got = {r.id: r.name for r in t.to_df().collect()}
+    assert got[1] == "A"                       # the DML landed
+    feed = _feed(spark, str(tmp_path / "t"))   # derivation serves v2
+    assert any(r[-1] == "update_postimage" for r in feed)
