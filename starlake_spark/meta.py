@@ -140,6 +140,11 @@ class Snapshot:
     streaming: dict[str, int]  # query_id -> last committed batch_id
     timestamp: float
     commit_type: str = "write"  # the commit that produced this version
+    # schema AS OF this commit (Delta-style versioned schema): time
+    # travel reads old versions under the columns they had then, not
+    # the current projection. ALTERs between commits surface at the
+    # NEXT commit; None (pre-feature manifests) falls back to current.
+    schema_json: str | None = None
 
     def all_files(self) -> list[DataFileInfo]:
         return [f for p in self.partitions.values() for f in p.files]
@@ -149,6 +154,7 @@ class Snapshot:
             "version": self.version,
             "timestamp": self.timestamp,
             "commit_type": self.commit_type,
+            "schema_json": self.schema_json,
             "streaming": self.streaming,
             "partitions": {
                 rv: {
@@ -165,6 +171,7 @@ class Snapshot:
             version=d["version"],
             timestamp=d.get("timestamp", 0.0),
             commit_type=d.get("commit_type", "write"),
+            schema_json=d.get("schema_json"),
             streaming=dict(d.get("streaming", {})),
             partitions={
                 rv: PartitionSnapshot(
@@ -442,6 +449,7 @@ class ManifestStore:
                 streaming=streaming,
                 timestamp=time.time(),
                 commit_type=txn.commit_type,
+                schema_json=self.table_info().schema_json,
             )
             _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
             txn.committed = True
@@ -483,6 +491,7 @@ class ManifestStore:
                 streaming=dict(current.streaming),
                 timestamp=time.time(),
                 commit_type=commit_type,
+                schema_json=self.table_info().schema_json,
             )
             _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
             return snap
@@ -561,6 +570,7 @@ class ManifestStore:
                 streaming=dict(current.streaming),
                 timestamp=time.time(),
                 commit_type="restore",
+                schema_json=self.table_info().schema_json,
             )
             _atomic_write(self._version_path(new_version),
                           json.dumps(snap.to_state()))

@@ -564,6 +564,7 @@ def scan(
     partition_filter=None,
     snapshot: Snapshot | None = None,
     where: str | None = None,
+    schema_as_of: bool = True,
 ) -> DataFrame:
     """Build the DataFrame view of a table snapshot.
 
@@ -579,6 +580,18 @@ def scan(
     """
     info = store.table_info()
     snap = snapshot or store.snapshot(version)
+    # Versioned schema (Delta-style): an explicit time-travel read uses
+    # the schema AS OF that commit — a column dropped or renamed since
+    # reappears under its then-current name. Pre-feature manifests
+    # (schema_json absent) and latest-reads use the live schema.
+    # ``schema_as_of=False`` opts internal versioned readers (CDC
+    # boundary scans, rollup refresh partials) back into the CURRENT
+    # schema so their two sides always line up column-for-column.
+    if (schema_as_of and (version is not None or snapshot is not None)
+            and snap.schema_json and snap.schema_json != info.schema_json):
+        import dataclasses as _dc
+
+        info = _dc.replace(info, schema_json=snap.schema_json)
     # Tables can DECLARE their merge operators (compaction.merge_operators
     # property, set e.g. by create_rollup): every scan that isn't given
     # explicit operators then collapses MoR versions with the declared

@@ -108,7 +108,7 @@ def create_rollup(
             f"without a rescan) — got {sorted(set(aggs.values()))}. Use "
             "an append-only source for min/max rollups")
     cur = src.latest_version()
-    partials = _partials(reader.scan(spark, src, version=cur),
+    partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                          time_col, bucket, group_cols, aggs)
     t = create_table(
         spark, partials, rollup_path,
@@ -215,7 +215,7 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
             dml.upsert(spark, t.store, partials)
             mode = "incremental"
         else:
-            partials = _partials(reader.scan(spark, src, version=cur),
+            partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                                  cfg["time_col"], cfg["bucket"],
                                  cfg["group_cols"], cfg["aggs"])
             dml.write_into(spark, t.store, partials, mode="overwrite")
@@ -235,7 +235,7 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         dml.upsert(spark, t.store, partials)
         mode = "incremental"
     else:
-        partials = _partials(reader.scan(spark, src, version=cur),
+        partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                              cfg["time_col"], cfg["bucket"],
                              cfg["group_cols"], cfg["aggs"])
         dml.write_into(spark, t.store, partials, mode="overwrite")

@@ -868,8 +868,10 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
         d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
         kdf = d if kdf is None else kdf.unionByName(d)
     kdf = kdf.distinct()
-    prev = rd.scan(spark, store, version=v_pre).join(kdf, keys, "left_semi")
-    cur = rd.scan(spark, store, version=v_cur).join(kdf, keys, "left_semi")
+    prev = rd.scan(spark, store, version=v_pre,
+                   schema_as_of=False).join(kdf, keys, "left_semi")
+    cur = rd.scan(spark, store, version=v_cur,
+                  schema_as_of=False).join(kdf, keys, "left_semi")
     prev = prev.localCheckpoint(eager=False)
     cur = cur.localCheckpoint(eager=False)
     # no-op pairs (key present on both sides with EVERY column equal —

@@ -489,10 +489,13 @@ class StarTable:
         marked = {d.lower() for d in drop}
         for d in drop:
             # a renamed column's bytes live under its PRE-rename names:
-            # retire the alias chain and mark those physical names
-            # dropped too, so neither the new nor any old name can be
-            # re-added while un-compacted files still carry the bytes
-            chain = cfg.pop(f"aliases.{d.lower()}", "")
+            # mark those physical names dropped too, so neither the new
+            # nor any old name can be re-added while un-compacted files
+            # still carry the bytes. The alias property itself STAYS —
+            # schema-as-of time travel needs it to resolve the column
+            # in pre-rename files — and clears with the dropped markers
+            # once compaction has rewritten those files.
+            chain = cfg.get(f"aliases.{d.lower()}", "")
             marked |= {a.lower() for a in chain.split(",") if a}
         prev = cfg.get("dropped.columns", "")
         cfg["dropped.columns"] = ",".join(

@@ -135,3 +135,24 @@ def test_drop_renamed_column_blocks_resurrection(spark, tmp_table_dir):
     t.compaction(force=True)
     t.add_columns([("name", "string")])
     assert {r.name for r in t.to_df().collect()} == {None}
+
+
+def test_time_travel_reads_schema_as_of(spark, tmp_table_dir):
+    """Versioned schema: a time-travel read shows the columns the
+    table had AT that commit — a later rename or drop doesn't leak
+    backward, and the latest read uses the live schema."""
+    t = _mk(spark, tmp_table_dir)                                      # v1
+    t.upsert(spark.createDataFrame([(2, "B", 22)],
+                                   "id int, name string, v int"))      # v2
+    t.rename_column("name", "label")
+    t.upsert(spark.createDataFrame([(3, "C", 33)],
+                                   "id int, label string, v int"))     # v3
+    assert "label" in t.to_df().columns
+    old = t.to_df(version=2)
+    assert "name" in old.columns and "label" not in old.columns
+    assert {r.id: r.name for r in old.collect()} == {1: "a", 2: "B", 3: "c"}
+    t.drop_columns(["label"])
+    t.upsert(spark.createDataFrame([(1, 99)], "id int, v int"))        # v4
+    assert "label" not in t.to_df().columns
+    assert {r.id: r.label for r in t.to_df(version=3).collect()} == \
+        {1: "a", 2: "B", 3: "C"}
