@@ -207,6 +207,24 @@ def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
     return df.withColumn(c0, guarded.alias(c0))
 
 
+def _is_statically_empty(df: DataFrame) -> bool:
+    """True when Catalyst has already proven the frame empty — the
+    optimized plan folded to a rowless LocalRelation (``df.limit(0)``,
+    ``filter(lit(False))``, empty unions...). Plan-only inspection, no
+    job. Lets every commit path skip the Spark write job for
+    schema-only commits (e.g. ``create_table(df.limit(0), ...)``,
+    the standard empty-table idiom) — at 100 TB a cluster round-trip
+    just to write zero rows is pure fixed cost. Conservative: anything
+    the optimizer can't fold (e.g. a parquet scan that HAPPENS to
+    match nothing) returns False and takes the normal write path."""
+    try:
+        p = df._jdf.queryExecution().optimizedPlan()
+        return (p.getClass().getSimpleName() == "LocalRelation"
+                and p.data().isEmpty())
+    except Exception:
+        return False
+
+
 def _list_written_files(abs_dir: str) -> list[str]:
     out = []
     for root, _dirs, names in os.walk(abs_dir):
@@ -302,6 +320,8 @@ def write_files(
     contract the clustered layout would violate).
     """
     df = normalize_for_write(df, info, enforce_schema=False)
+    if _is_statically_empty(df):
+        return []  # schema-only commit: no rows, no job, no files
     if check_invariants:
         df = _invariant_guard(df, info)
 

@@ -1614,7 +1614,44 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def star_sql_insert(spark, sf_dir):
+    """ANSI INSERT through the SQL router (WriteIntoTable.scala:44-146
+    routing): the table is created empty (schema-only commit — the
+    statically-empty fast path, no write job), an INSERT..SELECT lands
+    a slice of orders, and a column-list INSERT lands synthetic rows
+    whose unlisted columns become typed nulls. Oracle = the same
+    UNION in SQL; any routing slip (append-vs-upsert, positional
+    binding, null fill) breaks the hash."""
+    from starlake_spark.sql import StarSession
+
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o.limit(0), _scratch(sf_dir, "sql_insert"),
+                     range_partitions=["o_orderstatus"])
+    assert t.store.snapshot().all_files() == [], \
+        "empty-source create must be a schema-only commit"
+    o.createOrReplaceTempView("sql_insert_src")
+    ss = StarSession(spark)
+    ss.register("sqlins", t)
+    ss.sql("INSERT INTO sqlins SELECT * FROM sql_insert_src "
+           "WHERE o_orderkey % 3 = 0")
+    ss.sql("INSERT INTO sqlins (o_orderkey, o_orderstatus, o_orderpriority) "
+           "SELECT o_orderkey + 90000000, o_orderstatus, o_orderpriority "
+           "FROM sql_insert_src WHERE o_orderkey % 1000 = 0")
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+SQL_INSERT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey + 90000000, NULL, o_orderstatus, NULL, NULL, o_orderpriority
+FROM orders WHERE o_orderkey % 1000 = 0
+ORDER BY o_orderkey
+"""
+
+
 ENGINE_QUERIES = {
+    "star_sql_insert": (star_sql_insert, SQL_INSERT_ORACLE),
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
     "star_small_file_compaction": (star_small_file_compaction, SMALL_FILES_ORACLE),
     "star_partition_restore": (star_partition_restore, PARTITION_RESTORE_ORACLE),

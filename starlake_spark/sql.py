@@ -134,6 +134,12 @@ _ALTER_RENAME_RE = re.compile(
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*$",
     re.IGNORECASE,
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class StarSession:
@@ -276,6 +282,47 @@ class StarSession:
             target_alias=talias, source_alias=salias)
         return self._empty_df()
 
+    def _insert_from_sql(self, m) -> DataFrame:
+        """INSERT INTO | OVERWRITE t [(cols)] VALUES ... | SELECT ... —
+        ANSI positional semantics: without a column list the query must
+        produce the table's full width in schema order; with one, listed
+        columns bind by position and unlisted columns land as typed
+        nulls (partition/hash columns must be listed — the writer's
+        NOT NULL invariant enforces that). Routing matches the table's
+        ingest primitive (WriteIntoTable.scala:44-146, :96-97 — appends
+        to primary-key tables are forbidden): INSERT INTO a hash table
+        upserts by key; non-hash tables append; OVERWRITE replaces.
+        Unknown columns are an error, never silent schema evolution."""
+        t = self.table(m["name"])
+        self._sync_views()
+        df = self.spark.sql(m["body"].strip())
+        schema = T.StructType.fromJson(json.loads(t.info.schema_json))
+        if m["cols"]:
+            names = [c.strip().strip("`") for c in _split_top_level(m["cols"])]
+            declared = {f.name for f in schema.fields}
+            unknown = [c for c in names if c not in declared]
+            if unknown:
+                raise ValueError(f"INSERT: unknown column(s) {unknown} in "
+                                 f"{m['name']}")
+        else:
+            names = [f.name for f in schema.fields]
+        if len(df.columns) != len(names):
+            raise ValueError(
+                f"INSERT: query produces {len(df.columns)} columns, "
+                f"expected {len(names)} ({names})")
+        df = df.toDF(*names)
+        missing = [f for f in schema.fields if f.name not in names]
+        if missing:
+            df = df.select(
+                *names, *[F.lit(None).cast(f.dataType).alias(f.name)
+                          for f in missing])
+        overwrite = m["mode"].upper() == "OVERWRITE"
+        if t.info.hash_cols and not overwrite:
+            t.upsert(df)
+        else:
+            t.write(df, mode="overwrite" if overwrite else "append")
+        return self._empty_df()
+
     def _run_command(self, text: str) -> DataFrame | None:
         """Dispatch star DDL/DML text; None = not a command (fall through
         to the SELECT path). DML on names not registered as star tables is
@@ -305,6 +352,10 @@ class StarSession:
         m = _MERGE_RE.match(text)
         if m and self._known(m["target"]):
             return self._merge_from_sql(m)
+
+        m = _INSERT_RE.match(text)
+        if m and self._known(m["name"]):
+            return self._insert_from_sql(m)
 
         m = _DROP_RE.match(text)
         if m and self._known(m["name"]):
@@ -442,6 +493,21 @@ class StarSession:
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
             return self.table(m["name"]).partitions()
+
+        m = re.match(r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            props = self.table(m["name"]).info.configuration or {}
+            return self.spark.createDataFrame(
+                sorted(props.items()) or [], "key string, value string")
+
+        m = re.match(r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            schema = T.StructType.fromJson(
+                json.loads(self.table(m["name"]).info.schema_json))
+            return self.spark.createDataFrame(
+                [(f.name,) for f in schema.fields], "col_name string")
 
         m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$",
                      text, re.IGNORECASE)

@@ -341,3 +341,64 @@ def test_describe_detail(spark, tmp_path):
     row = ss.sql("DESCRIBE DETAIL dd_t").collect()[0]
     assert row["approx_rows"] == 10 and row["num_files"] >= 2
     assert row["hash_cols"] == ["id"] and row["version"] == 1
+
+
+def test_sql_insert_values_and_select(spark, sess, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, v double")
+    t = sess.create_table(df, str(tmp_path / "ins_t"), name="ins_t")
+    sess.sql("INSERT INTO ins_t VALUES (3, 'c', 30.0), (4, 'd', 40.0)")
+    assert t.to_df().count() == 4
+    # column-list form: unlisted column lands as a typed null
+    sess.sql("INSERT INTO ins_t (k, name) VALUES (5, 'e')")
+    rows = {r["k"]: r for r in t.to_df().collect()}
+    assert rows[5]["v"] is None and rows[5]["name"] == "e"
+    # INSERT ... SELECT
+    sess.sql("INSERT INTO ins_t SELECT k + 100, name, v FROM ins_t WHERE k <= 2")
+    assert t.to_df().filter("k > 100").count() == 2
+    with pytest.raises(ValueError, match="unknown column"):
+        sess.sql("INSERT INTO ins_t (k, nope) VALUES (9, 'x')")
+    with pytest.raises(ValueError, match="columns"):
+        sess.sql("INSERT INTO ins_t VALUES (9, 'x')")
+
+
+def test_sql_insert_overwrite_and_hash_upsert(spark, sess, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, s string")
+    t = sess.create_table(df, str(tmp_path / "ins_h"), name="ins_h",
+                          hash_partitions=["k"], hash_bucket_num=2)
+    # INSERT INTO a hash table upserts by key (appends are forbidden)
+    sess.sql("INSERT INTO ins_h VALUES (2, 'B'), (3, 'c')")
+    rows = {r["k"]: r["s"] for r in t.to_df().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # OVERWRITE replaces wholesale
+    sess.sql("INSERT OVERWRITE ins_h VALUES (7, 'z')")
+    assert {r["k"]: r["s"] for r in t.to_df().collect()} == {7: "z"}
+
+
+def test_show_tblproperties_and_columns(spark, sess, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    sess.create_table(df, str(tmp_path / "show_t"), name="show_t",
+                      configuration={"cdf.enabled": "true"})
+    props = {r["key"]: r["value"]
+             for r in sess.sql("SHOW TBLPROPERTIES show_t").collect()}
+    assert props.get("cdf.enabled") == "true"
+    cols = [r["col_name"] for r in sess.sql("SHOW COLUMNS FROM show_t").collect()]
+    assert cols == ["k", "s"]
+
+
+def test_create_table_empty_source_skips_write_job(spark, tmp_path):
+    """create_table(df.limit(0)) commits schema-only: zero data files,
+    no Spark write job (writer._is_statically_empty fast path)."""
+    from starlake_spark.operators import writer as W
+
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    assert W._is_statically_empty(df.limit(0))
+    assert W._is_statically_empty(df.filter(F.lit(False)))
+    assert not W._is_statically_empty(df)
+    t = create_table(spark, df.limit(0), str(tmp_path / "empty_t"),
+                     range_partitions=["s"])
+    assert t.store.snapshot().all_files() == []
+    assert t.to_df().count() == 0
+    t.write(df)
+    assert t.to_df().count() == 1
