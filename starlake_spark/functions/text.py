@@ -379,3 +379,45 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists — the standard hybrid-retrieval combiner (sparse BM25 +
+    dense embedding ranks fused without score calibration). Each input
+    must carry (id_col, rank); a document scores Σ 1/(c + rank) over
+    the lists it appears in.
+
+    Scale shape: each ranking is already top-pooled (bounded rows), so
+    the fuse is a union + one tiny groupBy — cost is O(Σ pool sizes),
+    independent of corpus size. Cross-engine exactness: each reciprocal
+    is rounded to 9 dp and summed as DECIMAL, so the fused score is
+    fold-order-independent and reproducible in ANSI SQL.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 9)
+            .cast("decimal(18,9)").alias("_rrf"),
+        )
+        for r in rankings
+    ]
+    fused = reduce(DataFrame.unionByName, parts)
+    return (
+        fused.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.round(F.sum("_rrf").cast("double"), 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2148,6 +2148,93 @@ FROM toks_new t ORDER BY t.doc_id
 """
 
 
+
+HYBRID_POOL = 50
+HYBRID_C = 60
+
+
+def docs_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 sparse ranking + exact-cosine dense
+    ranking fused by reciprocal-rank fusion (tx.rrf_fuse). The sparse
+    side pools the top-50 BM25 docs for the fixed term bag, the dense
+    side the top-50 cosine neighbors of vec_id 0's embedding (vec_id
+    doubling as the doc id); RRF sums 1/(60+rank) over both lists.
+    Both constituent rankings are independently oracle-exact
+    (docs_bm25_search / ann_cosine_topk), so the fusion oracle pins
+    only the deterministic combination on top."""
+    d = ld(spark, sf_dir, "documents")
+    e = ld(spark, sf_dir, "embeddings")
+    sparse = tx.bm25_topk(d, BM25_TERMS, "doc_id", "text", k=HYBRID_POOL)
+    sparse = sparse.select(
+        "doc_id",
+        F.row_number().over(
+            W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).alias("rank"))
+    q = e.filter(F.col("vec_id") == 0)
+    dense = sim.brute_force_topk(
+        e, q, k=HYBRID_POOL, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    out = tx.rrf_fuse([sparse, dense], "doc_id", k=20, c=HYBRID_C)
+    return out.select("doc_id", "n_lists", "rrf_score")
+
+
+DOCS_HYBRID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ('merge', 'batch', 'hash') GROUP BY 1, 2
+), dft AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT w, n, avgdl, ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+  FROM dft, stats
+), term_score AS (
+  SELECT t.doc_id,
+    CAST(ROUND(i.idf * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / i.avgdl)), 9)
+         AS DECIMAL(18,9)) AS s
+  FROM tf t JOIN idf i USING (w) JOIN doclen d USING (doc_id)
+), bm AS (
+  SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+  FROM term_score GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_POOL}
+), sparse AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm
+), v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve FROM embeddings
+), qv AS (
+  SELECT ve AS q FROM v WHERE vec_id = 0
+), scored AS (
+  SELECT c.vec_id AS doc_id,
+    CASE WHEN (sqrt(list_reduce([x*x FOR x IN q], (a,b) -> a+b))
+             * sqrt(list_reduce([x*x FOR x IN ve], (a,b) -> a+b))) > 0
+         THEN list_reduce([q[i] * ve[i] FOR i IN range(1, len(q)+1)], (a,b) -> a+b)
+              / (sqrt(list_reduce([x*x FOR x IN q], (a,b) -> a+b))
+               * sqrt(list_reduce([x*x FOR x IN ve], (a,b) -> a+b)))
+         ELSE 0.0 END AS sim
+  FROM v c, qv WHERE c.vec_id <> 0
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank FROM scored
+  ) WHERE rank <= {HYBRID_POOL}
+), fused AS (
+  SELECT doc_id, CAST(ROUND(1.0 / ({HYBRID_C} + rank), 9) AS DECIMAL(18,9)) AS r
+  FROM sparse
+  UNION ALL
+  SELECT doc_id, CAST(ROUND(1.0 / ({HYBRID_C} + rank), 9) AS DECIMAL(18,9)) AS r
+  FROM dense
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       ROUND(CAST(SUM(r) AS DOUBLE), 9) AS rrf_score
+FROM fused GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+"""
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -2193,6 +2280,7 @@ LLM_QUERIES = {
     "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
     "docs_bigram_perplexity": (docs_bigram_perplexity, DOCS_BIGRAM_PPL_SQL),
     "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
+    "docs_hybrid_search": (docs_hybrid_search, DOCS_HYBRID_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, DOCS_INC_DEDUP_SQL),
 }
 

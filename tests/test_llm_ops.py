@@ -487,3 +487,19 @@ def test_pq_adc_planted_twin_and_code_shape(spark):
     top1 = {r["query_id"]: r["neighbor_id"]
             for r in top.filter("rank = 1").collect()}
     assert top1 == {0: 1000, 1: 1001, 2: 1002}, top1
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    """A doc ranked well in BOTH lists outscores a doc that tops only
+    one (1/61+1/62 > 1/61): the calibration-free property RRF is for."""
+    from starlake_spark.functions import text as tx
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id int, rank int")
+    out = tx.rrf_fuse([a, b], "doc_id", k=10).collect()
+    assert out[0]["doc_id"] == 20 and out[0]["n_lists"] == 2
+    assert {r["doc_id"] for r in out} == {10, 20, 30, 40}
+    single = {r["doc_id"]: r["n_lists"] for r in out}
+    assert single[10] == 1 and single[40] == 1
+    with pytest.raises(ValueError, match="at least one"):
+        tx.rrf_fuse([], "doc_id")
