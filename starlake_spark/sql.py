@@ -564,9 +564,10 @@ class StarSession:
             return self._empty_df()
 
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
-                     r"(?P<hours>[\d.]+)\s+HOURS?)?\s*$", text, re.IGNORECASE)
+                     r"(?P<hours>[\d.]+)\s+HOURS?)?(?P<dry>\s+DRY\s+RUN)?\s*$",
+                     text, re.IGNORECASE)
         if m and self._known(m["name"]):
-            kw = {}
+            kw = {"dry_run": bool(m["dry"])}
             if m["hours"]:
                 kw["retention_s"] = float(m["hours"]) * 3600.0
             removed = self.table(m["name"]).cleanup(**kw)

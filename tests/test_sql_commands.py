@@ -156,9 +156,15 @@ def test_show_describe_compact_vacuum(spark, sess, orders_tbl, sf_dir):
     sess.sql("COMPACT TABLE orders_h")
     assert all(f.is_base_file for f in t.store.snapshot().all_files())
 
+    planned = sess.sql("VACUUM orders_h RETAIN 0 HOURS DRY RUN").collect()
+    assert len(planned) > 0  # dry run reports candidates, removes nothing
+    import os
+    assert all(os.path.exists(os.path.join(t.store.table_path, r["removed_file"]))
+               or os.path.exists(r["removed_file"]) for r in planned)
     removed = sess.sql("VACUUM orders_h RETAIN 0 HOURS").collect()
     assert isinstance(removed, list)  # stale pre-compaction files reported
     assert len(removed) > 0
+    assert {r["removed_file"] for r in removed} == {r["removed_file"] for r in planned}
 
 
 def test_optimize_zorder_sql(spark, sess, sf_dir, tmp_path):
