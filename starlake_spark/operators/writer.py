@@ -320,6 +320,19 @@ def write_files(
     contract the clustered layout would violate).
     """
     df = normalize_for_write(df, info, enforce_schema=False)
+    if is_base:
+        # Column DEFAULT values (`default.<col>` table property — Delta
+        # column-default analog): base/append writes that omit the
+        # column materialize the default expression. Deliberately NOT
+        # applied to delta (partial-column upsert) writes: there an
+        # absent column means "leave the existing value alone" under
+        # MoR merge, and a default fill would silently clobber it.
+        declared = {f.name: f.dataType for f in table_schema(info).fields}
+        for k, expr in sorted((info.configuration or {}).items()):
+            if k.startswith("default."):
+                c = k[len("default."):]
+                if c in declared and c not in df.columns:
+                    df = df.withColumn(c, F.expr(expr).cast(declared[c]))
     if _is_statically_empty(df):
         return []  # schema-only commit: no rows, no job, no files
     if check_invariants:

@@ -134,6 +134,16 @@ _ALTER_RENAME_RE = re.compile(
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SETDEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+SET\s+DEFAULT\s+(?P<expr>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROPDEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+DROP\s+DEFAULT\s*$",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
     r"(?:\s*\((?P<cols>[^)]*)\))?"
@@ -313,9 +323,14 @@ class StarSession:
         df = df.toDF(*names)
         missing = [f for f in schema.fields if f.name not in names]
         if missing:
+            defaults = {k[len("default."):]: v
+                        for k, v in (t.info.configuration or {}).items()
+                        if k.startswith("default.")}
             df = df.select(
-                *names, *[F.lit(None).cast(f.dataType).alias(f.name)
-                          for f in missing])
+                *names,
+                *[(F.expr(defaults[f.name]) if f.name in defaults
+                   else F.lit(None)).cast(f.dataType).alias(f.name)
+                  for f in missing])
         overwrite = m["mode"].upper() == "OVERWRITE"
         if t.info.hash_cols and not overwrite:
             t.upsert(df)
@@ -389,6 +404,16 @@ class StarSession:
         m = _ALTER_DROPCHECK_RE.match(text)
         if m and self._known(m["name"]):
             self.table(m["name"]).drop_constraint(m["cname"])
+            return self._empty_df()
+
+        m = _ALTER_SETDEFAULT_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).set_column_default(m["col"], m["expr"].strip())
+            return self._empty_df()
+
+        m = _ALTER_DROPDEFAULT_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).drop_column_default(m["col"])
             return self._empty_df()
 
         m = _ALTER_CHANGETYPE_RE.match(text)

@@ -614,6 +614,31 @@ class StarTable:
 
         return self.unset_properties([f"{_w.CHECK_PREFIX}{name}"])
 
+    def set_column_default(self, name: str, expr: str) -> "StarTable":
+        """ALTER COLUMN ... SET DEFAULT (Delta column-default analog):
+        base/append writes that omit the column materialize ``expr``
+        (cast to the declared type) instead of leaving it null. Stored
+        as the ``default.<col>`` table property; never applied to
+        partial-column upserts, where an absent column means "keep the
+        existing value" under MoR merge. Hash (primary-key) columns
+        can't default — keys must always be explicit."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        declared = {f.name: f for f in schema.fields}
+        if name not in declared:
+            raise KeyError(f"no such column: {name}")
+        if name in info.hash_cols:
+            raise ValueError(f"hash (primary-key) column '{name}' cannot "
+                             f"have a DEFAULT — keys must be explicit")
+        # validate the expression compiles and casts to the column type
+        probe = self.spark.range(1).select(
+            F.expr(expr).cast(declared[name].dataType))
+        _ = probe.schema
+        return self.set_properties({f"default.{name}": expr})
+
+    def drop_column_default(self, name: str) -> "StarTable":
+        return self.unset_properties([f"default.{name}"])
+
     def stats(self, version: int | None = None) -> dict:
         """Zero-job size estimates from the manifest: file count, total
         bytes, and an approximate row count summed from the per-file

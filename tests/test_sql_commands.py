@@ -408,3 +408,39 @@ def test_create_table_empty_source_skips_write_job(spark, tmp_path):
     assert t.to_df().count() == 0
     t.write(df)
     assert t.to_df().count() == 1
+
+
+def test_column_defaults(spark, sess, tmp_path):
+    """DEFAULT fills omitted columns on base/append writes and SQL
+    INSERT, but never on partial-column upserts (absent column under
+    MoR merge means keep-existing, not re-default)."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k int, s string, tag string")
+    t = sess.create_table(df, str(tmp_path / "def_t"), name="def_t",
+                          hash_partitions=["k"], hash_bucket_num=2)
+    sess.sql("ALTER TABLE def_t ALTER COLUMN tag SET DEFAULT 'untagged'")
+    assert t.info.configuration["default.tag"] == "'untagged'"
+    # partial upsert WITHOUT tag: existing tags must survive (no fill)
+    t.upsert(spark.createDataFrame([(1, "A")], "k int, s string"))
+    rows = {r["k"]: r for r in t.to_df().collect()}
+    assert rows[1]["tag"] == "x" and rows[1]["s"] == "A"
+    # INSERT with a column list omitting tag: default materializes
+    sess.sql("INSERT INTO def_t (k, s) VALUES (3, 'c')")
+    rows = {r["k"]: r for r in t.to_df().collect()}
+    assert rows[3]["tag"] == "untagged"
+    # non-hash append path fills too
+    df2 = spark.createDataFrame([(10, "q", "z")], "k int, s string, tag string")
+    t2 = sess.create_table(df2, str(tmp_path / "def_t2"), name="def_t2")
+    t2.set_column_default("tag", "concat('v', '1')")
+    t2.write(spark.createDataFrame([(11, "r")], "k int, s string"))
+    got = {r["k"]: r["tag"] for r in t2.to_df().collect()}
+    assert got == {10: "z", 11: "v1"}
+    # DROP DEFAULT reverts to null fill
+    sess.sql("ALTER TABLE def_t2 ALTER COLUMN tag DROP DEFAULT")
+    t2.write(spark.createDataFrame([(12, "w")], "k int, s string"))
+    assert {r["k"]: r["tag"] for r in t2.to_df().collect()}[12] is None
+    # guards
+    with pytest.raises(ValueError, match="primary-key"):
+        t.set_column_default("k", "0")
+    with pytest.raises(KeyError):
+        t.set_column_default("nope", "0")
