@@ -202,10 +202,15 @@ def merge_into(
     not_matched_insert: dict | str | None = None,
     target_alias: str = "t",
     source_alias: str = "s",
+    not_matched_by_source_update: dict | None = None,
+    not_matched_by_source_delete: bool = False,
 ) -> None:
     """ANSI-style MERGE INTO (beyond the reference, whose surface stops
     at upsert): arbitrary ON condition, WHEN MATCHED THEN UPDATE SET /
-    DELETE, WHEN NOT MATCHED THEN INSERT.
+    DELETE, WHEN NOT MATCHED THEN INSERT, WHEN NOT MATCHED BY SOURCE
+    THEN UPDATE SET / DELETE (Delta/SQL:2023 by-source clauses — the
+    sync-to-source shape: target rows absent from the source are
+    flagged or dropped in the same statement).
 
     Semantics are the standard ones: target rows with a source match
     are updated (or deleted), unmatched source rows are inserted,
@@ -222,8 +227,14 @@ def merge_into(
     pure key-equality merges (delta commit, O(source) write); MERGE is
     the general tool where the condition or actions don't fit MoR.
     """
-    if matched_update is None and not matched_delete and not_matched_insert is None:
+    if (matched_update is None and not matched_delete
+            and not_matched_insert is None
+            and not_matched_by_source_update is None
+            and not not_matched_by_source_delete):
         raise ValueError("MERGE needs at least one WHEN clause")
+    if not_matched_by_source_update and not_matched_by_source_delete:
+        raise ValueError("MERGE: NOT MATCHED BY SOURCE cannot both "
+                         "UPDATE and DELETE")
     info = maybe_merge_schema(source, store) if not_matched_insert else store.table_info()
     schema = T.StructType.fromJson(json.loads(info.schema_json))
     src_cols = set(source.columns)
@@ -250,11 +261,14 @@ def merge_into(
     def _scol(c):
         return F.col(f"{source_alias}.{c}")
 
+    t_only = F.col("_t_rid").isNotNull() & F.col("_s_mark").isNull()
     keep = F.lit(True)
     if matched_delete:
         keep = keep & ~matched
     if not_matched_insert is None:
         keep = keep & ~s_only
+    if not_matched_by_source_delete:
+        keep = keep & ~t_only
 
     out_cols = []
     for f in schema.fields:
@@ -270,8 +284,12 @@ def merge_into(
             ins = _scol(c) if c in src_cols else F.lit(None)
         elif isinstance(not_matched_insert, dict):
             ins = F.expr(not_matched_insert[c]) if c in not_matched_insert else F.lit(None)
+        t_upd = t_val  # the otherwise-branch is exactly the t_only rows
+        if (isinstance(not_matched_by_source_update, dict)
+                and c in not_matched_by_source_update):
+            t_upd = F.expr(not_matched_by_source_update[c])
         out_cols.append(
-            F.when(s_only, ins).when(matched, upd).otherwise(t_val)
+            F.when(s_only, ins).when(matched, upd).otherwise(t_upd)
             .cast(f.dataType).alias(c))
     result = joined.filter(keep).select(*out_cols)
     _rewrite_all(spark, store, info, result)

@@ -698,4 +698,35 @@ def scan(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if merge_files:
+        # Manifest-size broadcast hint: Catalyst estimates a plain
+        # parquet relation from its file sizes, but the MoR collapse
+        # (union + groupBy) defeats that — a 2 MB dimension table with
+        # one delta would sort-merge-join. The manifest already knows
+        # the scan's byte size (post-merge output ≤ pre-merge file
+        # bytes, so the figure is conservative); below the session's
+        # autoBroadcastJoinThreshold, hint broadcast. Spark drops the
+        # hint with a warning where it can't apply (e.g. the preserved
+        # side of an outer join) — never a correctness surface.
+        thr = _broadcast_threshold(spark)
+        if 0 < sum(f.size for f in merge_files + plain_files) <= thr:
+            out = F.broadcast(out)
     return out
+
+
+_SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgt]?b?)$")
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+               "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+               "t": 1 << 40, "tb": 1 << 40}
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        m = _SIZE_RE.match(raw.strip().lower())
+        if not m:
+            return -1
+        return int(m.group(1)) * _SIZE_UNITS[m.group(2)]
+    except Exception:
+        return -1

@@ -69,6 +69,12 @@ _MERGE_UPDATE_RE = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>\*|.+?)(?=\s+WHEN\s+|\s*$)",
     re.IGNORECASE | re.DOTALL)
 _MERGE_DELETE_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_MERGE_NMBS_UPDATE_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>.+?)(?=\s+WHEN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_NMBS_DELETE_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE", re.IGNORECASE)
 _MERGE_INSERT_STAR_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE)
 _MERGE_INSERT_RE = re.compile(
@@ -284,12 +290,22 @@ class StarSession:
                 if len(cols) != len(vals):
                     raise ValueError("MERGE INSERT: column/value count mismatch")
                 not_matched_insert = dict(zip(cols, (v.strip() for v in vals)))
+        nmbs_update = None
+        mb = _MERGE_NMBS_UPDATE_RE.search(clauses)
+        if mb:
+            nmbs_update = {}
+            for part in _split_top_level(mb["sets"].strip()):
+                col, _, expr = part.partition("=")
+                nmbs_update[col.strip().strip("`")] = expr.strip()
+        nmbs_delete = bool(_MERGE_NMBS_DELETE_RE.search(clauses))
         self.table(m["target"]).merge(
             source, m["on"].strip(),
             matched_update=matched_update,
             matched_delete=matched_delete,
             not_matched_insert=not_matched_insert,
-            target_alias=talias, source_alias=salias)
+            target_alias=talias, source_alias=salias,
+            not_matched_by_source_update=nmbs_update,
+            not_matched_by_source_delete=nmbs_delete)
         return self._empty_df()
 
     def _insert_from_sql(self, m) -> DataFrame:

@@ -193,15 +193,20 @@ class StarTable:
               matched_update: dict | str | None = None,
               matched_delete: bool = False,
               not_matched_insert: dict | str | None = None,
-              target_alias: str = "t", source_alias: str = "s") -> "StarTable":
+              target_alias: str = "t", source_alias: str = "s",
+              not_matched_by_source_update: dict | None = None,
+              not_matched_by_source_delete: bool = False) -> "StarTable":
         """ANSI MERGE INTO — see dml.merge_into. ``"*"`` takes source
         columns by name; dict values are SQL expressions over both
-        aliases (default t/s)."""
+        aliases (default t/s). The by-source clauses act on target rows
+        the source doesn't match (sync-to-source deletes/flags)."""
         dml.merge_into(self.spark, self.store, source, condition,
                        matched_update=matched_update,
                        matched_delete=matched_delete,
                        not_matched_insert=not_matched_insert,
-                       target_alias=target_alias, source_alias=source_alias)
+                       target_alias=target_alias, source_alias=source_alias,
+                       not_matched_by_source_update=not_matched_by_source_update,
+                       not_matched_by_source_delete=not_matched_by_source_delete)
         return self
 
     def delete(self, condition=None, use_delta: bool = False) -> "StarTable":

@@ -357,3 +357,28 @@ def test_bucket_pruning_for_in_list_lookups(spark, tmp_path):
     wide = ", ".join(str(k) for k in
                      [r["o_orderkey"] for r in orders.limit(70).collect()])
     assert t.to_df(where=f"o_orderkey IN ({wide})").count() == 70
+
+def test_mor_small_dim_broadcasts_from_manifest_hint(spark, tmp_path):
+    """A small hash table WITH a delta (MoR collapse defeats Catalyst's
+    relation-size estimate) still broadcast-joins: the manifest byte
+    total under autoBroadcastJoinThreshold attaches the hint inside
+    scan(). Plain-path reads need no hint (parquet sizeInBytes)."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    t = create_table(spark, nation, str(tmp_path / "dim_n"),
+                     hash_partitions=["n_nationkey"], hash_bucket_num=2,
+                     configuration={"compaction.auto": "false"})
+    t.upsert(nation.limit(3).withColumn("n_name", F.lit("X")))
+    dim = t.to_df()
+    assert "Aggregate" in _phys(dim)  # really the MoR path
+    j = customer.join(dim, customer.c_nationkey == dim.n_nationkey)
+    assert "BroadcastHashJoin" in _phys(j), _phys(j)
+
+    # threshold disabled -> no hint, plan falls back to shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dim2 = t.to_df()
+        j2 = customer.join(dim2, customer.c_nationkey == dim2.n_nationkey)
+        assert "BroadcastHashJoin" not in _phys(j2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")

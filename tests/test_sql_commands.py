@@ -444,3 +444,37 @@ def test_column_defaults(spark, sess, tmp_path):
         t.set_column_default("k", "0")
     with pytest.raises(KeyError):
         t.set_column_default("nope", "0")
+
+
+def test_merge_not_matched_by_source(spark, sess, tmp_path):
+    """Delta/SQL:2023 by-source clauses: sync-to-source in one MERGE —
+    matched rows update, new rows insert, target rows the source no
+    longer carries are deleted (or flagged via UPDATE)."""
+    t_df = spark.createDataFrame(
+        [(1, "a", "live"), (2, "b", "live"), (3, "c", "live")],
+        "k int, s string, state string")
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "k int, s string")
+    t = sess.create_table(t_df, str(tmp_path / "nmbs_t"), name="nmbs_t")
+    src.createOrReplaceTempView("nmbs_src")
+    sess.sql("""
+        MERGE INTO nmbs_t AS t USING nmbs_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET s = s.s
+        WHEN NOT MATCHED THEN INSERT (k, s, state) VALUES (s.k, s.s, 'live')
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    rows = {r["k"]: (r["s"], r["state"]) for r in t.to_df().collect()}
+    assert rows == {2: ("B", "live"), 4: ("d", "live")}
+    # by-source UPDATE flags instead of deleting
+    t2 = sess.create_table(t_df, str(tmp_path / "nmbs_t2"), name="nmbs_t2")
+    sess.sql("""
+        MERGE INTO nmbs_t2 AS t USING nmbs_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET s = s.s
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET state = 'stale'
+    """)
+    rows = {r["k"]: (r["s"], r["state"]) for r in t2.to_df().collect()}
+    assert rows == {1: ("a", "stale"), 2: ("B", "live"), 3: ("c", "stale")}
+    # both by-source actions at once is rejected
+    with pytest.raises(ValueError, match="cannot both"):
+        t2.merge(src, "t.k = s.k",
+                 not_matched_by_source_update={"state": "'x'"},
+                 not_matched_by_source_delete=True)
