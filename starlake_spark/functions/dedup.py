@@ -1064,3 +1064,54 @@ def ngram_overlap_frac(
         (F.col("n_overlap").cast("double") / F.col("n_ngrams")
          > F.lit(threshold)).alias("contaminated"),
     )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level exact dedup (Raffel et al. 2020 §2.2's
+    discard-all-but-one rule, at line granularity): any line occurring
+    more than once ACROSS THE CORPUS keeps only its first occurrence —
+    smallest (doc_id, position) — and every other copy is cut, with
+    documents reassembled around the gaps. The boilerplate-killer pass
+    web-scale corpora run before training.
+
+    Output: (id_col, n_lines, n_kept, cleaned) — the reassembled text.
+
+    Scale shape: line occurrences shuffle as (xxhash64, id, pos) longs,
+    never strings — first-occurrence selection is a hash-keyed min-
+    struct agg, and reassembly re-derives lines from the document text
+    and keeps positions via an array filter, so no line string ever
+    crosses a shuffle (same xxhash64-collision trade as the
+    duplicated-substring op above). Two long-keyed shuffles total.
+    """
+    toks = F.split(F.col(text_col), sep)
+    marks = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("_pos", "_line"),
+    ).select(id_col, "_pos", F.xxhash64("_line").alias("_h"))
+    firsts = marks.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("_i"), F.col("_pos").alias("_p"))
+              ).alias("_f"))
+    keep = (
+        marks.join(firsts, "_h")
+        .filter((F.col(id_col) == F.col("_f._i"))
+                & (F.col("_pos") == F.col("_f._p")))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_keep"))
+    )
+    kept = F.coalesce(F.col("_keep"), F.array().cast("array<int>"))
+    return (
+        df.join(keep, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(
+                F.filter(toks, lambda x, i: F.array_contains(kept, i)),
+                sep).alias("cleaned"),
+        )
+    )

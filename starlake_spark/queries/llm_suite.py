@@ -2235,6 +2235,67 @@ FROM fused GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
 """
 
+
+LINE_SEG = 10
+
+
+def docs_line_dedup(spark, sf_dir):
+    """C4-style line-level exact dedup (dd.remove_duplicated_lines):
+    the corpus has no natural newlines, so documents segment into
+    10-token pseudo-lines deterministically IN BOTH ENGINES, then any
+    line repeated anywhere in the corpus keeps only its first
+    (doc_id, pos) occurrence and documents reassemble around the cuts.
+    Oracle recomputes first-occurrence selection by line CONTENT
+    (window rank), so it also proves the operator's hash-keyed
+    min-struct path collides nowhere; md5 of the reassembled text pins
+    reassembly byte-for-byte."""
+    d = ld(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.col("text")), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(LINE_SEG))).cast("int")
+    seg = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nseg - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(toks, i * LINE_SEG + 1, LINE_SEG), " "),
+            ),
+            "\n").alias("text"))
+    out = dd.remove_duplicated_lines(seg, "doc_id", "text", "\n")
+    return (out.select("doc_id", "n_lines", "n_kept",
+                       F.md5(F.col("cleaned")).alias("fp"))
+               .orderBy("doc_id"))
+
+
+DOCS_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), seg AS (
+  SELECT doc_id, w,
+    unnest(range(0, CAST(ceil(len(w) / {LINE_SEG}.0) AS BIGINT))) AS pos
+  FROM toks
+), lines AS (
+  SELECT doc_id, pos,
+    array_to_string(w[pos * {LINE_SEG} + 1 : pos * {LINE_SEG} + {LINE_SEG}], ' ') AS line
+  FROM seg
+), ranked AS (
+  SELECT doc_id, pos, line,
+    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), nl AS (
+  SELECT doc_id, CAST(ceil(len(w) / {LINE_SEG}.0) AS BIGINT) AS n_lines FROM toks
+)
+SELECT n.doc_id, n.n_lines,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(COALESCE(r.cleaned, '')) AS fp
+FROM nl n LEFT JOIN rebuilt r USING (doc_id) ORDER BY n.doc_id
+"""
+
 LLM_QUERIES = {
     "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_SQL),
     "docs_token_stats": (docs_token_stats, DOCS_TOKENS_SQL),
@@ -2281,6 +2342,7 @@ LLM_QUERIES = {
     "docs_bigram_perplexity": (docs_bigram_perplexity, DOCS_BIGRAM_PPL_SQL),
     "docs_bm25_search": (docs_bm25_search, DOCS_BM25_SQL),
     "docs_hybrid_search": (docs_hybrid_search, DOCS_HYBRID_SQL),
+    "docs_line_dedup": (docs_line_dedup, DOCS_LINE_DEDUP_SQL),
     "docs_incremental_dedup": (docs_incremental_dedup, DOCS_INC_DEDUP_SQL),
 }
 

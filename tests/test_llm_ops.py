@@ -503,3 +503,19 @@ def test_rrf_fuse_combines_and_ranks(spark):
     assert single[10] == 1 and single[40] == 1
     with pytest.raises(ValueError, match="at least one"):
         tx.rrf_fuse([], "doc_id")
+
+
+def test_remove_duplicated_lines_keeps_first_occurrence(spark):
+    from starlake_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nshared\nbeta"),
+         (2, "shared\ngamma"),        # 'shared' already seen in doc 1
+         (3, "delta\ndelta\nomega")], # within-doc repeat: first kept
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           dd.remove_duplicated_lines(docs).collect()}
+    assert out[1]["cleaned"] == "alpha\nshared\nbeta"
+    assert out[2]["cleaned"] == "gamma" and out[2]["n_kept"] == 1
+    assert out[3]["cleaned"] == "delta\nomega"
+    assert out[3]["n_lines"] == 3 and out[3]["n_kept"] == 2
