@@ -344,6 +344,99 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 _MAX_LOOKUP_COMBOS = 64
 
 
+# ---------------------------------------------------------------------------
+# Murmur3_x86_32 — bit-exact twin of Spark's hash() for the types bucket
+# lookups use (int-likes, long, string), so probe planning computes its
+# bucket WITHOUT a JVM round trip. Guava/Spark variant: 4-byte blocks
+# little-endian, signed tail bytes, seed chains across columns, nulls
+# skipped. Differentially pinned against F.hash in test_plan_hygiene.
+# ---------------------------------------------------------------------------
+
+def _mmh3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mmh3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mmh3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    return h1 ^ (h1 >> 16)
+
+
+def _mmh3_int(v: int, seed: int) -> int:
+    return _mmh3_fmix(_mmh3_mix_h1(seed, _mmh3_mix_k1(v & 0xFFFFFFFF)), 4)
+
+
+def _mmh3_long(v: int, seed: int) -> int:
+    h1 = _mmh3_mix_h1(seed, _mmh3_mix_k1(v & 0xFFFFFFFF))
+    h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1((v >> 32) & 0xFFFFFFFF))
+    return _mmh3_fmix(h1, 8)
+
+
+def _mmh3_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    aligned = n - n % 4
+    h1 = seed
+    for i in range(0, aligned, 4):
+        word = int.from_bytes(data[i:i + 4], "little", signed=True)
+        h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(word & 0xFFFFFFFF))
+    for i in range(aligned, n):
+        b = data[i]
+        half = b - 256 if b >= 128 else b  # Java signed byte
+        h1 = _mmh3_mix_h1(h1, _mmh3_mix_k1(half & 0xFFFFFFFF))
+    return _mmh3_fmix(h1, n)
+
+
+def _spark_hash_py(values: list, dtypes: list) -> int | None:
+    """Spark ``hash(cols...)`` (seed 42, seed-chained columns) for
+    int-like/long/string values, or None when a type is outside the
+    supported envelope. Returns the SIGNED 32-bit result."""
+    h = 42
+    for v, dt in zip(values, dtypes):
+        if v is None:
+            continue  # null columns leave the running hash unchanged
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            h = _mmh3_int(int(v), h)
+        elif isinstance(dt, T.LongType):
+            h = _mmh3_long(int(v), h)
+        elif isinstance(dt, T.StringType):
+            s = str(v)
+            if not s.isascii():
+                return None  # stay off UTF-8 edge cases; JVM path handles
+            h = _mmh3_bytes(s.encode("utf-8"), h)
+        else:
+            return None
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _parse_bucket_lit(lit: str, dtype):
+    """Literal → python value for _spark_hash_py; _FALLBACK when the
+    (literal, type) pair needs Spark's cast semantics."""
+    lit = lit.strip()
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if re.fullmatch(r"[+-]?\d+", lit):
+            return int(lit)
+        if lit.startswith("'") and lit.endswith("'") \
+                and re.fullmatch(r"[+-]?\d+", lit[1:-1]):
+            return int(lit[1:-1])  # CAST('5' AS INT)
+        return _FALLBACK
+    if isinstance(dtype, T.StringType):
+        if lit.startswith("'") and lit.endswith("'"):
+            return lit[1:-1].replace("''", "'")
+        return _FALLBACK
+    return _FALLBACK
+
+
 def _buckets_for_lookup(spark, info: TableInfo,
                         conjuncts: list[str]) -> set[int] | None:
     """Bucket ids when EVERY hash column is pinned to literal(s) —
@@ -389,8 +482,28 @@ def _buckets_for_lookup(spark, info: TableInfo,
         return None
     import itertools
 
+    combos = list(itertools.product(*[lits[c] for c in info.hash_cols]))
+    dtypes = [schema_types[c] for c in info.hash_cols]
+
+    # fast path: compute the writer's murmur3 in-process (bit-exact
+    # twin, differentially pinned) — probe planning then needs no JVM
+    # round trip at all
+    parsed = [[_parse_bucket_lit(lit, dt) for lit, dt in zip(combo, dtypes)]
+              for combo in combos]
+    if all(v is not _FALLBACK for vals in parsed for v in vals):
+        out = set()
+        ok = True
+        for vals in parsed:
+            h = _spark_hash_py(vals, dtypes)
+            if h is None:
+                ok = False
+                break
+            out.add(h % info.bucket_num)
+        if ok:
+            return out or None
+
     selects = []
-    for combo in itertools.product(*[lits[c] for c in info.hash_cols]):
+    for combo in combos:
         args = ", ".join(
             f"CAST({lit} AS {schema_types[c].simpleString()})"
             for c, lit in zip(info.hash_cols, combo))
@@ -453,6 +566,169 @@ def _conjuncts(pred: str) -> list[str]:
     return out
 
 
+_FALLBACK = object()  # sentinel: python literal parse refused, use Spark
+
+
+def _parse_lit_py(lit: str, dtype) -> object:
+    """Parse a SQL literal for pure-Python stats comparison, or
+    ``_FALLBACK`` when Python comparison can't be trusted to match
+    Spark's coercion for this (literal, type) pair. Deliberately
+    narrow: integers/floats for numeric columns, ASCII strings,
+    ISO dates and space-separated ISO timestamps (the exact format
+    ``_json_safe_stat`` writes, where lexicographic == chronologic)."""
+    lit = lit.strip()
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType)):
+        if re.fullmatch(r"[+-]?\d+", lit):
+            return int(lit)
+        if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", lit):
+            return float(lit)
+        return _FALLBACK
+    if isinstance(dtype, T.StringType):
+        if lit.startswith("'") and lit.endswith("'"):
+            v = lit[1:-1].replace("''", "'")
+            return v if v.isascii() else _FALLBACK
+        return _FALLBACK
+    if isinstance(dtype, T.DateType):
+        m = re.fullmatch(r"(?:DATE\s*)?'(\d{4}-\d{2}-\d{2})'", lit,
+                         re.IGNORECASE)
+        return m.group(1) if m else _FALLBACK
+    if isinstance(dtype, T.TimestampType):
+        m = re.fullmatch(
+            r"(?:TIMESTAMP\s*)?'(\d{4}-\d{2}-\d{2})"
+            r"(?:[ T](\d{2}:\d{2}:\d{2}(?:\.\d+)?))?'", lit, re.IGNORECASE)
+        if not m:
+            return _FALLBACK
+        return f"{m.group(1)} {m.group(2) or '00:00:00'}"
+    return _FALLBACK
+
+
+def _stat_ok_py(v, dtype) -> bool:
+    """Is this manifest stat value comparable in Python against a
+    ``_parse_lit_py`` literal of the same column type?"""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType)):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(dtype, T.StringType):
+        return isinstance(v, str) and v.isascii()
+    if isinstance(dtype, (T.DateType, T.TimestampType)):
+        return isinstance(v, str) and "+" not in v
+    return False
+
+
+def _try_prune_python(info, files, conjuncts, allowed_cols):
+    """Pure-Python evaluation of the stats-skipping decision — the
+    hot-path twin of the Spark evaluation below, for the literal
+    shapes ``_parse_lit_py`` accepts. Returns None when ANY analyzable
+    conjunct involves a type/literal outside that envelope (decimals,
+    booleans, non-ASCII strings, exotic formats), in which case the
+    caller runs the Spark-coercion path. Point lookups and time-range
+    scans hit this path, saving a driver-side Spark job PER SCAN —
+    at one scan per CDC window / probed key, those jobs dominate."""
+    schema_types = {f.name: f.dataType for f in _schema(info).fields}
+    checks = []  # (kind, col, payload)
+    for c in conjuncts:
+        mn_ = _IS_NULL_RE.match(c)
+        if mn_:
+            col, neg = mn_.group(1), bool(mn_.group(2))
+            if col in allowed_cols and col in schema_types:
+                checks.append(("notnull" if neg else "isnull", col, None))
+            continue
+        mi = _IN_LIST_RE.match(c)
+        if mi:
+            col, body = mi.group(1), mi.group(2)
+            if col not in allowed_cols or col not in schema_types:
+                continue
+            items = [x.strip() for x in body.split(",") if x.strip()]
+            if not items:
+                continue
+            vals = [_parse_lit_py(x, schema_types[col]) for x in items]
+            if any(v is _FALLBACK for v in vals):
+                return None
+            try:
+                checks.append(("in", col, (min(vals), max(vals))))
+            except TypeError:  # mixed int/str etc — let Spark coerce
+                return None
+            continue
+        m = _CONJ_CMP_RE.match(c)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if col not in allowed_cols or col not in schema_types:
+            continue
+        if _IDENT_RE.search(lit) and not re.match(
+                r"^\s*(DATE|TIMESTAMP|INTERVAL|TRUE|FALSE)\b", lit,
+                re.IGNORECASE):
+            continue  # column-vs-column / function call: not analyzable
+        v = _parse_lit_py(lit, schema_types[col])
+        if v is _FALLBACK:
+            return None
+        checks.append(("cmp", col, (op, v)))
+    if not checks:
+        return files
+
+    amap = alias_map(info)
+
+    def _keep(f) -> bool:
+        st = f.stats or {}
+        for kind, col, payload in checks:
+            phys = _resolve_physical(col, st, amap)
+            b = ({} if phys is None else st.get(phys)) or {}
+            if kind == "isnull":
+                n = b.get("nulls")
+                if n is not None and n == 0:
+                    return False
+                continue
+            if kind == "notnull":
+                n = b.get("nulls")
+                if n is not None and f.num_rows >= 0 and n >= f.num_rows:
+                    return False
+                continue
+            mn, mx = b.get("min"), b.get("max")
+            dtype = schema_types[col]
+            if mn is None or mx is None:
+                continue  # no bounds: file passes this conjunct
+            if not (_stat_ok_py(mn, dtype) and _stat_ok_py(mx, dtype)):
+                raise _PyPruneBail()
+            if kind == "in":
+                lo, hi = payload
+                try:
+                    if not (mn <= hi and mx >= lo):
+                        return False
+                except TypeError:
+                    raise _PyPruneBail()
+                continue
+            op, v = payload
+            try:
+                if op in ("=", "=="):
+                    if not (mn <= v and mx >= v):
+                        return False
+                elif op == ">":
+                    if not mx > v:
+                        return False
+                elif op == ">=":
+                    if not mx >= v:
+                        return False
+                elif op == "<":
+                    if not mn < v:
+                        return False
+                elif op == "<=":
+                    if not mn <= v:
+                        return False
+            except TypeError:
+                raise _PyPruneBail()
+        return True
+
+    try:
+        return [f for f in files if _keep(f)]
+    except _PyPruneBail:
+        return None
+
+
+class _PyPruneBail(Exception):
+    pass
+
+
 def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     """Delta-style data skipping (beyond the reference — its
     DataFileInfo has no column stats): keep only files whose footer
@@ -460,7 +736,12 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     literal``. A file lacking bounds for a column passes that conjunct
     (coalesce(.., true)); the evaluation happens in a tiny driver-side
     DataFrame so literal casting follows Spark's own coercion rules,
-    the same technique _prune_partitions_sql uses."""
+    the same technique _prune_partitions_sql uses. The all-Python fast
+    path above answers first wherever its narrower literal envelope
+    provably matches that coercion."""
+    fast = _try_prune_python(info, files, conjuncts, allowed_cols)
+    if fast is not None:
+        return fast
     schema_types = {f.name: f.dataType for f in _schema(info).fields}
     conds = []
     need_cols = set()

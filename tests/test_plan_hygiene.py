@@ -382,3 +382,38 @@ def test_mor_small_dim_broadcasts_from_manifest_hint(spark, tmp_path):
         assert "BroadcastHashJoin" not in _phys(j2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+
+def test_python_murmur3_matches_spark_hash(spark):
+    """Bucket pruning's in-process murmur3 must be bit-exact vs the
+    JVM hash() the writer shuffled with — a single mismatch would read
+    the wrong bucket and silently LOSE rows, so this is a correctness
+    pin, not a perf test."""
+    import random
+    from pyspark.sql import types as T
+    from starlake_spark.operators.reader import _spark_hash_py
+
+    random.seed(11)
+    ints = [0, 1, -1, 2**31 - 1, -2**31] + \
+        [random.randint(-2**31, 2**31 - 1) for _ in range(40)]
+    longs = [0, -1, 2**63 - 1, -2**63] + \
+        [random.randint(-2**63, 2**63 - 1) for _ in range(40)]
+    strs = ["", "a", "abc", "abcd", "hello world", "x" * 33] + \
+        ["".join(random.choice("abcXYZ019_- ") for _ in range(n % 17))
+         for n in range(40)]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert _spark_hash_py([r["v"]], [T.IntegerType()]) == r["h"]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert _spark_hash_py([r["v"]], [T.LongType()]) == r["h"]
+    df = spark.createDataFrame([(v,) for v in strs], "v string")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert _spark_hash_py([r["v"]], [T.StringType()]) == r["h"]
+    df = spark.createDataFrame(
+        [(1, "a", 5), (None, "b", 7), (3, None, None)], "a int, b string, c long")
+    for r in df.select("a", "b", "c", F.hash("a", "b", "c").alias("h")).collect():
+        got = _spark_hash_py([r["a"], r["b"], r["c"]],
+                             [T.IntegerType(), T.StringType(), T.LongType()])
+        assert got == r["h"]
+    # unsupported type bails to the JVM path rather than guessing
+    assert _spark_hash_py([1.5], [T.DoubleType()]) is None
