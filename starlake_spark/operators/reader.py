@@ -238,16 +238,157 @@ def _merge_scan(
     return merged.select(*[F.col(f.name) for f in schema.fields])
 
 
+def _eval_part_rhs_py(rhs: str, dtype):
+    """Python value of a partition-predicate RHS, or ``_FALLBACK``.
+    Beyond plain literals, evaluates the literal-argument function
+    forms the generated-column translator emits (to_date / year /
+    ISO-prefix substring / date_format) — all prefix/extractions of an
+    ISO literal, so the value falls out of string slicing."""
+    rhs = rhs.strip()
+    v = _parse_lit_py(rhs, dtype)
+    if v is not _FALLBACK:
+        return v
+    m = re.fullmatch(r"to_date\(\s*(?:TIMESTAMP\s*|DATE\s*)?'([^']+)'\s*\)",
+                     rhs, re.IGNORECASE)
+    if m and isinstance(dtype, T.DateType):
+        return m.group(1)[:10]
+    m = re.fullmatch(r"year\(\s*(?:TIMESTAMP\s*|DATE\s*)?'(\d{4})[^']*'\s*\)",
+                     rhs, re.IGNORECASE)
+    if m and isinstance(dtype, (T.ShortType, T.IntegerType, T.LongType)):
+        return int(m.group(1))
+    m = re.fullmatch(
+        r"substring\(\s*CAST\(\s*(?:TIMESTAMP\s*|DATE\s*)?'([^']+)'\s+AS\s+"
+        r"STRING\s*\)\s*,\s*1\s*,\s*(\d+)\s*\)", rhs, re.IGNORECASE)
+    if m and isinstance(dtype, T.StringType):
+        return m.group(1)[:int(m.group(2))]
+    m = re.fullmatch(
+        r"date_format\(\s*(?:TIMESTAMP\s*|DATE\s*)?'([^']+)'\s*,\s*"
+        r"'(yyyy(?:-MM(?:-dd(?: HH)?)?)?)'\s*\)", rhs, re.IGNORECASE)
+    if m and isinstance(dtype, T.StringType):
+        return m.group(1)[:len(m.group(2))]
+    return _FALLBACK
+
+
+def _try_prune_partitions_python(info, rows: list[dict],
+                                 predicate: str) -> list[dict] | None:
+    """Pure-Python partition-predicate evaluation, or None to use the
+    Spark path. UNLIKE stats skipping this result is exactness-
+    critical (replaceWhere expires exactly the matching partitions),
+    so the ENTIRE predicate must decompose into supported AND-ed
+    conjuncts — any OR / NOT / unknown form / unparseable literal
+    bails instead of approximating."""
+    types = {f.name: f.dataType for f in _schema(info).fields}
+    checks = []
+    for c in _split_top_and(predicate):
+        # the generated-column translator emits backtick-quoted
+        # identifiers; unquote simple ones so the conjunct regexes match
+        c = re.sub(r"`(\w+)`", r"\1", c).strip()
+        while c.startswith("(") and c.endswith(")"):
+            inner = c[1:-1]
+            if _split_top_and(inner) == [inner.strip()]:
+                c = inner.strip()
+            else:
+                break
+        if re.search(r"\bOR\b", c, re.IGNORECASE):
+            return None
+        mnull = _IS_NULL_RE.match(c)
+        if mnull:
+            col, neg = mnull.group(1), bool(mnull.group(2))
+            if col not in info.range_cols:
+                return None
+            checks.append(("null", col, neg))
+            continue
+        mi = _IN_LIST_RE.match(c)
+        if mi:
+            col, body = mi.group(1), mi.group(2)
+            if col not in info.range_cols or col not in types:
+                return None
+            vals = [_eval_part_rhs_py(x, types[col])
+                    for x in body.split(",") if x.strip()]
+            if not vals or any(v is _FALLBACK for v in vals):
+                return None
+            checks.append(("in", col, set(map(str, vals))
+                           if isinstance(types[col], T.DateType)
+                           else set(vals)))
+            continue
+        m = _CONJ_CMP_RE.match(c)
+        if not m:
+            return None
+        col, op, rhs = m.group(1), m.group(2), m.group(3)
+        if col not in info.range_cols or col not in types:
+            return None
+        v = _eval_part_rhs_py(rhs, types[col])
+        if v is _FALLBACK:
+            return None
+        checks.append(("cmp", col, (op, v)))
+
+    def _coerce(col, raw):
+        dt = types[col]
+        if raw is None:
+            return None
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw) if re.fullmatch(r"[+-]?\d+", raw) else _FALLBACK
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            try:
+                return float(raw)
+            except ValueError:
+                return _FALLBACK
+        if isinstance(dt, T.DateType):
+            return raw if re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw) else _FALLBACK
+        if isinstance(dt, T.StringType):
+            return raw if raw.isascii() else _FALLBACK
+        return _FALLBACK
+
+    out = []
+    for r in rows:
+        keep = True
+        for kind, col, payload in checks:
+            val = _coerce(col, r.get(col))
+            if val is _FALLBACK:
+                return None
+            if kind == "null":
+                if (val is None) == payload:  # payload=True means NOT NULL
+                    keep = False
+                    break
+                continue
+            if val is None:
+                keep = False  # SQL: comparison/IN with NULL is never true
+                break
+            if kind == "in":
+                if val not in payload:
+                    keep = False
+                    break
+                continue
+            op, v = payload
+            try:
+                ok = (val == v if op in ("=", "==") else
+                      val > v if op == ">" else val >= v if op == ">=" else
+                      val < v if op == "<" else val <= v)
+            except TypeError:
+                return None
+            if not ok:
+                keep = False
+                break
+        if keep:
+            out.append(r)
+    return out
+
+
 def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) -> list[dict]:
     """Evaluate a SQL predicate over the partition values (as a tiny
     DataFrame, cast to the table's range-column types) and return the
-    decoded dicts of matching partitions."""
+    decoded dicts of matching partitions. The Python fast path above
+    answers first when the whole predicate is exactly evaluable
+    in-process — partition pruning then costs zero Spark jobs."""
     range_cols = info.range_cols
     schema = _schema(info)
     types = {f.name: f.dataType for f in schema.fields}
     rows = [decode_range_value(rv) for rv in range_values]
     if not rows:
         return []
+    fast = _try_prune_partitions_python(info, rows, predicate)
+    if fast is not None:
+        return fast
     pdf = spark.createDataFrame(
         [[r.get(c) for c in range_cols] for r in rows],
         T.StructType([T.StructField(c, T.StringType()) for c in range_cols]),

@@ -350,3 +350,51 @@ def test_generated_partition_pruning_monotone_forms(spark, tmp_path, gexpr, gtyp
         assert 0 < len(got.inputFiles()) < n_all, gexpr
     assert got.count() == df.filter(pred).count() > 0
     assert sorted(r.id for r in got.collect()) == list(range(24, 48))
+
+
+def test_partition_prune_python_path_matches_spark(spark):
+    """The in-process partition-predicate evaluator must agree EXACTLY
+    with the Spark-coercion path (replaceWhere expiry rides on this
+    result) — differential over the supported forms, and provable
+    bail-out (None) on the unsupported ones."""
+    from starlake_spark.meta import TableInfo
+    from starlake_spark.operators import reader as R
+
+    info = TableInfo(
+        table_path="/tmp/x", table_id="t", range_cols=["day", "seg", "n"],
+        hash_cols=[], bucket_num=-1,
+        schema_json='{"type":"struct","fields":['
+                    '{"name":"day","type":"date","nullable":true,"metadata":{}},'
+                    '{"name":"seg","type":"string","nullable":true,"metadata":{}},'
+                    '{"name":"n","type":"integer","nullable":true,"metadata":{}},'
+                    '{"name":"v","type":"double","nullable":true,"metadata":{}}]}',
+        configuration={})
+    rvs = [f"day=2024-01-{d:02d},seg={s},n={i}"
+           for i, (d, s) in enumerate([(1, "A"), (5, "B"), (9, "A"),
+                                       (12, "C"), (20, "B")])]
+    preds = [
+        "day >= to_date(TIMESTAMP '2024-01-04 12:00:00')",
+        "`day` >= to_date(TIMESTAMP '2024-01-05 00:00:00') AND "
+        "`day` <= to_date(TIMESTAMP '2024-01-12 23:59:59')",
+        "seg = 'B'",
+        "seg IN ('A', 'C') AND n >= 2",
+        "day = DATE '2024-01-09'",
+        "n < 3",
+        "day IS NOT NULL",
+    ]
+    for p in preds:
+        rows = [R.decode_range_value(rv) for rv in rvs]
+        fast = R._try_prune_partitions_python(info, rows, p)
+        assert fast is not None, f"fast path must handle: {p}"
+        slow_in = R._try_prune_partitions_python
+        R._try_prune_partitions_python = lambda *a: None  # force Spark path
+        try:
+            slow = R._prune_partitions_sql(spark, info, rvs, p)
+        finally:
+            R._try_prune_partitions_python = slow_in
+        assert fast == slow, (p, fast, slow)
+    # unsupported forms bail rather than approximate
+    rows = [R.decode_range_value(rv) for rv in rvs]
+    for p in ["seg = 'A' OR seg = 'B'", "upper(seg) = 'A'",
+              "n + 1 > 2", "seg RLIKE 'x'"]:
+        assert R._try_prune_partitions_python(info, rows, p) is None, p
