@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import re
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -279,7 +280,10 @@ class _StarStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, schema: T.StructType, starting_version: int,
                  partition_filter: str | None = None,
                  change_types: bool = False, ignore_deletes: bool = False,
-                 with_preimages: bool = False):
+                 with_preimages: bool = False,
+                 max_versions_per_trigger: int | None = None,
+                 max_bytes_per_trigger: int | None = None,
+                 pace_id: str | None = None):
         if with_preimages and not change_types:
             raise ValueError("withPreimages requires changeTypes=true")
         if with_preimages and partition_filter:
@@ -287,6 +291,16 @@ class _StarStreamReader(DataSourceStreamReader):
                 "withPreimages is incompatible with partition_filter: CDC "
                 "log files carry range values as data, not directory "
                 "constants — filter the stream DataFrame instead")
+        for k, v in (("maxVersionsPerTrigger", max_versions_per_trigger),
+                     ("maxBytesPerTrigger", max_bytes_per_trigger)):
+            if v is not None and v <= 0:
+                raise ValueError(f"{k} must be positive, got {v}")
+        if (max_versions_per_trigger or max_bytes_per_trigger) and not pace_id:
+            raise ValueError(
+                "maxVersionsPerTrigger/maxBytesPerTrigger require a "
+                "paceId option: the pacing cursor persists under the "
+                "table per id, and two streams sharing one would "
+                "interfere")
         self.table_path = table_path
         self.spark_schema = schema
         self.starting_version = starting_version
@@ -294,17 +308,74 @@ class _StarStreamReader(DataSourceStreamReader):
         self.change_types = change_types
         self.ignore_deletes = ignore_deletes
         self.with_preimages = with_preimages
+        self.max_versions = max_versions_per_trigger
+        self.max_bytes = max_bytes_per_trigger
+        self.pace_id = pace_id
+        self._paced_from = starting_version  # advances as batches plan
+
+    # Pacing cursor persistence: latestOffset is called BEFORE
+    # initialOffset and never sees the engine's committed position, so
+    # a paced offset computed from a stale base could REWIND a
+    # restarted stream (re-emitting versions the checkpoint already
+    # processed as a later batch's "new" range). The cursor file —
+    # rewritten on every commit(end) — is always >= the engine's
+    # committed position, so pacing from max(cursor, local progress)
+    # can never go backwards. Resetting a checkpoint without changing
+    # paceId leaves a stale-high cursor: the first batch then runs
+    # unpaced up to the cursor (safe), after which pacing resumes.
+
+    def _pace_file(self) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", self.pace_id)
+        return os.path.join(self.table_path, "_star_meta", "pacing", safe)
+
+    def _pace_cursor(self) -> int:
+        try:
+            with open(self._pace_file()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return self.starting_version
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": ManifestStore(self.table_path).latest_version()}
+        """Rate-limited (Delta maxFilesPerTrigger/maxBytesPerTrigger
+        analog): ``maxVersionsPerTrigger`` caps commits per micro-batch;
+        ``maxBytesPerTrigger`` advances until the batch's commit bytes
+        reach the cap (always at least one commit, so the stream never
+        stalls on an oversized commit). Backlog then drains across
+        triggers instead of one giant catch-up batch — the knob that
+        keeps recovery batches executor-memory-sized at 100 TB."""
+        store = ManifestStore(self.table_path)
+        latest = store.latest_version()
+        if self.max_versions is None and self.max_bytes is None:
+            return {"version": latest}
+        base = max(self._paced_from, self._pace_cursor())
+        end = latest
+        if self.max_versions is not None:
+            end = min(end, base + self.max_versions)
+        if self.max_bytes is not None and end > base:
+            total = 0
+            v = base
+            while v < end:
+                v += 1
+                snap = store.snapshot(v)
+                total += sum(f.size for f in snap.all_files()
+                             if f.write_version == v)
+                if total >= self.max_bytes:
+                    break
+            end = v
+        self._paced_from = max(self._paced_from, end)
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         store = ManifestStore(self.table_path)
         types = {f.name: f.dataType for f in _table_schema(store).fields}
         parts: list[_FilePartition] = []
+        # re-sync the pacing cursor to the engine's real progress (it
+        # restarts at startingVersion after a driver restart; the
+        # checkpoint is the truth)
+        self._paced_from = max(self._paced_from, start["version"])
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = store.snapshot(v)
             ct = _change_type_for(snap.commit_type)
@@ -349,7 +420,14 @@ class _StarStreamReader(DataSourceStreamReader):
         yield from _read_aligned(partition, _arrow_schema(self.spark_schema))
 
     def commit(self, end: dict) -> None:
-        pass
+        if self.max_versions is None and self.max_bytes is None:
+            return
+        fp = self._pace_file()
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        tmp = fp + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(end["version"]))
+        os.replace(tmp, fp)
 
     def stop(self) -> None:
         pass
@@ -629,11 +707,18 @@ class StarDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
+        mv = self.options.get("maxVersionsPerTrigger")
+        mb = self.options.get("maxBytesPerTrigger")
         return _StarStreamReader(self._path(), schema, start,
                                  self.options.get("partition_filter"),
                                  change_types=self._flag("changeTypes"),
                                  ignore_deletes=self._flag("ignoreDeletes"),
-                                 with_preimages=self._flag("withPreimages"))
+                                 with_preimages=self._flag("withPreimages"),
+                                 max_versions_per_trigger=(
+                                     int(mv) if mv is not None else None),
+                                 max_bytes_per_trigger=(
+                                     int(mb) if mb is not None else None),
+                                 pace_id=self.options.get("paceId"))
 
 
 def register(spark) -> None:

@@ -520,3 +520,100 @@ def test_native_stream_sink_exactly_once(spark, tmp_path):
     # batch registry recorded the sink id
     assert any(k == "star-stream-sink"
                for k in t.store.snapshot().streaming)
+
+
+def _drain_paced(spark, path, ckpt, out, expected, opts):
+    """Run a paced stream with a fast processing-time trigger until
+    `expected` rows land (or 120s), then stop and return the output."""
+    import os
+    import time
+    reader = spark.readStream.format("star")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (reader.load(path)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    offsets = [f for f in os.listdir(os.path.join(ckpt, "offsets"))
+               if not f.startswith(".") and not f.endswith(".tmp")]
+    return spark.read.parquet(out), len(offsets)
+
+
+def test_stream_paced_max_versions_per_trigger(spark, orders, tmp_path):
+    """maxVersionsPerTrigger=1 (Delta maxFilesPerTrigger analog) drains
+    a 4-commit backlog one commit per micro-batch — no lost or duplicate
+    rows, and at least one planned batch per version (the backlog never
+    collapses into one giant catch-up batch)."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n = orders.count()
+    for i in range(3):
+        t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(float(i))))
+    got, n_batches = _drain_paced(
+        spark, path, str(tmp_path / "ck"), str(tmp_path / "out"),
+        expected=n + 15,
+        opts={"maxVersionsPerTrigger": "1", "paceId": "p1"})
+    by_v = dict(got.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 5, 3: 5, 4: 5}
+    assert n_batches >= 4
+
+
+def test_stream_paced_max_bytes_never_stalls(spark, orders, tmp_path):
+    """A 1-byte maxBytesPerTrigger still advances ≥1 commit per batch
+    (Delta semantics: the cap is a soft target, an oversized commit is
+    admitted alone rather than wedging the stream forever)."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n = orders.count()
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(9.0)))
+    got, n_batches = _drain_paced(
+        spark, path, str(tmp_path / "ck"), str(tmp_path / "out"),
+        expected=n + 5,
+        opts={"maxBytesPerTrigger": "1", "paceId": "pb"})
+    by_v = dict(got.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 5}
+    assert n_batches >= 2
+
+
+def test_stream_paced_requires_pace_id(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(spark, orders, path)
+    with pytest.raises(Exception, match="paceId"):
+        q = (spark.readStream.format("star")
+             .option("maxVersionsPerTrigger", "1").load(path)
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+
+def test_stream_paced_restart_no_rewind(spark, orders, tmp_path):
+    """Restarting a paced stream resumes from the checkpoint + pacing
+    cursor: a new commit made between runs is emitted exactly once and
+    already-processed versions are never re-emitted."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    n = orders.count()
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(1.0)))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    opts = {"maxVersionsPerTrigger": "1", "paceId": "pr"}
+    got, _ = _drain_paced(spark, path, ck, out, expected=n + 5, opts=opts)
+    assert got.count() == n + 5
+    t.upsert(orders.limit(3).withColumn("o_totalprice", F.lit(2.0)))
+    got, _ = _drain_paced(spark, path, ck, out, expected=n + 8, opts=opts)
+    by_v = dict(got.groupBy("_commit_version").count().collect())
+    assert by_v == {1: n, 2: 5, 3: 3}
