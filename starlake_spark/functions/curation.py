@@ -470,3 +470,66 @@ def bigram_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each document
+    by how much likelier its unigrams are under the TARGET slice's
+    distribution than under the full corpus's,
+
+        log w(d) = Σ_w c_d(w) · ln( p_t(w) / p_c(w) ),
+
+    with Laplace smoothing over the corpus vocabulary (so words absent
+    from the target slice contribute a finite negative signal instead of
+    -inf). Downstream, resampling is a quota_sample / top-k over
+    ``log_w`` — the score is the operator.
+
+    Cross-engine exactness (the unigram_perplexity discipline): each
+    word's log-ratio is computed in one fixed double expression shape,
+    rounded to 9 dp, and DECIMAL-summed weighted by in-doc count, so
+    the per-doc aggregate is order-independent. Scale shape: one token
+    explode, vocabulary-bounded shuffles for the two count tables (the
+    target side derives from the same (doc, word) partial — the corpus
+    is tokenized ONCE), one join back on the word key (AQE broadcasts
+    the vocabulary side when it fits), one per-doc agg. The vocabulary
+    size / totals ride a 1-row broadcast — no driver collect."""
+    toks = df.select(
+        F.col(id_col), target_cond.alias("_tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+    doc_word = (toks.groupBy(id_col, "_w")
+                .agg(F.count(F.lit(1)).alias("_c"),
+                     F.max("_tgt").alias("_tgt")))
+    vocab = (doc_word.groupBy("_w")
+             .agg(F.sum("_c").alias("_ca"),
+                  F.sum(F.when(F.col("_tgt"), F.col("_c"))
+                        .otherwise(F.lit(0))).alias("_ct")))
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("_v"),
+        F.sum("_ca").alias("_ta"),
+        F.sum("_ct").alias("_tt"))
+    logr = vocab.crossJoin(F.broadcast(totals)).select(
+        "_w",
+        F.round(F.log(
+            ((F.col("_ct") + F.lit(1)).cast("double")
+             / (F.col("_tt") + F.col("_v")))
+            / ((F.col("_ca") + F.lit(1)).cast("double")
+               / (F.col("_ta") + F.col("_v")))), 9)
+        .cast("decimal(18,9)").alias("_lr"),
+    )
+    return (
+        doc_word.join(logr, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum(F.col("_lr") * F.col("_c").cast("decimal(10,0)")).alias("_s"),
+        )
+        .select(
+            id_col, "n_tokens",
+            F.round(F.col("_s").cast("double"), 6).alias("log_w"))
+    )

@@ -884,3 +884,51 @@ def pq_topk(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist", "rank"))
+
+
+def topic_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Single-pass topic clustering: nearest-centroid assignment over a
+    deterministic seed set (the k lowest-id vectors — the same
+    determinism-over-randomness choice as kmeans_centroids' init), the
+    corpus-bucketing step a training-data pipeline runs before
+    per-topic quota sampling / mixture weighting.
+
+    Cross-engine exactness: cosines are computed as double left-folds
+    (identical order in Spark's ``aggregate`` and DuckDB's
+    ``list_reduce``), rounded to 6 dp BEFORE the argmax, ties broken by
+    lowest centroid id, and the per-cluster mean is a DECIMAL sum of
+    the rounded values — so assignment and stats hash-match an
+    independent SQL oracle. Scale shape: the k centroids broadcast;
+    one projection computes all k cosines per row (no shuffle), one
+    k-group aggregate; nothing quadratic, no UDF.
+    """
+    cents = (df.orderBy(F.col(id_col).asc()).limit(k)
+               .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")))
+    scored = (df.select(id_col, vec_col)
+                .crossJoin(F.broadcast(cents))
+                .select(
+                    F.col(id_col),
+                    F.col("_cid"),
+                    F.round(cosine(_as_double(F.col(vec_col)),
+                                   _as_double(F.col("_cv"))), 6).alias("_cos"),
+                ))
+    best = (scored.groupBy(id_col)
+            .agg(F.max(F.struct(
+                F.col("_cos"),
+                (-F.col("_cid")).alias("_neg"),
+                F.col("_cid"))).alias("_b")))
+    return (best.select(
+                F.col("_b._cid").alias("cluster_id"),
+                F.col("_b._cos").alias("_cos"))
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.round(
+                     F.sum(F.col("_cos").cast("decimal(16,6)"))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_cos"))
+            .orderBy("cluster_id"))

@@ -12,22 +12,28 @@ design the reference itself vendored but never wired up
 Layout under ``<table_path>/_star_meta``::
 
     table_info.json                 # TableInfo
-    versions/v{N:012d}.json         # full snapshot state at commit N
+    versions/v{N:012d}.json         # snapshot state at commit N:
+                                    #   full checkpoint, or a delta
+                                    #   ("base_version" + touched
+                                    #   partitions only)
     _commit.lock                    # exclusive-create mutex
 
-Every commit writes a complete snapshot file, so MVCC time travel is
-"read versions/v{V}.json" and the reference's visibility rule
+Commits are log + checkpoint manifests (Delta-style): a commit
+serializes ONLY the partitions it touched plus a ``base_version``
+pointer, and every ``FULL_SNAPSHOT_INTERVAL``-th version is a full
+checkpoint — so commit metadata I/O is O(touched files), not O(table
+files), which is the difference between a 100 TB / million-file table
+committing kilobytes vs hundreds of megabytes of manifest per write.
+Reading ``snapshot(V)`` resolves the (≤ interval-long) chain back to
+the nearest checkpoint; version files are immutable and never deleted
+(vacuum removes data files only), so a delta's base always exists.
+MVCC time travel and the reference's visibility rule
 (write_version <= read_version < expire_version,
-meta/DataOperation.scala:100-113) is implied by membership: a file is
+meta/DataOperation.scala:100-113) are implied by membership: a file is
 in snapshot V iff it was added at or before V and not yet expired.
-
-Scale note: full-state-per-commit is O(files) metadata per commit. At
-100 TB / millions of files the same API would be backed by log +
-checkpoint manifests (or a DB); the interface below (`Transaction`,
-`commit`) is designed so that swap is local to this module. Commit data
-files live under ``data/<commit_uuid>/`` so half-written files are
-never visible — visibility is manifest membership, not directory
-listing.
+Commit data files live under ``data/<commit_uuid>/`` so half-written
+files are never visible — visibility is manifest membership, not
+directory listing.
 """
 
 from __future__ import annotations
@@ -49,6 +55,11 @@ META_DIR = "_star_meta"
 # than 20s. 60s keeps the liveness guarantee without spurious timeouts.
 LOCK_TIMEOUT_S = float(os.environ.get("STARLAKE_COMMIT_TIMEOUT_S", "60"))
 STALE_LOCK_S = 120.0
+# Every Nth version is a full checkpoint; the versions between are
+# delta-encoded (touched partitions + base pointer). 1 = always full.
+# Overridable per table via configuration "meta.checkpoint.interval".
+FULL_SNAPSHOT_INTERVAL = int(
+    os.environ.get("STARLAKE_CHECKPOINT_INTERVAL", "10"))
 
 
 class MetaError(Exception):
@@ -261,6 +272,10 @@ class ManifestStore:
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.versions_dir = os.path.join(self.meta_dir, "versions")
         self._info_cache: TableInfo | None = None
+        # committed version files are immutable, so resolved snapshots
+        # are safe to cache by number (bounded LRU; cleared on
+        # create/drop so a same-path recreate can't serve stale state)
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # ---------- existence / creation ----------
 
@@ -279,6 +294,7 @@ class ManifestStore:
         empty = Snapshot(version=0, partitions={}, streaming={}, timestamp=time.time())
         _atomic_write(self._version_path(0), json.dumps(empty.to_state()))
         self._info_cache = info
+        self._snap_cache.clear()
 
     def drop(self) -> None:
         import shutil
@@ -286,6 +302,7 @@ class ManifestStore:
         if os.path.isdir(self.table_path):
             shutil.rmtree(self.table_path)
         self._info_cache = None
+        self._snap_cache.clear()
 
     # ---------- table info ----------
 
@@ -328,13 +345,56 @@ class ManifestStore:
             raise MetaError("no committed versions")
         return max(versions)
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
-        v = self.latest_version() if version is None else version
+    def _read_version_state(self, v: int) -> dict:
         p = self._version_path(v)
         if not os.path.isfile(p):
             raise MetaError(f"version {v} does not exist for {self.table_path}")
         with open(p) as f:
-            return Snapshot.from_state(json.load(f))
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Resolve version state: walk delta files back to the nearest
+        full checkpoint (≤ FULL_SNAPSHOT_INTERVAL hops — commit() never
+        delta-encodes past one), then replay touched-partition updates
+        forward. Delta replay is whole-partition replacement, so order
+        within the chain only matters per range_value and newest wins."""
+        v = self.latest_version() if version is None else version
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            return cached
+        chain: list[dict] = []
+        cur = v
+        while True:
+            d = self._read_version_state(cur)
+            if "base_version" not in d:
+                base = Snapshot.from_state(d)
+                break
+            chain.append(d)
+            cur = d["base_version"]
+        if chain:
+            parts = dict(base.partitions)
+            for d in reversed(chain):
+                for rv in d.get("removed_partitions", ()):
+                    parts.pop(rv, None)
+                for rv, pd in d.get("partitions", {}).items():
+                    parts[rv] = PartitionSnapshot(
+                        range_value=rv,
+                        last_update_version=pd["last_update_version"],
+                        files=[DataFileInfo(**f) for f in pd["files"]],
+                    )
+            top = chain[0]
+            base = Snapshot(
+                version=v,
+                partitions=parts,
+                streaming=dict(top.get("streaming", {})),
+                timestamp=top.get("timestamp", 0.0),
+                commit_type=top.get("commit_type", "write"),
+                schema_json=top.get("schema_json"),
+            )
+        if len(self._snap_cache) >= 8:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[v] = base
+        return base
 
     def list_versions(self) -> list[int]:
         return sorted(self._version_numbers())
@@ -451,7 +511,35 @@ class ManifestStore:
                 commit_type=txn.commit_type,
                 schema_json=self.table_info().schema_json,
             )
-            _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
+            interval = FULL_SNAPSHOT_INTERVAL
+            cfg = self.table_info().configuration.get("meta.checkpoint.interval")
+            if cfg is not None:
+                interval = int(cfg)
+            if interval > 1 and new_version % interval != 0:
+                # delta version file: touched partitions only, O(touched
+                # files) serialization — never materialize the full
+                # inventory as JSON on the commit path
+                state = {
+                    "version": new_version,
+                    "timestamp": snap.timestamp,
+                    "commit_type": snap.commit_type,
+                    "schema_json": snap.schema_json,
+                    "streaming": snap.streaming,
+                    "base_version": current.version,
+                    "removed_partitions": [
+                        rv for rv in current.partitions if rv not in partitions],
+                    "partitions": {
+                        rv: {
+                            "last_update_version": partitions[rv].last_update_version,
+                            "files": [asdict(f) for f in partitions[rv].files],
+                        }
+                        for rv in touched if rv in partitions
+                    },
+                }
+            else:
+                state = snap.to_state()
+            _atomic_write(self._version_path(new_version), json.dumps(state))
+            self._snap_cache[new_version] = snap
             txn.committed = True
             return snap
         finally:
@@ -504,11 +592,12 @@ class ManifestStore:
     def version_at_timestamp(self, ts: float) -> int:
         """Latest committed version whose commit timestamp <= ``ts``
         (Delta TIMESTAMP AS OF resolution). O(versions) driver-side
-        manifest reads — version files are tiny JSON."""
+        header reads — timestamps live in every version file directly,
+        no checkpoint-chain resolution needed."""
         best = None
         for v in self.list_versions():
-            snap = self.snapshot(v)
-            if snap.timestamp <= ts and (best is None or v > best):
+            d = self._read_version_state(v)
+            if d.get("timestamp", 0.0) <= ts and (best is None or v > best):
                 best = v
         if best is None:
             raise MetaError(

@@ -1213,3 +1213,26 @@ ANALYTICS_QUERIES = {
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "orders_above_avg": (orders_above_avg, ORDERS_ABOVE_AVG_SQL),
 }
+
+
+def events_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (functions/sketches.py): users
+    with >= 75 events, found via fixed-size sketch partials + a
+    pigeonhole local candidate gate, then exact-verified over the tiny
+    candidate set only. CMS never underestimates, so the sketch gate
+    drops no true heavy hitter and the result is EXACT — the oracle is
+    the plain SQL heavy-hitter query, hash-for-hash."""
+    from starlake_spark.functions.sketches import cms_heavy_hitters
+
+    e = ld(spark, sf_dir, "events")
+    return (cms_heavy_hitters(e, "user_id", threshold=75)
+            .orderBy("user_id"))
+
+
+EVENTS_HEAVY_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY user_id HAVING COUNT(*) >= 75
+ORDER BY user_id
+"""
+
+ANALYTICS_QUERIES["events_heavy_hitters"] = (events_heavy_hitters, EVENTS_HEAVY_SQL)

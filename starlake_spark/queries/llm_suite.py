@@ -2407,3 +2407,83 @@ ORDER BY t.doc_id
 
 
 LLM_QUERIES["docs_remove_dup_spans"] = (docs_remove_dup_spans, DOCS_REMOVE_SPANS_SQL)
+
+
+def docs_dsir_scores(spark, sf_dir):
+    """DSIR-style importance scores (cu.dsir_importance; Xie et al.
+    2023): log w(d) = Σ_w c_d(w)·ln(p_en(w)/p_corpus(w)) with Laplace
+    smoothing — the data-selection signal that upweights documents
+    resembling the English target slice. Resampling downstream is a
+    quota/top-k over log_w; the score is the operator."""
+    d = ld(spark, sf_dir, "documents")
+    return (
+        cu.dsir_importance(d, F.col("lang") == "en")
+        .select("doc_id", "n_tokens", "log_w")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), doc_word AS (
+  SELECT doc_id, w, COUNT(*) AS c, MAX(tgt) AS tgt FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w, SUM(c) AS ca, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+  FROM doc_word GROUP BY w
+), tot AS (
+  SELECT COUNT(*) AS v, SUM(ca) AS ta, SUM(ct) AS tt FROM vocab
+), logr AS (
+  SELECT w, CAST(ROUND(ln(
+      (CAST(ct + 1 AS DOUBLE) / (tt + v))
+    / (CAST(ca + 1 AS DOUBLE) / (ta + v))
+  ), 9) AS DECIMAL(18,9)) AS lr
+  FROM vocab, tot
+)
+SELECT dw.doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(l.lr * CAST(dw.c AS DECIMAL(10,0))) AS DOUBLE), 6) AS log_w
+FROM doc_word dw JOIN logr l USING (w)
+GROUP BY dw.doc_id ORDER BY dw.doc_id
+"""
+
+LLM_QUERIES["docs_dsir_scores"] = (docs_dsir_scores, DOCS_DSIR_SQL)
+
+
+def embeddings_topic_clusters(spark, sf_dir):
+    """Nearest-centroid topic bucketing (sim.topic_clusters): k=8
+    deterministic seed centroids, per-vector argmax over 6-dp-rounded
+    cosines (ties -> lowest centroid id), per-cluster size + DECIMAL
+    mean cosine — the corpus partitioning step before per-topic
+    mixture weighting."""
+    e = ld(spark, sf_dir, "embeddings")
+    return sim.topic_clusters(e, "vec_id", "embedding", k=8)
+
+
+TOPIC_CLUSTERS_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT v.vec_id, c.cid,
+    ROUND(CASE WHEN (sqrt(list_reduce([x*x FOR x IN v.ve], (p,q) -> p+q))
+                   * sqrt(list_reduce([x*x FOR x IN c.cv], (p,q) -> p+q))) > 0
+          THEN list_reduce([v.ve[i] * c.cv[i] FOR i IN range(1, len(v.ve)+1)],
+                           (p,q) -> p+q)
+               / (sqrt(list_reduce([x*x FOR x IN v.ve], (p,q) -> p+q))
+                * sqrt(list_reduce([x*x FOR x IN c.cv], (p,q) -> p+q)))
+          ELSE 0.0 END, 6) AS cos
+  FROM v CROSS JOIN c
+), best AS (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+  FROM scored
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(CAST(SUM(CAST(cos AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cos
+FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
+"""
+
+LLM_QUERIES["embeddings_topic_clusters"] = (embeddings_topic_clusters, TOPIC_CLUSTERS_SQL)
