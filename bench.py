@@ -87,6 +87,16 @@ def main() -> None:
         timings["ann_ivf_build"] = -1.0
         print(f"[bench] ann_ivf_build FAILED: {exc}", file=sys.stderr)
 
+    # Text inverted index: same build-once / probe-cheap split —
+    # docs_bm25_indexed then measures only the probe path.
+    try:
+        t0 = time.monotonic()
+        _L._text_index_table(spark, SF_DIR)
+        timings["docs_text_index_build"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        timings["docs_text_index_build"] = -1.0
+        print(f"[bench] docs_text_index_build FAILED: {exc}", file=sys.stderr)
+
     for name, (fn, _sql) in queries.items():
         t0 = time.monotonic()
         try:

@@ -421,3 +421,121 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (BM25's build-once / probe-cheap shape)
+# ---------------------------------------------------------------------------
+
+
+def build_text_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+):
+    """Build a persisted inverted index as a star table: postings
+    (bucket, term, doc_id, tf, dl) range-partitioned by the term's hash
+    bucket — BM25's 100 TB shape. ``bm25_topk`` re-tokenizes the corpus
+    per query; here the corpus is tokenized ONCE at build and a query
+    probes only its terms' bucket partitions via manifest pruning (the
+    same persisted-index pattern as similarity.build_ivf_index). Each
+    posting carries the document length (Lucene's norm-in-posting), so
+    probing needs no doclen side at all; corpus totals (n_docs, Σdl —
+    exact longs, so probe-side avgdl is reproducible bit-for-bit) live
+    in table properties. The stats pass aggregates the INDEX table, not
+    the corpus — postings ≪ corpus at scale. Reference ships no text
+    index (beyond reference)."""
+    from starlake_spark.table import create_table
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    doc_word = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = doc_word.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = (
+        doc_word.join(doclen, id_col)
+        .select(
+            F.pmod(F.hash("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
+            "term", F.col(id_col), "tf", "dl"))
+    t = create_table(spark, postings, path, range_partitions=["bucket"])
+    stats = (t.to_df().select(id_col, "dl").distinct()
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+             .collect()[0])
+    t.set_properties({
+        "text.n_docs": str(stats["n"]),
+        "text.sum_dl": str(stats["s"]),
+        "text.num_buckets": str(num_buckets),
+        "text.id_col": id_col,
+    })
+    return t
+
+
+def bm25_topk_indexed(
+    spark,
+    index,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi-BM25 over a ``build_text_index`` table. Probe planning is
+    zero-job: the query terms' buckets come from the bit-exact Python
+    murmur3 twin of F.hash (operators/reader.py — differentially
+    pinned), corpus stats come from table properties, and the scan
+    touches only the probed bucket partitions (manifest pruning). A
+    non-ASCII term falls back to scanning every bucket — correct, just
+    unpruned. Scoring is bm25_topk's exact discipline (9-dp idf and
+    per-term partials, DECIMAL sums), so the result is identical to the
+    scan-everything operator."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed requires a non-empty query_terms list")
+    from pyspark.sql import types as T
+
+    from starlake_spark.operators.reader import _spark_hash_py
+
+    cfg = index.info.configuration or {}
+    n_docs = int(cfg["text.n_docs"])
+    sum_dl = int(cfg["text.sum_dl"])
+    nb = int(cfg["text.num_buckets"])
+    id_col = cfg.get("text.id_col", "doc_id")
+
+    buckets: set[int] | None = set()
+    for term in query_terms:
+        h = _spark_hash_py([term], [T.StringType()])
+        if h is None:
+            buckets = None
+            break
+        buckets.add(h % nb)
+    where = (f"bucket IN ({', '.join(str(x) for x in sorted(buckets))})"
+             if buckets is not None else None)
+    p = index.to_df(where=where)
+    tf = p.filter(F.col("term").isin(*query_terms))
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dft.select(
+        "term",
+        F.round(
+            F.log((F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0), 9
+        ).alias("_idf"))
+    term_score = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("_idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+                9,
+            ).cast("decimal(18,9)").alias("_s"),
+        ))
+    return (
+        term_score.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

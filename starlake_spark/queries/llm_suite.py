@@ -2487,3 +2487,115 @@ FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
 """
 
 LLM_QUERIES["embeddings_topic_clusters"] = (embeddings_topic_clusters, TOPIC_CLUSTERS_SQL)
+
+
+BM25_IDX_TERMS = ["stream", "query", "join"]
+
+
+def _text_index_table(spark, sf_dir):
+    """Build-once inverted index over documents (tx.build_text_index):
+    tokenize + postings write happen on the first call per (sf_dir,
+    process) — bench times that as ``docs_text_index_build``; later
+    calls open the existing table and pay only the probe."""
+    import os
+
+    from starlake_spark.queries.engine_suite import SUITE_ROOT, _scratch
+    from starlake_spark.table import StarTable
+
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    build_tag = "docs-v1"
+    path = os.path.join(SUITE_ROOT, tag, "text_index")
+    if os.path.isdir(os.path.join(path, "_star_meta")):
+        t = StarTable.for_path(spark, path)
+        if (t.info.configuration or {}).get("text.build_tag") == build_tag:
+            return t
+    d = ld(spark, sf_dir, "documents")
+    t = tx.build_text_index(spark, d, _scratch(sf_dir, "text_index"),
+                            id_col="doc_id", text_col="text", num_buckets=16)
+    t.set_properties({"text.build_tag": build_tag})
+    return t
+
+
+def docs_bm25_indexed(spark, sf_dir):
+    """BM25 over the persisted inverted index (tx.bm25_topk_indexed):
+    zero-job probe planning (python murmur3 twin buckets + stats from
+    table properties), manifest-pruned bucket partitions — asserted
+    inline: the probe reads strictly fewer files than the index holds
+    and never touches the documents table. Scores match the
+    scan-everything BM25 discipline, oracled against a full SQL
+    recompute from the raw corpus."""
+    t = _text_index_table(spark, sf_dir)
+    out = tx.bm25_topk_indexed(spark, t, BM25_IDX_TERMS)
+    n_probe = len(out.inputFiles())
+    n_all = len(t.to_df().inputFiles())
+    probed = {int(c.split("=", 1)[1]) for f in out.inputFiles()
+              for c in f.split("/") if c.startswith("bucket=")}
+    assert n_probe < n_all, (n_probe, n_all)
+    assert len(probed) <= len(BM25_IDX_TERMS), probed
+    return out
+
+
+DOCS_BM25_IDX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  -- exact integer total, divided once: the probe side reproduces this
+  -- from table-property longs, so both engines compute the identical
+  -- double avgdl
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ('stream', 'query', 'join') GROUP BY 1, 2
+), dft AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT w, n, avgdl, ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+  FROM dft, stats
+), term_score AS (
+  SELECT t.doc_id,
+    CAST(ROUND(i.idf * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / i.avgdl)), 9)
+         AS DECIMAL(18,9)) AS s
+  FROM tf t JOIN idf i USING (w) JOIN doclen d USING (doc_id)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+  ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+FROM term_score GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+LLM_QUERIES["docs_bm25_indexed"] = (docs_bm25_indexed, DOCS_BM25_IDX_SQL)
+
+
+def docs_text_index_stats(spark, sf_dir):
+    """Index-build acceptance: postings / vocabulary / doc counts and
+    the exact token total read back from the PERSISTED index, oracled
+    against a from-scratch SQL recompute over the raw corpus — proves
+    the one-time build wrote a complete, exact index."""
+    t = _text_index_table(spark, sf_dir)
+    p = t.to_df()
+    return (p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("n_tokens")))
+
+
+DOCS_TEXT_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), dw AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM dw
+"""
+
+LLM_QUERIES["docs_text_index_stats"] = (docs_text_index_stats, DOCS_TEXT_INDEX_SQL)

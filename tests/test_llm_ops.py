@@ -519,3 +519,28 @@ def test_remove_duplicated_lines_keeps_first_occurrence(spark):
     assert out[2]["cleaned"] == "gamma" and out[2]["n_kept"] == 1
     assert out[3]["cleaned"] == "delta\nomega"
     assert out[3]["n_lines"] == 3 and out[3]["n_kept"] == 2
+
+
+def test_bm25_indexed_matches_scan_everything(spark, sf_dir, tmp_path):
+    """The persisted-index probe returns the SAME ranking and scores as
+    the re-tokenize-per-query operator — the index is an access-path
+    change, never a semantics change. Non-ASCII terms fall back to an
+    unpruned (still correct) scan."""
+    from starlake_spark.functions import text as tx
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = tx.build_text_index(spark, d, str(tmp_path / "idx"), num_buckets=8)
+    terms = ["stream", "query", "join"]
+    a = tx.bm25_topk(d, terms).collect()
+    b = tx.bm25_topk_indexed(spark, t, terms).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # pruning: probed buckets < total buckets
+    probe = tx.bm25_topk_indexed(spark, t, ["stream"])
+    pf = probe.inputFiles()
+    assert 0 < len(pf) < len(t.to_df().inputFiles())
+    # non-ASCII falls back to all buckets, result still exact
+    c = tx.bm25_topk_indexed(spark, t, ["stream", "café"]).collect()
+    cc = tx.bm25_topk(d, ["stream", "café"]).collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in cc]
+    with pytest.raises(ValueError, match="non-empty"):
+        tx.bm25_topk_indexed(spark, t, [])
