@@ -706,7 +706,24 @@ class StarDataSource(DataSource):
                                  self.options.get("sinkId", "star-stream-sink"))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
-        start = int(self.options.get("startingVersion", 0))
+        ts = self.options.get("startingTimestamp")
+        if ts is not None and "startingVersion" in self.options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually exclusive")
+        if ts is not None:
+            # Delta semantics: begin with the FIRST commit at or after
+            # the timestamp (our offsets emit versions > start, so start
+            # = that version - 1); a timestamp past the last commit
+            # tails from the end instead of failing.
+            store = ManifestStore(self._path())
+            start = store.latest_version()
+            for v in store.list_versions():
+                if store._read_version_state(v).get("timestamp", 0.0) \
+                        >= float(ts):
+                    start = v - 1
+                    break
+        else:
+            start = int(self.options.get("startingVersion", 0))
         mv = self.options.get("maxVersionsPerTrigger")
         mb = self.options.get("maxBytesPerTrigger")
         return _StarStreamReader(self._path(), schema, start,

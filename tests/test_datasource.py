@@ -617,3 +617,45 @@ def test_stream_paced_restart_no_rewind(spark, orders, tmp_path):
     got, _ = _drain_paced(spark, path, ck, out, expected=n + 8, opts=opts)
     by_v = dict(got.groupBy("_commit_version").count().collect())
     assert by_v == {1: n, 2: 5, 3: 3}
+
+
+def test_stream_starting_timestamp(spark, orders, tmp_path):
+    """startingTimestamp (Delta parity): the stream begins at the FIRST
+    commit at or after the timestamp; a timestamp past the last commit
+    tails from the end; combining with startingVersion is rejected."""
+    import time
+
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    time.sleep(0.05)
+    ts_mid = time.time()
+    time.sleep(0.05)
+    t.upsert(orders.limit(4).withColumn("o_totalprice", F.lit(5.0)))
+
+    def _drain(opts, tag):
+        reader = spark.readStream.format("star")
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (reader.load(path)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / f"out{tag}"))
+             .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / f"out{tag}"))
+
+    # mid-timestamp: only the post-timestamp commit (v2) streams
+    got = _drain({"startingTimestamp": str(ts_mid)}, "a")
+    assert dict(got.groupBy("_commit_version").count().collect()) == {2: 4}
+    # future timestamp: nothing historical; new commits still stream
+    future = _drain({"startingTimestamp": str(time.time() + 1)}, "b")
+    assert future.count() == 0
+    with pytest.raises(Exception, match="mutually exclusive"):
+        q = (spark.readStream.format("star")
+             .option("startingTimestamp", str(ts_mid))
+             .option("startingVersion", "1").load(path)
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ckc"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
