@@ -184,28 +184,31 @@ def _merge_scan(
     for (wv, cdir), fs in groups.items():
         exist = set(fs[0].exist_cols)
         d = _read_group(spark, store, info, cdir, fs)
-        d = d.withColumn(_WV, F.lit(wv).cast("long"))
         # Per-column ordering: the commit version if this commit's files
         # contain the column (under its current or a pre-rename name),
         # else null (so max_by / collect skip it). These are constant
-        # per branch — pure codegen literals.
+        # per branch — pure codegen literals. One select, not a
+        # withColumn per column: each withColumn is a py4j round trip
+        # and an analyzer pass, which at ~10 data columns dominates
+        # plan-build latency.
+        extra = [F.lit(wv).cast("long").alias(_WV)]
         for f in data_cols:
             ordv = (F.lit(wv).cast("long")
                     if _resolve_physical(f.name, exist, amap) is not None
                     else F.lit(None).cast("long"))
-            d = d.withColumn(_ORD + f.name, ordv)
-        if any_tomb:
+            extra.append(ordv.alias(_ORD + f.name))
+        has_tomb = TOMBSTONE_COL in d.columns
+        if any_tomb and not has_tomb:
             # every branch asserts an opinion on liveness: tombstone
             # files carry the physical flag (true), everything else
             # injects a literal false — last version wins below, so a
             # later upsert resurrects a deleted key (with nulls for
             # columns the tombstone blanked, the insert-after-delete
             # semantics)
-            if TOMBSTONE_COL not in d.columns:
-                d = d.withColumn(TOMBSTONE_COL, F.lit(False))
-        elif TOMBSTONE_COL in d.columns:
-            d = d.drop(TOMBSTONE_COL)
-        branches.append(d)
+            extra.append(F.lit(False).alias(TOMBSTONE_COL))
+        keep = [c for c in d.columns
+                if any_tomb or c != TOMBSTONE_COL]
+        branches.append(d.select(*keep, *extra))
 
     u = branches[0]
     for b in branches[1:]:
