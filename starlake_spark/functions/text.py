@@ -428,6 +428,22 @@ def rrf_fuse(
 # ---------------------------------------------------------------------------
 
 
+def _postings_frame(df: DataFrame, id_col: str, text_col: str,
+                    num_buckets: int) -> DataFrame:
+    """(bucket, term, id, tf, dl) postings for a batch of documents —
+    shared by the full build and the incremental append."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    doc_word = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = doc_word.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return (
+        doc_word.join(doclen, id_col)
+        .select(
+            F.pmod(F.hash("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
+            "term", F.col(id_col), "tf", "dl"))
+
+
+
 def build_text_index(
     spark,
     df: DataFrame,
@@ -450,15 +466,7 @@ def build_text_index(
     index (beyond reference)."""
     from starlake_spark.table import create_table
 
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    doc_word = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = doc_word.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    postings = (
-        doc_word.join(doclen, id_col)
-        .select(
-            F.pmod(F.hash("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
-            "term", F.col(id_col), "tf", "dl"))
+    postings = _postings_frame(df, id_col, text_col, num_buckets)
     t = create_table(spark, postings, path, range_partitions=["bucket"])
     stats = (t.to_df().select(id_col, "dl").distinct()
              .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
@@ -539,3 +547,32 @@ def bm25_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def text_index_append(spark, index, new_docs: DataFrame, text_col: str = "text"):
+    """Incrementally maintain a persisted inverted index: tokenize ONLY
+    the new documents, append their postings into the existing
+    term-bucket partitions, and advance the exact corpus totals in
+    table properties — O(new docs) work, the corpus already indexed is
+    never re-read (the same add-vs-train policy as ivf_index_append;
+    the incremental-ingestion discipline the DedupIngestSink band index
+    set). Callers feed only NOT-yet-indexed ids (pair with the dedup
+    sink or an anti-join upstream); re-appending an id would double its
+    postings. Probe results over (build half + append half) are
+    identical to a from-scratch full build — postings rows and stats
+    are equal by construction (pinned by test)."""
+    cfg = index.info.configuration or {}
+    nb = int(cfg["text.num_buckets"])
+    id_col = cfg.get("text.id_col", "doc_id")
+    postings = _postings_frame(new_docs, id_col, text_col, nb)
+    index.write(postings, mode="append")
+    # stats delta from the appended slice only (aggregate the new
+    # postings' per-doc lengths, not the corpus)
+    s = (postings.select(id_col, "dl").distinct()
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+         .collect()[0])
+    index.set_properties({
+        "text.n_docs": str(int(cfg["text.n_docs"]) + (s["n"] or 0)),
+        "text.sum_dl": str(int(cfg["text.sum_dl"]) + (s["s"] or 0)),
+    })
+    return index

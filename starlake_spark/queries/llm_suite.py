@@ -2599,3 +2599,52 @@ FROM dw
 """
 
 LLM_QUERIES["docs_text_index_stats"] = (docs_text_index_stats, DOCS_TEXT_INDEX_SQL)
+
+
+def _text_index_incremental_table(spark, sf_dir):
+    """Index built in two waves: even doc_ids at build, odd doc_ids via
+    text_index_append — the growing-corpus maintenance path."""
+    import os
+
+    from starlake_spark.queries.engine_suite import SUITE_ROOT, _scratch
+    from starlake_spark.table import StarTable
+
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    build_tag = "docs-inc-v1"
+    path = os.path.join(SUITE_ROOT, tag, "text_index_inc")
+    if os.path.isdir(os.path.join(path, "_star_meta")):
+        t = StarTable.for_path(spark, path)
+        if (t.info.configuration or {}).get("text.build_tag") == build_tag:
+            return t
+    d = ld(spark, sf_dir, "documents")
+    t = tx.build_text_index(
+        spark, d.filter(F.col("doc_id") % 2 == 0),
+        _scratch(sf_dir, "text_index_inc"), num_buckets=16)
+    tx.text_index_append(spark, t, d.filter(F.col("doc_id") % 2 == 1))
+    t.set_properties({"text.build_tag": build_tag})
+    return t
+
+
+def docs_text_index_incremental(spark, sf_dir):
+    """Incremental index maintenance acceptance: an index built on half
+    the corpus then EXTENDED with the other half (tx.text_index_append
+    — O(new docs), no re-scan of the already-indexed half) must be
+    indistinguishable from a full build: completeness stats oracle
+    against the raw corpus, and a BM25 probe over the appended index is
+    asserted inline to equal the full-build index's probe exactly."""
+    t = _text_index_table(spark, sf_dir)
+    ti = _text_index_incremental_table(spark, sf_dir)
+    a = [tuple(r) for r in tx.bm25_topk_indexed(spark, t, BM25_IDX_TERMS).collect()]
+    b = [tuple(r) for r in tx.bm25_topk_indexed(spark, ti, BM25_IDX_TERMS).collect()]
+    assert a == b, "appended index probe diverged from full build"
+    p = ti.to_df()
+    return (p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("n_tokens")))
+
+
+LLM_QUERIES["docs_text_index_incremental"] = (
+    docs_text_index_incremental, DOCS_TEXT_INDEX_SQL)
