@@ -482,7 +482,22 @@ _IS_NULL_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
 _CONJ_CMP_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*([^<>=]+?)\s*$")
+# c LIKE 'prefix%' with a pure literal prefix (no wildcards/escapes/
+# quotes inside): prunable as the string range [prefix, prefix+1)
+_LIKE_PREFIX_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s+LIKE\s+'([^'%_\\]+)%'\s*$", re.IGNORECASE)
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+def _like_prefix_upper(prefix: str) -> str | None:
+    """Exclusive upper bound of the strings matching ``prefix%``:
+    prefix with its last character incremented. None when the last
+    char can't be safely incremented (non-ASCII tail — bail rather
+    than reason about UTF-8 edge cases)."""
+    last = prefix[-1]
+    if not prefix.isascii() or ord(last) >= 0x7E:
+        return None
+    return prefix[:-1] + chr(ord(last) + 1)
 
 
 _MAX_LOOKUP_COMBOS = 64
@@ -794,6 +809,14 @@ def _try_prune_python(info, files, conjuncts, allowed_cols):
             except TypeError:  # mixed int/str etc — let Spark coerce
                 return None
             continue
+        ml = _LIKE_PREFIX_RE.match(c)
+        if ml:
+            col, prefix = ml.group(1), ml.group(2)
+            if (col in allowed_cols
+                    and isinstance(schema_types.get(col), T.StringType)
+                    and _like_prefix_upper(prefix) is not None):
+                checks.append(("like", col, prefix))
+            continue
         m = _CONJ_CMP_RE.match(c)
         if not m:
             continue
@@ -841,6 +864,16 @@ def _try_prune_python(info, files, conjuncts, allowed_cols):
                         return False
                 except TypeError:
                     raise _PyPruneBail()
+                continue
+            if kind == "like":
+                # matches live in [prefix, upper): overlap test against
+                # the file's [min, max] (string stats compare in code-
+                # point order == UTF-8 byte order)
+                if not isinstance(mn, str) or not isinstance(mx, str):
+                    raise _PyPruneBail()
+                upper = _like_prefix_upper(payload)
+                if not (mx >= payload and mn < upper):
+                    return False
                 continue
             op, v = payload
             try:
@@ -925,6 +958,18 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
                 conds.append(
                     f"coalesce({mn} <= greatest({lits}) AND "
                     f"{mx} >= least({lits}), true)")
+                need_cols.add(col)
+            continue
+        ml = _LIKE_PREFIX_RE.match(c)
+        if ml:
+            col, prefix = ml.group(1), ml.group(2)
+            upper = _like_prefix_upper(prefix)
+            if (col in allowed_cols
+                    and isinstance(schema_types.get(col), T.StringType)
+                    and upper is not None):
+                mn, mx = f"`_min_{col}`", f"`_max_{col}`"
+                conds.append(
+                    f"coalesce({mx} >= '{prefix}' AND {mn} < '{upper}', true)")
                 need_cols.add(col)
             continue
         m = _CONJ_CMP_RE.match(c)

@@ -398,3 +398,32 @@ def test_partition_prune_python_path_matches_spark(spark):
     for p in ["seg = 'A' OR seg = 'B'", "upper(seg) = 'A'",
               "n + 1 > 2", "seg RLIKE 'x'"]:
         assert R._try_prune_partitions_python(info, rows, p) is None, p
+
+
+def test_like_prefix_pruning(spark, orders, tmp_path):
+    """c LIKE 'prefix%' prunes files by the string range [prefix,
+    prefix+1): after clustering on o_orderpriority, a prefix probe
+    reads a strict file subset and stays exact; wildcard-bearing or
+    non-prefix patterns prune nothing but stay correct."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     configuration={"write.files.per.partition": "8"})
+    t.compaction(sort_columns=["o_orderpriority"], target_files=8)
+    n_all = len(t.store.snapshot().all_files())
+    assert n_all > 1
+    pred = "o_orderpriority LIKE '1-%'"
+    df = t.to_df(where=pred)
+    assert 0 < len(df.inputFiles()) < n_all
+    assert df.count() == orders.filter(pred).count() > 0
+    # no-match prefix: every file pruned, empty result
+    none = t.to_df(where="o_orderpriority LIKE 'zzz%'")
+    assert len(none.inputFiles()) == 0 and none.count() == 0
+    # underscore wildcard in the pattern: not analyzable, no pruning,
+    # still exact
+    pred2 = "o_orderpriority LIKE '_-LOW%'"
+    df2 = t.to_df(where=pred2)
+    assert len(df2.inputFiles()) == n_all
+    assert df2.count() == orders.filter(pred2).count() > 0
+    # conjunct composition with a comparison
+    pred3 = "o_orderpriority LIKE '5-%' AND o_orderkey < 100"
+    df3 = t.to_df(where=pred3)
+    assert df3.count() == orders.filter(pred3).count()
