@@ -431,6 +431,29 @@ def write_files(
     return files
 
 
+# Manifest string-stat budget (Delta truncates data-skipping string
+# stats the same way): Spark's parquet writer does NOT truncate
+# row-group min/max for strings, so a long-text column (a documents
+# corpus) would otherwise push kilobytes of text into EVERY file's
+# manifest entry — at a million files, gigabytes of metadata.
+_STAT_MAX_LEN = 64
+
+
+def _widen_truncate(s: str, n: int = _STAT_MAX_LEN) -> str | None:
+    """Truncate an UPPER bound to ≤ n chars while keeping it an upper
+    bound: cut to n, then increment the last incrementable character
+    (skipping the surrogate gap). None when no prefix can be widened —
+    caller drops the bounds pair (file always kept: safe)."""
+    t = s[:n]
+    for i in range(len(t) - 1, -1, -1):
+        nxt = ord(t[i]) + 1
+        if nxt == 0xD800:
+            nxt = 0xE000  # first scalar above the surrogate gap
+        if nxt <= 0x10FFFF:
+            return t[:i] + chr(nxt)
+    return None
+
+
 def _json_safe_stat(v):
     """Footer min/max → JSON-serializable, ordering-preserving value.
     Temporals become ISO-8601 strings (lexicographic == chronologic);
@@ -491,6 +514,15 @@ def _footer_stats(fp: str) -> dict | None:
                 agg.pop(name, None)
                 continue
             mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
+            # bound TRUE string stats (not Decimal/temporal renderings,
+            # which are short and must parse back exactly): min by
+            # prefix cut (still a lower bound), max by widen-truncate
+            if isinstance(st.min, str) and mn is not None \
+                    and len(mn) > _STAT_MAX_LEN:
+                mn = mn[:_STAT_MAX_LEN]
+            if isinstance(st.max, str) and mx is not None \
+                    and len(mx) > _STAT_MAX_LEN:
+                mx = _widen_truncate(mx)
             if mn is None or mx is None:
                 dropped.add(name)
                 agg.pop(name, None)

@@ -427,3 +427,33 @@ def test_like_prefix_pruning(spark, orders, tmp_path):
     pred3 = "o_orderpriority LIKE '5-%' AND o_orderkey < 100"
     df3 = t.to_df(where=pred3)
     assert df3.count() == orders.filter(pred3).count()
+
+
+def test_long_string_stats_truncated_but_conservative(spark, tmp_path):
+    """Manifest string stats are capped at 64 chars (a long-text corpus
+    must not push kilobytes into every file entry), with the max
+    widened so skipping stays conservative: probes inside and outside
+    the truncated range stay exact, and a just-beyond-max probe still
+    prunes."""
+    from starlake_spark.operators.writer import _widen_truncate
+
+    rows = [(i, chr(ord("a") + i % 4) * 500 + f"tail{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     configuration={"write.files.per.partition": "4"})
+    t.compaction(sort_columns=["text"], target_files=4)
+    for f in t.store.snapshot().all_files():
+        st = (f.stats or {}).get("text") or {}
+        assert len(st.get("min", "")) <= 64 and len(st.get("max", "")) <= 64
+    n_all = len(t.store.snapshot().all_files())
+    hit = t.to_df(where="text LIKE 'dddd%'")
+    assert hit.count() == 10
+    assert 0 < len(hit.inputFiles()) < n_all
+    miss = t.to_df(where="text LIKE 'zz%'")
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0
+    eq = t.to_df(where=f"text = '{'b' * 500}tail1'")
+    assert eq.count() == 1
+    # widen-truncate unit edges
+    assert _widen_truncate("abc", 2) == "ac"
+    assert _widen_truncate("a" + chr(0xD7FF) + "zz", 2) == "a" + chr(0xE000)
+    assert _widen_truncate(chr(0x10FFFF) * 3, 2) is None
