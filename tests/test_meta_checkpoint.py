@@ -127,3 +127,58 @@ def test_compaction_shrinks_delta_footprint(spark, orders, tmp_path):
     post = len(json.dumps(states[max(states)]))
     assert post < pre
     assert t.to_df().count() == orders.count()
+
+
+@pytest.mark.parametrize("seed", [17, 43])
+def test_delta_encoding_differential_vs_always_full(spark, tmp_path, seed):
+    """Differential pin of the delta encoding itself: the SAME random
+    DML sequence applied to a checkpoint-interval-10 table and an
+    always-full (interval=1) twin must yield identical data at EVERY
+    historical version — chain resolution ≡ full-state storage."""
+    import random
+
+    from pyspark.sql import types as T
+    from tests.test_property_dml import SCHEMA, KEYS, _random_ops
+
+    rng = random.Random(seed)
+    base = [(k, rng.randint(0, 99), rng.choice(["a", "b", "c"])) for k in KEYS]
+    df = spark.createDataFrame(base, SCHEMA)
+    ops = _random_ops(rng, 10)
+    tables = {}
+    for label, interval in (("full", "1"), ("chain", "10")):
+        t = create_table(spark, df, str(tmp_path / label),
+                         hash_partitions=["k"], hash_bucket_num=4,
+                         configuration={"meta.checkpoint.interval": interval})
+        for op, payload in ops:
+            if op == "upsert_full":
+                t.upsert(spark.createDataFrame(payload, SCHEMA))
+            elif op == "upsert_partial":
+                t.upsert(spark.createDataFrame(
+                    payload, T.StructType([SCHEMA[0], SCHEMA[1]])))
+            elif op == "update":
+                mod, add, use_delta = payload
+                t.update(F.col("k") % mod == 0,
+                         {"v": F.coalesce(F.col("v"), F.lit(0)) + add},
+                         use_delta=use_delta)
+            elif op == "delete":
+                mod, use_delta = payload
+                t.delete(F.col("k") % mod == 0, use_delta=use_delta)
+            else:
+                t.compaction(force=True)
+        tables[label] = t
+    vf = tables["full"].store.list_versions()
+    vc = tables["chain"].store.list_versions()
+    assert vf == vc, "same op sequence must produce the same commit count"
+    states = {v: ("delta" if "base_version" in d else "full")
+              for v, d in ((x["version"], x) for x in (
+                  json.load(open(os.path.join(
+                      str(tmp_path / "chain"), "_star_meta", "versions",
+                      f"v{v:012d}.json")))
+                  for v in vc))}
+    assert "delta" in states.values(), "chain table never delta-encoded"
+    for v in vc:
+        a = sorted(tuple(r) for r in
+                   tables["full"].to_df(version=v).collect())
+        b = sorted(tuple(r) for r in
+                   tables["chain"].to_df(version=v).collect())
+        assert a == b, f"seed={seed}: version {v} diverged"
