@@ -345,7 +345,13 @@ class _StarStreamReader(DataSourceStreamReader):
         reach the cap (always at least one commit, so the stream never
         stalls on an oversized commit). Backlog then drains across
         triggers instead of one giant catch-up batch — the knob that
-        keeps recovery batches executor-memory-sized at 100 TB."""
+        keeps recovery batches executor-memory-sized at 100 TB.
+
+        Trigger note: pacing is for continuous/processingTime triggers.
+        Under availableNow the engine captures ONE paced offset as the
+        run's endpoint (the python source API exposes no admission
+        control), so each availableNow run advances one paced window;
+        repeated runs drain the backlog."""
         store = ManifestStore(self.table_path)
         latest = store.latest_version()
         if self.max_versions is None and self.max_bytes is None:
@@ -809,7 +815,9 @@ def table_changes(spark, path: str, start_version: int = 0,
                   end_version: int | None = None,
                   with_change_type: bool = False,
                   ignore_deletes: bool = False,
-                  with_preimages: bool = False):
+                  with_preimages: bool = False,
+                  starting_timestamp: float | None = None,
+                  ending_timestamp: float | None = None):
     """Batch change-data-feed: rows ADDED in versions
     (start_version, end_version], each tagged with ``_commit_version`` —
     the batch twin of the streaming change-source (same semantics:
@@ -845,6 +853,25 @@ def table_changes(spark, path: str, start_version: int = 0,
     if with_preimages and not with_change_type:
         raise ValueError("with_preimages requires with_change_type=True")
     store = ManifestStore(path)
+    # Timestamp window bounds (Delta CDF timestamp parity): starting =
+    # include the FIRST commit at or after the timestamp, ending = the
+    # LAST commit at or before it — resolved via header-only version
+    # reads. Mutually exclusive with the version bounds.
+    if starting_timestamp is not None:
+        if start_version:
+            raise ValueError(
+                "start_version and starting_timestamp are mutually exclusive")
+        start_version = store.latest_version()
+        for v in store.list_versions():
+            if store._read_version_state(v).get("timestamp", 0.0) \
+                    >= float(starting_timestamp):
+                start_version = v - 1
+                break
+    if ending_timestamp is not None:
+        if end_version is not None:
+            raise ValueError(
+                "end_version and ending_timestamp are mutually exclusive")
+        end_version = store.version_at_timestamp(float(ending_timestamp))
     info = store.table_info()
     keys = info.range_cols + info.hash_cols
     end = store.latest_version() if end_version is None else end_version

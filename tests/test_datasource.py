@@ -659,3 +659,34 @@ def test_stream_starting_timestamp(spark, orders, tmp_path):
              .option("checkpointLocation", str(tmp_path / "ckc"))
              .trigger(availableNow=True).start())
         q.awaitTermination(60)
+
+
+def test_table_changes_timestamp_window(spark, orders, tmp_path):
+    """Batch CDF timestamp bounds: starting_timestamp includes the
+    first commit at or after it, ending_timestamp the last at or
+    before; mixing with version bounds is rejected."""
+    import time
+
+    from starlake_spark.sources.datasource import table_changes
+
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    time.sleep(0.05)
+    ts1 = time.time()
+    time.sleep(0.05)
+    t.upsert(orders.limit(4).withColumn("o_totalprice", F.lit(1.0)))  # v2
+    time.sleep(0.05)
+    ts2 = time.time()
+    time.sleep(0.05)
+    t.upsert(orders.limit(6).withColumn("o_totalprice", F.lit(2.0)))  # v3
+
+    win = table_changes(spark, path, starting_timestamp=ts1,
+                        ending_timestamp=ts2)
+    assert dict(win.groupBy("_commit_version").count().collect()) == {2: 4}
+    tail = table_changes(spark, path, starting_timestamp=ts2)
+    assert dict(tail.groupBy("_commit_version").count().collect()) == {3: 6}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table_changes(spark, path, start_version=1, starting_timestamp=ts1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table_changes(spark, path, end_version=2, ending_timestamp=ts2)
