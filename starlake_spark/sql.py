@@ -203,6 +203,7 @@ class StarSession:
         if handled is not None:
             return handled
         text = self._expand_cdf_tvf(text)
+        text = self._expand_time_travel(text)
         self._sync_views()
         if rewrite is None:
             rewrite = self._mv_enabled
@@ -245,6 +246,34 @@ class StarSession:
             return vn
 
         return self._CDF_TVF_RE.sub(repl, text)
+
+    _TT_RE = re.compile(
+        r"\b(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?"
+        r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>\d+|'[^']*')",
+        re.IGNORECASE)
+
+    def _expand_time_travel(self, text: str) -> str:
+        """Spark/Delta time-travel SELECT syntax: ``FROM t [FOR]
+        VERSION AS OF n`` / ``TIMESTAMP AS OF '<ts>'`` over registered
+        star tables — each occurrence becomes a temp view of the
+        historical snapshot (versioned schema included, so old versions
+        read under the columns they had then). Non-star names pass
+        through to Spark untouched."""
+        import uuid as _uuid
+
+        def repl(m):
+            if not self._known(m["name"]):
+                return m.group(0)
+            t = self.table(m["name"])
+            if m["kind"].upper() == "VERSION":
+                df = t.to_df(version=int(m["val"]))
+            else:
+                df = t.to_df(timestamp=m["val"].strip("'"))
+            vn = f"_star_tt_{_uuid.uuid4().hex[:12]}"
+            df.createOrReplaceTempView(vn)
+            return vn
+
+        return self._TT_RE.sub(repl, text)
 
     # ---------- SQL command routing (StarLakeCatalog.scala:51-546) ----------
 

@@ -478,3 +478,38 @@ def test_merge_not_matched_by_source(spark, sess, tmp_path):
         t2.merge(src, "t.k = s.k",
                  not_matched_by_source_update={"state": "'x'"},
                  not_matched_by_source_delete=True)
+
+
+def test_sql_time_travel_select(spark, sess, orders_tbl):
+    """SELECT-level time travel (Spark/Delta syntax): VERSION AS OF and
+    TIMESTAMP AS OF resolve historical snapshots; both spellings (bare
+    and FOR-prefixed) work; joins mix versions freely."""
+    import time
+
+    n0 = orders_tbl.to_df().count()
+    time.sleep(0.05)
+    ts = time.time()
+    time.sleep(0.05)
+    orders_tbl.write(orders_tbl.to_df().limit(5), mode="append")  # v2
+
+    cur = sess.sql("SELECT COUNT(*) AS n FROM orders_t").collect()[0]["n"]
+    v1 = sess.sql(
+        "SELECT COUNT(*) AS n FROM orders_t VERSION AS OF 1").collect()[0]["n"]
+    assert (cur, v1) == (n0 + 5, n0)
+    v1b = sess.sql(
+        "SELECT COUNT(*) AS n FROM orders_t FOR VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert v1b == n0
+    import datetime
+    iso = datetime.datetime.fromtimestamp(ts).isoformat()
+    tt = sess.sql(
+        f"SELECT COUNT(*) AS n FROM orders_t TIMESTAMP AS OF '{iso}'"
+    ).collect()[0]["n"]
+    assert tt == n0
+    # cross-version self-join: new rows = current minus v1 keyset
+    diff = sess.sql(
+        "SELECT COUNT(*) AS n FROM orders_t a LEFT ANTI JOIN "
+        "(SELECT o_orderkey, COUNT(*) c FROM orders_t VERSION AS OF 1 "
+        " GROUP BY o_orderkey HAVING COUNT(*) > 0) b "
+        "ON a.o_orderkey = b.o_orderkey").collect()[0]["n"]
+    assert diff == 0  # appended rows reuse existing keys
