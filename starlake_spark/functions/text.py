@@ -576,3 +576,31 @@ def text_index_append(spark, index, new_docs: DataFrame, text_col: str = "text")
         "text.sum_dl": str(int(cfg["text.sum_dl"]) + (s["s"] or 0)),
     })
     return index
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """The pair-count step of a BPE tokenizer-training iteration
+    (Sennrich et al. 2016): corpus-weighted counts of adjacent
+    character pairs within words — the statistic whose argmax becomes
+    the next merge rule. Scale shape: the corpus collapses to the word
+    FREQUENCY table first (vocabulary-bounded — pair extraction runs
+    per distinct word, not per occurrence), pairs explode from a
+    substring transform (no UDF), one vocabulary-bounded shuffle
+    aggregates. Returns the top-k (pair, n_occurrences) by count desc,
+    pair asc — deterministic merge order, reproducible cross-engine."""
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+    wc = (toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+          .filter(F.length("_w") >= 2))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(_w) - 1), "
+                   "i -> substring(_w, i, 2))")).alias("pair"),
+        F.col("_c"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("_c").cast("long").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            .limit(k))

@@ -2648,3 +2648,30 @@ def docs_text_index_incremental(spark, sf_dir):
 
 LLM_QUERIES["docs_text_index_incremental"] = (
     docs_text_index_incremental, DOCS_TEXT_INDEX_SQL)
+
+
+def docs_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training pair statistics (tx.bpe_pair_counts):
+    corpus-weighted adjacent-character-pair counts whose argmax is the
+    next BPE merge — computed over the word frequency table
+    (vocabulary-bounded), not per token occurrence."""
+    d = ld(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(d, "text", k=20)
+
+
+DOCS_BPE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), p AS (
+  SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair, c
+  FROM wc WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+"""
+
+LLM_QUERIES["docs_bpe_pair_counts"] = (docs_bpe_pair_counts, DOCS_BPE_SQL)
