@@ -672,6 +672,53 @@ class ManifestStore:
 
     # ---------- cleanup support ----------
 
+    def expire_manifests(self, retention_s: float,
+                         dry_run: bool = False) -> list[int]:
+        """Manifest log retention (Delta logRetentionDuration analog):
+        delete version files strictly below the NEWEST full checkpoint
+        that is (a) older than the retention window and (b) not the
+        latest version — every surviving version still resolves (a
+        delta's chain can never cross below a checkpoint), and the
+        expired versions' exclusive file references become vacuumable,
+        exactly Delta's log-cleanup semantics. Time travel / RESTORE to
+        an expired version fails with 'version does not exist'. Without
+        this, a streaming sink committing every few seconds for a year
+        leaves millions of files in versions/. Deletion happens under
+        the commit lock; like Delta, a reader resolving a chain while
+        its versions expire is excluded by retention ≫ query lifetime,
+        not by locking."""
+        cutoff = time.time() - retention_s
+        versions = self.list_versions()
+        if len(versions) <= 1:
+            return []
+        latest = versions[-1]
+        anchor = None
+        for v in versions:
+            if v == latest:
+                break
+            d = self._read_version_state(v)
+            if "base_version" not in d and d.get("timestamp", 0.0) <= cutoff:
+                anchor = v
+        if anchor is None:
+            return []
+        doomed = [v for v in versions if v < anchor]
+        if not doomed or dry_run:
+            return doomed
+        lock = self._acquire_lock()
+        try:
+            for v in doomed:
+                try:
+                    os.unlink(self._version_path(v))
+                except FileNotFoundError:
+                    pass
+                self._snap_cache.pop(v, None)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+        return doomed
+
     def referenced_files(self, since_version: int = 0) -> set[str]:
         refs: set[str] = set()
         for v in self.list_versions():

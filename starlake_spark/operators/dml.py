@@ -989,10 +989,23 @@ def _partitions_matching(spark, store, info, predicate: str) -> set[str]:
 
 
 def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
-            dry_run: bool = False) -> list[str]:
+            dry_run: bool = False,
+            manifest_retention_s: float | None = None) -> list[str]:
     """Vacuum: physical files not referenced by any retained manifest
     version and older than the retention window (CleanupCommand.scala:36-233;
-    default 5h, StarLakeSQLConf.scala:54-58)."""
+    default 5h, StarLakeSQLConf.scala:54-58).
+
+    ``manifest_retention_s`` additionally expires version MANIFESTS
+    below the newest out-of-retention checkpoint (Delta
+    logRetentionDuration analog, meta.expire_manifests) — run BEFORE
+    the data-file sweep so files referenced only by expired manifests
+    become unreferenced and vacuum in the same pass."""
+    removed_manifests: list[str] = []
+    if manifest_retention_s is not None:
+        removed_manifests = [
+            f"_star_meta/versions/v{v:012d}.json"
+            for v in store.expire_manifests(manifest_retention_s,
+                                            dry_run=dry_run)]
     now = time.time()
     keep_versions = [
         v for v in store.list_versions()
@@ -1033,4 +1046,4 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                 removed.append(os.path.relpath(p, store.table_path))
                 if not dry_run:
                     shutil.rmtree(p, ignore_errors=True)
-    return removed
+    return removed_manifests + removed

@@ -283,8 +283,12 @@ class StarTable:
             info.configuration = cfg
             self.store.update_table_info(info)
 
-    def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S, dry_run: bool = False) -> list[str]:
-        return dml.cleanup(self.store, retention_s=retention_s, dry_run=dry_run)
+    def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S,
+                dry_run: bool = False,
+                manifest_retention_s: float | None = None) -> list[str]:
+        return dml.cleanup(self.store, retention_s=retention_s,
+                           dry_run=dry_run,
+                           manifest_retention_s=manifest_retention_s)
 
     def to_bucketed_table(self, name: str | None = None) -> str:
         """Materialize the current snapshot as a Spark BUCKETED table so

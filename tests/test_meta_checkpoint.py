@@ -182,3 +182,61 @@ def test_delta_encoding_differential_vs_always_full(spark, tmp_path, seed):
         b = sorted(tuple(r) for r in
                    tables["chain"].to_df(version=v).collect())
         assert a == b, f"seed={seed}: version {v} diverged"
+
+
+def test_manifest_log_retention(spark, orders, tmp_path):
+    """expire_manifests: versions below the newest out-of-retention
+    checkpoint delete; every survivor still resolves; the expired
+    versions' exclusive data files become vacuumable; time travel to
+    an expired version fails cleanly; recent-only retention is a
+    no-op."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders.limit(50), path,
+                     configuration={"compaction.auto": "false"})
+    for i in range(12):
+        t.write(orders.limit(2).withColumn("o_totalprice", F.lit(float(i))),
+                mode="append")
+    store = ManifestStore(path)
+    assert store.latest_version() == 13
+    # nothing old enough: no-op
+    assert store.expire_manifests(3600) == []
+    # retention 0: newest checkpoint below latest is v10 → v<10 expire
+    doomed = store.expire_manifests(0, dry_run=True)
+    assert doomed == list(range(0, 10))
+    assert store.list_versions()[0] == 0  # dry run deleted nothing
+    assert store.expire_manifests(0) == doomed
+    assert store.list_versions() == [10, 11, 12, 13]
+    for v in (10, 11, 12, 13):
+        assert ManifestStore(path).snapshot(v).version == v
+    assert t.to_df().count() == 50 + 24
+    with pytest.raises(Exception, match="does not exist"):
+        ManifestStore(path).snapshot(3)
+    # a second pass is a no-op (no checkpoint below latest left... v10 is)
+    assert store.expire_manifests(0) == []
+
+
+def test_vacuum_with_manifest_retention_frees_old_files(spark, orders, tmp_path):
+    """cleanup(manifest_retention_s=...) expires manifests FIRST, so
+    data files referenced only by expired versions vacuum in the same
+    pass; current data survives."""
+    import time as _time
+
+    from starlake_spark.operators.dml import cleanup as _cleanup
+
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders.limit(30), path)
+    for i in range(11):
+        t.write(orders.limit(30).withColumn("o_totalprice", F.lit(float(i))),
+                mode="overwrite")  # each overwrite strands the prior files
+    n = t.to_df().count()
+    store = ManifestStore(path)
+    # age everything (data retention checks mtime)
+    old = _time.time() - 7200
+    for root, _d, names in os.walk(os.path.join(path, "data")):
+        for f in names:
+            os.utime(os.path.join(root, f), (old, old))
+    removed = _cleanup(store, retention_s=3600, manifest_retention_s=0)
+    assert any(p.startswith("_star_meta/versions/") for p in removed)
+    assert any(p.startswith("data/") for p in removed)
+    t2 = StarTable.for_path(spark, path)
+    assert t2.to_df().count() == n
