@@ -634,12 +634,17 @@ class StarSession:
             return self._empty_df()
 
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
-                     r"(?P<hours>[\d.]+)\s+HOURS?)?(?P<dry>\s+DRY\s+RUN)?\s*$",
+                     r"(?P<hours>[\d.]+)\s+HOURS?)?"
+                     r"(?:\s+EXPIRE\s+MANIFESTS\s+OLDER\s+THAN\s+"
+                     r"(?P<mhours>[\d.]+)\s+HOURS?)?"
+                     r"(?P<dry>\s+DRY\s+RUN)?\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
             kw = {"dry_run": bool(m["dry"])}
             if m["hours"]:
                 kw["retention_s"] = float(m["hours"]) * 3600.0
+            if m["mhours"]:
+                kw["manifest_retention_s"] = float(m["mhours"]) * 3600.0
             removed = self.table(m["name"]).cleanup(**kw)
             return self.spark.createDataFrame(
                 [(p,) for p in removed] or [], "removed_file string")

@@ -513,3 +513,21 @@ def test_sql_time_travel_select(spark, sess, orders_tbl):
         " GROUP BY o_orderkey HAVING COUNT(*) > 0) b "
         "ON a.o_orderkey = b.o_orderkey").collect()[0]["n"]
     assert diff == 0  # appended rows reuse existing keys
+
+
+def test_sql_vacuum_expire_manifests(spark, sess, sf_dir, tmp_path):
+    """VACUUM ... EXPIRE MANIFESTS OLDER THAN n HOURS routes manifest
+    log retention through SQL (0 hours expires everything below the
+    newest checkpoint)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    t = sess.create_table(df, str(tmp_path / "vt"), name="vt",
+                          configuration={"compaction.auto": "false"})
+    for i in range(12):
+        t.write(df.limit(2).withColumn("o_totalprice", F.lit(float(i))),
+                mode="append")
+    out = sess.sql(
+        "VACUUM vt RETAIN 9999 HOURS EXPIRE MANIFESTS OLDER THAN 0 HOURS")
+    removed = [r["removed_file"] for r in out.collect()]
+    assert sum(1 for p in removed if "versions" in p) == 10
+    assert t.store.list_versions()[0] == 10
+    assert t.to_df().count() == 20 + 24
