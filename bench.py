@@ -78,6 +78,18 @@ def main() -> None:
     # IVF index: the build (k-means fit + partitioned write) happens once
     # at ingest in the real design, so time it as its own write-shaped
     # entry; ann_ivf_topk then measures the probe path it promises.
+    # Index scratch dirs persist across processes (/dev/shm memo) —
+    # clear them first so the timed builds are real builds, not reuse.
+    try:
+        import hashlib as _hl
+        import shutil as _sh
+
+        from starlake_spark.queries.engine_suite import SUITE_ROOT as _SR
+        _tag = _hl.md5(SF_DIR.encode()).hexdigest()[:8]
+        for _nm in ("ivf_index", "text_index", "text_index_inc"):
+            _sh.rmtree(os.path.join(_SR, _tag, _nm), ignore_errors=True)
+    except Exception:  # noqa: BLE001
+        pass
     try:
         from starlake_spark.queries import llm_suite as _L
         t0 = time.monotonic()
@@ -96,6 +108,18 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         timings["docs_text_index_build"] = -1.0
         print(f"[bench] docs_text_index_build FAILED: {exc}", file=sys.stderr)
+
+    # Incremental-index twin (half build + append): also a one-time
+    # ingest cost — docs_text_index_incremental then times the probe
+    # equality + stats check only.
+    try:
+        t0 = time.monotonic()
+        _L._text_index_incremental_table(spark, SF_DIR)
+        timings["docs_text_index_inc_build"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        timings["docs_text_index_inc_build"] = -1.0
+        print(f"[bench] docs_text_index_inc_build FAILED: {exc}",
+              file=sys.stderr)
 
     for name, (fn, _sql) in queries.items():
         t0 = time.monotonic()
