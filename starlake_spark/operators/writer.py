@@ -384,6 +384,15 @@ def write_files(
 
     abs_dir = os.path.join(txn.store.table_path, txn.data_dir)
     writer = df.write.mode("overwrite").format("parquet")
+    # Storage codec knob (reference default snappy,
+    # StarLakeSQLConf.scala:255-271): `parquet.compression` table
+    # property selects the codec per table — zstd trades write CPU for
+    # ~30% smaller files, the right default for cold 100 TB archives.
+    # Applies uniformly to every write path (append, upsert delta,
+    # compaction rewrites); mixed-codec snapshots read fine.
+    codec = (info.configuration or {}).get("parquet.compression")
+    if codec:
+        writer = writer.option("compression", codec)
     # Parquet-native Bloom filter indexes (point-lookup row-group
     # skipping INSIDE files — complements the manifest's min/max file
     # skipping, which equality predicates on high-cardinality unsorted

@@ -1236,3 +1236,83 @@ ORDER BY user_id
 """
 
 ANALYTICS_QUERIES["events_heavy_hitters"] = (events_heavy_hitters, EVENTS_HEAVY_SQL)
+
+
+def lineitem_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, support >= 2 orders, top by (support desc, pair asc).
+    Scale shape: pairs generate per order from a groupBy collect_set
+    (bounded by items-per-order², ~7²/2 here) exploded JVM-side — never
+    a lineitem self-join, whose shuffle would carry the whole fact
+    table twice. The frequent-itemset k=2 pass every recommender
+    pipeline starts with."""
+    li = ld(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps")))
+    pairs = baskets.select(
+        F.explode(F.expr(
+            "flatten(transform(_ps, (x, i) -> "
+            "transform(slice(_ps, i + 2, size(_ps)), y -> struct(x, y))))"
+        )).alias("_p"))
+    return (pairs.select(F.col("_p.x").alias("part_a"),
+                         F.col("_p.y").alias("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .filter(F.col("n_orders") >= 2)
+            .orderBy(F.col("n_orders").desc(),
+                     F.col("part_a").asc(), F.col("part_b").asc()))
+
+
+MARKET_BASKET_SQL = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+  FROM lineitem GROUP BY l_orderkey
+), pairs AS (
+  SELECT ps[i] AS part_a, ps[j] AS part_b
+  FROM baskets,
+       UNNEST(range(1, len(ps) + 1)) AS t1(i),
+       UNNEST(range(1, len(ps) + 1)) AS t2(j)
+  WHERE j > i
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+"""
+
+ANALYTICS_QUERIES["lineitem_market_basket"] = (
+    lineitem_market_basket, MARKET_BASKET_SQL)
+
+
+def events_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov-chain step
+    behind next-action prediction and funnel mining): consecutive
+    events per user ordered by (ts, event_id — total order, so the
+    LAG is deterministic), counted per (from, to). One window shuffle
+    on user_id, one aggregate."""
+    e = ld(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+    return (steps.filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+            .orderBy("from_type", "to_type"))
+
+
+TRANSITION_SQL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM steps WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+ANALYTICS_QUERIES["events_transition_matrix"] = (
+    events_transition_matrix, TRANSITION_SQL)

@@ -354,3 +354,24 @@ def test_convert_to_star_in_place(spark, tmp_path):
     pruned = t2.to_df(partition_filter="o_orderstatus = 'F'")
     assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
     assert all("o_orderstatus=F" in f for f in pruned.inputFiles())
+
+
+def test_parquet_compression_property(spark, sf_dir, tmp_path):
+    """`parquet.compression` table property selects the storage codec
+    for every write path; compaction after an ALTER re-encodes."""
+    import os
+
+    from starlake_spark.table import create_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(50)
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     configuration={"parquet.compression": "zstd"})
+    files = [f.path for f in t.store.snapshot().all_files()]
+    assert files and all(".zstd." in os.path.basename(p) for p in files)
+    assert t.to_df().count() == 50
+    # switch codec: subsequent writes use it (mixed codecs read fine)
+    t.set_properties({"parquet.compression": "gzip"})
+    t.write(df.limit(5), mode="append")
+    newest = max(t.store.snapshot().all_files(), key=lambda f: f.write_version)
+    assert ".gz." in os.path.basename(newest.path)
+    assert t.to_df().count() == 55
