@@ -832,7 +832,8 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
 def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
                mode: str = "append", replace_where: str | None = None,
                txn_app_id: str | None = None,
-               txn_version: int | None = None) -> None:
+               txn_version: int | None = None,
+               dynamic_partition_overwrite: bool = False) -> None:
     """WriteIntoTable (WriteIntoTable.scala:44-146): append / overwrite /
     partition-scoped overwrite via replaceWhere (predicate over range
     columns, evaluated against manifest partition values — no data read).
@@ -868,6 +869,20 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
                     f"match predicate '{replace_where}'")
             for rv in matching:
                 txn.expire_partition(rv)
+        elif dynamic_partition_overwrite:
+            # Delta/Spark partitionOverwriteMode=dynamic: replace ONLY
+            # the partitions the incoming data lands in, keep the rest —
+            # replaceWhere derived from the data instead of a predicate.
+            # Concurrent commits to other partitions never conflict; a
+            # concurrent touch of a REPLACED partition trips the
+            # partition-version conflict check like any rewrite.
+            if not info.range_cols:
+                raise ValueError(
+                    "dynamic partition overwrite requires range "
+                    "partition columns (an unpartitioned table would "
+                    "degenerate to a full overwrite — say so explicitly)")
+            for rv in {f.range_value for f in files}:
+                txn.expire_partition(rv)
         else:
             for rv in txn.read_snapshot.partitions:
                 txn.expire_partition(rv)
@@ -882,6 +897,38 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
             return  # concurrent retry already landed this version
     else:
         store.commit(txn)
+    if mode == "append":
+        _maybe_auto_small_files(spark, store, info, files)
+
+
+def _maybe_auto_small_files(spark, store: ManifestStore, info: TableInfo,
+                            new_files) -> None:
+    """Auto small-file compaction (Delta autoCompact analog,
+    ``compaction.auto.smallfiles=true``): after an append lands, any
+    touched partition holding >= ``compaction.smallfiles.min`` (default
+    4) files under ``compaction.smallfiles.threshold`` bytes gets
+    bin-packed — the appenders themselves amortize the maintenance an
+    append-heavy ingest otherwise defers to manual OPTIMIZE. Best
+    effort: a lost conflict race just leaves the work for the next
+    append."""
+    cfg = info.configuration or {}
+    if cfg.get("compaction.auto.smallfiles") != "true" or info.hash_cols:
+        return
+    thr = int(cfg.get("compaction.smallfiles.threshold",
+                      str(32 * 1024 * 1024)))
+    min_n = int(cfg.get("compaction.smallfiles.min", "4"))
+    from starlake_spark.meta import CommitConflictError
+
+    snap = store.snapshot()
+    for rv in {f.range_value for f in new_files}:
+        ps = snap.partitions.get(rv)
+        if ps is None:
+            continue
+        if sum(1 for f in ps.files if f.size < thr) >= min_n:
+            try:
+                compact_small_files(spark, store, thr, partition=rv)
+            except CommitConflictError:
+                pass
 
 
 def _maybe_log_cdc(spark, store, info: TableInfo, new_files, version: int) -> None:

@@ -168,13 +168,22 @@ class StarTable:
     # ---------- writes / DML ----------
 
     def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None,
-              txn_app_id: str | None = None, txn_version: int | None = None) -> "StarTable":
+              txn_app_id: str | None = None, txn_version: int | None = None,
+              partition_overwrite: str = "static") -> "StarTable":
         """``txn_app_id``/``txn_version`` (Delta txnAppId/txnVersion
         analog) make the write idempotent: retries carrying an
         already-committed version are no-ops, enforced race-free under
-        the commit lock."""
+        the commit lock. ``partition_overwrite="dynamic"`` with
+        mode="overwrite" replaces only the range partitions present in
+        ``df`` (Spark/Delta partitionOverwriteMode=dynamic)."""
+        if partition_overwrite not in ("static", "dynamic"):
+            raise ValueError("partition_overwrite must be 'static' or 'dynamic'")
+        if partition_overwrite == "dynamic" and replace_where is not None:
+            raise ValueError("dynamic partition overwrite and replaceWhere "
+                             "are mutually exclusive")
         dml.write_into(self.spark, self.store, df, mode=mode, replace_where=replace_where,
-                       txn_app_id=txn_app_id, txn_version=txn_version)
+                       txn_app_id=txn_app_id, txn_version=txn_version,
+                       dynamic_partition_overwrite=(partition_overwrite == "dynamic"))
         return self
 
     def upsert(self, source: DataFrame, use_delta: bool = True,

@@ -146,3 +146,29 @@ def test_concurrent_appends_and_small_file_compaction(spark, tmp_path):
     t.compact_small_files(threshold_bytes=10 * 1024 * 1024)
     live = [f for f in t.store.snapshot().all_files() if f.num_rows != 0]
     assert len(live) <= 3
+
+
+def test_auto_small_file_compaction_on_append(spark, sf_dir, tmp_path):
+    """compaction.auto.smallfiles=true (Delta autoCompact analog):
+    appends themselves bin-pack once a touched partition accumulates
+    the minimum count of sub-threshold files; content invariant; off
+    by default."""
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders.limit(2), str(tmp_path / "t"),
+                     configuration={"compaction.auto.smallfiles": "true",
+                                    "compaction.smallfiles.min": "4"})
+    for i in range(5):
+        t.write(orders.limit(2).withColumn("o_totalprice", F.lit(float(i))),
+                mode="append")
+    n_files = len(t.store.snapshot().all_files())
+    assert n_files < 6, f"auto compaction never fired ({n_files} files)"
+    assert t.to_df().count() == 12
+    # off by default: same appends accumulate files
+    t2 = create_table(spark, orders.limit(2), str(tmp_path / "u"))
+    for i in range(5):
+        t2.write(orders.limit(2).withColumn("o_totalprice", F.lit(float(i))),
+                 mode="append")
+    assert len(t2.store.snapshot().all_files()) == 6
+    assert t2.to_df().count() == 12

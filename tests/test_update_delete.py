@@ -226,3 +226,36 @@ def test_dml_delta_enabled_property_routes_sql(spark, tmp_table_dir):
     t.delete("id = 5")
     assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3, 4]
     assert {r["id"]: r["v"] for r in t.to_df().collect()}[2] == 99
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """partition_overwrite='dynamic' (Spark/Delta dynamic mode):
+    overwrite replaces ONLY the partitions present in the incoming
+    data; other partitions keep their rows; guards fire for
+    unpartitioned tables and replaceWhere mixing."""
+    import pytest as _pt
+
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     range_partitions=["o_orderstatus"])
+    statuses = sorted(r[0] for r in
+                      orders.select("o_orderstatus").distinct().collect())
+    tgt, keep = statuses[0], statuses[1:]
+    repl = (orders.filter(F.col("o_orderstatus") == tgt).limit(3)
+            .withColumn("o_totalprice", F.lit(0.0)))
+    t.write(repl, mode="overwrite", partition_overwrite="dynamic")
+    df = t.to_df()
+    assert df.filter(F.col("o_orderstatus") == tgt).count() == 3
+    for s in keep:
+        assert (df.filter(F.col("o_orderstatus") == s).count()
+                == orders.filter(F.col("o_orderstatus") == s).count())
+    # unpartitioned: rejected
+    t2 = create_table(spark, orders.limit(5), str(tmp_path / "u"))
+    with _pt.raises(ValueError, match="range partition"):
+        t2.write(orders.limit(2), mode="overwrite",
+                 partition_overwrite="dynamic")
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        t.write(repl, mode="overwrite", partition_overwrite="dynamic",
+                replace_where="o_orderstatus = 'O'")
