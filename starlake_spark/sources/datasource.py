@@ -583,12 +583,19 @@ class _StarBatchWriter(DataSourceArrowWriter):
     tables with CHECK constraints or generated columns route through
     the table API, which enforces them inside the write pass."""
 
-    def __init__(self, table_path: str, schema: T.StructType, overwrite: bool):
+    def __init__(self, table_path: str, schema: T.StructType, overwrite: bool,
+                 dynamic_overwrite: bool = False):
         import uuid
 
         info, cast_types = _validate_write_target(table_path, schema)
+        if dynamic_overwrite and not info.range_cols:
+            raise ValueError(
+                "partitionOverwriteMode=dynamic requires range partition "
+                "columns (an unpartitioned table would degenerate to a "
+                "full overwrite — say so explicitly)")
         self.table_path = table_path
         self.overwrite = overwrite
+        self.dynamic_overwrite = dynamic_overwrite
         self.range_cols = list(info.range_cols)
         self.cast_types = cast_types
         self.commit_id = uuid.uuid4().hex[:12]
@@ -604,7 +611,12 @@ class _StarBatchWriter(DataSourceArrowWriter):
         txn = store.new_transaction()
         files = _collect_file_infos(self.table_path, info, messages,
                                     self.cast_types)
-        if self.overwrite:
+        if self.overwrite and self.dynamic_overwrite:
+            # Spark/Delta partitionOverwriteMode=dynamic: replace only
+            # the partitions this write landed data in
+            for rv in {f.range_value for f in files}:
+                txn.expire_partition(rv)
+        elif self.overwrite:
             for rv in txn.read_snapshot.partitions:
                 txn.expire_partition(rv)
         txn.add_files(files)
@@ -705,7 +717,12 @@ class StarDataSource(DataSource):
                                 self.options.get("partition_filter"))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceArrowWriter:
-        return _StarBatchWriter(self._path(), schema, overwrite)
+        mode = self.options.get("partitionOverwriteMode", "static").lower()
+        if mode not in ("static", "dynamic"):
+            raise ValueError(
+                f"partitionOverwriteMode must be static or dynamic, got {mode}")
+        return _StarBatchWriter(self._path(), schema, overwrite,
+                                dynamic_overwrite=(mode == "dynamic"))
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         return _StarStreamWriter(self._path(), schema, overwrite,

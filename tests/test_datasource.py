@@ -690,3 +690,25 @@ def test_table_changes_timestamp_window(spark, orders, tmp_path):
         table_changes(spark, path, start_version=1, starting_timestamp=ts1)
     with pytest.raises(ValueError, match="mutually exclusive"):
         table_changes(spark, path, end_version=2, ending_timestamp=ts2)
+
+
+def test_v2_write_dynamic_partition_overwrite(spark, orders, tmp_path):
+    """df.write.format('star').mode('overwrite')
+    .option('partitionOverwriteMode','dynamic') replaces only the
+    partitions present in the written data."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path, range_partitions=["o_orderstatus"])
+    statuses = sorted(r[0] for r in
+                      orders.select("o_orderstatus").distinct().collect())
+    tgt = statuses[0]
+    (orders.filter(F.col("o_orderstatus") == tgt).limit(2)
+     .withColumn("o_totalprice", F.lit(0.0))
+     .write.format("star").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic").save(path))
+    df = t.to_df()
+    assert df.filter(F.col("o_orderstatus") == tgt).count() == 2
+    assert df.count() == 2 + orders.filter(
+        F.col("o_orderstatus") != tgt).count()
+    # static default still truncates everything
+    (orders.limit(3).write.format("star").mode("overwrite").save(path))
+    assert t.to_df().count() == 3
