@@ -713,9 +713,24 @@ def _conjuncts(pred: str) -> list[str]:
     pred = re.sub(
         rf"\b([A-Za-z_]\w*)\s+BETWEEN\s+({_LITERAL})\s+AND\s+({_LITERAL})",
         r"\1 >= \2 AND \1 <= \3", pred, flags=re.IGNORECASE)
+    # A depth-0 OR makes the ROOT a disjunction (AND binds tighter), so
+    # AND-splitting would promote an OR-arm's local conjunct to a global
+    # one and prune rows the other arm keeps — a row-loss bug, caught by
+    # test_skipping_property. The whole predicate is then analyzable
+    # only as a single-column OR-of-equalities (→ IN); anything else
+    # contributes nothing to skipping.
+    if _has_top_level_or(pred):
+        whole = _or_equalities_to_in(pred)
+        return [whole] if whole is not None else []
     out = []
     for c in _split_top_and(pred):
         if re.search(r"\bOR\b", c, re.IGNORECASE):
+            # single-column OR-of-equalities is just an IN list —
+            # normalize so the IN pruners (stats, partition, bucket)
+            # all fire; any other OR stays unanalyzable (dropped)
+            as_in = _or_equalities_to_in(c)
+            if as_in is not None:
+                out.append(as_in)
             continue
         # NOT is unanalyzable except the IS NOT NULL form, which the
         # null-count skipper understands
@@ -723,6 +738,77 @@ def _conjuncts(pred: str) -> list[str]:
             continue
         out.append(c)
     return out
+
+
+def _has_top_level_or(pred: str) -> bool:
+    """True iff an OR token occurs at paren depth 0 outside quotes."""
+    depth, i, n = 0, 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and pred[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and pred[i:i + 2].upper() == "OR"
+                and (i == 0 or not (pred[i - 1].isalnum() or pred[i - 1] == "_"))
+                and (i + 2 >= n or not (pred[i + 2].isalnum() or pred[i + 2] == "_"))):
+            return True
+        i += 1
+    return False
+
+
+def _or_equalities_to_in(c: str) -> str | None:
+    """``a = 1 OR a = 2`` (optionally parenthesized, = or IN arms) →
+    ``a IN (1, 2)`` when every top-level OR arm pins the SAME column;
+    None otherwise."""
+    s = c.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1].strip()
+        # only strip when the parens wrap the WHOLE expression
+        depth = 0
+        ok = True
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok or depth != 0:
+            break
+        s = inner
+    arms = re.split(r"\bOR\b", s, flags=re.IGNORECASE)
+    if len(arms) < 2 or any(re.search(r"[()]", a) for a in arms):
+        return None
+    if any(a.count("'") % 2 for a in arms):
+        return None  # the split cut through a quoted literal
+    col = None
+    vals: list[str] = []
+    for a in arms:
+        m = _CONJ_CMP_RE.match(a)
+        if not m or m.group(2) not in ("=", "=="):
+            mi = _IN_LIST_RE.match(a)
+            if mi is None:
+                return None
+            acol, items = mi.group(1), [
+                x.strip() for x in mi.group(2).split(",") if x.strip()]
+        else:
+            acol, items = m.group(1), [m.group(3)]
+        if col is None:
+            col = acol
+        elif acol != col:
+            return None
+        vals.extend(items)
+    if col is None or not vals:
+        return None
+    return f"{col} IN ({', '.join(vals)})"
 
 
 _FALLBACK = object()  # sentinel: python literal parse refused, use Spark

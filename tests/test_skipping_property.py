@@ -28,6 +28,13 @@ def _rand_pred(rng) -> str:
     col = rng.choice(list(COLS))
     kind = COLS[col]
     which = rng.random()
+    if which < 0.08:
+        # OR shapes: same-column (normalizes to IN) and cross-column
+        # (unanalyzable — must stay exact with zero pruning)
+        a, b = rng.randint(1, 1500), rng.randint(1, 1500)
+        if rng.random() < 0.5:
+            return f"(o_orderkey = {a} OR o_orderkey = {b})"
+        return f"o_orderkey = {a} OR o_custkey = {b}"
     if which < 0.12:
         return f"{col} IS {'NOT ' if rng.random() < 0.5 else ''}NULL"
     if kind == "int":

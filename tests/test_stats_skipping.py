@@ -457,3 +457,47 @@ def test_long_string_stats_truncated_but_conservative(spark, tmp_path):
     assert _widen_truncate("abc", 2) == "ac"
     assert _widen_truncate("a" + chr(0xD7FF) + "zz", 2) == "a" + chr(0xE000)
     assert _widen_truncate(chr(0x10FFFF) * 3, 2) is None
+
+
+def test_or_equalities_prune_as_in_list(spark, orders, tmp_path):
+    """`a = x OR a = y` normalizes to an IN list for the pruning stack:
+    files outside the value envelope skip; mixed columns / quoted ORs
+    stay unanalyzed but exact."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     configuration={"write.files.per.partition": "8"})
+    t.compaction(sort_columns=["o_orderkey"], target_files=8)
+    n_all = len(t.store.snapshot().all_files())
+    pred = "(o_orderkey = 5 OR o_orderkey = 7)"
+    df = t.to_df(where=pred)
+    assert len(df.inputFiles()) < n_all
+    assert df.count() == orders.filter(pred).count() == 2
+    # cross-column OR: no pruning, still exact
+    pred2 = "o_orderkey = 5 OR o_custkey = 7"
+    df2 = t.to_df(where=pred2)
+    assert len(df2.inputFiles()) == n_all
+    assert df2.count() == orders.filter(pred2).count()
+    # OR inside a string literal must not be mis-split
+    pred3 = "o_orderpriority = 'X OR Y' OR o_orderkey = 5"
+    assert t.to_df(where=pred3).count() == orders.filter(pred3).count() == 1
+    # composes with a conjunct + hash-bucket pruning on PK tables
+    th = create_table(spark, orders, str(tmp_path / "h"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    dfh = th.to_df(where="o_orderkey = 5 OR o_orderkey = 7")
+    n_all_h = len(th.to_df().inputFiles())
+    assert 0 < len(dfh.inputFiles()) < n_all_h
+    assert dfh.count() == 2
+
+
+def test_or_with_and_precedence_never_loses_rows(spark, orders, tmp_path):
+    """Regression (found by test_skipping_property): in
+    `a = x OR b = y AND a = z`, AND binds tighter, so `a = z` is NOT a
+    global conjunct — treating it as one pruned files holding the
+    `a = x` rows. The analyzer must refuse to decompose an OR-rooted
+    predicate."""
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     configuration={"write.files.per.partition": "8"})
+    t.compaction(sort_columns=["o_orderkey"], target_files=8)
+    row = orders.filter("o_orderkey = 3").collect()[0]
+    pred = (f"o_orderkey = 3 OR o_custkey = {row['o_custkey']} "
+            f"AND o_orderkey = 1400")
+    assert t.to_df(where=pred).count() == orders.filter(pred).count() >= 1
