@@ -1695,3 +1695,49 @@ ENGINE_QUERIES = {
     "star_mv_rewrite": (star_mv_rewrite, MV_ORACLE),
     "star_schema_evolution": (star_schema_evolution, SCHEMA_EVO_ORACLE),
 }
+
+
+def star_like_or_skipping(spark, sf_dir):
+    """LIKE-prefix and OR-equality data skipping end-to-end: orders
+    clustered by o_orderpriority so per-file string bounds are tight,
+    then (a) a literal-prefix LIKE, (b) a single-column OR-of-
+    equalities (normalized to IN), and (c) an OR/AND-precedence
+    predicate (the row-loss regression class: must NOT decompose) all
+    read oracle-exact, with (a) and (b) asserting file pruning inline."""
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "like_or_skipping")
+    t = create_table(spark, o, path,
+                     configuration={"write.files.per.partition": "8"})
+    t.compaction(sort_columns=["o_orderpriority"], target_files=8)
+    n_all = len(t.to_df().inputFiles())
+    like = t.to_df(where="o_orderpriority LIKE '1-%'")
+    assert 0 < len(like.inputFiles()) < n_all, "LIKE prefix must prune"
+    orq = t.to_df(
+        where="o_orderpriority = '3-MEDIUM' OR o_orderpriority = '5-LOW'")
+    assert 0 < len(orq.inputFiles()) < n_all, "OR-equalities must prune"
+    mixed = t.to_df(
+        where="o_orderkey = 3 OR o_orderkey = 5 AND o_orderpriority LIKE '9%'")
+    return (
+        like.select("o_orderkey", "o_orderpriority")
+        .unionByName(orq.select("o_orderkey", "o_orderpriority"))
+        .unionByName(mixed.select("o_orderkey", "o_orderpriority"))
+        .orderBy("o_orderkey", "o_orderpriority"))
+
+
+LIKE_OR_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderpriority LIKE '1-%'
+), b AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
+), c AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderkey = 3 OR o_orderkey = 5 AND o_orderpriority LIKE '9%'
+)
+SELECT * FROM (
+  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+) ORDER BY o_orderkey, o_orderpriority
+"""
+
+ENGINE_QUERIES["star_like_or_skipping"] = (star_like_or_skipping, LIKE_OR_ORACLE)
