@@ -633,6 +633,12 @@ class StarSession:
                                              cluster_mode=mode)
             return self._empty_df()
 
+        m = re.match(r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+                     r"(?P<name>[\w.]+)\s*$", text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            root = self.table(m["name"]).generate_symlink_manifest()
+            return self.spark.createDataFrame([(root,)], "manifest_root string")
+
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
                      r"(?P<hours>[\d.]+)\s+HOURS?)?"
                      r"(?:\s+EXPIRE\s+MANIFESTS\s+OLDER\s+THAN\s+"

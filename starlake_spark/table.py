@@ -299,6 +299,44 @@ class StarTable:
                            dry_run=dry_run,
                            manifest_retention_s=manifest_retention_s)
 
+    def generate_symlink_manifest(self, version: int | None = None) -> str:
+        """Delta ``GENERATE symlink_format_manifest`` parity: write
+        ``_symlink_format_manifest/[<range dirs>/]manifest`` text files
+        listing the snapshot's data-file absolute paths, so external
+        engines (Trino/Presto/Athena-style symlink readers) see a
+        CONSISTENT snapshot without speaking the manifest protocol —
+        directory listing would also see in-flight and expired files.
+        MoR snapshots (any non-base file) are refused: an external
+        engine cannot collapse delta versions — compact first. The
+        manifest reflects the snapshot at generation time; regenerate
+        after commits (same contract as Delta's non-auto mode)."""
+        import shutil as _sh
+
+        snap = self.store.snapshot(version)
+        deltas = [f.path for f in snap.all_files() if not f.is_base_file]
+        if deltas:
+            raise ValueError(
+                f"symlink manifest requires an all-base snapshot; "
+                f"{len(deltas)} delta file(s) present — run compaction() "
+                f"first (external engines cannot collapse MoR versions)")
+        root = os.path.join(self.store.table_path, "_symlink_format_manifest")
+        tmp = root + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        for rv, ps in sorted(snap.partitions.items()):
+            d = os.path.join(tmp, *(rv.split(",") if rv else []))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                for f in sorted(ps.files, key=lambda x: x.path):
+                    p = f.path if os.path.isabs(f.path) else os.path.join(
+                        self.store.table_path, f.path)
+                    fh.write(p + "\n")
+        if not snap.partitions:
+            os.makedirs(tmp, exist_ok=True)
+            open(os.path.join(tmp, "manifest"), "w").close()
+        _sh.rmtree(root, ignore_errors=True)
+        os.rename(tmp, root)
+        return root
+
     def to_bucketed_table(self, name: str | None = None) -> str:
         """Materialize the current snapshot as a Spark BUCKETED table so
         repeated PK joins/aggs on the hash keys skip exchange AND sort.

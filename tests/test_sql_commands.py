@@ -531,3 +531,12 @@ def test_sql_vacuum_expire_manifests(spark, sess, sf_dir, tmp_path):
     assert sum(1 for p in removed if "versions" in p) == 10
     assert t.store.list_versions()[0] == 10
     assert t.to_df().count() == 20 + 24
+
+
+def test_sql_generate_symlink_manifest(spark, sess, orders_tbl):
+    import os
+
+    out = sess.sql(
+        "GENERATE symlink_format_manifest FOR TABLE orders_t").collect()
+    root = out[0]["manifest_root"]
+    assert os.path.isfile(os.path.join(root, "manifest"))

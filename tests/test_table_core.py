@@ -375,3 +375,40 @@ def test_parquet_compression_property(spark, sf_dir, tmp_path):
     newest = max(t.store.snapshot().all_files(), key=lambda f: f.write_version)
     assert ".gz." in os.path.basename(newest.path)
     assert t.to_df().count() == 55
+
+
+def test_generate_symlink_manifest(spark, sf_dir, tmp_path):
+    """Delta GENERATE parity: the symlink manifest lists exactly the
+    snapshot's files per partition; reading the listed paths
+    reproduces the table; MoR-delta snapshots are refused until
+    compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, orders, str(tmp_path / "t"),
+                     range_partitions=["o_orderstatus"])
+    root = t.generate_symlink_manifest()
+    paths = []
+    for r, _d, names in os.walk(root):
+        for n in names:
+            assert n == "manifest"
+            paths += [ln for ln in open(os.path.join(r, n)).read().splitlines() if ln]
+    assert sorted(paths) == sorted(
+        os.path.join(str(tmp_path / "t"), f.path)
+        for f in t.store.snapshot().all_files())
+    got = spark.read.option("basePath", os.path.dirname(
+        os.path.dirname(paths[0]))).parquet(*paths)
+    assert got.count() == orders.count()
+    # MoR refusal
+    th = create_table(spark, orders, str(tmp_path / "h"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    th.upsert(orders.limit(3).withColumn("o_totalprice", F.lit(1.0)))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="compaction"):
+        th.generate_symlink_manifest()
+    th.compaction()
+    assert os.path.isdir(th.generate_symlink_manifest())
