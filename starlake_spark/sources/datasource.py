@@ -712,6 +712,17 @@ class StarDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         v = self.options.get("version")
+        ts = self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError("version and timestampAsOf are mutually exclusive")
+        if ts is not None:
+            from starlake_spark.table import _to_epoch
+
+            try:
+                epoch = float(ts)  # raw epoch seconds
+            except ValueError:
+                epoch = _to_epoch(ts)  # ISO / datetime string
+            v = ManifestStore(self._path()).version_at_timestamp(epoch)
         return _StarBatchReader(self._path(), schema,
                                 int(v) if v is not None else None,
                                 self.options.get("partition_filter"))

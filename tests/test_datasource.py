@@ -712,3 +712,21 @@ def test_v2_write_dynamic_partition_overwrite(spark, orders, tmp_path):
     # static default still truncates everything
     (orders.limit(3).write.format("star").mode("overwrite").save(path))
     assert t.to_df().count() == 3
+
+
+def test_batch_read_timestamp_as_of(spark, orders, tmp_path):
+    import time
+
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path)
+    time.sleep(0.05)
+    ts = time.time()
+    time.sleep(0.05)
+    t.write(orders.limit(7), mode="overwrite")
+    old = (spark.read.format("star").option("timestampAsOf", str(ts))
+           .load(path))
+    assert old.count() == orders.count()
+    assert spark.read.format("star").load(path).count() == 7
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("star").option("timestampAsOf", str(ts))
+         .option("version", "1").load(path).count())
