@@ -101,7 +101,8 @@ _RESTORE_RE = re.compile(
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
     r"(?:(?P<mode>SHALLOW|DEEP)\s+)?CLONE\s+(?P<src>[\w.]+)"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
     r"(?:\s+LOCATION\s+'[^']+')?\s*$",
     re.IGNORECASE,
 )
@@ -504,6 +505,11 @@ class StarSession:
             if not loc:
                 raise ValueError("CREATE TABLE ... CLONE requires LOCATION '<path>'")
             version = int(m["version"]) if m["version"] else None
+            if m["ts"]:
+                from starlake_spark.table import _to_epoch
+
+                version = self.table(m["src"]).store.version_at_timestamp(
+                    _to_epoch(m["ts"]))
             shallow = (m["mode"] or "SHALLOW").upper() == "SHALLOW"
             self._tables[m["name"]] = self.table(m["src"]).clone(
                 loc.group(1), version=version, shallow=shallow,

@@ -540,3 +540,17 @@ def test_sql_generate_symlink_manifest(spark, sess, orders_tbl):
         "GENERATE symlink_format_manifest FOR TABLE orders_t").collect()
     root = out[0]["manifest_root"]
     assert os.path.isfile(os.path.join(root, "manifest"))
+
+
+def test_sql_clone_timestamp_as_of(spark, sess, orders_tbl, tmp_path):
+    import datetime
+    import time
+
+    n0 = orders_tbl.to_df().count()
+    time.sleep(0.05)
+    iso = datetime.datetime.now().isoformat()
+    time.sleep(0.05)
+    orders_tbl.write(orders_tbl.to_df().limit(3), mode="append")
+    sess.sql(f"CREATE TABLE otc SHALLOW CLONE orders_t "
+             f"TIMESTAMP AS OF '{iso}' LOCATION '{tmp_path / 'c'}'")
+    assert sess.table("otc").to_df().count() == n0
