@@ -220,8 +220,9 @@ class StarSession:
         return self.spark.sql(text)
 
     _CDF_TVF_RE = re.compile(
-        r"table_changes\(\s*'(?P<name>[\w.]+)'\s*,\s*(?P<start>\d+)\s*"
-        r"(?:,\s*(?P<end>\d+)\s*)?\)",
+        r"table_changes\(\s*'(?P<name>[\w.]+)'\s*,\s*"
+        r"(?:(?P<start>\d+)|TIMESTAMP\s+'(?P<tstart>[^']+)')\s*"
+        r"(?:,\s*(?:(?P<end>\d+)|TIMESTAMP\s+'(?P<tend>[^']+)')\s*)?\)",
         re.IGNORECASE)
 
     def _expand_cdf_tvf(self, text: str) -> str:
@@ -237,11 +238,20 @@ class StarSession:
             if not self._known(m["name"]):
                 return m.group(0)
             t = self.table(m["name"])
+            from starlake_spark.table import _to_epoch
+
+            kw = {}
+            if m["tstart"]:
+                kw["starting_timestamp"] = _to_epoch(m["tstart"])
+            else:
+                kw["start_version"] = int(m["start"])
+            if m["tend"]:
+                kw["ending_timestamp"] = _to_epoch(m["tend"])
+            elif m["end"]:
+                kw["end_version"] = int(m["end"])
             df = table_changes(
                 self.spark, t.store.table_path,
-                start_version=int(m["start"]),
-                end_version=int(m["end"]) if m["end"] else None,
-                with_change_type=True)
+                with_change_type=True, **kw)
             vn = f"_star_cdf_{_uuid.uuid4().hex[:12]}"
             df.createOrReplaceTempView(vn)
             return vn

@@ -554,3 +554,23 @@ def test_sql_clone_timestamp_as_of(spark, sess, orders_tbl, tmp_path):
     sess.sql(f"CREATE TABLE otc SHALLOW CLONE orders_t "
              f"TIMESTAMP AS OF '{iso}' LOCATION '{tmp_path / 'c'}'")
     assert sess.table("otc").to_df().count() == n0
+
+
+def test_sql_cdf_tvf_timestamp_args(spark, sess, orders_tbl):
+    """table_changes('t', TIMESTAMP '...') — timestamp TVF arguments
+    (Delta parity) resolve to the same window as the version form."""
+    import datetime
+    import time
+
+    time.sleep(0.05)
+    iso = datetime.datetime.now().isoformat()
+    time.sleep(0.05)
+    orders_tbl.write(orders_tbl.to_df().limit(4), mode="append")  # v2
+    got = sess.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('orders_t', "
+        f"TIMESTAMP '{iso}')").collect()[0]["n"]
+    assert got == 4
+    same = sess.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('orders_t', 1, 2)"
+    ).collect()[0]["n"]
+    assert same == 4
