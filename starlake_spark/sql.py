@@ -256,7 +256,29 @@ class StarSession:
             df.createOrReplaceTempView(vn)
             return vn
 
-        return self._CDF_TVF_RE.sub(repl, text)
+        return self._sub_outside_quotes(self._CDF_TVF_RE, repl, text)
+
+    @staticmethod
+    def _sub_outside_quotes(rx, repl, text: str) -> str:
+        """Apply ``rx`` replacements only where the MATCH STARTS outside
+        a single-quoted SQL literal — a string containing e.g.
+        "VERSION AS OF 1" must never be rewritten, while a legitimate
+        match may still consume a trailing quoted operand (the
+        TIMESTAMP AS OF '<ts>' value)."""
+        spans = [m.span() for m in re.finditer(r"'[^']*'", text)]
+
+        def _inside(pos: int) -> bool:
+            return any(a < pos < b for a, b in spans)
+
+        out, last = [], 0
+        for m in rx.finditer(text):
+            if _inside(m.start()):
+                continue
+            out.append(text[last:m.start()])
+            out.append(repl(m))
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
 
     _TT_RE = re.compile(
         r"\b(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_)?"
@@ -284,7 +306,7 @@ class StarSession:
             df.createOrReplaceTempView(vn)
             return vn
 
-        return self._TT_RE.sub(repl, text)
+        return self._sub_outside_quotes(self._TT_RE, repl, text)
 
     # ---------- SQL command routing (StarLakeCatalog.scala:51-546) ----------
 

@@ -574,3 +574,21 @@ def test_sql_cdf_tvf_timestamp_args(spark, sess, orders_tbl):
         "SELECT COUNT(*) AS n FROM table_changes('orders_t', 1, 2)"
     ).collect()[0]["n"]
     assert same == 4
+
+
+def test_sql_rewriters_ignore_quoted_literals(spark, sess, orders_tbl):
+    """Time-travel / TVF rewriting must not fire inside string
+    literals; legitimate quoted operands (TIMESTAMP AS OF '<ts>')
+    still work in the same statement."""
+    import datetime
+
+    n = sess.sql(
+        "SELECT COUNT(*) AS n FROM orders_t "
+        "WHERE o_orderpriority <> 'x VERSION AS OF 1' "
+        "AND o_orderstatus <> 'table_changes(0, 1)'").collect()[0]["n"]
+    assert n == orders_tbl.to_df().count()
+    iso = datetime.datetime.now().isoformat()
+    m = sess.sql(
+        f"SELECT COUNT(*) AS n FROM orders_t TIMESTAMP AS OF '{iso}' "
+        f"WHERE o_orderpriority <> 'y VERSION AS OF 9'").collect()[0]["n"]
+    assert m == orders_tbl.to_df().count()
