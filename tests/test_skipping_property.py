@@ -89,3 +89,31 @@ def test_random_predicates_exact(spark, skiptbl, seed):
         got = skiptbl.to_df(where=p).count()
         want = full.filter(p).count()
         assert got == want, f"seed={seed} pred #{i}: '{p}' {got} != {want}"
+
+
+@pytest.fixture(scope="module")
+def mor_tbl(spark, sf_dir, tmp_path_factory):
+    """Hash table with live MoR deltas AND a tombstone delete — the
+    pruning rules differ here (key-column conjuncts only; delta arms
+    must never be lost), so the predicate soak runs separately."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path_factory.mktemp("skipmor") / "t")
+    t = create_table(spark, orders, path,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=8,
+                     configuration={"compaction.auto": "false"})
+    t.upsert(orders.filter("o_orderkey % 7 = 0")
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.delete("o_orderkey % 31 = 0", use_delta=True)
+    return t
+
+
+@pytest.mark.parametrize("seed", [401, 503])
+def test_random_predicates_exact_on_mor(spark, mor_tbl, seed):
+    rng = random.Random(seed)
+    full = mor_tbl.to_df()
+    for i in range(20):
+        p = " AND ".join(_rand_pred(rng)
+                         for _ in range(rng.choice([1, 1, 2])))
+        got = mor_tbl.to_df(where=p).count()
+        want = full.filter(p).count()
+        assert got == want, f"seed={seed} pred #{i}: '{p}' {got} != {want}"
