@@ -126,6 +126,11 @@ class DataFileInfo:
     # at 100 TB an operator must never run a full-scan count just to
     # pick a knob.
     num_rows: int = -1
+    # manifest-relative path of the per-commit Bloom sidecar holding
+    # this file's bitmaps (operators/bloom.py), None when the table has
+    # no `bloom.file.cols` — readers fail open on missing/absent blooms.
+    # Shallow clones rewrite it absolute alongside the data path.
+    bloom_ref: str | None = None
 
     def key(self) -> str:
         return self.path

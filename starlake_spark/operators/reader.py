@@ -1112,6 +1112,83 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
     return [f for i, f in enumerate(files) if i in keep]
 
 
+def _prune_files_by_bloom(info, table_path, files, conjuncts, allowed_cols):
+    """File-level Bloom skipping (operators/bloom.py): drop files whose
+    bitmap PROVES an equality/IN conjunct can't match. Runs after
+    min/max stats pruning — it's the layer that fires on point lookups
+    over high-cardinality UNSORTED columns, where every file's [min,
+    max] spans the domain and stats keep everything. Pure Python, zero
+    Spark jobs: literals hash through the bit-exact murmur3 twin
+    (_spark_hash_py, differentially pinned — bloom build uses the JVM's
+    F.hash on the same double-hash family). Fail-open everywhere: no
+    bloom_ref / unparseable literal / non-ASCII string / missing
+    sidecar row ⇒ the file stays."""
+    if not any(f.bloom_ref for f in files):
+        return files
+    from starlake_spark.operators import bloom as _bloom
+
+    schema_types = {f.name: f.dataType for f in _schema(info).fields}
+    checks = []  # (col, [(h1, h2), ...]) — file dropped iff ALL absent
+    for c in conjuncts:
+        col, items = None, None
+        m = _CONJ_CMP_RE.match(c)
+        if m and m.group(2) in ("=", "=="):
+            col, items = m.group(1), [m.group(3)]
+        else:
+            mi = _IN_LIST_RE.match(c)
+            if mi:
+                col = mi.group(1)
+                items = [x.strip() for x in mi.group(2).split(",") if x.strip()]
+        if col is None or not items:
+            continue
+        dt = schema_types.get(col)
+        if col not in allowed_cols or dt is None \
+                or not isinstance(dt, _bloom._ELIGIBLE):
+            continue
+        hashes = []
+        ok = True
+        for lit in items:
+            v = _parse_bucket_lit(lit, dt)
+            if v is _FALLBACK:
+                ok = False
+                break
+            h1 = _spark_hash_py([v], [dt])
+            h2 = _spark_hash_py([v, 1], [dt, T.IntegerType()])
+            if h1 is None or h2 is None:
+                ok = False
+                break
+            hashes.append((h1, h2))
+        if ok and hashes:
+            checks.append((col, hashes))
+    if not checks:
+        return files
+    amap = alias_map(info)
+    kept = []
+    for f in files:
+        if not f.bloom_ref:
+            kept.append(f)
+            continue
+        ref = f.bloom_ref if os.path.isabs(f.bloom_ref) \
+            else os.path.join(table_path, f.bloom_ref)
+        side = _bloom.load_sidecar(ref)
+        base = os.path.basename(f.path)
+        drop = False
+        for col, hashes in checks:
+            phys = _resolve_physical(
+                col, {c for (p, c) in side if p == base}, amap)
+            row = None if phys is None else side.get((base, phys))
+            if row is None:
+                continue  # no bitmap for this column: conjunct passes
+            m_bits, k, bits = row
+            if not any(_bloom.test_membership(bits, m_bits, k, h1, h2)
+                       for h1, h2 in hashes):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return kept
+
+
 def scan(
     spark: SparkSession,
     store: ManifestStore,
@@ -1233,6 +1310,8 @@ def scan(
             # plain files: every row is final → any column's bounds skip
             plain_files = _prune_files_by_stats(
                 spark, info, plain_files, where_conjs, all_cols)
+            plain_files = _prune_files_by_bloom(
+                info, store.table_path, plain_files, where_conjs, all_cols)
         if merge_files:
             # MoR inputs: non-key columns change under the merge (a
             # skipped older version would alter sum/last results) — only
@@ -1241,6 +1320,8 @@ def scan(
             key_cols = set(info.range_cols) | set(info.hash_cols)
             merge_files = _prune_files_by_stats(
                 spark, info, merge_files, where_conjs, key_cols)
+            merge_files = _prune_files_by_bloom(
+                info, store.table_path, merge_files, where_conjs, key_cols)
 
     parts = []
     if plain_files:

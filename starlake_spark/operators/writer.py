@@ -418,6 +418,20 @@ def write_files(
         shutil.rmtree(abs_dir, ignore_errors=True)
         raise ValueError(m.group(1).split(" SQLSTATE")[0].strip()) from None
 
+    # File-level Bloom index (operators/bloom.py): one extra job over
+    # the just-written bytes builds per-file bitmaps for the declared
+    # `bloom.file.cols` — plan-time whole-file skipping for point
+    # lookups on high-cardinality unsorted columns, where min/max
+    # stats never prune. O(commit data), distributed; only the
+    # finished ≤16 KiB bitmaps reach the driver.
+    from starlake_spark.operators import bloom as _bloom
+
+    bloom_ref = None
+    bcols = _bloom.eligible_bloom_cols(info, df.columns)
+    if bcols:
+        bloom_ref = _bloom.build_blooms(
+            spark, abs_dir, txn.store.table_path, bcols, txn.commit_id)
+
     exist_cols = [c for c in df.columns if c not in info.range_cols]
     files = []
     for fp in _list_written_files(abs_dir):
@@ -435,6 +449,7 @@ def write_files(
                 exist_cols=exist_cols,
                 stats=stats,
                 num_rows=num_rows,
+                bloom_ref=bloom_ref,
             )
         )
     return files

@@ -1741,3 +1741,46 @@ SELECT * FROM (
 """
 
 ENGINE_QUERIES["star_like_or_skipping"] = (star_like_or_skipping, LIKE_OR_ORACLE)
+
+
+def star_bloom_skipping(spark, sf_dir):
+    """File-level Bloom index (operators/bloom.py, Delta bloom-index
+    analog): a SALTED multi-file layout makes every file's o_custkey
+    [min, max] span ~the whole domain, so footer min/max stats keep
+    everything — the worst case for point lookups on high-cardinality
+    unsorted columns. Per-file bloom bitmaps (built in one extra job
+    per commit, probed with the pure-Python murmur3 twin at zero Spark
+    jobs) still prune: 8 ABSENT-key probes must skip >half the file
+    reads (asserted inline, each returning zero rows), and 15
+    PRESENT-key probes return oracle-exact rows — the no-false-negative
+    theorem (a pruned file can never hold the probed key) is what the
+    hash-twin bit-exactness buys."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "bloom_skip"),
+                     configuration={"bloom.file.cols": "o_custkey",
+                                    "write.files.per.partition": "8"})
+    n_all = len(t.to_df().inputFiles())
+    assert n_all >= 4, n_all
+    kept = 0
+    for v in range(1_000_000_000, 1_000_000_008):
+        df = t.to_df(where=f"o_custkey = {v}")
+        kept += len(df.inputFiles())
+        assert df.count() == 0, v
+    assert kept <= n_all * 8 * 0.5, (kept, n_all)
+    keys = [r[0] for r in (o.select("o_custkey").distinct()
+                           .orderBy("o_custkey").limit(15).collect())]
+    out = t.to_df(where=f"o_custkey IN ({', '.join(map(str, keys))})")
+    return out.select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+BLOOM_SKIP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE o_custkey IN (
+  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 15
+)
+ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_bloom_skipping"] = (star_bloom_skipping, BLOOM_SKIP_ORACLE)

@@ -456,6 +456,14 @@ class StarTable:
             for f in ps.files:
                 nf = replace(f)
                 src_abs = os.path.join(self.store.table_path, f.path)
+                # bloom sidecars stay in the SOURCE's meta dir: shallow
+                # clones keep probing them via an absolute ref (rows are
+                # keyed by file basename, path-agnostic); deep clones
+                # drop the ref (fail-open) — their own rewrites rebuild.
+                if f.bloom_ref and not os.path.isabs(f.bloom_ref):
+                    nf.bloom_ref = (
+                        os.path.join(self.store.table_path, f.bloom_ref)
+                        if shallow else None)
                 if shallow:
                     nf.path = src_abs
                 else:
