@@ -141,10 +141,26 @@ class PartitionSnapshot:
     range_value: str
     files: list[DataFileInfo]
     last_update_version: int
+    # Deletion vectors (Delta DV analog, beyond the reference): sidecar
+    # parquets of (_star_fid, _star_pos) row positions logically deleted
+    # from this partition's files. Non-hash tables only (hash tables
+    # use key tombstones). Scans anti-join them; compaction rewrites
+    # materialize and clear them. DataFileInfo is reused: path = the
+    # sidecar file, num_rows = deleted-position count (exact — each DV
+    # commit's candidate scan is itself DV-filtered, so positions never
+    # overlap across commits), range_value = this partition.
+    dv_files: list[DataFileInfo] = field(default_factory=list)
 
     @property
     def delta_file_num(self) -> int:
         return sum(1 for f in self.files if not f.is_base_file)
+
+    @property
+    def dv_row_count(self) -> int:
+        """Total deleted positions, or -1 if any DV lacks a count."""
+        if any(d.num_rows < 0 for d in self.dv_files):
+            return -1
+        return sum(d.num_rows for d in self.dv_files)
 
 
 @dataclass
@@ -176,6 +192,8 @@ class Snapshot:
                 rv: {
                     "last_update_version": p.last_update_version,
                     "files": [asdict(f) for f in p.files],
+                    **({"dv_files": [asdict(d) for d in p.dv_files]}
+                       if p.dv_files else {}),
                 }
                 for rv, p in self.partitions.items()
             },
@@ -194,6 +212,8 @@ class Snapshot:
                     range_value=rv,
                     last_update_version=pd["last_update_version"],
                     files=[DataFileInfo(**f) for f in pd["files"]],
+                    dv_files=[DataFileInfo(**f)
+                              for f in pd.get("dv_files", [])],
                 )
                 for rv, pd in d.get("partitions", {}).items()
             },
@@ -227,6 +247,10 @@ class Transaction:
         self.read_snapshot = read_snapshot
         self.commit_id = uuid.uuid4().hex[:12]
         self.add: list[DataFileInfo] = []
+        # deletion-vector sidecars to attach (range_value names the
+        # partition); conflicts with ANY concurrent commit touching the
+        # same partition (positions were computed against its files)
+        self.add_dvs: list[DataFileInfo] = []
         self.expire: set[str] = set()  # file paths (relative)
         self.expire_partitions: set[str] = set()  # whole range_values
         self.streaming_update: tuple[str, int] | None = None
@@ -386,6 +410,8 @@ class ManifestStore:
                         range_value=rv,
                         last_update_version=pd["last_update_version"],
                         files=[DataFileInfo(**f) for f in pd["files"]],
+                        dv_files=[DataFileInfo(**f)
+                                  for f in pd.get("dv_files", [])],
                     )
             top = chain[0]
             base = Snapshot(
@@ -477,13 +503,19 @@ class ManifestStore:
                         )
             new_version = current.version + 1
             partitions = {
-                rv: PartitionSnapshot(rv, list(ps.files), ps.last_update_version)
+                rv: PartitionSnapshot(rv, list(ps.files),
+                                      ps.last_update_version,
+                                      dv_files=list(ps.dv_files))
                 for rv, ps in current.partitions.items()
             }
             touched: set[str] = set()
             for rv in txn.expire_partitions:
                 if rv in partitions:
+                    # full-partition rewrite reads the DV-filtered view,
+                    # so the rewrite MATERIALIZES the deletions — clear
+                    # the vectors along with the files
                     partitions[rv].files = []
+                    partitions[rv].dv_files = []
                     touched.add(rv)
             if txn.expire:
                 for ps in partitions.values():
@@ -500,6 +532,24 @@ class ManifestStore:
                     partitions[f.range_value] = ps
                 ps.files.append(f)
                 touched.add(f.range_value)
+            for d in txn.add_dvs:
+                ps = partitions.get(d.range_value)
+                if ps is None or not ps.files:
+                    raise CommitConflictError(
+                        f"deletion vector targets partition "
+                        f"'{d.range_value}' which a concurrent commit "
+                        f"emptied; retry the delete")
+                if (current.version > txn.read_snapshot.version
+                        and ps.last_update_version
+                        > txn.read_snapshot.version):
+                    raise CommitConflictError(
+                        f"partition '{d.range_value}' changed since the "
+                        f"deletion vector's positions were computed "
+                        f"(v{ps.last_update_version} > read "
+                        f"v{txn.read_snapshot.version}); retry the delete")
+                d.write_version = new_version
+                ps.dv_files = list(ps.dv_files) + [d]
+                touched.add(d.range_value)
             for rv in touched:
                 if rv in partitions:
                     partitions[rv].last_update_version = new_version
@@ -537,6 +587,9 @@ class ManifestStore:
                         rv: {
                             "last_update_version": partitions[rv].last_update_version,
                             "files": [asdict(f) for f in partitions[rv].files],
+                            **({"dv_files": [asdict(d)
+                                             for d in partitions[rv].dv_files]}
+                               if partitions[rv].dv_files else {}),
                         }
                         for rv in touched if rv in partitions
                     },
@@ -578,7 +631,8 @@ class ManifestStore:
             snap = Snapshot(
                 version=new_version,
                 partitions={
-                    rv: PartitionSnapshot(rv, list(ps.files), new_version)
+                    rv: PartitionSnapshot(rv, list(ps.files), new_version,
+                                          dv_files=list(ps.dv_files))
                     for rv, ps in partitions.items()
                 },
                 streaming=dict(current.streaming),
@@ -627,12 +681,14 @@ class ManifestStore:
         'did not exist')."""
         target = self.snapshot(version)
         if partition is None:
-            check = list(target.all_files())
+            check = list(target.all_files()) + [
+                d for ps in target.partitions.values() for d in ps.dv_files]
         else:
             if (partition not in target.partitions
                     and partition not in self.snapshot().partitions):
                 raise MetaError(f"unknown partition '{partition}'")
-            check = list(target.partitions[partition].files) \
+            check = (list(target.partitions[partition].files)
+                     + list(target.partitions[partition].dv_files)) \
                 if partition in target.partitions else []
         missing = [
             f.path
@@ -651,13 +707,16 @@ class ManifestStore:
             current = self.snapshot()
             new_version = current.version + 1
             parts = {
-                rv: PartitionSnapshot(rv, list(ps.files), ps.last_update_version)
+                rv: PartitionSnapshot(rv, list(ps.files),
+                                      ps.last_update_version,
+                                      dv_files=list(ps.dv_files))
                 for rv, ps in current.partitions.items() if rv != partition
             }
             tps = target.partitions.get(partition)
             if tps is not None and tps.files:
                 parts[partition] = PartitionSnapshot(
-                    partition, list(tps.files), new_version)
+                    partition, list(tps.files), new_version,
+                    dv_files=list(tps.dv_files))
             snap = Snapshot(
                 version=new_version,
                 partitions=parts,
@@ -728,5 +787,8 @@ class ManifestStore:
         refs: set[str] = set()
         for v in self.list_versions():
             if v >= since_version:
-                refs.update(f.path for f in self.snapshot(v).all_files())
+                snap = self.snapshot(v)
+                refs.update(f.path for f in snap.all_files())
+                refs.update(d.path for ps in snap.partitions.values()
+                            for d in ps.dv_files)
         return refs

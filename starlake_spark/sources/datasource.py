@@ -57,6 +57,8 @@ _CHANGE_TYPES = {
     "write": "insert",
     "delta": "update_postimage",
     "delete_delta": "delete",
+    "delete_dv": "delete",       # deletion-vector delete: no files added
+    "update_dv": "update_postimage",  # DV update: postimages are new files
     "update": "update_postimage",
     "delete": "update_postimage",
     "compact": None,
@@ -85,6 +87,12 @@ class _FilePartition(InputPartition):
     # RENAME COLUMN name-mapping: ((logical, (old_physical, ...)), ...)
     # so pre-rename files resolve in the plan-worker read path too
     aliases: tuple = ()
+    # deletion vectors: sidecar parquet abs paths whose (_star_fid,
+    # _star_pos) rows select positions of THIS file. dv_semi=False ⇒
+    # anti (drop vectored rows, the live view); True ⇒ semi (emit ONLY
+    # vectored rows — the CDF delete/preimage shape)
+    dv_paths: tuple = ()
+    dv_semi: bool = False
 
 
 def _typed_part_value(v: str, dtype: T.DataType):
@@ -116,7 +124,9 @@ def _alias_pairs(store: ManifestStore) -> tuple:
 
 
 def _file_partitions(store: ManifestStore, files, schema_types: dict,
-                     change_type: str = "insert") -> list:
+                     change_type: str = "insert",
+                     dv_by_rv: dict | None = None,
+                     dv_semi: bool = False) -> list:
     aliases = _alias_pairs(store)
     parts = []
     for f in files:
@@ -133,9 +143,28 @@ def _file_partitions(store: ManifestStore, files, schema_types: dict,
                 const_cols=consts,
                 change_type=change_type,
                 aliases=aliases,
+                dv_paths=(tuple(dv_by_rv.get(f.range_value, ()))
+                          if dv_by_rv else ()),
+                dv_semi=dv_semi,
             )
         )
     return parts
+
+
+def _dv_paths_by_rv(store: ManifestStore, snap,
+                    version: int | None = None) -> dict:
+    """{range_value: (abs sidecar path, ...)} for a snapshot's deletion
+    vectors — optionally only those committed AT ``version`` (the CDF
+    delete/preimage emission reads just the new vectors)."""
+    out = {}
+    for rv, ps in snap.partitions.items():
+        sel = [d for d in ps.dv_files
+               if version is None or d.write_version == version]
+        if sel:
+            out[rv] = tuple(
+                p if os.path.isabs(p) else os.path.join(store.table_path, p)
+                for p in (d.path for d in sel))
+    return out
 
 
 def _table_schema(store: ManifestStore) -> T.StructType:
@@ -159,6 +188,23 @@ def _read_aligned(part: _FilePartition, arrow_schema):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.abs_path)
+    if part.dv_paths:
+        # deletion-vector filter, worker-side: positions are physical
+        # row indexes in THIS file (fid = scheme-stripped abs path —
+        # exactly part.abs_path); sidecars are tiny position lists
+        import numpy as np
+
+        pos = []
+        for p in part.dv_paths:
+            dv = pq.read_table(p, columns=["_star_fid", "_star_pos"])
+            fids = np.asarray(dv["_star_fid"].to_pylist())
+            pp = np.asarray(dv["_star_pos"].to_pylist(), dtype=np.int64)
+            pos.extend(pp[fids == part.abs_path].tolist())
+        mask = np.zeros(len(tbl), dtype=bool) if part.dv_semi \
+            else np.ones(len(tbl), dtype=bool)
+        idx = np.asarray([p for p in pos if p < len(tbl)], dtype=np.int64)
+        mask[idx] = part.dv_semi
+        tbl = tbl.filter(pa.array(mask))
     consts = dict(part.const_cols)
     amap = dict(part.aliases)
 
@@ -245,7 +291,8 @@ class _StarBatchReader(DataSourceReader):
                 "merge-on-read collapse in the Catalyst plan"
             )
         types = {f.name: f.dataType for f in _table_schema(store).fields}
-        parts = _file_partitions(store, snap.all_files(), types)
+        parts = _file_partitions(store, snap.all_files(), types,
+                                 dv_by_rv=_dv_paths_by_rv(store, snap))
         return _prune_by_option(parts, self.partition_filter)
 
     def read(self, partition: _FilePartition):
@@ -387,15 +434,42 @@ class _StarStreamReader(DataSourceStreamReader):
             ct = _change_type_for(snap.commit_type)
             if ct is None:
                 continue
-            if snap.commit_type == "delete_delta" and not self.change_types:
+            if snap.commit_type in ("delete_delta", "delete_dv") \
+                    and not self.change_types:
                 if self.ignore_deletes:
                     continue
                 raise ValueError(
-                    "stream source hit a delete_delta commit at version "
-                    f"{v}: downstream would silently retain deleted rows. "
-                    "Read with .option('changeTypes', 'true') to receive "
-                    "delete rows, or .option('ignoreDeletes', 'true') to "
-                    "acknowledge an append-only view")
+                    f"stream source hit a {snap.commit_type} commit at "
+                    f"version {v}: downstream would silently retain deleted "
+                    "rows. Read with .option('changeTypes', 'true') to "
+                    "receive delete rows, or .option('ignoreDeletes', "
+                    "'true') to acknowledge an append-only view")
+            if snap.commit_type in ("delete_dv", "update_dv"):
+                # deletion-vector commits: the vectored rows ARE the
+                # deleted/pre-update rows with real values — emit them
+                # via a semi filter of the partition's files against
+                # the vectors committed at v (worker-side pyarrow; no
+                # CDC log needed, positions identify exact pre-rows).
+                # update_dv postimages are the commit's new files and
+                # flow through the generic added-files path below.
+                dv_new = _dv_paths_by_rv(store, snap, version=v)
+                if dv_new and (snap.commit_type == "delete_dv"
+                               or self.with_preimages):
+                    pre_ct = ("delete" if snap.commit_type == "delete_dv"
+                              else "update_preimage")
+                    # only pre-existing files can hold vectored rows
+                    # (update_dv's own postimage files join at v)
+                    cand = [f for rv2 in dv_new
+                            for f in snap.partitions[rv2].files
+                            if f.write_version < v]
+                    sub = _file_partitions(
+                        store, cand, types, change_type=pre_ct,
+                        dv_by_rv=dv_new, dv_semi=True)
+                    for p in sub:
+                        p.version = v
+                    parts.extend(sub)
+                if snap.commit_type == "delete_dv":
+                    continue
             if (self.with_preimages
                     and snap.commit_type in ("delta", "delete_delta")):
                 from starlake_spark.operators.dml import CDC_DIR
@@ -809,6 +883,7 @@ def read_star(
             "read through StarTable.to_df() for the merge-on-read collapse"
         )
     files = list(snap.all_files())
+    dv_infos = [d for ps in snap.partitions.values() for d in ps.dv_files]
     if partition_filter:
         keep = rd._prune_partitions_sql(spark, info, list(snap.partitions),
                                         partition_filter)
@@ -816,20 +891,26 @@ def read_star(
             f for f in files
             if decode_range_value(f.range_value) in keep
         ]
+        dv_infos = [d for ps in snap.partitions.values()
+                    if decode_range_value(ps.range_value) in keep
+                    for d in ps.dv_files]
     if not files:
         out = rd._empty_df(spark, info)
         return out.withColumn(VERSION_COL, F_lit_long(None)) if with_version_col else out
     if not with_version_col:
-        return rd._plain_scan(spark, store, info, files)
+        return rd._plain_scan(spark, store, info, files, dv_infos=dv_infos)
     # per-commit groups so _commit_version is a codegen literal per branch
     groups = rd._group_files(files)
     dfs = []
     for (wv, cdir), fs in groups.items():
-        d = rd._read_group(spark, store, info, cdir, fs)
+        d = rd._read_group(spark, store, info, cdir, fs,
+                           with_rowid=bool(dv_infos))
         dfs.append(d.withColumn(VERSION_COL, F_lit_long(wv)))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if dv_infos:
+        out = rd._apply_dvs(spark, store, out, dv_infos)
     return out
 
 
@@ -909,14 +990,51 @@ def table_changes(spark, path: str, start_version: int = 0,
         ct = _change_type_for(snap.commit_type)
         if ct is None:
             continue
-        if snap.commit_type == "delete_delta" and not with_change_type:
+        if snap.commit_type in ("delete_delta", "delete_dv") \
+                and not with_change_type:
             if ignore_deletes:
                 continue
             raise ValueError(
-                f"table_changes hit a delete_delta commit at version {v}: "
-                "downstream would silently retain deleted rows. Pass "
+                f"table_changes hit a {snap.commit_type} commit at version "
+                f"{v}: downstream would silently retain deleted rows. Pass "
                 "with_change_type=True to receive delete rows, or "
                 "ignore_deletes=True to acknowledge an append-only view")
+        if snap.commit_type in ("delete_dv", "update_dv"):
+            # deletion-vector commits: vectored rows are the exact
+            # deleted/pre-update rows — emit them via a semi-join of the
+            # pre-existing files against the vectors committed at v.
+            # update_dv postimages are ordinary added files (generic
+            # path below); preimages only under with_preimages.
+            if snap.commit_type == "delete_dv" or with_preimages:
+                dv_new = [d for ps in snap.partitions.values()
+                          for d in ps.dv_files if d.write_version == v]
+                dv_rvs = {d.range_value for d in dv_new}
+                cand = [f for rv2 in dv_rvs
+                        for f in snap.partitions[rv2].files
+                        if f.write_version < v]
+                if dv_new and cand:
+                    # raw pre-files (no anti filter — the semi below
+                    # selects exactly the newly vectored rows)
+                    pre = rd._plain_scan(spark, store, info, cand,
+                                         with_rowid=True)
+                    dvp = [p if os.path.isabs(p)
+                           else os.path.join(store.table_path, p)
+                           for p in (d.path for d in dv_new)]
+                    dvf = spark.read.parquet(*dvp).select(rd.DV_FID,
+                                                          rd.DV_POS)
+                    rows = (pre.join(F.broadcast(dvf),
+                                     [rd.DV_FID, rd.DV_POS], "left_semi")
+                            .drop(rd.DV_FID, rd.DV_POS)
+                            .withColumn(VERSION_COL, F_lit_long(v)))
+                    if with_change_type:
+                        rows = rows.withColumn(
+                            CHANGE_TYPE_COL,
+                            F.lit("delete"
+                                  if snap.commit_type == "delete_dv"
+                                  else "update_preimage"))
+                    dfs.append(rows)
+            if snap.commit_type == "delete_dv":
+                continue
         new_files = [f for f in snap.all_files() if f.write_version == v]
         if not new_files:
             continue

@@ -192,10 +192,15 @@ class StarTable:
                    txn_app_id=txn_app_id, txn_version=txn_version)
         return self
 
-    def update(self, condition, set_exprs: dict, use_delta: bool = False) -> "StarTable":
+    def update(self, condition, set_exprs: dict, use_delta: bool = False,
+               use_dv: bool = False) -> "StarTable":
         """``use_delta=True``: O(matched rows) delta-upsert UPDATE
-        instead of rewriting touched files; see dml.update."""
-        dml.update(self.spark, self.store, condition, set_exprs, use_delta=use_delta)
+        instead of rewriting touched files (hash tables); ``use_dv=True``
+        (or dml.dv.enabled=true): deletion-vector UPDATE for non-hash
+        tables — old positions vectored out, updated images appended,
+        O(changed rows); see dml.update."""
+        dml.update(self.spark, self.store, condition, set_exprs,
+                   use_delta=use_delta, use_dv=use_dv)
         return self
 
     def merge(self, source: DataFrame, condition: str,
@@ -218,10 +223,15 @@ class StarTable:
                        not_matched_by_source_delete=not_matched_by_source_delete)
         return self
 
-    def delete(self, condition=None, use_delta: bool = False) -> "StarTable":
+    def delete(self, condition=None, use_delta: bool = False,
+               use_dv: bool = False) -> "StarTable":
         """``use_delta=True``: tombstone-delta DELETE — O(matched keys)
-        write instead of rewriting touched files; see dml.delete."""
-        dml.delete(self.spark, self.store, condition, use_delta=use_delta)
+        write instead of rewriting touched files (hash tables).
+        ``use_dv=True`` (or dml.dv.enabled=true): deletion-vector
+        DELETE for non-hash tables — matched (file, position) pairs
+        land in a sidecar, zero data bytes rewritten; see dml.delete."""
+        dml.delete(self.spark, self.store, condition, use_delta=use_delta,
+                   use_dv=use_dv)
         return self
 
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
@@ -319,6 +329,12 @@ class StarTable:
                 f"symlink manifest requires an all-base snapshot; "
                 f"{len(deltas)} delta file(s) present — run compaction() "
                 f"first (external engines cannot collapse MoR versions)")
+        if any(ps.dv_files for ps in snap.partitions.values()):
+            raise ValueError(
+                "symlink manifest refused: snapshot carries deletion "
+                "vectors an external engine cannot apply (it would read "
+                "deleted rows) — run compaction() to materialize them "
+                "first")
         root = os.path.join(self.store.table_path, "_symlink_format_manifest")
         tmp = root + ".tmp"
         _sh.rmtree(tmp, ignore_errors=True)
@@ -453,6 +469,7 @@ class StarTable:
         partitions = {}
         for rv, ps in snap.partitions.items():
             files = []
+            path_map = {}  # deep clones: old abs path -> new abs path
             for f in ps.files:
                 nf = replace(f)
                 src_abs = os.path.join(self.store.table_path, f.path)
@@ -472,8 +489,37 @@ class StarTable:
                     os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
                     _sh.copy2(src_abs, dst_abs)
                     nf.path = rel
+                    path_map[src_abs] = dst_abs
                 files.append(nf)
-            partitions[rv] = _PS(rv, files, 1)
+            dvs = []
+            for d in ps.dv_files:
+                nd = replace(d)
+                src_abs = os.path.join(self.store.table_path, d.path)
+                if shallow:
+                    # sidecar fids are scheme-stripped absolute SOURCE
+                    # paths — exactly what the shallow clone reads
+                    nd.path = src_abs
+                else:
+                    # deep clone moved the data files, so the copied
+                    # sidecar must speak the NEW absolute paths
+                    import pyarrow as _pa
+                    import pyarrow.parquet as _pq
+
+                    rel = os.path.join("data", "clone_v0",
+                                       d.path.replace(os.sep, "_"))
+                    dst_abs = os.path.join(dest_path, rel)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    tbl = _pq.read_table(src_abs)
+                    fids = [path_map.get(p, p)
+                            for p in tbl["_star_fid"].to_pylist()]
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index("_star_fid"),
+                        "_star_fid", _pa.array(fids, type=_pa.string()))
+                    _pq.write_table(tbl, dst_abs)
+                    nd.path = rel
+                    nd.size = os.path.getsize(dst_abs)
+                dvs.append(nd)
+            partitions[rv] = _PS(rv, files, 1, dv_files=dvs)
         # Publish the clone's first snapshot at >= the max write_version
         # of the imported files, so every post-clone commit stamps a
         # strictly higher write_version and MoR collapse never prefers
@@ -716,12 +762,16 @@ class StarTable:
         snap = self.store.snapshot(version)
         files = list(snap.all_files())
         missing = sum(1 for f in files if f.num_rows < 0)
+        dead = sum(max(ps.dv_row_count, 0)
+                   for ps in snap.partitions.values() if ps.dv_files)
         return {
             "num_files": len(files),
             "total_bytes": sum(f.size for f in files),
-            "approx_rows": sum(f.num_rows for f in files if f.num_rows > 0),
+            "approx_rows": max(
+                sum(f.num_rows for f in files if f.num_rows > 0) - dead, 0),
             "files_without_rowcount": missing,
             "num_partitions": len(snap.partitions),
+            "dv_dead_rows": dead,
         }
 
     def count(self, version: int | None = None) -> int:
@@ -735,7 +785,14 @@ class StarTable:
         snap = self.store.snapshot(version)
         files = list(snap.all_files())
         if files and all(f.is_base_file and f.num_rows >= 0 for f in files):
-            return sum(f.num_rows for f in files)
+            # deletion vectors subtract exactly: DV commits record each
+            # live position at most once (the candidate scan is itself
+            # DV-filtered), so sum(dv rows) = dead rows. A DV without a
+            # footer count (dv_row_count < 0) forces the scan path.
+            dv = [ps.dv_row_count for ps in snap.partitions.values()
+                  if ps.dv_files]
+            if all(n >= 0 for n in dv):
+                return sum(f.num_rows for f in files) - sum(dv)
         if not files:
             return 0
         return self.to_df(version=version).count()

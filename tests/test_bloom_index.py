@@ -38,7 +38,7 @@ def test_sidecar_written_and_refs_set(btab):
         assert f.bloom_ref and f.bloom_ref.startswith("_star_meta/bloom/")
     side = bloom.load_sidecar(
         os.path.join(btab.store.table_path, files[0].bloom_ref))
-    base = os.path.basename(files[0].path)
+    base = os.path.join(btab.store.table_path, files[0].path)
     for col in ("o_custkey", "o_orderpriority"):
         m, k, bits = side[(base, col)]
         assert k == bloom.BLOOM_K and m % 8 == 0 and len(bits) == m // 8
