@@ -648,6 +648,54 @@ class ManifestStore:
             except FileNotFoundError:
                 pass
 
+    def sync_partitions(self, updates: dict[str, "PartitionSnapshot | None"],
+                        commit_type: str = "clone_sync") -> Snapshot:
+        """Replace (or drop, value None) the given partitions wholesale
+        in one commit, preserving the supplied files' write_versions —
+        the clone-sync primitive: O(changed partitions) metadata, zero
+        data movement. The published version is floored at the max
+        imported write_version so post-sync local commits always stamp
+        strictly higher (same discipline as clone/import_state)."""
+        lock = self._acquire_lock()
+        try:
+            current = self.snapshot()
+            parts = {
+                rv: PartitionSnapshot(rv, list(ps.files),
+                                      ps.last_update_version,
+                                      dv_files=list(ps.dv_files))
+                for rv, ps in current.partitions.items()
+            }
+            max_wv = current.version
+            for rv, ps in updates.items():
+                if ps is None:
+                    parts.pop(rv, None)
+                    continue
+                for f in list(ps.files) + list(ps.dv_files):
+                    max_wv = max(max_wv, f.write_version)
+            new_version = max(current.version + 1, max_wv)
+            for rv, ps in updates.items():
+                if ps is not None:
+                    parts[rv] = PartitionSnapshot(
+                        rv, list(ps.files), new_version,
+                        dv_files=list(ps.dv_files))
+            snap = Snapshot(
+                version=new_version,
+                partitions=parts,
+                streaming=dict(current.streaming),
+                timestamp=time.time(),
+                commit_type=commit_type,
+                schema_json=self.table_info().schema_json,
+            )
+            _atomic_write(self._version_path(new_version),
+                          json.dumps(snap.to_state()))
+            self._snap_cache[new_version] = snap
+            return snap
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
     def version_at_timestamp(self, ts: float) -> int:
         """Latest committed version whose commit timestamp <= ``ts``
         (Delta TIMESTAMP AS OF resolution). O(versions) driver-side

@@ -1832,3 +1832,50 @@ ORDER BY o_orderkey
 """
 
 ENGINE_QUERIES["star_deletion_vectors"] = (star_deletion_vectors, DV_ORACLE)
+
+
+def star_clone_sync(spark, sf_dir):
+    """Incremental clone replication (beyond Delta — its shallow clones
+    freeze at clone time): after the source takes an upsert and a
+    partition-wide delete, sync_clone() re-points ONLY the changed
+    partitions at the source's current file state — O(changed
+    partitions) metadata, zero data bytes moved, asserted inline by
+    (a) untouched partitions keeping their original manifest entries
+    and (b) a repeat sync committing nothing. The clone then reads
+    oracle-equal to the source's final state, MoR deltas included
+    (imported write_versions preserved, so the clone's collapse orders
+    exactly like the source's). The continuous-replication shape: a
+    reporting replica follows a hot table by metadata diffs."""
+    o = ld(spark, sf_dir, "orders")
+    src = create_table(spark, o, _scratch(sf_dir, "clone_sync_src"),
+                       range_partitions=["o_orderstatus"],
+                       hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    c = src.clone(_scratch(sf_dir, "clone_sync_dst"), shallow=True)
+    upd = (o.filter("o_orderstatus = 'O' AND o_orderkey <= 200")
+           .withColumn("o_orderpriority", F.lit("SYNCED")))
+    src.upsert(upd)
+    src.delete("o_orderstatus = 'P'")
+    untouched = {rv: ps.last_update_version
+                 for rv, ps in c.store.snapshot().partitions.items()
+                 if rv == "o_orderstatus=F"}
+    c.sync_clone()
+    after = c.store.snapshot().partitions
+    for rv, lv in untouched.items():
+        assert after[rv].last_update_version == lv, \
+            "sync must not re-import untouched partitions"
+    v = c.store.latest_version()
+    c.sync_clone()
+    assert c.store.latest_version() == v, "repeat sync must be a no-op"
+    return c.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+CLONE_SYNC_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN o_orderstatus = 'O' AND o_orderkey <= 200
+            THEN 'SYNCED' ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+WHERE o_orderstatus <> 'P'
+ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_clone_sync"] = (star_clone_sync, CLONE_SYNC_ORACLE)

@@ -455,6 +455,12 @@ class StarTable:
         src_info = self.store.table_info()
         snap = self.store.snapshot(version)
         dest = ManifestStore(dest_path)
+        cfg = dict(src_info.configuration)
+        if shallow:
+            # sync metadata: sync_clone() catches the clone up to the
+            # source incrementally (changed partitions only)
+            cfg["clone.source_path"] = os.path.abspath(self.store.table_path)
+            cfg["clone.source_version"] = str(snap.version)
         info = TableInfo(
             table_path=dest_path,
             table_id=f"table_{uuid.uuid4().hex[:16]}",
@@ -462,7 +468,7 @@ class StarTable:
             range_cols=list(src_info.range_cols),
             hash_cols=list(src_info.hash_cols),
             bucket_num=src_info.bucket_num,
-            configuration=dict(src_info.configuration),
+            configuration=cfg,
             short_name=short_name,
         )
         dest.create(info)
@@ -532,6 +538,81 @@ class StarTable:
         if short_name:
             catalog.register(short_name, dest_path, warehouse)
         return StarTable(self.spark, dest)
+
+    def sync_clone(self) -> int:
+        """Incremental clone catch-up (beyond Delta, whose shallow
+        clones are frozen at clone time): re-point ONLY the partitions
+        the SOURCE changed since the last sync at the source's current
+        file state — O(changed partitions) metadata, zero data bytes
+        moved, one commit. Returns the now-synced source version.
+
+        Semantics are replication: a partition the source touched is
+        forced to the source state (local edits to it are superseded —
+        history keeps them reachable via time travel); partitions the
+        source didn't touch keep any local divergence. Partitions the
+        source dropped are dropped. Shallow clones only (the clone
+        reads source files in place); requires the source's manifest
+        at the last-synced version to still exist for precise removal
+        detection, else falls back to a full re-point of every source
+        partition."""
+        info = self.store.table_info(refresh=True)
+        cfg = info.configuration or {}
+        src_path = cfg.get("clone.source_path")
+        if not src_path:
+            raise ValueError(
+                "sync_clone: this table is not a shallow clone (no "
+                "clone.source_path property) — deep clones are "
+                "self-contained and do not sync")
+        v0 = int(cfg.get("clone.source_version", "0"))
+        src = ManifestStore(src_path)
+        cur = src.latest_version()
+        if cur == v0:
+            return v0
+        src_snap = src.snapshot()
+        try:
+            base = src.snapshot(v0)
+        except MetaError:
+            base = None  # manifest expired: full re-point below
+
+        def _retarget(ps):
+            files = []
+            for f in ps.files:
+                nf = replace(f)
+                if not os.path.isabs(nf.path):
+                    nf.path = os.path.join(src_path, nf.path)
+                if nf.bloom_ref and not os.path.isabs(nf.bloom_ref):
+                    nf.bloom_ref = os.path.join(src_path, nf.bloom_ref)
+                files.append(nf)
+            dvs = []
+            for d in ps.dv_files:
+                nd = replace(d)
+                if not os.path.isabs(nd.path):
+                    nd.path = os.path.join(src_path, nd.path)
+                dvs.append(nd)
+            from starlake_spark.meta import PartitionSnapshot as _PS
+
+            return _PS(ps.range_value, files, ps.last_update_version,
+                       dv_files=dvs)
+
+        updates: dict = {}
+        for rv, ps in src_snap.partitions.items():
+            if (base is None or rv not in base.partitions
+                    or ps.last_update_version > v0):
+                updates[rv] = _retarget(ps)
+        gone_from = (base.partitions if base is not None
+                     else self.store.snapshot().partitions)
+        for rv in gone_from:
+            if rv not in src_snap.partitions:
+                updates[rv] = None
+        if updates:
+            self.store.sync_partitions(updates)
+        # schema follows the source (ALTERs between syncs propagate)
+        src_info = src.table_info()
+        if src_info.schema_json != info.schema_json:
+            info.schema_json = src_info.schema_json
+            self.store.update_table_info(info)
+        self.set_properties({"clone.source_version": str(cur)})
+        return cur
 
     # ---------- ALTER TABLE (commands/alterTableCommands.scala:58-374) ----------
 
