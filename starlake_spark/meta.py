@@ -648,6 +648,54 @@ class ManifestStore:
             except FileNotFoundError:
                 pass
 
+    # ---------- identity columns ----------
+
+    # One commit's id block: monotonically_increasing_id packs
+    # (partition_id << 33 | row), so 2^44 covers 2^11 write tasks of
+    # 2^33 rows each; 2^63 / 2^44 ≈ 500k un-reclaimed blocks. The
+    # finalize step reclaims the unused tail whenever no concurrent
+    # reservation landed, so serial writers consume ids densely.
+    IDENTITY_BLOCK = 1 << 44
+
+    def reserve_identity(self, col: str) -> tuple[int, int]:
+        """Reserve an id block for one write: bump the high-water mark
+        by IDENTITY_BLOCK under the commit lock and return (base,
+        block). Concurrent writers get disjoint blocks, so identity
+        values are unique without coordinating the write jobs
+        themselves (Delta's identity reservation discipline)."""
+        lock = self._acquire_lock()
+        try:
+            info = self.table_info(refresh=True)
+            key = f"identity.highwater.{col}"
+            base = int((info.configuration or {}).get(key, "1"))
+            info.configuration[key] = str(base + self.IDENTITY_BLOCK)
+            self.update_table_info(info)
+            return base, self.IDENTITY_BLOCK
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def finalize_identity(self, col: str, base: int, block: int,
+                          observed_max: int) -> None:
+        """After the write: reclaim the reserved block's unused tail.
+        Only safe when the high-water mark still sits at our
+        reservation top (no concurrent reservation since) — otherwise
+        leave it; the gap is permanent but identity permits gaps."""
+        lock = self._acquire_lock()
+        try:
+            info = self.table_info(refresh=True)
+            key = f"identity.highwater.{col}"
+            if int((info.configuration or {}).get(key, "1")) == base + block:
+                info.configuration[key] = str(max(observed_max + 1, base))
+                self.update_table_info(info)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
     def sync_partitions(self, updates: dict[str, "PartitionSnapshot | None"],
                         commit_type: str = "clone_sync") -> Snapshot:
         """Replace (or drop, value None) the given partitions wholesale

@@ -1062,6 +1062,18 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
     if mode == "append" and info.hash_cols:
         raise ValueError("append to a hash-partitioned table is forbidden; "
                          "use upsert (WriteIntoTable.scala:96-97)")
+    # GENERATED ALWAYS AS IDENTITY: user writes may not supply the
+    # column (Delta's rule — engine-assigned ids only); the
+    # identity.mode=default variant admits explicit values (BY DEFAULT,
+    # no uniqueness guarantee against them, same caveat as Delta)
+    idcol = (info.configuration or {}).get("identity.column")
+    if (idcol and idcol in df.columns
+            and (info.configuration or {}).get("identity.mode", "always")
+            == "always"):
+        raise ValueError(
+            f"identity column '{idcol}' is GENERATED ALWAYS — writes may "
+            f"not supply it (set identity.mode=default to allow explicit "
+            f"values)")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
     txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None

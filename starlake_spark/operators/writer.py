@@ -320,6 +320,7 @@ def write_files(
     contract the clustered layout would violate).
     """
     df = normalize_for_write(df, info, enforce_schema=False)
+    identity_ctx = None
     if is_base:
         # Column DEFAULT values (`default.<col>` table property — Delta
         # column-default analog): base/append writes that omit the
@@ -333,6 +334,23 @@ def write_files(
                 c = k[len("default."):]
                 if c in declared and c not in df.columns:
                     df = df.withColumn(c, F.expr(expr).cast(declared[c]))
+        # Identity column (Delta GENERATED AS IDENTITY analog): a write
+        # that omits the column gets engine-assigned ids — a block is
+        # reserved under the commit lock (concurrent writers get
+        # disjoint blocks, uniqueness needs no job coordination), rows
+        # stamp base + monotonically_increasing_id() (gaps allowed, the
+        # standard identity contract), and the finalize step below
+        # reclaims the block's unused tail. Delta-style: delta/upsert
+        # writes never stamp (absent column = keep existing under MoR).
+        idcol = (info.configuration or {}).get("identity.column")
+        if idcol and idcol in declared and idcol not in df.columns \
+                and not _is_statically_empty(df):
+            base, block = txn.store.reserve_identity(idcol)
+            df = df.withColumn(
+                idcol,
+                (F.monotonically_increasing_id() + F.lit(base))
+                .cast(declared[idcol]))
+            identity_ctx = (idcol, base, block)
     if _is_statically_empty(df):
         return []  # schema-only commit: no rows, no job, no files
     if check_invariants:
@@ -452,6 +470,17 @@ def write_files(
                 bloom_ref=bloom_ref,
             )
         )
+    if identity_ctx and files:
+        idcol, base, block = identity_ctx
+        maxes = [(f.stats or {}).get(idcol, {}).get("max") for f in files]
+        if all(isinstance(m, int) for m in maxes):
+            observed = max(maxes)
+            if observed >= base + block:
+                raise ValueError(
+                    f"identity block overflow on '{idcol}': observed max "
+                    f"{observed} >= {base + block} (more than 2^11 write "
+                    f"tasks in one commit?)")
+            txn.store.finalize_identity(idcol, base, block, observed)
     return files
 
 

@@ -1067,10 +1067,34 @@ def create_table(
         if c not in df.columns:
             raise ValueError(f"partition column '{c}' not in data")
 
+    # identity column (Delta GENERATED AS IDENTITY analog): declared
+    # via configuration {"identity.column": name}; absent from the
+    # source data it joins the schema as BIGINT and the write stamps
+    # engine-assigned ids (writer.write_files). GENERATED ALWAYS
+    # (default mode) rejects caller-supplied values.
+    schema = df.schema
+    idcol = (configuration or {}).get("identity.column")
+    if idcol:
+        if idcol in range_partitions + hash_partitions:
+            raise ValueError(
+                f"identity column '{idcol}' cannot be a partition/hash "
+                f"column (its values are assigned after partitioning)")
+        if idcol in df.columns:
+            if (configuration or {}).get("identity.mode",
+                                         "always") == "always":
+                raise ValueError(
+                    f"identity column '{idcol}' is GENERATED ALWAYS — "
+                    f"the source data may not supply it (set "
+                    f"identity.mode=default to allow explicit values)")
+        else:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(idcol, T.LongType(),
+                                                     True)])
+
     info = TableInfo(
         table_path=path,
         table_id=f"table_{uuid.uuid4().hex[:16]}",
-        schema_json=df.schema.json(),
+        schema_json=schema.json(),
         range_cols=range_partitions,
         hash_cols=hash_partitions,
         bucket_num=hash_bucket_num,
