@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import LongType
 
 
@@ -547,9 +548,16 @@ def ivf_index_topk(
 ) -> DataFrame:
     """Query a persisted IVF index: probe each query's ``nprobe``
     nearest cells, read ONLY those cells through manifest partition
-    pruning, exact cosine + top-k inside them. The probed-cell list is
-    a driver-side set of ints (≤ |queries|·nprobe — queries are small
-    by construction; for huge query batches read unpruned instead)."""
+    pruning, exact cosine + top-k inside them.
+
+    The query frame is materialized to the driver EXACTLY ONCE (it is
+    small by construction — for huge query batches read unpruned
+    instead): both the probed-cell set and the broadcast join input
+    derive from that single pandas snapshot, so a nondeterministic
+    ``queries`` frame (a ``.sample()``, an unordered ``.limit()``)
+    cannot probe one cell set and join another. Cell assignment is a
+    single (nq × dim) @ (dim × nlist) numpy matmul against the
+    driver-resident centroid matrix — no Spark job."""
     import json as _json
 
     cfg = index.info.configuration or {}
@@ -561,23 +569,31 @@ def ivf_index_topk(
     M = np.asarray(_json.loads(cfg["ivf.centroids"]), dtype=np.float64)
     id_col, vec_col = cfg["ivf.id_col"], cfg["ivf.vec_col"]
     dim = M.shape[1]
-    bc = spark.sparkContext.broadcast((ids, M))
 
-    @F.pandas_udf("array<long>")
-    def top_cells(vs: pd.Series) -> pd.Series:
-        cids, Mb = bc.value
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        mat = _batch_matrix(vs, dim)
-        sims = mat @ Mb.T
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([cids[row] for row in top])
-
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("_qv"))
-    probes = q.select("query_id", "_qv",
-                      F.explode(top_cells(F.col("_qv"))).alias("centroid_id"))
-    cells = {int(r[0]) for r in probes.select("centroid_id").distinct().collect()}
+    qpdf = queries.select(F.col(id_col).alias("query_id"),
+                          _as_double(F.col(vec_col)).alias("_qv")).toPandas()
+    if len(qpdf) == 0:
+        cells: set[int] = set()
+        probe_rows: list[tuple] = []
+    else:
+        mat = _batch_matrix(qpdf["_qv"], dim)
+        top = np.argsort(-(mat @ M.T), axis=1, kind="stable")[:, :nprobe]
+        probe_rows = [
+            (qid, [float(x) for x in vec] if vec is not None else None,
+             int(ids[c]))
+            for qid, vec, row in zip(qpdf["query_id"], qpdf["_qv"], top)
+            for c in row
+        ]
+        cells = {cid for _, _, cid in probe_rows}
+    qid_type = queries.select(F.col(id_col)).schema[0].dataType
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            T.StructField("centroid_id", T.LongType()),
+        ]),
+    )
     # python-callable partition filter: prunes at the manifest with zero
     # Spark jobs (the SQL-predicate variant spins up a tiny DataFrame
     # job per probe — pure fixed cost on the query path)

@@ -426,13 +426,40 @@ def test_ivf_index_append_finds_new_vectors(spark, sf_dir, tmp_path):
     sim.ivf_index_append(spark, idx, extra)
     assert idx.to_df().count() == n0 + extra.count()
     # planted twin of an appended vector must come back at rank 1
-    twin = extra.limit(1).select(
+    twin = extra.orderBy("vec_id").limit(1).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     target = twin.collect()[0]["vec_id"] - 1_000_000
     hits = sim.ivf_index_topk(spark, idx, twin, k=3, nprobe=4,
                               exclude_self=False)
     top = hits.filter("rank = 1").collect()[0]
     assert top["neighbor_id"] == target
+
+
+def test_ivf_topk_nondeterministic_query_frame(spark, sf_dir, tmp_path):
+    """Regression for the round-3 double-evaluation defect: a query
+    frame whose evaluation order is NOT stable (unordered limit over a
+    shuffled+sampled frame) must still rank its planted twin #1 —
+    ivf_index_topk materializes the frame once, so the probed-cell set
+    and the join input cannot diverge."""
+    from starlake_spark.functions import similarity as sim
+
+    e = L.ld(spark, sf_dir, "embeddings")
+    idx = sim.build_ivf_index(spark, e, str(tmp_path / "ivf_nd"), nlist=8)
+    # deliberately nondeterministic: repartition scrambles row order,
+    # sample(withReplacement seed-free semantics vary per evaluation
+    # under recompute) and an unordered limit picks "whichever row"
+    wobble = (e.repartition(16)
+              .sample(fraction=0.5, seed=None)
+              .limit(3)
+              .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      "embedding"))
+    hits = sim.ivf_index_topk(spark, idx, wobble, k=3, nprobe=4,
+                              exclude_self=False).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert len(got) >= 1
+    # every query's top hit must be its own source vector (cosine 1.0)
+    for qid, nid in got.items():
+        assert nid == qid - 1_000_000, (qid, nid)
 
 
 def test_remove_duplicated_spans_cuts_shared_run(spark):
