@@ -658,6 +658,13 @@ def semantic_dedup(
     same cell (same argmax row), so exact-duplicate recall is a theorem;
     near-dups split across a cell boundary are the standard SemDeDup
     trade-off.
+
+    Precondition: ``df`` must be DETERMINISTIC across evaluations (a
+    storage read, a cached frame) — centroid training, cell assignment,
+    pair scoring, and the final anti-join each re-evaluate it, and the
+    exact-recall theorem assumes they all see the same rows. Persist a
+    nondeterministic frame before calling. (See COVERAGE.md
+    "Double-consumed frames".)
     """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     if nlist is None:

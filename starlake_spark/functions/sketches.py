@@ -75,6 +75,15 @@ def cms_heavy_hitters(
     gate admits more than ``max_candidates`` keys the highest-estimate
     ones are kept and a ValueError is raised only when that cap could
     drop a true heavy hitter (est of the dropped tail ≥ threshold).
+
+    Precondition: ``df`` must be DETERMINISTIC across evaluations (a
+    storage read, a cached frame) — the candidate set comes from one
+    evaluation and the exact verify join re-evaluates ``df``; a frame
+    whose rows change between evaluations (``.sample()`` without a
+    seed, an unordered ``.limit()``) could contain a heavy key in the
+    verify pass that was never a candidate. Callers with such a frame
+    should ``.persist()`` it first. (Same contract as the COVERAGE.md
+    "Double-consumed frames" note.)
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
