@@ -1,0 +1,123 @@
+"""Pluggable commit-lock backends for the manifest commit protocol.
+
+The reference arbitrates concurrent writers with a Cassandra
+lightweight-transaction lock (reference: meta/MetaLock.scala:19-50 —
+``INSERT ... IF NOT EXISTS`` on a lock row, committer identity in the
+row, TTL for staleness). This module is the same seam as an interface:
+``ManifestStore`` takes whatever :class:`LockProvider` is registered,
+so a DynamoDB / ZooKeeper / Postgres-advisory-lock arbiter for
+multi-HOST writers plugs in without touching the commit protocol. The
+default :class:`FileLockProvider` (exclusive-create file, stale-break,
+bounded wait) is proven across threads and processes on one host
+(tests/test_property_dml.py commit-storm) — the file is the analog of
+the LWT row, ``STALE_LOCK_S`` the analog of the TTL.
+
+Contract (what tests/test_lock_provider.py pins for every provider):
+
+* ``acquire`` returns an opaque handle; between a successful acquire
+  and its ``release`` no other ``acquire`` for the SAME table may
+  succeed (mutual exclusion).
+* ``acquire`` blocks up to ``timeout_s`` then raises ``TimeoutError``
+  (``ManifestStore`` converts it to ``MetaError``).
+* ``release(handle)`` is idempotent enough to survive a handle whose
+  backing state was already broken by a stale-lock reaper
+  (``FileNotFoundError``-class races must not propagate).
+* Providers must tolerate acquire/release from different threads.
+
+Registration: ``set_lock_provider(provider)`` installs a process-wide
+provider; ``set_lock_provider(None)`` restores the file default. The
+``STARLAKE_LOCK_PROVIDER`` env var ("pkg.module:ClassName") installs
+one at import time for spark-submit-style deployments.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Any
+
+
+class LockProvider(ABC):
+    """Mutual exclusion for one table's manifest commits."""
+
+    @abstractmethod
+    def acquire(self, meta_dir: str, table_path: str,
+                timeout_s: float) -> Any:
+        """Block until the table lock is held (≤ timeout_s), return an
+        opaque handle for :meth:`release`. Raise TimeoutError on
+        timeout."""
+
+    @abstractmethod
+    def release(self, handle: Any) -> None:
+        """Release a handle returned by :meth:`acquire`."""
+
+
+class FileLockProvider(LockProvider):
+    """Default single-host provider: ``O_CREAT|O_EXCL`` on
+    ``<meta_dir>/_commit.lock`` — atomic on POSIX and on HDFS-style
+    stores with exclusive create. A lock older than ``stale_s`` is
+    broken (crashed committer), mirroring the reference lock row's TTL
+    expiry."""
+
+    def __init__(self, stale_s: float = 120.0, poll_s: float = 0.05):
+        self.stale_s = stale_s
+        self.poll_s = poll_s
+
+    def acquire(self, meta_dir: str, table_path: str,
+                timeout_s: float) -> str:
+        lock = os.path.join(meta_dir, "_commit.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.stale_s:
+                        os.unlink(lock)  # break stale lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock timeout on {table_path}")
+                time.sleep(self.poll_s)
+
+    def release(self, handle: str) -> None:
+        try:
+            os.unlink(handle)
+        except FileNotFoundError:
+            # a stale-break reaper (or test cleanup) got there first —
+            # the guarded section is already over, nothing to undo
+            pass
+
+
+_default = FileLockProvider()
+_provider: LockProvider | None = None
+
+
+def set_lock_provider(provider: LockProvider | None) -> None:
+    """Install a process-wide provider (None → file default)."""
+    global _provider
+    _provider = provider
+
+
+def get_lock_provider() -> LockProvider:
+    if _provider is not None:
+        return _provider
+    return _default
+
+
+def _from_env() -> None:
+    spec = os.environ.get("STARLAKE_LOCK_PROVIDER", "")
+    if not spec:
+        return
+    mod_name, _, cls_name = spec.partition(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    set_lock_provider(cls())
+
+
+_from_env()

@@ -54,6 +54,8 @@ META_DIR = "_star_meta"
 # under a saturated host 8 queued writers can legitimately wait longer
 # than 20s. 60s keeps the liveness guarantee without spurious timeouts.
 LOCK_TIMEOUT_S = float(os.environ.get("STARLAKE_COMMIT_TIMEOUT_S", "60"))
+# stale-break threshold lives with the file provider (locking.py);
+# kept here as the documented default for test/docs references
 STALE_LOCK_S = 120.0
 # Every Nth version is a full checkpoint; the versions between are
 # delta-encoded (touched partitions + base pointer). 1 = always full.
@@ -435,25 +437,22 @@ class ManifestStore:
     def new_transaction(self) -> Transaction:
         return Transaction(self, self.snapshot())
 
-    def _acquire_lock(self) -> str:
-        lock = os.path.join(self.meta_dir, "_commit.lock")
-        deadline = time.time() + LOCK_TIMEOUT_S
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > STALE_LOCK_S:
-                        os.unlink(lock)  # break stale lock
-                        continue
-                except FileNotFoundError:
-                    continue
-                if time.time() > deadline:
-                    raise MetaError(f"commit lock timeout on {self.table_path}")
-                time.sleep(0.05)
+    def _acquire_lock(self):
+        """Take the table's commit lock via the registered LockProvider
+        (locking.py — reference meta/MetaLock.scala:19-50 as a seam:
+        file-lock default, multi-host arbiters pluggable)."""
+        from starlake_spark import locking
+
+        try:
+            return locking.get_lock_provider().acquire(
+                self.meta_dir, self.table_path, LOCK_TIMEOUT_S)
+        except TimeoutError as e:
+            raise MetaError(str(e)) from e
+
+    def _release_lock(self, handle) -> None:
+        from starlake_spark import locking
+
+        locking.get_lock_provider().release(handle)
 
     def commit(self, txn: Transaction) -> Snapshot:
         """Apply a transaction: one new immutable snapshot version.
@@ -601,10 +600,7 @@ class ManifestStore:
             txn.committed = True
             return snap
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     # ---------- restore / clone ----------
 
@@ -643,10 +639,7 @@ class ManifestStore:
             _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
             return snap
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     # ---------- identity columns ----------
 
@@ -672,10 +665,7 @@ class ManifestStore:
             self.update_table_info(info)
             return base, self.IDENTITY_BLOCK
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     def finalize_identity(self, col: str, base: int, block: int,
                           observed_max: int) -> None:
@@ -691,10 +681,7 @@ class ManifestStore:
                 info.configuration[key] = str(max(observed_max + 1, base))
                 self.update_table_info(info)
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     def sync_partitions(self, updates: dict[str, "PartitionSnapshot | None"],
                         commit_type: str = "clone_sync") -> Snapshot:
@@ -739,10 +726,7 @@ class ManifestStore:
             self._snap_cache[new_version] = snap
             return snap
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     def version_at_timestamp(self, ts: float) -> int:
         """Latest committed version whose commit timestamp <= ``ts``
@@ -825,10 +809,7 @@ class ManifestStore:
                           json.dumps(snap.to_state()))
             return snap
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
 
     # ---------- cleanup support ----------
 
@@ -873,10 +854,7 @@ class ManifestStore:
                     pass
                 self._snap_cache.pop(v, None)
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            self._release_lock(lock)
         return doomed
 
     def referenced_files(self, since_version: int = 0) -> set[str]:
