@@ -106,6 +106,18 @@ _FUNCS = {
     "IsNotNull": "isnotnull", "UnaryMinus": "negative", "CaseWhen": None,
     "In": None, "Cast": None, "Literal": None, "AttributeReference": None,
     "Alias": None, "AggregateExpression": None,
+    # date/time arithmetic (reference RewriteQueryByMaterialView.scala
+    # :256-969 expression coverage — its most-used temporal cases):
+    # class → SQL function, argument order verified against the
+    # analyzed-plan JSON (children already in SQL argument order)
+    "DateAdd": "date_add", "DateSub": "date_sub", "DateDiff": "datediff",
+    "TruncDate": "trunc", "TruncTimestamp": "date_trunc",
+    "AddMonths": "add_months", "MonthsBetween": "months_between",
+    "LastDay": "last_day", "Quarter": "quarter", "DayOfWeek": "dayofweek",
+    "WeekOfYear": "weekofyear", "DayOfYear": "dayofyear",
+    "Hour": "hour", "Minute": "minute", "Second": "second",
+    "Floor": "floor", "Ceil": "ceil", "Greatest": "greatest",
+    "Least": "least", "Pow": "power", "StringTrim": "trim",
 }
 
 
@@ -157,11 +169,25 @@ def canon_eq_symmetric(e: dict) -> str:
     return canon(e)
 
 
-def to_sql(e: dict, colmap: dict[str, str]) -> str:
+def to_sql(e: dict, colmap: dict[str, str], allow_agg: bool = True) -> str:
     """Render an expression back to Spark SQL over the view's output
-    columns; unknown constructs raise UnsupportedPlan (→ no rewrite)."""
+    columns; unknown constructs raise UnsupportedPlan (→ no rewrite).
+
+    ``colmap`` maps CANONICAL expression strings to view columns, so a
+    whole subtree the view materializes (an aggregate, ``year(d)``, a
+    CASE arm) substitutes as one column reference — this is what lets
+    arithmetic-of-aggregates (``sum(a)/sum(b)``) render over a view
+    exposing the two sums (reference findNewAttributeReference,
+    RewriteQueryByMaterialView.scala:256-320). ``allow_agg=False``
+    refuses any aggregate that did NOT substitute — required when the
+    target frame is already aggregated (re-running sum() over the
+    view's one-row-per-group output would be wrong)."""
     c = _cls(e)
     ch = e["_children"]
+    if c != "Alias":
+        cn = canon(e)
+        if cn in colmap:
+            return f"`{colmap[cn]}`"
     if c == "AttributeReference":
         key = e["name"].lower()
         if key not in colmap:
@@ -184,31 +210,46 @@ def to_sql(e: dict, colmap: dict[str, str]) -> str:
         s = str(v).replace("'", "''")
         return f"'{s}'"
     if c == "Alias":
-        return to_sql(ch[0], colmap)
+        return to_sql(ch[0], colmap, allow_agg)
     if c == "Cast":
-        return f"CAST({to_sql(ch[0], colmap)} AS {e.get('dataType')})"
+        return f"CAST({to_sql(ch[0], colmap, allow_agg)} AS {e.get('dataType')})"
     if c == "AggregateExpression":
+        if not allow_agg:
+            raise UnsupportedPlan(
+                "aggregate not materialized by the view (re-running it "
+                "over aggregated rows would double-count)")
         d = "DISTINCT " if e.get("isDistinct") else ""
         fn = ch[0]
         fname = _AGG_FNS.get(_cls(fn))
         if fname is None:
             raise UnsupportedPlan(f"agg fn {_cls(fn)}")
-        args = ", ".join(to_sql(x, colmap) for x in fn["_children"]) or "*"
+        args = ", ".join(to_sql(x, colmap, allow_agg)
+                         for x in fn["_children"]) or "*"
         return f"{fname}({d}{args})"
     if c in _BINOPS:
         op = _BINOPS[c].upper() if _BINOPS[c] in ("and", "or", "like") else _BINOPS[c]
-        return f"({to_sql(ch[0], colmap)} {op} {to_sql(ch[1], colmap)})"
+        return (f"({to_sql(ch[0], colmap, allow_agg)} {op} "
+                f"{to_sql(ch[1], colmap, allow_agg)})")
     if c == "Not":
-        return f"(NOT {to_sql(ch[0], colmap)})"
+        return f"(NOT {to_sql(ch[0], colmap, allow_agg)})"
     if c == "IsNull":
-        return f"({to_sql(ch[0], colmap)} IS NULL)"
+        return f"({to_sql(ch[0], colmap, allow_agg)} IS NULL)"
     if c == "IsNotNull":
-        return f"({to_sql(ch[0], colmap)} IS NOT NULL)"
+        return f"({to_sql(ch[0], colmap, allow_agg)} IS NOT NULL)"
     if c == "In":
-        vals = ", ".join(to_sql(x, colmap) for x in ch[1:])
-        return f"({to_sql(ch[0], colmap)} IN ({vals}))"
+        vals = ", ".join(to_sql(x, colmap, allow_agg) for x in ch[1:])
+        return f"({to_sql(ch[0], colmap, allow_agg)} IN ({vals}))"
+    if c == "CaseWhen":
+        # children = [cond1, val1, cond2, val2, ..., else?]
+        parts = [to_sql(x, colmap, allow_agg) for x in ch]
+        n_pairs = len(parts) // 2
+        arms = " ".join(f"WHEN {parts[2*i]} THEN {parts[2*i+1]}"
+                        for i in range(n_pairs))
+        tail = f" ELSE {parts[-1]}" if len(parts) % 2 else ""
+        return f"(CASE {arms}{tail} END)"
     if c in _FUNCS and _FUNCS[c]:
-        return f"{_FUNCS[c]}({', '.join(to_sql(x, colmap) for x in ch)})"
+        return (f"{_FUNCS[c]}("
+                f"{', '.join(to_sql(x, colmap, allow_agg) for x in ch)})")
     raise UnsupportedPlan(f"cannot render {c} to SQL")
 
 
@@ -320,6 +361,22 @@ def _attrs_in(e: dict) -> set[str]:
         out.add(e["name"].lower())
     for ch in e["_children"]:
         out |= _attrs_in(ch)
+    return out
+
+
+def _attrs_outside(e: dict, covered: set[str]) -> set[str]:
+    """Attribute references NOT under a subtree whose canon is in
+    ``covered``. Empty ⟺ the expression is a composition of covered
+    subtrees and literals — for covered = grouping expressions, that
+    makes a predicate group-determined (constant within each group),
+    so it commutes with aggregation and may compensate on the view."""
+    if canon(e) in covered:
+        return set()
+    if _cls(e) == "AttributeReference":
+        return {e["name"].lower()}
+    out = set()
+    for ch in e["_children"]:
+        out |= _attrs_outside(ch, covered)
     return out
 
 
@@ -584,7 +641,11 @@ def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
         group_cols = set(vinfo.group_by) & set(colmap)
         below_residual = [qinfo.residual_by_canon[cn]
                           for cn in qinfo.filters_below - vinfo.filters_below]
-        if any(not _attrs_in(t) <= group_cols for t in below_residual):
+        # group-determined only: every attr must sit under a grouping
+        # EXPRESSION the view exposes (plain group column, or e.g.
+        # year(d) when grouping by year(d)) — such predicates are
+        # constant per group, so they commute with the aggregation
+        if any(_attrs_outside(t, group_cols) for t in below_residual):
             return None
         if not _filters_covered(vinfo.filters_above, qinfo.filters_above,
                                 vinfo, qinfo):
@@ -594,10 +655,15 @@ def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
             for cn in qinfo.filters_above - vinfo.filters_above]
         try:
             preds = [to_sql(t, colmap) for t in residual]
-            sel = [F.expr(f"`{vout[cn]}`").alias(nm) if cn in vout else None
-                   for nm, cn in qinfo.outputs]
-            if any(s is None for s in sel):
-                return None
+            # outputs render over the view with canonical-subtree
+            # substitution: an exact view column is the base case, and
+            # scalar arithmetic ABOVE materialized aggregates
+            # (sum(a)/sum(b), round(sum(p),2), CASE over group cols)
+            # composes on top. allow_agg=False — any aggregate the view
+            # did not materialize must kill the rewrite, never re-run
+            # over the one-row-per-group view output.
+            sel = [F.expr(to_sql(t, colmap, allow_agg=False)).alias(nm)
+                   for nm, t in qinfo.output_trees]
         except UnsupportedPlan:
             return None
         out = vdf

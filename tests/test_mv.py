@@ -215,3 +215,96 @@ def test_drop_material_view(sess, tmp_path):
     sess.create_material_view("mv_agg", str(tmp_path / "mv_agg"), AGG_SQL)
     mv.drop_material_view(sess, "mv_agg")
     assert mv.try_rewrite(sess, AGG_SQL) is None
+
+
+# --- round-4 expression-vocabulary extensions (reference
+# RewriteQueryByMaterialView.scala:256-969 temporal/CASE/agg-arith) ---
+
+DATE_AGG_SQL = """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       sum(o_totalprice) AS total, count(1) AS n
+FROM orders_t GROUP BY year(o_orderdate), quarter(o_orderdate)
+"""
+
+
+DATED_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name
+FROM orders_t o JOIN customer_t c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 500
+"""
+
+
+def test_rewrite_date_arith_residual(sess, tmp_path):
+    """Residual filters using date arithmetic (datediff / date_add /
+    trunc against literals) over a view exposing the date column render
+    to SQL and hit."""
+    sess.create_material_view("mv_j2", str(tmp_path / "mv_j2"),
+                              DATED_JOIN_SQL)
+    q = DATED_JOIN_SQL + (" AND datediff(DATE '1995-01-01', o.o_orderdate)"
+                          " > 30 AND trunc(o.o_orderdate, 'YEAR') >="
+                          " DATE '1993-01-01'")
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+
+
+def test_rewrite_group_expr_filter_compensation(sess, tmp_path):
+    """Query filter on year(o_orderdate) — a grouping EXPRESSION, not a
+    plain column — compensates on the aggregated view (the predicate is
+    group-determined, so it commutes with the aggregation)."""
+    sess.create_material_view("mv_dt", str(tmp_path / "mv_dt"), DATE_AGG_SQL)
+    q = ("SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS total "
+         "FROM orders_t WHERE year(o_orderdate) >= 1995 "
+         "GROUP BY year(o_orderdate), quarter(o_orderdate)")
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+
+
+def test_rewrite_arithmetic_of_aggregates(sess, tmp_path):
+    """sum/count arithmetic over a view that materializes both aggs:
+    avg-by-hand, rounded sums, sums scaled by literals."""
+    sess.create_material_view("mv_agg2", str(tmp_path / "mv_agg2"), AGG_SQL)
+    q = ("SELECT o_orderstatus, sum(o_totalprice) / count(1) AS avg_price, "
+         "round(sum(o_totalprice), 0) AS total_r, "
+         "sum(o_totalprice) * 1.1 AS uplift "
+         "FROM orders_t WHERE o_totalprice > 1000 GROUP BY o_orderstatus")
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+
+
+def test_rewrite_case_when_inside_agg(sess, tmp_path):
+    """CASE WHEN inside an aggregate argument: matches canonically when
+    the view materializes the identical aggregate, and the CASE output
+    renders through to_sql for the re-aggregation path."""
+    case_sql = ("SELECT o_orderstatus, "
+                "sum(CASE WHEN o_totalprice > 2000 THEN o_totalprice "
+                "ELSE 0.0 END) AS big_total FROM orders_t "
+                "GROUP BY o_orderstatus")
+    sess.create_material_view("mv_case", str(tmp_path / "mv_case"), case_sql)
+    hit = mv.try_rewrite(sess, case_sql)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(case_sql))
+
+
+def test_rewrite_case_when_residual_filter(sess, tmp_path):
+    """CASE WHEN in a residual predicate over a plain view renders."""
+    sess.create_material_view("mv_j3", str(tmp_path / "mv_j3"), JOIN_SQL)
+    q = JOIN_SQL + (" AND (CASE WHEN c.c_name LIKE 'Customer%' "
+                    "THEN o.o_totalprice ELSE 0 END) > 600")
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert rows(hit) == rows(sess.spark.sql(q))
+
+
+def test_rewrite_refuses_unmaterialized_agg(sess, tmp_path):
+    """An aggregate the view does NOT materialize (avg when the view
+    has sum+count... spelled as avg()) must not re-run over the view's
+    one-row-per-group output — rewrite declines, falls back."""
+    sess.create_material_view("mv_agg3", str(tmp_path / "mv_agg3"), AGG_SQL)
+    q = ("SELECT o_orderstatus, avg(o_totalprice) AS ap FROM orders_t "
+         "WHERE o_totalprice > 1000 GROUP BY o_orderstatus")
+    assert mv.try_rewrite(sess, q) is None
+    # and the fallback (plain SQL) is still correct end-to-end
+    assert rows(sess.sql(q)) == rows(sess.spark.sql(q))
