@@ -112,7 +112,8 @@ def main() -> None:
 
         from starlake_spark.queries.engine_suite import SUITE_ROOT as _SR
         _tag = _hl.md5(SF_DIR.encode()).hexdigest()[:8]
-        for _nm in ("ivf_index", "text_index", "text_index_inc"):
+        for _nm in ("ivf_index", "ivfpq_index", "text_index",
+                    "text_index_inc"):
             _sh.rmtree(os.path.join(_SR, _tag, _nm), ignore_errors=True)
     except Exception:  # noqa: BLE001
         pass
@@ -124,6 +125,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         timings["ann_ivf_build"] = -1.0
         print(f"[bench] ann_ivf_build FAILED: {exc}", file=sys.stderr)
+
+    try:
+        t0 = time.monotonic()
+        _L._ivfpq_index_table(spark, SF_DIR)
+        timings["ann_ivfpq_build"] = round(time.monotonic() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        timings["ann_ivfpq_build"] = -1.0
+        print(f"[bench] ann_ivfpq_build FAILED: {exc}", file=sys.stderr)
 
     # Text inverted index: same build-once / probe-cheap split —
     # docs_bm25_indexed then measures only the probe path.
@@ -168,7 +177,8 @@ def main() -> None:
     # median. Index builds / lifecycle entries that mutate per-sf scratch
     # state are excluded — a rerun would measure a different operation
     # (append-to-existing / already-compacted), not the same query.
-    NON_REPEATABLE = {"ann_ivf_build", "docs_text_index_build",
+    NON_REPEATABLE = {"ann_ivf_build", "ann_ivfpq_build",
+                      "docs_text_index_build",
                       "docs_text_index_inc_build", "star_ingest_dedup",
                       "star_compaction_invariance", "star_restore_clone",
                       "docs_incremental_dedup", "star_idempotent_load"}

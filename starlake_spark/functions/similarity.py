@@ -909,6 +909,160 @@ def pq_topk(
             .select("query_id", "neighbor_id", "dist", "rank"))
 
 
+def build_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    nlist: int | None = None,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 2,
+    pq_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    short_name: str | None = None,
+):
+    """IVF-PQ composed index — the FAISS IndexIVFPQ / IVFADC shape
+    (by_residual=False variant): coarse k-means cells give partition
+    pruning (probe I/O ~ nprobe/nlist of the index), PQ codes give the
+    16-bytes-per-vector row width. The persisted table stores ONLY
+    (id, codes) range-partitioned by centroid_id — at 100 TB of raw
+    vectors the index is ~1/64 the bytes and a query reads ~nprobe/nlist
+    of THAT. Centroids and codebooks ride in table properties as
+    driver-resident model state (same envelope as build_ivf_index /
+    pq_train). Assignment and encoding happen in ONE pass over the
+    corpus (single scan, two Arrow-batched kernels)."""
+    import json as _json
+
+    from starlake_spark.table import create_table
+
+    if nlist is None:
+        nlist = max(4, _approx_row_count(corpus) // 50)
+    cents = kmeans_centroids(corpus, nlist=nlist, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+    ids, M = _centroid_matrix(cents, vec_col)
+    books = pq_train(corpus, vec_col, m=m, ksub=ksub, iters=pq_iters,
+                     id_col=id_col)
+    assigned = (
+        pq_encode(corpus, books, id_col, vec_col)
+        .join(corpus.select(F.col(id_col),
+                            _as_double(F.col(vec_col)).alias("_v")), id_col)
+        .withColumn("centroid_id",
+                    nearest_centroid_col(F.col("_v"), ids, M, spark))
+        .select(id_col, "codes", "centroid_id"))
+    t = create_table(spark, assigned, path,
+                     range_partitions=["centroid_id"], short_name=short_name)
+    t.set_properties({
+        "ivfpq.centroid_ids": _json.dumps([int(i) for i in ids]),
+        "ivfpq.centroids": _json.dumps(M.tolist()),
+        "ivfpq.codebooks": _json.dumps(books.tolist()),
+        "ivfpq.id_col": id_col,
+        "ivfpq.vec_col": vec_col,
+        "ivfpq.m": str(m),
+        "ivfpq.ksub": str(ksub),
+    })
+    return t
+
+
+def ivfpq_topk(
+    spark,
+    index,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe each query's ``nprobe``
+    nearest cells (manifest partition-pruned read of the CODES table —
+    probe I/O ~ nprobe/nlist × 16 bytes/vector), then ADC-score only
+    the probed rows: per query an exact (m × ksub) subspace-distance
+    LUT, summed JVM-side over each row's codes (pure codegen — the
+    pq_topk fold, but over a pruned scan instead of the whole index).
+
+    The query frame materializes to the driver EXACTLY ONCE; the probed
+    cell set, the LUTs, and the broadcast join input all derive from
+    that single snapshot (the ivf_index_topk single-evaluation
+    discipline — see COVERAGE.md "Double-consumed frames")."""
+    import json as _json
+
+    cfg = index.info.configuration or {}
+    if "ivfpq.centroids" not in cfg:
+        raise ValueError(f"{index.store.table_path} is not an IVF-PQ index")
+    ids = np.asarray(_json.loads(cfg["ivfpq.centroid_ids"]), dtype=np.int64)
+    M = np.asarray(_json.loads(cfg["ivfpq.centroids"]), dtype=np.float64)
+    books = np.asarray(_json.loads(cfg["ivfpq.codebooks"]), dtype=np.float64)
+    id_col, vec_col = cfg["ivfpq.id_col"], cfg["ivfpq.vec_col"]
+    m, ksub, dsub = books.shape
+    dim = m * dsub
+
+    qpdf = queries.select(F.col(id_col).alias("query_id"),
+                          _as_double(F.col(vec_col)).alias("_qv")).toPandas()
+    probe_rows: list[tuple] = []
+    cells: set[int] = set()
+    if len(qpdf):
+        mat = _batch_matrix(qpdf["_qv"], dim)
+        top = np.argsort(-(mat @ M.T), axis=1, kind="stable")[:, :nprobe]
+        for qid, qv, row in zip(qpdf["query_id"], mat, top):
+            nn = np.linalg.norm(qv)
+            qn = qv / nn if nn > 0 else qv
+            lut = np.zeros((m, ksub))
+            for j in range(m):
+                qj = qn[j * dsub:(j + 1) * dsub]
+                lut[j] = ((books[j] - qj[None, :]) ** 2).sum(1)
+            lut_py = [[float(x) for x in r] for r in lut]
+            for c in row:
+                cid = int(ids[c])
+                cells.add(cid)
+                probe_rows.append((int(qid), lut_py, cid))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, _lut array<array<double>>, centroid_id long")
+
+    cand = index.to_df(
+        partition_filter=lambda d: int(d["centroid_id"]) in cells
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+    j = cand.join(F.broadcast(probes), on="centroid_id")
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(m))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(
+            F.element_at(F.col("_lut"), i),
+            F.element_at(F.col("codes"), i) + 1),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (j.select("query_id", "neighbor_id", dist.alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist", "rank"))
+
+
+def ivfpq_index_append(spark, index, new_vectors: DataFrame):
+    """O(new) maintenance for a growing corpus: encode + assign NEW
+    vectors against the EXISTING codebooks/centroids and append into
+    the matching cell partitions — no refit, no rebuild (FAISS add()
+    vs train() policy, same as ivf_index_append)."""
+    import json as _json
+
+    cfg = index.info.configuration or {}
+    ids = np.asarray(_json.loads(cfg["ivfpq.centroid_ids"]), dtype=np.int64)
+    M = np.asarray(_json.loads(cfg["ivfpq.centroids"]), dtype=np.float64)
+    books = np.asarray(_json.loads(cfg["ivfpq.codebooks"]), dtype=np.float64)
+    id_col, vec_col = cfg["ivfpq.id_col"], cfg["ivfpq.vec_col"]
+    assigned = (
+        pq_encode(new_vectors, books, id_col, vec_col)
+        .join(new_vectors.select(F.col(id_col),
+                                 _as_double(F.col(vec_col)).alias("_v")),
+              id_col)
+        .withColumn("centroid_id",
+                    nearest_centroid_col(F.col("_v"), ids, M, spark))
+        .select(id_col, "codes", "centroid_id"))
+    index.write(assigned, mode="append")
+    return index
+
+
 def topic_clusters(
     df: DataFrame,
     id_col: str = "vec_id",

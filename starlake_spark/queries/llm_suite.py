@@ -1021,6 +1021,57 @@ def ann_pq_topk(spark, sf_dir):
     return _ann_contract(approx, exact)
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (sim.build_ivfpq_index / sim.ivfpq_topk —
+    the FAISS IVFADC shape): the persisted index stores only 16-byte PQ
+    codes range-partitioned by coarse cell, a query probes nprobe cells
+    as a manifest partition-pruned read and ADC-scores just those rows
+    in pure codegen. Probe I/O < full index scan is asserted inline.
+    Planted twin + recall contract: the twin encodes to the query's own
+    code word inside the query's own nearest cell, so it is both
+    probe-visible and the ADC global minimum."""
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    t = _ivfpq_index_table(spark, sf_dir)
+    approx = sim.ivfpq_topk(spark, t, q, k=ANN_K, nprobe=4)
+    n_all = len(t.store.snapshot().all_files())
+    probed = len(t.to_df(
+        partition_filter=lambda d: int(d["centroid_id"]) in {0, 1, 2, 3}
+    ).inputFiles())
+    assert probed < n_all, "IVF-PQ probe must partition-prune"
+    exact = sim.brute_force_topk(_planted_embeddings(e, q), q, k=ANN_K,
+                                 id_col="vec_id", vec_col="embedding")
+    return _ann_contract(approx, exact)
+
+
+def _ivfpq_index_table(spark, sf_dir):
+    """Build-once IVF-PQ index over the PLANTED corpus (memo pattern of
+    ``_ivf_index_table``): codebook + k-means fit and the codes write
+    happen on the first call per (sf_dir, process); the query entry
+    pays only the probe."""
+    import os
+
+    from starlake_spark.queries.engine_suite import SUITE_ROOT, _scratch
+    from starlake_spark.table import StarTable
+
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    build_tag = f"planted-{PLANT_ID}-v1"
+    path = os.path.join(SUITE_ROOT, tag, "ivfpq_index")
+    if os.path.isdir(os.path.join(path, "_star_meta")):
+        t = StarTable.for_path(spark, path)
+        if (t.info.configuration or {}).get("ivfpq.build_tag") == build_tag:
+            return t
+    e = ld(spark, sf_dir, "embeddings")
+    corpus = _planted_embeddings(e, e.filter(F.col("vec_id") < 10))
+    t = sim.build_ivfpq_index(spark, corpus, _scratch(sf_dir, "ivfpq_index"),
+                              nlist=max(4, corpus.count() // 50),
+                              m=16, ksub=32,
+                              id_col="vec_id", vec_col="embedding")
+    t.set_properties({"ivfpq.build_tag": build_tag})
+    return t
+
+
 def _ivf_index_table(spark, sf_dir):
     """Build-once IVF index over the PLANTED corpus: k-means fit + cell
     write happen on the first call per (sf_dir, process); later calls —
@@ -2318,6 +2369,7 @@ LLM_QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_CONTRACT_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_CONTRACT_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_CONTRACT_SQL),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_CONTRACT_SQL),
     "embeddings_lsh_dedup_pairs": (embeddings_lsh_dedup_pairs, EMB_LSH_DEDUP_SQL),
     "embeddings_cosine_pairs": (embeddings_cosine_pairs, COSINE_PAIRS_SQL),
     "embeddings_norm_stats": (embeddings_norm_stats, NORM_STATS_SQL),

@@ -571,3 +571,53 @@ def test_bm25_indexed_matches_scan_everything(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in c] == [tuple(r) for r in cc]
     with pytest.raises(ValueError, match="non-empty"):
         tx.bm25_topk_indexed(spark, t, [])
+
+
+def test_ivfpq_index_build_query_append(spark, sf_dir, tmp_path):
+    """IVF-PQ composed index: planted twin ranks 1 through the pruned
+    ADC probe; appended vectors are probe-visible without refit; probe
+    reads fewer files than the full index."""
+    from starlake_spark.functions import similarity as sim
+
+    e = L.ld(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 400)
+    idx = sim.build_ivfpq_index(spark, base, str(tmp_path / "ivfpq"),
+                                nlist=8, m=16, ksub=32)
+    # planted twin of a base vector (twin encodes to the same code word
+    # in the same cell → ADC global minimum)
+    twin = (base.orderBy("vec_id").limit(1)
+            .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    "embedding"))
+    target = twin.collect()[0]["vec_id"] - 1_000_000
+    sim.ivfpq_index_append(spark, idx, twin)
+    hits = sim.ivfpq_topk(spark, idx, twin, k=3, nprobe=4,
+                          exclude_self=True)
+    top = hits.filter("rank = 1").collect()[0]
+    assert top["neighbor_id"] == target
+    # probe prunes: reading 1 cell touches fewer files than the index
+    n_all = len(idx.to_df().inputFiles())
+    n_one = len(idx.to_df(
+        partition_filter=lambda d: int(d["centroid_id"]) == 0).inputFiles())
+    assert n_one < n_all
+
+
+def test_ivfpq_topk_nondeterministic_query_frame(spark, sf_dir, tmp_path):
+    """Single-materialization discipline: a nondeterministic query
+    frame still ranks its own source vector #1 (cells, LUTs, and join
+    input all derive from one snapshot)."""
+    from starlake_spark.functions import similarity as sim
+
+    e = L.ld(spark, sf_dir, "embeddings")
+    idx = sim.build_ivfpq_index(spark, e, str(tmp_path / "ivfpq_nd"),
+                                nlist=8, m=16, ksub=32)
+    wobble = (e.repartition(16)
+              .sample(fraction=0.5, seed=None)
+              .limit(3)
+              .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      "embedding"))
+    hits = sim.ivfpq_topk(spark, idx, wobble, k=3, nprobe=4,
+                          exclude_self=False).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert len(got) >= 1
+    for qid, nid in got.items():
+        assert nid == qid - 1_000_000, (qid, nid)

@@ -417,3 +417,30 @@ def test_python_murmur3_matches_spark_hash(spark):
         assert got == r["h"]
     # unsupported type bails to the JVM path rather than guessing
     assert _spark_hash_py([1.5], [T.DoubleType()]) is None
+
+
+def test_ivfpq_probe_is_pure_codegen_over_pruned_scan(spark, tmp_path):
+    """IVF-PQ probe path: the ADC scoring over the PRUNED codes scan is
+    codegen-only (no EvalPython — cells/LUTs are computed driver-side
+    from the single query snapshot), the probe joins via broadcast, and
+    the pruned read touches fewer files than the index holds."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = sim.build_ivfpq_index(spark, df, str(tmp_path / "ivfpq"),
+                                nlist=6, m=16, ksub=16, pq_iters=2)
+    q = df.filter("vec_id < 2")
+    topk = sim.ivfpq_topk(spark, idx, q, k=3, nprobe=2)
+    plan = _phys(topk)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastExchange" in final  # probes broadcast to the cells
+    # pruning: the probe plan reads fewer index files than exist
+    n_all = len(idx.to_df().inputFiles())
+    assert len(topk.inputFiles()) < n_all, (len(topk.inputFiles()), n_all)
