@@ -1260,7 +1260,8 @@ def _partitions_matching(spark, store, info, predicate: str) -> set[str]:
 
 def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
             dry_run: bool = False,
-            manifest_retention_s: float | None = None) -> list[str]:
+            manifest_retention_s: float | None = None,
+            cdc_retention_s: float | None = None) -> list[str]:
     """Vacuum: physical files not referenced by any retained manifest
     version and older than the retention window (CleanupCommand.scala:36-233;
     default 5h, StarLakeSQLConf.scala:54-58).
@@ -1269,7 +1270,16 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
     below the newest out-of-retention checkpoint (Delta
     logRetentionDuration analog, meta.expire_manifests) — run BEFORE
     the data-file sweep so files referenced only by expired manifests
-    become unreferenced and vacuum in the same pass."""
+    become unreferenced and vacuum in the same pass.
+
+    ``cdc_retention_s`` bounds the CDC log (``_cdc/``) on its OWN clock
+    (Delta ``delta.changeDataFeed`` retention analog): a long-retention
+    table with heavy DML otherwise accumulates change logs as fast as
+    it writes. Resolution order: explicit argument > table property
+    ``cdf.retention`` (seconds) > ``retention_s``. When the CDC window
+    is shorter than data retention, a version's change log can expire
+    while the version itself stays time-travelable — CDF reads of the
+    expired window surface the standard missing-log behavior."""
     removed_manifests: list[str] = []
     if manifest_retention_s is not None:
         removed_manifests = [
@@ -1317,10 +1327,19 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                     removed.append(rel)
                     if not dry_run:
                         os.unlink(p)
-    # CDC logs age out with the same retention as the versions they
-    # describe (Delta ties change-data retention to log retention the
-    # same way): a feed window starting before retention already can't
-    # be served — its expired data files may be gone too.
+    # CDC logs age on their own retention clock: default = the data
+    # retention (Delta ties change-data retention to log retention the
+    # same way), independently shrinkable via the ``cdf.retention``
+    # table property or the cdc_retention_s argument — the knob that
+    # keeps `_cdc/` bounded on a long-retention, DML-heavy table.
+    if cdc_retention_s is None:
+        cfg = store.table_info().configuration or {}
+        prop = cfg.get("cdf.retention")
+        try:
+            cdc_retention_s = float(prop) if prop is not None else retention_s
+        except (TypeError, ValueError):
+            cdc_retention_s = retention_s
+    cdc_independent = cdc_retention_s != retention_s
     cdc_root = os.path.join(store.table_path, CDC_DIR)
     if os.path.isdir(cdc_root):
         import shutil
@@ -1328,12 +1347,16 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
         keep = set(keep_versions) | {latest}
         for name in os.listdir(cdc_root):
             p = os.path.join(cdc_root, name)
-            if (name.isdigit() and int(name) not in keep
-                    and now - os.path.getmtime(p) > retention_s):
-                removed.append(os.path.relpath(p, store.table_path))
-                if not dry_run:
-                    shutil.rmtree(p, ignore_errors=True)
-            elif name.startswith(".tmp-") and now - os.path.getmtime(p) > retention_s:
+            if name.isdigit() and now - os.path.getmtime(p) > cdc_retention_s:
+                # with an explicit CDC window, expire regardless of
+                # whether the VERSION is still retained — the data stays
+                # time-travelable, only its change log ages out
+                if cdc_independent or int(name) not in keep:
+                    removed.append(os.path.relpath(p, store.table_path))
+                    if not dry_run:
+                        shutil.rmtree(p, ignore_errors=True)
+            elif (name.startswith(".tmp-")
+                  and now - os.path.getmtime(p) > cdc_retention_s):
                 removed.append(os.path.relpath(p, store.table_path))
                 if not dry_run:
                     shutil.rmtree(p, ignore_errors=True)

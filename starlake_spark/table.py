@@ -304,10 +304,12 @@ class StarTable:
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S,
                 dry_run: bool = False,
-                manifest_retention_s: float | None = None) -> list[str]:
+                manifest_retention_s: float | None = None,
+                cdc_retention_s: float | None = None) -> list[str]:
         return dml.cleanup(self.store, retention_s=retention_s,
                            dry_run=dry_run,
-                           manifest_retention_s=manifest_retention_s)
+                           manifest_retention_s=manifest_retention_s,
+                           cdc_retention_s=cdc_retention_s)
 
     def generate_symlink_manifest(self, version: int | None = None) -> str:
         """Delta ``GENERATE symlink_format_manifest`` parity: write

@@ -4,7 +4,9 @@ table_changes(with_preimages=True) reads the log instead of re-deriving
 with two key-pruned MoR scans per commit — falling back to derivation
 whenever a log is missing. The log must be byte-equivalent to the
 derivation (it IS the derivation, persisted), crash-safe, and vacuumed
-with the same retention as the versions it describes."""
+with the same retention as the versions it describes — or on its own
+clock when the ``cdf.retention`` property / cdc_retention_s argument
+sets an independent CDC window."""
 
 import os
 
@@ -122,3 +124,44 @@ def test_failed_logger_degrades_to_derivation(spark, tmp_path, monkeypatch):
     assert got[1] == "A"                       # the DML landed
     feed = _feed(spark, str(tmp_path / "t"))   # derivation serves v2
     assert any(r[-1] == "update_postimage" for r in feed)
+
+
+def test_cdf_retention_knob_expires_logs_independently(spark, tmp_path):
+    """cdf.retention (table property, seconds) bounds `_cdc/` on its
+    own clock: with LONG data retention, every change log older than
+    the CDC window is reaped — including the latest version's — while
+    all data files and manifests stay; the feed re-derives and stays
+    byte-identical to an unlogged twin. An explicit cdc_retention_s
+    argument overrides the property."""
+    t = _mk(spark, str(tmp_path / "t"), logged=True)
+    _churn(spark, t)
+    cdc = os.path.join(str(tmp_path / "t"), dml.CDC_DIR)
+    assert len(os.listdir(cdc)) == 4
+    n_versions = len(t.store.list_versions())
+
+    # long data retention + 0s CDC property: only CDC dirs reap
+    t.set_properties({"cdf.retention": "0"})
+    removed = t.cleanup(retention_s=10**9)
+    assert os.listdir(cdc) == []
+    assert all(p.startswith(dml.CDC_DIR) for p in removed), removed
+    assert len(t.store.list_versions()) == n_versions
+    # feed still correct: every commit falls back to derivation
+    twin = _mk(spark, str(tmp_path / "twin"), logged=False)
+    _churn(spark, twin)
+    assert _feed(spark, str(tmp_path / "t")) == _feed(spark, str(tmp_path / "twin"))
+
+    # argument override beats the property: regenerate logs, keep them
+    t.update("id = 4", {"v": F.col("v") + 1}, use_delta=True)
+    assert len(os.listdir(cdc)) == 1
+    removed2 = t.cleanup(retention_s=10**9, cdc_retention_s=10**9)
+    assert len(os.listdir(cdc)) == 1 and not removed2
+
+
+def test_cdf_retention_default_unchanged(spark, tmp_path):
+    """Without the property, CDC logs keep aging with data retention
+    (latest version's log survives a 0s sweep as before)."""
+    t = _mk(spark, str(tmp_path / "t2"), logged=True)
+    _churn(spark, t)
+    cdc = os.path.join(str(tmp_path / "t2"), dml.CDC_DIR)
+    dml.cleanup(t.store, retention_s=0)
+    assert sorted(os.listdir(cdc)) == ["5"]
