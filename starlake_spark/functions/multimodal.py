@@ -175,6 +175,133 @@ def frame_sample_plan(
     return df.select(F.col(id_col), F.explode(frames).alias("frame_no"))
 
 
+# --------------------------------------------------------------------------
+# content_ref mode: pointer columns for externally-stored payloads.
+# 100 TB of images does NOT live inline in parquet — payloads pack into
+# large append-only shard objects (the WebDataset/tar shape) and the
+# TABLE carries only a pointer struct. Metadata queries then never
+# touch a shard byte (the binary isn't even a column), and a fetch
+# kernel materializes exactly the requested byte ranges.
+# --------------------------------------------------------------------------
+
+CONTENT_REF = T.StructType([
+    T.StructField("uri", T.StringType()),      # shard object path
+    T.StructField("offset", T.LongType()),     # byte offset within shard
+    T.StructField("length", T.LongType()),     # payload byte length
+    T.StructField("md5", T.StringType()),      # payload checksum
+])
+
+
+def pack_payload_shards(
+    df: DataFrame,
+    shard_dir: str,
+    payload_col: str = "payload",
+    id_col: str = "item_id",
+) -> DataFrame:
+    """Pack inline binary payloads into per-partition shard files and
+    return (id_col, content_ref) pointer rows.
+
+    Each input partition appends its payloads to ONE shard file
+    (``shard-<partition>-<uuid>.bin`` — the uuid makes task retries
+    write a fresh file instead of corrupting a half-written one; the
+    winning task's rows are the only pointers that survive, so orphan
+    shards from lost speculative tasks are garbage, not corruption).
+    Pointer rows carry (uri, offset, length, md5): offset/length give
+    the fetch kernel an exact ranged read, md5 end-to-end integrity.
+    At 100 TB this is the ingest-side packer; on object stores the
+    shard write becomes a multipart upload with identical semantics."""
+    import os
+    import uuid as _uuid
+
+    os.makedirs(shard_dir, exist_ok=True)
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content_ref", CONTENT_REF),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(shard_dir,
+                            f"shard-{pid:05d}-{_uuid.uuid4().hex[:8]}.bin")
+        off = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if fh is None:
+                    fh = open(path, "wb")
+                refs = []
+                for p in pdf[payload_col]:
+                    b = bytes(p) if p is not None else b""
+                    fh.write(b)
+                    refs.append({"uri": path, "offset": off,
+                                 "length": len(b),
+                                 "md5": hashlib.md5(b).hexdigest()})
+                    off += len(b)
+                yield pd.DataFrame({id_col: pdf[id_col].values,
+                                    "content_ref": refs})
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def fetch_content(
+    df: DataFrame,
+    ref_col: str = "content_ref",
+    id_col: str = "item_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Lazy ranged fetch of externally-stored payloads: for each
+    pointer row, open the shard, seek ``offset``, read ``length``
+    bytes — I/O is exactly the requested ranges, never whole shards.
+    Rows within an Arrow batch are grouped by shard and read in offset
+    order (one open + forward seeks per shard per batch — the access
+    pattern object-store range GETs want). ``verify`` checks md5 and
+    raises on corruption. Output: (id_col, payload binary)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads: list[bytes | None] = [None] * len(pdf)
+            refs = pdf[ref_col]
+            order = sorted(
+                range(len(pdf)),
+                key=lambda i: (refs.iloc[i]["uri"], refs.iloc[i]["offset"]))
+            open_uri, fh = None, None
+            try:
+                for i in order:
+                    r = refs.iloc[i]
+                    if r["uri"] != open_uri:
+                        if fh is not None:
+                            fh.close()
+                        open_uri = r["uri"]
+                        fh = open(open_uri, "rb")
+                    fh.seek(int(r["offset"]))
+                    b = fh.read(int(r["length"]))
+                    if verify and hashlib.md5(b).hexdigest() != r["md5"]:
+                        raise IOError(
+                            f"content_ref checksum mismatch at "
+                            f"{open_uri}:{r['offset']}+{r['length']}")
+                    payloads[i] = b
+            finally:
+                if fh is not None:
+                    fh.close()
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "payload": payloads})
+
+    return df.select(id_col, ref_col).mapInPandas(kernel, out_schema)
+
+
 def resize_stub(df: DataFrame, payload_col: str = "payload",
                 id_col: str = "item_id", width: int = 224, height: int = 224) -> DataFrame:
     """Resize kernel stub: passes payloads through mapInPandas with the

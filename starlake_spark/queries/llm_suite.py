@@ -1285,6 +1285,82 @@ FROM documents ORDER BY item_id, frame_no
 """
 
 
+def _content_ref_table(spark, sf_dir):
+    """Build-once content_ref fixture: documents' text bytes packed
+    into external shard files (multimodal.pack_payload_shards), the
+    pointer rows persisted as a star table. Memo pattern of
+    _ivf_index_table — later calls reopen the existing table."""
+    import os
+
+    from starlake_spark.functions import multimodal as mm
+    from starlake_spark.queries.engine_suite import SUITE_ROOT, _scratch
+    from starlake_spark.table import StarTable, create_table
+
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    build_tag = "v1"
+    path = os.path.join(SUITE_ROOT, tag, "content_refs")
+    if os.path.isdir(os.path.join(path, "_star_meta")):
+        t = StarTable.for_path(spark, path)
+        cfg = t.info.configuration or {}
+        # shards live next to the table; verify one still exists (scratch
+        # may have been swept) before trusting the memo
+        if cfg.get("mm.build_tag") == build_tag and os.path.isdir(
+                os.path.join(path, "_shards")):
+            return t
+    base = _scratch(sf_dir, "content_refs")
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    refs = mm.pack_payload_shards(d, os.path.join(base, "_shards"),
+                                  payload_col="payload", id_col="item_id")
+    t = create_table(spark, refs, base)
+    t.set_properties({"mm.build_tag": build_tag})
+    return t
+
+
+def multimodal_content_refs(spark, sf_dir):
+    """content_ref pointer-column mode — the 100 TB media shape: the
+    table stores (item_id, struct<uri,offset,length,md5>) while payloads
+    live in external packed shards. Inline asserts pin that (a) the
+    metadata plan lists NO shard object and (b) the fetch kernel's I/O
+    is the requested ranges, not whole shards. The returned rows verify
+    end-to-end integrity: each fetched payload's md5 recomputed in the
+    plan and compared to the stored checksum (fetch_content's verify
+    would additionally raise on corruption)."""
+    import os
+
+    from starlake_spark.functions import multimodal as mm
+
+    t = _content_ref_table(spark, sf_dir)
+    refs = t.to_df()
+    assert not any(f.endswith(".bin") for f in refs.inputFiles()), \
+        "metadata scan must not list shard objects"
+    sample = refs.filter(F.col("item_id") < 50)
+    shard_bytes = sum(
+        os.path.getsize(os.path.join(t.store.table_path, "_shards", n))
+        for n in os.listdir(os.path.join(t.store.table_path, "_shards")))
+    sample_bytes = (sample.agg(F.sum("content_ref.length")).collect()[0][0]
+                    or 0)
+    assert sample_bytes < shard_bytes, "sample fetch must be a ranged read"
+    fetched = mm.fetch_content(sample, "content_ref", "item_id")
+    return (fetched.join(sample, "item_id")
+            .select("item_id",
+                    F.col("content_ref.length").alias("n_bytes"),
+                    F.md5("payload").alias("md5"),
+                    (F.md5("payload") == F.col("content_ref.md5"))
+                    .alias("fetch_ok"))
+            .orderBy("item_id"))
+
+
+MULTIMODAL_REFS_SQL = """
+SELECT doc_id AS item_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS md5, TRUE AS fetch_ok
+FROM documents WHERE doc_id < 50 ORDER BY item_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # curation: repetition analysis, quota sampling, sequence packing
 # ---------------------------------------------------------------------------
@@ -2376,6 +2452,7 @@ LLM_QUERIES = {
     "multimodal_image_features": (multimodal_image_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
+    "multimodal_content_refs": (multimodal_content_refs, MULTIMODAL_REFS_SQL),
     "docs_canonical_pick": (docs_canonical_pick, DOCS_CANONICAL_SQL),
     "docs_chunk_sliding": (docs_chunk_sliding, DOCS_CHUNK_SQL),
     "docs_pii_scrub": (docs_pii_scrub, DOCS_PII_SQL),

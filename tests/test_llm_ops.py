@@ -621,3 +621,46 @@ def test_ivfpq_topk_nondeterministic_query_frame(spark, sf_dir, tmp_path):
     assert len(got) >= 1
     for qid, nid in got.items():
         assert nid == qid - 1_000_000, (qid, nid)
+
+
+def test_content_ref_pack_fetch_roundtrip(spark, tmp_path):
+    """content_ref mode: payloads pack into external shards, pointer
+    rows fetch back byte-identical; empty and None payloads roundtrip;
+    a corrupted shard byte surfaces as a checksum error."""
+    import os
+
+    from starlake_spark.functions import multimodal as mm
+
+    rows = [(1, b"alpha-payload"), (2, b""), (3, None),
+            (4, b"x" * 10_000), (5, b"another one")]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    shard_dir = str(tmp_path / "shards")
+    refs = mm.pack_payload_shards(df.repartition(2), shard_dir,
+                                  "payload", "item_id")
+    refs = refs.localCheckpoint()  # pin pointer rows before fetching
+    assert refs.count() == 5
+    shards = os.listdir(shard_dir)
+    assert shards and all(s.endswith(".bin") for s in shards)
+    # total shard bytes == total payload bytes (pure concatenation)
+    total = sum(os.path.getsize(os.path.join(shard_dir, s)) for s in shards)
+    assert total == sum(len(p or b"") for _, p in rows)
+
+    got = {r["item_id"]: bytes(r["payload"])
+           for r in mm.fetch_content(refs, "content_ref", "item_id").collect()}
+    want = {i: (p or b"") for i, p in rows}
+    assert got == want
+
+    # corrupt one nonempty payload's first byte → verify raises
+    victim = refs.filter("item_id = 4").collect()[0]["content_ref"]
+    with open(victim["uri"], "r+b") as fh:
+        fh.seek(victim["offset"])
+        orig = fh.read(1)
+        fh.seek(victim["offset"])
+        fh.write(bytes([orig[0] ^ 0xFF]))
+    import pytest as _pt
+    with _pt.raises(Exception, match="checksum mismatch"):
+        mm.fetch_content(refs, "content_ref", "item_id").collect()
+    # verify=False returns the corrupted bytes rather than raising
+    n = mm.fetch_content(refs, "content_ref", "item_id",
+                         verify=False).count()
+    assert n == 5
