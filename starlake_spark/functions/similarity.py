@@ -578,10 +578,14 @@ def ivf_index_topk(
     else:
         mat = _batch_matrix(qpdf["_qv"], dim)
         top = np.argsort(-(mat @ M.T), axis=1, kind="stable")[:, :nprobe]
+        # .tolist() renders numpy scalars (int64/float64 ids from pandas)
+        # back to Python natives — createDataFrame's type verifier
+        # rejects numpy types against the explicit schema below
         probe_rows = [
             (qid, [float(x) for x in vec] if vec is not None else None,
              int(ids[c]))
-            for qid, vec, row in zip(qpdf["query_id"], qpdf["_qv"], top)
+            for qid, vec, row in zip(qpdf["query_id"].tolist(),
+                                     qpdf["_qv"], top)
             for c in row
         ]
         cells = {cid for _, _, cid in probe_rows}
