@@ -703,22 +703,10 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
                 "merged; use the rewrite path (use_delta=False)")
         cond = _to_column(condition)
         keys = info.range_cols + info.hash_cols
-        schema = T.StructType.fromJson(json.loads(info.schema_json))
-        tomb = (reader.scan(spark, store)
-                .filter(F.coalesce(cond, F.lit(False)))
-                .select(*keys))
-        for f in schema.fields:
-            if f.name not in keys:
-                tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
-        tomb = tomb.withColumn(reader.TOMBSTONE_COL, F.lit(True))
-        txn = store.new_transaction()
-        txn.commit_type = "delete_delta"
-        files = writer.write_files(spark, tomb, info, txn, is_base=False,
-                                   check_invariants=False)
-        txn.add_files(files)
-        snap = store.commit(txn)
-        _maybe_log_cdc(spark, store, info, files, snap.version)
-        _maybe_auto_compact(spark, store, info)
+        tomb_keys = (reader.scan(spark, store)
+                     .filter(F.coalesce(cond, F.lit(False)))
+                     .select(*keys))
+        _commit_tombstones(spark, store, info, tomb_keys)
         return
     if condition is None:
         txn = store.new_transaction()
@@ -734,6 +722,54 @@ def delete(spark: SparkSession, store: ManifestStore, condition=None,
 
     _rewrite_rows(spark, store, cond, transform, commit_type="delete",
                   cond_sql=condition if isinstance(condition, str) else None)
+
+
+def _commit_tombstones(spark: SparkSession, store: ManifestStore,
+                       info: TableInfo, tomb_keys: DataFrame) -> None:
+    """Write one delete_delta commit tombstoning ``tomb_keys`` (a frame
+    of the table's merge-key columns): flag column true, data columns
+    explicit nulls — the O(deleted keys) MoR delete shape shared by the
+    condition path above and ``delete_keys``."""
+    keys = info.range_cols + info.hash_cols
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    tomb = tomb_keys.select(*keys)
+    for f in schema.fields:
+        if f.name not in keys:
+            tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
+    tomb = tomb.withColumn(reader.TOMBSTONE_COL, F.lit(True))
+    txn = store.new_transaction()
+    txn.commit_type = "delete_delta"
+    files = writer.write_files(spark, tomb, info, txn, is_base=False,
+                               check_invariants=False)
+    txn.add_files(files)
+    snap = store.commit(txn)
+    _maybe_log_cdc(spark, store, info, files, snap.version)
+    _maybe_auto_compact(spark, store, info)
+
+
+def delete_keys(spark: SparkSession, store: ManifestStore,
+                keys_df: DataFrame) -> None:
+    """DELETE an explicit key frame via the tombstone-delta path: the
+    set-oriented twin of ``delete(use_delta=True)`` for callers that
+    already HOLD the doomed key set (CDC apply, GDPR erasure lists,
+    anti-join results) — no table scan to evaluate a condition, one
+    O(keys) tombstone write. Same guards as the condition path: hash
+    tables only, rejected under declared merge operators. Keys absent
+    from the table tombstone nothing (idempotent re-delivery)."""
+    info = store.table_info()
+    if not info.hash_cols:
+        raise ValueError("delete_keys requires hash partition columns "
+                         "(key tombstones need merge keys)")
+    if (info.configuration or {}).get("compaction.merge_operators"):
+        raise ValueError(
+            "delete_keys is not supported on tables with declared merge "
+            "operators — the tombstone's null version would be merged; "
+            "use a condition delete with use_delta=False")
+    keys = info.range_cols + info.hash_cols
+    missing = [k for k in keys if k not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df is missing merge-key columns {missing}")
+    _commit_tombstones(spark, store, info, keys_df.select(*keys).distinct())
 
 
 def _part_merge_partition(spark: SparkSession, store: ManifestStore,

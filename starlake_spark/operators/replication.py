@@ -1,0 +1,142 @@
+"""Cross-table CDC replication: follow a hash-partitioned star table by
+replaying its NET changes into an independent downstream star table.
+
+This is the logical-replication complement to ``StarTable.sync_clone``
+(table.py): a clone re-points manifest entries at the SOURCE's files —
+same layout, same storage, zero data moved — while ``sync_table``
+replays insert/update/delete through the target's own write path, so
+the replica may live on different storage, choose its own bucket
+count, carry its own indexes/properties, and keeps working after the
+source vacuums history (only the not-yet-synced window must survive).
+The Delta Live Tables ``apply_changes`` / Fivetran-style sink shape.
+
+Incremental cost is O(net changed keys) per sync regardless of how many
+commits accumulated: the change window comes from
+``range_changes`` (sources/datasource.py) — two key-pruned MoR scans
+off the boundary snapshots' file-set symmetric difference, intermediate
+churn cancelled — and lands as one delta-upsert commit plus (only when
+keys died) one tombstone commit. Crash-safe without a transaction
+across tables: applying the same net window twice is idempotent
+(upsert of identical full rows, tombstones of already-dead keys), and
+the watermark property is only advanced after the apply commits — a
+retry re-applies, never skips.
+
+Reference: the StarLake engine has no cross-table replication command;
+this composes its CDF primitives (meta/MetaVersion.scala version
+windows) the way its incremental MV refresh does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SOURCE_PROP = "replication.source"
+VERSION_PROP = "replication.synced_version"
+
+
+def sync_table(spark: SparkSession, source, target_path: str,
+               hash_bucket_num: int | None = None,
+               full: bool = False):
+    """Create-or-advance the replica at ``target_path`` to the source's
+    current snapshot. Returns ``(target_table, stats_dict)`` where
+    stats carry the synced version window and applied row counts.
+
+    First call bootstraps: full copy at the source's latest version,
+    partitioned like the source (``hash_bucket_num`` may re-bucket the
+    replica). Later calls apply the net change window since the stored
+    watermark. ``full=True`` repairs a replica whose pending window was
+    vacuumed on the source: a full-state diff (changed/new rows
+    upserted, vanished keys tombstoned) — same end state, O(table)
+    read but still O(diff) written."""
+    import os
+
+    from starlake_spark.sources.datasource import (
+        CHANGE_TYPE_COL, VERSION_COL, range_changes)
+    from starlake_spark.table import StarTable, create_table
+
+    src = source if isinstance(source, StarTable) \
+        else StarTable.for_path(spark, source)
+    sinfo = src.info
+    if not sinfo.hash_cols:
+        raise ValueError("sync_table requires a hash-partitioned source "
+                         "(key-level change replay needs merge keys)")
+    src_version = src.store.latest_version()
+    src_path = src.store.table_path
+
+    if not os.path.isdir(os.path.join(target_path, "_star_meta")):
+        snap_df = src.to_df(version=src_version)
+        t = create_table(
+            spark, snap_df, target_path,
+            range_partitions=list(sinfo.range_cols),
+            hash_partitions=list(sinfo.hash_cols),
+            hash_bucket_num=(hash_bucket_num if hash_bucket_num is not None
+                             else sinfo.bucket_num),
+            # watermark rides the CREATE commit: a crash can never leave
+            # a replica that exists but doesn't know its sync state
+            configuration={SOURCE_PROP: src_path,
+                           VERSION_PROP: str(src_version)})
+        return t, {"mode": "bootstrap", "from_version": 0,
+                   "to_version": src_version}
+
+    t = StarTable.for_path(spark, target_path)
+    cfg = t.info.configuration or {}
+    bound = cfg.get(SOURCE_PROP)
+    if bound is None:
+        raise ValueError(f"{target_path} is not a replica "
+                         "(no replication.source property)")
+    if os.path.normpath(bound) != os.path.normpath(src_path):
+        raise ValueError(f"{target_path} replicates {bound}, not {src_path}")
+    v0 = int(cfg[VERSION_PROP])
+    if full:
+        stats = _full_sync(spark, src, t)
+        t.set_properties({VERSION_PROP: str(src_version)})
+        stats.update(mode="full", from_version=v0, to_version=src_version)
+        return t, stats
+    if v0 >= src_version:
+        return t, {"mode": "noop", "from_version": v0, "to_version": v0}
+
+    ch = range_changes(spark, src_path, v0, src_version).persist()
+    try:
+        data_cols = [c for c in ch.columns
+                     if c not in (VERSION_COL, CHANGE_TYPE_COL)]
+        ups = (ch.filter(F.col(CHANGE_TYPE_COL)
+                         .isin("insert", "update_postimage"))
+                 .select(*data_cols))
+        dels = (ch.filter(F.col(CHANGE_TYPE_COL) == "delete")
+                  .select(*(sinfo.range_cols + sinfo.hash_cols)))
+        n_up, n_del = ups.count(), dels.count()
+        if n_up:
+            t.upsert(ups)
+        if n_del:
+            t.delete_keys(dels)
+    finally:
+        ch.unpersist()
+    t.set_properties({VERSION_PROP: str(src_version)})
+    return t, {"mode": "incremental", "from_version": v0,
+               "to_version": src_version, "upserted": n_up,
+               "deleted": n_del}
+
+
+def _full_sync(spark: SparkSession, src, t) -> dict:
+    """Full-state repair diff: rows whose source image differs from the
+    replica's (or are new) upsert; keys gone from the source tombstone.
+    Null-safe equality on every column so NULL churn can't hide a diff."""
+    sinfo = src.info
+    keys = sinfo.range_cols + sinfo.hash_cols
+    s = src.to_df()
+    r = t.to_df().select(*s.columns)
+    same = None
+    for c in s.columns:
+        e = F.col(f"_s.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        same = e if same is None else (same & e)
+    sa, ra = s.alias("_s"), r.alias("_r")
+    unchanged = (sa.join(ra, keys).filter(same)
+                 .select(*[F.col(f"_s.{k}").alias(k) for k in keys]))
+    ups = s.join(unchanged, keys, "left_anti")
+    dels = r.select(*keys).join(s.select(*keys), keys, "left_anti")
+    n_up, n_del = ups.count(), dels.count()
+    if n_up:
+        t.upsert(ups)
+    if n_del:
+        t.delete_keys(dels)
+    return {"upserted": n_up, "deleted": n_del}

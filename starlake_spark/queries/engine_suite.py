@@ -1879,3 +1879,53 @@ ORDER BY o_orderkey
 """
 
 ENGINE_QUERIES["star_clone_sync"] = (star_clone_sync, CLONE_SYNC_ORACLE)
+
+
+def star_cdc_replication(spark, sf_dir):
+    """Cross-table CDC replication (operators/replication.py): an
+    independent replica — its own write path, its own bucket count —
+    follows the source by replaying the NET change window since its
+    watermark. One sync absorbs a 3-commit DML storm (price update,
+    tombstone delete, new keys) as O(net changed keys): ONE delta-upsert
+    commit plus ONE tombstone commit on the replica, asserted inline,
+    and a repeat sync commits nothing. The logical-replication
+    complement to star_clone_sync's metadata re-pointing."""
+    from starlake_spark.operators.replication import sync_table
+
+    o = ld(spark, sf_dir, "orders")
+    src = create_table(spark, o, _scratch(sf_dir, "repl_src"),
+                       hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    dst_path = _scratch(sf_dir, "repl_dst")
+    sync_table(spark, src, dst_path, hash_bucket_num=2)
+    src.upsert(o.filter("o_orderkey % 10 = 0")
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    src.delete("o_orderkey % 7 = 0", use_delta=True)
+    src.upsert(o.filter("o_orderkey % 100 = 0")
+                .withColumn("o_orderkey", F.col("o_orderkey") + 1000000))
+    t, st = sync_table(spark, src, dst_path)
+    assert st["mode"] == "incremental" and st["deleted"] > 0
+    assert t.store.latest_version() == 3, \
+        "3-commit window must land as exactly 2 replica commits (net)"
+    v = t.store.latest_version()
+    _, st2 = sync_table(spark, src, dst_path)
+    assert st2["mode"] == "noop" and t.store.latest_version() == v, \
+        "repeat sync must commit nothing"
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+CDC_REPLICATION_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_cdc_replication"] = (star_cdc_replication,
+                                          CDC_REPLICATION_ORACLE)

@@ -234,6 +234,12 @@ class StarTable:
                    use_dv=use_dv)
         return self
 
+    def delete_keys(self, keys_df: DataFrame) -> "StarTable":
+        """Tombstone-delete an explicit key frame — O(keys) write, no
+        table scan; the CDC-apply / erasure-list shape (dml.delete_keys)."""
+        dml.delete_keys(self.spark, self.store, keys_df)
+        return self
+
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
                    partition: str | None = None,
                    partition_predicate: str | None = None,

@@ -1,0 +1,180 @@
+"""Cross-table CDC replication (operators/replication.py) and the
+delete-by-key-frame primitive it rides on (dml.delete_keys)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.operators.replication import (SOURCE_PROP, VERSION_PROP,
+                                                  sync_table)
+from starlake_spark.table import create_table
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _mk_src(spark, sf_dir, path, **kw):
+    o = _orders(spark, sf_dir)
+    kw.setdefault("hash_partitions", ["o_orderkey"])
+    kw.setdefault("hash_bucket_num", 4)
+    return o, create_table(spark, o, path, **kw)
+
+
+def _assert_equal(src, dst):
+    cols = src.to_df().columns
+    a = src.to_df().select(*cols).orderBy(*cols).collect()
+    b = dst.to_df().select(*cols).orderBy(*cols).collect()
+    assert a == b
+
+
+def test_bootstrap_then_incremental(spark, sf_dir, tmp_path):
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"),
+                     range_partitions=["o_orderstatus"])
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "bootstrap"
+    _assert_equal(src, dst)
+    cfg = dst.info.configuration
+    assert cfg[SOURCE_PROP] == src.store.table_path
+    assert cfg[VERSION_PROP] == "1"
+
+    src.upsert(o.filter("o_orderkey % 10 = 0")
+                .withColumn("o_totalprice", F.lit(1.25)))
+    src.delete("o_orderkey % 7 = 0", use_delta=True)
+    src.upsert(o.filter("o_orderkey % 50 = 3")
+                .withColumn("o_orderkey", F.col("o_orderkey") + 900000))
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "incremental" and st["from_version"] == 1
+    assert st["upserted"] > 0 and st["deleted"] > 0
+    _assert_equal(src, dst)
+
+
+def test_repeat_sync_is_noop(spark, sf_dir, tmp_path):
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    dst, _ = sync_table(spark, src, str(tmp_path / "dst"))
+    src.upsert(o.limit(0))  # schema-only commit still advances versions
+    v = dst.store.latest_version()
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    # empty net window: watermark advances, zero data commits on the replica
+    assert st["mode"] == "incremental"
+    assert st["upserted"] == 0 and st["deleted"] == 0
+    assert dst.store.latest_version() == v
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "noop"
+
+
+def test_crash_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """A crash after apply but before the watermark write re-applies the
+    same net window on retry — the replica must not diverge."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    src.update("o_orderkey % 9 = 1", {"o_orderpriority": "'RETRY'"},
+               use_delta=True)
+    src.delete("o_orderkey % 11 = 2", use_delta=True)
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    _assert_equal(src, dst)
+    # simulate the crash: rewind the watermark, sync again
+    dst.set_properties({VERSION_PROP: "1"})
+    dst, st2 = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st2["upserted"] == st["upserted"]
+    assert st2["deleted"] == st["deleted"]
+    _assert_equal(src, dst)
+
+
+def test_insert_then_delete_nets_to_nothing(spark, sf_dir, tmp_path):
+    """Intermediate churn cancels: a key born and killed inside the
+    window never reaches the replica (no spurious tombstone commit)."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    ghost = o.limit(20).withColumn("o_orderkey",
+                                   F.col("o_orderkey") + 777000)
+    src.upsert(ghost)
+    src.delete("o_orderkey >= 777000", use_delta=True)
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["upserted"] == 0 and st["deleted"] == 0
+    _assert_equal(src, dst)
+
+
+def test_replica_rebucket_and_wrong_source_guard(spark, sf_dir, tmp_path):
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    dst, _ = sync_table(spark, src, str(tmp_path / "dst"), hash_bucket_num=2)
+    assert dst.info.bucket_num == 2
+    _assert_equal(src, dst)
+    _, other = _mk_src(spark, sf_dir, str(tmp_path / "other"))
+    with pytest.raises(ValueError, match="replicates"):
+        sync_table(spark, other, str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="not a replica"):
+        sync_table(spark, src, str(tmp_path / "src"))
+
+
+def test_full_repair_heals_divergence(spark, sf_dir, tmp_path):
+    """full=True reconciles a replica that drifted (local writes): rows
+    differing from the source are re-upserted, foreign keys tombstoned."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    dst, _ = sync_table(spark, src, str(tmp_path / "dst"))
+    # replica-local corruption: one mutated row, one foreign row
+    dst.update("o_orderkey = 1", {"o_totalprice": "0.0"}, use_delta=True)
+    dst.upsert(o.limit(1).withColumn("o_orderkey", F.lit(123456789)))
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
+    assert st["mode"] == "full"
+    assert st["upserted"] == 1 and st["deleted"] == 1
+    _assert_equal(src, dst)
+    # clean replica: repair finds nothing
+    _, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
+    assert st["upserted"] == 0 and st["deleted"] == 0
+
+
+def test_non_hash_source_rejected(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    src = create_table(spark, o, str(tmp_path / "plain"),
+                       range_partitions=["o_orderstatus"])
+    with pytest.raises(ValueError, match="hash-partitioned source"):
+        sync_table(spark, src, str(tmp_path / "dst"))
+
+
+# ---------------------------------------------------------------------------
+# delete_keys primitive
+# ---------------------------------------------------------------------------
+
+def test_delete_keys_basic_and_idempotent(spark, sf_dir, tmp_path):
+    o, t = _mk_src(spark, sf_dir, str(tmp_path / "t"))
+    doomed = o.filter("o_orderkey % 13 = 5").select("o_orderkey")
+    n = o.count() - doomed.count()
+    t.delete_keys(doomed)
+    assert t.to_df().count() == n
+    assert t.to_df().filter("o_orderkey % 13 = 5").count() == 0
+    # re-delivery of the same keys (plus never-existing ones) is a no-op
+    t.delete_keys(doomed.union(
+        spark.createDataFrame([(999999999,)], "o_orderkey long")))
+    assert t.to_df().count() == n
+
+
+def test_delete_keys_guards(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    plain = create_table(spark, o, str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="hash partition"):
+        plain.delete_keys(o.select("o_orderkey"))
+    t = create_table(spark, o, str(tmp_path / "t"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    with pytest.raises(ValueError, match="missing merge-key"):
+        t.delete_keys(o.select("o_custkey"))
+    mo = create_table(
+        spark, o, str(tmp_path / "mo"),
+        hash_partitions=["o_orderkey"], hash_bucket_num=2,
+        configuration={"compaction.merge_operators":
+                       '{"o_totalprice": "sum"}'})
+    with pytest.raises(ValueError, match="merge operators"):
+        mo.delete_keys(o.select("o_orderkey"))
+
+
+def test_delete_keys_resurrection(spark, sf_dir, tmp_path):
+    """Tombstoned keys resurrect on a later upsert with
+    insert-after-delete semantics (same contract as condition deletes)."""
+    o, t = _mk_src(spark, sf_dir, str(tmp_path / "t"))
+    t.delete_keys(o.filter("o_orderkey <= 100").select("o_orderkey"))
+    t.upsert(o.filter("o_orderkey <= 40")
+              .select("o_orderkey", "o_orderstatus"))
+    back = t.to_df().filter("o_orderkey <= 100")
+    assert back.count() == o.filter("o_orderkey <= 40").count()
+    assert back.filter("o_custkey IS NOT NULL").count() == 0
