@@ -604,3 +604,92 @@ def bpe_pair_counts(
             .agg(F.sum("_c").cast("long").alias("n_occurrences"))
             .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: train (merge-rule learning) + apply (encoding)
+# ---------------------------------------------------------------------------
+
+def _bpe_word_rep(word: Column) -> Column:
+    """A word as its double-space-separated, double-space-padded symbol
+    string: ``low`` → ``"  l  o  w  "``. The doubled separator is what
+    makes one literal ``replace`` per merge EXACT greedy BPE: matching
+    ``" x  y "`` consumes one space from each side, leaving one for the
+    neighboring pair, so runs merge left-to-right non-overlapping
+    (``a a a a`` → ``aa aa``, never ``aa a a``)."""
+    return F.concat(F.lit("  "), F.array_join(F.split(word, ""), "  "),
+                    F.lit("  "))
+
+
+def _bpe_symbols(rep: Column) -> Column:
+    return F.filter(F.split(rep, " {2,}"), lambda x: x != "")
+
+
+def _bpe_merge_once(rep: Column, left: str, right: str) -> Column:
+    return F.replace(rep, F.lit(f" {left}  {right} "),
+                     F.lit(f" {left}{right} "))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules (Sennrich et al. 2016,
+    marker-free variant) from a corpus. Scale shape: the corpus
+    collapses to the word-FREQUENCY table in one shuffle, and every
+    round after that is vocabulary-bounded — adjacent-symbol pair
+    counts weighted by word count, argmax to the driver (one row), one
+    JVM-side literal replace. localCheckpoint keeps the per-round plan
+    flat instead of stacking k replaces × k pair-expansions. Ties break
+    by (count desc, left asc, right asc) — deterministic cross-engine.
+    Driver state: the merge list only (num_merges rows)."""
+    wc = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+            .groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.length("_w") >= 2)
+            .select(_bpe_word_rep(F.col("_w")).alias("_s"), "_c")
+            .localCheckpoint(eager=False))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        syms = _bpe_symbols(F.col("_s"))
+        pairs = (wc.select(F.explode(F.arrays_zip(
+                    F.slice(syms, F.lit(1), F.size(syms) - 1).alias("l"),
+                    F.slice(syms, F.lit(2), F.size(syms) - 1).alias("r"),
+                 )).alias("_p"), F.col("_c"))
+                 .select(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"),
+                         F.col("_c")))
+        top = (pairs.groupBy("l", "r")
+               .agg(F.sum("_c").cast("long").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                        F.col("r").asc())
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        wc = (wc.select(_bpe_merge_once(F.col("_s"), left, right).alias("_s"),
+                        "_c")
+                .localCheckpoint(eager=False))
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode a corpus with an ordered BPE merge list: each document
+    becomes one padded symbol string (word reps concatenated — the
+    4-space inter-word gap can never match a 2-space intra-word pair,
+    so one corpus-wide replace per merge respects word boundaries),
+    the merge chain applies as literal JVM replaces inside whole-stage
+    codegen, and the result splits back to an ``array<string>`` token
+    column. No UDF, no shuffle — a per-row map at any corpus size."""
+    reps = F.transform(tokens(F.lower(F.col(text_col))),
+                       lambda w: _bpe_word_rep(w))
+    rep = F.array_join(reps, "")
+    for left, right in (merges or []):
+        rep = _bpe_merge_once(rep, left, right)
+    return df.withColumn(out_col, _bpe_symbols(rep))

@@ -2804,3 +2804,76 @@ ORDER BY n_occurrences DESC, pair ASC LIMIT 20
 """
 
 LLM_QUERIES["docs_bpe_pair_counts"] = (docs_bpe_pair_counts, DOCS_BPE_SQL)
+
+
+def docs_bpe_train_encode(spark, sf_dir):
+    """Full BPE tokenizer loop (tx.bpe_train + tx.bpe_apply): learn 3
+    merge rules from the corpus — each round one vocabulary-bounded
+    pair-count shuffle + a one-row argmax to the driver — then encode
+    every document with the learned chain as literal JVM replaces (no
+    UDF, no shuffle). The oracle re-runs the SAME 3 training rounds in
+    SQL (chained argmax CTEs) and re-encodes, so parity proves the
+    learned RULES and the greedy merge semantics, not just counts;
+    the rules ride along as a column to make any divergence loud."""
+    d = ld(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, "text", num_merges=3)
+    enc = tx.bpe_apply(d, "text", merges, out_col="_toks")
+    rules = ",".join(f"{l}+{r}" for l, r in merges)
+    return (enc.select(
+                "doc_id",
+                F.size(tx.tokens(F.lower(F.col("text")))).alias("n_words"),
+                F.size("_toks").alias("n_bpe_tokens"),
+                F.lit(rules).alias("merge_rules"))
+            .orderBy("doc_id"))
+
+
+def _bpe_round_sql(prev_v: str, n: int) -> str:
+    """One BPE training round: argmax pair over ``prev_v`` → p{n},
+    merged vocab → v{n}. Tie-break (cnt DESC, l, r) matches bpe_train."""
+    return f"""
+p{n} AS (
+  SELECT pp.l AS l, pp.r AS r, SUM(c) AS cnt FROM (
+    SELECT unnest([{{'l': syms[i], 'r': syms[i+1]}} FOR i IN range(1, len(syms))]) AS pp, c
+    FROM (SELECT list_filter(string_split_regex(s, ' {{2,}}'), x -> x != '') AS syms, c FROM {prev_v})
+  ) GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+v{n} AS (
+  SELECT replace(s, ' ' || p{n}.l || '  ' || p{n}.r || ' ',
+                    ' ' || p{n}.l || p{n}.r || ' ') AS s, c
+  FROM v{n - 1}, p{n}
+)"""
+
+
+DOCS_BPE_TRAIN_SQL = f"""
+WITH wc AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY w HAVING length(w) >= 2
+), v0 AS (
+  SELECT '  ' || array_to_string(string_split_regex(w, ''), '  ') || '  ' AS s, c FROM wc
+),{_bpe_round_sql('v0', 1)},{_bpe_round_sql('v1', 2)},{_bpe_round_sql('v2', 3)},
+docrep AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), enc AS (
+  SELECT doc_id, len(ws) AS n_words,
+    replace(replace(replace(
+      array_to_string([('  ' || array_to_string(string_split_regex(w, ''), '  ') || '  ') FOR w IN ws], ''),
+      ' ' || p1.l || '  ' || p1.r || ' ', ' ' || p1.l || p1.r || ' '),
+      ' ' || p2.l || '  ' || p2.r || ' ', ' ' || p2.l || p2.r || ' '),
+      ' ' || p3.l || '  ' || p3.r || ' ', ' ' || p3.l || p3.r || ' ') AS s
+  FROM docrep, p1, p2, p3
+)
+SELECT doc_id,
+  CAST(n_words AS INTEGER) AS n_words,
+  CAST(len(list_filter(string_split_regex(s, ' {{2,}}'), x -> x != '')) AS INTEGER) AS n_bpe_tokens,
+  (SELECT p1.l || '+' || p1.r || ',' || p2.l || '+' || p2.r || ',' || p3.l || '+' || p3.r
+   FROM p1, p2, p3) AS merge_rules
+FROM enc ORDER BY doc_id
+"""
+
+LLM_QUERIES["docs_bpe_train_encode"] = (docs_bpe_train_encode,
+                                        DOCS_BPE_TRAIN_SQL)

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from starlake_spark.functions import dedup as dd, similarity as sim
+from starlake_spark.functions import text as tx
 from starlake_spark.queries import llm_suite as L
 
 
@@ -664,3 +665,55 @@ def test_content_ref_pack_fetch_roundtrip(spark, tmp_path):
     n = mm.fetch_content(refs, "content_ref", "item_id",
                          verify=False).count()
     assert n == 5
+
+
+def _py_greedy_bpe(text, merges):
+    toks = []
+    for w in text.lower().split():
+        syms = list(w)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_train_apply_exact_vs_python_reference(spark):
+    """Learned rules and encodings must match a per-word greedy BPE
+    implemented in plain Python — including the overlap case (a run of
+    the same symbol merges left-to-right non-overlapping)."""
+    docs = [(1, "low lower lowest low low newer new"),
+            (2, "wider new newer newest low aaaa aaa"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = tx.bpe_train(df, "text", num_merges=5, min_count=1)
+    assert len(merges) == 5
+    got = {r["doc_id"]: r["t"]
+           for r in tx.bpe_apply(df, "text", merges, "t").collect()}
+    for did, text in docs:
+        exp = _py_greedy_bpe(text or "", merges)
+        assert got[did] == exp, (did, got[did], exp)
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    merges = tx.bpe_train(df, "text", num_merges=10, min_count=2)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_apply_plan_is_pure_codegen(spark):
+    """Encoding is a per-row map: no Exchange, no Python eval in the
+    plan — the 100 TB posture is 'as cheap as a projection'."""
+    df = spark.createDataFrame([(1, "low lower")], "doc_id long, text string")
+    out = tx.bpe_apply(df, "text", [("l", "o"), ("lo", "w")], "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
