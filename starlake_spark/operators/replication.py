@@ -95,6 +95,18 @@ def sync_table(spark: SparkSession, source, target_path: str,
     if v0 >= src_version:
         return t, {"mode": "noop", "from_version": v0, "to_version": v0}
 
+    try:
+        # the window's lower boundary must still resolve — manifest log
+        # retention (expire_manifests) may have aged it out on a replica
+        # that slept past the source's retention window
+        src.store.snapshot(v0)
+    except Exception:
+        stats = _full_sync(spark, src, t)
+        t.set_properties({VERSION_PROP: str(src_version)})
+        stats.update(mode="full_fallback", from_version=v0,
+                     to_version=src_version)
+        return t, stats
+
     ch = range_changes(spark, src_path, v0, src_version).persist()
     try:
         data_cols = [c for c in ch.columns

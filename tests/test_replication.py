@@ -178,3 +178,24 @@ def test_delete_keys_resurrection(spark, sf_dir, tmp_path):
     back = t.to_df().filter("o_orderkey <= 100")
     assert back.count() == o.filter("o_orderkey <= 40").count()
     assert back.filter("o_custkey IS NOT NULL").count() == 0
+
+
+def test_expired_window_falls_back_to_full(spark, sf_dir, tmp_path):
+    """A replica that slept past the source's manifest retention can't
+    resolve its watermark version — sync auto-repairs via the full
+    state diff instead of failing."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    for i in range(12):  # march past a checkpoint so expiry has an anchor
+        src.upsert(o.filter(f"o_orderkey % 20 = {i}")
+                    .withColumn("o_orderpriority", F.lit(f"W{i}")))
+    src.delete("o_orderkey % 19 = 3", use_delta=True)
+    src.store.expire_manifests(retention_s=0.0)
+    with pytest.raises(Exception):
+        src.store.snapshot(1)  # the watermark version really is gone
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "full_fallback"
+    assert st["upserted"] > 0 and st["deleted"] > 0
+    _assert_equal(src, dst)
+    _, st2 = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st2["mode"] == "noop"
