@@ -152,3 +152,77 @@ def _full_sync(spark: SparkSession, src, t) -> dict:
     if n_del:
         t.delete_keys(dels)
     return {"upserted": n_up, "deleted": n_del}
+
+
+def sync_stream(spark: SparkSession, source, target_path: str,
+                checkpoint: str, trigger: dict | None = None,
+                hash_bucket_num: int | None = None):
+    """Continuous replication: tail the source's typed CDF stream
+    (sources/datasource.py `_StarStreamReader`, changeTypes=true) and
+    apply each micro-batch to the replica. Within a batch the typed log
+    is collapsed to NET-per-key first (latest `_commit_version` wins —
+    one window op), so a delete→re-insert pair inside one batch applies
+    as a single upsert and a batch replays idempotently on restart;
+    across batches the source delivers versions in order and Spark's
+    checkpoint makes delivery exactly-once-per-batch. Bootstrap is a
+    zero-job schema-only CREATE — the stream's own initial-load insert
+    rows populate the replica. Returns the StreamingQuery."""
+    import os
+
+    from pyspark.sql import Window
+    from starlake_spark import sources
+    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
+                                                   VERSION_COL)
+    from starlake_spark.table import StarTable, create_table
+
+    src = source if isinstance(source, StarTable) \
+        else StarTable.for_path(spark, source)
+    sinfo = src.info
+    if not sinfo.hash_cols:
+        raise ValueError("sync_stream requires a hash-partitioned source")
+    keys = sinfo.range_cols + sinfo.hash_cols
+    src_path = src.store.table_path
+
+    if not os.path.isdir(os.path.join(target_path, "_star_meta")):
+        create_table(
+            spark, src.to_df().limit(0), target_path,
+            range_partitions=list(sinfo.range_cols),
+            hash_partitions=list(sinfo.hash_cols),
+            hash_bucket_num=(hash_bucket_num if hash_bucket_num is not None
+                             else sinfo.bucket_num),
+            configuration={SOURCE_PROP: src_path})
+    t = StarTable.for_path(spark, target_path)
+    bound = (t.info.configuration or {}).get(SOURCE_PROP)
+    if bound is None or os.path.normpath(bound) != os.path.normpath(src_path):
+        raise ValueError(f"{target_path} does not replicate {src_path}")
+
+    data_cols = [c for c in src.to_df().columns]
+
+    def _apply(batch, batch_id):
+        batch = batch.persist()
+        try:
+            w = (Window.partitionBy(*keys)
+                 .orderBy(F.col(VERSION_COL).desc()))
+            net = (batch.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1))
+            ups = (net.filter(F.col(CHANGE_TYPE_COL) != "delete")
+                   .select(*data_cols))
+            dels = (net.filter(F.col(CHANGE_TYPE_COL) == "delete")
+                    .select(*keys))
+            tt = StarTable.for_path(batch.sparkSession, target_path)
+            if ups.count():
+                tt.upsert(ups)
+            if dels.count():
+                tt.delete_keys(dels)
+        finally:
+            batch.unpersist()
+
+    sources.register(spark)
+    reader = (spark.readStream.format("star")
+              .option("changeTypes", "true").load(src_path))
+    writer = (reader.writeStream.foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

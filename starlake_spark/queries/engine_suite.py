@@ -1929,3 +1929,58 @@ ORDER BY o_orderkey
 
 ENGINE_QUERIES["star_cdc_replication"] = (star_cdc_replication,
                                           CDC_REPLICATION_ORACLE)
+
+
+def star_stream_replication(spark, sf_dir):
+    """CONTINUOUS replication (operators/replication.py sync_stream):
+    the replica follows the source's typed CDF stream through
+    foreachBatch — each micro-batch collapses to net-per-key before
+    applying (a delete→re-insert pair lands as one upsert), deletes
+    flow as tombstones, and Spark's checkpoint makes delivery
+    exactly-once-per-batch: a second drain from the same checkpoint
+    must commit NOTHING (asserted inline). End state is oracle-checked
+    against the source's logical history."""
+    from starlake_spark.operators.replication import sync_stream
+    from starlake_spark.table import StarTable
+
+    c = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    path = _scratch(sf_dir, "stream_repl_src")
+    src = create_table(spark, c, path,
+                       hash_partitions=["c_custkey"], hash_bucket_num=4,
+                       configuration={"compaction.auto": "false"})
+    src.upsert(c.filter(F.col("c_custkey") % 10 == 0)
+                .withColumn("c_acctbal", F.col("c_acctbal") * 2))      # v2
+    src.delete("c_custkey % 20 = 0", use_delta=True)                    # v3
+    src.upsert(c.filter(F.col("c_custkey") % 40 == 0)
+                .withColumn("c_mktsegment", F.lit("X")))                # v4
+
+    dst_path = _scratch(sf_dir, "stream_repl_dst")
+    ckpt = dst_path + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = sync_stream(spark, src, dst_path, ckpt,
+                    trigger={"availableNow": True})
+    q.awaitTermination(180)
+    dst = StarTable.for_path(spark, dst_path)
+    v = dst.store.latest_version()
+    q2 = sync_stream(spark, src, dst_path, ckpt,
+                     trigger={"availableNow": True})
+    q2.awaitTermination(180)
+    assert dst.store.latest_version() == v, \
+        "re-drain from the same checkpoint must commit nothing"
+    return dst.to_df().orderBy("c_custkey")
+
+
+STREAM_REPLICATION_ORACLE = """
+SELECT c_custkey, c_name,
+  CASE WHEN c_custkey % 40 = 0 THEN c_acctbal
+       WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+       ELSE c_acctbal END AS c_acctbal,
+  CASE WHEN c_custkey % 40 = 0 THEN 'X' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+WHERE c_custkey % 20 <> 0 OR c_custkey % 40 = 0
+ORDER BY c_custkey
+"""
+
+ENGINE_QUERIES["star_stream_replication"] = (star_stream_replication,
+                                             STREAM_REPLICATION_ORACLE)

@@ -199,3 +199,47 @@ def test_expired_window_falls_back_to_full(spark, sf_dir, tmp_path):
     _assert_equal(src, dst)
     _, st2 = sync_table(spark, src, str(tmp_path / "dst"))
     assert st2["mode"] == "noop"
+
+
+def test_sync_stream_applies_and_restarts(spark, sf_dir, tmp_path):
+    """Streaming replication: an availableNow drain applies the typed
+    CDF (inserts, upserts, deletes, delete→re-insert collapsed net per
+    batch); a restart from the same checkpoint re-commits nothing."""
+    from starlake_spark.operators.replication import sync_stream
+
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    src.set_properties({"compaction.auto": "false"})
+    src.upsert(o.filter("o_orderkey % 10 = 0")
+                .withColumn("o_totalprice", F.lit(3.5)))
+    src.delete("o_orderkey % 20 = 0", use_delta=True)
+    src.upsert(o.filter("o_orderkey % 40 = 0")
+                .withColumn("o_orderpriority", F.lit("BACK")))
+    dst_path, ckpt = str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    q = sync_stream(spark, src, dst_path, ckpt,
+                    trigger={"availableNow": True})
+    q.awaitTermination(180)
+    from starlake_spark.table import StarTable
+    dst = StarTable.for_path(spark, dst_path)
+    _assert_equal(src, dst)
+    v = dst.store.latest_version()
+    q2 = sync_stream(spark, src, dst_path, ckpt,
+                     trigger={"availableNow": True})
+    q2.awaitTermination(180)
+    assert dst.store.latest_version() == v, "restart must re-commit nothing"
+    # new source commits flow on the next drain
+    src.delete("o_orderkey % 9 = 4", use_delta=True)
+    q3 = sync_stream(spark, src, dst_path, ckpt,
+                     trigger={"availableNow": True})
+    q3.awaitTermination(180)
+    _assert_equal(src, dst)
+
+
+def test_sync_stream_guards(spark, sf_dir, tmp_path):
+    from starlake_spark.operators.replication import sync_stream
+
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    _, other = _mk_src(spark, sf_dir, str(tmp_path / "other"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="does not replicate"):
+        sync_stream(spark, other, str(tmp_path / "dst"),
+                    str(tmp_path / "ck"))
