@@ -549,6 +549,31 @@ class StarSession:
             return self._empty_df()
 
         m = re.match(
+            r"^\s*SYNC\s+TABLE\s+(?P<name>[\w.]+)\s+FROM\s+(?P<src>[\w.]+)"
+            r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+            r"(?:\s+(?P<full>FULL))?\s*$",
+            text, re.IGNORECASE)
+        if m and self._known(m["src"]):
+            from starlake_spark.operators.replication import sync_table
+
+            if self._known(m["name"]):
+                dst_path = self.table(m["name"]).store.table_path
+            elif m["loc"]:
+                dst_path = m["loc"]
+            else:
+                raise ValueError(
+                    "SYNC TABLE: unknown replica table "
+                    f"'{m['name']}' — bootstrap needs LOCATION '<path>'")
+            t, st = sync_table(self.spark, self.table(m["src"]), dst_path,
+                               full=bool(m["full"]))
+            self._tables[m["name"]] = t
+            return self.spark.createDataFrame(
+                [(st["mode"], st["from_version"], st["to_version"],
+                  st.get("upserted"), st.get("deleted"))],
+                "mode string, from_version long, to_version long, "
+                "upserted long, deleted long")
+
+        m = re.match(
             r"^\s*CONVERT\s+TO\s+STAR\s+'(?P<path>[^']+)'"
             r"(?:\s+AS\s+(?P<name>[\w.]+))?"
             r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*$",

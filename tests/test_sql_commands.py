@@ -592,3 +592,24 @@ def test_sql_rewriters_ignore_quoted_literals(spark, sess, orders_tbl):
         f"SELECT COUNT(*) AS n FROM orders_t TIMESTAMP AS OF '{iso}' "
         f"WHERE o_orderpriority <> 'y VERSION AS OF 9'").collect()[0]["n"]
     assert m == orders_tbl.to_df().count()
+
+
+def test_sync_table_sql(spark, sess, sf_dir, tmp_path):
+    """SYNC TABLE replica FROM src [LOCATION ...] [FULL] — the SQL face
+    of operators/replication.sync_table, returning the sync stats row."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = sess.create_table(o, str(tmp_path / "rsrc"), name="rsrc",
+                            hash_partitions=["o_orderkey"],
+                            hash_bucket_num=4)
+    r = sess.sql(f"SYNC TABLE rdst FROM rsrc LOCATION '{tmp_path}/rdst'") \
+            .collect()[0]
+    assert r["mode"] == "bootstrap"
+    assert sess.table("rdst").count() == o.count()
+    src.delete("o_orderkey % 5 = 0", use_delta=True)
+    r = sess.sql("SYNC TABLE rdst FROM rsrc").collect()[0]
+    assert r["mode"] == "incremental" and r["deleted"] > 0
+    assert sess.table("rdst").count() == src.count()
+    r = sess.sql("SYNC TABLE rdst FROM rsrc FULL").collect()[0]
+    assert r["mode"] == "full" and r["upserted"] == 0 and r["deleted"] == 0
+    with pytest.raises(ValueError, match="LOCATION"):
+        sess.sql("SYNC TABLE nowhere FROM rsrc")
