@@ -92,7 +92,8 @@ def main() -> None:
     STREAMING_DEMOS = {"star_streaming_sink", "star_streaming_watermark",
                        "star_stream_source", "star_stateful_sessions",
                        "star_stream_rollup", "star_stream_dedup",
-                       "star_stream_preimage_cdf", "star_native_stream_sink"}
+                       "star_stream_preimage_cdf", "star_native_stream_sink",
+                       "star_stream_replication"}
     queries = all_queries()
     excluded = []
     if not os.environ.get("BENCH_ALL"):

@@ -243,3 +243,18 @@ def test_sync_stream_guards(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="does not replicate"):
         sync_stream(spark, other, str(tmp_path / "dst"),
                     str(tmp_path / "ck"))
+
+
+def test_sync_follows_source_schema_evolution(spark, sf_dir, tmp_path):
+    """Source ALTER ADD COLUMN between syncs: the replica evolves on the
+    next apply and new-column values flow through."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    src.add_columns([("o_tier", "string")])
+    src.upsert(o.filter("o_orderkey % 6 = 0")
+                .withColumn("o_tier", F.lit("GOLD")))
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert "o_tier" in dst.to_df().columns
+    assert (dst.to_df().filter("o_tier = 'GOLD'").count()
+            == src.to_df().filter("o_tier = 'GOLD'").count())
+    _assert_equal(src, dst)
