@@ -1984,3 +1984,41 @@ ORDER BY c_custkey
 
 ENGINE_QUERIES["star_stream_replication"] = (star_stream_replication,
                                              STREAM_REPLICATION_ORACLE)
+
+
+def star_fsck_repair(spark, sf_dir):
+    """FSCK consistency check + repair (Delta FSCK REPAIR TABLE analog):
+    a clean table audits clean (deep footer audit runs DISTRIBUTED — a
+    mapInPandas job over the file list, the driver never opens a file);
+    after a whole range partition's files vanish from storage, fsck
+    reports each missing reference, the snapshot is unreadable, and
+    REPAIR drops the dead refs in one commit so the table reads again —
+    readability over completeness, with the lost partition's rows
+    absent (oracle-checked) and the repair invisible to the change
+    feed."""
+    import os as _os
+
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "fsck_repair"),
+                     range_partitions=["o_orderstatus"])
+    assert t.fsck(deep=True) == [], "fresh table must audit clean"
+    doomed = t.store.snapshot().partitions["o_orderstatus=F"].files
+    for f in doomed:
+        p = f.path if _os.path.isabs(f.path) \
+            else _os.path.join(t.store.table_path, f.path)
+        _os.remove(p)
+    issues = t.fsck()
+    assert len(issues) == len(doomed) and \
+        all(i["kind"] == "missing_file" for i in issues)
+    t.fsck(repair=True)
+    assert t.fsck() == [], "post-repair audit must be clean"
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+FSCK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderstatus <> 'F'
+ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_fsck_repair"] = (star_fsck_repair, FSCK_ORACLE)

@@ -65,6 +65,10 @@ _CHANGE_TYPES = {
     "part_compaction": None,  # OOM-guard chunk merge: a no-op rewrite
     "restore": None,
     "clone": None,
+    # FSCK repair drops refs to physically MISSING files — the rows are
+    # unrecoverable, so the feed cannot emit them; consumers that must
+    # track the loss should full-resync (replication.sync_table full=True)
+    "fsck": None,
 }
 
 

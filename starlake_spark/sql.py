@@ -549,6 +549,21 @@ class StarSession:
             return self._empty_df()
 
         m = re.match(
+            r"^\s*FSCK\s+(?:(?P<repair>REPAIR)\s+)?TABLE\s+"
+            r"(?P<name>[\w.]+)(?:\s+(?P<deep>DEEP))?\s*$",
+            text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            issues = self.table(m["name"]).fsck(
+                deep=bool(m["deep"]), repair=bool(m["repair"]))
+            return self.spark.createDataFrame(
+                [(i["kind"], i.get("partition"), i["path"],
+                  bool(i["repairable"]), i.get("detail"))
+                 for i in issues] or
+                self.spark.sparkContext.emptyRDD(),
+                "kind string, partition string, path string, "
+                "repairable boolean, detail string")
+
+        m = re.match(
             r"^\s*SYNC\s+TABLE\s+(?P<name>[\w.]+)\s+FROM\s+(?P<src>[\w.]+)"
             r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
             r"(?:\s+(?P<full>FULL))?\s*$",

@@ -317,6 +317,111 @@ class StarTable:
                            manifest_retention_s=manifest_retention_s,
                            cdc_retention_s=cdc_retention_s)
 
+    def fsck(self, deep: bool = False, repair: bool = False) -> list[dict]:
+        """Consistency check (Delta ``FSCK [REPAIR] TABLE`` analog).
+        Metadata pass (always): every manifest-referenced data file, DV
+        sidecar, and bloom sidecar must exist on storage, and every
+        retained version must still resolve its delta chain. ``deep``
+        adds a DISTRIBUTED footer audit — one ``mapInPandas`` job over
+        the file list reads each parquet footer on the executors and
+        compares physical row counts against the manifest (the 100 TB
+        shape: the driver never touches a file). Returns a list of
+        issue dicts (empty = healthy).
+
+        ``repair=True`` drops manifest references to MISSING data files
+        in one commit so the table reads again (Delta FSCK REPAIR
+        semantics: readability over completeness — the lost rows are
+        gone either way; restore from an older version if you need
+        them). Missing DV sidecars are NOT repaired: dropping a vector
+        ref would resurrect deleted rows — reported as irreparable.
+        The repair commit is invisible to the change feed (rows cannot
+        be emitted from files that no longer exist)."""
+        import os as _os
+
+        store = self.store
+        snap = store.snapshot()
+
+        def _abs(p: str) -> str:
+            return p if _os.path.isabs(p) else _os.path.join(
+                store.table_path, p)
+
+        issues: list[dict] = []
+        missing_files: list[str] = []
+        for ps in snap.partitions.values():
+            for f in ps.files:
+                if not _os.path.exists(_abs(f.path)):
+                    missing_files.append(f.path)
+                    issues.append({"kind": "missing_file",
+                                   "partition": ps.range_value,
+                                   "path": f.path, "repairable": True})
+                if getattr(f, "bloom_ref", None) and \
+                        not _os.path.exists(_abs(f.bloom_ref)):
+                    issues.append({"kind": "missing_bloom_sidecar",
+                                   "partition": ps.range_value,
+                                   "path": f.bloom_ref, "repairable": False})
+            for d in ps.dv_files:
+                if not _os.path.exists(_abs(d.path)):
+                    issues.append({"kind": "missing_dv_sidecar",
+                                   "partition": ps.range_value,
+                                   "path": d.path, "repairable": False})
+        # resolve versions through a COLD store: the live store's
+        # snapshot cache would mask on-disk manifest corruption
+        cold = ManifestStore(store.table_path)
+        for v in cold.list_versions():
+            try:
+                cold.snapshot(v)
+            except Exception as exc:  # noqa: BLE001
+                issues.append({"kind": "unresolvable_version",
+                               "partition": None, "path": str(v),
+                               "repairable": False, "detail": str(exc)})
+        if deep:
+            gone = set(missing_files)
+            audit = [( _abs(f.path), f.path, ps.range_value,
+                       int(f.num_rows))
+                     for ps in snap.partitions.values() for f in ps.files
+                     if f.path not in gone and f.num_rows is not None
+                     and f.num_rows >= 0]
+            if audit:
+                pdf_schema = ("path string, partition string, "
+                              "expected long, actual long")
+
+                def _footers(batches):
+                    import pandas as _pd
+                    import pyarrow.parquet as _pq
+
+                    for b in batches:
+                        rows = []
+                        for ap, rp, rv, exp in zip(
+                                b["abs_path"], b["rel_path"],
+                                b["range_value"], b["expected"]):
+                            rows.append((rp, rv, int(exp),
+                                         _pq.ParquetFile(ap)
+                                         .metadata.num_rows))
+                        yield _pd.DataFrame(
+                            rows, columns=["path", "partition",
+                                           "expected", "actual"])
+
+                adf = self.spark.createDataFrame(
+                    audit, "abs_path string, rel_path string, "
+                           "range_value string, expected long")
+                bad = (adf.repartition(
+                            max(1, min(len(audit), 64)))
+                       .mapInPandas(_footers, pdf_schema)
+                       .filter("expected <> actual").collect())
+                for r in bad:
+                    issues.append({"kind": "row_count_mismatch",
+                                   "partition": r["partition"],
+                                   "path": r["path"], "repairable": False,
+                                   "detail": f"manifest={r['expected']} "
+                                             f"footer={r['actual']}"})
+        if repair and missing_files:
+            txn = store.new_transaction()
+            txn.commit_type = "fsck"
+            for p in missing_files:
+                txn.expire.add(p)
+            store.commit(txn)
+        return issues
+
     def generate_symlink_manifest(self, version: int | None = None) -> str:
         """Delta ``GENERATE symlink_format_manifest`` parity: write
         ``_symlink_format_manifest/[<range dirs>/]manifest`` text files

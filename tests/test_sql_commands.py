@@ -613,3 +613,10 @@ def test_sync_table_sql(spark, sess, sf_dir, tmp_path):
     assert r["mode"] == "full" and r["upserted"] == 0 and r["deleted"] == 0
     with pytest.raises(ValueError, match="LOCATION"):
         sess.sql("SYNC TABLE nowhere FROM rsrc")
+
+
+def test_fsck_sql(spark, sess, sf_dir, tmp_path, orders_tbl):
+    out = sess.sql("FSCK TABLE orders_t DEEP")
+    assert out.count() == 0
+    assert out.columns == ["kind", "partition", "path", "repairable",
+                           "detail"]
