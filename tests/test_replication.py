@@ -258,3 +258,41 @@ def test_sync_follows_source_schema_evolution(spark, sf_dir, tmp_path):
     assert (dst.to_df().filter("o_tier = 'GOLD'").count()
             == src.to_df().filter("o_tier = 'GOLD'").count())
     _assert_equal(src, dst)
+
+
+def test_randomized_dml_storm_differential(spark, sf_dir, tmp_path):
+    """Property-style soak: a seeded random storm of upserts (full and
+    partial column), tombstone deletes, updates, and compactions on the
+    source, with a sync after every few commits — the replica must
+    equal the source after every sync."""
+    import random
+
+    rng = random.Random(42)
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    src.set_properties({"compaction.auto": "false"})
+    sync_table(spark, src, str(tmp_path / "dst"))
+    n_synced = 0
+    for step in range(12):
+        op = rng.choice(["upsert", "partial", "delete", "update",
+                         "compact"])
+        m, r = rng.randint(3, 17), rng.randint(0, 2)
+        if op == "upsert":
+            src.upsert(o.filter(f"o_orderkey % {m} = {r}")
+                        .withColumn("o_totalprice",
+                                    F.lit(float(step) + 0.5)))
+        elif op == "partial":
+            src.upsert(o.filter(f"o_orderkey % {m} = {r}")
+                        .select("o_orderkey",
+                                F.lit(f"S{step}").alias("o_orderstatus")))
+        elif op == "delete":
+            src.delete(f"o_orderkey % {m} = {r}", use_delta=True)
+        elif op == "update":
+            src.update(f"o_orderkey % {m} = {r}",
+                       {"o_orderpriority": f"'P{step}'"}, use_delta=True)
+        else:
+            src.compaction(force=True)
+        if step % 3 == 2:
+            dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+            n_synced += 1
+            _assert_equal(src, dst)
+    assert n_synced >= 3
