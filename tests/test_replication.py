@@ -296,3 +296,20 @@ def test_randomized_dml_storm_differential(spark, sf_dir, tmp_path):
             n_synced += 1
             _assert_equal(src, dst)
     assert n_synced >= 3
+
+
+def test_replication_chain(spark, sf_dir, tmp_path):
+    """A replica is a normal table: C can replicate B while B replicates
+    A — changes propagate down the chain, sync by sync."""
+    o, a = _mk_src(spark, sf_dir, str(tmp_path / "a"))
+    b, _ = sync_table(spark, a, str(tmp_path / "b"))
+    c, _ = sync_table(spark, b, str(tmp_path / "c"))
+    a.update("o_orderkey % 4 = 1", {"o_orderpriority": "'CHAIN'"},
+             use_delta=True)
+    a.delete("o_orderkey % 25 = 0", use_delta=True)
+    b, st_b = sync_table(spark, a, str(tmp_path / "b"))
+    c, st_c = sync_table(spark, b, str(tmp_path / "c"))
+    assert st_b["mode"] == st_c["mode"] == "incremental"
+    assert st_c["deleted"] > 0
+    _assert_equal(a, b)
+    _assert_equal(b, c)
