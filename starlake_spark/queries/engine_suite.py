@@ -2022,3 +2022,44 @@ ORDER BY o_orderkey
 """
 
 ENGINE_QUERIES["star_fsck_repair"] = (star_fsck_repair, FSCK_ORACLE)
+
+
+def star_metadata_agg(spark, sf_dir):
+    """Aggregate pushdown to the MANIFEST: exact min/max/count from the
+    write-time footer stats with ZERO Spark jobs (asserted inline via
+    the status tracker) — where Spark's parquet aggregate pushdown
+    still opens every footer at query time, a million-file star table
+    answers from kilobytes of manifest. Guards make it exact-or-error:
+    MoR snapshots, deletion vectors, and string columns all refuse."""
+    o = ld(spark, sf_dir, "orders")
+    t = create_table(spark, o, _scratch(sf_dir, "metadata_agg"),
+                     range_partitions=["o_orderstatus"])
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    mp = t.metadata_agg("o_totalprice")
+    mk = t.metadata_agg("o_orderkey")
+    md = t.metadata_agg("o_orderdate")
+    after = len(spark.sparkContext.statusTracker()
+                .getJobIdsForGroup(None) or [])
+    assert after == before, "metadata_agg must run zero Spark jobs"
+    row = [(mp["min"], mp["max"], int(mk["max"]), int(mp["count"]),
+            md["min"], md["max"])]
+    return (spark.createDataFrame(
+                row, "min_price double, max_price double, "
+                     "max_orderkey long, n_rows long, "
+                     "min_date timestamp, max_date timestamp")
+            .select("min_price", "max_price", "max_orderkey", "n_rows",
+                    F.date_format("min_date", "yyyy-MM-dd").alias("min_date"),
+                    F.date_format("max_date", "yyyy-MM-dd").alias("max_date")))
+
+
+METADATA_AGG_ORACLE = """
+SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       max(o_orderkey) AS max_orderkey, count(*) AS n_rows,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+FROM orders
+"""
+
+ENGINE_QUERIES["star_metadata_agg"] = (star_metadata_agg,
+                                       METADATA_AGG_ORACLE)

@@ -968,6 +968,88 @@ class StarTable:
             "dv_dead_rows": dead,
         }
 
+    def metadata_agg(self, col: str, version: int | None = None) -> dict:
+        """EXACT min/max/count/null-count for one column with ZERO Spark
+        jobs — the aggregate-pushdown-to-manifest path (Spark's own
+        parquet aggregate pushdown reads every footer at query time;
+        here the bounds were harvested once at write time and ride the
+        manifest, so a million-file table answers ``max(ts)`` from
+        metadata). Exactness conditions, all enforced: an all-base
+        snapshot (delta versions overlap keys), no deletion vectors
+        (a vectored row may BE the extremum), footer stats + row counts
+        present on every file, and a non-string column — long string
+        stats are stored truncated (min) / widen-truncated (max), which
+        are valid pruning BOUNDS but not values. Raises ValueError when
+        any condition fails: callers fall back to the scan aggregate,
+        never get an approximation. Values return as Python types per
+        the table schema (dates/timestamps/decimals parsed back from
+        their JSON-safe manifest encoding)."""
+        import datetime as _dt
+        import decimal as _decimal
+
+        snap = self.store.snapshot(version)
+        files = list(snap.all_files())
+        if not files:
+            return {"min": None, "max": None, "count": 0, "nulls": 0}
+        if any(not f.is_base_file for f in files):
+            raise ValueError("metadata_agg requires an all-base snapshot "
+                             "(MoR delta versions overlap keys) — run "
+                             "compaction() or aggregate through to_df()")
+        if any(ps.dv_files for ps in snap.partitions.values()):
+            raise ValueError("metadata_agg is unavailable under deletion "
+                             "vectors (a vectored row may be the extremum)")
+        schema = T.StructType.fromJson(json.loads(
+            self.store.table_info().schema_json))
+        if col not in schema.fieldNames():
+            raise ValueError(f"unknown column '{col}'")
+        dt = schema[col].dataType
+        if isinstance(dt, T.StringType):
+            raise ValueError(
+                "metadata_agg does not serve string columns: manifest "
+                "string stats are truncated bounds, not exact values")
+        def _to_py(v):
+            # decode BEFORE comparing: decimal strings (and any future
+            # string-encoded numeric) order lexicographically, not
+            # numerically; ISO temporals would compare fine either way
+            if v is None:
+                return None
+            if isinstance(dt, T.DateType):
+                return _dt.date.fromisoformat(v)
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return _dt.datetime.fromisoformat(v)
+            if isinstance(dt, T.DecimalType):
+                return _decimal.Decimal(v)
+            return v
+
+        mins, maxs, total = [], [], 0
+        nulls: int | None = 0
+        for f in files:
+            if f.num_rows == 0:
+                continue
+            st = (f.stats or {}).get(col)
+            if f.num_rows < 0 or st is None:
+                raise ValueError(
+                    f"file {f.path} carries no footer stats for '{col}' "
+                    "(written pre-stats?) — fall back to a scan aggregate")
+            all_null = st.get("nulls") == f.num_rows
+            if ("min" not in st or "max" not in st) and not all_null:
+                raise ValueError(
+                    f"file {f.path} has no '{col}' bounds and isn't "
+                    "all-null — fall back to a scan aggregate")
+            total += f.num_rows
+            if nulls is not None:
+                # the writer omits the key when a footer lacked null
+                # counts — then the exact figure is unknowable here
+                nulls = (nulls + st["nulls"]) if "nulls" in st else None
+            if st.get("min") is not None:
+                mins.append(_to_py(st["min"]))
+            if st.get("max") is not None:
+                maxs.append(_to_py(st["max"]))
+
+        return {"min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "count": total, "nulls": nulls}
+
     def count(self, version: int | None = None) -> int:
         """Row count — metadata-only when the snapshot can answer
         exactly: an all-base snapshot with footer row counts on every

@@ -412,3 +412,57 @@ def test_generate_symlink_manifest(spark, sf_dir, tmp_path):
         th.generate_symlink_manifest()
     th.compaction()
     assert os.path.isdir(th.generate_symlink_manifest())
+
+
+def test_metadata_agg_exact_and_zero_jobs(spark, sf_dir, tmp_table_dir):
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, o, tmp_table_dir,
+                     range_partitions=["o_orderstatus"])
+    exp = o.selectExpr("min(o_totalprice)", "max(o_totalprice)",
+                       "count(*)", "min(o_orderdate)",
+                       "max(o_orderdate)").collect()[0]
+    before = len(spark.sparkContext.statusTracker()
+                 .getJobIdsForGroup(None) or [])
+    mp = t.metadata_agg("o_totalprice")
+    md = t.metadata_agg("o_orderdate")
+    after = len(spark.sparkContext.statusTracker()
+                .getJobIdsForGroup(None) or [])
+    assert after == before, "metadata_agg must run zero Spark jobs"
+    assert (mp["min"], mp["max"], mp["count"]) == (exp[0], exp[1], exp[2])
+    assert (md["min"], md["max"]) == (exp[3], exp[4])
+    assert mp["nulls"] == 0
+
+
+def test_metadata_agg_guards(spark, sf_dir, tmp_table_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, o, tmp_table_dir,
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2,
+                     configuration={"compaction.auto": "false"})
+    with pytest.raises(ValueError, match="string"):
+        t.metadata_agg("o_orderstatus")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.metadata_agg("nope")
+    t.upsert(o.limit(50).withColumn("o_totalprice", F.lit(1.0)))
+    with pytest.raises(ValueError, match="all-base"):
+        t.metadata_agg("o_totalprice")
+    t.compaction(force=True)
+    mp = t.metadata_agg("o_totalprice")
+    assert mp["min"] == 1.0  # post-compaction stats reflect the upsert
+    assert mp["count"] == o.count()
+
+
+def test_metadata_agg_counts_nulls(spark, tmp_table_dir):
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.5), (4, None)], "k long, v double")
+    t = create_table(spark, df, tmp_table_dir)
+    m = t.metadata_agg("v")
+    assert m == {"min": 5.0, "max": 7.5, "count": 4, "nulls": 2}
