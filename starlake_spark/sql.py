@@ -256,7 +256,33 @@ class StarSession:
             df.createOrReplaceTempView(vn)
             return vn
 
-        return self._sub_outside_quotes(self._CDF_TVF_RE, repl, text)
+        text = self._sub_outside_quotes(self._CDF_TVF_RE, repl, text)
+        return self._sub_outside_quotes(self._RANGE_TVF_RE,
+                                        self._range_tvf_repl, text)
+
+    _RANGE_TVF_RE = re.compile(
+        r"range_changes\(\s*'(?P<name>[\w.]+)'\s*,\s*(?P<start>\d+)\s*"
+        r"(?:,\s*(?P<end>\d+)\s*)?\)",
+        re.IGNORECASE)
+
+    def _range_tvf_repl(self, m):
+        """``range_changes('t', start[, end])`` TVF: the COALESCED net
+        state diff of the commit window — one update pair per key no
+        matter how many commits churned it (the sync-job / incremental-
+        maintenance read shape), vs table_changes' per-commit history."""
+        import uuid as _uuid
+
+        from starlake_spark.sources.datasource import range_changes
+
+        if not self._known(m["name"]):
+            return m.group(0)
+        t = self.table(m["name"])
+        df = range_changes(
+            self.spark, t.store.table_path, int(m["start"]),
+            end_version=int(m["end"]) if m["end"] else None)
+        vn = f"_star_rcdf_{_uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(vn)
+        return vn
 
     @staticmethod
     def _sub_outside_quotes(rx, repl, text: str) -> str:

@@ -620,3 +620,30 @@ def test_fsck_sql(spark, sess, sf_dir, tmp_path, orders_tbl):
     assert out.count() == 0
     assert out.columns == ["kind", "partition", "path", "repairable",
                            "detail"]
+
+
+def test_range_changes_tvf(spark, sess, sf_dir, tmp_path):
+    """range_changes('t', v0[, v1]) TVF: coalesced net window — a key
+    churned by several commits emits ONE update pair."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sess.create_table(o, str(tmp_path / "rc"), name="rc",
+                      hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    t = sess.table("rc")
+    for i in range(3):  # churn the SAME keys three times
+        t.upsert(o.filter("o_orderkey % 11 = 1")
+                  .withColumn("o_totalprice", F.lit(float(i))))
+    out = sess.sql(
+        "SELECT _change_type, count(*) AS n FROM range_changes('rc', 1) "
+        "GROUP BY _change_type ORDER BY _change_type").collect()
+    per = {r["_change_type"]: r["n"] for r in out}
+    n_keys = o.filter("o_orderkey % 11 = 1").count()
+    assert per == {"update_preimage": n_keys, "update_postimage": n_keys}
+    post = sess.sql(
+        "SELECT DISTINCT o_totalprice FROM range_changes('rc', 1) "
+        "WHERE _change_type = 'update_postimage'").collect()
+    assert [r[0] for r in post] == [2.0]  # the NET state, not history
+    # literal guard: quoted text is never rewritten
+    lit = sess.sql("SELECT 'range_changes(''rc'', 1)' AS s").collect()
+    assert "range_changes" in lit[0]["s"]
