@@ -717,3 +717,30 @@ def test_bpe_apply_plan_is_pure_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bpe_randomized_vs_python_reference(spark):
+    """Seeded random corpora (repeated chars, shared prefixes, blanks):
+    learned rules and encodings must match the per-word greedy Python
+    reference for every document."""
+    import random
+
+    rng = random.Random(17)
+    alphabet = "abcd"
+    for trial in range(3):
+        docs = []
+        for did in range(rng.randint(3, 8)):
+            words = [
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(0, 12))
+            ]
+            docs.append((did, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        merges = tx.bpe_train(df, "text", num_merges=4, min_count=1)
+        got = {r["doc_id"]: r["t"]
+               for r in tx.bpe_apply(df, "text", merges, "t").collect()}
+        for did, text in docs:
+            exp = _py_greedy_bpe(text, merges)
+            assert got[did] == exp, (trial, did, text, merges,
+                                     got[did], exp)

@@ -466,3 +466,35 @@ def test_metadata_agg_counts_nulls(spark, tmp_table_dir):
     t = create_table(spark, df, tmp_table_dir)
     m = t.metadata_agg("v")
     assert m == {"min": 5.0, "max": 7.5, "count": 4, "nulls": 2}
+
+
+def test_metadata_agg_randomized_differential(spark, tmp_path):
+    """Seeded random tables (nulls, negative decimals-as-doubles, dates,
+    duplicate extrema, single-row and all-null partitions): metadata_agg
+    must equal the scan aggregate or refuse — never approximate."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    rng = random.Random(9)
+    for case in range(4):
+        rows = []
+        for i in range(rng.randint(1, 120)):
+            v = None if rng.random() < 0.3 else \
+                round(rng.uniform(-1e6, 1e6), 3)
+            d = dt.date(2020, 1, 1) + dt.timedelta(days=rng.randint(0, 900))
+            rows.append((i, v, d, rng.choice("AB")))
+        df = spark.createDataFrame(
+            rows, "k long, v double, d date, p string")
+        t = create_table(spark, df, str(tmp_path / f"rt{case}"),
+                         range_partitions=["p"])
+        exp = df.selectExpr("min(v)", "max(v)", "count(*)",
+                            "sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)",
+                            "min(d)", "max(d)").collect()[0]
+        mv, md = t.metadata_agg("v"), t.metadata_agg("d")
+        assert (mv["min"], mv["max"], mv["count"], mv["nulls"]) == \
+            (exp[0], exp[1], exp[2], exp[3]), case
+        assert (md["min"], md["max"]) == (exp[4], exp[5]), case
