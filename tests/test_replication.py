@@ -313,3 +313,38 @@ def test_replication_chain(spark, sf_dir, tmp_path):
     assert st_c["deleted"] > 0
     _assert_equal(a, b)
     _assert_equal(b, c)
+
+
+def test_crash_between_apply_commits_converges(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """The apply is two commits (upsert, then tombstones). A crash
+    BETWEEN them leaves the watermark unadvanced; the retry re-applies
+    the whole window and converges — no lost deletes, no dup rows."""
+    from starlake_spark.operators import dml
+
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    sync_table(spark, src, str(tmp_path / "dst"))
+    src.upsert(o.filter("o_orderkey % 8 = 1")
+                .withColumn("o_totalprice", F.lit(77.0)))
+    src.delete("o_orderkey % 8 = 2", use_delta=True)
+
+    real = dml.delete_keys
+    calls = {"n": 0}
+
+    def dying(spark_, store, keys_df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before tombstone commit")
+        return real(spark_, store, keys_df)
+
+    monkeypatch.setattr(dml, "delete_keys", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sync_table(spark, src, str(tmp_path / "dst"))
+    # watermark must NOT have advanced past the failed apply
+    from starlake_spark.table import StarTable
+
+    dst = StarTable.for_path(spark, str(tmp_path / "dst"))
+    assert dst.info.configuration[VERSION_PROP] == "1"
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "incremental" and calls["n"] == 2
+    _assert_equal(src, dst)
