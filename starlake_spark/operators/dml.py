@@ -144,6 +144,7 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
             raise ValueError(f"upsert source must carry range column '{c}' "
                              "(UpsertCommand.scala:83-88)")
     info = maybe_merge_schema(source, store)
+    source = writer.dedup_batch_last_wins(source, info)
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
@@ -1116,6 +1117,7 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
     if txn_key is not None and store.snapshot().streaming.get(txn_key, -1) >= txn_version:
         return
     info = maybe_merge_schema(df, store)
+    df = writer.dedup_batch_last_wins(df, info)
     txn = store.new_transaction()
     files = writer.write_files(spark, df, info, txn, is_base=True)
     if mode == "overwrite":

@@ -113,6 +113,40 @@ def align_case(df: DataFrame, info: TableInfo) -> DataFrame:
     return df
 
 
+def dedup_batch_last_wins(df: DataFrame, info: TableInfo) -> DataFrame:
+    """In-batch primary-key dedup for hash tables (reference
+    UpsertWithDuplicateData{BySame,ByDifferent,AndFields} manual suites:
+    duplicate keys inside ONE write batch collapse to the LAST row,
+    the same last-wins the merge reader applies across versions —
+    MergeSingletonFile semantics within a file). Order is the batch's
+    input order (monotonically_increasing_id: partition-major, row-minor
+    — union'd later frames outrank earlier ones). Without this the
+    plain scan of an all-base snapshot would show BOTH rows while the
+    MoR scan after any delta collapses them arbitrarily — write-time
+    dedup makes every read path agree and keeps the file-level PK
+    invariant. Skipped for declared-merge-operator tables: their fold
+    must see every source row (a sum op aggregates in-batch duplicates;
+    collapsing first would drop addends).
+
+    Cost shape: the window partitions by the same keys the bucketed
+    write is about to shuffle on — one extra within-partition sort on
+    an O(batch) frame, no additional shuffle stage at scale."""
+    from pyspark.sql import Window
+
+    if not info.hash_cols:
+        return df
+    if (info.configuration or {}).get("compaction.merge_operators"):
+        return df
+    keys = [k for k in info.range_cols + info.hash_cols if k in df.columns]
+    if not keys:
+        return df
+    w = Window.partitionBy(*keys).orderBy(F.col("_sl_batch_ord").desc())
+    return (df.withColumn("_sl_batch_ord", F.monotonically_increasing_id())
+              .withColumn("_sl_batch_rn", F.row_number().over(w))
+              .filter(F.col("_sl_batch_rn") == 1)
+              .drop("_sl_batch_ord", "_sl_batch_rn"))
+
+
 def normalize_for_write(
     df: DataFrame, info: TableInfo, enforce_schema: bool = True
 ) -> DataFrame:

@@ -1301,6 +1301,7 @@ def create_table(
     store = ManifestStore(path)
     store.create(info)
     txn = store.new_transaction()
+    df = writer.dedup_batch_last_wins(df, info)
     files = writer.write_files(spark, df, info, txn, is_base=True)
     txn.add_files(files)
     store.commit(txn)

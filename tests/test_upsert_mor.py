@@ -269,3 +269,55 @@ def test_non_identity_custom_op_consistent_across_half_compacted(spark, tmp_path
     got2 = {r["id"]: r["v"] for r in
             t.to_df(merge_operators={"v": last_like}).collect()}
     assert got2 == {1: 10, 2: 20, 3: 300, 4: 40}, got2
+
+
+def test_duplicate_keys_in_one_batch_last_wins(spark, tmp_table_dir):
+    """Reference UpsertWithDuplicateData{BySame,ByDifferent,AndFields}
+    (manual_execute_suites): duplicate primary keys inside ONE batch —
+    at CREATE and at every upsert — collapse to the LAST row by input
+    order, on every read path (plain scan of the all-base snapshot AND
+    the MoR scan after deltas must agree)."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "c", 12), (2, "d", 13),
+         (3, "e", 14)],
+        "k long, name string, age long")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["k"], hash_bucket_num=2)
+    # plain path (all-base snapshot): deduped at write
+    assert sorted((r["k"], r["name"]) for r in t.to_df().collect()) == \
+        [(1, "b"), (2, "d"), (3, "e")]
+    # partial-column upsert with dups: last wins, untouched cols keep
+    t.upsert(spark.createDataFrame([(3, "x"), (3, "y"), (4, "p"), (4, "q")],
+                                   "k long, name string"))
+    assert sorted((r["k"], r["name"], r["age"])
+                  for r in t.to_df().collect()) == \
+        [(1, "b", 11), (2, "d", 13), (3, "y", 14), (4, "q", None)]
+    # a union-built batch: the later-unioned frame outranks the earlier
+    t.upsert(spark.createDataFrame([(5, "old")], "k long, name string")
+             .union(spark.createDataFrame([(5, "new")],
+                                          "k long, name string")))
+    assert t.to_df().filter("k = 5").select("name").collect()[0][0] == "new"
+    # compaction preserves the collapsed state
+    t.compaction(force=True)
+    assert t.to_df().count() == 5
+
+
+def test_duplicate_keys_feed_merge_operator_fold(spark, tmp_table_dir):
+    """Merge-operator tables must see EVERY source row: in-batch
+    duplicates are addends to the fold, not noise to collapse."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, 10), (1, 11), (2, 5)],
+                               "k long, age long")
+    t = create_table(spark, df, tmp_table_dir,
+                     hash_partitions=["k"], hash_bucket_num=2,
+                     configuration={"compaction.merge_operators":
+                                    '{"age": "sum"}'})
+    t.upsert(spark.createDataFrame([(1, 100), (1, 200)],
+                                   "k long, age long"))
+    got = {r["k"]: r["age"] for r in t.to_df().collect()}
+    assert got == {1: 321, 2: 5}
