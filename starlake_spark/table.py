@@ -1258,6 +1258,15 @@ def create_table(
                 f"pruning)")
         if c not in df.columns:
             df = df.withColumn(c, F.expr(expr))
+    # partition option names resolve case-insensitively against the data
+    # (reference schema/CaseSensitivitySuite.scala "set partition columns
+    # - case insensitive": Spark's default resolver), canonicalized to
+    # the data's casing so manifests and directory names stay consistent
+    by_lower: dict[str, str] = {}
+    for c in df.columns:
+        by_lower.setdefault(c.lower(), c)
+    range_partitions = [by_lower.get(c.lower(), c) for c in range_partitions]
+    hash_partitions = [by_lower.get(c.lower(), c) for c in hash_partitions]
     for c in range_partitions + hash_partitions:
         if c not in df.columns:
             raise ValueError(f"partition column '{c}' not in data")

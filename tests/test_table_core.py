@@ -498,3 +498,25 @@ def test_metadata_agg_randomized_differential(spark, tmp_path):
         assert (mv["min"], mv["max"], mv["count"], mv["nulls"]) == \
             (exp[0], exp[1], exp[2], exp[3]), case
         assert (md["min"], md["max"]) == (exp[4], exp[5]), case
+
+
+def test_create_partition_options_case_insensitive(spark, sf_dir, tmp_path):
+    """Reference CaseSensitivitySuite 'set partition columns - case
+    insensitive': partition/hash option names resolve against the data
+    under Spark's default case-insensitive resolver, canonicalized to
+    the data's casing; replaceWhere predicates are case-insensitive too."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, "A", 5.0), (2, "B", 6.0)],
+                               "k long, grp string, v double")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     range_partitions=["GRP"],
+                     hash_partitions=["K"], hash_bucket_num=2)
+    assert t.info.range_cols == ["grp"]
+    assert t.info.hash_cols == ["k"]
+    assert t.to_df().count() == 2
+    t2 = create_table(spark, df, str(tmp_path / "t2"),
+                      range_partitions=["grp"])
+    t2.write(df.filter("grp = 'A'"), mode="overwrite",
+             replace_where="GRP = 'A'")
+    assert t2.to_df().count() == 2
