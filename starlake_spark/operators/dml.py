@@ -118,19 +118,33 @@ def _maybe_auto_compact(spark: SparkSession, store: ManifestStore,
 def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
            use_delta: bool = True,
            txn_app_id: str | None = None,
-           txn_version: int | None = None) -> None:
+           txn_version: int | None = None,
+           condition: str | None = None) -> None:
     """MoR delta upsert (default) or CoW full-outer rewrite.
 
     Delta path (UpsertCommand.scala:107-111): write the source as
     key-sorted bucket files at a new commit version, expire nothing;
     readers collapse versions per key (reader._merge_scan). O(source)
-    write cost — the 100 TB-friendly path.
+    write cost — the 100 TB-friendly path. ``condition`` is ignored
+    here, as in the reference (UpsertCommand.scala:106-111 — the delta
+    write touches no existing file, so there is nothing to scope).
 
     CoW path (UpsertCommand.scala:112-153, USE_DELTA_FILE=false):
     ``target FULL OUTER JOIN source`` on the merge keys with
     ``coalesce(source.c, target.c)`` per overlapping column — note the
     deliberate semantic difference pinned in SURVEY §7(c): explicit
     source NULLs do *not* win here, unlike the delta path.
+
+    ``condition`` (CoW only, range-partition predicate — reference
+    conditionString + targetOnlyPredicates, UpsertCommand.scala:114-124):
+    scopes the rewrite to matching range partitions — only their files
+    join, only they are expired, and the source is filtered to the same
+    predicate (source rows outside it are dropped, the reference's
+    columnFilter). On a RANGE-PARTITIONED table the CoW path REQUIRES a
+    condition unless the table sets ``upsert.allowFullTable=true``
+    (StarLakeErrors.scala:570 upsertConditionNotFoundException — a
+    full-table CoW rewrite at 100 TB is exactly the accident this
+    guard exists to stop).
     """
     info = store.table_info()
     if not info.hash_cols:
@@ -175,8 +189,24 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
         return
 
     keys = info.range_cols + info.hash_cols
-    target = reader.scan(spark, store)
+    allow_full = (info.configuration or {}).get(
+        "upsert.allowFullTable", "false").lower() == "true"
+    if info.range_cols and condition is None and not allow_full:
+        raise ValueError(
+            "Some condition for range partition should be declared to "
+            "prevent full table scan when upsert "
+            "(StarLakeErrors.scala:570); pass condition=..., or set table "
+            "property upsert.allowFullTable=true")
+    matching: set[str] | None = None
+    if condition is not None:
+        _require_range_only_predicate(info, condition)
+        matching = _partitions_matching(spark, store, info, condition)
+        target = reader.scan(spark, store, partition_filter=condition)
+    else:
+        target = reader.scan(spark, store)
     src = writer.normalize_for_write(source, info, enforce_schema=False)
+    if condition is not None:
+        src = src.filter(F.expr(condition))
     t = target.alias("t")
     s = src.alias("s")
     joined = t.join(s, on=keys, how="full")
@@ -192,7 +222,35 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
         else:
             out_cols.append(F.col(f"t.{f.name}").alias(f.name))
     result = joined.select(*out_cols)
-    _rewrite_all(spark, store, info, result)
+    if matching is None:
+        _rewrite_all(spark, store, info, result)
+        return
+    txn = store.new_transaction()
+    txn.commit_type = "write"
+    files = writer.write_files(spark, result, info, txn, is_base=True)
+    for rv in matching:
+        txn.expire_partition(rv)
+    txn.add_files(files)
+    store.commit(txn)
+
+
+def _require_range_only_predicate(info: TableInfo, condition: str) -> None:
+    """The scoped-CoW condition may reference RANGE columns only — the
+    reference silently discards non-range conjuncts
+    (targetOnlyPredicates filter, UpsertCommand.scala:114-118); raising
+    beats silently widening the rewrite scope."""
+    import re as _re
+
+    body = _re.sub(r"'[^']*'", "''", condition)
+    words = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", body))
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    bad = [c for c in schema.fieldNames()
+           if c in words and c not in info.range_cols]
+    if bad:
+        raise ValueError(
+            f"upsert condition may reference range partition columns "
+            f"only; non-range columns {bad} are not usable for scoping "
+            f"(UpsertCommand.scala:114-118 keeps range-only conjuncts)")
 
 
 def merge_into(

@@ -187,9 +187,14 @@ class StarTable:
         return self
 
     def upsert(self, source: DataFrame, use_delta: bool = True,
-               txn_app_id: str | None = None, txn_version: int | None = None) -> "StarTable":
+               txn_app_id: str | None = None, txn_version: int | None = None,
+               condition: str | None = None) -> "StarTable":
+        """``condition`` scopes the CoW path (use_delta=False) to
+        matching range partitions and is REQUIRED there on
+        range-partitioned tables — see dml.upsert."""
         dml.upsert(self.spark, self.store, source, use_delta=use_delta,
-                   txn_app_id=txn_app_id, txn_version=txn_version)
+                   txn_app_id=txn_app_id, txn_version=txn_version,
+                   condition=condition)
         return self
 
     def update(self, condition, set_exprs: dict, use_delta: bool = False,

@@ -44,9 +44,10 @@ def test_upsert_cow_null_does_not_win(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     t.upsert(spark.createDataFrame([(2, None, "r1"), (9, "i", "r1")],
                                    "id int, name string, range string"),
-             use_delta=False)
+             use_delta=False, condition="range = 'r1'")
     rows = dict((r.id, r.name) for r in t.to_df().collect())
     assert rows[2] == "b" and rows[9] == "i"
+    assert rows[3] == "c"  # out-of-scope partition untouched
 
 
 def test_upsert_requires_hash_cols(spark, tmp_table_dir):
@@ -321,3 +322,51 @@ def test_duplicate_keys_feed_merge_operator_fold(spark, tmp_table_dir):
                                    "k long, age long"))
     got = {r["k"]: r["age"] for r in t.to_df().collect()}
     assert got == {1: 321, 2: 5}
+
+
+def test_cow_upsert_condition_scopes_rewrite(spark, tmp_table_dir):
+    """Reference UpsertSuiteBase 'upsert with condition' (CoW mode):
+    a range-partitioned table REQUIRES a range condition on the CoW
+    path (upsertConditionNotFoundException); with one, only matching
+    partitions rewrite, out-of-scope source rows are dropped, and
+    untouched partitions keep their files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame(
+        [(20201101, 1, 1), (20201101, 2, 2), (20201101, 3, 3),
+         (20201102, 4, 4)],
+        "range int, hash int, value int")
+    t = create_table(spark, df, tmp_table_dir,
+                     range_partitions=["range"],
+                     hash_partitions=["hash"], hash_bucket_num=2)
+    src = spark.createDataFrame(
+        [(20201101, 1, 11), (20201101, 3, 33), (20201102, 4, 44)],
+        "range int, hash int, value int")
+    with pytest.raises(ValueError, match="condition for range partition"):
+        t.upsert(src, use_delta=False)
+    before = {f.path for ps in t.store.snapshot().partitions.values()
+              for f in ps.files if "range=20201102" in f.range_value}
+    t.upsert(src, use_delta=False, condition="range = 20201101")
+    got = sorted((r["range"], r["hash"], r["value"])
+                 for r in t.to_df().collect())
+    # 20201102 untouched: the out-of-scope source row (4 -> 44) dropped
+    assert got == [(20201101, 1, 11), (20201101, 2, 2),
+                   (20201101, 3, 33), (20201102, 4, 4)]
+    after = {f.path for ps in t.store.snapshot().partitions.values()
+             for f in ps.files if "range=20201102" in f.range_value}
+    assert after == before, "out-of-scope partition must keep its files"
+    # new partitions satisfying the condition may be created
+    t.upsert(spark.createDataFrame([(20201103, 9, 9)],
+                                   "range int, hash int, value int"),
+             use_delta=False, condition="range >= 20201103")
+    assert t.to_df().filter("range = 20201103").count() == 1
+    # non-range columns cannot scope
+    with pytest.raises(ValueError, match="range partition columns only"):
+        t.upsert(src, use_delta=False, condition="value > 2")
+    # allowFullTable opt-out mirrors ALLOW_FULL_TABLE_UPSERT
+    t.set_properties({"upsert.allowFullTable": "true"})
+    t.upsert(src, use_delta=False)
+    assert t.to_df().filter("hash = 4").collect()[0]["value"] == 44
