@@ -1263,6 +1263,17 @@ def create_table(
                 f"pruning)")
         if c not in df.columns:
             df = df.withColumn(c, F.expr(expr))
+    # invalid column names (reference SchemaUtils.scala:968-972
+    # checkFieldNames → parquet's banned set " ,;{}()\n\t="): rejected
+    # at creation for EVERY column — for partition columns the chars
+    # would additionally corrupt the 'k=v,k2=v2' range-value encoding
+    _BANNED = set(" ,;{}()\n\t=")
+    for c in df.columns:
+        if set(c) & _BANNED:
+            raise ValueError(
+                f"invalid column name '{c}': parquet field names may not "
+                "contain \" ,;{}()\\n\\t=\" (SchemaUtils.scala:968-972)")
+
     # partition option names resolve case-insensitively against the data
     # (reference schema/CaseSensitivitySuite.scala "set partition columns
     # - case insensitive": Spark's default resolver), canonicalized to

@@ -520,3 +520,18 @@ def test_create_partition_options_case_insensitive(spark, sf_dir, tmp_path):
     t2.write(df.filter("grp = 'A'"), mode="overwrite",
              replace_where="GRP = 'A'")
     assert t2.to_df().count() == 2
+
+
+def test_create_rejects_invalid_and_case_dup_column_names(spark, tmp_path):
+    """Reference TableCreationTests: invalid parquet field-name chars
+    and case-duplicate column names are rejected at creation."""
+    import pytest
+
+    from starlake_spark.table import create_table
+
+    bad = spark.createDataFrame([(1, 2)], ["ok", "bad col,name"])
+    with pytest.raises(ValueError, match="invalid column name"):
+        create_table(spark, bad, str(tmp_path / "t1"))
+    dup = spark.createDataFrame([(1, 2)], ["a", "A"])
+    with pytest.raises(ValueError, match="differ"):
+        create_table(spark, dup, str(tmp_path / "t2"))
