@@ -31,14 +31,60 @@ def _to_column(cond) -> Column:
     return F.expr(cond) if isinstance(cond, str) else cond
 
 
+_WIDEN_CHAINS = (
+    # reference SchemaUtils.mergeSchemas upcast families
+    # (SchemaUtilsSuite.scala:1069-1118): a write with a strictly wider
+    # type in the same family WIDENS the declared schema; parquet's
+    # reader promotes the narrower on-disk files transparently
+    [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
+    [T.FloatType(), T.DoubleType()],
+)
+
+
+def _widened(cur: T.DataType, new: T.DataType) -> T.DataType | None:
+    """The wider of two types when both sit in one upcast family and
+    ``new`` is strictly wider; else None (no widening)."""
+    for chain in _WIDEN_CHAINS:
+        if cur in chain and new in chain:
+            if chain.index(new) > chain.index(cur):
+                return new
+            return None
+    return None
+
+
 def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
     """Schema auto-merge on write: new source columns are appended as
     nullable fields (reference ImplicitMetadataOperation.scala:66-165 +
-    SchemaUtils.mergeSchemas). Existing columns keep their declared type
-    (source is cast); NullType columns never enter the schema."""
+    SchemaUtils.mergeSchemas); a source column STRICTLY WIDER in the
+    same numeric family upcasts the declared type (byte→short→int→long,
+    float→double — SchemaUtilsSuite 'mergeSchemas performs upcast'),
+    so a long value never overflows through a silent down-cast.
+    Narrower or equal source types keep the declared type (source is
+    cast up on write); NullType columns never enter the schema."""
     info = store.table_info(refresh=True)
     schema = T.StructType.fromJson(json.loads(info.schema_json))
     existing = {f.name for f in schema.fields}
+    widened = {}
+    for f in df.schema.fields:
+        if f.name in existing:
+            cur = schema[f.name].dataType
+            w = _widened(cur, f.dataType)
+            if w is not None:
+                widened[f.name] = w
+    if widened:
+        if info.configuration.get("schema.autoMerge.enabled", "true") != "true":
+            raise ValueError(
+                f"source widens column types {sorted(widened)} and "
+                "schema.autoMerge is disabled")
+        if info.hash_cols and set(widened) & set(info.hash_cols):
+            raise ValueError(
+                f"cannot widen hash partition columns "
+                f"{sorted(set(widened) & set(info.hash_cols))}: bucket "
+                "assignment hashes the stored type — rewrite the table")
+        schema = T.StructType([
+            T.StructField(f.name, widened.get(f.name, f.dataType),
+                          f.nullable, f.metadata)
+            for f in schema.fields])
     # a renamed-away name must not silently fork a NEW column: the
     # writer almost certainly predates the rename and means the
     # renamed column — reject loudly instead of splitting the data
@@ -56,9 +102,10 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
                     f"'{renamed_away[f.name.lower()]}' — write the new name")
             schema = schema.add(T.StructField(f.name, f.dataType, True))
             added = True
-    if added:
-        if info.configuration.get("schema.autoMerge.enabled", "true") != "true":
-            raise ValueError("source has new columns and schema.autoMerge is disabled")
+    if added and info.configuration.get("schema.autoMerge.enabled",
+                                        "true") != "true":
+        raise ValueError("source has new columns and schema.autoMerge is disabled")
+    if added or widened:
         info.schema_json = schema.json()
         store.update_table_info(info)
     return info

@@ -370,3 +370,52 @@ def test_cow_upsert_condition_scopes_rewrite(spark, tmp_table_dir):
     t.set_properties({"upsert.allowFullTable": "true"})
     t.upsert(src, use_delta=False)
     assert t.to_df().filter("hash = 4").collect()[0]["value"] == 44
+
+
+def test_schema_widening_upcast_on_write(spark, tmp_path):
+    """Reference SchemaUtilsSuite 'mergeSchemas performs upcast between
+    ByteType, ShortType, and LongType': a strictly wider source type in
+    the same numeric family widens the declared schema (old narrow
+    files read through parquet type promotion); narrower sources still
+    cast up; hash columns refuse to widen (bucket hashes the stored
+    type); autoMerge=false refuses."""
+    import pyspark.sql.types as T
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["k"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame([(3, 5_000_000_000)], "k long, v long"))
+    out = t.to_df()
+    assert out.schema["v"].dataType == T.LongType()
+    assert sorted((r.k, r.v) for r in out.collect()) == \
+        [(1, 10), (2, 20), (3, 5_000_000_000)]
+    t.compaction(force=True)
+    assert sorted((r.k, r.v) for r in t.to_df().collect()) == \
+        [(1, 10), (2, 20), (3, 5_000_000_000)]
+    # float -> double widens too
+    t.upsert(spark.createDataFrame([(4, 1)], "k long, v int")
+             .withColumn("w", F.lit(1.5).cast("float")))
+    t.upsert(spark.createDataFrame([(5, 1)], "k long, v int")
+             .withColumn("w", F.lit(3.14).cast("double")))
+    assert t.to_df().schema["w"].dataType == T.DoubleType()
+    # hash column widening refused
+    t2 = create_table(spark,
+                      spark.createDataFrame([(1, 1)], "k int, v int"),
+                      str(tmp_path / "t2"),
+                      hash_partitions=["k"], hash_bucket_num=2)
+    with pytest.raises(ValueError, match="hash partition"):
+        t2.upsert(spark.createDataFrame([(9_000_000_000, 1)],
+                                        "k long, v int"))
+    # autoMerge=false refuses widening
+    t3 = create_table(spark,
+                      spark.createDataFrame([(1, 1)], "k long, v int"),
+                      str(tmp_path / "t3"),
+                      hash_partitions=["k"], hash_bucket_num=2,
+                      configuration={"schema.autoMerge.enabled": "false"})
+    with pytest.raises(ValueError, match="autoMerge"):
+        t3.upsert(spark.createDataFrame([(2, 5_000_000_000)],
+                                        "k long, v long"))
