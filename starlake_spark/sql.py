@@ -153,6 +153,7 @@ _ALTER_DROPDEFAULT_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
     r"(?:\s*\((?P<cols>[^)]*)\))?"
     r"\s+(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -411,6 +412,28 @@ class StarSession:
         self._sync_views()
         df = self.spark.sql(m["body"].strip())
         schema = T.StructType.fromJson(json.loads(t.info.schema_json))
+        # PARTITION (p = 'x'[, q]) clause (InsertIntoTableSuite static /
+        # dynamic clauses): static entries pin a range-partition value
+        # for every row (and under OVERWRITE scope the replacement to
+        # that partition — Spark's static overwrite mode); dynamic
+        # entries just name partition columns the query must produce.
+        # Non-partition columns in the clause are an error.
+        static_parts: dict[str, str] = {}
+        dyn_parts: list[str] = []
+        if m["part"]:
+            rng = set(t.info.range_cols)
+            for entry in _split_top_level(m["part"]):
+                col, eq, val = entry.partition("=")
+                col = col.strip().strip("`")
+                if col not in rng:
+                    raise ValueError(
+                        f"PARTITION clause: '{col}' is not a range "
+                        f"partition column of {m['name']} "
+                        f"(partitions: {sorted(rng)})")
+                if eq:
+                    static_parts[col] = val.strip()
+                else:
+                    dyn_parts.append(col)
         if m["cols"]:
             names = [c.strip().strip("`") for c in _split_top_level(m["cols"])]
             declared = {f.name for f in schema.fields}
@@ -418,13 +441,26 @@ class StarSession:
             if unknown:
                 raise ValueError(f"INSERT: unknown column(s) {unknown} in "
                                  f"{m['name']}")
+            clash = [c for c in names if c in static_parts]
+            if clash:
+                raise ValueError(f"INSERT: column(s) {clash} appear both "
+                                 "in the column list and as static "
+                                 "PARTITION values")
         else:
-            names = [f.name for f in schema.fields]
+            # dynamic PARTITION columns bind LAST (Spark's positional
+            # contract for INSERT ... PARTITION (p) SELECT ..., p)
+            names = [f.name for f in schema.fields
+                     if f.name not in static_parts
+                     and f.name not in dyn_parts] + dyn_parts
         if len(df.columns) != len(names):
             raise ValueError(
                 f"INSERT: query produces {len(df.columns)} columns, "
                 f"expected {len(names)} ({names})")
         df = df.toDF(*names)
+        types = {f.name: f.dataType for f in schema.fields}
+        for col, val in static_parts.items():
+            df = df.withColumn(col, F.expr(val).cast(types[col]))
+        names = names + list(static_parts)
         missing = [f for f in schema.fields if f.name not in names]
         if missing:
             defaults = {k[len("default."):]: v
@@ -438,6 +474,10 @@ class StarSession:
         overwrite = m["mode"].upper() == "OVERWRITE"
         if t.info.hash_cols and not overwrite:
             t.upsert(df)
+        elif overwrite and static_parts:
+            # static overwrite mode: replace ONLY the pinned partition
+            rw = " AND ".join(f"{c} = {v}" for c, v in static_parts.items())
+            t.write(df, mode="overwrite", replace_where=rw)
         else:
             t.write(df, mode="overwrite" if overwrite else "append")
         return self._empty_df()

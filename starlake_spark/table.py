@@ -746,6 +746,11 @@ class StarTable:
         dropped = set(filter(None, (info.configuration or {})
                              .get("dropped.columns", "").split(",")))
         for f in new_fields:
+            if set(f.name) & set(" ,;{}()\n\t="):
+                raise ValueError(
+                    f"invalid column name '{f.name}': parquet field names "
+                    "may not contain \" ,;{}()\\n\\t=\" "
+                    "(SchemaUtils.scala:968-972)")
             if f.name.lower() in existing:
                 raise ValueError(f"column '{f.name}' already exists")
             if f.name.lower() in dropped:
@@ -756,6 +761,7 @@ class StarTable:
             if not f.nullable:
                 raise ValueError("added columns must be nullable "
                                  "(existing files cannot backfill values)")
+            existing.add(f.name.lower())
             schema = schema.add(f)
         info.schema_json = schema.json()
         self.store.update_table_info(info)

@@ -647,3 +647,33 @@ def test_range_changes_tvf(spark, sess, sf_dir, tmp_path):
     # literal guard: quoted text is never rewritten
     lit = sess.sql("SELECT 'range_changes(''rc'', 1)' AS s").collect()
     assert "range_changes" in lit[0]["s"]
+
+
+def test_insert_partition_clause(spark, sess, sf_dir, tmp_path):
+    """InsertIntoTableSuite PARTITION clauses: static values pin the
+    range column for every row; OVERWRITE with a static spec replaces
+    ONLY that partition; non-partition columns in the clause error."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+        "grp string, k long, v double")
+    sess.create_table(df, str(tmp_path / "pt"), name="pt",
+                      range_partitions=["grp"])
+    # static INTO: rows land in grp='c'
+    sess.sql("INSERT INTO pt PARTITION (grp = 'c') VALUES (9, 9.5)")
+    assert sess.table("pt").to_df().filter("grp = 'c'").count() == 1
+    # static OVERWRITE replaces only its partition
+    sess.sql("INSERT OVERWRITE pt PARTITION (grp = 'a') VALUES (7, 7.5)")
+    got = sess.table("pt").to_df()
+    assert got.filter("grp = 'a'").count() == 1
+    assert got.filter("grp = 'b'").count() == 1  # untouched
+    assert got.filter("grp = 'c'").count() == 1  # untouched
+    # dynamic clause: query must produce the column
+    sess.sql("INSERT INTO pt PARTITION (grp) VALUES (4, 4.0, 'd')")
+    assert sess.table("pt").to_df().filter("grp = 'd'").count() == 1
+    # non-partition column in the clause
+    with pytest.raises(ValueError, match="not a range partition"):
+        sess.sql("INSERT INTO pt PARTITION (k = 5) VALUES ('x', 1.0)")
+    # column-list + static spec clash
+    with pytest.raises(ValueError, match="both"):
+        sess.sql("INSERT INTO pt PARTITION (grp = 'e') (grp, k, v) "
+                 "VALUES ('e', 1, 1.0)")
