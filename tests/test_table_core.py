@@ -535,3 +535,28 @@ def test_create_rejects_invalid_and_case_dup_column_names(spark, tmp_path):
     dup = spark.createDataFrame([(1, 2)], ["a", "A"])
     with pytest.raises(ValueError, match="differ"):
         create_table(spark, dup, str(tmp_path / "t2"))
+
+
+def test_nested_struct_and_array_lifecycle(spark, tmp_path):
+    """Struct and array columns survive the whole engine lifecycle:
+    create, MoR upsert (struct replaced whole — UpdateSuiteBase nested
+    semantics are column-level here), compaction invariance, tombstone
+    delete with a nested-field condition, stats-skipped reads."""
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "x"}, [1.0, 2.0]),
+         (2, {"a": 2, "b": "y"}, [3.0])],
+        "k long, meta struct<a:int,b:string>, emb array<double>")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["k"], hash_bucket_num=2)
+    t.upsert(spark.createDataFrame(
+        [(1, {"a": 9, "b": "z"}, [9.0])],
+        "k long, meta struct<a:int,b:string>, emb array<double>"))
+    before = sorted(map(tuple, t.to_df().collect()))
+    t.compaction(force=True)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    assert t.to_df().filter("meta.a = 9").count() == 1
+    t.delete("meta.a = 9", use_delta=True)
+    assert [r["k"] for r in t.to_df().collect()] == [2]
+    assert t.to_df(where="k = 2").collect()[0]["emb"] == [3.0]
