@@ -715,7 +715,22 @@ def update(spark: SparkSession, store: ManifestStore, condition,
     schema = _T.StructType.fromJson(_json.loads(store.table_info().schema_json))
     canon = {f.name.lower(): f.name for f in schema.fields}
     sets = {canon.get(c.lower(), c): _to_column(e) for c, e in set_exprs.items()}
+    # nested-field SET (reference UpdateSuiteBase 'nested data support'):
+    # 'meta.a = expr' rewrites the struct via withField — previously the
+    # dotted key fell through as a flat column name and the update was
+    # SILENTLY dropped on write normalization
+    for path in [c for c in list(sets) if "." in c]:
+        root, rest = path.split(".", 1)
+        root = canon.get(root.lower(), root)
+        if root not in canon.values() or \
+                not isinstance(schema[root].dataType, _T.StructType):
+            raise ValueError(
+                f"cannot update '{path}': '{root}' is not a struct column")
+        base = sets.get(root, F.col(root))
+        sets[root] = base.withField(rest, sets.pop(path))
     for c in sets:
+        if c not in canon.values():
+            raise ValueError(f"unknown column '{c}' in UPDATE SET")
         if c in info.range_cols + info.hash_cols:
             raise ValueError(f"cannot update partition/hash column '{c}'")
 

@@ -259,3 +259,31 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError, match="mutually exclusive"):
         t.write(repl, mode="overwrite", partition_overwrite="dynamic",
                 replace_where="o_orderstatus = 'O'")
+
+
+def test_update_nested_struct_field(spark, tmp_path):
+    """Reference UpdateSuiteBase 'nested data support': SET meta.a = e
+    rewrites the struct field (withField); unknown columns and non-struct
+    roots raise instead of silently dropping the update."""
+    import pytest
+
+    from starlake_spark.table import create_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "x"}), (2, {"a": 2, "b": "y"})],
+        "k long, meta struct<a:int,b:string>")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["k"], hash_bucket_num=2)
+    t.update("k = 1", {"meta.a": "42"})
+    got = {r["k"]: (r["meta"]["a"], r["meta"]["b"])
+           for r in t.to_df().collect()}
+    assert got == {1: (42, "x"), 2: (2, "y")}
+    # two nested sets on one struct compose
+    t.update("k = 2", {"meta.a": "7", "meta.b": "'z'"})
+    got = {r["k"]: (r["meta"]["a"], r["meta"]["b"])
+           for r in t.to_df().collect()}
+    assert got[2] == (7, "z")
+    with pytest.raises(ValueError, match="not a struct"):
+        t.update("k = 1", {"k.a": "1"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update("k = 1", {"nope": "1"})
