@@ -677,3 +677,13 @@ def test_insert_partition_clause(spark, sess, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="both"):
         sess.sql("INSERT INTO pt PARTITION (grp = 'e') (grp, k, v) "
                  "VALUES ('e', 1, 1.0)")
+
+
+def test_update_nested_field_sql(spark, sess, tmp_path):
+    df = spark.createDataFrame([(1, {"a": 1, "b": "x"})],
+                               "k long, meta struct<a:int,b:string>")
+    sess.create_table(df, str(tmp_path / "nu"), name="nu",
+                      hash_partitions=["k"], hash_bucket_num=2)
+    sess.sql("UPDATE nu SET meta.a = 99 WHERE k = 1")
+    r = sess.table("nu").to_df().collect()[0]
+    assert (r["meta"]["a"], r["meta"]["b"]) == (99, "x")
