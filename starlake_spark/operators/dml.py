@@ -205,7 +205,6 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
             raise ValueError(f"upsert source must carry range column '{c}' "
                              "(UpsertCommand.scala:83-88)")
     info = maybe_merge_schema(source, store)
-    source = writer.dedup_batch_last_wins(source, info)
 
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
@@ -221,7 +220,8 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
 
         txn = store.new_transaction()
         txn.commit_type = "delta"
-        files = writer.write_files(spark, source, info, txn, is_base=False)
+        files = writer.write_files(spark, source, info, txn, is_base=False,
+                                   dedup_batch=True)
         txn.add_files(files)
         if txn_key is not None:
             txn.set_streaming_batch(txn_key, txn_version)
@@ -252,6 +252,9 @@ def upsert(spark: SparkSession, store: ManifestStore, source: DataFrame,
     else:
         target = reader.scan(spark, store)
     src = writer.normalize_for_write(source, info, enforce_schema=False)
+    # CoW dedups the SOURCE before the join (post-join, input order is
+    # gone); the standalone window's shuffle is noise next to the rewrite
+    src = writer.dedup_batch_last_wins(src, info)
     if condition is not None:
         src = src.filter(F.expr(condition))
     t = target.alias("t")
@@ -1237,9 +1240,9 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
     if txn_key is not None and store.snapshot().streaming.get(txn_key, -1) >= txn_version:
         return
     info = maybe_merge_schema(df, store)
-    df = writer.dedup_batch_last_wins(df, info)
     txn = store.new_transaction()
-    files = writer.write_files(spark, df, info, txn, is_base=True)
+    files = writer.write_files(spark, df, info, txn, is_base=True,
+                               dedup_batch=True)
     if mode == "overwrite":
         if replace_where is not None:
             matching = _partitions_matching(spark, store, info, replace_where)

@@ -113,6 +113,14 @@ def align_case(df: DataFrame, info: TableInfo) -> DataFrame:
     return df
 
 
+def dedup_eligible(info: TableInfo) -> bool:
+    """In-batch PK dedup applies to hash tables WITHOUT declared merge
+    operators (whose fold must see every source row — in-batch
+    duplicates are addends, not noise)."""
+    return bool(info.hash_cols) and not \
+        (info.configuration or {}).get("compaction.merge_operators")
+
+
 def dedup_batch_last_wins(df: DataFrame, info: TableInfo) -> DataFrame:
     """In-batch primary-key dedup for hash tables (reference
     UpsertWithDuplicateData{BySame,ByDifferent,AndFields} manual suites:
@@ -124,18 +132,15 @@ def dedup_batch_last_wins(df: DataFrame, info: TableInfo) -> DataFrame:
     plain scan of an all-base snapshot would show BOTH rows while the
     MoR scan after any delta collapses them arbitrarily — write-time
     dedup makes every read path agree and keeps the file-level PK
-    invariant. Skipped for declared-merge-operator tables: their fold
-    must see every source row (a sum op aggregates in-batch duplicates;
-    collapsing first would drop addends).
+    invariant.
 
-    Cost shape: the window partitions by the same keys the bucketed
-    write is about to shuffle on — one extra within-partition sort on
-    an O(batch) frame, no additional shuffle stage at scale."""
+    STANDALONE form (owns a shuffle): used where the deduped frame
+    feeds further plan (the CoW join's source). Writes go through
+    ``write_files(dedup_batch=True)`` instead, which rides the bucket
+    repartition it performs anyway — zero extra exchanges."""
     from pyspark.sql import Window
 
-    if not info.hash_cols:
-        return df
-    if (info.configuration or {}).get("compaction.merge_operators"):
+    if not dedup_eligible(info):
         return df
     keys = [k for k in info.range_cols + info.hash_cols if k in df.columns]
     if not keys:
@@ -342,6 +347,7 @@ def write_files(
     sort_columns: list[str] | None = None,
     target_files: int | None = None,
     cluster_mode: str = "linear",
+    dedup_batch: bool = False,
 ) -> list[DataFileInfo]:
     """Write one commit's data files; returns their DataFileInfo rows.
 
@@ -412,7 +418,25 @@ def write_files(
     elif info.hash_cols:
         # Bucketed layout: stable bucket assignment + in-file key sort
         # (TransactionalWrite.scala:125-129,183-211).
-        df = df.repartition(info.bucket_num, *[F.col(c) for c in info.hash_cols])
+        if dedup_batch and dedup_eligible(info):
+            # in-batch PK dedup rides THIS shuffle: the input-order id is
+            # stamped pre-shuffle, and the window's clustering
+            # (range+hash) is satisfied by hashpartitioning(hash_cols) —
+            # Catalyst adds a sort, never a second exchange
+            from pyspark.sql import Window
+
+            df = df.withColumn("_sl_batch_ord",
+                               F.monotonically_increasing_id())
+            df = df.repartition(info.bucket_num,
+                                *[F.col(c) for c in info.hash_cols])
+            w = Window.partitionBy(*(info.range_cols + info.hash_cols)) \
+                      .orderBy(F.col("_sl_batch_ord").desc())
+            df = (df.withColumn("_sl_batch_rn", F.row_number().over(w))
+                    .filter(F.col("_sl_batch_rn") == 1)
+                    .drop("_sl_batch_ord", "_sl_batch_rn"))
+        else:
+            df = df.repartition(info.bucket_num,
+                                *[F.col(c) for c in info.hash_cols])
         df = df.sortWithinPartitions(*(info.range_cols + info.hash_cols))
     else:
         # Optimized write: co-locate each range value before partitionBy,

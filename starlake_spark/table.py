@@ -1332,8 +1332,8 @@ def create_table(
     store = ManifestStore(path)
     store.create(info)
     txn = store.new_transaction()
-    df = writer.dedup_batch_last_wins(df, info)
-    files = writer.write_files(spark, df, info, txn, is_base=True)
+    files = writer.write_files(spark, df, info, txn, is_base=True,
+                               dedup_batch=True)
     txn.add_files(files)
     store.commit(txn)
     if short_name:
