@@ -86,7 +86,15 @@ def sync_table(spark: SparkSession, source, target_path: str,
                          "(no replication.source property)")
     if os.path.normpath(bound) != os.path.normpath(src_path):
         raise ValueError(f"{target_path} replicates {bound}, not {src_path}")
-    v0 = int(cfg[VERSION_PROP])
+    if VERSION_PROP not in cfg and not full:
+        # a sync_stream-bootstrapped replica tracks its position in the
+        # Spark checkpoint, not the watermark property — batch increments
+        # can't know where the stream stopped
+        raise ValueError(
+            f"{target_path} is stream-managed (no {VERSION_PROP}); keep "
+            "using sync_stream, or repair once with full=True to adopt "
+            "batch watermarking")
+    v0 = int(cfg.get(VERSION_PROP, 0))
     if full:
         stats = _full_sync(spark, src, t)
         t.set_properties({VERSION_PROP: str(src_version)})

@@ -348,3 +348,25 @@ def test_crash_between_apply_commits_converges(spark, sf_dir, tmp_path,
     dst, st = sync_table(spark, src, str(tmp_path / "dst"))
     assert st["mode"] == "incremental" and calls["n"] == 2
     _assert_equal(src, dst)
+
+
+def test_stream_bootstrapped_replica_batch_adoption(spark, sf_dir,
+                                                    tmp_path):
+    """A sync_stream-bootstrapped replica has no version watermark —
+    batch sync_table must refuse incremental clearly, and full=True
+    adopts it into batch watermarking."""
+    from starlake_spark.operators.replication import sync_stream
+
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    q = sync_stream(spark, src, str(tmp_path / "dst"),
+                    str(tmp_path / "ck"), trigger={"availableNow": True})
+    q.awaitTermination(180)
+    with pytest.raises(ValueError, match="stream-managed"):
+        sync_table(spark, src, str(tmp_path / "dst"))
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
+    assert st["mode"] == "full"
+    _assert_equal(src, dst)
+    src.delete("o_orderkey % 3 = 0", use_delta=True)
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["mode"] == "incremental" and st["deleted"] > 0
+    _assert_equal(src, dst)
