@@ -1032,12 +1032,18 @@ class StarTable:
                 return _decimal.Decimal(v)
             return v
 
+        # RENAME COLUMN: files written pre-rename keyed their stats by
+        # the historical physical name — resolve through the alias chain
+        lookup = [col] + [
+            a for a in (self.store.table_info().configuration or {})
+            .get(f"aliases.{col.lower()}", "").split(",") if a]
         mins, maxs, total = [], [], 0
         nulls: int | None = 0
         for f in files:
             if f.num_rows == 0:
                 continue
-            st = (f.stats or {}).get(col)
+            st = next((s for n in lookup
+                       for s in [(f.stats or {}).get(n)] if s), None)
             if f.num_rows < 0 or st is None:
                 raise ValueError(
                     f"file {f.path} carries no footer stats for '{col}' "

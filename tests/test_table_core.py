@@ -560,3 +560,17 @@ def test_nested_struct_and_array_lifecycle(spark, tmp_path):
     t.delete("meta.a = 9", use_delta=True)
     assert [r["k"] for r in t.to_df().collect()] == [2]
     assert t.to_df(where="k = 2").collect()[0]["emb"] == [3.0]
+
+
+def test_metadata_agg_after_rename_column(spark, sf_dir, tmp_path):
+    """Pre-rename files key their footer stats by the historical name;
+    metadata_agg resolves through the alias chain."""
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = create_table(spark, o, str(tmp_path / "t"),
+                     range_partitions=["o_orderstatus"])
+    exp = o.selectExpr("min(o_totalprice)", "max(o_totalprice)").collect()[0]
+    t.rename_column("o_totalprice", "price")
+    m = t.metadata_agg("price")
+    assert (m["min"], m["max"]) == (exp[0], exp[1])
