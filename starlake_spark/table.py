@@ -369,6 +369,36 @@ class StarTable:
                     issues.append({"kind": "missing_dv_sidecar",
                                    "partition": ps.range_value,
                                    "path": d.path, "repairable": False})
+        # orphans: physical files under data/ no retained version
+        # references — crashed task attempts, writers that died before
+        # commit. Report-only: VACUUM removes them after retention
+        # (cleanup's sweep uses the same referenced-set), fsck repair
+        # never deletes bytes.
+        referenced: set[str] = set()
+        for v in store.list_versions():
+            try:
+                sv = store.snapshot(v)
+            except Exception:
+                continue
+            referenced |= {f.path for f in sv.all_files()}
+            referenced |= {d.path for ps in sv.partitions.values()
+                           for d in ps.dv_files}
+            referenced |= {f.bloom_ref for f in sv.all_files()
+                           if getattr(f, "bloom_ref", None)}
+        data_root = _os.path.join(store.table_path, "data")
+        for root, _dirs, names in _os.walk(data_root):
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue  # Hadoop bookkeeping (_SUCCESS, .crc)
+                rel = _os.path.relpath(_os.path.join(root, n),
+                                       store.table_path)
+                if rel not in referenced:
+                    issues.append({"kind": "orphan_file", "partition": None,
+                                   "path": rel, "repairable": False,
+                                   "detail": "unreferenced by any retained "
+                                             "version; VACUUM removes it "
+                                             "after retention"})
+
         # resolve versions through a COLD store: the live store's
         # snapshot cache would mask on-disk manifest corruption
         cold = ManifestStore(store.table_path)

@@ -98,3 +98,21 @@ def test_fsck_reports_unresolvable_versions(spark, sf_dir, tmp_path):
     assert kinds == {"unresolvable_version"}
     assert len(issues) >= 1
     t.count()  # latest resolves from the checkpoint — still readable
+
+
+def test_fsck_reports_orphan_files(spark, sf_dir, tmp_path):
+    """Crashed-writer leftovers (files no retained version references)
+    are reported, never deleted by repair; vacuum removes them."""
+    o = _orders(spark, sf_dir)
+    t = create_table(spark, o, str(tmp_path / "t"),
+                     range_partitions=["o_orderstatus"])
+    stray = os.path.join(t.store.table_path, "data", "stray-attempt.parquet")
+    o.limit(1).toPandas().to_parquet(stray)
+    issues = t.fsck()
+    assert [i["kind"] for i in issues] == ["orphan_file"]
+    assert "stray-attempt" in issues[0]["path"]
+    t.fsck(repair=True)
+    assert os.path.exists(stray), "repair must never delete bytes"
+    t.cleanup(retention_s=0.0)
+    assert not os.path.exists(stray)
+    assert t.fsck() == []
