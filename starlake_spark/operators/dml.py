@@ -53,6 +53,11 @@ def _widened(cur: T.DataType, new: T.DataType) -> T.DataType | None:
 
 
 def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
+    return merge_source_schema(df.schema, store)
+
+
+def merge_source_schema(src_schema: T.StructType,
+                        store: ManifestStore) -> TableInfo:
     """Schema auto-merge on write: new source columns are appended as
     nullable fields (reference ImplicitMetadataOperation.scala:66-165 +
     SchemaUtils.mergeSchemas); a source column STRICTLY WIDER in the
@@ -65,7 +70,7 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
     schema = T.StructType.fromJson(json.loads(info.schema_json))
     existing = {f.name for f in schema.fields}
     widened = {}
-    for f in df.schema.fields:
+    for f in src_schema.fields:
         if f.name in existing:
             cur = schema[f.name].dataType
             w = _widened(cur, f.dataType)
@@ -94,7 +99,7 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
                     for logical in [k[len("aliases."):]]
                     for a in v.split(",") if a}
     added = False
-    for f in df.schema.fields:
+    for f in src_schema.fields:
         if f.name not in existing and not isinstance(f.dataType, T.NullType):
             if f.name.lower() in renamed_away:
                 raise ValueError(

@@ -541,9 +541,19 @@ def _validate_write_target(table_path: str, schema: T.StructType):
     declared = T.StructType.fromJson(json.loads(info.schema_json))
     declared_names = {f.name for f in declared.fields}
     extra = [c for c in schema.fieldNames() if c not in declared_names]
-    if extra:
-        raise ValueError(f"columns {extra} not in table schema; use "
-                         "StarTable.write for schema merge")
+    needs_merge = extra or any(
+        f.name in declared_names and f.dataType != declared[f.name].dataType
+        for f in schema.fields)
+    if needs_merge:
+        # same evolution rules as the table API (reference
+        # SchemaEnforcementSuite batch 'allow schema changes when
+        # autoMigrate is enabled'): new columns append nullable, wider
+        # numerics upcast; autoMerge=false raises there with the clear
+        # message
+        from starlake_spark.operators.dml import merge_source_schema
+
+        info = merge_source_schema(schema, store)
+        declared = T.StructType.fromJson(json.loads(info.schema_json))
     for c in info.range_cols:
         if c not in schema.fieldNames():
             raise ValueError(f"range partition column '{c}' missing")

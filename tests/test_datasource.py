@@ -480,11 +480,15 @@ def test_batch_write_guards(spark, tmp_path):
     with pytest.raises(Exception, match="CHECK"):
         df.write.format("star").mode("append").save(str(tmp_path / "c"))
 
+    # extra columns EVOLVE under autoMerge (SchemaEnforcementSuite batch
+    # behavior — see test_v2_write_schema_evolution); with it disabled
+    # the write rejects
     plain = create_table(spark,
                          spark.createDataFrame([(1, "a")], "id int, v string"),
-                         str(tmp_path / "p"))
+                         str(tmp_path / "p"),
+                         configuration={"schema.autoMerge.enabled": "false"})
     bad = spark.createDataFrame([(1, "a", 3.0)], "id int, v string, extra double")
-    with pytest.raises(Exception, match="not in table schema"):
+    with pytest.raises(Exception, match="autoMerge"):
         bad.write.format("star").mode("append").save(str(tmp_path / "p"))
 
 
@@ -730,3 +734,33 @@ def test_batch_read_timestamp_as_of(spark, orders, tmp_path):
     with pytest.raises(Exception, match="mutually exclusive"):
         (spark.read.format("star").option("timestampAsOf", str(ts))
          .option("version", "1").load(path).count())
+
+
+def test_v2_write_schema_evolution(spark, sf_dir, tmp_path):
+    """SchemaEnforcementSuite batch tests: format('star') append with a
+    new column evolves the schema under autoMerge (nulls backfill old
+    rows on read); autoMerge=false rejects with the merge-schema hint."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from starlake_spark import sources
+    from starlake_spark.table import StarTable, create_table
+
+    sources.register(spark)
+    df = spark.range(10).toDF("id")
+    create_table(spark, df, str(tmp_path / "t"))
+    (spark.range(5).withColumn("part", F.col("id") + 1)
+     .write.format("star").mode("append")
+     .option("path", str(tmp_path / "t")).save())
+    t = StarTable.for_path(spark, str(tmp_path / "t"))
+    out = t.to_df()
+    assert set(out.columns) == {"id", "part"}
+    assert out.count() == 15
+    assert out.filter("part IS NULL").count() == 10  # old rows backfill
+    create_table(spark, df, str(tmp_path / "t2"),
+                 configuration={"schema.autoMerge.enabled": "false"})
+    with pytest.raises(AnalysisException, match="autoMerge"):
+        (spark.range(5).withColumn("part", F.col("id"))
+         .write.format("star").mode("append")
+         .option("path", str(tmp_path / "t2")).save())
