@@ -764,3 +764,27 @@ def test_v2_write_schema_evolution(spark, sf_dir, tmp_path):
         (spark.range(5).withColumn("part", F.col("id"))
          .write.format("star").mode("append")
          .option("path", str(tmp_path / "t2")).save())
+
+
+def test_stream_sink_schema_evolution(spark, tmp_path):
+    """SchemaEnforcementSuite streaming: the native sink evolves schema
+    under autoMerge the same way the batch path does."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark import sources
+    from starlake_spark.table import StarTable, create_table
+
+    sources.register(spark)
+    path, src_dir = str(tmp_path / "t"), str(tmp_path / "src")
+    create_table(spark, spark.range(3).toDF("id"), path)
+    spark.range(3).withColumn("part", F.col("id") * 2) \
+        .write.parquet(src_dir)
+    q = (spark.readStream.schema("id long, part long").parquet(src_dir)
+         .writeStream.format("star")
+         .option("path", path)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = StarTable.for_path(spark, path).to_df()
+    assert set(out.columns) == {"id", "part"}
+    assert out.count() == 6 and out.filter("part IS NULL").count() == 3
