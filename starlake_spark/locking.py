@@ -121,3 +121,71 @@ def _from_env() -> None:
 
 
 _from_env()
+
+
+class SQLiteLockProvider(LockProvider):
+    """DATABASE-ARBITRATED provider: mutual exclusion through an
+    exclusive transaction on a shared SQLite file — the working
+    template for the reference's Cassandra LWT shape
+    (meta/MetaLock.scala:19-50: INSERT ... IF NOT EXISTS on a lock row
+    with committer identity + TTL) on any store that gives you a
+    transactional INSERT. Every writer process that can reach ``db_path``
+    (shared filesystem here; a Postgres/DynamoDB port changes only the
+    two SQL statements) arbitrates through the same row:
+
+    * acquire = INSERT the table's lock row inside an IMMEDIATE
+      transaction; a second writer's INSERT hits the PRIMARY KEY and
+      retries until ``timeout_s``.
+    * TTL: a row older than ``stale_s`` is deleted (crashed committer),
+      exactly the reference's TTL expiry.
+    * release = DELETE the row (idempotent — a reaped row is fine).
+    """
+
+    def __init__(self, db_path: str, stale_s: float = 120.0,
+                 poll_s: float = 0.05):
+        self.db_path = db_path
+        self.stale_s = stale_s
+        self.poll_s = poll_s
+
+    def _conn(self):
+        import sqlite3
+
+        c = sqlite3.connect(self.db_path, timeout=5.0,
+                            isolation_level=None)
+        c.execute("CREATE TABLE IF NOT EXISTS commit_locks ("
+                  "table_path TEXT PRIMARY KEY, owner TEXT, ts REAL)")
+        return c
+
+    def acquire(self, meta_dir: str, table_path: str,
+                timeout_s: float) -> tuple:
+        owner = f"{os.getpid()}:{id(self)}"
+        deadline = time.time() + timeout_s
+        c = self._conn()
+        while True:
+            now = time.time()
+            try:
+                c.execute("BEGIN IMMEDIATE")
+                c.execute("DELETE FROM commit_locks WHERE table_path = ? "
+                          "AND ts < ?", (table_path, now - self.stale_s))
+                c.execute("INSERT INTO commit_locks VALUES (?, ?, ?)",
+                          (table_path, owner, now))
+                c.execute("COMMIT")
+                return (c, table_path, owner)
+            except Exception:
+                try:
+                    c.execute("ROLLBACK")
+                except Exception:
+                    pass
+                if time.time() > deadline:
+                    c.close()
+                    raise TimeoutError(
+                        f"commit lock timeout on {table_path}")
+                time.sleep(self.poll_s)
+
+    def release(self, handle: tuple) -> None:
+        c, table_path, owner = handle
+        try:
+            c.execute("DELETE FROM commit_locks WHERE table_path = ? "
+                      "AND owner = ?", (table_path, owner))
+        finally:
+            c.close()

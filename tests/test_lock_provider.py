@@ -165,3 +165,70 @@ def test_env_var_registration(tmp_path, monkeypatch):
     assert type(locking.get_lock_provider()).__name__ == "InMemoryLockProvider"
     locking.set_lock_provider(None)
     assert isinstance(locking.get_lock_provider(), FileLockProvider)
+
+
+def test_sqlite_provider_storm_and_cross_process(tmp_path):
+    """The DB-arbitrated provider passes the same storm contract, and
+    excludes writers across PROCESSES (the multi-host shape: any
+    arbiter reachable by every writer — here a shared SQLite file,
+    in production a Postgres/DynamoDB row)."""
+    import multiprocessing as mp
+
+    from starlake_spark.locking import SQLiteLockProvider
+
+    db = str(tmp_path / "locks.db")
+    locking.set_lock_provider(SQLiteLockProvider(db))
+    store = _store(tmp_path)
+    assert _storm(store) == 32
+    assert store.list_versions() == list(range(33))
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(3) as pool:
+        results = pool.starmap(
+            _sqlite_mp_committer,
+            [(str(tmp_path / "t"), db, p, 6) for p in range(3)])
+    assert sorted(results) == [0, 1, 2]
+    assert store.latest_version() == 32 + 18  # every commit landed
+
+
+def test_sqlite_provider_stale_ttl_break(tmp_path):
+    """A crashed committer's row older than stale_s is reaped — the
+    reference lock row's TTL expiry."""
+    from starlake_spark.locking import SQLiteLockProvider
+
+    db = str(tmp_path / "locks.db")
+    prov = SQLiteLockProvider(db, stale_s=0.2, poll_s=0.02)
+    h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+    # simulate the crash: handle dropped without release
+    import time as _t
+
+    _t.sleep(0.3)
+    h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=2)
+    prov.release(h2)
+
+
+def _sqlite_mp_committer(table_path: str, db: str, proc_id: int,
+                         n_commits: int):
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from starlake_spark import locking as lk
+    from starlake_spark.locking import SQLiteLockProvider
+    from starlake_spark.meta import DataFileInfo, ManifestStore
+
+    lk.set_lock_provider(SQLiteLockProvider(db))
+    store = ManifestStore(table_path)
+    for i in range(n_commits):
+        rel = _os.path.join("data", f"sq_{proc_id}_{i}", "part-0.parquet")
+        abs_p = _os.path.join(table_path, rel)
+        _os.makedirs(_os.path.dirname(abs_p), exist_ok=True)
+        pq.write_table(pa.table({"id": pa.array([proc_id], type=pa.int64())}), abs_p)
+        txn = store.new_transaction()
+        txn.add_files([DataFileInfo(
+            path=rel, range_value="", bucket_id=-1,
+            size=_os.path.getsize(abs_p), write_version=-1,
+            is_base_file=True, exist_cols=["id"], num_rows=1)])
+        store.commit(txn)
+    return proc_id
