@@ -204,6 +204,9 @@ class StarSession:
         handled = self._run_command(text.strip().rstrip(";"))
         if handled is not None:
             return handled
+        hit = self._try_metadata_agg(text.strip().rstrip(";"))
+        if hit is not None:
+            return hit
         text = self._expand_cdf_tvf(text)
         text = self._expand_time_travel(text)
         self._sync_views()
@@ -219,6 +222,59 @@ class StarSession:
             except Exception:
                 pass
         return self.spark.sql(text)
+
+    _META_AGG_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<name>[\w.]+)\s*$",
+        re.IGNORECASE | re.DOTALL)
+    _META_AGG_ITEM_RE = re.compile(
+        r"^(?:(?P<fn>MIN|MAX)\s*\(\s*`?(?P<col>\w+)`?\s*\)"
+        r"|(?P<cnt>COUNT)\s*\(\s*\*\s*\))"
+        r"(?:\s+AS\s+`?(?P<alias>\w+)`?)?$",
+        re.IGNORECASE)
+
+    def _try_metadata_agg(self, text: str):
+        """Aggregate pushdown to the MANIFEST in the SQL layer: a bare
+        ``SELECT min(a), max(b), count(*) FROM t`` over a star table is
+        answered from write-time footer stats with ZERO Spark jobs
+        (StarTable.metadata_agg). Strictly conservative: any WHERE /
+        GROUP BY / expression / join — or any column metadata_agg
+        refuses (strings, MoR snapshots, DVs, stats-less files) — falls
+        through to the normal scan plan, so this can change cost, never
+        results."""
+        m = self._META_AGG_RE.match(text)
+        if not m or not self._known(m["name"]):
+            return None
+        items = [self._META_AGG_ITEM_RE.match(i.strip())
+                 for i in _split_top_level(m["items"])]
+        if not items or any(i is None for i in items):
+            return None
+        t = self.table(m["name"])
+        row, names = [], []
+        try:
+            cache: dict[str, dict] = {}
+            for im in items:
+                if im["cnt"]:
+                    row.append(t.metadata_count())
+                    names.append(im["alias"] or "count(1)")
+                else:
+                    col = im["col"]
+                    if col not in cache:
+                        cache[col] = t.metadata_agg(col)
+                    fn = im["fn"].lower()
+                    row.append(cache[col][fn])
+                    names.append(im["alias"] or f"{fn}({col})")
+        except ValueError:
+            return None  # not exactly servable — run the real plan
+        schema = T.StructType.fromJson(json.loads(t.info.schema_json))
+        types = {f.name: f.dataType for f in schema.fields}
+        fields = []
+        for im, n in zip(items, names):
+            if im["cnt"]:
+                fields.append(T.StructField(n, T.LongType()))
+            else:
+                fields.append(T.StructField(n, types[im["col"]]))
+        return self.spark.createDataFrame([tuple(row)],
+                                          T.StructType(fields))
 
     _CDF_TVF_RE = re.compile(
         r"table_changes\(\s*'(?P<name>[\w.]+)'\s*,\s*"

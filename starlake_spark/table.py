@@ -1105,20 +1105,34 @@ class StarTable:
         count-star pushdown a 100 TB table needs). MoR snapshots (delta
         versions overlap keys) and pre-rowcount files fall back to the
         full scan count."""
+        try:
+            return self.metadata_count(version)
+        except ValueError:
+            return self.to_df(version=version).count()
+
+    def metadata_count(self, version: int | None = None) -> int:
+        """The strict metadata-only count: raises ValueError when the
+        snapshot can't answer exactly (MoR deltas, stats-less files,
+        uncounted DVs) instead of falling back to a scan — for callers
+        that must guarantee zero jobs (the SQL layer's aggregate
+        pushdown)."""
         snap = self.store.snapshot(version)
         files = list(snap.all_files())
-        if files and all(f.is_base_file and f.num_rows >= 0 for f in files):
-            # deletion vectors subtract exactly: DV commits record each
-            # live position at most once (the candidate scan is itself
-            # DV-filtered), so sum(dv rows) = dead rows. A DV without a
-            # footer count (dv_row_count < 0) forces the scan path.
-            dv = [ps.dv_row_count for ps in snap.partitions.values()
-                  if ps.dv_files]
-            if all(n >= 0 for n in dv):
-                return sum(f.num_rows for f in files) - sum(dv)
         if not files:
             return 0
-        return self.to_df(version=version).count()
+        if not all(f.is_base_file and f.num_rows >= 0 for f in files):
+            raise ValueError("count is not metadata-servable: MoR deltas "
+                             "or stats-less files present")
+        # deletion vectors subtract exactly: DV commits record each
+        # live position at most once (the candidate scan is itself
+        # DV-filtered), so sum(dv rows) = dead rows. A DV without a
+        # footer count (dv_row_count < 0) forces the scan path.
+        dv = [ps.dv_row_count for ps in snap.partitions.values()
+              if ps.dv_files]
+        if not all(n >= 0 for n in dv):
+            raise ValueError("count is not metadata-servable: "
+                             "uncounted deletion vectors")
+        return sum(f.num_rows for f in files) - sum(dv)
 
     def set_properties(self, props: dict[str, str]) -> "StarTable":
         info = self.store.table_info(refresh=True)

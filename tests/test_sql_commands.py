@@ -687,3 +687,30 @@ def test_update_nested_field_sql(spark, sess, tmp_path):
     sess.sql("UPDATE nu SET meta.a = 99 WHERE k = 1")
     r = sess.table("nu").to_df().collect()[0]
     assert (r["meta"]["a"], r["meta"]["b"]) == (99, "x")
+
+
+def test_sql_metadata_agg_pushdown(spark, sess, sf_dir, tmp_path):
+    """SELECT min/max/count FROM t over a star table answers from the
+    manifest with ZERO Spark jobs; anything else (WHERE, strings, MoR
+    snapshots) falls through to the scan plan with identical results."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sess.create_table(o, str(tmp_path / "ma"), name="ma",
+                      range_partitions=["o_orderstatus"])
+    exp = o.selectExpr("min(o_totalprice)", "max(o_orderkey)",
+                       "count(*)").collect()[0]
+    out = sess.sql("SELECT min(o_totalprice) AS lo, max(o_orderkey) AS hi, "
+                   "count(*) AS n FROM ma")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and \
+        ("LocalTableScan" in plan or "ExistingRDD" in plan), \
+        f"metadata-served aggregate must not touch storage: {plan}"
+    got = out.collect()[0]
+    assert (got["lo"], got["hi"], got["n"]) == (exp[0], exp[1], exp[2])
+    # fall-throughs still answer correctly (string col, WHERE clause)
+    s = sess.sql("SELECT max(o_orderstatus) AS m FROM ma").collect()[0]["m"]
+    assert s == o.selectExpr("max(o_orderstatus)").collect()[0][0]
+    w = sess.sql("SELECT count(*) AS n FROM ma "
+                 "WHERE o_orderstatus = 'F'").collect()[0]["n"]
+    assert w == o.filter("o_orderstatus = 'F'").count()
