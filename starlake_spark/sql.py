@@ -557,6 +557,36 @@ class StarSession:
             t.update(cond, sets)
             return self._empty_df()
 
+        m = re.match(r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)"
+                     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            t = self.table(m["name"])
+            if m["part"]:
+                pins: dict[str, str] = {}
+                for entry in _split_top_level(m["part"]):
+                    col, eq, val = entry.partition("=")
+                    col = col.strip().strip("`")
+                    if col not in t.info.range_cols or not eq:
+                        raise ValueError(
+                            f"TRUNCATE PARTITION: '{col}' is not a range "
+                            f"partition column of {m['name']}")
+                    pins[col] = val.strip()
+                if set(pins) == set(t.info.range_cols):
+                    # fully-pinned partition: metadata-only expire —
+                    # zero jobs, the 100 TB shape (DropPartitionCommand)
+                    rv = ",".join(f"{c}={pins[c].strip(chr(39))}"
+                                  for c in t.info.range_cols)
+                    t.drop_partition(rv)
+                else:
+                    # partial pin: predicate delete over the matching
+                    # partitions (still partition-pruned)
+                    t.delete(F.expr(" AND ".join(
+                        f"{c} = {v}" for c, v in pins.items())))
+            else:
+                t.delete(None)  # expire every partition, history retained
+            return self._empty_df()
+
         m = _DELETE_RE.match(text)
         if m and self._known(m["name"]):
             t = self.table(m["name"])

@@ -714,3 +714,22 @@ def test_sql_metadata_agg_pushdown(spark, sess, sf_dir, tmp_path):
     w = sess.sql("SELECT count(*) AS n FROM ma "
                  "WHERE o_orderstatus = 'F'").collect()[0]["n"]
     assert w == o.filter("o_orderstatus = 'F'").count()
+
+
+def test_truncate_table_sql(spark, sess, sf_dir, tmp_path):
+    """TRUNCATE TABLE t [PARTITION (p = v)]: full truncate expires every
+    partition (history retained — RESTORE undoes it); the partition form
+    scopes to one range value."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sess.create_table(o, str(tmp_path / "tt"), name="tt",
+                      range_partitions=["o_orderstatus"])
+    sess.sql("TRUNCATE TABLE tt PARTITION (o_orderstatus = 'F')")
+    t = sess.table("tt")
+    assert t.to_df().filter("o_orderstatus = 'F'").count() == 0
+    assert t.to_df().count() == o.filter("o_orderstatus <> 'F'").count()
+    sess.sql("TRUNCATE TABLE tt")
+    assert t.count() == 0
+    t.restore(1)
+    assert t.count() == o.count()  # truncate is a versioned commit
+    with pytest.raises(ValueError, match="not a range partition"):
+        sess.sql("TRUNCATE TABLE tt PARTITION (o_orderkey = 1)")
