@@ -557,6 +557,16 @@ class StarSession:
             t.update(cond, sets)
             return self._empty_df()
 
+        m = re.match(r"^\s*COPY\s+INTO\s+(?P<name>[\w.]+)\s+FROM\s+"
+                     r"'(?P<src>[^']+)'"
+                     r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*$",
+                     text, re.IGNORECASE)
+        if m and self._known(m["name"]):
+            n = self.table(m["name"]).copy_into(
+                m["src"], file_format=(m["fmt"] or "parquet").lower())
+            return self.spark.createDataFrame([(n,)],
+                                              "num_inserted_rows long")
+
         m = re.match(r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)"
                      r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s*$",
                      text, re.IGNORECASE)

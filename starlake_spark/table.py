@@ -239,6 +239,14 @@ class StarTable:
                    use_dv=use_dv)
         return self
 
+    def copy_into(self, source_dir: str, file_format: str = "parquet",
+                  checkpoint: str | None = None) -> int:
+        """Idempotent directory ingest (COPY INTO) — file-level
+        exactly-once via a one-shot file-source stream drain; see
+        module-level copy_into."""
+        return copy_into(self.spark, self, source_dir,
+                         file_format=file_format, checkpoint=checkpoint)
+
     def delete_keys(self, keys_df: DataFrame) -> "StarTable":
         """Tombstone-delete an explicit key frame — O(keys) write, no
         table scan; the CDC-apply / erasure-list shape (dml.delete_keys)."""
@@ -1389,3 +1397,54 @@ def create_table(
     if short_name:
         catalog.register(short_name, path, warehouse)
     return StarTable(spark, store)
+
+
+def copy_into(spark: SparkSession, table: "StarTable", source_dir: str,
+              file_format: str = "parquet",
+              checkpoint: str | None = None) -> int:
+    """COPY INTO (Databricks/Delta ingest command analog): load data
+    files from a directory into the table with FILE-LEVEL exactly-once
+    — re-running after new files arrive loads only the new files, and a
+    crashed run resumes without duplicating. Spark-first: instead of a
+    hand-rolled loaded-file registry, the drain is a one-shot
+    availableNow pass of Spark's FILE-SOURCE stream over the directory
+    — its checkpoint (kept under ``_star_meta/copy_into/<digest>``)
+    already tracks ingested files at any directory size. Hash tables
+    apply each micro-batch as an upsert (replays converge by key);
+    non-hash tables append through the exactly-once batch registry.
+    Files read under the TABLE's schema (COPY INTO contract: extra
+    columns are an analysis error, missing ones null-fill). Returns the
+    number of rows loaded this invocation."""
+    import hashlib as _hashlib
+    import os as _os
+
+    schema = T.StructType.fromJson(json.loads(table.info.schema_json))
+    digest = _hashlib.md5(_os.path.abspath(source_dir).encode()).hexdigest()[:16]
+    ckpt = checkpoint or _os.path.join(table.store.table_path, "_star_meta",
+                                       "copy_into", digest)
+    path = table.store.table_path
+    loaded = spark.sparkContext.accumulator(0)
+
+    def _apply(batch, batch_id):
+        n = batch.count()
+        if n == 0:
+            return
+        loaded.add(n)
+        t = StarTable.for_path(batch.sparkSession, path)
+        if t.info.hash_cols:
+            t.upsert(batch)
+        else:
+            from starlake_spark.operators import dml as _dml
+
+            _dml.write_into(batch.sparkSession, t.store, batch,
+                            mode="append",
+                            txn_app_id=f"copy_into:{digest}",
+                            txn_version=int(batch_id))
+
+    q = (spark.readStream.format(file_format).schema(schema)
+         .load(source_dir)
+         .writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return loaded.value

@@ -733,3 +733,16 @@ def test_truncate_table_sql(spark, sess, sf_dir, tmp_path):
     assert t.count() == o.count()  # truncate is a versioned commit
     with pytest.raises(ValueError, match="not a range partition"):
         sess.sql("TRUNCATE TABLE tt PARTITION (o_orderkey = 1)")
+
+
+def test_copy_into_sql(spark, sess, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = str(tmp_path / "landing")
+    o.limit(50).coalesce(1).write.parquet(src)
+    sess.create_table(o.limit(0), str(tmp_path / "ci"), name="ci")
+    r = sess.sql(f"COPY INTO ci FROM '{src}'").collect()[0]
+    assert r["num_inserted_rows"] == 50
+    r = sess.sql(f"COPY INTO ci FROM '{src}' FILEFORMAT = PARQUET") \
+            .collect()[0]
+    assert r["num_inserted_rows"] == 0  # idempotent
+    assert sess.table("ci").count() == 50

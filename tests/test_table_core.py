@@ -574,3 +574,35 @@ def test_metadata_agg_after_rename_column(spark, sf_dir, tmp_path):
     t.rename_column("o_totalprice", "price")
     m = t.metadata_agg("price")
     assert (m["min"], m["max"]) == (exp[0], exp[1])
+
+
+def test_copy_into_idempotent_file_ingest(spark, sf_dir, tmp_path):
+    """COPY INTO: loads a directory's files exactly once per file —
+    re-running loads nothing new, newly arrived files load
+    incrementally, a hash-table target converges by key."""
+    import os
+
+    from starlake_spark.table import create_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = str(tmp_path / "landing")
+    o.filter("o_orderkey % 2 = 0").coalesce(2).write.parquet(src)
+    t = create_table(spark, o.limit(0), str(tmp_path / "t"))
+    n1 = t.copy_into(src)
+    assert n1 == o.filter("o_orderkey % 2 = 0").count()
+    assert t.count() == n1
+    assert t.copy_into(src) == 0  # nothing new: zero rows, zero commits
+    v = t.store.latest_version()
+    t.copy_into(src)
+    assert t.store.latest_version() == v
+    # late-arriving files load incrementally
+    o.filter("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    n2 = t.copy_into(src)
+    assert n2 == o.filter("o_orderkey % 2 = 1").count()
+    assert t.count() == o.count()
+    # hash-table target: replays converge by key
+    h = create_table(spark, o.limit(0), str(tmp_path / "h"),
+                     hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    h.copy_into(src)
+    h.copy_into(src)
+    assert h.count() == o.count()
