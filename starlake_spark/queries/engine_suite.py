@@ -2063,3 +2063,34 @@ FROM orders
 
 ENGINE_QUERIES["star_metadata_agg"] = (star_metadata_agg,
                                        METADATA_AGG_ORACLE)
+
+
+def star_copy_into(spark, sf_dir):
+    """COPY INTO idempotent directory ingest: an initial drain loads the
+    landing files, a re-run loads ZERO rows and commits nothing
+    (file-level exactly-once via the file-source stream checkpoint —
+    asserted inline), late-arriving files load incrementally, and the
+    final table equals the full source."""
+    import os as _os
+
+    o = ld(spark, sf_dir, "orders")
+    landing = _scratch(sf_dir, "copy_landing")
+    o.filter("o_orderkey % 2 = 0").coalesce(2).write.parquet(landing)
+    t = create_table(spark, o.limit(0), _scratch(sf_dir, "copy_into"))
+    n1 = t.copy_into(landing)
+    assert n1 == t.count()
+    v = t.store.latest_version()
+    assert t.copy_into(landing) == 0, "re-run must load nothing"
+    assert t.store.latest_version() == v, "re-run must commit nothing"
+    o.filter("o_orderkey % 2 = 1").coalesce(1).write.mode("append") \
+        .parquet(landing)
+    t.copy_into(landing)
+    return t.to_df().select(*ORDER_COLS).orderBy("o_orderkey")
+
+
+COPY_INTO_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
+ENGINE_QUERIES["star_copy_into"] = (star_copy_into, COPY_INTO_ORACLE)
