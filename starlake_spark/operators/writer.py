@@ -581,6 +581,17 @@ def _json_safe_stat(v):
     return None
 
 
+def _decimal_from_raw(raw, scale: int):
+    """Parquet DECIMAL physical bound → decimal.Decimal: the raw value
+    is the unscaled integer (INT32/INT64) or its big-endian
+    two's-complement bytes (FLBA/BYTE_ARRAY)."""
+    import decimal
+
+    unscaled = (int.from_bytes(raw, "big", signed=True)
+                if isinstance(raw, bytes) else int(raw))
+    return decimal.Decimal(unscaled).scaleb(-scale)
+
+
 def _footer_stats(fp: str) -> dict | None:
     """Per-column min/max from the already-written parquet footer — no
     second data scan (Delta computes the same bounds inside the write
@@ -624,17 +635,29 @@ def _footer_stats(fp: str) -> dict | None:
                 dropped.add(name)
                 agg.pop(name, None)
                 continue
-            mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
-            # bound TRUE string stats (not Decimal/temporal renderings,
-            # which are short and must parse back exactly): min by
-            # prefix cut (still a lower bound), max by widen-truncate
-            if isinstance(st.min, str) and mn is not None \
-                    and len(mn) > _STAT_MAX_LEN:
-                mn = mn[:_STAT_MAX_LEN]
-            if isinstance(st.max, str) and mx is not None \
-                    and len(mx) > _STAT_MAX_LEN:
-                mx = _widen_truncate(mx)
-            if mn is None or mx is None:
+            # aggregate TYPED bounds across row groups — rendering to
+            # JSON-safe strings happens ONCE at the end, so Decimal and
+            # temporal values order by VALUE here, never lexically
+            # ("9.5" < "10.0" as decimals, not as strings)
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't render this type's typed statistics —
+                # notably parquet logical DECIMAL, whose bounds we
+                # recover from the PHYSICAL min/max (unscaled int /
+                # big-endian two's-complement FLBA). Anything else
+                # fails OPEN for the column (readers treat missing
+                # stats as "could contain anything") — never the WRITE.
+                mn = mx = None
+                try:
+                    lt = st.logical_type
+                    if lt is not None and str(lt.type) == "DECIMAL":
+                        scale = json.loads(lt.to_json())["scale"]
+                        mn = _decimal_from_raw(st.min_raw, scale)
+                        mx = _decimal_from_raw(st.max_raw, scale)
+                except Exception:
+                    mn = mx = None
+            if mn is None or mx is None or isinstance(mn, bytes):
                 dropped.add(name)
                 agg.pop(name, None)
                 continue
@@ -643,7 +666,19 @@ def _footer_stats(fp: str) -> dict | None:
                 agg[name][1] = max(agg[name][1], mx)
             else:
                 agg[name] = [mn, mx]
-    out: dict[str, dict] = {k: {"min": v[0], "max": v[1]} for k, v in agg.items()}
+    out: dict[str, dict] = {}
+    for k, (mn_t, mx_t) in agg.items():
+        mn, mx = _json_safe_stat(mn_t), _json_safe_stat(mx_t)
+        if mn is None or mx is None:
+            continue
+        # bound TRUE string stats (not Decimal/temporal renderings,
+        # which are short and must parse back exactly): min by prefix
+        # cut (still a lower bound), max by widen-truncate
+        if isinstance(mn_t, str) and len(mn) > _STAT_MAX_LEN:
+            mn = mn[:_STAT_MAX_LEN]
+        if isinstance(mx_t, str) and len(mx) > _STAT_MAX_LEN:
+            mx = _widen_truncate(mx)
+        out[k] = {"min": mn, "max": mx}
     for k, n in nulls.items():
         out.setdefault(k, {})["nulls"] = n
     return (out or None, md.num_rows)

@@ -606,3 +606,26 @@ def test_copy_into_idempotent_file_ingest(spark, sf_dir, tmp_path):
     h.copy_into(src)
     h.copy_into(src)
     assert h.count() == o.count()
+
+
+def test_decimal_footer_stats_exact(spark, tmp_path):
+    """Decimal columns: pyarrow can't render parquet DECIMAL typed
+    statistics — bounds recover from the physical min/max, and bounds
+    aggregate by VALUE across row groups (Decimal('9.5') < '10.0' even
+    though the strings order the other way). Regression: decimal
+    writes used to crash footer harvesting outright."""
+    import decimal
+
+    from starlake_spark.table import create_table
+
+    rows = [(i, decimal.Decimal(s))
+            for i, s in enumerate(["9.50", "10.00", "-3.25", "100.75"])]
+    df = spark.createDataFrame(rows, "k long, m decimal(12,2)")
+    t = create_table(spark, df, str(tmp_path / "t"))
+    g = t.metadata_agg("m")
+    assert g["min"] == decimal.Decimal("-3.25")
+    assert g["max"] == decimal.Decimal("100.75")
+    assert g["count"] == 4
+    # stats skipping on the decimal column still answers correctly
+    assert t.to_df(where="m > 50").count() == 1
+    assert t.to_df(where="m < 0").count() == 1
