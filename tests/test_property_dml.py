@@ -377,3 +377,70 @@ def test_cross_process_commit_storm_no_lost_updates(spark, tmp_path):
     got = t.to_df()
     assert got.count() == 1 + 3 * 8
     assert got.filter("id >= 1000").count() == 3 * 8
+
+
+def test_schema_evolution_storm_differential(spark, tmp_path):
+    """Random interleaving of RENAME COLUMN / ADD COLUMNS / widening
+    upserts / delete_keys / compaction on a MoR hash table, checked
+    against a plain dict model after EVERY step (seeded; wider
+    multi-seed soak run in round-4 validation)."""
+    import random
+
+    from starlake_spark.table import create_table
+
+    rng = random.Random(22)
+    cols = ["k", "a"]
+    model = {i: {"a": i} for i in range(50)}
+    df = spark.createDataFrame([(i, i) for i in range(50)], "k long, a int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     hash_partitions=["k"], hash_bucket_num=2)
+    next_col = 0
+    for step in range(12):
+        op = rng.choice(["upsert", "rename", "add", "widen", "delete",
+                         "compact"])
+        if op == "upsert":
+            ks = rng.sample(sorted(model) if model else [0],
+                            k=min(7, max(1, len(model))))
+            dc = rng.choice([c for c in cols if c != "k"])
+            t.upsert(spark.createDataFrame([(k, step * 100 + k) for k in ks],
+                                           f"k long, {dc} int"))
+            for k in ks:
+                if k not in model:
+                    model[k] = {c: None for c in cols if c != "k"}
+                model[k][dc] = step * 100 + k
+        elif op == "rename":
+            src = rng.choice([c for c in cols if c != "k"])
+            new = f"r{step}"
+            t.rename_column(src, new)
+            cols[cols.index(src)] = new
+            for v in model.values():
+                v[new] = v.pop(src, None)
+        elif op == "add":
+            new = f"c{next_col}"
+            next_col += 1
+            t.add_columns([(new, "int")])
+            cols.append(new)
+            for v in model.values():
+                v.setdefault(new, None)
+        elif op == "widen":
+            dc = rng.choice([c for c in cols if c != "k"])
+            big = 5_000_000_000 + step
+            t.upsert(spark.createDataFrame([(0, big)],
+                                           f"k long, {dc} long"))
+            if 0 not in model:
+                model[0] = {c: None for c in cols if c != "k"}
+            model[0][dc] = big
+        elif op == "delete":
+            if model:
+                ks = rng.sample(sorted(model), k=min(5, len(model)))
+                t.delete_keys(spark.createDataFrame([(k,) for k in ks],
+                                                    "k long"))
+                for k in ks:
+                    model.pop(k)
+        else:
+            t.compaction(force=True)
+        got = {r["k"]: {c: r[c] for c in cols if c != "k"}
+               for r in t.to_df().collect()}
+        exp = {k: {c: v.get(c) for c in cols if c != "k"}
+               for k, v in model.items()}
+        assert got == exp, (step, op)
