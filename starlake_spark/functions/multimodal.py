@@ -231,11 +231,18 @@ def pack_payload_shards(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                if fh is None:
-                    fh = open(path, "wb")
                 refs = []
                 for p in pdf[payload_col]:
-                    b = bytes(p) if p is not None else b""
+                    if p is None:
+                        # NULL payload → NULL pointer: null and empty
+                        # must stay distinguishable through the
+                        # pack/fetch round-trip (b'' gets a real
+                        # zero-length ref; None gets no ref at all)
+                        refs.append(None)
+                        continue
+                    b = bytes(p)
+                    if fh is None:
+                        fh = open(path, "wb")
                     fh.write(b)
                     refs.append({"uri": path, "offset": off,
                                  "length": len(b),
@@ -274,8 +281,10 @@ def fetch_content(
                 continue
             payloads: list[bytes | None] = [None] * len(pdf)
             refs = pdf[ref_col]
+            # NULL refs (packed from NULL payloads) stay None — only
+            # real pointers are fetched
             order = sorted(
-                range(len(pdf)),
+                (i for i in range(len(pdf)) if refs.iloc[i] is not None),
                 key=lambda i: (refs.iloc[i]["uri"], refs.iloc[i]["offset"]))
             open_uri, fh = None, None
             try:

@@ -882,8 +882,11 @@ def pq_topk(
                            _as_double(F.col(vec_col)).alias("_qv"))
             .toPandas())
     rows = []
-    for _, r in qpdf.iterrows():
-        qv = np.asarray(r["_qv"], dtype=np.float64)
+    # .tolist() renders numpy scalars back to Python natives; the id
+    # column keeps its ACTUAL type (string/decimal ids must not be
+    # coerced to long — mirror ivf_index_topk's qid_type discipline)
+    for qid_val, qv_raw in zip(qpdf["query_id"].tolist(), qpdf["_qv"]):
+        qv = np.asarray(qv_raw, dtype=np.float64)
         if normalize:
             nn = np.linalg.norm(qv)
             if nn > 0:
@@ -892,8 +895,15 @@ def pq_topk(
         for j in range(m):
             qj = qv[j * dsub:(j + 1) * dsub]
             lut[j] = ((codebooks[j] - qj[None, :]) ** 2).sum(1)
-        rows.append((int(r["query_id"]), [[float(x) for x in row] for row in lut]))
-    luts = spark.createDataFrame(rows, "query_id long, _lut array<array<double>>")
+        rows.append((qid_val, [[float(x) for x in row] for row in lut]))
+    qid_type = queries.select(F.col(qid)).schema[0].dataType
+    luts = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField("_lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]),
+    )
     joined = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes") \
                      .crossJoin(F.broadcast(luts))
     if exclude_self:
@@ -1006,7 +1016,9 @@ def ivfpq_topk(
     if len(qpdf):
         mat = _batch_matrix(qpdf["_qv"], dim)
         top = np.argsort(-(mat @ M.T), axis=1, kind="stable")[:, :nprobe]
-        for qid, qv, row in zip(qpdf["query_id"], mat, top):
+        # .tolist() → Python natives; id keeps its actual type (no
+        # int() coercion — string/decimal ids, ivf_index_topk parity)
+        for qid, qv, row in zip(qpdf["query_id"].tolist(), mat, top):
             nn = np.linalg.norm(qv)
             qn = qv / nn if nn > 0 else qv
             lut = np.zeros((m, ksub))
@@ -1017,10 +1029,16 @@ def ivfpq_topk(
             for c in row:
                 cid = int(ids[c])
                 cells.add(cid)
-                probe_rows.append((int(qid), lut_py, cid))
+                probe_rows.append((qid, lut_py, cid))
+    qid_type = queries.select(F.col(id_col)).schema[0].dataType
     probes = spark.createDataFrame(
         probe_rows,
-        "query_id long, _lut array<array<double>>, centroid_id long")
+        T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField("_lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("centroid_id", T.LongType()),
+        ]),
+    )
 
     cand = index.to_df(
         partition_filter=lambda d: int(d["centroid_id"]) in cells

@@ -66,29 +66,71 @@ class FileLockProvider(LockProvider):
         self.poll_s = poll_s
 
     def acquire(self, meta_dir: str, table_path: str,
-                timeout_s: float) -> str:
+                timeout_s: float) -> tuple:
         lock = os.path.join(meta_dir, "_commit.lock")
         deadline = time.time() + timeout_s
+        token = f"{os.getpid()}:{id(self)}:{time.monotonic_ns()}"
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                return lock
+                return (lock, token)
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > self.stale_s:
-                        os.unlink(lock)  # break stale lock
-                        continue
+                    st = os.stat(lock)
                 except FileNotFoundError:
+                    continue
+                if time.time() - st.st_mtime > self.stale_s:
+                    self._break_stale(lock)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(f"commit lock timeout on {table_path}")
                 time.sleep(self.poll_s)
 
-    def release(self, handle: str) -> None:
+    def _break_stale(self, lock: str) -> None:
+        """Race-safe stale-lock break. A plain ``unlink`` here is a
+        TOCTOU hazard: two waiters can both observe the same stale
+        lock, the first unlinks it and acquires a FRESH lock, and the
+        second then unlinks the fresh one — two concurrent holders.
+        Instead the breaker atomically *claims* the stale file by
+        renaming it to a unique reap name: exactly one racing breaker
+        wins the rename (the loser's rename raises — the source is
+        gone) and nobody ever unlinks the live lock path directly.
+        After the rename the winner re-verifies staleness on the
+        reaped file; if it turns out fresh (created in the stat→rename
+        window by a winner of an earlier break), it is handed back via
+        ``link`` (which refuses to clobber a newer lock)."""
+        reap = f"{lock}.reap-{os.getpid()}-{time.monotonic_ns()}"
         try:
-            os.unlink(handle)
+            os.rename(lock, reap)
+        except OSError:
+            return  # another breaker claimed it first
+        try:
+            still_stale = time.time() - os.path.getmtime(reap) > self.stale_s
+        except FileNotFoundError:
+            return
+        if not still_stale:
+            # We stole a fresh lock — give it back. link() fails if a
+            # newer lock already exists at the path (leave that one).
+            try:
+                os.link(reap, lock)
+            except OSError:
+                pass
+        try:
+            os.unlink(reap)
+        except FileNotFoundError:
+            pass
+
+    def release(self, handle) -> None:
+        # Accept legacy bare-path handles for back compat.
+        lock, token = handle if isinstance(handle, tuple) else (handle, None)
+        try:
+            if token is not None:
+                with open(lock, "rb") as f:
+                    if f.read().decode(errors="replace") != token:
+                        return  # not ours any more (reaped + reacquired)
+            os.unlink(lock)
         except FileNotFoundError:
             # a stale-break reaper (or test cleanup) got there first —
             # the guarded section is already over, nothing to undo

@@ -1465,7 +1465,9 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
         snap = store.snapshot(v)
         return ({f.path for f in snap.all_files()}
                 | {d.path for ps in snap.partitions.values()
-                   for d in ps.dv_files})
+                   for d in ps.dv_files}
+                | {f.bloom_ref for f in snap.all_files()
+                   if getattr(f, "bloom_ref", None)})
 
     refs = _refs_of(latest)
     for v in keep_versions:
@@ -1493,19 +1495,42 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                     removed.append(rel)
                     if not dry_run:
                         os.unlink(p)
+    # bloom-filter sidecars: one parquet per commit under
+    # `_star_meta/bloom/`; a sidecar whose commit no retained snapshot
+    # references is dead weight (readers only ever load
+    # manifest-referenced bitmaps) — sweep it on the data retention
+    # clock, keyed on retained bloom_refs exactly like dv sidecars.
+    bloom_root = os.path.join(store.table_path, "_star_meta", "bloom")
+    if os.path.isdir(bloom_root):
+        for root, _dirs, names in os.walk(bloom_root):
+            for n in names:
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, store.table_path)
+                if rel not in refs and now - os.path.getmtime(p) > retention_s:
+                    removed.append(rel)
+                    if not dry_run:
+                        os.unlink(p)
     # CDC logs age on their own retention clock: default = the data
     # retention (Delta ties change-data retention to log retention the
     # same way), independently shrinkable via the ``cdf.retention``
     # table property or the cdc_retention_s argument — the knob that
     # keeps `_cdc/` bounded on a long-retention, DML-heavy table.
+    # "independent CDC retention" means the caller (argument) or the
+    # table (cdf.retention property) SAID so — tracked explicitly, not
+    # inferred by comparing values (an explicit window that happens to
+    # equal retention_s is still an independent clock)
+    cdc_independent = cdc_retention_s is not None
     if cdc_retention_s is None:
         cfg = store.table_info().configuration or {}
         prop = cfg.get("cdf.retention")
         try:
-            cdc_retention_s = float(prop) if prop is not None else retention_s
+            if prop is not None:
+                cdc_retention_s = float(prop)
+                cdc_independent = True
         except (TypeError, ValueError):
+            pass
+        if cdc_retention_s is None:
             cdc_retention_s = retention_s
-    cdc_independent = cdc_retention_s != retention_s
     cdc_root = os.path.join(store.table_path, CDC_DIR)
     if os.path.isdir(cdc_root):
         import shutil

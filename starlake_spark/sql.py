@@ -21,6 +21,26 @@ from starlake_spark import catalog
 from starlake_spark.table import StarTable, create_table
 
 
+# quote-aware parenthesized-body fragment: a PARTITION (...) clause may
+# carry ')' or ',' INSIDE a quoted literal (PARTITION (p = 'a)b')) — a
+# naive [^)]* stops at the first ')' and mis-parses the value. Quoted
+# segments (with SQL '' escapes) are consumed whole.
+_PAREN_BODY = r"(?:'[^']*'|[^)'])*"
+
+
+def _unquote_literal(val: str) -> str:
+    """Render a parsed SQL literal to its string value: strip one layer
+    of single quotes and undo '' escapes; bare (unquoted) tokens pass
+    through. Replaces the fragile ``.strip(\"'\")`` (which mangles
+    values that merely START or END with a quote)."""
+    v = val.strip()
+    if len(v) >= 2 and v[0] == v[-1] == "'":
+        return v[1:-1].replace("''", "'")
+    if len(v) >= 2 and v[0] == v[-1] == '"':
+        return v[1:-1].replace('""', '"')
+    return v
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parens/quotes (SET a=f(x,y), b=2)."""
     parts, depth, quote, cur = [], 0, None, []
@@ -153,7 +173,7 @@ _ALTER_DROPDEFAULT_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
-    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    rf"(?:\s+PARTITION\s*\((?P<part>{_PAREN_BODY})\))?"
     r"(?:\s*\((?P<cols>[^)]*)\))?"
     r"\s+(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -568,7 +588,7 @@ class StarSession:
                                               "num_inserted_rows long")
 
         m = re.match(r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)"
-                     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s*$",
+                     rf"(?:\s+PARTITION\s*\((?P<part>{_PAREN_BODY})\))?\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
             t = self.table(m["name"])
@@ -585,7 +605,7 @@ class StarSession:
                 if set(pins) == set(t.info.range_cols):
                     # fully-pinned partition: metadata-only expire —
                     # zero jobs, the 100 TB shape (DropPartitionCommand)
-                    rv = ",".join(f"{c}={pins[c].strip(chr(39))}"
+                    rv = ",".join(f"{c}={_unquote_literal(pins[c])}"
                                   for c in t.info.range_cols)
                     t.drop_partition(rv)
                 else:
@@ -833,13 +853,15 @@ class StarSession:
                 rows, "col_name string, data_type string, comment string")
 
         m = re.match(r"^\s*COMPACT\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
-                     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s*$",
+                     rf"(?:\s+PARTITION\s*\((?P<part>{_PAREN_BODY})\))?\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
             part = None
             if m["part"]:
-                part = ",".join(p.strip().replace("'", "").replace('"', "")
-                                for p in _split_top_level(m["part"]))
+                part = ",".join(
+                    "=".join(_unquote_literal(s) for s in
+                             p.split("=", 1))
+                    for p in _split_top_level(m["part"]))
             self.table(m["name"]).compaction(force=True, partition=part)
             return self._empty_df()
 

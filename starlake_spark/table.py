@@ -406,6 +406,22 @@ class StarTable:
                                    "detail": "unreferenced by any retained "
                                              "version; VACUUM removes it "
                                              "after retention"})
+        # orphaned bloom sidecars: bitmaps whose commit no retained
+        # version references (same sweep clock as data orphans —
+        # readers only load manifest-referenced bitmaps, so these are
+        # pure storage leak, removed by VACUUM after retention)
+        bloom_root = _os.path.join(store.table_path, "_star_meta", "bloom")
+        for root, _dirs, names in _os.walk(bloom_root):
+            for n in names:
+                rel = _os.path.relpath(_os.path.join(root, n),
+                                       store.table_path)
+                if rel not in referenced:
+                    issues.append({"kind": "orphan_bloom_sidecar",
+                                   "partition": None,
+                                   "path": rel, "repairable": False,
+                                   "detail": "unreferenced by any retained "
+                                             "version; VACUUM removes it "
+                                             "after retention"})
 
         # resolve versions through a COLD store: the live store's
         # snapshot cache would mask on-disk manifest corruption

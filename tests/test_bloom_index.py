@@ -139,3 +139,48 @@ def test_compaction_rebuilds_blooms(spark, orders, tmp_path):
     ck = orders.select("o_custkey").first()[0]
     assert t.to_df(where=f"o_custkey = {ck}").count() == \
         orders.filter(F.col("o_custkey") == ck).count()
+
+
+def test_vacuum_sweeps_dead_bloom_sidecars(spark, orders, tmp_path):
+    """Sidecar lifecycle: compaction supersedes the create commit's
+    bitmaps; vacuum past retention removes the DEAD commit's sidecar
+    parquet while the live one stays and probes still skip. fsck
+    reports the orphan before the sweep and is clean after."""
+    t = create_table(spark, orders, str(tmp_path / "v"),
+                     configuration=dict(PROPS))
+    dead_refs = {f.bloom_ref for f in t.store.snapshot().all_files()}
+    t.compaction(force=True, sort_columns=["o_orderkey"])
+    live_refs = {f.bloom_ref for f in t.store.snapshot().all_files()}
+    assert dead_refs.isdisjoint(live_refs)
+
+    root = t.store.table_path
+    # the dead commit's sidecar is still referenced by the retained old
+    # version (time travel) — NOT an fsck orphan; a crashed writer's
+    # sidecar (no version references it) IS
+    assert not [i for i in t.fsck() if i["kind"] == "orphan_bloom_sidecar"]
+    fake = os.path.join(root, "_star_meta", "bloom", "deadbeef.parquet")
+    with open(fake, "wb") as fh:
+        fh.write(b"crashed-writer-sidecar")
+    orphans = [i for i in t.fsck() if i["kind"] == "orphan_bloom_sidecar"]
+    assert [i["path"] for i in orphans] == ["_star_meta/bloom/deadbeef.parquet"]
+
+    # inside retention nothing sweeps
+    assert t.cleanup(retention_s=10_000) == []
+    # past retention: the dead commit's bitmap AND the crashed-writer
+    # orphan are both gone, the live commit's stays
+    removed = t.cleanup(retention_s=0.0)
+    assert dead_refs <= set(removed)
+    assert "_star_meta/bloom/deadbeef.parquet" in removed
+    for r in dead_refs:
+        assert not os.path.exists(os.path.join(root, r))
+    for r in live_refs:
+        assert os.path.exists(os.path.join(root, r))
+    assert not [i for i in t.fsck() if i["kind"] == "orphan_bloom_sidecar"]
+
+    # live probes still skip (absent key prunes) and still find rows
+    n_files = len(t.store.snapshot().all_files())
+    df = t.to_df(where="o_custkey = 10000001")
+    assert df.count() == 0 and len(df.inputFiles()) < n_files
+    ck = orders.select("o_custkey").first()[0]
+    assert t.to_df(where=f"o_custkey = {ck}").count() == \
+        orders.filter(F.col("o_custkey") == ck).count()

@@ -517,6 +517,39 @@ def test_pq_adc_planted_twin_and_code_shape(spark):
     assert top1 == {0: 1000, 1: 1001, 2: 1002}, top1
 
 
+def test_pq_and_ivfpq_preserve_string_ids(spark, tmp_path):
+    """Non-integer id columns must survive the ADC paths untouched:
+    pq_topk and ivfpq_topk used to coerce ids with int() + a hardcoded
+    'query_id long' schema, crashing (or mis-joining) string/decimal
+    ids. They now mirror ivf_index_topk's qid_type discipline."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(11)
+    vecs = [(f"doc-{i}", [float(x) for x in rng.standard_normal(64)])
+            for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<double>")
+    q = df.filter("vec_id = 'doc-0'")
+    corpus = df.unionByName(
+        q.select(F.concat(F.col("vec_id"), F.lit("-twin")).alias("vec_id"),
+                 "embedding"))
+
+    books = sim.pq_train(corpus, "embedding", m=16, ksub=16, iters=5)
+    codes = sim.pq_encode(corpus, books, "vec_id", "embedding")
+    top = sim.pq_topk(codes, q, books, k=3)
+    assert dict(top.dtypes)["query_id"] == "string"
+    r1 = top.filter("rank = 1").collect()[0]
+    assert r1["query_id"] == "doc-0" and r1["neighbor_id"] == "doc-0-twin"
+
+    idx = sim.build_ivfpq_index(spark, corpus, str(tmp_path / "ivfpq_str"),
+                                nlist=4, m=16, ksub=16)
+    hits = sim.ivfpq_topk(spark, idx, q, k=3, nprobe=4, exclude_self=True)
+    assert dict(hits.dtypes)["query_id"] == "string"
+    h1 = hits.filter("rank = 1").collect()[0]
+    assert h1["query_id"] == "doc-0" and h1["neighbor_id"] == "doc-0-twin"
+
+
 def test_rrf_fuse_combines_and_ranks(spark):
     """A doc ranked well in BOTH lists outscores a doc that tops only
     one (1/61+1/62 > 1/61): the calibration-free property RRF is for."""
@@ -626,8 +659,10 @@ def test_ivfpq_topk_nondeterministic_query_frame(spark, sf_dir, tmp_path):
 
 def test_content_ref_pack_fetch_roundtrip(spark, tmp_path):
     """content_ref mode: payloads pack into external shards, pointer
-    rows fetch back byte-identical; empty and None payloads roundtrip;
-    a corrupted shard byte surfaces as a checksum error."""
+    rows fetch back byte-identical; an EMPTY payload round-trips as b''
+    (zero-length ref) while a NULL payload round-trips as NULL (null
+    ref) — null and empty stay distinguishable; a corrupted shard byte
+    surfaces as a checksum error."""
     import os
 
     from starlake_spark.functions import multimodal as mm
@@ -640,16 +675,20 @@ def test_content_ref_pack_fetch_roundtrip(spark, tmp_path):
                                   "payload", "item_id")
     refs = refs.localCheckpoint()  # pin pointer rows before fetching
     assert refs.count() == 5
+    # NULL payload → NULL pointer; empty payload → real zero-length ref
+    by_id = {r["item_id"]: r["content_ref"] for r in refs.collect()}
+    assert by_id[3] is None
+    assert by_id[2] is not None and by_id[2]["length"] == 0
     shards = os.listdir(shard_dir)
     assert shards and all(s.endswith(".bin") for s in shards)
     # total shard bytes == total payload bytes (pure concatenation)
     total = sum(os.path.getsize(os.path.join(shard_dir, s)) for s in shards)
     assert total == sum(len(p or b"") for _, p in rows)
 
-    got = {r["item_id"]: bytes(r["payload"])
+    got = {r["item_id"]: (bytes(r["payload"]) if r["payload"] is not None
+                          else None)
            for r in mm.fetch_content(refs, "content_ref", "item_id").collect()}
-    want = {i: (p or b"") for i, p in rows}
-    assert got == want
+    assert got == dict(rows)
 
     # corrupt one nonempty payload's first byte → verify raises
     victim = refs.filter("item_id = 4").collect()[0]["content_ref"]

@@ -139,7 +139,7 @@ def test_file_provider_stale_break(tmp_path):
     meta = str(tmp_path / "_star_meta")
     os.makedirs(meta)
     h = prov.acquire(meta, "tbl", timeout_s=5)
-    os.utime(h, (time.time() - 10, time.time() - 10))  # backdate = crash
+    os.utime(h[0], (time.time() - 10, time.time() - 10))  # backdate = crash
     h2 = prov.acquire(meta, "tbl", timeout_s=5)
     prov.release(h2)
     prov.release(h)  # idempotent: file already gone must not raise
@@ -150,8 +150,60 @@ def test_release_survives_reaped_handle(tmp_path):
     meta = str(tmp_path / "_star_meta")
     os.makedirs(meta)
     h = prov.acquire(meta, "tbl", timeout_s=1)
-    os.unlink(h)
+    os.unlink(h[0])
     prov.release(h)  # must not raise
+
+
+def test_stale_break_toctou_two_breakers(tmp_path):
+    """Regression for the stale-break TOCTOU: waiter B observes a
+    stale lock; before B acts, waiter A breaks it and acquires a FRESH
+    lock at the same path. B's break must NOT destroy A's fresh lock
+    (the old unlink-based break did — two concurrent holders)."""
+    prov = FileLockProvider(stale_s=5.0, poll_s=0.01)
+    meta = str(tmp_path / "_star_meta")
+    os.makedirs(meta)
+    lock = os.path.join(meta, "_commit.lock")
+
+    # crashed committer's stale lock; B observes it stale (the stat in
+    # acquire's loop) — simulated by just knowing it's stale here
+    with open(lock, "w") as f:
+        f.write("crashed")
+    os.utime(lock, (time.time() - 10, time.time() - 10))
+
+    # A wins the break and immediately acquires a fresh lock
+    prov._break_stale(lock)
+    h_a = prov.acquire(meta, "tbl", timeout_s=1)
+    with open(lock) as f:
+        a_token = f.read()
+
+    # B now executes its (stale-observation-based) break against what
+    # is actually A's fresh lock — it must hand the lock back intact
+    prov._break_stale(lock)
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == a_token  # A still holds; mutual exclusion kept
+
+    # and no second acquire can sneak in while A holds
+    with pytest.raises(TimeoutError):
+        prov.acquire(meta, "tbl", timeout_s=0.3)
+    prov.release(h_a)
+    assert not os.path.exists(lock)
+
+
+def test_release_skips_lock_it_no_longer_owns(tmp_path):
+    """If a holder's lock was reaped and the path re-acquired by
+    another writer, the original holder's release must not unlink the
+    new writer's lock."""
+    prov = FileLockProvider(stale_s=0.1, poll_s=0.01)
+    meta = str(tmp_path / "_star_meta")
+    os.makedirs(meta)
+    h_a = prov.acquire(meta, "tbl", timeout_s=1)
+    os.utime(h_a[0], (time.time() - 10, time.time() - 10))  # A "crashed"
+    h_b = prov.acquire(meta, "tbl", timeout_s=2)  # B breaks + acquires
+    prov.release(h_a)  # stale handle: must be a no-op
+    assert os.path.exists(h_b[0])
+    prov.release(h_b)
+    assert not os.path.exists(h_b[0])
 
 
 def test_env_var_registration(tmp_path, monkeypatch):

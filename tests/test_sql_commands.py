@@ -679,6 +679,36 @@ def test_insert_partition_clause(spark, sess, sf_dir, tmp_path):
                  "VALUES ('e', 1, 1.0)")
 
 
+def test_partition_clause_values_with_quotes_and_parens(spark, sess,
+                                                        tmp_path):
+    """Quote-aware PARTITION parsing: values containing ')' or an
+    escaped quote must survive INSERT and TRUNCATE clauses intact —
+    the old [^)]* body / .strip(\"'\") unquoting mangled both."""
+    df = spark.createDataFrame([("plain", 1)], "grp string, k long")
+    sess.create_table(df, str(tmp_path / "qq"), name="qq",
+                      range_partitions=["grp"])
+    t = sess.table("qq")
+    # value containing ')'
+    sess.sql("INSERT INTO qq PARTITION (grp = 'a)b') VALUES (10)")
+    assert t.to_df().filter("grp = 'a)b'").count() == 1
+    # value containing an escaped quote (SQL '' escape)
+    sess.sql("INSERT INTO qq PARTITION (grp = 'it''s') VALUES (11)")
+    assert t.to_df().filter("grp = \"it's\"").count() == 1
+    # static OVERWRITE scoped to the paren-carrying partition only
+    sess.sql("INSERT OVERWRITE qq PARTITION (grp = 'a)b') VALUES (20)")
+    got = t.to_df()
+    assert got.filter("grp = 'a)b'").count() == 1
+    assert got.filter("grp = 'a)b'").collect()[0]["k"] == 20
+    assert got.filter("grp = 'plain'").count() == 1
+    # TRUNCATE of the paren-carrying partition: metadata-only expiry
+    # must hit the RIGHT partition (unquoted value match)
+    sess.sql("TRUNCATE TABLE qq PARTITION (grp = 'a)b')")
+    assert t.to_df().filter("grp = 'a)b'").count() == 0
+    assert t.to_df().count() == 2  # plain + it's untouched
+    sess.sql("TRUNCATE TABLE qq PARTITION (grp = 'it''s')")
+    assert t.to_df().count() == 1
+
+
 def test_update_nested_field_sql(spark, sess, tmp_path):
     df = spark.createDataFrame([(1, {"a": 1, "b": "x"})],
                                "k long, meta struct<a:int,b:string>")
