@@ -28,10 +28,39 @@ windows) the way its incremental MV refresh does.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SOURCE_PROP = "replication.source"
 VERSION_PROP = "replication.synced_version"
+FROZEN_PROP = "replication.frozen"
+
+# Replicas are FROZEN to direct DML by default: a user upsert between
+# syncs would be silently overwritten by the next net-window apply
+# (last-writer-wins at the key level, no conflict detection across
+# tables). The apply path itself runs inside this thread-local context
+# so sync_table/sync_stream keep writing; everything else refuses with
+# a pointer to the three sanctioned outs (detach, unfreeze, full
+# re-adopt). Mirrors the stream→batch adoption guard above.
+_apply_ctx = threading.local()
+
+
+class _applying:
+    """Context manager marking this thread as the replication apply
+    path (exempt from the frozen-replica DML guard)."""
+
+    def __enter__(self):
+        _apply_ctx.depth = getattr(_apply_ctx, "depth", 0) + 1
+        return self
+
+    def __exit__(self, *exc):
+        _apply_ctx.depth -= 1
+        return False
+
+
+def is_applying() -> bool:
+    return getattr(_apply_ctx, "depth", 0) > 0
 
 
 def sync_table(spark: SparkSession, source, target_path: str,
@@ -125,10 +154,11 @@ def sync_table(spark: SparkSession, source, target_path: str,
         dels = (ch.filter(F.col(CHANGE_TYPE_COL) == "delete")
                   .select(*(sinfo.range_cols + sinfo.hash_cols)))
         n_up, n_del = ups.count(), dels.count()
-        if n_up:
-            t.upsert(ups)
-        if n_del:
-            t.delete_keys(dels)
+        with _applying():
+            if n_up:
+                t.upsert(ups)
+            if n_del:
+                t.delete_keys(dels)
     finally:
         ch.unpersist()
     t.set_properties({VERSION_PROP: str(src_version)})
@@ -155,10 +185,11 @@ def _full_sync(spark: SparkSession, src, t) -> dict:
     ups = s.join(unchanged, keys, "left_anti")
     dels = r.select(*keys).join(s.select(*keys), keys, "left_anti")
     n_up, n_del = ups.count(), dels.count()
-    if n_up:
-        t.upsert(ups)
-    if n_del:
-        t.delete_keys(dels)
+    with _applying():
+        if n_up:
+            t.upsert(ups)
+        if n_del:
+            t.delete_keys(dels)
     return {"upserted": n_up, "deleted": n_del}
 
 
@@ -219,10 +250,11 @@ def sync_stream(spark: SparkSession, source, target_path: str,
             dels = (net.filter(F.col(CHANGE_TYPE_COL) == "delete")
                     .select(*keys))
             tt = StarTable.for_path(batch.sparkSession, target_path)
-            if ups.count():
-                tt.upsert(ups)
-            if dels.count():
-                tt.delete_keys(dels)
+            with _applying():
+                if ups.count():
+                    tt.upsert(ups)
+                if dels.count():
+                    tt.delete_keys(dels)
         finally:
             batch.unpersist()
 

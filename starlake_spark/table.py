@@ -167,6 +167,31 @@ class StarTable:
 
     # ---------- writes / DML ----------
 
+    def _guard_replica_dml(self, op: str) -> None:
+        """Frozen-replica guard: direct DML against a replica would be
+        silently overwritten by the next sync's net-window apply (no
+        cross-table conflict detection) — refuse it outside the
+        replication apply path. Outs, in decreasing reversibility:
+        set ``replication.frozen=false`` (writable replica, divergence
+        accepted), ``sync_table(..., full=True)`` after writing (repair
+        re-converges to source state), or unset ``replication.source``
+        (detach for good)."""
+        cfg = self.info.configuration or {}
+        if not cfg.get("replication.source"):
+            return
+        if str(cfg.get("replication.frozen", "true")).lower() == "false":
+            return
+        from starlake_spark.operators import replication as _rep
+
+        if _rep.is_applying():
+            return
+        raise ValueError(
+            f"{op}: {self.store.table_path} is a frozen replica of "
+            f"{cfg['replication.source']} — direct DML would be "
+            "overwritten by the next sync. Set replication.frozen=false "
+            "to make it writable, or unset replication.source to detach; "
+            "sync_table(..., full=True) re-converges a diverged replica.")
+
     def write(self, df: DataFrame, mode: str = "append", replace_where: str | None = None,
               txn_app_id: str | None = None, txn_version: int | None = None,
               partition_overwrite: str = "static") -> "StarTable":
@@ -176,6 +201,7 @@ class StarTable:
         the commit lock. ``partition_overwrite="dynamic"`` with
         mode="overwrite" replaces only the range partitions present in
         ``df`` (Spark/Delta partitionOverwriteMode=dynamic)."""
+        self._guard_replica_dml("write")
         if partition_overwrite not in ("static", "dynamic"):
             raise ValueError("partition_overwrite must be 'static' or 'dynamic'")
         if partition_overwrite == "dynamic" and replace_where is not None:
@@ -192,6 +218,7 @@ class StarTable:
         """``condition`` scopes the CoW path (use_delta=False) to
         matching range partitions and is REQUIRED there on
         range-partitioned tables — see dml.upsert."""
+        self._guard_replica_dml("upsert")
         dml.upsert(self.spark, self.store, source, use_delta=use_delta,
                    txn_app_id=txn_app_id, txn_version=txn_version,
                    condition=condition)
@@ -204,6 +231,7 @@ class StarTable:
         (or dml.dv.enabled=true): deletion-vector UPDATE for non-hash
         tables — old positions vectored out, updated images appended,
         O(changed rows); see dml.update."""
+        self._guard_replica_dml("update")
         dml.update(self.spark, self.store, condition, set_exprs,
                    use_delta=use_delta, use_dv=use_dv)
         return self
@@ -219,6 +247,7 @@ class StarTable:
         columns by name; dict values are SQL expressions over both
         aliases (default t/s). The by-source clauses act on target rows
         the source doesn't match (sync-to-source deletes/flags)."""
+        self._guard_replica_dml("merge")
         dml.merge_into(self.spark, self.store, source, condition,
                        matched_update=matched_update,
                        matched_delete=matched_delete,
@@ -235,6 +264,7 @@ class StarTable:
         ``use_dv=True`` (or dml.dv.enabled=true): deletion-vector
         DELETE for non-hash tables — matched (file, position) pairs
         land in a sidecar, zero data bytes rewritten; see dml.delete."""
+        self._guard_replica_dml("delete")
         dml.delete(self.spark, self.store, condition, use_delta=use_delta,
                    use_dv=use_dv)
         return self
@@ -244,12 +274,14 @@ class StarTable:
         """Idempotent directory ingest (COPY INTO) — file-level
         exactly-once via a one-shot file-source stream drain; see
         module-level copy_into."""
+        self._guard_replica_dml("copy_into")
         return copy_into(self.spark, self, source_dir,
                          file_format=file_format, checkpoint=checkpoint)
 
     def delete_keys(self, keys_df: DataFrame) -> "StarTable":
         """Tombstone-delete an explicit key frame — O(keys) write, no
         table scan; the CDC-apply / erasure-list shape (dml.delete_keys)."""
+        self._guard_replica_dml("delete_keys")
         dml.delete_keys(self.spark, self.store, keys_df)
         return self
 
@@ -575,6 +607,7 @@ class StarTable:
 
     def drop_partition(self, range_value: str) -> "StarTable":
         """DropPartitionCommand (commands/DropTableCommand.scala:150-247)."""
+        self._guard_replica_dml("drop_partition")
         txn = self.store.new_transaction()
         if range_value not in txn.read_snapshot.partitions:
             raise KeyError(f"no such partition: {range_value}")

@@ -113,7 +113,9 @@ def test_full_repair_heals_divergence(spark, sf_dir, tmp_path):
     differing from the source are re-upserted, foreign keys tombstoned."""
     o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
     dst, _ = sync_table(spark, src, str(tmp_path / "dst"))
-    # replica-local corruption: one mutated row, one foreign row
+    # replica-local corruption requires explicitly unfreezing first —
+    # direct DML against a frozen replica refuses (guard tested below)
+    dst.set_properties({"replication.frozen": "false"})
     dst.update("o_orderkey = 1", {"o_totalprice": "0.0"}, use_delta=True)
     dst.upsert(o.limit(1).withColumn("o_orderkey", F.lit(123456789)))
     dst, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
@@ -123,6 +125,51 @@ def test_full_repair_heals_divergence(spark, sf_dir, tmp_path):
     # clean replica: repair finds nothing
     _, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
     assert st["upserted"] == 0 and st["deleted"] == 0
+
+
+def test_frozen_replica_refuses_direct_dml(spark, sf_dir, tmp_path):
+    """Replicas are frozen by default: direct DML between syncs would
+    be silently overwritten by the next net-window apply, so every
+    write-path entry refuses. Unfreezing (replication.frozen=false)
+    opens it; full=True repair then re-converges; detaching
+    (unset replication.source) lifts the guard for good."""
+    o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
+    dst, _ = sync_table(spark, src, str(tmp_path / "dst"))
+
+    one = o.limit(1)
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.upsert(one)
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.update("o_orderkey = 1", {"o_totalprice": "0.0"})
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.delete("o_orderkey = 1")
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.delete_keys(one.select("o_orderkey"))
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.write(one, mode="append")
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.merge(one, "t.o_orderkey = s.o_orderkey", matched_update="*")
+    # sync still applies (the guard exempts the replication apply path)
+    src.update("o_orderkey % 5 = 0", {"o_orderpriority": "'SYNCED'"},
+               use_delta=True)
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"))
+    assert st["upserted"] > 0
+    _assert_equal(src, dst)
+
+    # unfreeze → direct write lands → full repair re-converges
+    dst.set_properties({"replication.frozen": "false"})
+    dst.update("o_orderkey = 1", {"o_totalprice": "0.0"}, use_delta=True)
+    dst, st = sync_table(spark, src, str(tmp_path / "dst"), full=True)
+    assert st["upserted"] == 1
+    _assert_equal(src, dst)
+
+    # re-freeze, then detach: an ex-replica is an ordinary table
+    dst.set_properties({"replication.frozen": "true"})
+    with pytest.raises(ValueError, match="frozen replica"):
+        dst.upsert(one)
+    dst.unset_properties([SOURCE_PROP])
+    dst.upsert(one.withColumn("o_orderkey", F.lit(987654321)))
+    assert dst.to_df().filter("o_orderkey = 987654321").count() == 1
 
 
 def test_non_hash_source_rejected(spark, sf_dir, tmp_path):
