@@ -154,12 +154,27 @@ def get_lock_provider() -> LockProvider:
 
 
 def _from_env() -> None:
+    """``STARLAKE_LOCK_PROVIDER="pkg.module:ClassName"`` installs a
+    provider at import time; constructor kwargs ride a query string —
+    ``"starlake_spark.locking:TCPLockProvider?host=10.0.0.5&port=7878"``
+    (values parse as int → float → string)."""
     spec = os.environ.get("STARLAKE_LOCK_PROVIDER", "")
     if not spec:
         return
+    spec, _, query = spec.partition("?")
     mod_name, _, cls_name = spec.partition(":")
     cls = getattr(importlib.import_module(mod_name), cls_name)
-    set_lock_provider(cls())
+    kwargs: dict[str, Any] = {}
+    if query:
+        for pair in query.split("&"):
+            k, _, v = pair.partition("=")
+            for cast in (int, float, str):
+                try:
+                    kwargs[k] = cast(v)
+                    break
+                except ValueError:
+                    continue
+    set_lock_provider(cls(**kwargs))
 
 
 _from_env()
@@ -231,3 +246,148 @@ class SQLiteLockProvider(LockProvider):
                       "AND owner = ?", (table_path, owner))
         finally:
             c.close()
+
+
+class LeaseServer:
+    """Minimal TCP lease arbiter — the multi-HOST deployment of the
+    commit lock: writers on different machines that share nothing but
+    the network arbitrate through this one process (the role the
+    reference's Cassandra cluster plays for its LWT lock row,
+    meta/MetaLock.scala:19-50). Leases carry a TTL so a crashed
+    holder's lease expires instead of wedging the table — the same
+    staleness discipline as every other provider here.
+
+    Wire protocol: one line per request over a fresh connection,
+    newline-terminated, table path base64-encoded (paths may contain
+    spaces):
+
+    * ``ACQUIRE <b64-table> <owner> <ttl_s>`` → ``OK`` (granted or
+      re-granted to the same owner, TTL refreshed) | ``HELD <holder>``
+    * ``RELEASE <b64-table> <owner>`` → ``OK`` (idempotent — releasing
+      an expired/reaped lease is fine) | ``NOTOWNER``
+    * ``PING`` → ``PONG``
+
+    Run standalone: ``python -m starlake_spark.locking [port]``."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import socketserver
+        import threading
+
+        leases: dict[str, tuple[str, float]] = {}
+        guard = threading.Lock()
+
+        class _Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                try:
+                    line = self.rfile.readline().decode().strip()
+                except Exception:
+                    return
+                parts = line.split()
+                resp = "ERR"
+                with guard:
+                    now = time.time()
+                    if parts[:1] == ["PING"]:
+                        resp = "PONG"
+                    elif len(parts) == 4 and parts[0] == "ACQUIRE":
+                        _, tbl, owner, ttl = parts
+                        held = leases.get(tbl)
+                        if (held is None or held[1] < now
+                                or held[0] == owner):
+                            leases[tbl] = (owner, now + float(ttl))
+                            resp = "OK"
+                        else:
+                            resp = f"HELD {held[0]}"
+                    elif len(parts) == 3 and parts[0] == "RELEASE":
+                        _, tbl, owner = parts
+                        held = leases.get(tbl)
+                        if held is not None and held[0] == owner:
+                            del leases[tbl]
+                            resp = "OK"
+                        else:
+                            resp = "OK" if held is None else "NOTOWNER"
+                try:
+                    self.wfile.write((resp + "\n").encode())
+                except Exception:
+                    pass
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+class TCPLockProvider(LockProvider):
+    """NETWORKED provider: mutual exclusion through a :class:`LeaseServer`
+    reachable by every writer host — the out-of-the-box multi-host
+    arbiter (the SQLite provider's shape, but over a socket instead of
+    a shared filesystem). One short-lived connection per request; the
+    arbiter's lease TTL (``lease_s``) is the crash-recovery clock, so
+    size it above the longest expected commit critical section."""
+
+    def __init__(self, host: str, port: int, lease_s: float = 60.0,
+                 poll_s: float = 0.05):
+        self.host, self.port = host, port
+        self.lease_s = lease_s
+        self.poll_s = poll_s
+
+    def _rpc(self, line: str) -> str:
+        import socket
+
+        with socket.create_connection((self.host, self.port),
+                                      timeout=10.0) as s:
+            s.sendall((line + "\n").encode())
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(1024)
+                if not chunk:
+                    break
+                buf += chunk
+        return buf.decode().strip()
+
+    def acquire(self, meta_dir: str, table_path: str,
+                timeout_s: float) -> tuple:
+        import base64
+        import socket
+        import uuid
+
+        tbl = base64.urlsafe_b64encode(table_path.encode()).decode()
+        owner = (f"{socket.gethostname()}:{os.getpid()}:"
+                 f"{uuid.uuid4().hex[:8]}")
+        deadline = time.time() + timeout_s
+        while True:
+            if self._rpc(f"ACQUIRE {tbl} {owner} {self.lease_s}") == "OK":
+                return (tbl, owner)
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock timeout on {table_path}")
+            time.sleep(self.poll_s)
+
+    def release(self, handle: tuple) -> None:
+        tbl, owner = handle
+        try:
+            self._rpc(f"RELEASE {tbl} {owner}")
+        except OSError:
+            # arbiter unreachable at release time: the lease's TTL will
+            # expire it — liveness is preserved, nothing to undo locally
+            pass
+
+
+if __name__ == "__main__":  # pragma: no cover - manual deployment entry
+    import sys
+
+    srv = LeaseServer("0.0.0.0",
+                      int(sys.argv[1]) if len(sys.argv) > 1 else 7878)
+    print(f"starlake lease server on {srv.host}:{srv.port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()

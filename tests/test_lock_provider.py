@@ -215,6 +215,15 @@ def test_env_var_registration(tmp_path, monkeypatch):
     # importlib may re-import this module under its package name, so
     # compare by class name, not object identity
     assert type(locking.get_lock_provider()).__name__ == "InMemoryLockProvider"
+    # query-string kwargs (the networked provider's deployment path)
+    monkeypatch.setenv(
+        "STARLAKE_LOCK_PROVIDER",
+        "starlake_spark.locking:TCPLockProvider"
+        "?host=10.0.0.5&port=7878&lease_s=12.5")
+    locking._from_env()
+    prov = locking.get_lock_provider()
+    assert (type(prov).__name__, prov.host, prov.port, prov.lease_s) == \
+        ("TCPLockProvider", "10.0.0.5", 7878, 12.5)
     locking.set_lock_provider(None)
     assert isinstance(locking.get_lock_provider(), FileLockProvider)
 
@@ -257,6 +266,87 @@ def test_sqlite_provider_stale_ttl_break(tmp_path):
     _t.sleep(0.3)
     h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=2)
     prov.release(h2)
+
+
+def test_tcp_provider_storm_and_cross_process(tmp_path):
+    """The NETWORKED provider passes the same storm contract, and
+    excludes writers across PROCESSES that share only the socket — the
+    true multi-host shape (each spawned process stands in for a host:
+    no shared memory, no shared lock file, just the lease server)."""
+    import multiprocessing as mp
+
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    try:
+        locking.set_lock_provider(TCPLockProvider(srv.host, srv.port))
+        store = _store(tmp_path)
+        assert _storm(store) == 32
+        assert store.list_versions() == list(range(33))
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(3) as pool:
+            results = pool.starmap(
+                _tcp_mp_committer,
+                [(str(tmp_path / "t"), srv.host, srv.port, p, 6)
+                 for p in range(3)])
+        assert sorted(results) == [0, 1, 2]
+        assert store.latest_version() == 32 + 18  # every commit landed
+    finally:
+        locking.set_lock_provider(None)
+        srv.shutdown()
+
+
+def test_tcp_provider_lease_ttl_break_and_timeout(tmp_path):
+    """A crashed committer's lease expires after lease_s (liveness);
+    while a lease is live, a second acquire times out (exclusion);
+    release is idempotent after the TTL reaped the lease."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    try:
+        prov = TCPLockProvider(srv.host, srv.port, lease_s=0.4,
+                               poll_s=0.02)
+        h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+        with pytest.raises(TimeoutError):
+            prov.acquire(str(tmp_path), "tbl", timeout_s=0.15)
+        # crash: handle dropped without release → TTL expiry grants
+        time.sleep(0.5)
+        h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=2)
+        prov.release(h)   # stale handle: server answers NOTOWNER, no raise
+        prov.release(h2)
+        h3 = prov.acquire(str(tmp_path), "tbl", timeout_s=1)
+        prov.release(h3)
+    finally:
+        srv.shutdown()
+
+
+def _tcp_mp_committer(table_path: str, host: str, port: int, proc_id: int,
+                      n_commits: int):
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from starlake_spark import locking as lk
+    from starlake_spark.locking import TCPLockProvider
+    from starlake_spark.meta import DataFileInfo, ManifestStore
+
+    lk.set_lock_provider(TCPLockProvider(host, port))
+    store = ManifestStore(table_path)
+    for i in range(n_commits):
+        rel = _os.path.join("data", f"tcp_{proc_id}_{i}", "part-0.parquet")
+        abs_p = _os.path.join(table_path, rel)
+        _os.makedirs(_os.path.dirname(abs_p), exist_ok=True)
+        pq.write_table(pa.table({"id": pa.array([proc_id], type=pa.int64())}),
+                       abs_p)
+        txn = store.new_transaction()
+        txn.add_files([DataFileInfo(
+            path=rel, range_value="", bucket_id=-1,
+            size=_os.path.getsize(abs_p), write_version=-1,
+            is_base_file=True, exist_cols=["id"], num_rows=1)])
+        store.commit(txn)
+    return proc_id
 
 
 def _sqlite_mp_committer(table_path: str, db: str, proc_id: int,
