@@ -454,23 +454,75 @@ class ManifestStore:
 
         locking.get_lock_provider().release(handle)
 
+    COMMIT_OPTIMISTIC_ATTEMPTS = 3
+
     def commit(self, txn: Transaction) -> Snapshot:
         """Apply a transaction: one new immutable snapshot version.
 
-        Mirrors MetaCommit.doMetaCommit (MetaCommit.scala:35-100): take
-        the table lock, detect file conflicts against commits that
-        landed since the transaction's read snapshot
-        (MetaCommit.scala:700-712), then publish the new version.
+        Mirrors MetaCommit.doMetaCommit (MetaCommit.scala:35-100) with
+        the reference's per-range concurrency granularity
+        (MetaCommit.scala:700-712) recovered through OPTIMISTIC
+        publication: the O(table-state) work — snapshot resolution,
+        conflict detection, next-state construction, JSON serialization
+        — runs OUTSIDE the table lock against an optimistic read of the
+        tip; the lock guards only the compare-and-swap publish (is the
+        tip still the version I built against? then one atomic file
+        write). Writers to DISJOINT partitions therefore overlap
+        everything but a ~ms publish; losing the CAS means another
+        commit landed, so the loop rebuilds against the new tip (again
+        outside the lock) and conflict detection decides retry vs
+        CommitConflictError exactly as before. Each failed attempt
+        implies global progress (someone else committed); after
+        COMMIT_OPTIMISTIC_ATTEMPTS losses the commit degrades to the
+        old build-under-lock path, which always publishes — optimistic
+        throughput when writers are disjoint, guaranteed progress when
+        they are not.
         """
         if txn.committed:
             raise MetaError("transaction already committed")
+        for _ in range(self.COMMIT_OPTIMISTIC_ATTEMPTS):
+            current = self.snapshot()
+            snap, payload = self._build_commit(txn, current)
+            lock = self._acquire_lock()
+            try:
+                if self.latest_version() == current.version:
+                    _atomic_write(self._version_path(snap.version), payload)
+                    self._snap_cache[snap.version] = snap
+                    txn.committed = True
+                    return snap
+            finally:
+                self._release_lock(lock)
+            # lost the CAS: a concurrent commit landed between our read
+            # and the lock — rebuild against the new tip, outside the lock
+        # pessimistic fallback: contention defeated every optimistic
+        # attempt (each loss = someone ELSE committed, so the table is
+        # making progress — but this writer needs a turn). Build under
+        # the lock: guaranteed to publish, at the old serialized cost.
         lock = self._acquire_lock()
         try:
             current = self.snapshot()
-            # idempotence gate, enforced UNDER the lock (a pre-write
-            # check alone loses the race between two retries of the same
-            # batch): monotonic per registry key, as the reference's
-            # StreamingRecord.getBatchId guard (StarLakeSink.scala:60-63)
+            snap, payload = self._build_commit(txn, current)
+            _atomic_write(self._version_path(snap.version), payload)
+            self._snap_cache[snap.version] = snap
+            txn.committed = True
+            return snap
+        finally:
+            self._release_lock(lock)
+
+    def _build_commit(self, txn: Transaction,
+                      current: Snapshot) -> tuple[Snapshot, str]:
+        """Construct the next snapshot + its serialized manifest payload
+        against ``current`` (lock-free), raising the commit-conflict /
+        idempotence errors. Safe to call repeatedly for CAS retries:
+        every mutation is either on fresh per-call copies or an
+        idempotent reassignment (write_version stamps on txn file infos).
+        """
+        if True:
+            # idempotence gate, re-validated on every CAS attempt (a
+            # pre-write check alone loses the race between two retries
+            # of the same batch): monotonic per registry key, as the
+            # reference's StreamingRecord.getBatchId guard
+            # (StarLakeSink.scala:60-63)
             if txn.streaming_update is not None:
                 qid, bid = txn.streaming_update
                 if current.streaming.get(qid, -1) >= bid:
@@ -595,12 +647,7 @@ class ManifestStore:
                 }
             else:
                 state = snap.to_state()
-            _atomic_write(self._version_path(new_version), json.dumps(state))
-            self._snap_cache[new_version] = snap
-            txn.committed = True
-            return snap
-        finally:
-            self._release_lock(lock)
+            return snap, json.dumps(state)
 
     # ---------- restore / clone ----------
 

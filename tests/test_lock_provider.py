@@ -268,6 +268,77 @@ def test_sqlite_provider_stale_ttl_break(tmp_path):
     prov.release(h2)
 
 
+def _add_file_txn(store, table_path, partition, tag):
+    """A transaction adding one real parquet file to ``partition``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from starlake_spark.meta import DataFileInfo
+
+    rel = os.path.join("data", f"{partition}_{tag}", "part-0.parquet")
+    abs_p = os.path.join(table_path, rel)
+    os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), abs_p)
+    txn = store.new_transaction()
+    txn.add_files([DataFileInfo(
+        path=rel, range_value=partition, bucket_id=-1,
+        size=os.path.getsize(abs_p), write_version=-1,
+        is_base_file=True, exist_cols=["id"], num_rows=1)])
+    return txn
+
+
+def test_commit_builds_state_outside_lock(tmp_path, monkeypatch):
+    """Structural pin for the optimistic commit protocol: the
+    O(table-state) build + serialization (_build_commit) must run with
+    the table lock NOT held on the first (uncontended) attempt — the
+    lock guards only the CAS publish. A regression to build-under-lock
+    shows up as the lock file existing during the build."""
+    locking.set_lock_provider(None)  # file provider: held ⇔ file exists
+    store = _store(tmp_path)
+    lockfile = os.path.join(store.meta_dir, "_commit.lock")
+    seen: list[bool] = []
+    orig = ManifestStore._build_commit
+
+    def probe(self, txn, current):
+        seen.append(os.path.exists(lockfile))
+        return orig(self, txn, current)
+
+    monkeypatch.setattr(ManifestStore, "_build_commit", probe)
+    store.commit(_add_file_txn(store, str(tmp_path / "t"), "p0", "a"))
+    assert seen == [False]
+
+
+def test_disjoint_partition_storm_parallel_commits(tmp_path):
+    """N writers × N DISJOINT partitions: every commit lands, versions
+    are dense, and none raises CommitConflictError — disjoint-partition
+    writers never conflict; the CAS loop absorbs version races without
+    surfacing them. (The expensive build work overlaps across writers —
+    pinned structurally by test_commit_builds_state_outside_lock.)"""
+    store = _store(tmp_path)
+    tp = str(tmp_path / "t")
+    errs: list[Exception] = []
+
+    def work(writer_id: int):
+        for i in range(4):
+            try:
+                store.commit(_add_file_txn(
+                    store, tp, f"part={writer_id}", f"c{i}"))
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    snap = store.snapshot()
+    assert snap.version == 32
+    assert store.list_versions() == list(range(33))
+    # every writer's every file is present in its own partition
+    for w in range(8):
+        ps = snap.partitions[f"part={w}"]
+        assert len(ps.files) == 4
+
+
 def test_tcp_provider_storm_and_cross_process(tmp_path):
     """The NETWORKED provider passes the same storm contract, and
     excludes writers across PROCESSES that share only the socket — the
