@@ -116,6 +116,18 @@ def _group_files(files: list[DataFileInfo]) -> dict[tuple[int, str], list[DataFi
     return groups
 
 
+# Committed commit groups are IMMUTABLE, so their inferred parquet
+# schema is too: cache it keyed by (table id, commit dir, file set) and
+# pass it explicitly on repeat reads. Plan-time footer schema inference
+# costs ~100 ms of py4j + footer I/O per group per scan — on a table
+# with N delta groups every MoR plan construction paid N inferences,
+# the dominant fixed cost of DML/CDC entries (profiled: one scan's
+# CONSTRUCTION was 2-3× its execution). Bounded LRU-ish; entries are
+# tiny StructTypes.
+_GROUP_SCHEMA_CACHE: dict[tuple, "T.StructType"] = {}
+_GROUP_SCHEMA_CACHE_MAX = 4096
+
+
 def _read_group(
     spark: SparkSession,
     store: ManifestStore,
@@ -139,12 +151,33 @@ def _read_group(
     reader = spark.read
     if info.range_cols:
         reader = reader.option("basePath", base)
-    df = reader.parquet(*paths)
+    cache_key = (info.table_id, store.table_path, commit_dir,
+                 bool(info.range_cols),
+                 tuple(sorted(f.path for f in files)))
+    file_schema = _GROUP_SCHEMA_CACHE.get(cache_key)
+    if file_schema is not None:
+        df = reader.schema(file_schema).parquet(*paths)
+    else:
+        df = reader.parquet(*paths)
+        file_schema = df.schema
+        if len(_GROUP_SCHEMA_CACHE) >= _GROUP_SCHEMA_CACHE_MAX:
+            _GROUP_SCHEMA_CACHE.pop(next(iter(_GROUP_SCHEMA_CACHE)))
+        _GROUP_SCHEMA_CACHE[cache_key] = file_schema
     # Align to declared types (partition-dir values are type-inferred);
     # renamed columns resolve their file-local physical name via the
     # alias map (zero cost when the table never renamed).
     schema = _schema(info)
     declared = {f.name: f.dataType for f in schema.fields}
+    # Fast path: the group's physical schema already carries every
+    # declared column under its declared name and type (no rename, no
+    # evolution gap, no tombstones, no rowid request) — a bare column
+    # reorder instead of len(schema) cast/alias Column constructions
+    # (each ~3 py4j round-trips; this chatter is plan-construction
+    # fixed cost on every scan of every group).
+    if not with_rowid and TOMBSTONE_COL not in file_schema.fieldNames():
+        have = {f.name: f.dataType for f in file_schema.fields}
+        if all(have.get(n) == t for n, t in declared.items()):
+            return df.select(*[f.name for f in schema.fields])
     amap = alias_map(info)
     present = set(df.columns)
     cols = []

@@ -1143,12 +1143,20 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
                       new_files):
     """Full-fidelity change rows for a commit window: the window's
     affected KEY SET (read cheaply from the raw delta/tombstone files —
-    keys only) prunes two MoR scans, at ``v_pre`` and ``v_cur``; the
-    key-level diff classifies insert / update_preimage /
-    update_postimage / delete, every row carrying real merged values.
-    Used per-commit by the feed (v_pre = v-1, v_cur = v) and over the
-    whole range by ``coalesce_range`` (intermediate churn cancels in
-    the state diff)."""
+    keys only) prunes two MoR scans, at ``v_pre`` and ``v_cur``; a
+    single FULL OUTER join on the keys classifies each key once —
+    insert (pre side absent), delete (cur side absent), no-op (both
+    sides equal on every column — dropped, so logically-no-op rewrites
+    contribute nothing) or an update pre/post pair (emitted by
+    exploding a two-element array) — every row carrying real merged
+    values. One job graph end-to-end: the old derivation built the four
+    change classes as separate join branches over localCheckpoint'd
+    intermediates (~20 Spark jobs per logged commit); this plan is the
+    dominant fixed cost of a ``cdf.enabled`` DML commit, so it must be
+    one pass. Used per-commit by the feed (v_pre = v-1, v_cur = v) and
+    over the whole range by ``range_changes`` (intermediate churn
+    cancels in the state diff). Returns a single-element list (callers
+    union the elements)."""
     from pyspark.sql import functions as F
     from starlake_spark.operators import reader as rd
 
@@ -1161,31 +1169,44 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
                    schema_as_of=False).join(kdf, keys, "left_semi")
     cur = rd.scan(spark, store, version=v_cur,
                   schema_as_of=False).join(kdf, keys, "left_semi")
-    prev = prev.localCheckpoint(eager=False)
-    cur = cur.localCheckpoint(eager=False)
-    # no-op pairs (key present on both sides with EVERY column equal —
-    # e.g. the untouched keys of a rewritten/compacted file) are not
-    # changes: drop them so the feed is minimal and logically-no-op
-    # rewrites contribute nothing
-    data_cols = [c for c in prev.columns if c not in keys]
-    p, c = prev.alias("_p"), cur.alias("_c")
+    out_cols = list(prev.columns)
+    data_cols = [c for c in out_cols if c not in keys]
+    p = prev.select(*keys,
+                    *[F.col(c).alias(f"_p_{c}") for c in data_cols],
+                    F.lit(True).alias("_p_has"))
+    c = cur.select(*keys,
+                   *[F.col(c).alias(f"_c_{c}") for c in data_cols],
+                   F.lit(True).alias("_c_has"))
+    j = p.join(c, keys, "full_outer")
     same = F.lit(True)
     for col in data_cols:
-        same = same & F.col(f"_p.{col}").eqNullSafe(F.col(f"_c.{col}"))
-    noop_keys = (p.join(c, keys).filter(same)
-                 .select(*[F.col(f"_p.{k}").alias(k) for k in keys]))
-    prev = prev.join(noop_keys, keys, "left_anti").localCheckpoint(eager=False)
-    cur = cur.join(noop_keys, keys, "left_anti").localCheckpoint(eager=False)
-    pk = prev.select(*keys)
-    ck = cur.select(*keys)
+        same = same & F.col(f"_p_{col}").eqNullSafe(F.col(f"_c_{col}"))
+    both = F.col("_p_has").isNotNull() & F.col("_c_has").isNotNull()
+    j = j.filter(~(both & same))  # no-op pairs are not changes
+    if data_cols:
+        pre_row = F.struct(*[F.col(f"_p_{c}").alias(c) for c in data_cols])
+        post_row = F.struct(*[F.col(f"_c_{c}").alias(c) for c in data_cols])
 
-    def tag(d, ct):
-        return (d.withColumn(VERSION_COL, F_lit_long(tag_version))
-                 .withColumn(CHANGE_TYPE_COL, F.lit(ct)))
+        def ev(ct, row):
+            return F.struct(F.lit(ct).alias("ct"), row.alias("row"))
 
-    return [
-        tag(cur.join(pk, keys, "left_anti"), "insert"),
-        tag(prev.join(ck, keys, "left_semi"), "update_preimage"),
-        tag(cur.join(pk, keys, "left_semi"), "update_postimage"),
-        tag(prev.join(ck, keys, "left_anti"), "delete"),
-    ]
+        events = (
+            F.when(F.col("_p_has").isNull(),
+                   F.array(ev("insert", post_row)))
+             .when(F.col("_c_has").isNull(),
+                   F.array(ev("delete", pre_row)))
+             .otherwise(F.array(ev("update_preimage", pre_row),
+                                ev("update_postimage", post_row))))
+        out = (j.select(*keys, F.explode(events).alias("_e"))
+                .select(*keys, "_e.row.*",
+                        F_lit_long(tag_version).alias(VERSION_COL),
+                        F.col("_e.ct").alias(CHANGE_TYPE_COL)))
+    else:
+        # key-only table: updates are impossible (both-present rows are
+        # always no-ops, filtered above) — classify insert vs delete
+        ct = F.when(F.col("_p_has").isNull(), F.lit("insert")) \
+              .otherwise(F.lit("delete"))
+        out = j.select(*keys,
+                       F_lit_long(tag_version).alias(VERSION_COL),
+                       ct.alias(CHANGE_TYPE_COL))
+    return [out.select(*out_cols, VERSION_COL, CHANGE_TYPE_COL)]
