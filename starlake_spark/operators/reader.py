@@ -176,7 +176,9 @@ def _read_group(
     # fixed cost on every scan of every group).
     if not with_rowid and TOMBSTONE_COL not in file_schema.fieldNames():
         have = {f.name: f.dataType for f in file_schema.fields}
-        if all(have.get(n) == t for n, t in declared.items()):
+        if all(have.get(n) is not None
+               and have[n].simpleString() == t.simpleString()
+               for n, t in declared.items()):
             return df.select(*[f.name for f in schema.fields])
     amap = alias_map(info)
     present = set(df.columns)
@@ -184,7 +186,19 @@ def _read_group(
     for name in [f.name for f in schema.fields]:
         phys = _resolve_physical(name, present, amap)
         if phys is not None:
-            cols.append(F.col(phys).cast(declared[name]).alias(name))
+            have_t = next((f.dataType for f in file_schema.fields
+                           if f.name == phys), None)
+            if have_t is not None and \
+                    have_t.simpleString() == declared[name].simpleString():
+                # types match up to nullability: no cast. (Casting also
+                # BREAKS nested nullability narrowing — parquet reads
+                # arrays as containsNull=true, and Spark refuses
+                # array<t, true> → array<t, false> even when declared
+                # that way, e.g. a materialized collect_list column.)
+                col = F.col(phys)
+            else:
+                col = F.col(phys).cast(declared[name])
+            cols.append(col.alias(name))
         else:
             cols.append(F.lit(None).cast(declared[name]).alias(name))
     if TOMBSTONE_COL in df.columns:

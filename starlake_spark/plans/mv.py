@@ -97,6 +97,7 @@ _AGG_FNS = {
     "Count": "count", "Sum": "sum", "Average": "avg", "Min": "min",
     "Max": "max", "First": "first", "Last": "last",
     "CountDistinct": "count",
+    "CollectList": "collect_list", "CollectSet": "collect_set",
 }
 _FUNCS = {
     "Lower": "lower", "Upper": "upper", "Abs": "abs", "Coalesce": "coalesce",
@@ -118,6 +119,7 @@ _FUNCS = {
     "Hour": "hour", "Minute": "minute", "Second": "second",
     "Floor": "floor", "Ceil": "ceil", "Greatest": "greatest",
     "Least": "least", "Pow": "power", "StringTrim": "trim",
+    "ConcatWs": "concat_ws",
 }
 
 
@@ -324,13 +326,46 @@ def _or_disjuncts(e: dict) -> list[dict]:
     return [e]
 
 
+def _disj_implies(d: dict, e: dict) -> bool:
+    """Conjunction-aware disjunct implication: D ⟹ E where both are
+    conjunction trees — every conjunct of E must be implied by SOME
+    conjunct of D (so ``k1>2 AND range>30 AND v='x'`` implies
+    ``k1>1 AND range>=30``: extra conjuncts strengthen, each target
+    conjunct is range-weakened). This is the interval containment the
+    reference's OrInfo.scala:31-220 runs per OR branch."""
+    return all(
+        any(_implies_atom(dc, ec) for dc in split_conjuncts(d))
+        for ec in split_conjuncts(e)
+    )
+
+
 def _implies(q: dict, v: dict) -> bool:
     """q ⟹ v in disjunctive form: every disjunct of q must imply some
-    disjunct of v (so ``a=1`` implies ``a=1 OR a=2``, and
-    ``a>5 OR a<-5`` implies ``a>3 OR a<0``)."""
+    disjunct of v (so ``a=1`` implies ``a=1 OR a=2``, ``a>5 OR a<-5``
+    implies ``a>3 OR a<0``, and with conjunction-aware disjuncts
+    ``(k1>2 AND r>30) OR k1=5`` implies ``(k1>1 AND r>=30) OR k1=5``)."""
     return all(
-        any(_implies_atom(qd, vd) for vd in _or_disjuncts(v))
+        any(_disj_implies(qd, vd) for vd in _or_disjuncts(v))
         for qd in _or_disjuncts(q)
+    )
+
+
+def _conjset_implies(q_trees: list[dict], vtree: dict) -> bool:
+    """The CONJUNCTION of the query's residual conjuncts ⟹ ``vtree``:
+    needed when no single conjunct covers a view OR — e.g. query
+    ``k1>1 AND range>=30`` (two conjuncts) against view filter
+    ``(k1>1 AND range>=30) OR ...``: the pair jointly implies the
+    first disjunct. OR-rooted members only guarantee their disjunction,
+    so they are excluded from the atom pool (the single-conjunct path
+    already tried them whole)."""
+    atoms = [c for qt in q_trees if _cls(qt) != "Or"
+             for c in split_conjuncts(qt)]
+    if not atoms:
+        return False
+    return any(
+        all(any(_implies_atom(a, ec) for a in atoms)
+            for ec in split_conjuncts(e))
+        for e in _or_disjuncts(vtree)
     )
 
 
@@ -339,19 +374,22 @@ def _filters_covered(vset: frozenset, qset: frozenset,
     """Every VIEW conjunct must be implied by the query's filters —
     otherwise the view is missing rows the query needs. Exact canonical
     matches are free; the rest must be OR-contained / range-weakened
-    versions of some query conjunct (OrInfo.scala:31-220 semantics,
-    exercised by RewriteQueryByMaterialViewBase OR cases). Sound
-    because the covering query conjunct is always re-applied as a
+    versions of some query conjunct, or jointly implied by the
+    conjunction of the query's remaining conjuncts (OrInfo.scala:31-220
+    semantics, exercised by RewriteQueryByMaterialViewBase OR cases).
+    Sound because every query-only conjunct is always re-applied as a
     compensation predicate (it lives in qset - vset)."""
+    q_trees = [qinfo.residual_by_canon[qc]
+               for qc in qset - vset if qc in qinfo.residual_by_canon]
     for vc in vset - qset:
         vtree = vinfo.residual_by_canon.get(vc)
         if vtree is None:
             return False
-        if not any(
-            _implies(qinfo.residual_by_canon[qc], vtree)
-            for qc in qset - vset if qc in qinfo.residual_by_canon
-        ):
-            return False
+        if any(_implies(qt, vtree) for qt in q_trees):
+            continue
+        if _conjset_implies(q_trees, vtree):
+            continue
+        return False
     return True
 
 
@@ -396,6 +434,16 @@ class QueryInfo:
     outputs: list = field(default_factory=list)       # [(out_name, canon)]
     residual_by_canon: dict = field(default_factory=dict)  # canon → expr tree
     output_trees: list = field(default_factory=list)  # [(out_name, expr tree)]
+    # attr=attr inner-join equalities as canonical name pairs — the
+    # join-equivalence classes compensation rendering may substitute
+    # through (a filter on t1.key renders via join-equal a.key when only
+    # the latter is a view output)
+    join_attr_pairs: frozenset = frozenset()
+    # outer-join identity: (type, left tables, right tables, ON canons)
+    # per non-inner join — matched EXACTLY between query and view (an
+    # outer join's ON placement and sidedness are semantic, unlike an
+    # inner join's, whose ON conjuncts fold into join_conds/filters)
+    join_types: tuple = ()
 
 
 _ALLOWED = {"Project", "Filter", "Join", "Aggregate", "SubqueryAlias", "Sort",
@@ -414,9 +462,11 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
     info = QueryInfo()
     tables: list[str] = []
     joins: set[str] = set()
+    join_pairs: set[tuple] = set()
+    outer_joins: list[tuple] = []
     above: dict[str, dict] = {}
     below: dict[str, dict] = {}
-    state = {"agg_seen": False, "out_done": False}
+    state = {"agg_seen": False, "out_done": False, "n_joins": 0}
 
     def leaf_name(node: dict) -> str | None:
         """SubqueryAlias chain ending in a known table / View boundary."""
@@ -432,12 +482,85 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
             node = ch
         return None
 
+    # ---- attribute source resolution (exprId → table-qualified name) ----
+    # Same-named columns from different tables (a.key vs b.key) must not
+    # collapse to one canonical "key": every AttributeReference resolves
+    # through its exprId to "<table>.<column>", and attributes defined by
+    # mid-plan ALIASES (derived-table projections, aggregate outputs)
+    # substitute their defining expression wholesale — so matching and
+    # compensation are alias-name-independent (the reference's
+    # findNewAttributeReference substitution discipline,
+    # RewriteQueryByMaterialView.scala:256-320).
+    src_map: dict[tuple, str] = {}
+    alias_def: dict[tuple, dict] = {}
+
+    def _eid(e: dict) -> tuple:
+        x = e.get("exprId") or {}
+        return (x.get("id"), x.get("jvmId"))
+
+    def _register(tree: dict, under: str | None):
+        c = _cls(tree)
+        if c == "Alias":
+            if under:
+                src_map.setdefault(_eid(tree),
+                                   f"{under}.{tree['name'].lower()}")
+            else:
+                alias_def.setdefault(_eid(tree), tree["_children"][0])
+        elif c == "AttributeReference" and under:
+            src_map.setdefault(_eid(tree), f"{under}.{tree['name'].lower()}")
+
+    def _harvest(node: dict, under: str | None = None):
+        if _cls(node) == "SubqueryAlias" and under is None:
+            nm = leaf_name(node)
+            if nm is not None:
+                _harvest(node["_children"][0], under=nm)
+                return
+        for fld in ("projectList", "output", "aggregateExpressions"):
+            for flat in node.get(fld, []):
+                try:
+                    _register(_expr(flat), under)
+                except UnsupportedPlan:
+                    pass
+        for ch in node["_children"]:
+            _harvest(ch, under)
+
+    def _resolve_tree(e: dict) -> dict:
+        c = _cls(e)
+        if c == "AttributeReference":
+            src = src_map.get(_eid(e))
+            if src is not None:
+                e = dict(e)
+                e["name"] = src
+                return e
+            d = alias_def.get(_eid(e))
+            if d is not None:
+                return _resolve_tree(d)
+            return e
+        e = dict(e)
+        e["_children"] = [_resolve_tree(ch) for ch in e["_children"]]
+        return e
+
+    _harvest(root)
+
+    def _rexpr(flat) -> dict:
+        return _resolve_tree(_expr(flat))
+
+    def _is_attr(e: dict) -> bool:
+        e = _unwrap_numeric_cast(e)
+        return _cls(e) == "AttributeReference"
+
     def walk(node: dict):
         c = _cls(node)
         if c == "SubqueryAlias":
             nm = leaf_name(node)
             if nm is None:
-                raise UnsupportedPlan("subquery/derived table")
+                # derived table (SELECT ... in FROM): walk through it —
+                # its inner filters/joins/projections fold into the
+                # flat conjunct/join sets, alias names staying the
+                # matching currency (reference MaterialViewUtils
+                # flattens single-block nested selects the same way)
+                walk(node["_children"][0])
+                return
             tables.append(nm)
             return
         if c not in _ALLOWED:
@@ -452,32 +575,64 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
                     name = t.get("name") if _cls(t) in ("Alias", "AttributeReference") else None
                     if name is None:
                         raise UnsupportedPlan("unnamed projection")
-                    info.outputs.append((name, canon(t)))
-                    info.output_trees.append((name, t))
+                    rt = _resolve_tree(t)
+                    info.outputs.append((name, canon(rt)))
+                    info.output_trees.append((name, rt))
             walk(node["_children"][0])
             return
         if c == "Filter":
-            for cj in split_conjuncts(_expr(node["condition"])):
+            for cj in split_conjuncts(_rexpr(node["condition"])):
                 (below if state["agg_seen"] else above)[canon(cj)] = cj
             walk(node["_children"][0])
             return
         if c == "Join":
             jt = node.get("joinType", {}).get("object", "")
-            if not jt.endswith("Inner$"):
-                raise UnsupportedPlan("non-inner join")
+            state["n_joins"] += 1
             cond = node.get("condition")
-            if cond:
-                for cj in split_conjuncts(_expr(cond)):
-                    joins.add(canon_eq_symmetric(cj))
-            for ch in node["_children"]:
-                walk(ch)
-            return
+            if jt.endswith("Inner$") or jt.endswith("Cross$"):
+                # inner-join ON ≡ WHERE: attr=attr equalities are the
+                # join identity; every other conjunct (literals,
+                # inequalities) is an ordinary filter, so a query with
+                # EXTRA ON conditions still rewrites with compensation
+                # (reference: 'external condition in on should rewrite')
+                if cond:
+                    for cj in split_conjuncts(_rexpr(cond)):
+                        if (_cls(cj) == "EqualTo"
+                                and all(_is_attr(x) for x in cj["_children"])):
+                            joins.add(canon_eq_symmetric(cj))
+                            join_pairs.add(tuple(sorted(
+                                canon(x) for x in cj["_children"])))
+                        else:
+                            (below if state["agg_seen"] else above)[
+                                canon(cj)] = cj
+                for ch in node["_children"]:
+                    walk(ch)
+                return
+            if jt.endswith("LeftOuter$"):
+                # outer joins: ON placement and sidedness are semantic —
+                # capture (type, left tables, right tables, full ON set)
+                # as an exact-match identity. Only the single-join shape
+                # is supported: mixed outer/inner multi-join association
+                # is structure-sensitive and a flat multiset could match
+                # differently-nested (≠) plans.
+                n0 = len(tables)
+                walk(node["_children"][0])
+                left = tuple(sorted(tables[n0:]))
+                n1 = len(tables)
+                walk(node["_children"][1])
+                right = tuple(sorted(tables[n1:]))
+                on = tuple(sorted(
+                    canon_eq_symmetric(cj)
+                    for cj in split_conjuncts(_rexpr(cond)))) if cond else ()
+                outer_joins.append(("leftouter", left, right, on))
+                return
+            raise UnsupportedPlan(f"join type {jt}")
         if c == "Aggregate":
             if state["agg_seen"]:
                 raise UnsupportedPlan("nested aggregate")
             state["agg_seen"] = True
             info.has_agg = True
-            info.group_by = frozenset(canon(_expr(g)) for g in node.get("groupingExpressions", []))
+            info.group_by = frozenset(canon(_rexpr(g)) for g in node.get("groupingExpressions", []))
             if not state["out_done"]:
                 state["out_done"] = True
                 for ex in node.get("aggregateExpressions", []):
@@ -485,14 +640,19 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
                     name = t.get("name") if _cls(t) in ("Alias", "AttributeReference") else None
                     if name is None:
                         raise UnsupportedPlan("unnamed aggregate output")
-                    info.outputs.append((name, canon(t)))
-                    info.output_trees.append((name, t))
+                    rt = _resolve_tree(t)
+                    info.outputs.append((name, canon(rt)))
+                    info.output_trees.append((name, rt))
             walk(node["_children"][0])
             return
 
     walk(root)
+    if outer_joins and state["n_joins"] > 1:
+        raise UnsupportedPlan("outer join in a multi-join plan")
     info.tables = tuple(sorted(tables))
     info.join_conds = frozenset(joins)
+    info.join_attr_pairs = frozenset(join_pairs)
+    info.join_types = tuple(sorted(outer_joins))
     info.filters_above = frozenset(above)
     info.filters_below = frozenset(below)
     info.residual_by_canon = {**above, **below}
@@ -611,7 +771,8 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
 
 def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
                vinfo: QueryInfo) -> DataFrame | None:
-    if qinfo.tables != vinfo.tables or qinfo.join_conds != vinfo.join_conds:
+    if qinfo.tables != vinfo.tables or qinfo.join_conds != vinfo.join_conds \
+            or qinfo.join_types != vinfo.join_types:
         return None
 
     view_t = StarTable.for_path(session.spark, ent["path"])
@@ -621,6 +782,29 @@ def _try_match(session, qinfo: QueryInfo, view_name: str, ent: dict,
     for out_name, cn in vinfo.outputs:
         vout.setdefault(cn, out_name)
     colmap = {cn: nm for cn, nm in vout.items()}  # attr canon == attr name for plain cols
+    # join-equivalence substitution: an attribute the view did not
+    # output may render through any join-equal attribute it DID output
+    # (the view's inner-join equalities hold on every view row) —
+    # reference findNewAttributeReference's equivalence discipline.
+    parent: dict[str, str] = {}
+
+    def _find(x: str) -> str:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for l, r in vinfo.join_attr_pairs:
+        parent.setdefault(l, l)
+        parent.setdefault(r, r)
+        parent[_find(l)] = _find(r)
+    classes: dict[str, list[str]] = {}
+    for x in parent:
+        classes.setdefault(_find(x), []).append(x)
+    for members in classes.values():
+        col = next((colmap[m] for m in members if m in colmap), None)
+        if col is not None:
+            for m in members:
+                colmap.setdefault(m, col)
 
     if vinfo.has_agg:
         # agg sets must line up exactly (RewriteQueryByMaterialView:
