@@ -68,14 +68,19 @@ def merge_source_schema(src_schema: T.StructType,
     cast up on write); NullType columns never enter the schema."""
     info = store.table_info(refresh=True)
     schema = T.StructType.fromJson(json.loads(info.schema_json))
-    existing = {f.name for f in schema.fields}
+    # case-insensitive matching, declared case preserved (reference
+    # CaseSensitivitySuite "schema merging is case insenstive but
+    # preserves original case": appending a 'Foo' frame to a table
+    # declaring 'foo' is the SAME column, never a new one)
+    by_lower = {f.name.lower(): f.name for f in schema.fields}
     widened = {}
     for f in src_schema.fields:
-        if f.name in existing:
-            cur = schema[f.name].dataType
+        decl = by_lower.get(f.name.lower())
+        if decl is not None:
+            cur = schema[decl].dataType
             w = _widened(cur, f.dataType)
             if w is not None:
-                widened[f.name] = w
+                widened[decl] = w
     if widened:
         if info.configuration.get("schema.autoMerge.enabled", "true") != "true":
             raise ValueError(
@@ -100,12 +105,14 @@ def merge_source_schema(src_schema: T.StructType,
                     for a in v.split(",") if a}
     added = False
     for f in src_schema.fields:
-        if f.name not in existing and not isinstance(f.dataType, T.NullType):
+        if f.name.lower() not in by_lower \
+                and not isinstance(f.dataType, T.NullType):
             if f.name.lower() in renamed_away:
                 raise ValueError(
                     f"source column '{f.name}' was renamed to "
                     f"'{renamed_away[f.name.lower()]}' — write the new name")
             schema = schema.add(T.StructField(f.name, f.dataType, True))
+            by_lower[f.name.lower()] = f.name
             added = True
     if added and info.configuration.get("schema.autoMerge.enabled",
                                         "true") != "true":
@@ -1149,6 +1156,15 @@ def _compact_once(spark: SparkSession, store: ManifestStore, force: bool = True,
             # the DV-filtered scan and expire_partition clears the
             # vectors — OPTIMIZE on a DV table physically drops the
             # deleted rows (Delta PURGE semantics)
+            targets.append(rv)
+            continue
+        if info.hash_cols and any(f.is_base_file and f.bucket_id < 0
+                                  for f in ps.files):
+            # unbucketed base files in a hash table (format('star')
+            # overwrite / CONVERT adoption): reads are correct (merge
+            # collapse is key-based; bucket pruning fails open on -1)
+            # but the partition loses point-lookup pruning — rewrite to
+            # restore the bucketed layout
             targets.append(rv)
             continue
         if (ps.delta_file_num == 0

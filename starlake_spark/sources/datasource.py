@@ -42,7 +42,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from starlake_spark.meta import ManifestStore, decode_range_value
+from starlake_spark.meta import (ManifestStore, TableNotFoundError,
+                                 decode_range_value)
 
 VERSION_COL = "_commit_version"
 CHANGE_TYPE_COL = "_change_type"
@@ -522,16 +523,118 @@ class _WriteMessage(WriterCommitMessage):
     rel_paths: tuple  # files this task wrote, relative to the table root
 
 
-def _validate_write_target(table_path: str, schema: T.StructType):
-    """Shared driver-side guards for the V2 write paths; returns
-    (info, cast_types) — the declared types for the present columns."""
-    store = ManifestStore(table_path)
-    info = store.table_info()
-    if info.hash_cols:
+def _opt(options: dict | None, key: str, default=None):
+    """Case-insensitive option lookup (reference
+    schema/CaseSensitivitySuite.scala:219-277: ``rAngeParTitionS`` etc.
+    work regardless of spark.sql.caseSensitive)."""
+    lk = key.lower()
+    for k, v in (options or {}).items():
+        if str(k).lower() == lk:
+            return v
+    return default
+
+
+def _create_from_write(table_path: str, schema: T.StructType,
+                       options: dict) -> "TableInfo":
+    """First write to a fresh path CREATES the table — the reference's
+    primary creation surface (``df.write.format("star")
+    .option("rangePartitions", ...).save(path)``,
+    CaseSensitivitySuite/TableCreationTests). Partition option VALUES
+    resolve case-insensitively against the data and canonicalize to the
+    data's casing; duplicate column names differing only by case are
+    rejected (reference 'two fields with same name')."""
+    import uuid as _uuid
+
+    from starlake_spark.meta import TableInfo
+
+    names = schema.fieldNames()
+    by_lower: dict[str, str] = {}
+    for c in names:
+        if c.lower() in by_lower:
+            raise ValueError(
+                f"duplicate column names differing only by case: "
+                f"'{by_lower[c.lower()]}' and '{c}' "
+                "(CaseSensitivitySuite 'two fields with same name')")
+        by_lower[c.lower()] = c
+
+    def _cols(spec: str | None) -> list[str]:
+        out = []
+        for c in (spec or "").split(","):
+            c = c.strip()
+            if not c:
+                continue
+            resolved = by_lower.get(c.lower())
+            if resolved is None:
+                raise ValueError(f"partition column '{c}' not in data")
+            out.append(resolved)
+        return out
+
+    range_cols = _cols(_opt(options, "rangePartitions"))
+    hash_cols = _cols(_opt(options, "hashPartitions"))
+    bucket = _opt(options, "hashBucketNum")
+    if hash_cols and bucket is None:
         raise ValueError(
-            "format('star') writes target non-hash tables; hash tables "
-            "dedup by key — use StarTable.upsert / streaming.write_stream "
-            "(WriteIntoTable.scala:96-97)")
+            "You must set the bucket num (hashBucketNum) when using "
+            "hash partitions")
+    short = _opt(options, "shortTableName")
+    info = TableInfo(
+        table_path=table_path,
+        table_id=f"table_{_uuid.uuid4().hex[:16]}",
+        schema_json=schema.json(),
+        range_cols=range_cols,
+        hash_cols=hash_cols,
+        bucket_num=int(bucket) if bucket is not None else -1,
+        configuration={"schema.autoMerge.enabled": "true"},
+        short_name=short,
+    )
+    store = ManifestStore(table_path)
+    store.create(info)
+    if short:
+        from starlake_spark import catalog
+
+        catalog.register(short, table_path, None)
+    return info
+
+
+def _validate_write_target(table_path: str, schema: T.StructType,
+                           options: dict | None = None,
+                           overwrite: bool = True):
+    """Shared driver-side guards for the V2 write paths; returns
+    (info, cast_types, out_names) — the declared types for the present
+    columns and the declared (original-case) name each incoming column
+    stores under. Creates the table on a first write to a fresh path."""
+    store = ManifestStore(table_path)
+    created = False
+    try:
+        info = store.table_info()
+    except TableNotFoundError:
+        info = _create_from_write(table_path, schema, options or {})
+        created = True
+    if not created:
+        # partition options on an existing table must agree (reference
+        # 'can't change partition columns')
+        def _norm(spec):
+            return [c.strip().lower() for c in str(spec).split(",")
+                    if c.strip()]
+
+        rspec = _opt(options, "rangePartitions")
+        if rspec is not None and \
+                _norm(rspec) != [c.lower() for c in info.range_cols]:
+            raise ValueError(
+                f"range partition column {info.range_cols} was already "
+                "set when creating table, it conflicts with your "
+                f"partition columns {rspec}")
+        hspec = _opt(options, "hashPartitions")
+        if hspec is not None and \
+                _norm(hspec) != [c.lower() for c in info.hash_cols]:
+            raise ValueError(
+                f"Hash partition column {info.hash_cols} was already "
+                f"set when creating table, it conflicts with {hspec}")
+    if info.hash_cols and not overwrite and not created:
+        raise ValueError(
+            "When use hash partition and not first commit, `Append` "
+            "mode is not supported — upsert through StarTable / "
+            "streaming.write_stream (WriteIntoTable.scala:96-97)")
     cfg = info.configuration or {}
     if any(k.startswith(("check.", "generated.")) for k in cfg):
         raise ValueError(
@@ -539,10 +642,12 @@ def _validate_write_target(table_path: str, schema: T.StructType):
             "write through the table API, which enforces them in the "
             "write pass")
     declared = T.StructType.fromJson(json.loads(info.schema_json))
-    declared_names = {f.name for f in declared.fields}
-    extra = [c for c in schema.fieldNames() if c not in declared_names]
+    declared_lower = {f.name.lower(): f for f in declared.fields}
+    extra = [c for c in schema.fieldNames()
+             if c.lower() not in declared_lower]
     needs_merge = extra or any(
-        f.name in declared_names and f.dataType != declared[f.name].dataType
+        f.name.lower() in declared_lower
+        and f.dataType != declared_lower[f.name.lower()].dataType
         for f in schema.fields)
     if needs_merge:
         # same evolution rules as the table API (reference
@@ -554,20 +659,31 @@ def _validate_write_target(table_path: str, schema: T.StructType):
 
         info = merge_source_schema(schema, store)
         declared = T.StructType.fromJson(json.loads(info.schema_json))
+        declared_lower = {f.name.lower(): f for f in declared.fields}
+    present_lower = {c.lower() for c in schema.fieldNames()}
     for c in info.range_cols:
-        if c not in schema.fieldNames():
+        if c.lower() not in present_lower:
             raise ValueError(f"range partition column '{c}' missing")
-    cast_types = {f.name: f.dataType for f in declared.fields
-                  if f.name in schema.fieldNames()}
-    return info, cast_types
+    # incoming column → declared type + DECLARED (original-case) name:
+    # files always store the declared casing, so a 'Foo' frame appended
+    # to a table declaring 'foo' stays one column (CaseSensitivitySuite
+    # 'schema merging is case insenstive but preserves original case')
+    cast_types = {c: declared_lower[c.lower()].dataType
+                  for c in schema.fieldNames()}
+    out_names = {c: declared_lower[c.lower()].name
+                 for c in schema.fieldNames()}
+    return info, cast_types, out_names
 
 
 def _write_task_batches(iterator, table_path: str, dir_name: str,
-                        cast_types: dict, range_cols: list) -> tuple:
+                        cast_types: dict, range_cols: list,
+                        out_names: dict | None = None) -> tuple:
     """Task side of the delayed-commit V2 writes: stream Arrow batches
     into per-range parquet files under ``data/<dir_name>/`` (hive
     fragments quoted), casting present columns to their declared
-    types. Returns the relative paths written."""
+    types. ``out_names`` maps each incoming column to the DECLARED
+    (original-case) name it stores under. ``range_cols`` are declared
+    names. Returns the relative paths written."""
     import uuid
 
     import pyarrow as pa
@@ -578,7 +694,10 @@ def _write_task_batches(iterator, table_path: str, dir_name: str,
     writers: dict[tuple, pq.ParquetWriter] = {}
     paths: dict[tuple, str] = {}
     arrow_types = {c: to_arrow_type(t) for c, t in cast_types.items()}
-    data_names = [c for c in cast_types if c not in range_cols]
+    out_names = out_names or {c: c for c in cast_types}
+    inv = {v: k for k, v in out_names.items()}  # declared → incoming
+    range_in = [inv.get(rc, rc) for rc in range_cols]
+    data_names = [c for c in cast_types if out_names[c] not in range_cols]
 
     def _open(range_vals: tuple) -> pq.ParquetWriter:
         from urllib.parse import quote
@@ -591,22 +710,23 @@ def _write_task_batches(iterator, table_path: str, dir_name: str,
         ap = os.path.join(table_path, rel)
         os.makedirs(os.path.dirname(ap), exist_ok=True)
         paths[range_vals] = rel
-        schema = pa.schema([(c, arrow_types[c]) for c in data_names])
+        schema = pa.schema([(out_names[c], arrow_types[c])
+                            for c in data_names])
         return pq.ParquetWriter(ap, schema)
 
     for batch in iterator:
         tbl = pa.Table.from_batches([batch])
         cols = {c: tbl[c].cast(arrow_types[c]) for c in cast_types}
         data = pa.Table.from_arrays([cols[c] for c in data_names],
-                                    names=data_names)
+                                    names=[out_names[c] for c in data_names])
         if range_cols:
             import pandas as pd
 
-            rdf = pd.DataFrame({c: cols[c].to_pandas() for c in range_cols})
+            rdf = pd.DataFrame({c: cols[c].to_pandas() for c in range_in})
             if rdf.isnull().values.any():
                 raise ValueError(
                     "NOT NULL invariant violated on a range partition column")
-            for key, idx in rdf.groupby(range_cols, sort=False).groups.items():
+            for key, idx in rdf.groupby(range_in, sort=False).groups.items():
                 kv = key if isinstance(key, tuple) else (key,)
                 sub = data.take(pa.array(idx.to_numpy()))
                 w = writers.get(kv)
@@ -623,12 +743,16 @@ def _write_task_batches(iterator, table_path: str, dir_name: str,
     return tuple(paths.values())
 
 
-def _collect_file_infos(table_path: str, info, messages, cast_types) -> list:
+def _collect_file_infos(table_path: str, info, messages, cast_types,
+                        out_names: dict | None = None) -> list:
     """Driver side: turn task commit messages into DataFileInfo rows
     with footer stats harvested locally."""
     from starlake_spark.meta import DataFileInfo
     from starlake_spark.operators.writer import _footer_stats
 
+    out_names = out_names or {c: c for c in cast_types}
+    exist = [out_names[c] for c in cast_types
+             if out_names[c] not in info.range_cols]
     files = []
     for m in messages:
         if m is None:
@@ -649,10 +773,72 @@ def _collect_file_infos(table_path: str, info, messages, cast_types) -> list:
                 path=rel, range_value=rv, bucket_id=-1,
                 size=os.path.getsize(ap), write_version=-1,
                 is_base_file=True,
-                exist_cols=[c for c in cast_types
-                            if c not in info.range_cols],
+                exist_cols=exist,
                 stats=stats, num_rows=num_rows))
     return files
+
+
+def _parse_replace_where(pred_text: str, info):
+    """Pure-python replaceWhere evaluator for the V2 write path (no
+    SparkSession exists in the DataSource worker): conjunctions of
+    ``<range_col> <op> <literal>`` with ops = != < <= > >=, column
+    names resolved case-insensitively against the range columns
+    (reference 'replaceWhere predicate should be case insensitive').
+    Anything richer routes to StarTable.write(replace_where=...), which
+    evaluates arbitrary SQL. Returns pred(range_value_str) -> bool."""
+    import json as _json
+    import re as _re
+
+    import pyspark.sql.types as _T
+
+    schema = _T.StructType.fromJson(_json.loads(info.schema_json))
+    types = {f.name: f.dataType for f in schema.fields}
+    by_lower = {c.lower(): c for c in info.range_cols}
+    atoms = []
+    for part in _re.split(r"(?i)\s+and\s+", pred_text.strip()):
+        m = _re.match(r"^\s*`?(\w+)`?\s*(<=|>=|!=|<>|=|<|>)\s*"
+                      r"('[^']*'|\S+)\s*$", part)
+        if not m:
+            raise ValueError(
+                f"format('star') replaceWhere supports conjunctions of "
+                f"<range column> <op> <literal>; got {part!r} — use "
+                "StarTable.write(replace_where=...) for arbitrary SQL")
+        col, op, lit = m.groups()
+        rc = by_lower.get(col.lower())
+        if rc is None:
+            raise ValueError(
+                f"replaceWhere column '{col}' is not a range partition "
+                f"column (partitions: {list(info.range_cols)})")
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        else:
+            val = lit
+        t = types[rc]
+        if isinstance(t, (_T.ByteType, _T.ShortType, _T.IntegerType,
+                          _T.LongType)):
+            cast = int
+        elif isinstance(t, (_T.FloatType, _T.DoubleType)):
+            cast = float
+        else:
+            cast = str
+        atoms.append((rc, op, cast(val), cast))
+
+    def pred(range_value: str) -> bool:
+        vals = dict(kv.partition("=")[::2] for kv in range_value.split(",")
+                    if kv) if range_value else {}
+        for rc, op, want, cast in atoms:
+            if rc not in vals:
+                return False
+            have = cast(vals[rc])
+            ok = {"=": have == want, "!=": have != want,
+                  "<>": have != want, "<": have < want,
+                  "<=": have <= want, ">": have > want,
+                  ">=": have >= want}[op]
+            if not ok:
+                return False
+        return True
+
+    return pred
 
 
 class _StarBatchWriter(DataSourceArrowWriter):
@@ -672,34 +858,61 @@ class _StarBatchWriter(DataSourceArrowWriter):
     the table API, which enforces them inside the write pass."""
 
     def __init__(self, table_path: str, schema: T.StructType, overwrite: bool,
-                 dynamic_overwrite: bool = False):
+                 dynamic_overwrite: bool = False,
+                 options: dict | None = None):
         import uuid
 
-        info, cast_types = _validate_write_target(table_path, schema)
+        info, cast_types, out_names = _validate_write_target(
+            table_path, schema, options=options, overwrite=overwrite)
         if dynamic_overwrite and not info.range_cols:
             raise ValueError(
                 "partitionOverwriteMode=dynamic requires range partition "
                 "columns (an unpartitioned table would degenerate to a "
                 "full overwrite — say so explicitly)")
+        self.replace_where = _opt(options, "replaceWhere")
+        if self.replace_where is not None:
+            if not overwrite:
+                raise ValueError("replaceWhere requires mode('overwrite')")
+            if dynamic_overwrite:
+                raise ValueError("replaceWhere and "
+                                 "partitionOverwriteMode=dynamic are "
+                                 "mutually exclusive")
+            # parse now so a bad predicate fails the job before tasks run
+            _parse_replace_where(self.replace_where, info)
         self.table_path = table_path
         self.overwrite = overwrite
         self.dynamic_overwrite = dynamic_overwrite
         self.range_cols = list(info.range_cols)
         self.cast_types = cast_types
+        self.out_names = out_names
         self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         return _WriteMessage(rel_paths=_write_task_batches(
             iterator, self.table_path, self.commit_id,
-            self.cast_types, self.range_cols))
+            self.cast_types, self.range_cols, self.out_names))
 
     def commit(self, messages):
         store = ManifestStore(self.table_path)
         info = store.table_info()
         txn = store.new_transaction()
         files = _collect_file_infos(self.table_path, info, messages,
-                                    self.cast_types)
-        if self.overwrite and self.dynamic_overwrite:
+                                    self.cast_types, self.out_names)
+        if self.replace_where is not None:
+            pred = _parse_replace_where(self.replace_where, info)
+            # written rows must fall inside the replaced scope (Delta
+            # replaceWhere discipline) — refuse before publishing, the
+            # files stay unpublished orphans until vacuum
+            for f in files:
+                if not pred(f.range_value):
+                    raise ValueError(
+                        f"replaceWhere: written partition "
+                        f"'{f.range_value}' is outside the predicate "
+                        f"'{self.replace_where}'")
+            for rv in txn.read_snapshot.partitions:
+                if pred(rv):
+                    txn.expire_partition(rv)
+        elif self.overwrite and self.dynamic_overwrite:
             # Spark/Delta partitionOverwriteMode=dynamic: replace only
             # the partitions this write landed data in
             for rv in {f.range_value for f in files}:
@@ -729,12 +942,22 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
     through streaming.write_stream, which owns the bucketed layout."""
 
     def __init__(self, table_path: str, schema: T.StructType,
-                 overwrite: bool, sink_id: str):
-        info, cast_types = _validate_write_target(table_path, schema)
+                 overwrite: bool, sink_id: str,
+                 options: dict | None = None):
+        # streaming appends to hash tables stay refused even on the
+        # first commit (the reference's stream path owns bucketing)
+        info, cast_types, out_names = _validate_write_target(
+            table_path, schema, options=options, overwrite=overwrite)
+        if info.hash_cols and not overwrite:
+            raise ValueError(
+                "format('star') streaming append targets non-hash "
+                "tables; hash-table streaming goes through "
+                "streaming.write_stream (bucketed MoR delta layout)")
         self.table_path = table_path
         self.overwrite = overwrite
         self.range_cols = list(info.range_cols)
         self.cast_types = cast_types
+        self.out_names = out_names
         self.sink_id = sink_id
 
     def write(self, iterator):
@@ -742,7 +965,7 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
 
         return _WriteMessage(rel_paths=_write_task_batches(
             iterator, self.table_path, f"s{uuid.uuid4().hex[:12]}",
-            self.cast_types, self.range_cols))
+            self.cast_types, self.range_cols, self.out_names))
 
     def commit(self, messages, batchId):
         from starlake_spark.meta import DuplicateTxnError
@@ -751,7 +974,7 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
         info = store.table_info()
         txn = store.new_transaction()
         files = _collect_file_infos(self.table_path, info, messages,
-                                    self.cast_types)
+                                    self.cast_types, self.out_names)
         if self.overwrite:
             for rv in txn.read_snapshot.partitions:
                 txn.expire_partition(rv)
@@ -816,16 +1039,19 @@ class StarDataSource(DataSource):
                                 self.options.get("partition_filter"))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceArrowWriter:
-        mode = self.options.get("partitionOverwriteMode", "static").lower()
+        mode = str(_opt(self.options, "partitionOverwriteMode",
+                        "static")).lower()
         if mode not in ("static", "dynamic"):
             raise ValueError(
                 f"partitionOverwriteMode must be static or dynamic, got {mode}")
         return _StarBatchWriter(self._path(), schema, overwrite,
-                                dynamic_overwrite=(mode == "dynamic"))
+                                dynamic_overwrite=(mode == "dynamic"),
+                                options=dict(self.options))
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         return _StarStreamWriter(self._path(), schema, overwrite,
-                                 self.options.get("sinkId", "star-stream-sink"))
+                                 self.options.get("sinkId", "star-stream-sink"),
+                                 options=dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         ts = self.options.get("startingTimestamp")

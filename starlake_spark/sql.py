@@ -66,6 +66,42 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
+# DDL the reference explicitly refuses for star tables
+# (NotSupportedDDLSuite.scala:112-167) — matched by name so statements
+# on non-star tables fall through to Spark untouched
+_UNSUPPORTED_DDL = [
+    (re.compile(r"^\s*CREATE\s+TABLE\s+[\w.`]+\s+LIKE\s+(?P<name>[\w.]+)",
+                re.IGNORECASE), "CREATE TABLE LIKE"),
+    (re.compile(r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)", re.IGNORECASE),
+     "ANALYZE TABLE"),
+    (re.compile(r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?PARTITION", re.IGNORECASE),
+     "ALTER TABLE ADD PARTITION (partitions derive from the data; "
+     "can not alter partitions)"),
+    (re.compile(r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+"
+                r"(?:IF\s+EXISTS\s+)?PARTITION", re.IGNORECASE),
+     "ALTER TABLE DROP PARTITION (can not alter partitions — use "
+     "TRUNCATE TABLE t PARTITION (...) or StarTable.drop_partition)"),
+    (re.compile(r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RECOVER\s+"
+                r"PARTITIONS", re.IGNORECASE),
+     "ALTER TABLE RECOVER PARTITIONS"),
+    (re.compile(r"^\s*MSCK\s+REPAIR\s+TABLE\s+(?P<name>[\w.]+)",
+                re.IGNORECASE), "MSCK REPAIR TABLE"),
+    (re.compile(r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+"
+                r"SERDEPROPERTIES", re.IGNORECASE),
+     "ALTER TABLE SET SERDEPROPERTIES"),
+    (re.compile(r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\b",
+                re.IGNORECASE), "ALTER TABLE RENAME TO"),
+    (re.compile(r"^\s*LOAD\s+DATA\s+.*?INTO\s+TABLE\s+(?P<name>[\w.]+)",
+                re.IGNORECASE | re.DOTALL), "LOAD DATA"),
+    (re.compile(r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+"
+                r".*?USING\s+star\b", re.IGNORECASE | re.DOTALL),
+     "INSERT OVERWRITE DIRECTORY"),
+    (re.compile(r"^\s*CREATE\s+TABLE\s+.*?USING\s+star\b.*?CLUSTERED\s+BY",
+                re.IGNORECASE | re.DOTALL),
+     "CLUSTERED BY bucketing (use hashPartitions + hashBucketNum)"),
+]
+
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
@@ -563,6 +599,17 @@ class StarSession:
         to the SELECT path). DML on names not registered as star tables is
         also passed through, matching the reference which only intercepts
         its own catalog's tables."""
+        # error parity: DDL the reference refuses for star tables
+        # (NotSupportedDDLSuite.scala:112-167) gets a clear refusal
+        # instead of a fall-through to spark.sql and a confusing
+        # catalog error; statements on unknown tables still pass through
+        for rx, what in _UNSUPPORTED_DDL:
+            m = rx.match(text)
+            if m and (m.groupdict().get("name") is None
+                      or self._known(m.group("name"))):
+                raise ValueError(
+                    f"{what} is not supported for star tables")
+
         m = _UPDATE_RE.match(text)
         if m and self._known(m["name"]):
             t = self.table(m["name"])

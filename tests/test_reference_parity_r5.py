@@ -1,0 +1,264 @@
+"""Round-5 reference-test mining: behavior parity with the reference's
+schema/CaseSensitivitySuite.scala, NotSupportedDDLSuite.scala and
+schema/SchemaValidationSuite.scala, ported 1:1 where our surface
+matches and documented where it deliberately diverges.
+
+Divergences (documented, not silent):
+- partitionBy() on format('star') writes: Spark's Python DataSource V2
+  API validates partitioning JVM-side before our code runs, so
+  partitionBy cannot reach the writer — use the rangePartitions
+  option. (Reference CaseSensitivitySuite 'with partitionBy' /
+  'higher priority than partitionBy' rows.)
+- SchemaValidationSuite's concurrent rows 2-5 race a PLANNED command
+  against a schema commit via Catalyst latches; the Python API has no
+  plan/execute gap (schema resolves at call time, schema commits
+  serialize through the manifest CAS), so only the end-state rows are
+  portable.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark import sources
+from starlake_spark.table import StarTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    sources.register(spark)
+
+
+@pytest.fixture()
+def kv_df(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], "Key int, val string")
+
+
+# --------------------------------------------------------------------------
+# CaseSensitivitySuite
+# --------------------------------------------------------------------------
+
+def test_first_write_creates_table_with_case_resolved_partitions(
+        spark, kv_df, tmp_path):
+    """'set range partition columns with option - rangePartitions':
+    the first write CREATES the table; the option value 'key' resolves
+    case-insensitively to the data's 'Key', which is what the manifest
+    records."""
+    p = str(tmp_path / "t")
+    kv_df.write.format("star").option("rangePartitions", "key") \
+        .mode("append").save(p)
+    got = sorted(tuple(r) for r in spark.read.format("star").load(p)
+                 .select("Key", "val").collect())
+    assert got == [(1, "a"), (2, "b")]
+    t = StarTable.for_path(spark, p)
+    assert t.info.range_cols == ["Key"]
+    assert [f for f in t.to_df().columns] == ["Key", "val"]
+
+
+def test_option_keys_resolve_case_insensitively(spark, kv_df, tmp_path):
+    """'set partition columns - case (in)sensitive': rAngeParTitionS /
+    HaSHParTitionS / HAshBucketNUM work in any casing."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", "1"), (2, "b", "2")],
+                          "key int, val string, hash string") \
+        .write.format("star") \
+        .option("rAngeParTitionS", "key") \
+        .option("HaSHParTitionS", "hash") \
+        .option("HAshBucketNUM", "2") \
+        .mode("append").save(p)
+    t = StarTable.for_path(spark, p)
+    assert t.info.range_cols == ["key"]
+    assert t.info.hash_cols == ["hash"]
+    assert t.info.bucket_num == 2
+
+
+def test_hash_partitions_require_bucket_num(spark, kv_df, tmp_path):
+    with pytest.raises(Exception, match="must set the bucket num"):
+        kv_df.write.format("star").option("hashPartitions", "Key") \
+            .mode("overwrite").save(str(tmp_path / "t"))
+
+
+def test_hash_table_append_refused_after_first_commit(spark, kv_df,
+                                                      tmp_path):
+    """First commit may create a hash table through the datasource;
+    later appends must go through upsert (reference: 'Append mode is
+    not supported' when not first commit)."""
+    p = str(tmp_path / "t")
+    kv_df.write.format("star").option("hashPartitions", "Key") \
+        .option("hashBucketNum", "2").mode("append").save(p)
+    got = sorted(tuple(r) for r in spark.read.format("star").load(p)
+                 .select("Key", "val").collect())
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception, match="Append.*mode is not supported"):
+        spark.createDataFrame([(3, "d")], "Key int, val string") \
+            .write.format("star").mode("append").save(p)
+    # the upsert path still works and compaction restores bucket layout
+    t = StarTable.for_path(spark, p)
+    t.upsert(spark.createDataFrame([(2, "z")], "Key int, val string"))
+    assert sorted(tuple(r) for r in t.to_df().collect()) == \
+        [(1, "a"), (2, "z")]
+    from starlake_spark.operators import dml
+    dml.compact(spark, t.store, force=False)
+    assert {f.bucket_id for f in t.store.snapshot().all_files()} == {0, 1}
+    assert sorted(tuple(r) for r in t.to_df().collect()) == \
+        [(1, "a"), (2, "z")]
+
+
+def test_partition_options_conflict_on_existing_table(spark, kv_df,
+                                                      tmp_path):
+    """'can't change partition columns'."""
+    p = str(tmp_path / "t")
+    kv_df.write.format("star").option("rangePartitions", "Key") \
+        .mode("append").save(p)
+    with pytest.raises(Exception, match="conflicts with your partition"):
+        kv_df.write.format("star").option("rangePartitions", "val") \
+            .mode("overwrite").save(p)
+    with pytest.raises(Exception, match="Hash partition column"):
+        kv_df.write.format("star").option("hashPartitions", "val") \
+            .option("hashBucketNum", "2").mode("overwrite").save(p)
+    # matching (differently-cased) options are fine
+    kv_df.write.format("star").option("rangePartitions", "KEY") \
+        .mode("append").save(p)
+
+
+def test_duplicate_field_names_differing_by_case_rejected(spark, tmp_path):
+    """'two fields with same name'."""
+    with pytest.raises(Exception, match="duplicate column names"):
+        spark.sql("SELECT id as Foo, id as foo FROM RANGE(1)") \
+            .write.format("star").mode("append") \
+            .save(str(tmp_path / "t"))
+
+
+def test_schema_merge_case_insensitive_preserves_original_case(
+        spark, tmp_path):
+    """'schema merging is case insenstive but preserves original case':
+    appending 'Foo' to a table declaring 'foo' is the same column, in
+    any projection order; the table keeps the original casing."""
+    p = str(tmp_path / "t")
+    spark.sql("SELECT id as foo, id as bar FROM RANGE(1)") \
+        .write.format("star").mode("append").save(p)
+    spark.sql("SELECT id + 1 as Foo, id as bar FROM RANGE(1)") \
+        .write.format("star").mode("append").save(p)
+    spark.sql("SELECT id as bAr, id + 2 as Foo FROM RANGE(1)") \
+        .write.format("star").mode("append").save(p)
+    out = spark.read.format("star").load(p)
+    assert [c for c in out.columns if not c.startswith("_")] == \
+        ["foo", "bar"]
+    assert sorted(tuple(r) for r in out.select("foo", "bar").collect()) \
+        == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_replace_where_case_insensitive(spark, kv_df, tmp_path):
+    """'replaceWhere predicate should be case insensitive' — and the
+    written rows must fall inside the replaced scope."""
+    p = str(tmp_path / "t")
+    kv_df.write.format("star").option("rangePartitions", "Key") \
+        .mode("append").save(p)
+    spark.createDataFrame([(2, "c")], "Key int, val string") \
+        .write.format("star").mode("overwrite") \
+        .option("replaceWhere", "key = 2").save(p)
+    got = sorted(tuple(r) for r in spark.read.format("star").load(p)
+                 .select("Key", "val").collect())
+    assert got == [(1, "a"), (2, "c")]
+    # rows outside the predicate refuse (Delta replaceWhere discipline)
+    with pytest.raises(Exception, match="outside the predicate"):
+        spark.createDataFrame([(9, "x")], "Key int, val string") \
+            .write.format("star").mode("overwrite") \
+            .option("replaceWhere", "key = 2").save(p)
+    assert spark.read.format("star").load(p).count() == 2
+
+
+def test_short_table_name_option_registers(spark, kv_df, tmp_path):
+    import uuid
+
+    from starlake_spark import catalog
+
+    # unique per run: the default-warehouse registry persists on disk
+    name = f"cs_short_{uuid.uuid4().hex[:8]}"
+    p = str(tmp_path / "t")
+    try:
+        kv_df.write.format("star").option("shortTableName", name) \
+            .mode("append").save(p)
+        assert catalog.resolve(name, None) == p
+    finally:
+        catalog.unregister(name, None)
+
+
+# --------------------------------------------------------------------------
+# NotSupportedDDLSuite — error parity through the SQL router
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    s = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                               "a int, b string, p1 int")
+    s.create_table(df, str(tmp_path / "nt"), name="nt",
+                   range_partitions=["p1"])
+    return s
+
+
+@pytest.mark.parametrize("stmt,msg", [
+    ("CREATE TABLE tbl LIKE nt", "CREATE TABLE LIKE"),
+    ("ANALYZE TABLE nt PARTITION (p1) COMPUTE STATISTICS",
+     "ANALYZE TABLE"),
+    ("ALTER TABLE nt ADD PARTITION (p1=3)", "can not alter partitions"),
+    ("ALTER TABLE nt DROP PARTITION (p1=2)", "can not alter partitions"),
+    ("ALTER TABLE nt RECOVER PARTITIONS", "RECOVER PARTITIONS"),
+    ("MSCK REPAIR TABLE nt", "MSCK REPAIR"),
+    ("ALTER TABLE nt SET SERDEPROPERTIES (s1=3)", "SERDEPROPERTIES"),
+    ("ALTER TABLE nt RENAME TO newTbl", "RENAME TO"),
+    ("LOAD DATA LOCAL INPATH '/p' INTO TABLE nt", "LOAD DATA"),
+    ("INSERT OVERWRITE DIRECTORY '/p' USING star VALUES (1, 'a')",
+     "INSERT OVERWRITE DIRECTORY"),
+    ("CREATE TABLE tbl(a INT, b INT) USING star "
+     "CLUSTERED BY (a) INTO 5 BUCKETS", "CLUSTERED BY"),
+], ids=lambda v: v.split(" (")[0][:40] if isinstance(v, str) else v)
+def test_not_supported_ddl(sess, stmt, msg):
+    with pytest.raises(Exception, match=msg):
+        sess.sql(stmt)
+    # statements keyed on a TABLE NAME fall through to Spark untouched
+    # for non-star tables (the USING star forms refuse regardless)
+    if "USING star" not in stmt:
+        try:
+            sess.sql(stmt.replace(" nt", " some_other_tbl"))
+        except Exception as e:
+            assert "not supported for star tables" not in str(e)
+
+
+# --------------------------------------------------------------------------
+# SchemaValidationSuite — portable end-state rows
+# --------------------------------------------------------------------------
+
+def test_append_under_old_schema_after_concurrent_add_column(
+        spark, tmp_path):
+    """'write - add a column concurrently': a frame without the newly
+    added column appends fine; its rows read NULL for the new column
+    (add-column is non-breaking)."""
+    p = str(tmp_path / "t")
+    spark.range(10).write.format("star").mode("append").save(p)
+    # concurrent writer evolves the schema (autoMerge)
+    spark.range(21, 30).withColumn("col2", F.lit(2)) \
+        .write.format("star").mode("append").save(p)
+    # old-schema writer appends without col2
+    spark.range(11, 20).write.format("star").mode("append").save(p)
+    out = spark.read.format("star").load(p)
+    vals = [r[0] for r in out.filter("id <= 20").select("col2")
+            .distinct().collect()]
+    assert vals == [None]
+    assert out.filter("id >= 21").select("col2").distinct().collect()[0][0] == 2
+
+
+def test_concurrent_add_same_column_raises_duplicate(spark, tmp_path):
+    """'alter table add column - remove column and add same column':
+    the second ADD COLUMNS of an existing name raises a duplicate
+    error instead of corrupting the schema."""
+    p = str(tmp_path / "t")
+    spark.range(10).write.format("star").mode("append").save(p)
+    t = StarTable.for_path(spark, p)
+    t.add_columns([("col2", "string")])
+    with pytest.raises(Exception, match="(?i)duplicate|exists"):
+        StarTable.for_path(spark, p).add_columns([("col2", "string")])
