@@ -792,6 +792,50 @@ def star_datasource_write(spark, sf_dir):
             .orderBy("s_suppkey"))
 
 
+def star_datasource_create(spark, sf_dir):
+    """FIRST-WRITE table creation through the datasource — the
+    reference's primary creation surface (CaseSensitivitySuite:
+    ``df.write.format("star").option("rangePartitions", ...)
+    .save(path)`` creates the table): partition option values resolve
+    case-insensitively against the data, a replaceWhere overwrite then
+    scopes to one partition (case-insensitive predicate column), and
+    the read-back through the table API must see coherent manifests
+    (range values, pruning). Inline asserts pin the created metadata."""
+    from starlake_spark import sources
+    from starlake_spark.table import StarTable
+
+    sources.register(spark)
+    path = _scratch(sf_dir, "datasource_create")
+    s = ld(spark, sf_dir, "supplier")
+    # note the option value casing: 's_NATIONKEY' must resolve to the
+    # data's 's_nationkey'
+    (s.write.format("star").option("rangePartitions", "s_NATIONKEY")
+      .mode("append").save(path))
+    t = StarTable.for_path(spark, path)
+    assert t.info.range_cols == ["s_nationkey"], t.info.range_cols
+    # replaceWhere overwrite of one partition, predicate column cased
+    # differently than declared
+    (s.filter(F.col("s_nationkey") == 3)
+      .withColumn("s_acctbal", F.lit(0.0).cast("double"))
+      .write.format("star").mode("overwrite")
+      .option("replaceWhere", "S_NATIONKEY = 3").save(path))
+    pruned = t.to_df(where="s_nationkey = 3")
+    assert len(pruned.inputFiles()) < len(t.to_df().inputFiles()), \
+        "datasource-created table must partition-prune"
+    return (t.to_df()
+            .select("s_suppkey", "s_name", "s_nationkey",
+                    F.col("s_acctbal").cast("double").alias("s_acctbal"))
+            .orderBy("s_suppkey"))
+
+
+DATASOURCE_CREATE_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CASE WHEN s_nationkey = 3 THEN 0.0
+            ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 DATASOURCE_WRITE_ORACLE = """
 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
   SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
@@ -1676,6 +1720,8 @@ ENGINE_QUERIES = {
     "star_merge_into": (star_merge_into, MERGE_INTO_ORACLE),
     "star_datasource_read": (star_datasource_read, DATASOURCE_READ_ORACLE),
     "star_datasource_write": (star_datasource_write, DATASOURCE_WRITE_ORACLE),
+    "star_datasource_create": (star_datasource_create,
+                               DATASOURCE_CREATE_ORACLE),
     "star_compaction_invariance": (star_compaction_invariance, UPSERT_ORACLE),
     "star_time_travel": (star_time_travel, TIME_TRAVEL_ORACLE),
     "star_update_delete": (star_update_delete, UPDATE_DELETE_ORACLE),
