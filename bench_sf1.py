@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""One-off sf1 scaling probe (round-4 verdict task 9): run the 22
+TPC-H entries at ~sf1 and compare per-query times against sf0.1 —
+any entry whose sf1/sf0.1 ratio far exceeds the 10× data ratio has a
+plan that degrades nonlinearly (the 100×-scale question).
+
+sf1 inputs are DERIVED from the driver's sf0.1 parquet (never
+synthesized from scratch): each fact table unions 10 key-shifted
+copies of itself (keys offset per replica so joins fan out linearly,
+uniqueness-sensitive columns stay unique); dimension tables
+(region/nation) keep their fixed size, exactly like real TPC-H SFs.
+Built once under ``$SPARK_GRAFT_SF1_DIR`` (default /root/repo/_sf1).
+
+Prints one JSON line: {"metric": "sf1_total", "value": N,
+"unit": "sec", "queries": {...}, "ratios_vs_sf01": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/_sf1")
+REPLICAS = 10
+
+# key columns shifted per replica (offset = r * 10_000_000) so every
+# replica's rows join only within itself — row counts scale linearly,
+# exactly like a larger SF
+SHIFT = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def build(spark):
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    for tbl in FIXED:
+        dst = os.path.join(OUT, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{SRC}/{tbl}.parquet") \
+                .write.mode("overwrite").parquet(dst)
+    for tbl, keys in SHIFT.items():
+        dst = os.path.join(OUT, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            d = base
+            for k in keys:
+                d = d.withColumn(k, (F.col(k) + r * 10_000_000)
+                                 .cast(dict(base.dtypes)[k]))
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        out.write.mode("overwrite").parquet(dst)
+    # docs/embeddings not needed for the TPC-H set; symlink for ld()
+    for tbl in ("documents", "embeddings"):
+        dst = os.path.join(OUT, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{tbl}.parquet", dst)
+
+
+def main():
+    from starlake_spark.session import get_spark
+
+    spark = get_spark("bench_sf1")
+    t0 = time.time()
+    build(spark)
+    build_s = time.time() - t0
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    tpch = sorted(n for n in qs if n.startswith("q"))
+    # calibration probe: normalizes cross-epoch comparisons
+    import numpy as np
+    c0 = time.time()
+    for _ in range(3):
+        np.linalg.svd(np.random.RandomState(0).standard_normal((600, 600)))
+    calib = time.time() - c0
+
+    times = {}
+    for name in tpch:
+        best = None
+        for _ in range(2):
+            s = time.time()
+            qs[name](spark, OUT).write.format("noop").mode("overwrite").save()
+            el = time.time() - s
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
+
+    base = {}
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_FULL.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            base = json.load(f).get("queries", {})
+    ratios = {n: round(times[n] / base[n], 2)
+              for n in times if base.get(n)}
+    print(json.dumps({
+        "metric": "sf1_total", "value": round(sum(times.values()), 2),
+        "unit": "sec", "sf": 1.0, "build_sec": round(build_s, 1),
+        "calibration_svd_sec": round(calib, 3),
+        "queries": times, "ratios_vs_sf01": ratios,
+    }))
+
+
+if __name__ == "__main__":
+    main()
