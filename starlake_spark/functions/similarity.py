@@ -306,71 +306,50 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
-    """Coarse spherical-k-means centroids for IVF, MLlib-style: the
-    centroid matrix is driver-resident model state (nlist × dim — tiny);
-    each Lloyd round is ONE job over the corpus that computes per-cell
-    partial sums inside each partition (mapInPandas, one matmul + two
-    ``np.add.at`` per Arrow batch) and ships only nlist×(dim+1) scalars
-    per partition to the driver — the treeAggregate shape Spark MLlib
-    KMeans uses, so shuffle volume is independent of corpus size.
+    """Coarse spherical-k-means centroids for IVF — FAISS's train/add
+    discipline: centroids FIT on a bounded deterministic sample
+    (``train_cap``, default ``max(256*nlist, 8192)`` — FAISS trains IVF
+    coarse quantizers on ~256 points per centroid) pulled in ONE job;
+    every Lloyd iteration then runs driver-side on that sample matrix
+    (≤ cap × dim floats of bounded model state — same class as the
+    centroid/codebook matrices). ASSIGNMENT stays exact and distributed
+    (ivf_assign). The previous shape paid one full-corpus job per
+    iteration (MLlib treeAggregate partial sums) — correct, but at
+    100 TB that's ``iters`` extra corpus scans for centroid quality
+    sampling matches, and at bench scale it was the single biggest
+    fixed cost of an index build.
 
-    Init = deterministic pseudo-random sample via distributed top-nlist
-    by ``xxhash64(id)`` (TakeOrderedAndProject — no global sort). Empty
-    cells drop out (nlist may shrink). Output: (centroid_id,
-    ``vec_col``) with centroid_id = 0..nlist-1."""
+    Init = first ``nlist`` of the sample's deterministic pseudo-random
+    order (``xxhash64(id)`` — identical to the previous top-nlist
+    init). Empty cells drop out (nlist may shrink). Output:
+    (centroid_id, ``vec_col``) with centroid_id = 0..nlist-1."""
     spark = df.sparkSession
-    v = df.select(_as_double(F.col(vec_col)).alias("_v"))
-    init = (
-        df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    cap = train_cap if train_cap is not None else max(256 * nlist, 8192)
+    sample = (
+        df.select(F.col(id_col).alias("_id"),
+                  _as_double(F.col(vec_col)).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
-        .limit(nlist)
+        .limit(max(cap, nlist))
         .toPandas()
     )
-    M = np.vstack(init["_v"].values).astype(np.float64)
-    dim = M.shape[1]
+    X = np.vstack(sample["_v"].values).astype(np.float64)
+    M = X[:nlist].copy()
 
     for _ in range(iters):
         Mn = M.copy()
         norms = np.linalg.norm(Mn, axis=1)
         safe = norms > 0
         Mn[safe] = Mn[safe] / norms[safe, None]
-        bc = spark.sparkContext.broadcast(Mn)
-
-        def part_sums(batches):
-            Mb = bc.value
-            k = Mb.shape[0]
-            sums = np.zeros((k, dim))
-            counts = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = _batch_matrix(pdf["_v"], dim)
-                cid = np.argmax(mat @ Mb.T, axis=1)
-                np.add.at(sums, cid, mat)
-                np.add.at(counts, cid, 1)
-            hit = np.nonzero(counts)[0]
-            # an all-empty partition must yield NOTHING: an empty list in
-            # the _s column becomes a float64 pandas column that Arrow
-            # can't encode as array<double>
-            if hit.size:
-                yield pd.DataFrame({
-                    "_cid": hit.astype(np.int64),
-                    "_s": [sums[i] for i in hit],
-                    "_n": counts[hit],
-                })
-
-        partials = v.mapInPandas(
-            part_sums, "_cid long, _s array<double>, _n long"
-        ).toPandas()
-        if len(partials) == 0:
-            break
+        cid = np.argmax(X @ Mn.T, axis=1)
         sums = np.zeros_like(M)
         counts = np.zeros(M.shape[0], dtype=np.int64)
-        np.add.at(sums, partials["_cid"].to_numpy(),
-                  np.vstack(partials["_s"].values))
-        np.add.at(counts, partials["_cid"].to_numpy(), partials["_n"].to_numpy())
+        np.add.at(sums, cid, X)
+        np.add.at(counts, cid, 1)
         keep = counts > 0
+        if not keep.any():
+            break
         M = sums[keep] / counts[keep, None]
 
     return spark.createDataFrame(
