@@ -483,8 +483,14 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     short_name: str | None = None,
+    hash_bucket_num: int = 4,
+    source=None,
 ):
-    """Persist an IVF index as a star table range-partitioned by cell.
+    """Persist an IVF index as a star table range-partitioned by cell
+    AND hash-partitioned by the vector id: cell dirs give the
+    partition-pruned probe reads, the id keys give MoR merge semantics
+    so the index can be MAINTAINED — upserts replace a vector's row,
+    tombstones remove it (``ivf_index_sync``).
 
     This is the at-scale shape ``ivf_topk``'s docstring promises: the
     k-means fit and cell assignment run ONCE at build time; each query
@@ -492,12 +498,20 @@ def build_ivf_index(
     I/O per query ~ nprobe/nlist of the corpus, no per-query fit.
     The centroid matrix (nlist × dim doubles) rides in the table
     properties as JSON — driver-resident model state, same as MLlib;
-    beyond ~10⁴ cells store it as a side table instead.
-    """
+    beyond ~10⁴ cells store it as a side table instead. Centroids are
+    immutable for the index's lifetime (assignment determinism is what
+    lets the sync find a changed vector's OLD cell) — refit = rebuild.
+
+    ``source``: the star table the corpus came from (hash-partitioned
+    on ``id_col``) — recorded with a version watermark so
+    ``ivf_index_sync`` can later advance the index through the
+    source's change feed."""
     import json as _json
 
     from starlake_spark.table import create_table
 
+    if source is not None and corpus is None:
+        corpus = source.to_df()
     if nlist is None:
         nlist = max(4, corpus.count() // 50)
     cents = kmeans_centroids(corpus, nlist=nlist, iters=iters,
@@ -507,13 +521,20 @@ def build_ivf_index(
         F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
     ).withColumn("centroid_id", nearest_centroid_col(F.col(vec_col), ids, M, spark))
     t = create_table(spark, assigned, path,
-                     range_partitions=["centroid_id"], short_name=short_name)
-    t.set_properties({
+                     range_partitions=["centroid_id"],
+                     hash_partitions=[id_col],
+                     hash_bucket_num=hash_bucket_num,
+                     short_name=short_name)
+    props = {
         "ivf.centroid_ids": _json.dumps([int(i) for i in ids]),
         "ivf.centroids": _json.dumps(M.tolist()),
         "ivf.id_col": id_col,
         "ivf.vec_col": vec_col,
-    })
+    }
+    if source is not None:
+        props["ivf.source"] = source.store.table_path
+        props["ivf.synced_version"] = str(source.store.latest_version())
+    t.set_properties(props)
     return t
 
 
@@ -737,8 +758,102 @@ def ivf_index_append(spark, index, new_vectors: DataFrame):
     assigned = new_vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
     ).withColumn("centroid_id", nearest_centroid_col(F.col(vec_col), ids, M, spark))
-    index.write(assigned, mode="append")
+    if info.hash_cols:
+        # maintained (range×hash) index: keyed delta-upsert into the
+        # matching cell partitions — same O(new) cost, MoR semantics
+        index.upsert(assigned)
+    else:
+        # legacy layout (pre-sync indexes): partition-local append
+        index.write(assigned, mode="append")
     return index
+
+
+def ivf_index_sync(spark, index, source=None):
+    """CDC-maintained ANN: advance a persisted IVF index to its SOURCE
+    vector table's current snapshot through the coalesced change feed —
+    the "index follows the table" discipline ``replication.sync_table``
+    applies to replicas, for the index as the derived artifact.
+
+    Per sync window (``range_changes`` off the recorded watermark —
+    O(net changed keys) regardless of commit count):
+
+    * every change key leaves its OLD cell first: the preimage vectors
+      re-assign against the immutable centroid matrix (deterministic —
+      the same assignment that placed them), giving an exact
+      (centroid_id, id) tombstone frame (``delete_keys``, O(keys));
+    * inserts + update postimages re-assign and delta-upsert into
+      their (possibly different) cell — a moved vector is a tombstone
+      in the old cell plus a row in the new one, never a duplicate;
+    * the watermark property advances only after both commits, so a
+      crashed sync re-applies idempotently (tombstoning an absent key
+      and re-upserting the same row are both no-ops at merge time).
+
+    Returns (index, stats). ``full=``-style repair is a rebuild
+    (centroids are immutable per index; refit = build_ivf_index)."""
+    import json as _json
+
+    import numpy as _np
+
+    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
+                                                   range_changes)
+    from starlake_spark.table import StarTable
+
+    cfg = index.info.configuration or {}
+    if "ivf.centroids" not in cfg:
+        raise ValueError(f"{index.store.table_path} is not an IVF index")
+    src_path = cfg.get("ivf.source")
+    if src_path is None and source is None:
+        raise ValueError(
+            "index records no ivf.source — build with "
+            "build_ivf_index(..., source=<StarTable>) to make it "
+            "maintainable, or pass source= to adopt one")
+    src = source if source is not None else StarTable.for_path(spark,
+                                                               src_path)
+    if src_path is not None and src.store.table_path != src_path:
+        raise ValueError(f"index follows {src_path}, not "
+                         f"{src.store.table_path}")
+    ids = _np.asarray(_json.loads(cfg["ivf.centroid_ids"]), dtype=_np.int64)
+    M = _np.asarray(_json.loads(cfg["ivf.centroids"]), dtype=_np.float64)
+    id_col, vec_col = cfg["ivf.id_col"], cfg["ivf.vec_col"]
+    if not index.info.hash_cols:
+        raise ValueError(
+            "legacy append-only index layout (no hash keys) cannot be "
+            "synced — rebuild with build_ivf_index (range×hash layout)")
+
+    v1 = src.store.latest_version()
+    v0 = int(cfg.get("ivf.synced_version", 0))
+    if v0 >= v1:
+        return index, {"mode": "noop", "from_version": v0, "to_version": v0}
+    ch = range_changes(spark, src.store.table_path, v0, v1).persist()
+    try:
+        def _assign(rows):
+            return rows.select(
+                F.col(id_col),
+                _as_double(F.col(vec_col)).alias(vec_col)
+            ).withColumn("centroid_id",
+                         nearest_centroid_col(F.col(vec_col), ids, M,
+                                              spark))
+
+        # old positions out: preimages + deletes carry the OLD vector,
+        # whose deterministic re-assignment is exactly the cell the row
+        # lives in
+        old = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("update_preimage", "delete"))
+        dead = _assign(old).select("centroid_id", id_col)
+        n_del = dead.count()
+        if n_del:
+            index.delete_keys(dead)
+        new = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("insert", "update_postimage"))
+        ups = _assign(new)
+        n_up = ups.count()
+        if n_up:
+            index.upsert(ups)
+    finally:
+        ch.unpersist()
+    index.set_properties({"ivf.synced_version": str(v1)})
+    return index, {"mode": "incremental", "from_version": v0,
+                   "to_version": v1, "removed": n_del, "upserted": n_up}
 
 
 # ---------------------------------------------------------------------------

@@ -1000,6 +1000,51 @@ def ann_ivf_topk(spark, sf_dir):
     return _ann_contract(approx, exact)
 
 
+def ann_ivf_sync(spark, sf_dir):
+    """CDC-MAINTAINED ANN index (sim.ivf_index_sync): the index is
+    built BEFORE any twin exists, then the source vector table takes a
+    tombstone DELETE wave and the planted twins arrive by upsert — one
+    sync must advance the index through the coalesced change feed so
+    the probe (a) finds every post-build twin at rank 1, (b) never
+    returns a deleted vector, and (c) meets the recall floor against
+    brute force over the source's CURRENT state. O(net keys) per sync:
+    preimage vectors re-assign to their deterministic old cell for the
+    tombstone frame, postimages delta-upsert into their new cell."""
+    from starlake_spark.queries.engine_suite import _scratch
+    from starlake_spark.table import create_table
+
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") < 10) & (F.col("vec_id") % 9 != 1))
+    src = create_table(spark, e, _scratch(sf_dir, "ivf_sync_src"),
+                       hash_partitions=["vec_id"], hash_bucket_num=4)
+    idx = sim.build_ivf_index(
+        spark, src.to_df(), _scratch(sf_dir, "ivf_sync_idx"),
+        nlist=max(4, e.count() // 50), id_col="vec_id",
+        vec_col="embedding", source=src)
+    # source DML AFTER the build: a delete wave + the planted twins
+    src.delete("vec_id % 9 = 1", use_delta=True)
+    src.upsert(q.withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_ID)))
+    _, st = sim.ivf_index_sync(spark, idx)
+    assert st["mode"] == "incremental" and st["removed"] > 0 \
+        and st["upserted"] > 0, st
+    approx = sim.ivf_index_topk(spark, idx, q, k=ANN_K, nprobe=4)
+    # deleted vectors must never surface from the maintained index
+    assert approx.filter("neighbor_id % 9 = 1 AND "
+                         f"neighbor_id < {PLANT_ID}").count() == 0, \
+        "sync left deleted vectors probe-visible"
+    _, st2 = sim.ivf_index_sync(spark, idx)
+    assert st2["mode"] == "noop", st2
+    exact = sim.brute_force_topk(src.to_df(), q, k=ANN_K,
+                                 id_col="vec_id", vec_col="embedding")
+    return _ann_contract(approx, exact)
+
+
+ANN_SYNC_CONTRACT_SQL = """
+SELECT vec_id AS query_id, TRUE AS top1_is_planted, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10 AND vec_id % 9 <> 1 ORDER BY query_id
+"""
+
+
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (sim.pq_train/pq_encode/pq_topk) under
     the planted twin + recall contract: vectors L2-normalize, split
@@ -1084,7 +1129,7 @@ def _ivf_index_table(spark, sf_dir):
 
     import hashlib as _hl
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    build_tag = f"planted-{PLANT_ID}-v2"
+    build_tag = f"planted-{PLANT_ID}-v3"  # v3: range×hash maintainable layout
     path = os.path.join(SUITE_ROOT, tag, "ivf_index")
     if os.path.isdir(os.path.join(path, "_star_meta")):
         t = StarTable.for_path(spark, path)
@@ -2444,6 +2489,7 @@ LLM_QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_CONTRACT_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_CONTRACT_SQL),
+    "ann_ivf_sync": (ann_ivf_sync, ANN_SYNC_CONTRACT_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_CONTRACT_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_CONTRACT_SQL),
     "embeddings_lsh_dedup_pairs": (embeddings_lsh_dedup_pairs, EMB_LSH_DEDUP_SQL),

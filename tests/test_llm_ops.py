@@ -190,6 +190,63 @@ def t_not_index(spark, tmp_path):
     return create_table(spark, o, str(tmp_path / "plain"))
 
 
+def test_ivf_index_sync_follows_source(spark, tmp_path):
+    """CDC-maintained index: after source DML (delete the known top
+    neighbor, re-point a vector at the query, insert a fresh twin) ONE
+    sync makes the probe reflect the source's current state — deleted
+    vectors stop ranking, a MOVED vector is found in its NEW cell (and
+    only once), and the sync is O(net keys) + idempotent."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+    from starlake_spark.table import StarTable, create_table
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(32)])
+            for i in range(300)]
+    src = create_table(
+        spark, spark.createDataFrame(vecs, "vec_id long, embedding "
+                                           "array<double>"),
+        str(tmp_path / "src"), hash_partitions=["vec_id"],
+        hash_bucket_num=2)
+    idx = sim.build_ivf_index(spark, src.to_df(), str(tmp_path / "ivf"),
+                              nlist=6, source=src)
+    assert (idx.info.configuration or {}).get("ivf.source") \
+        == src.store.table_path
+
+    q = src.to_df().filter("vec_id = 0")
+    top1 = sim.ivf_index_topk(spark, idx, q, k=3, nprobe=6) \
+              .filter("rank = 1").collect()[0]["neighbor_id"]
+
+    # source DML: kill the current best, turn vec 250 into an exact
+    # twin of the query (likely a cell MOVE), insert a fresh twin 999
+    qvec = q.collect()[0]["embedding"]
+    src.delete(f"vec_id = {top1}", use_delta=True)
+    src.upsert(spark.createDataFrame([(250, qvec), (999, qvec)],
+                                     "vec_id long, embedding array<double>"))
+
+    _, st = sim.ivf_index_sync(spark, idx)
+    assert st["mode"] == "incremental"
+    assert st["removed"] >= 2 and st["upserted"] == 2  # 250 pre + top1
+
+    hits = sim.ivf_index_topk(spark, idx, q, k=4, nprobe=6).collect()
+    got = [r["neighbor_id"] for r in sorted(hits, key=lambda r: r["rank"])]
+    assert top1 not in got, f"deleted vector still ranks: {got}"
+    assert set(got[:2]) == {250, 999}, got  # the two exact twins lead
+    assert len(got) == len(set(got)), f"moved vector duplicated: {got}"
+
+    # idempotent: repeat sync is a noop; index equals a fresh rebuild's
+    # row set
+    _, st2 = sim.ivf_index_sync(spark, idx)
+    assert st2["mode"] == "noop"
+    assert sorted(r["vec_id"] for r in idx.to_df().collect()) == \
+        sorted(r["vec_id"] for r in src.to_df().collect())
+
+    # legacy (append-only) layouts refuse with a clear message
+    with pytest.raises(ValueError, match="not an IVF index"):
+        sim.ivf_index_sync(spark, t_not_index(spark, tmp_path))
+
+
 def test_chunk_sliding_covers_all_tokens(spark):
     from starlake_spark.functions import text as tx
 
