@@ -1029,6 +1029,8 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     short_name: str | None = None,
+    hash_bucket_num: int = 4,
+    source=None,
 ):
     """IVF-PQ composed index — the FAISS IndexIVFPQ / IVFADC shape
     (by_residual=False variant): coarse k-means cells give partition
@@ -1058,9 +1060,21 @@ def build_ivfpq_index(
         .withColumn("centroid_id",
                     nearest_centroid_col(F.col("_v"), ids, M, spark))
         .select(id_col, "codes", "centroid_id"))
+    # range×hash layout: cell dirs for pruned probes, id keys for MoR
+    # merge semantics — makes the codes table MAINTAINABLE
+    # (ivfpq_index_sync), same discipline as build_ivf_index
     t = create_table(spark, assigned, path,
-                     range_partitions=["centroid_id"], short_name=short_name)
+                     range_partitions=["centroid_id"],
+                     hash_partitions=[id_col],
+                     hash_bucket_num=hash_bucket_num,
+                     short_name=short_name)
+    props_extra = {}
+    if source is not None:
+        props_extra["ivfpq.source"] = source.store.table_path
+        props_extra["ivfpq.synced_version"] = str(
+            source.store.latest_version())
     t.set_properties({
+        **props_extra,
         "ivfpq.centroid_ids": _json.dumps([int(i) for i in ids]),
         "ivfpq.centroids": _json.dumps(M.tolist()),
         "ivfpq.codebooks": _json.dumps(books.tolist()),
@@ -1175,8 +1189,89 @@ def ivfpq_index_append(spark, index, new_vectors: DataFrame):
         .withColumn("centroid_id",
                     nearest_centroid_col(F.col("_v"), ids, M, spark))
         .select(id_col, "codes", "centroid_id"))
-    index.write(assigned, mode="append")
+    if index.info.hash_cols:
+        index.upsert(assigned)  # maintained layout: keyed delta into cells
+    else:
+        index.write(assigned, mode="append")  # legacy append-only layout
     return index
+
+
+def ivfpq_index_sync(spark, index, source=None):
+    """CDC-maintained IVF-PQ: the codes table follows its SOURCE vector
+    table through the coalesced change feed — ``ivf_index_sync`` for
+    the 16-byte-per-vector lake shape. Preimage vectors re-assign
+    against the immutable coarse centroids for the exact
+    (old_cell, id) tombstone frame; inserts/postimages PQ-encode and
+    delta-upsert into their new cell; the watermark advances after
+    both commits (idempotent re-apply, O(net keys) per sync)."""
+    import json as _json
+
+    import numpy as _np
+
+    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
+                                                   range_changes)
+    from starlake_spark.table import StarTable
+
+    cfg = index.info.configuration or {}
+    if "ivfpq.centroids" not in cfg:
+        raise ValueError(f"{index.store.table_path} is not an IVF-PQ index")
+    src_path = cfg.get("ivfpq.source")
+    if src_path is None and source is None:
+        raise ValueError(
+            "index records no ivfpq.source — build with "
+            "build_ivfpq_index(..., source=<StarTable>) to make it "
+            "maintainable, or pass source= to adopt one")
+    src = source if source is not None else StarTable.for_path(spark,
+                                                               src_path)
+    if src_path is not None and src.store.table_path != src_path:
+        raise ValueError(f"index follows {src_path}, not "
+                         f"{src.store.table_path}")
+    if not index.info.hash_cols:
+        raise ValueError(
+            "legacy append-only index layout (no hash keys) cannot be "
+            "synced — rebuild with build_ivfpq_index (range×hash layout)")
+    ids = _np.asarray(_json.loads(cfg["ivfpq.centroid_ids"]),
+                      dtype=_np.int64)
+    M = _np.asarray(_json.loads(cfg["ivfpq.centroids"]), dtype=_np.float64)
+    books = _np.asarray(_json.loads(cfg["ivfpq.codebooks"]),
+                        dtype=_np.float64)
+    id_col, vec_col = cfg["ivfpq.id_col"], cfg["ivfpq.vec_col"]
+
+    v1 = src.store.latest_version()
+    v0 = int(cfg.get("ivfpq.synced_version", 0))
+    if v0 >= v1:
+        return index, {"mode": "noop", "from_version": v0, "to_version": v0}
+    ch = range_changes(spark, src.store.table_path, v0, v1).persist()
+    try:
+        old = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("update_preimage", "delete"))
+        dead = (old.select(F.col(id_col),
+                           _as_double(F.col(vec_col)).alias("_v"))
+                .withColumn("centroid_id",
+                            nearest_centroid_col(F.col("_v"), ids, M,
+                                                 spark))
+                .select("centroid_id", id_col))
+        n_del = dead.count()
+        if n_del:
+            index.delete_keys(dead)
+        new = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("insert", "update_postimage"))
+        ups = (
+            pq_encode(new, books, id_col, vec_col)
+            .join(new.select(F.col(id_col),
+                             _as_double(F.col(vec_col)).alias("_v")),
+                  id_col)
+            .withColumn("centroid_id",
+                        nearest_centroid_col(F.col("_v"), ids, M, spark))
+            .select(id_col, "codes", "centroid_id"))
+        n_up = ups.count()
+        if n_up:
+            index.upsert(ups)
+    finally:
+        ch.unpersist()
+    index.set_properties({"ivfpq.synced_version": str(v1)})
+    return index, {"mode": "incremental", "from_version": v0,
+                   "to_version": v1, "removed": n_del, "upserted": n_up}
 
 
 def topic_clusters(

@@ -1101,7 +1101,7 @@ def _ivfpq_index_table(spark, sf_dir):
 
     import hashlib as _hl
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    build_tag = f"planted-{PLANT_ID}-v1"
+    build_tag = f"planted-{PLANT_ID}-v2"  # v2: range×hash maintainable layout
     path = os.path.join(SUITE_ROOT, tag, "ivfpq_index")
     if os.path.isdir(os.path.join(path, "_star_meta")):
         t = StarTable.for_path(spark, path)

@@ -247,6 +247,44 @@ def test_ivf_index_sync_follows_source(spark, tmp_path):
         sim.ivf_index_sync(spark, t_not_index(spark, tmp_path))
 
 
+def test_ivfpq_index_sync_follows_source(spark, tmp_path):
+    """CDC-maintained IVF-PQ codes table: after a source delete + twin
+    upserts, one sync makes the ADC probe rank the post-build twin #1
+    and never return the deleted vector (the twin encodes to the
+    query's own code word — ADC global minimum by construction)."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+    from starlake_spark.table import create_table
+
+    rng = np.random.RandomState(17)
+    vecs = [(i, [float(x) for x in rng.standard_normal(32)])
+            for i in range(300)]
+    src = create_table(
+        spark, spark.createDataFrame(vecs, "vec_id long, embedding "
+                                           "array<double>"),
+        str(tmp_path / "src"), hash_partitions=["vec_id"],
+        hash_bucket_num=2)
+    idx = sim.build_ivfpq_index(spark, src.to_df(),
+                                str(tmp_path / "ivfpq"), nlist=4,
+                                m=8, ksub=16, source=src)
+    q = src.to_df().filter("vec_id = 7")
+    top1 = sim.ivfpq_topk(spark, idx, q, k=2, nprobe=4) \
+              .filter("rank = 1").collect()[0]["neighbor_id"]
+    qvec = q.collect()[0]["embedding"]
+    src.delete(f"vec_id = {top1}", use_delta=True)
+    src.upsert(spark.createDataFrame([(888, qvec)],
+                                     "vec_id long, embedding array<double>"))
+    _, st = sim.ivfpq_index_sync(spark, idx)
+    assert st["mode"] == "incremental" and st["removed"] >= 1 \
+        and st["upserted"] == 1, st
+    hits = sim.ivfpq_topk(spark, idx, q, k=3, nprobe=4).collect()
+    got = [r["neighbor_id"] for r in sorted(hits, key=lambda r: r["rank"])]
+    assert got[0] == 888 and top1 not in got, got
+    _, st2 = sim.ivfpq_index_sync(spark, idx)
+    assert st2["mode"] == "noop"
+
+
 def test_chunk_sliding_covers_all_tokens(spark):
     from starlake_spark.functions import text as tx
 
