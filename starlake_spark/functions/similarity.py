@@ -510,8 +510,16 @@ def build_ivf_index(
 
     from starlake_spark.table import create_table
 
-    if source is not None and corpus is None:
-        corpus = source.to_df()
+    src_version = None
+    if source is not None:
+        # pin the watermark BEFORE any corpus scan: commits landing
+        # during the (long) k-means + write would otherwise fall inside
+        # the watermark yet be absent from the index — a too-EARLY
+        # watermark merely re-applies an overlapping window on the
+        # first sync (idempotent), a too-late one skips changes forever
+        src_version = source.store.latest_version()
+        if corpus is None:
+            corpus = source.to_df(version=src_version)
     if nlist is None:
         nlist = max(4, corpus.count() // 50)
     cents = kmeans_centroids(corpus, nlist=nlist, iters=iters,
@@ -533,7 +541,7 @@ def build_ivf_index(
     }
     if source is not None:
         props["ivf.source"] = source.store.table_path
-        props["ivf.synced_version"] = str(source.store.latest_version())
+        props["ivf.synced_version"] = str(src_version)
     t.set_properties(props)
     return t
 
@@ -768,6 +776,83 @@ def ivf_index_append(spark, index, new_vectors: DataFrame):
     return index
 
 
+def _index_sync(spark, index, source, prefix: str,
+                build_upsert_frame):
+    """Shared CDC-maintenance skeleton for the vector indexes: resolve
+    + validate the source binding (persisting an adoption so it
+    sticks), pull the coalesced change window off the watermark,
+    tombstone every change key out of its OLD cell (preimage vectors
+    re-assigned against the immutable centroids), apply
+    ``build_upsert_frame(new_rows)`` for inserts/postimages, then
+    advance the watermark. Counts come from the persisted window's
+    filters (single evaluation — the assignment/encode plans run only
+    inside delete_keys/upsert)."""
+    import json as _json
+
+    import numpy as _np
+
+    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
+                                                   range_changes)
+    from starlake_spark.table import StarTable
+
+    cfg = index.info.configuration or {}
+    if f"{prefix}.centroids" not in cfg:
+        kind = "an IVF-PQ index" if prefix == "ivfpq" else "an IVF index"
+        raise ValueError(f"{index.store.table_path} is not {kind}")
+    src_path = cfg.get(f"{prefix}.source")
+    if src_path is None and source is None:
+        raise ValueError(
+            f"index records no {prefix}.source — build with "
+            f"source=<StarTable> to make it maintainable, or pass "
+            "source= to adopt one")
+    src = source if source is not None else StarTable.for_path(spark,
+                                                               src_path)
+    if src_path is not None and src.store.table_path != src_path:
+        raise ValueError(f"index follows {src_path}, not "
+                         f"{src.store.table_path}")
+    if not index.info.hash_cols:
+        raise ValueError(
+            "legacy append-only index layout (no hash keys) cannot be "
+            "synced — rebuild (range×hash layout)")
+    ids = _np.asarray(_json.loads(cfg[f"{prefix}.centroid_ids"]),
+                      dtype=_np.int64)
+    M = _np.asarray(_json.loads(cfg[f"{prefix}.centroids"]),
+                    dtype=_np.float64)
+    id_col, vec_col = cfg[f"{prefix}.id_col"], cfg[f"{prefix}.vec_col"]
+    if src_path is None:
+        # adoption must STICK: persist the binding so the next sync
+        # resolves the same source and the mismatch guard works
+        index.set_properties({f"{prefix}.source": src.store.table_path})
+
+    v1 = src.store.latest_version()
+    v0 = int(cfg.get(f"{prefix}.synced_version", 0))
+    if v0 >= v1:
+        return index, {"mode": "noop", "from_version": v0, "to_version": v0}
+    ch = range_changes(spark, src.store.table_path, v0, v1).persist()
+    try:
+        old = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("update_preimage", "delete"))
+        n_del = old.count()
+        if n_del:
+            dead = (old.select(F.col(id_col),
+                               _as_double(F.col(vec_col)).alias("_v"))
+                    .withColumn("centroid_id",
+                                nearest_centroid_col(F.col("_v"), ids, M,
+                                                     spark))
+                    .select("centroid_id", id_col))
+            index.delete_keys(dead)
+        new = ch.filter(F.col(CHANGE_TYPE_COL)
+                        .isin("insert", "update_postimage"))
+        n_up = new.count()
+        if n_up:
+            index.upsert(build_upsert_frame(new, ids, M, id_col, vec_col))
+    finally:
+        ch.unpersist()
+    index.set_properties({f"{prefix}.synced_version": str(v1)})
+    return index, {"mode": "incremental", "from_version": v0,
+                   "to_version": v1, "removed": n_del, "upserted": n_up}
+
+
 def ivf_index_sync(spark, index, source=None):
     """CDC-maintained ANN: advance a persisted IVF index to its SOURCE
     vector table's current snapshot through the coalesced change feed —
@@ -788,72 +873,16 @@ def ivf_index_sync(spark, index, source=None):
       crashed sync re-applies idempotently (tombstoning an absent key
       and re-upserting the same row are both no-ops at merge time).
 
-    Returns (index, stats). ``full=``-style repair is a rebuild
-    (centroids are immutable per index; refit = build_ivf_index)."""
-    import json as _json
+    Returns (index, stats). Repair = rebuild (centroids are immutable
+    per index; refit = build_ivf_index)."""
+    def ups(rows, ids, M, id_col, vec_col):
+        return rows.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias(vec_col)
+        ).withColumn("centroid_id",
+                     nearest_centroid_col(F.col(vec_col), ids, M, spark))
 
-    import numpy as _np
-
-    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
-                                                   range_changes)
-    from starlake_spark.table import StarTable
-
-    cfg = index.info.configuration or {}
-    if "ivf.centroids" not in cfg:
-        raise ValueError(f"{index.store.table_path} is not an IVF index")
-    src_path = cfg.get("ivf.source")
-    if src_path is None and source is None:
-        raise ValueError(
-            "index records no ivf.source — build with "
-            "build_ivf_index(..., source=<StarTable>) to make it "
-            "maintainable, or pass source= to adopt one")
-    src = source if source is not None else StarTable.for_path(spark,
-                                                               src_path)
-    if src_path is not None and src.store.table_path != src_path:
-        raise ValueError(f"index follows {src_path}, not "
-                         f"{src.store.table_path}")
-    ids = _np.asarray(_json.loads(cfg["ivf.centroid_ids"]), dtype=_np.int64)
-    M = _np.asarray(_json.loads(cfg["ivf.centroids"]), dtype=_np.float64)
-    id_col, vec_col = cfg["ivf.id_col"], cfg["ivf.vec_col"]
-    if not index.info.hash_cols:
-        raise ValueError(
-            "legacy append-only index layout (no hash keys) cannot be "
-            "synced — rebuild with build_ivf_index (range×hash layout)")
-
-    v1 = src.store.latest_version()
-    v0 = int(cfg.get("ivf.synced_version", 0))
-    if v0 >= v1:
-        return index, {"mode": "noop", "from_version": v0, "to_version": v0}
-    ch = range_changes(spark, src.store.table_path, v0, v1).persist()
-    try:
-        def _assign(rows):
-            return rows.select(
-                F.col(id_col),
-                _as_double(F.col(vec_col)).alias(vec_col)
-            ).withColumn("centroid_id",
-                         nearest_centroid_col(F.col(vec_col), ids, M,
-                                              spark))
-
-        # old positions out: preimages + deletes carry the OLD vector,
-        # whose deterministic re-assignment is exactly the cell the row
-        # lives in
-        old = ch.filter(F.col(CHANGE_TYPE_COL)
-                        .isin("update_preimage", "delete"))
-        dead = _assign(old).select("centroid_id", id_col)
-        n_del = dead.count()
-        if n_del:
-            index.delete_keys(dead)
-        new = ch.filter(F.col(CHANGE_TYPE_COL)
-                        .isin("insert", "update_postimage"))
-        ups = _assign(new)
-        n_up = ups.count()
-        if n_up:
-            index.upsert(ups)
-    finally:
-        ch.unpersist()
-    index.set_properties({"ivf.synced_version": str(v1)})
-    return index, {"mode": "incremental", "from_version": v0,
-                   "to_version": v1, "removed": n_del, "upserted": n_up}
+    return _index_sync(spark, index, source, "ivf", ups)
 
 
 # ---------------------------------------------------------------------------
@@ -1046,6 +1075,12 @@ def build_ivfpq_index(
 
     from starlake_spark.table import create_table
 
+    src_version = None
+    if source is not None:
+        # watermark pinned BEFORE the corpus scan (see build_ivf_index)
+        src_version = source.store.latest_version()
+        if corpus is None:
+            corpus = source.to_df(version=src_version)
     if nlist is None:
         nlist = max(4, _approx_row_count(corpus) // 50)
     cents = kmeans_centroids(corpus, nlist=nlist, iters=iters,
@@ -1071,8 +1106,7 @@ def build_ivfpq_index(
     props_extra = {}
     if source is not None:
         props_extra["ivfpq.source"] = source.store.table_path
-        props_extra["ivfpq.synced_version"] = str(
-            source.store.latest_version())
+        props_extra["ivfpq.synced_version"] = str(src_version)
     t.set_properties({
         **props_extra,
         "ivfpq.centroid_ids": _json.dumps([int(i) for i in ids]),
@@ -1199,79 +1233,30 @@ def ivfpq_index_append(spark, index, new_vectors: DataFrame):
 def ivfpq_index_sync(spark, index, source=None):
     """CDC-maintained IVF-PQ: the codes table follows its SOURCE vector
     table through the coalesced change feed — ``ivf_index_sync`` for
-    the 16-byte-per-vector lake shape. Preimage vectors re-assign
-    against the immutable coarse centroids for the exact
-    (old_cell, id) tombstone frame; inserts/postimages PQ-encode and
-    delta-upsert into their new cell; the watermark advances after
-    both commits (idempotent re-apply, O(net keys) per sync)."""
+    the 16-byte-per-vector lake shape (same skeleton: preimage vectors
+    give the exact old-cell tombstone frame, inserts/postimages
+    PQ-encode and delta-upsert into their new cell, watermark after
+    both commits; idempotent, O(net keys) per sync)."""
     import json as _json
 
     import numpy as _np
 
-    from starlake_spark.sources.datasource import (CHANGE_TYPE_COL,
-                                                   range_changes)
-    from starlake_spark.table import StarTable
-
     cfg = index.info.configuration or {}
-    if "ivfpq.centroids" not in cfg:
-        raise ValueError(f"{index.store.table_path} is not an IVF-PQ index")
-    src_path = cfg.get("ivfpq.source")
-    if src_path is None and source is None:
-        raise ValueError(
-            "index records no ivfpq.source — build with "
-            "build_ivfpq_index(..., source=<StarTable>) to make it "
-            "maintainable, or pass source= to adopt one")
-    src = source if source is not None else StarTable.for_path(spark,
-                                                               src_path)
-    if src_path is not None and src.store.table_path != src_path:
-        raise ValueError(f"index follows {src_path}, not "
-                         f"{src.store.table_path}")
-    if not index.info.hash_cols:
-        raise ValueError(
-            "legacy append-only index layout (no hash keys) cannot be "
-            "synced — rebuild with build_ivfpq_index (range×hash layout)")
-    ids = _np.asarray(_json.loads(cfg["ivfpq.centroid_ids"]),
-                      dtype=_np.int64)
-    M = _np.asarray(_json.loads(cfg["ivfpq.centroids"]), dtype=_np.float64)
-    books = _np.asarray(_json.loads(cfg["ivfpq.codebooks"]),
-                        dtype=_np.float64)
-    id_col, vec_col = cfg["ivfpq.id_col"], cfg["ivfpq.vec_col"]
+    books = _np.asarray(_json.loads(cfg.get("ivfpq.codebooks", "[]")),
+                        dtype=_np.float64) \
+        if "ivfpq.codebooks" in cfg else None
 
-    v1 = src.store.latest_version()
-    v0 = int(cfg.get("ivfpq.synced_version", 0))
-    if v0 >= v1:
-        return index, {"mode": "noop", "from_version": v0, "to_version": v0}
-    ch = range_changes(spark, src.store.table_path, v0, v1).persist()
-    try:
-        old = ch.filter(F.col(CHANGE_TYPE_COL)
-                        .isin("update_preimage", "delete"))
-        dead = (old.select(F.col(id_col),
-                           _as_double(F.col(vec_col)).alias("_v"))
-                .withColumn("centroid_id",
-                            nearest_centroid_col(F.col("_v"), ids, M,
-                                                 spark))
-                .select("centroid_id", id_col))
-        n_del = dead.count()
-        if n_del:
-            index.delete_keys(dead)
-        new = ch.filter(F.col(CHANGE_TYPE_COL)
-                        .isin("insert", "update_postimage"))
-        ups = (
-            pq_encode(new, books, id_col, vec_col)
-            .join(new.select(F.col(id_col),
-                             _as_double(F.col(vec_col)).alias("_v")),
+    def ups(rows, ids, M, id_col, vec_col):
+        return (
+            pq_encode(rows, books, id_col, vec_col)
+            .join(rows.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("_v")),
                   id_col)
             .withColumn("centroid_id",
                         nearest_centroid_col(F.col("_v"), ids, M, spark))
             .select(id_col, "codes", "centroid_id"))
-        n_up = ups.count()
-        if n_up:
-            index.upsert(ups)
-    finally:
-        ch.unpersist()
-    index.set_properties({"ivfpq.synced_version": str(v1)})
-    return index, {"mode": "incremental", "from_version": v0,
-                   "to_version": v1, "removed": n_del, "upserted": n_up}
+
+    return _index_sync(spark, index, source, "ivfpq", ups)
 
 
 def topic_clusters(

@@ -103,20 +103,40 @@ class FileLockProvider(LockProvider):
         ``link`` (which refuses to clobber a newer lock)."""
         reap = f"{lock}.reap-{os.getpid()}-{time.monotonic_ns()}"
         try:
+            # re-stat IMMEDIATELY before the rename: the caller's
+            # staleness observation may be arbitrarily old (it slept in
+            # the acquire loop) — this shrinks the observe→claim window
+            # to microseconds
+            if time.time() - os.path.getmtime(lock) <= self.stale_s:
+                return
             os.rename(lock, reap)
         except OSError:
-            return  # another breaker claimed it first
+            return  # another breaker claimed it first / lock vanished
         try:
             still_stale = time.time() - os.path.getmtime(reap) > self.stale_s
         except FileNotFoundError:
             return
         if not still_stale:
             # We stole a fresh lock — give it back. link() fails if a
-            # newer lock already exists at the path (leave that one).
+            # newer lock already exists at the path; that residual
+            # three-way interleave (stat→reap→fresh-acquire inside our
+            # microsecond window, then a THIRD writer's create before
+            # the link) cannot be repaired with plain files — surface
+            # it loudly instead of silently dropping a live lock.
+            # Multi-writer deployments that can't tolerate even this
+            # window should use the SQLite/TCP providers, whose
+            # arbitration is transactional.
             try:
                 os.link(reap, lock)
             except OSError:
-                pass
+                import warnings
+
+                warnings.warn(
+                    f"stale-break race on {lock}: a fresh lock was "
+                    "reaped and could not be restored (a newer holder "
+                    "took the path); its owner now runs unlocked — "
+                    "prefer SQLiteLockProvider/TCPLockProvider for "
+                    "contended multi-writer tables", stacklevel=2)
         try:
             os.unlink(reap)
         except FileNotFoundError:

@@ -517,137 +517,136 @@ class ManifestStore:
         every mutation is either on fresh per-call copies or an
         idempotent reassignment (write_version stamps on txn file infos).
         """
-        if True:
-            # idempotence gate, re-validated on every CAS attempt (a
-            # pre-write check alone loses the race between two retries
-            # of the same batch): monotonic per registry key, as the
-            # reference's StreamingRecord.getBatchId guard
-            # (StarLakeSink.scala:60-63)
-            if txn.streaming_update is not None:
-                qid, bid = txn.streaming_update
-                if current.streaming.get(qid, -1) >= bid:
-                    raise DuplicateTxnError(
-                        f"transaction '{qid}' version {bid} already committed "
-                        f"(have {current.streaming.get(qid)})"
+        # idempotence gate, re-validated on every CAS attempt (a
+        # pre-write check alone loses the race between two retries of
+        # the same batch): monotonic per registry key, as the
+        # reference's StreamingRecord.getBatchId guard
+        # (StarLakeSink.scala:60-63)
+        if txn.streaming_update is not None:
+            qid, bid = txn.streaming_update
+            if current.streaming.get(qid, -1) >= bid:
+                raise DuplicateTxnError(
+                    f"transaction '{qid}' version {bid} already committed "
+                    f"(have {current.streaming.get(qid)})"
+                )
+        if current.version > txn.read_snapshot.version:
+            # Another commit landed. Conflict iff it expired files we
+            # also expire, or touched partitions we fully rewrite.
+            live = {f.path for f in current.all_files()}
+            for p in txn.expire:
+                if p not in live:
+                    raise CommitConflictError(
+                        f"file {p} expired by a concurrent commit"
                     )
-            if current.version > txn.read_snapshot.version:
-                # Another commit landed. Conflict iff it expired files we
-                # also expire, or touched partitions we fully rewrite.
-                live = {f.path for f in current.all_files()}
-                for p in txn.expire:
-                    if p not in live:
-                        raise CommitConflictError(
-                            f"file {p} expired by a concurrent commit"
-                        )
-                # A full-partition expire (compaction / partition rewrite)
-                # blanks whatever the partition holds AT COMMIT TIME — if
-                # a concurrent commit touched the partition since our read
-                # snapshot, committing would silently drop its files
-                # (MetaCommit.scala:700-712 partition-version conflict).
-                for rv in txn.expire_partitions:
-                    cur_ps = current.partitions.get(rv)
-                    if cur_ps and cur_ps.last_update_version > txn.read_snapshot.version:
-                        raise CommitConflictError(
-                            f"partition '{rv}' changed by a concurrent commit "
-                            f"(v{cur_ps.last_update_version} > read "
-                            f"v{txn.read_snapshot.version}); retry the rewrite"
-                        )
-            new_version = current.version + 1
-            partitions = {
-                rv: PartitionSnapshot(rv, list(ps.files),
-                                      ps.last_update_version,
-                                      dv_files=list(ps.dv_files))
-                for rv, ps in current.partitions.items()
-            }
-            touched: set[str] = set()
+            # A full-partition expire (compaction / partition rewrite)
+            # blanks whatever the partition holds AT COMMIT TIME — if
+            # a concurrent commit touched the partition since our read
+            # snapshot, committing would silently drop its files
+            # (MetaCommit.scala:700-712 partition-version conflict).
             for rv in txn.expire_partitions:
-                if rv in partitions:
-                    # full-partition rewrite reads the DV-filtered view,
-                    # so the rewrite MATERIALIZES the deletions — clear
-                    # the vectors along with the files
-                    partitions[rv].files = []
-                    partitions[rv].dv_files = []
-                    touched.add(rv)
-            if txn.expire:
-                for ps in partitions.values():
-                    before = len(ps.files)
-                    ps.files = [f for f in ps.files if f.path not in txn.expire]
-                    if len(ps.files) != before:
-                        touched.add(ps.range_value)
-            for f in txn.add:
-                if not (txn.preserve_write_versions and 0 <= f.write_version):
-                    f.write_version = new_version
-                ps = partitions.get(f.range_value)
-                if ps is None:
-                    ps = PartitionSnapshot(f.range_value, [], new_version)
-                    partitions[f.range_value] = ps
-                ps.files.append(f)
-                touched.add(f.range_value)
-            for d in txn.add_dvs:
-                ps = partitions.get(d.range_value)
-                if ps is None or not ps.files:
+                cur_ps = current.partitions.get(rv)
+                if cur_ps and cur_ps.last_update_version > txn.read_snapshot.version:
                     raise CommitConflictError(
-                        f"deletion vector targets partition "
-                        f"'{d.range_value}' which a concurrent commit "
-                        f"emptied; retry the delete")
-                if (current.version > txn.read_snapshot.version
-                        and ps.last_update_version
-                        > txn.read_snapshot.version):
-                    raise CommitConflictError(
-                        f"partition '{d.range_value}' changed since the "
-                        f"deletion vector's positions were computed "
-                        f"(v{ps.last_update_version} > read "
-                        f"v{txn.read_snapshot.version}); retry the delete")
-                d.write_version = new_version
-                ps.dv_files = list(ps.dv_files) + [d]
-                touched.add(d.range_value)
-            for rv in touched:
-                if rv in partitions:
-                    partitions[rv].last_update_version = new_version
-            partitions = {rv: ps for rv, ps in partitions.items() if ps.files}
-            streaming = dict(current.streaming)
-            if txn.streaming_update is not None:
-                qid, bid = txn.streaming_update
-                streaming[qid] = bid
-            snap = Snapshot(
-                version=new_version,
-                partitions=partitions,
-                streaming=streaming,
-                timestamp=time.time(),
-                commit_type=txn.commit_type,
-                schema_json=self.table_info().schema_json,
-            )
-            interval = FULL_SNAPSHOT_INTERVAL
-            cfg = self.table_info().configuration.get("meta.checkpoint.interval")
-            if cfg is not None:
-                interval = int(cfg)
-            if interval > 1 and new_version % interval != 0:
-                # delta version file: touched partitions only, O(touched
-                # files) serialization — never materialize the full
-                # inventory as JSON on the commit path
-                state = {
-                    "version": new_version,
-                    "timestamp": snap.timestamp,
-                    "commit_type": snap.commit_type,
-                    "schema_json": snap.schema_json,
-                    "streaming": snap.streaming,
-                    "base_version": current.version,
-                    "removed_partitions": [
-                        rv for rv in current.partitions if rv not in partitions],
-                    "partitions": {
-                        rv: {
-                            "last_update_version": partitions[rv].last_update_version,
-                            "files": [asdict(f) for f in partitions[rv].files],
-                            **({"dv_files": [asdict(d)
-                                             for d in partitions[rv].dv_files]}
-                               if partitions[rv].dv_files else {}),
-                        }
-                        for rv in touched if rv in partitions
-                    },
-                }
-            else:
-                state = snap.to_state()
-            return snap, json.dumps(state)
+                        f"partition '{rv}' changed by a concurrent commit "
+                        f"(v{cur_ps.last_update_version} > read "
+                        f"v{txn.read_snapshot.version}); retry the rewrite"
+                    )
+        new_version = current.version + 1
+        partitions = {
+            rv: PartitionSnapshot(rv, list(ps.files),
+                                  ps.last_update_version,
+                                  dv_files=list(ps.dv_files))
+            for rv, ps in current.partitions.items()
+        }
+        touched: set[str] = set()
+        for rv in txn.expire_partitions:
+            if rv in partitions:
+                # full-partition rewrite reads the DV-filtered view,
+                # so the rewrite MATERIALIZES the deletions — clear
+                # the vectors along with the files
+                partitions[rv].files = []
+                partitions[rv].dv_files = []
+                touched.add(rv)
+        if txn.expire:
+            for ps in partitions.values():
+                before = len(ps.files)
+                ps.files = [f for f in ps.files if f.path not in txn.expire]
+                if len(ps.files) != before:
+                    touched.add(ps.range_value)
+        for f in txn.add:
+            if not (txn.preserve_write_versions and 0 <= f.write_version):
+                f.write_version = new_version
+            ps = partitions.get(f.range_value)
+            if ps is None:
+                ps = PartitionSnapshot(f.range_value, [], new_version)
+                partitions[f.range_value] = ps
+            ps.files.append(f)
+            touched.add(f.range_value)
+        for d in txn.add_dvs:
+            ps = partitions.get(d.range_value)
+            if ps is None or not ps.files:
+                raise CommitConflictError(
+                    f"deletion vector targets partition "
+                    f"'{d.range_value}' which a concurrent commit "
+                    f"emptied; retry the delete")
+            if (current.version > txn.read_snapshot.version
+                    and ps.last_update_version
+                    > txn.read_snapshot.version):
+                raise CommitConflictError(
+                    f"partition '{d.range_value}' changed since the "
+                    f"deletion vector's positions were computed "
+                    f"(v{ps.last_update_version} > read "
+                    f"v{txn.read_snapshot.version}); retry the delete")
+            d.write_version = new_version
+            ps.dv_files = list(ps.dv_files) + [d]
+            touched.add(d.range_value)
+        for rv in touched:
+            if rv in partitions:
+                partitions[rv].last_update_version = new_version
+        partitions = {rv: ps for rv, ps in partitions.items() if ps.files}
+        streaming = dict(current.streaming)
+        if txn.streaming_update is not None:
+            qid, bid = txn.streaming_update
+            streaming[qid] = bid
+        snap = Snapshot(
+            version=new_version,
+            partitions=partitions,
+            streaming=streaming,
+            timestamp=time.time(),
+            commit_type=txn.commit_type,
+            schema_json=self.table_info().schema_json,
+        )
+        interval = FULL_SNAPSHOT_INTERVAL
+        cfg = self.table_info().configuration.get("meta.checkpoint.interval")
+        if cfg is not None:
+            interval = int(cfg)
+        if interval > 1 and new_version % interval != 0:
+            # delta version file: touched partitions only, O(touched
+            # files) serialization — never materialize the full
+            # inventory as JSON on the commit path
+            state = {
+                "version": new_version,
+                "timestamp": snap.timestamp,
+                "commit_type": snap.commit_type,
+                "schema_json": snap.schema_json,
+                "streaming": snap.streaming,
+                "base_version": current.version,
+                "removed_partitions": [
+                    rv for rv in current.partitions if rv not in partitions],
+                "partitions": {
+                    rv: {
+                        "last_update_version": partitions[rv].last_update_version,
+                        "files": [asdict(f) for f in partitions[rv].files],
+                        **({"dv_files": [asdict(d)
+                                         for d in partitions[rv].dv_files]}
+                           if partitions[rv].dv_files else {}),
+                    }
+                    for rv in touched if rv in partitions
+                },
+            }
+        else:
+            state = snap.to_state()
+        return snap, json.dumps(state)
 
     # ---------- restore / clone ----------
 

@@ -466,7 +466,8 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
     outer_joins: list[tuple] = []
     above: dict[str, dict] = {}
     below: dict[str, dict] = {}
-    state = {"agg_seen": False, "out_done": False, "n_joins": 0}
+    state = {"agg_seen": False, "out_done": False, "n_joins": 0,
+             "null_side": False}
 
     def leaf_name(node: dict) -> str | None:
         """SubqueryAlias chain ending in a known table / View boundary."""
@@ -581,6 +582,15 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
             walk(node["_children"][0])
             return
         if c == "Filter":
+            if state["null_side"]:
+                # a filter UNDER the null-supplying side of an outer
+                # join is not equivalent to the same predicate in the
+                # WHERE clause (it narrows the right input BEFORE null
+                # extension) — flattening it into the conjunct set
+                # would let semantically different queries/views match.
+                # Refuse; both sides fail consistently → safe miss.
+                raise UnsupportedPlan(
+                    "filter under an outer join's null-supplying side")
             for cj in split_conjuncts(_rexpr(node["condition"])):
                 (below if state["agg_seen"] else above)[canon(cj)] = cj
             walk(node["_children"][0])
@@ -619,7 +629,10 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
                 walk(node["_children"][0])
                 left = tuple(sorted(tables[n0:]))
                 n1 = len(tables)
+                was = state["null_side"]
+                state["null_side"] = True
                 walk(node["_children"][1])
+                state["null_side"] = was
                 right = tuple(sorted(tables[n1:]))
                 on = tuple(sorted(
                     canon_eq_symmetric(cj)

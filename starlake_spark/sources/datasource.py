@@ -42,8 +42,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from starlake_spark.meta import (ManifestStore, TableNotFoundError,
-                                 decode_range_value)
+from starlake_spark.meta import (ManifestStore, MetaError,
+                                 TableNotFoundError, decode_range_value)
 
 VERSION_COL = "_commit_version"
 CHANGE_TYPE_COL = "_change_type"
@@ -577,7 +577,14 @@ def _create_from_write(table_path: str, schema: T.StructType,
             "You must set the bucket num (hashBucketNum) when using "
             "hash partitions")
     short = _opt(options, "shortTableName")
-    info = TableInfo(
+    # build the PENDING TableInfo only — persisting it is the driver
+    # commit's job (_persist_pending_create): creating during writer
+    # planning would leave a committed empty table (plus a permanent
+    # shortTableName registration) behind every failed/aborted first
+    # write, and the retry would then hit existing-table semantics
+    # (e.g. the hash-append refusal) for the very write that was meant
+    # to create the table
+    return TableInfo(
         table_path=table_path,
         table_id=f"table_{_uuid.uuid4().hex[:16]}",
         schema_json=schema.json(),
@@ -587,13 +594,27 @@ def _create_from_write(table_path: str, schema: T.StructType,
         configuration={"schema.autoMerge.enabled": "true"},
         short_name=short,
     )
-    store = ManifestStore(table_path)
-    store.create(info)
-    if short:
+
+
+def _persist_pending_create(info) -> None:
+    """Publish a first write's pending table (idempotent against a
+    concurrent first-writer racing the same path: the loser adopts the
+    winner's table if the partition layout agrees)."""
+    store = ManifestStore(info.table_path)
+    try:
+        store.create(info)
+    except MetaError:
+        existing = ManifestStore(info.table_path).table_info()
+        if ([c.lower() for c in existing.range_cols]
+                != [c.lower() for c in info.range_cols]
+                or [c.lower() for c in existing.hash_cols]
+                != [c.lower() for c in info.hash_cols]):
+            raise
+        return  # a concurrent first write created it compatibly
+    if info.short_name:
         from starlake_spark import catalog
 
-        catalog.register(short, table_path, None)
-    return info
+        catalog.register(info.short_name, info.table_path, None)
 
 
 def _validate_write_target(table_path: str, schema: T.StructType,
@@ -609,7 +630,7 @@ def _validate_write_target(table_path: str, schema: T.StructType,
         info = store.table_info()
     except TableNotFoundError:
         info = _create_from_write(table_path, schema, options or {})
-        created = True
+        created = True  # pending — persisted by the commit
     if not created:
         # partition options on an existing table must agree (reference
         # 'can't change partition columns')
@@ -672,7 +693,7 @@ def _validate_write_target(table_path: str, schema: T.StructType,
                   for c in schema.fieldNames()}
     out_names = {c: declared_lower[c.lower()].name
                  for c in schema.fieldNames()}
-    return info, cast_types, out_names
+    return info, cast_types, out_names, (info if created else None)
 
 
 def _write_task_batches(iterator, table_path: str, dir_name: str,
@@ -819,6 +840,13 @@ def _parse_replace_where(pred_text: str, info):
             cast = int
         elif isinstance(t, (_T.FloatType, _T.DoubleType)):
             cast = float
+        elif isinstance(t, _T.DecimalType):
+            # lexical comparison would order '10.00' < '9.00' and
+            # mismatch '3' vs '3.00' — compare as decimals
+            from decimal import Decimal as cast  # noqa: N813
+        elif isinstance(t, _T.BooleanType):
+            def cast(v):  # noqa: E306
+                return str(v).lower() in ("true", "1")
         else:
             cast = str
         atoms.append((rc, op, cast(val), cast))
@@ -862,8 +890,9 @@ class _StarBatchWriter(DataSourceArrowWriter):
                  options: dict | None = None):
         import uuid
 
-        info, cast_types, out_names = _validate_write_target(
+        info, cast_types, out_names, pending = _validate_write_target(
             table_path, schema, options=options, overwrite=overwrite)
+        self.pending_create = pending
         if dynamic_overwrite and not info.range_cols:
             raise ValueError(
                 "partitionOverwriteMode=dynamic requires range partition "
@@ -893,6 +922,8 @@ class _StarBatchWriter(DataSourceArrowWriter):
             self.cast_types, self.range_cols, self.out_names))
 
     def commit(self, messages):
+        if self.pending_create is not None:
+            _persist_pending_create(self.pending_create)
         store = ManifestStore(self.table_path)
         info = store.table_info()
         txn = store.new_transaction()
@@ -946,8 +977,9 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
                  options: dict | None = None):
         # streaming appends to hash tables stay refused even on the
         # first commit (the reference's stream path owns bucketing)
-        info, cast_types, out_names = _validate_write_target(
+        info, cast_types, out_names, pending = _validate_write_target(
             table_path, schema, options=options, overwrite=overwrite)
+        self.pending_create = pending
         if info.hash_cols and not overwrite:
             raise ValueError(
                 "format('star') streaming append targets non-hash "
@@ -970,6 +1002,9 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId):
         from starlake_spark.meta import DuplicateTxnError
 
+        if self.pending_create is not None:
+            _persist_pending_create(self.pending_create)
+            self.pending_create = None  # later batches: table exists
         store = ManifestStore(self.table_path)
         info = store.table_info()
         txn = store.new_transaction()
@@ -1397,17 +1432,25 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
                   schema_as_of=False).join(kdf, keys, "left_semi")
     out_cols = list(prev.columns)
     data_cols = [c for c in out_cols if c not in keys]
+    # presence flags live OUTSIDE the _p_/_c_ alias namespace, so a
+    # data column literally named "has" cannot collide with them; a
+    # (pathological) KEY column with the flag's own name still could —
+    # guard explicitly rather than corrupt the feed
+    P_HAS, C_HAS = "_sl_p_present", "_sl_c_present"
+    if P_HAS in keys or C_HAS in keys:
+        raise ValueError(f"key column collides with the internal CDC "
+                         f"presence flags ({P_HAS}/{C_HAS}); rename it")
     p = prev.select(*keys,
                     *[F.col(c).alias(f"_p_{c}") for c in data_cols],
-                    F.lit(True).alias("_p_has"))
+                    F.lit(True).alias(P_HAS))
     c = cur.select(*keys,
                    *[F.col(c).alias(f"_c_{c}") for c in data_cols],
-                   F.lit(True).alias("_c_has"))
+                   F.lit(True).alias(C_HAS))
     j = p.join(c, keys, "full_outer")
     same = F.lit(True)
     for col in data_cols:
         same = same & F.col(f"_p_{col}").eqNullSafe(F.col(f"_c_{col}"))
-    both = F.col("_p_has").isNotNull() & F.col("_c_has").isNotNull()
+    both = F.col(P_HAS).isNotNull() & F.col(C_HAS).isNotNull()
     j = j.filter(~(both & same))  # no-op pairs are not changes
     if data_cols:
         pre_row = F.struct(*[F.col(f"_p_{c}").alias(c) for c in data_cols])
@@ -1417,9 +1460,9 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
             return F.struct(F.lit(ct).alias("ct"), row.alias("row"))
 
         events = (
-            F.when(F.col("_p_has").isNull(),
+            F.when(F.col(P_HAS).isNull(),
                    F.array(ev("insert", post_row)))
-             .when(F.col("_c_has").isNull(),
+             .when(F.col(C_HAS).isNull(),
                    F.array(ev("delete", pre_row)))
              .otherwise(F.array(ev("update_preimage", pre_row),
                                 ev("update_postimage", post_row))))
@@ -1430,7 +1473,7 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
     else:
         # key-only table: updates are impossible (both-present rows are
         # always no-ops, filtered above) — classify insert vs delete
-        ct = F.when(F.col("_p_has").isNull(), F.lit("insert")) \
+        ct = F.when(F.col(P_HAS).isNull(), F.lit("insert")) \
               .otherwise(F.lit("delete"))
         out = j.select(*keys,
                        F_lit_long(tag_version).alias(VERSION_COL),

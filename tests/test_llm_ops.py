@@ -246,6 +246,44 @@ def test_ivf_index_sync_follows_source(spark, tmp_path):
     with pytest.raises(ValueError, match="not an IVF index"):
         sim.ivf_index_sync(spark, t_not_index(spark, tmp_path))
 
+    # replaying an overlapping window is idempotent (the too-early-
+    # watermark contract the build relies on): rewind and re-sync
+    idx.set_properties({"ivf.synced_version": "1"})
+    before = sorted(r["vec_id"] for r in idx.to_df().collect())
+    _, st3 = sim.ivf_index_sync(spark, idx)
+    assert st3["mode"] == "incremental"
+    assert sorted(r["vec_id"] for r in idx.to_df().collect()) == before
+
+
+def test_ivf_index_sync_adoption_persists(spark, tmp_path):
+    """Adopting a source (sync with source= on an unbound index) must
+    PERSIST the binding: the next bare sync resolves it, and a wrong
+    source refuses instead of silently applying a foreign change feed."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+    from starlake_spark.table import create_table
+
+    rng = np.random.RandomState(23)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(60)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    src = create_table(spark, vdf, str(tmp_path / "src"),
+                       hash_partitions=["vec_id"], hash_bucket_num=2)
+    other = create_table(spark, vdf, str(tmp_path / "other"),
+                         hash_partitions=["vec_id"], hash_bucket_num=2)
+    idx = sim.build_ivf_index(spark, vdf, str(tmp_path / "ivf"), nlist=4)
+    with pytest.raises(ValueError, match="records no ivf.source"):
+        sim.ivf_index_sync(spark, idx)
+    _, st = sim.ivf_index_sync(spark, idx, source=src)  # adopt
+    assert (idx.info.configuration or {}).get("ivf.source") \
+        == src.store.table_path
+    src.delete("vec_id % 7 = 0", use_delta=True)
+    _, st2 = sim.ivf_index_sync(spark, idx)  # bare sync resolves binding
+    assert st2["mode"] == "incremental" and st2["removed"] > 0
+    with pytest.raises(ValueError, match="follows"):
+        sim.ivf_index_sync(spark, idx, source=other)
+
 
 def test_ivfpq_index_sync_follows_source(spark, tmp_path):
     """CDC-maintained IVF-PQ codes table: after a source delete + twin

@@ -448,3 +448,44 @@ def test_or_matrix(or7_sess, name, sql, expect):
                               if c[0].endswith("& and")])
 def test_or_and_matrix(or8_sess, name, sql, expect):
     _check(or8_sess, sql, expect)
+
+
+def test_outer_join_filter_position_never_conflated(spark,
+                                                    tmp_path_factory):
+    """Regression (round-5 self-review): a filter UNDER a left join's
+    null-supplying side is NOT the same query as the filter in the
+    WHERE clause — `a LEFT JOIN (SELECT.. WHERE v='cc') b` keeps
+    null-extended a-rows the WHERE form drops. Null-side filters are
+    outside the rewritable subset: creating such a view refuses (the
+    reference's creation-time guard), and the inner-filter QUERY never
+    rewrites onto the WHERE-form view."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("mv_ojf")
+    where_form_view = """
+    select a.key a_key, a.value a_value, b.value b_value
+    from tab1 a left join tab2 b on a.key = b.key
+    where b.value = 'cc'
+    """
+    s = _mk_session(spark, base, {"mv_ojw": where_form_view})
+    try:
+        inner_filter = """
+        select a.key a_key, a.value a_value, b.value b_value
+        from tab1 a left join (select * from tab2 where value = 'cc') b
+        on a.key = b.key
+        """
+        # the two forms genuinely differ on this data
+        assert _rows(spark.sql(inner_filter)) != \
+            _rows(spark.sql(where_form_view))
+        # the inner-filter query must NOT rewrite onto the WHERE view
+        assert mv.try_rewrite(s, inner_filter) is None
+        # the WHERE form itself still hits its own view, answers equal
+        hit = mv.try_rewrite(s, where_form_view)
+        assert hit is not None
+        assert _rows(hit) == _rows(spark.sql(where_form_view))
+        # and CREATING a null-side-filter view refuses outright
+        with pytest.raises(mv.UnsupportedPlan, match="null-supplying"):
+            s.create_material_view("mv_ojf_bad", str(base / "bad"),
+                                   inner_filter)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

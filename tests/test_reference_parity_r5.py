@@ -105,6 +105,32 @@ def test_hash_table_append_refused_after_first_commit(spark, kv_df,
         [(1, "a"), (2, "z")]
 
 
+def test_failed_first_write_leaves_no_table(spark, tmp_path):
+    """Table creation is deferred to the write's COMMIT: a first write
+    whose job fails must leave no table behind (a plan-time create
+    would make the retry hit existing-table semantics — e.g. the
+    hash-append refusal — for the very write meant to create it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    poison = F.udf(lambda x: (_ for _ in ()).throw(RuntimeError("boom")),
+                   "int")
+    df = spark.range(5).select(F.col("id").cast("int").alias("Key"),
+                               poison(F.col("id")).alias("val"))
+    with pytest.raises(Exception):
+        df.write.format("star").option("hashPartitions", "Key") \
+            .option("hashBucketNum", "2").mode("append").save(p)
+    assert not os.path.isdir(os.path.join(p, "_star_meta")), \
+        "failed first write published a table"
+    # the retry IS the first commit again — creation succeeds
+    spark.createDataFrame([(1, "a")], "Key int, val string") \
+        .write.format("star").option("hashPartitions", "Key") \
+        .option("hashBucketNum", "2").mode("append").save(p)
+    assert spark.read.format("star").load(p).count() == 1
+
+
 def test_partition_options_conflict_on_existing_table(spark, kv_df,
                                                       tmp_path):
     """'can't change partition columns'."""
