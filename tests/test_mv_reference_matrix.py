@@ -489,3 +489,47 @@ def test_outer_join_filter_position_never_conflated(spark,
                                    inner_filter)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_randomized_rewrite_soak_answers_always_match(spark,
+                                                      tmp_path_factory):
+    """Fuzz the newest code in the rewriter: 60 seeded-random queries
+    over view7's table (random conjunct/disjunct predicates drawn from
+    the supported vocabulary, random projection). Whatever the matcher
+    decides, a HIT must produce exactly the rows direct execution
+    produces — the property that makes every miss safe and every hit
+    correct."""
+    import random
+    import shutil
+
+    base = tmp_path_factory.mktemp("mv_fuzz")
+    s = _mk_session(spark, base, {"material_view7": VIEW7})
+    rng = random.Random(1234)
+    atoms = ["k1>1", "k1>2", "k1<3", "k1<=3", "k1=5", "k1=4", "k1>=0",
+             "range>=30", "range>30", "range<25", "range<24",
+             "value!='a2'", "value='e3'", "k2='c'"]
+    projs = ["a.k1,k2,value,range",
+             "a.k1,k2,value,range,length(range) as lr",
+             "k1,value", "k1,range"]
+    hits = 0
+    try:
+        for i in range(60):
+            n_dis = rng.randint(1, 3)
+            disjuncts = []
+            for _ in range(n_dis):
+                cs = rng.sample(atoms, rng.randint(1, 3))
+                disjuncts.append("(" + " and ".join(cs) + ")")
+            pred = " or ".join(disjuncts)
+            if rng.random() < 0.3:
+                pred = f"({pred}) and {rng.choice(atoms)}"
+            sql = (f"select {rng.choice(projs)} from tab3 a "
+                   f"where {pred}")
+            hit = mv.try_rewrite(s, sql)
+            if hit is not None:
+                hits += 1
+                assert _rows(hit) == _rows(spark.sql(sql)), \
+                    f"seed case {i}: rewrite diverged for:\n{sql}"
+        # the fuzz must actually exercise the hit path, not just miss
+        assert hits >= 3, f"only {hits} rewrites hit — vocabulary drift?"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
