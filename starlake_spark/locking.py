@@ -53,6 +53,15 @@ class LockProvider(ABC):
     def release(self, handle: Any) -> None:
         """Release a handle returned by :meth:`acquire`."""
 
+    def validate(self, handle: Any) -> bool:
+        """Return True iff the handle still holds the lock. The commit
+        protocol calls this immediately before the atomic publish so a
+        lease that expired mid-critical-section (arbiter restart,
+        stalled holder) fails the commit instead of double-publishing.
+        Providers whose locks cannot be lost while held (the file lock
+        within its staleness window) keep the default True."""
+        return True
+
 
 class FileLockProvider(LockProvider):
     """Default single-host provider: ``O_CREAT|O_EXCL`` on
@@ -145,15 +154,49 @@ class FileLockProvider(LockProvider):
     def release(self, handle) -> None:
         # Accept legacy bare-path handles for back compat.
         lock, token = handle if isinstance(handle, tuple) else (handle, None)
+        if token is None:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+            return
+        # Rename-claim, mirroring _break_stale: a read-then-unlink here
+        # would race a stale-breaker — between reading our own token and
+        # the unlink, a reaper could break us and a NEW writer acquire,
+        # so the unlink would delete the new holder's live lock. The
+        # rename atomically claims whatever is at the path; the token
+        # check then decides ours (discard) vs theirs (hand back).
+        reap = f"{lock}.rel-{os.getpid()}-{time.monotonic_ns()}"
         try:
-            if token is not None:
-                with open(lock, "rb") as f:
-                    if f.read().decode(errors="replace") != token:
-                        return  # not ours any more (reaped + reacquired)
-            os.unlink(lock)
+            os.rename(lock, reap)
+        except OSError:
+            # lock vanished (stale-break reaper or test cleanup got
+            # there first) — the guarded section is over, nothing to undo
+            return
+        try:
+            with open(reap, "rb") as f:
+                ours = f.read().decode(errors="replace") == token
         except FileNotFoundError:
-            # a stale-break reaper (or test cleanup) got there first —
-            # the guarded section is already over, nothing to undo
+            return
+        if not ours:
+            # We claimed a successor's live lock (only reachable once
+            # our own lock went stale and was reaped). Hand it back;
+            # link() refuses to clobber an even newer lock at the path
+            # (same three-way residual as _break_stale — warn loudly).
+            try:
+                os.link(reap, lock)
+            except OSError:
+                import warnings
+
+                warnings.warn(
+                    f"release race on {lock}: a successor's lock was "
+                    "claimed and could not be restored (a newer holder "
+                    "took the path); its owner now runs unlocked — "
+                    "prefer SQLiteLockProvider/TCPLockProvider for "
+                    "contended multi-writer tables", stacklevel=2)
+        try:
+            os.unlink(reap)
+        except FileNotFoundError:
             pass
 
 
@@ -267,6 +310,14 @@ class SQLiteLockProvider(LockProvider):
         finally:
             c.close()
 
+    def validate(self, handle: tuple) -> bool:
+        c, table_path, owner = handle
+        row = c.execute(
+            "SELECT owner, ts FROM commit_locks WHERE table_path = ?",
+            (table_path,)).fetchone()
+        return (row is not None and row[0] == owner
+                and time.time() - row[1] <= self.stale_s)
+
 
 class LeaseServer:
     """Minimal TCP lease arbiter — the multi-HOST deployment of the
@@ -281,20 +332,56 @@ class LeaseServer:
     newline-terminated, table path base64-encoded (paths may contain
     spaces):
 
-    * ``ACQUIRE <b64-table> <owner> <ttl_s>`` → ``OK`` (granted or
-      re-granted to the same owner, TTL refreshed) | ``HELD <holder>``
+    * ``ACQUIRE <b64-table> <owner> <ttl_s>`` → ``OK <fence>`` (granted,
+      or re-granted to the same owner with TTL refreshed — renewal keeps
+      the SAME fence) | ``HELD <holder>``. The fence is a per-table
+      monotonically increasing token, bumped on every ownership change:
+      a holder that lost and re-won its lease sees a HIGHER fence, so a
+      stale holder can never validate against a successor's grant.
+    * ``CHECK <b64-table> <owner> <fence>`` → ``OK`` iff that exact
+      grant is still live | ``NO`` — the publish-path validation RPC.
     * ``RELEASE <b64-table> <owner>`` → ``OK`` (idempotent — releasing
       an expired/reaped lease is fine) | ``NOTOWNER``
     * ``PING`` → ``PONG``
 
+    ``persist_path`` (optional) journals leases + fence counters to a
+    JSON file on every mutation: a restarted arbiter refuses grants for
+    tables whose prior lease TTL has not yet elapsed (instead of
+    silently double-granting) and keeps fences monotonic across the
+    restart.
+
     Run standalone: ``python -m starlake_spark.locking [port]``."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 persist_path: str | None = None):
+        import json as _json
         import socketserver
         import threading
 
-        leases: dict[str, tuple[str, float]] = {}
+        # tbl -> (owner, expiry, fence); fences survive lease release
+        leases: dict[str, tuple[str, float, int]] = {}
+        fences: dict[str, int] = {}
         guard = threading.Lock()
+        if persist_path and os.path.exists(persist_path):
+            with open(persist_path) as f:
+                state = _json.load(f)
+            fences.update({k: int(v) for k, v in
+                           state.get("fences", {}).items()})
+            now = time.time()
+            for tbl, (owner, expiry, fence) in state.get(
+                    "leases", {}).items():
+                if expiry > now:  # prior TTL window still open: honor it
+                    leases[tbl] = (owner, expiry, int(fence))
+
+        def _persist() -> None:
+            if not persist_path:
+                return
+            tmp = f"{persist_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump({"leases": {k: list(v)
+                                       for k, v in leases.items()},
+                            "fences": fences}, f)
+            os.replace(tmp, persist_path)
 
         class _Handler(socketserver.StreamRequestHandler):
             def handle(self):
@@ -311,17 +398,33 @@ class LeaseServer:
                     elif len(parts) == 4 and parts[0] == "ACQUIRE":
                         _, tbl, owner, ttl = parts
                         held = leases.get(tbl)
-                        if (held is None or held[1] < now
-                                or held[0] == owner):
-                            leases[tbl] = (owner, now + float(ttl))
-                            resp = "OK"
+                        if held is not None and held[1] >= now \
+                                and held[0] == owner:
+                            # renewal: refresh TTL, keep the fence
+                            leases[tbl] = (owner, now + float(ttl),
+                                           held[2])
+                            _persist()
+                            resp = f"OK {held[2]}"
+                        elif held is None or held[1] < now:
+                            fence = fences.get(tbl, 0) + 1
+                            fences[tbl] = fence
+                            leases[tbl] = (owner, now + float(ttl), fence)
+                            _persist()
+                            resp = f"OK {fence}"
                         else:
                             resp = f"HELD {held[0]}"
+                    elif len(parts) == 4 and parts[0] == "CHECK":
+                        _, tbl, owner, fence = parts
+                        held = leases.get(tbl)
+                        resp = ("OK" if held is not None
+                                and held[1] >= now and held[0] == owner
+                                and str(held[2]) == fence else "NO")
                     elif len(parts) == 3 and parts[0] == "RELEASE":
                         _, tbl, owner = parts
                         held = leases.get(tbl)
                         if held is not None and held[0] == owner:
                             del leases[tbl]
+                            _persist()
                             resp = "OK"
                         else:
                             resp = "OK" if held is None else "NOTOWNER"
@@ -350,8 +453,21 @@ class TCPLockProvider(LockProvider):
     reachable by every writer host — the out-of-the-box multi-host
     arbiter (the SQLite provider's shape, but over a socket instead of
     a shared filesystem). One short-lived connection per request; the
-    arbiter's lease TTL (``lease_s``) is the crash-recovery clock, so
-    size it above the longest expected commit critical section."""
+    arbiter's lease TTL (``lease_s``) is the crash-recovery clock.
+
+    Two defenses against the lost-lease double-publish (a critical
+    section outliving ``lease_s``, or an arbiter restart dropping
+    in-memory leases):
+
+    * a HEARTBEAT thread renews the lease every ``lease_s/3`` while the
+      handle is held, so a live holder's lease never expires no matter
+      how long the commit runs;
+    * :meth:`validate` checks the grant's FENCING token with the
+      arbiter (``CHECK``) — the commit protocol calls it immediately
+      before the atomic publish, so a holder whose lease was lost
+      anyway (arbiter restart without ``persist_path``, network
+      partition longer than the TTL) fails its commit instead of
+      racing the successor."""
 
     def __init__(self, host: str, port: int, lease_s: float = 60.0,
                  poll_s: float = 0.05):
@@ -374,9 +490,10 @@ class TCPLockProvider(LockProvider):
         return buf.decode().strip()
 
     def acquire(self, meta_dir: str, table_path: str,
-                timeout_s: float) -> tuple:
+                timeout_s: float) -> dict:
         import base64
         import socket
+        import threading
         import uuid
 
         tbl = base64.urlsafe_b64encode(table_path.encode()).decode()
@@ -384,16 +501,62 @@ class TCPLockProvider(LockProvider):
                  f"{uuid.uuid4().hex[:8]}")
         deadline = time.time() + timeout_s
         while True:
-            if self._rpc(f"ACQUIRE {tbl} {owner} {self.lease_s}") == "OK":
-                return (tbl, owner)
+            resp = self._rpc(f"ACQUIRE {tbl} {owner} {self.lease_s}")
+            if resp.startswith("OK"):
+                # legacy arbiters reply bare "OK" (no fence): heartbeat
+                # still renews; validate degrades to owner-only CHECK
+                _, _, fence = resp.partition(" ")
+                handle = {"tbl": tbl, "owner": owner,
+                          "fence": fence.strip() or None,
+                          "lost": False,
+                          "stop": threading.Event()}
+                t = threading.Thread(target=self._heartbeat,
+                                     args=(handle,), daemon=True)
+                handle["thread"] = t
+                t.start()
+                return handle
             if time.time() > deadline:
                 raise TimeoutError(f"commit lock timeout on {table_path}")
             time.sleep(self.poll_s)
 
-    def release(self, handle: tuple) -> None:
-        tbl, owner = handle
+    def _heartbeat(self, handle: dict) -> None:
+        """Renew the lease every lease_s/3 while held. A renewal that
+        comes back HELD, or re-granted under a DIFFERENT fence (we
+        expired and re-won — a successor may have published meanwhile),
+        marks the handle lost; validate() then fails the commit."""
+        interval = max(self.lease_s / 3.0, 0.05)
+        while not handle["stop"].wait(interval):
+            try:
+                resp = self._rpc(f"ACQUIRE {handle['tbl']} "
+                                 f"{handle['owner']} {self.lease_s}")
+            except OSError:
+                continue  # arbiter transiently unreachable: keep trying
+            if not resp.startswith("OK"):
+                handle["lost"] = True
+                return
+            _, _, fence = resp.partition(" ")
+            if handle["fence"] is not None \
+                    and fence.strip() != handle["fence"]:
+                handle["lost"] = True
+                return
+
+    def validate(self, handle: dict) -> bool:
+        if handle["lost"]:
+            return False
+        if handle["fence"] is None:
+            return True  # legacy arbiter: no CHECK support
         try:
-            self._rpc(f"RELEASE {tbl} {owner}")
+            return self._rpc(f"CHECK {handle['tbl']} {handle['owner']} "
+                             f"{handle['fence']}") == "OK"
+        except OSError:
+            # arbiter unreachable: can't prove the lease is live — fail
+            # the publish rather than risk racing a successor
+            return False
+
+    def release(self, handle: dict) -> None:
+        handle["stop"].set()
+        try:
+            self._rpc(f"RELEASE {handle['tbl']} {handle['owner']}")
         except OSError:
             # arbiter unreachable at release time: the lease's TTL will
             # expire it — liveness is preserved, nothing to undo locally

@@ -454,6 +454,15 @@ class ManifestStore:
 
         locking.get_lock_provider().release(handle)
 
+    def _validate_lock(self, handle) -> bool:
+        """Fencing check immediately before the atomic publish: a
+        leased provider (TCP arbiter) whose lease was lost mid-critical
+        -section must fail the publish, not race the successor. The
+        default providers always return True."""
+        from starlake_spark import locking
+
+        return locking.get_lock_provider().validate(handle)
+
     COMMIT_OPTIMISTIC_ATTEMPTS = 3
 
     def commit(self, txn: Transaction) -> Snapshot:
@@ -485,7 +494,8 @@ class ManifestStore:
             snap, payload = self._build_commit(txn, current)
             lock = self._acquire_lock()
             try:
-                if self.latest_version() == current.version:
+                if self.latest_version() == current.version \
+                        and self._validate_lock(lock):
                     _atomic_write(self._version_path(snap.version), payload)
                     self._snap_cache[snap.version] = snap
                     txn.committed = True
@@ -502,6 +512,10 @@ class ManifestStore:
         try:
             current = self.snapshot()
             snap, payload = self._build_commit(txn, current)
+            if not self._validate_lock(lock):
+                raise MetaError(
+                    f"commit lock lost during commit on {self.table_path} "
+                    "(lease expired or arbiter restarted) — retry")
             _atomic_write(self._version_path(snap.version), payload)
             self._snap_cache[snap.version] = snap
             txn.committed = True

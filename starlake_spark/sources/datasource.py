@@ -547,6 +547,14 @@ def _create_from_write(table_path: str, schema: T.StructType,
 
     from starlake_spark.meta import TableInfo
 
+    # NullType columns never enter a declared schema (same rule as
+    # merge_source_schema) — a table created from a frame carrying a
+    # bare lit(None) column simply drops it
+    schema = T.StructType([f for f in schema.fields
+                           if not isinstance(f.dataType, T.NullType)])
+    if not schema.fields:
+        raise ValueError("cannot create a table from a frame whose "
+                         "columns are all NullType")
     names = schema.fieldNames()
     by_lower: dict[str, str] = {}
     for c in names:
@@ -599,17 +607,51 @@ def _create_from_write(table_path: str, schema: T.StructType,
 def _persist_pending_create(info) -> None:
     """Publish a first write's pending table (idempotent against a
     concurrent first-writer racing the same path: the loser adopts the
-    winner's table if the partition layout agrees)."""
+    winner's table ONLY if both partition layout and schema agree —
+    the loser's parquet files were already written cast to its own
+    pending schema, so adopting a table whose schema can't absorb them
+    would silently drop or mis-declare columns)."""
     store = ManifestStore(info.table_path)
     try:
         store.create(info)
     except MetaError:
-        existing = ManifestStore(info.table_path).table_info()
+        store = ManifestStore(info.table_path)
+        existing = store.table_info()
         if ([c.lower() for c in existing.range_cols]
                 != [c.lower() for c in info.range_cols]
                 or [c.lower() for c in existing.hash_cols]
                 != [c.lower() for c in info.hash_cols]):
             raise
+        # Shared columns must agree exactly or within one numeric
+        # upcast family: the loser's files store the LOSER's types, so
+        # no write-time cast can repair a cross-family conflict —
+        # merge_source_schema alone would keep the winner's declared
+        # type and silently mis-declare those files
+        from starlake_spark.operators.dml import (_widened,
+                                                  merge_source_schema)
+
+        pending = T.StructType.fromJson(json.loads(info.schema_json))
+        existing_schema = T.StructType.fromJson(
+            json.loads(existing.schema_json))
+        win_lower = {f.name.lower(): f for f in existing_schema.fields}
+        for f in pending.fields:
+            w = win_lower.get(f.name.lower())
+            if w is not None and w.dataType != f.dataType \
+                    and _widened(w.dataType, f.dataType) is None \
+                    and _widened(f.dataType, w.dataType) is None:
+                raise MetaError(
+                    f"concurrent first write to {info.table_path} "
+                    f"created the table with an incompatible schema: "
+                    f"column '{f.name}' is {f.dataType.simpleString()} "
+                    f"here but {w.dataType.simpleString()} there")
+        try:
+            # widens the winner where our type is wider; appends our
+            # new columns nullable (autoMerge rules apply)
+            merge_source_schema(pending, store)
+        except ValueError as e:
+            raise MetaError(
+                f"concurrent first write to {info.table_path} created "
+                f"the table with an incompatible schema: {e}") from e
         return  # a concurrent first write created it compatibly
     if info.short_name:
         from starlake_spark import catalog
@@ -664,12 +706,18 @@ def _validate_write_target(table_path: str, schema: T.StructType,
             "write pass")
     declared = T.StructType.fromJson(json.loads(info.schema_json))
     declared_lower = {f.name.lower(): f for f in declared.fields}
-    extra = [c for c in schema.fieldNames()
-             if c.lower() not in declared_lower]
+    # NullType columns (lit(None) with no cast) are silently dropped,
+    # matching merge_source_schema ("NullType columns never enter the
+    # schema") — without this, a merge would skip them and the
+    # cast_types build below would KeyError on the missing declaration
+    writable = [f for f in schema.fields
+                if not isinstance(f.dataType, T.NullType)]
+    extra = [f.name for f in writable
+             if f.name.lower() not in declared_lower]
     needs_merge = extra or any(
         f.name.lower() in declared_lower
         and f.dataType != declared_lower[f.name.lower()].dataType
-        for f in schema.fields)
+        for f in writable)
     if needs_merge:
         # same evolution rules as the table API (reference
         # SchemaEnforcementSuite batch 'allow schema changes when
@@ -681,7 +729,7 @@ def _validate_write_target(table_path: str, schema: T.StructType,
         info = merge_source_schema(schema, store)
         declared = T.StructType.fromJson(json.loads(info.schema_json))
         declared_lower = {f.name.lower(): f for f in declared.fields}
-    present_lower = {c.lower() for c in schema.fieldNames()}
+    present_lower = {f.name.lower() for f in writable}
     for c in info.range_cols:
         if c.lower() not in present_lower:
             raise ValueError(f"range partition column '{c}' missing")
@@ -689,10 +737,10 @@ def _validate_write_target(table_path: str, schema: T.StructType,
     # files always store the declared casing, so a 'Foo' frame appended
     # to a table declaring 'foo' stays one column (CaseSensitivitySuite
     # 'schema merging is case insenstive but preserves original case')
-    cast_types = {c: declared_lower[c.lower()].dataType
-                  for c in schema.fieldNames()}
-    out_names = {c: declared_lower[c.lower()].name
-                 for c in schema.fieldNames()}
+    cast_types = {f.name: declared_lower[f.name.lower()].dataType
+                  for f in writable}
+    out_names = {f.name: declared_lower[f.name.lower()].name
+                 for f in writable}
     return info, cast_types, out_names, (info if created else None)
 
 
@@ -786,9 +834,13 @@ def _collect_file_infos(table_path: str, info, messages, cast_types,
             for part in rel.split(os.sep):
                 if "=" in part and not part.endswith(".parquet"):
                     k, _, v = part.partition("=")
-                    decoded[k] = unquote(v)
-            rv = ",".join(f"{c}={decoded[c]}" for c in info.range_cols
-                          if c in decoded)
+                    decoded[k.lower()] = unquote(v)
+            # case-insensitive fragment lookup: after a racing
+            # first-write adoption the declared casing can differ from
+            # the casing these files' hive fragments were written with
+            rv = ",".join(f"{c}={decoded[c.lower()]}"
+                          for c in info.range_cols
+                          if c.lower() in decoded)
             stats, num_rows = _footer_stats(ap)
             files.append(DataFileInfo(
                 path=rel, range_value=rv, bucket_id=-1,
@@ -852,12 +904,15 @@ def _parse_replace_where(pred_text: str, info):
         atoms.append((rc, op, cast(val), cast))
 
     def pred(range_value: str) -> bool:
-        vals = dict(kv.partition("=")[::2] for kv in range_value.split(",")
-                    if kv) if range_value else {}
+        # keys compare case-insensitively: a range_value built from a
+        # different declared casing (first-write adoption) still matches
+        vals = {kv.partition("=")[0].lower(): kv.partition("=")[2]
+                for kv in range_value.split(",")
+                if kv} if range_value else {}
         for rc, op, want, cast in atoms:
-            if rc not in vals:
+            if rc.lower() not in vals:
                 return False
-            have = cast(vals[rc])
+            have = cast(vals[rc.lower()])
             ok = {"=": have == want, "!=": have != want,
                   "<>": have != want, "<": have < want,
                   "<=": have <= want, ">": have > want,
@@ -923,6 +978,22 @@ class _StarBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         if self.pending_create is not None:
+            if self.replace_where is not None:
+                # scope-validate BEFORE persisting the create: a first
+                # write whose partitions violate the predicate must not
+                # leave behind a committed empty table + a permanent
+                # shortTableName registration (the exact orphan the
+                # deferred-create design exists to avoid)
+                pred = _parse_replace_where(self.replace_where,
+                                            self.pending_create)
+                for f in _collect_file_infos(
+                        self.table_path, self.pending_create, messages,
+                        self.cast_types, self.out_names):
+                    if not pred(f.range_value):
+                        raise ValueError(
+                            f"replaceWhere: written partition "
+                            f"'{f.range_value}' is outside the "
+                            f"predicate '{self.replace_where}'")
             _persist_pending_create(self.pending_create)
         store = ManifestStore(self.table_path)
         info = store.table_info()

@@ -788,3 +788,92 @@ def test_stream_sink_schema_evolution(spark, tmp_path):
     out = StarTable.for_path(spark, path).to_df()
     assert set(out.columns) == {"id", "part"}
     assert out.count() == 6 and out.filter("part IS NULL").count() == 3
+
+
+def test_write_nulltype_column_dropped(spark, tmp_path):
+    """A bare lit(None) column (NullType) is silently DROPPED on both
+    the create and append paths — NullType columns never enter a
+    declared schema (merge_source_schema rule). Regression for the r5
+    ADVICE KeyError: merge skipped the column but cast_types/out_names
+    still expected a declaration for it."""
+    path = str(tmp_path / "nt")
+    base = spark.createDataFrame([(1, "a")], "id int, v string") \
+        .withColumn("ghost", F.lit(None))
+    base.write.format("star").mode("append").save(path)  # create: ghost dropped
+    from starlake_spark.table import StarTable
+
+    t = StarTable.for_path(spark, path)
+    assert t.to_df().columns == ["id", "v"]
+
+    more = spark.createDataFrame([(2, "b")], "id int, v string") \
+        .withColumn("ghost", F.lit(None))
+    more.write.format("star").mode("append").save(path)  # append: dropped
+    assert {r.id for r in t.to_df().collect()} == {1, 2}
+    assert t.to_df().columns == ["id", "v"]
+    with pytest.raises(Exception, match="NullType"):
+        spark.range(1).select(F.lit(None).alias("only")) \
+            .write.format("star").mode("append").save(str(tmp_path / "nt2"))
+
+
+def test_first_write_adoption_refuses_incompatible_schema(tmp_path):
+    """A racing first-writer may adopt the winner's table only when the
+    schemas agree (or differ by a numeric widen): its files were cast
+    to its OWN pending schema, so a cross-family conflict must refuse
+    instead of committing mis-declared parquet (r5 ADVICE)."""
+    import pyspark.sql.types as T
+
+    from starlake_spark.meta import ManifestStore, MetaError, TableInfo
+    from starlake_spark.sources.datasource import _persist_pending_create
+
+    path = str(tmp_path / "race")
+    winner = TableInfo(
+        table_path=path, table_id="winner",
+        schema_json=T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.IntegerType())]).json())
+    ManifestStore(path).create(winner)
+
+    # same layout, v is a STRING here → cross-family conflict
+    loser_bad = TableInfo(
+        table_path=path, table_id="loser",
+        schema_json=T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.StringType())]).json())
+    with pytest.raises(MetaError, match="incompatible schema"):
+        _persist_pending_create(loser_bad)
+
+    # a numeric widen adopts AND widens the winner's declaration
+    loser_ok = TableInfo(
+        table_path=path, table_id="loser2",
+        schema_json=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.IntegerType())]).json())
+    _persist_pending_create(loser_ok)
+    import json as _json
+
+    decl = T.StructType.fromJson(_json.loads(
+        ManifestStore(path).table_info(refresh=True).schema_json))
+    assert decl["id"].dataType == T.LongType()
+
+
+def test_first_write_replace_where_violation_leaves_no_table(spark, tmp_path):
+    """replaceWhere scope is validated BEFORE a pending first-write
+    create persists: a violating write must not leave behind a
+    committed empty table or a shortTableName registration (r5
+    ADVICE datasource orphan)."""
+    import os as _os
+
+    path = str(tmp_path / "rw")
+    df = spark.createDataFrame(
+        [(1, "r1"), (2, "r2")], "id int, r string")
+    with pytest.raises(Exception, match="outside the predicate"):
+        df.write.format("star").mode("overwrite") \
+            .option("rangePartitions", "r") \
+            .option("shortTableName", "rw_orphan_probe") \
+            .option("replaceWhere", "r = 'r1'") \
+            .save(path)
+    assert not _os.path.exists(_os.path.join(path, "_star_meta"))
+    from starlake_spark import catalog
+
+    with pytest.raises(KeyError):
+        catalog.resolve("rw_orphan_probe")

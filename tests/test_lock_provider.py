@@ -381,8 +381,10 @@ def test_tcp_provider_lease_ttl_break_and_timeout(tmp_path):
         h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
         with pytest.raises(TimeoutError):
             prov.acquire(str(tmp_path), "tbl", timeout_s=0.15)
-        # crash: handle dropped without release → TTL expiry grants
-        time.sleep(0.5)
+        # crash: stop the heartbeat (a live holder renews forever — a
+        # real crash kills the renewing process) → TTL expiry grants
+        h["stop"].set()
+        time.sleep(0.6)
         h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=2)
         prov.release(h)   # stale handle: server answers NOTOWNER, no raise
         prov.release(h2)
@@ -445,3 +447,127 @@ def _sqlite_mp_committer(table_path: str, db: str, proc_id: int,
             is_base_file=True, exist_cols=["id"], num_rows=1)])
         store.commit(txn)
     return proc_id
+
+
+def test_tcp_heartbeat_keeps_short_lease_alive(tmp_path):
+    """A commit critical section LONGER than lease_s must not lose the
+    lock (r5 ADVICE: 'a critical section longer than lease_s silently
+    grants the lock to a second writer'): the heartbeat renews, so a
+    second acquire still times out well past the nominal TTL, and
+    validate() stays true throughout."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    try:
+        prov = TCPLockProvider(srv.host, srv.port, lease_s=0.3,
+                               poll_s=0.02)
+        h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+        time.sleep(1.0)  # > 3 TTLs
+        assert prov.validate(h)
+        with pytest.raises(TimeoutError):
+            prov.acquire(str(tmp_path), "tbl", timeout_s=0.15)
+        prov.release(h)
+        h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=1)
+        prov.release(h2)
+    finally:
+        srv.shutdown()
+
+
+def test_tcp_validate_fences_out_lost_holder(tmp_path):
+    """Arbiter restart without persistence drops the lease; once a
+    SUCCESSOR has been granted, the original holder's validate() must
+    fail (fencing) so its publish is refused instead of racing."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    host, port = srv.host, srv.port
+    prov = TCPLockProvider(host, port, lease_s=30.0, poll_s=0.02)
+    h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+    assert prov.validate(h)
+    h["stop"].set()  # freeze the holder (stalled process)
+    srv.shutdown()
+    srv2 = LeaseServer(host, port)  # restart, in-memory leases gone
+    try:
+        h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=5)  # successor
+        assert prov.validate(h2)
+        assert not prov.validate(h)  # CHECK: owner mismatch → NO
+        prov.release(h2)
+    finally:
+        srv2.shutdown()
+
+
+def test_lease_server_persistence_survives_restart(tmp_path):
+    """persist_path journal: a restarted arbiter refuses grants for a
+    table whose prior lease TTL has not elapsed, and keeps the fence
+    counter monotonic across the restart."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    journal = str(tmp_path / "leases.json")
+    srv = LeaseServer(persist_path=journal)
+    host, port = srv.host, srv.port
+    prov = TCPLockProvider(host, port, lease_s=5.0, poll_s=0.02)
+    h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+    fence1 = int(h["fence"])
+    h["stop"].set()
+    srv.shutdown()
+    srv2 = LeaseServer(host, port, persist_path=journal)
+    try:
+        # prior lease honored from the journal: grant refused
+        with pytest.raises(TimeoutError):
+            prov.acquire(str(tmp_path), "tbl", timeout_s=0.3)
+        assert prov.validate(h)  # original holder still checks out
+        prov.release(h)
+        h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=2)
+        assert int(h2["fence"]) > fence1  # fence monotonic across restart
+        prov.release(h2)
+    finally:
+        srv2.shutdown()
+
+
+def test_commit_refuses_publish_on_lost_lease(tmp_path):
+    """The publish path calls provider.validate() under the lock: a
+    provider reporting a lost lease fails the commit with MetaError
+    instead of double-publishing."""
+
+    class LostLeaseProvider(InMemoryLockProvider):
+        def validate(self, handle):
+            return False
+
+    locking.set_lock_provider(LostLeaseProvider())
+    store = _store(tmp_path)
+    txn = store.new_transaction()
+    with pytest.raises(MetaError, match="commit lock lost"):
+        store.commit(txn)
+
+
+def test_sqlite_validate_tracks_row_ownership(tmp_path):
+    from starlake_spark.locking import SQLiteLockProvider
+
+    prov = SQLiteLockProvider(str(tmp_path / "locks.db"), stale_s=60)
+    h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+    assert prov.validate(h)
+    # reap the row out from under the holder (simulated TTL break)
+    h[0].execute("DELETE FROM commit_locks WHERE table_path = ?",
+                 ("tbl",))
+    assert not prov.validate(h)
+    prov.release(h)
+
+
+def test_file_release_rename_claim_preserves_successor(tmp_path):
+    """release() after our lock was reaped and a successor acquired:
+    the rename-claim must hand the successor's live lock back (r5
+    ADVICE locking.py:151 read-then-unlink race, closed)."""
+    meta = str(tmp_path)
+    p1 = FileLockProvider(stale_s=60)
+    h1 = p1.acquire(meta, "tbl", timeout_s=5)
+    lock_path = h1[0]
+    # reaper broke us; successor acquired a fresh lock
+    os.unlink(lock_path)
+    p2 = FileLockProvider(stale_s=60)
+    h2 = p2.acquire(meta, "tbl", timeout_s=5)
+    p1.release(h1)  # must NOT delete the successor's lock
+    assert os.path.exists(lock_path)
+    with open(lock_path, "rb") as f:
+        assert f.read().decode() == h2[1]
+    p2.release(h2)
+    assert not os.path.exists(lock_path)
