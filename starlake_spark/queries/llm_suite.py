@@ -1045,6 +1045,46 @@ FROM embeddings WHERE vec_id < 10 AND vec_id % 9 <> 1 ORDER BY query_id
 """
 
 
+def ann_ivfpq_sync(spark, sf_dir):
+    """CDC-MAINTAINED IVF-PQ index (sim.ivfpq_index_sync) — the
+    ann_ivf_sync contract on the 16-byte-codes lake shape: the codes
+    table is built BEFORE any twin exists, the source then takes a
+    tombstone DELETE wave and the planted twins arrive by upsert, and
+    one sync advances the index through the coalesced change feed.
+    Preimage vectors PQ-encode + re-assign to their deterministic old
+    cell for the tombstone frame; postimages encode and delta-upsert
+    into their new cell; watermark after both commits. The probe must
+    (a) rank every post-build twin first (the twin encodes to the
+    query's own code word — ADC global minimum), (b) never surface a
+    deleted vector, (c) meet the recall floor vs brute force over the
+    source's CURRENT state."""
+    from starlake_spark.queries.engine_suite import _scratch
+    from starlake_spark.table import create_table
+
+    e = ld(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") < 10) & (F.col("vec_id") % 9 != 1))
+    src = create_table(spark, e, _scratch(sf_dir, "ivfpq_sync_src"),
+                       hash_partitions=["vec_id"], hash_bucket_num=4)
+    idx = sim.build_ivfpq_index(
+        spark, None, _scratch(sf_dir, "ivfpq_sync_idx"),
+        nlist=max(4, e.count() // 50), m=16, ksub=32,
+        id_col="vec_id", vec_col="embedding", source=src)
+    src.delete("vec_id % 9 = 1", use_delta=True)
+    src.upsert(q.withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_ID)))
+    _, st = sim.ivfpq_index_sync(spark, idx)
+    assert st["mode"] == "incremental" and st["removed"] > 0 \
+        and st["upserted"] > 0, st
+    approx = sim.ivfpq_topk(spark, idx, q, k=ANN_K, nprobe=4)
+    assert approx.filter("neighbor_id % 9 = 1 AND "
+                         f"neighbor_id < {PLANT_ID}").count() == 0, \
+        "sync left deleted vectors probe-visible"
+    _, st2 = sim.ivfpq_index_sync(spark, idx)
+    assert st2["mode"] == "noop", st2
+    exact = sim.brute_force_topk(src.to_df(), q, k=ANN_K,
+                                 id_col="vec_id", vec_col="embedding")
+    return _ann_contract(approx, exact)
+
+
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (sim.pq_train/pq_encode/pq_topk) under
     the planted twin + recall contract: vectors L2-normalize, split
@@ -2490,6 +2530,7 @@ LLM_QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_CONTRACT_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_CONTRACT_SQL),
     "ann_ivf_sync": (ann_ivf_sync, ANN_SYNC_CONTRACT_SQL),
+    "ann_ivfpq_sync": (ann_ivfpq_sync, ANN_SYNC_CONTRACT_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_CONTRACT_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, ANN_CONTRACT_SQL),
     "embeddings_lsh_dedup_pairs": (embeddings_lsh_dedup_pairs, EMB_LSH_DEDUP_SQL),
