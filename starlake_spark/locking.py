@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import importlib
 import os
+import threading
 import time
 from abc import ABC, abstractmethod
 from typing import Any
@@ -183,6 +184,22 @@ class FileLockProvider(LockProvider):
             # our own lock went stale and was reaped). Hand it back;
             # link() refuses to clobber an even newer lock at the path
             # (same three-way residual as _break_stale — warn loudly).
+            #
+            # Residual (documented, not repairable with plain files):
+            # if the successor RELEASES in the claim→link-back window,
+            # its own rename fails ENOENT and returns, and this link
+            # resurrects a lock file owned by nobody — acquires wedge
+            # until the stale-breaker clears it after stale_s. Worse,
+            # a third writer that acquired fresh in that window plus
+            # the resurrected orphan gives two logical lock files in
+            # sequence (the link fails on the fresh lock → warning
+            # below). There is no token we could re-check that
+            # distinguishes "successor still holds" from "successor
+            # released milliseconds ago"; contended multi-writer tables
+            # should use SQLiteLockProvider/TCPLockProvider, whose
+            # arbitration is transactional. The commit protocol's
+            # _exclusive_write version publish bounds the damage to
+            # availability (a wedge), never a lost commit.
             try:
                 os.link(reap, lock)
             except OSError:
@@ -503,8 +520,11 @@ class TCPLockProvider(LockProvider):
         while True:
             resp = self._rpc(f"ACQUIRE {tbl} {owner} {self.lease_s}")
             if resp.startswith("OK"):
-                # legacy arbiters reply bare "OK" (no fence): heartbeat
-                # still renews; validate degrades to owner-only CHECK
+                # legacy arbiters reply bare "OK" (no fence): the
+                # heartbeat still renews and flags HELD renewals as
+                # lost, but validate() has NO fence to CHECK — there is
+                # no publish-path validation against such arbiters (see
+                # validate())
                 _, _, fence = resp.partition(" ")
                 handle = {"tbl": tbl, "owner": owner,
                           "fence": fence.strip() or None,
@@ -544,7 +564,12 @@ class TCPLockProvider(LockProvider):
         if handle["lost"]:
             return False
         if handle["fence"] is None:
-            return True  # legacy arbiter: no CHECK support
+            # Legacy arbiter (bare-OK grants, no fence): publish-path
+            # fencing is INERT — we return True without issuing any
+            # CHECK, so the heartbeat's lost-detection (HELD on renewal)
+            # is the only guard. Deployments needing the full guarantee
+            # must run a fence-issuing LeaseServer.
+            return True
         try:
             return self._rpc(f"CHECK {handle['tbl']} {handle['owner']} "
                              f"{handle['fence']}") == "OK"
@@ -555,6 +580,15 @@ class TCPLockProvider(LockProvider):
 
     def release(self, handle: dict) -> None:
         handle["stop"].set()
+        # Join the heartbeat BEFORE the RELEASE RPC: a renewal already
+        # in flight could otherwise land at the arbiter AFTER the
+        # release, re-granting the lease to this (gone) owner under a
+        # new fence — the heartbeat would then see the fence change,
+        # mark the handle lost, and exit WITHOUT releasing, leaving an
+        # orphaned lease that blocks every writer for up to lease_s.
+        t = handle.get("thread")
+        if t is not None and t is not threading.current_thread():
+            t.join()
         try:
             self._rpc(f"RELEASE {handle['tbl']} {handle['owner']}")
         except OSError:

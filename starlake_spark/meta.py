@@ -287,12 +287,65 @@ class Transaction:
 
 
 def _atomic_write(path: str, content: str) -> None:
+    """Atomic REPLACE — for genuinely replaceable metadata only
+    (table_info.json). Version files must never go through here:
+    rename clobbers, and version files are immutable and unique per
+    number (see :func:`_exclusive_write`)."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(content)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+class VersionExistsError(MetaError):
+    """The version number being published already has a committed file —
+    a fenced-out holder lost the publish race to its successor."""
+
+
+def _exclusive_write(path: str, content: str) -> None:
+    """Exclusive-create publish for IMMUTABLE version files: the write
+    lands at the final name only if nothing is there, so publication is
+    a filesystem compare-and-swap. A holder that passed ``validate()``
+    and then stalled past its lease (arbiter restart without
+    persistence, >TTL partition) physically cannot overwrite a
+    successor's already-published version file — its publish raises
+    :class:`VersionExistsError` instead of silently clobbering, with no
+    timing assumptions. Durability matches ``_atomic_write``: content is
+    fsynced before the name becomes visible (``os.link`` from a synced
+    temp, falling back to an ``O_CREAT|O_EXCL`` copy on filesystems
+    without hard links)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise VersionExistsError(
+            f"version file already published by a concurrent committer: "
+            f"{path}")
+    except OSError:
+        # hard links unsupported (some network/FUSE stores): exclusive
+        # create + copy keeps the no-clobber guarantee
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise VersionExistsError(
+                f"version file already published by a concurrent "
+                f"committer: {path}")
+        with os.fdopen(fd, "w") as out:
+            out.write(content)
+            out.flush()
+            os.fsync(out.fileno())
+    try:
+        os.unlink(tmp)
+    except FileNotFoundError:
+        pass
 
 
 class ManifestStore:
@@ -323,7 +376,7 @@ class ManifestStore:
         os.makedirs(self.versions_dir, exist_ok=True)
         _atomic_write(os.path.join(self.meta_dir, "table_info.json"), info.to_json())
         empty = Snapshot(version=0, partitions={}, streaming={}, timestamp=time.time())
-        _atomic_write(self._version_path(0), json.dumps(empty.to_state()))
+        _exclusive_write(self._version_path(0), json.dumps(empty.to_state()))
         self._info_cache = info
         self._snap_cache.clear()
 
@@ -496,7 +549,16 @@ class ManifestStore:
             try:
                 if self.latest_version() == current.version \
                         and self._validate_lock(lock):
-                    _atomic_write(self._version_path(snap.version), payload)
+                    # _exclusive_write is the LAST line of defense: even
+                    # if validate() passed and the lease was lost anyway
+                    # (stalled past TTL after the check), a successor's
+                    # already-published file makes this raise instead of
+                    # being clobbered — treated as a lost CAS, rebuild.
+                    try:
+                        _exclusive_write(self._version_path(snap.version),
+                                         payload)
+                    except VersionExistsError:
+                        continue
                     self._snap_cache[snap.version] = snap
                     txn.committed = True
                     return snap
@@ -516,7 +578,10 @@ class ManifestStore:
                 raise MetaError(
                     f"commit lock lost during commit on {self.table_path} "
                     "(lease expired or arbiter restarted) — retry")
-            _atomic_write(self._version_path(snap.version), payload)
+            # under a healthy lock this cannot collide; if it does the
+            # lock was violated (fenced-out holder) — fail the commit
+            # loudly rather than lose the successor's version
+            _exclusive_write(self._version_path(snap.version), payload)
             self._snap_cache[snap.version] = snap
             txn.committed = True
             return snap
@@ -696,7 +761,8 @@ class ManifestStore:
                 commit_type=commit_type,
                 schema_json=self.table_info().schema_json,
             )
-            _atomic_write(self._version_path(new_version), json.dumps(snap.to_state()))
+            _exclusive_write(self._version_path(new_version),
+                             json.dumps(snap.to_state()))
             return snap
         finally:
             self._release_lock(lock)
@@ -781,8 +847,8 @@ class ManifestStore:
                 commit_type=commit_type,
                 schema_json=self.table_info().schema_json,
             )
-            _atomic_write(self._version_path(new_version),
-                          json.dumps(snap.to_state()))
+            _exclusive_write(self._version_path(new_version),
+                             json.dumps(snap.to_state()))
             self._snap_cache[new_version] = snap
             return snap
         finally:
@@ -865,8 +931,8 @@ class ManifestStore:
                 commit_type="restore",
                 schema_json=self.table_info().schema_json,
             )
-            _atomic_write(self._version_path(new_version),
-                          json.dumps(snap.to_state()))
+            _exclusive_write(self._version_path(new_version),
+                             json.dumps(snap.to_state()))
             return snap
         finally:
             self._release_lock(lock)

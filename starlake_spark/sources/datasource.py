@@ -977,40 +977,35 @@ class _StarBatchWriter(DataSourceArrowWriter):
             self.cast_types, self.range_cols, self.out_names))
 
     def commit(self, messages):
-        if self.pending_create is not None:
-            if self.replace_where is not None:
-                # scope-validate BEFORE persisting the create: a first
-                # write whose partitions violate the predicate must not
-                # leave behind a committed empty table + a permanent
-                # shortTableName registration (the exact orphan the
-                # deferred-create design exists to avoid)
-                pred = _parse_replace_where(self.replace_where,
-                                            self.pending_create)
-                for f in _collect_file_infos(
-                        self.table_path, self.pending_create, messages,
-                        self.cast_types, self.out_names):
-                    if not pred(f.range_value):
-                        raise ValueError(
-                            f"replaceWhere: written partition "
-                            f"'{f.range_value}' is outside the "
-                            f"predicate '{self.replace_where}'")
-            _persist_pending_create(self.pending_create)
-        store = ManifestStore(self.table_path)
-        info = store.table_info()
-        txn = store.new_transaction()
+        # Harvest footer stats ONCE (each info carries a full parquet
+        # footer read per file) — the replaceWhere scope check and the
+        # manifest publish reuse the same list.
+        info = self.pending_create
+        if info is None:
+            info = ManifestStore(self.table_path).table_info()
         files = _collect_file_infos(self.table_path, info, messages,
                                     self.cast_types, self.out_names)
+        pred = None
         if self.replace_where is not None:
-            pred = _parse_replace_where(self.replace_where, info)
             # written rows must fall inside the replaced scope (Delta
-            # replaceWhere discipline) — refuse before publishing, the
-            # files stay unpublished orphans until vacuum
+            # replaceWhere discipline) — refuse before publishing; on a
+            # FIRST write this runs before persisting the create, so a
+            # violation leaves no committed empty table + permanent
+            # shortTableName registration (the exact orphan the
+            # deferred-create design exists to avoid). The files stay
+            # unpublished orphans until vacuum.
+            pred = _parse_replace_where(self.replace_where, info)
             for f in files:
                 if not pred(f.range_value):
                     raise ValueError(
                         f"replaceWhere: written partition "
                         f"'{f.range_value}' is outside the predicate "
                         f"'{self.replace_where}'")
+        if self.pending_create is not None:
+            _persist_pending_create(self.pending_create)
+        store = ManifestStore(self.table_path)
+        txn = store.new_transaction()
+        if pred is not None:
             for rv in txn.read_snapshot.partitions:
                 if pred(rv):
                     txn.expire_partition(rv)

@@ -473,6 +473,30 @@ def test_tcp_heartbeat_keeps_short_lease_alive(tmp_path):
         srv.shutdown()
 
 
+def test_tcp_release_joins_heartbeat_before_release_rpc(tmp_path):
+    """r6 ADVICE locking.py:557: release() must JOIN the heartbeat
+    thread before the RELEASE RPC — a renewal still in flight could
+    otherwise land after the release, re-granting the lease to the
+    gone owner (orphan blocks writers for up to lease_s). Structural
+    pin: the thread is dead by the time release() returns; behavioral
+    pin: an immediate re-acquire by a fresh owner never waits a TTL."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    try:
+        prov = TCPLockProvider(srv.host, srv.port, lease_s=0.3,
+                               poll_s=0.02)
+        for _ in range(5):
+            h = prov.acquire(str(tmp_path), "tbl", timeout_s=5)
+            time.sleep(0.12)  # land mid-heartbeat-interval
+            prov.release(h)
+            assert not h["thread"].is_alive()
+            h2 = prov.acquire(str(tmp_path), "tbl", timeout_s=0.25)
+            prov.release(h2)
+    finally:
+        srv.shutdown()
+
+
 def test_tcp_validate_fences_out_lost_holder(tmp_path):
     """Arbiter restart without persistence drops the lease; once a
     SUCCESSOR has been granted, the original holder's validate() must
