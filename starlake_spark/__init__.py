@@ -23,6 +23,7 @@ Reference parity citations use ``file:line`` of /root/reference.
 from starlake_spark.session import get_spark, star_session
 from starlake_spark.table import StarTable, convert_to_star, create_table
 from starlake_spark.sql import StarSession
+from starlake_spark.writer_v2 import write_to
 from starlake_spark import merge_ops
 
 __version__ = "0.1.0"
@@ -35,4 +36,5 @@ __all__ = [
     "get_spark",
     "star_session",
     "merge_ops",
+    "write_to",
 ]

@@ -1694,7 +1694,53 @@ ORDER BY o_orderkey
 """
 
 
+def star_sql_path_ident(spark, sf_dir):
+    """Path identifiers across the SQL surface (reference
+    DDLUsingPathSuite.scala:89-129 ``star.`/path``` SELECT/DESCRIBE;
+    DataFrameWriterV2Suite.scala:418-430 writeTo by path): a table
+    created at a bare path — never registered under a name — is
+    UPDATEd, DELETEd from, appended to via the writeTo-V2 builder, and
+    finally aggregated, all through ``star.`<path>``` identifiers.
+    Oracle replays the same mutations in SQL over the original orders;
+    any slip in the path→table resolution or in the V2 by-name append
+    breaks the hash."""
+    from starlake_spark.sql import StarSession
+    from starlake_spark.writer_v2 import write_to
+
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "sql_path_ident")
+    create_table(spark, o, path, range_partitions=["o_orderstatus"])
+    ss = StarSession(spark)
+    ss.sql(f"UPDATE star.`{path}` SET o_totalprice = o_totalprice * 2 "
+           "WHERE o_orderkey % 7 = 0")
+    ss.sql(f"DELETE FROM star.`{path}` WHERE o_orderkey % 5 = 0")
+    extra = o.filter("o_orderkey % 100 = 0") \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 90000000)
+    write_to(spark, extra.select(*reversed(ORDER_COLS)),
+             f"star.`{path}`").append()  # reversed: V2 resolves by name
+    return ss.sql(
+        f"SELECT o_orderstatus, count(*) AS n, "
+        f"round(sum(o_totalprice), 2) AS total "
+        f"FROM star.`{path}` GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+
+SQL_PATH_IDENT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+), extra AS (
+  SELECT o_orderkey + 90000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+), all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM all_rows GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ENGINE_QUERIES = {
+    "star_sql_path_ident": (star_sql_path_ident, SQL_PATH_IDENT_ORACLE),
     "star_sql_insert": (star_sql_insert, SQL_INSERT_ORACLE),
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),
     "star_small_file_compaction": (star_small_file_compaction, SMALL_FILES_ORACLE),

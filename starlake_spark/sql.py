@@ -243,11 +243,62 @@ class StarSession:
             self._tables[name] = StarTable.for_name(self.spark, name, self.warehouse)
         return self._tables[name]
 
+    def write_to(self, df: DataFrame, identifier: str):
+        """``df.writeTo(identifier)`` equivalent (writer_v2.write_to)
+        bound to this session's warehouse; accepts short names and
+        ``star.`/path``` identifiers."""
+        from starlake_spark.writer_v2 import StarWriterV2
+
+        return StarWriterV2(self.spark, df, identifier,
+                            warehouse=self.warehouse)
+
     # ---------- SQL ----------
 
     def _sync_views(self) -> None:
         for name, t in self._tables.items():
+            if "." in name:
+                # dotted (database-qualified) names can't be temp views;
+                # sql() rewrites their occurrences to a single-part
+                # alias first (_expand_dotted_names)
+                continue
             t.to_df().createOrReplaceTempView(name)
+
+    def _load_catalog_names(self, text: str) -> None:
+        """Load warehouse-catalog tables the statement mentions into the
+        session, so SELECT over a name registered by another session
+        (create_table(short_name=...), writeTo-create) resolves without
+        an explicit register()/table() call."""
+        for name in catalog.list_tables(self.warehouse):
+            if name not in self._tables and "." not in name \
+                    and re.search(rf"\b{re.escape(name)}\b", text):
+                try:
+                    self.table(name)
+                except Exception:
+                    pass
+
+    def _expand_dotted_names(self, text: str) -> str:
+        """Rewrite occurrences of DOTTED registered names (``db.name``
+        spelling, e.g. ``star.star_test`` — DDLUsingPathSuite.scala:48-66)
+        to a stable single-part alias: Spark temp views are single-part,
+        so the name itself can't back a view. Matches the raw and the
+        fully-backquoted spellings, outside string literals only."""
+        import hashlib
+
+        names = set(self._tables) | set(catalog.list_tables(self.warehouse))
+        for name in sorted((n for n in names if "." in n),
+                           key=len, reverse=True):
+            quoted = "`" + "`.`".join(name.split(".")) + "`"
+            pat = re.compile(re.escape(quoted) + "|"
+                             + r"\b" + re.escape(name) + r"\b")
+            if not pat.search(text):
+                continue
+            alias = "star_name_" + hashlib.md5(name.encode()).hexdigest()[:12]
+            if alias not in self._tables:
+                self._tables[alias] = (
+                    self._tables[name] if name in self._tables
+                    else StarTable.for_name(self.spark, name, self.warehouse))
+            text = self._sub_outside_quotes(pat, lambda m: alias, text)
+        return text
 
     def sql(self, text: str, rewrite: bool | None = None) -> DataFrame:
         """Run SQL over registered star tables. Star DDL/DML statements
@@ -257,6 +308,9 @@ class StarSession:
         and SELECT text tries MV rewrite first
         (RewriteQueryByMaterialView.scala:44-1268; any rewrite failure
         silently falls back to the original plan, :1158-1160)."""
+        text = self._expand_path_idents(text)
+        text = self._expand_dotted_names(text)
+        self._load_catalog_names(text)
         handled = self._run_command(text.strip().rstrip(";"))
         if handled is not None:
             return handled
@@ -278,6 +332,49 @@ class StarSession:
             except Exception:
                 pass
         return self.spark.sql(text)
+
+    # ``star.`/path/to/table``` identifiers (reference
+    # DDLUsingPathSuite.scala:89-129: SELECT/DESCRIBE on star.`<path>`;
+    # DataFrameWriterV2Suite.scala:418-430 writeTo by path). Each
+    # occurrence resolves the path as a star table and substitutes a
+    # stable per-path registration, so EVERY statement form (SELECT,
+    # DESCRIBE, UPDATE, DELETE, MERGE, COMPACT, VACUUM, ...) accepts
+    # path identifiers uniformly. A non-table path fails with the
+    # reference's message shape ("<path> doesn't exist").
+    _PATH_IDENT_RE = re.compile(r"(?:\bstar\b|`star`)\s*\.\s*`(?P<path>[^`]+)`",
+                                re.IGNORECASE)
+
+    def _expand_path_idents(self, text: str) -> str:
+        def repl(m):
+            return self._path_alias(m["path"])
+
+        return self._sub_outside_quotes(self._PATH_IDENT_RE, repl, text)
+
+    def _path_alias(self, path: str) -> str:
+        """Stable internal registration for a path identifier.
+
+        ``star.`x``` where x contains no path separator is the
+        DATABASE-qualified spelling (``star`.`star_test`` in the
+        reference, DDLUsingPathSuite.scala:48-66) — resolved as the
+        registered name ``star.x`` (or plain ``x``), never as a path."""
+        import hashlib
+        import os as _os
+
+        from starlake_spark.meta import ManifestStore
+
+        if "/" not in path and "\\" not in path:
+            for cand in (f"star.{path}", path):
+                if self._known(cand):
+                    return cand
+        key = _os.path.abspath(path)
+        if not ManifestStore.is_star_table(key):
+            raise ValueError(
+                f"Table {path} doesn't exist "
+                "(star.`<path>` resolves existing star tables only)")
+        name = "star_path_" + hashlib.md5(key.encode()).hexdigest()[:12]
+        if name not in self._tables:
+            self._tables[name] = StarTable.for_path(self.spark, key)
+        return name
 
     _META_AGG_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<name>[\w.]+)\s*$",
@@ -886,16 +983,29 @@ class StarSession:
             return self.spark.createDataFrame(
                 [(f.name,) for f in schema.fields], "col_name string")
 
-        m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$",
+        m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?"
+                     r"(?P<ext>EXTENDED\s+|FORMATTED\s+)?(?P<name>[\w.]+)\s*$",
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
-            info = self.table(m["name"]).info
+            t = self.table(m["name"])
+            info = t.info
             schema = T.StructType.fromJson(json.loads(info.schema_json))
             rows = [(f.name, f.dataType.simpleString(),
                      "range partition" if f.name in info.range_cols
                      else "hash partition" if f.name in info.hash_cols else "")
                     for f in schema.fields]
             rows.append(("# bucket_num", str(info.bucket_num), ""))
+            if m["ext"]:
+                # DESCRIBE EXTENDED detail section (reference
+                # DDLUsingPathSuite.scala:113-129 checks Provider +
+                # Location key/value rows)
+                rows += [
+                    ("", "", ""),
+                    ("# Detailed Table Information", "", ""),
+                    ("Table ID", info.table_id, ""),
+                    ("Location", t.store.table_path, ""),
+                    ("Provider", "star", ""),
+                ]
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string")
 
@@ -976,21 +1086,43 @@ class StarSession:
             return False
 
     def _create_from_sql(self, name: str, tail: str) -> DataFrame:
-        """CREATE TABLE name USING star [OPTIONS(...)] [PARTITIONED BY (...)]
-        LOCATION 'path' AS SELECT ... — clause order free, as in Spark DDL."""
+        """CREATE TABLE name [(col type, ...)] USING star [OPTIONS(...)]
+        [PARTITIONED BY (...)] [LOCATION 'path'] [AS SELECT ...] —
+        clause order free, as in Spark DDL. Either a column list
+        (schema-only create: committed empty, range partition columns
+        reordered last exactly as Spark/the reference lay them out —
+        DataFrameWriterV2Suite.scala:279-293) or a CTAS body is
+        required; LOCATION defaults to ``<warehouse>/<name>`` (the
+        reference derives the path from the session warehouse the same
+        way, catalog/StarLakeCatalog.scala:118-125)."""
+        import os as _os
+
         loc = re.search(r"\bLOCATION\s+'([^']+)'", tail, re.IGNORECASE)
-        if not loc:
-            raise ValueError("CREATE TABLE ... USING star requires LOCATION '<path>'")
+        location = (loc.group(1) if loc else
+                    _os.path.join(self.warehouse or catalog.DEFAULT_WAREHOUSE,
+                                  name))
         part = re.search(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
         opts_m = re.search(r"\b(?:OPTIONS|TBLPROPERTIES)\s*\((.*?)\)\s*(?:PARTITIONED|LOCATION|AS\b|$)",
                            tail, re.IGNORECASE | re.DOTALL)
         sel = re.search(r"\bAS\s+(SELECT\b.+)$", tail, re.IGNORECASE | re.DOTALL)
-        if not sel:
-            raise ValueError("CREATE TABLE ... USING star supports only CTAS "
-                             "(AS SELECT ...); schema-only create is API-level "
-                             "(create_table)")
+        cols_m = re.match(r"^\s*\((?P<cols>.+?)\)\s*(?:USING|PARTITIONED|"
+                          r"OPTIONS|TBLPROPERTIES|LOCATION)\b",
+                          tail, re.IGNORECASE | re.DOTALL)
+        if not sel and not cols_m:
+            raise ValueError("CREATE TABLE ... USING star needs a column "
+                             "list or a CTAS body (AS SELECT ...)")
         opts = _parse_kv(opts_m.group(1)) if opts_m else {}
-        df = self.sql(sel.group(1))
+        if sel:
+            df = self.sql(sel.group(1))
+        else:
+            schema = T._parse_datatype_string(cols_m["cols"])
+            rng = ([c.strip().strip("`") for c in part.group(1).split(",")
+                    if c.strip()] if part else [])
+            order = ([f.name for f in schema.fields if f.name not in rng]
+                     + [f.name for f in schema.fields if f.name in rng])
+            schema = T.StructType(
+                sorted(schema.fields, key=lambda f: order.index(f.name)))
+            df = self.spark.createDataFrame([], schema)
         range_cols = ([c.strip() for c in part.group(1).split(",") if c.strip()]
                       if part else _csv_opt(opts, "rangePartitions"))
         hash_cols = _csv_opt(opts, "hashPartitions")
@@ -999,7 +1131,7 @@ class StarSession:
         # (dml.delta.enabled, compaction.auto, bloom.index.cols, ...)
         known = {"rangepartitions", "hashpartitions", "hashbucketnum"}
         extra = {k: v for k, v in opts.items() if k.lower() not in known}
-        t = self.create_table(df, loc.group(1), name=name,
+        t = self.create_table(df, location, name=name,
                               range_partitions=range_cols,
                               hash_partitions=hash_cols,
                               hash_bucket_num=bucket_num,
