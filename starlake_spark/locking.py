@@ -63,6 +63,37 @@ class LockProvider(ABC):
         within its staleness window) keep the default True."""
         return True
 
+    # Providers that arbitrate DISTINCT locks per scope set this True
+    # (all built-ins). When False (safe default for third-party
+    # providers), the commit protocol never calls acquire_scoped and
+    # falls back to the single table-wide lock — correct, just coarser.
+    # Opt-in matters: a provider that keys on something other than
+    # table_path (e.g. a wrapper delegating to FileLockProvider, which
+    # keys on meta_dir) would silently collapse every scope onto ONE
+    # lock, and the publish micro-lock would then self-deadlock against
+    # the already-held scope lock.
+    supports_scopes = False
+
+    def acquire_scoped(self, meta_dir: str, table_path: str,
+                       timeout_s: float, scope: str | None = None) -> Any:
+        """PARTITION-scoped acquire (reference
+        MetaCommit.takePartitionsWriteLock, MetaCommit.scala:334-430:
+        one LWT write lock per touched range, taken in sorted order).
+        ``scope=None`` is the table-wide lock; a scope string (a
+        partition ``range_value``, or the commit protocol's publish
+        micro-lock key) names an INDEPENDENT lock so writers to
+        disjoint partitions never contend. The default composes the
+        scope into the lock key, which is correct for any provider that
+        arbitrates on ``table_path`` (SQLite row key, TCP lease key);
+        :class:`FileLockProvider` overrides to scope the lock FILENAME
+        instead, since it keys on ``meta_dir``. Only called when
+        ``supports_scopes`` is True. ``release``/``validate`` take
+        scoped handles unchanged."""
+        if scope is None:
+            return self.acquire(meta_dir, table_path, timeout_s)
+        return self.acquire(meta_dir, f"{table_path}\x1fscope={scope}",
+                            timeout_s)
+
 
 class FileLockProvider(LockProvider):
     """Default single-host provider: ``O_CREAT|O_EXCL`` on
@@ -71,13 +102,34 @@ class FileLockProvider(LockProvider):
     broken (crashed committer), mirroring the reference lock row's TTL
     expiry."""
 
+    supports_scopes = True
+
     def __init__(self, stale_s: float = 120.0, poll_s: float = 0.05):
         self.stale_s = stale_s
         self.poll_s = poll_s
 
     def acquire(self, meta_dir: str, table_path: str,
                 timeout_s: float) -> tuple:
-        lock = os.path.join(meta_dir, "_commit.lock")
+        return self._acquire_path(
+            os.path.join(meta_dir, "_commit.lock"), table_path, timeout_s)
+
+    def acquire_scoped(self, meta_dir: str, table_path: str,
+                       timeout_s: float, scope: str | None = None) -> tuple:
+        # FileLockProvider keys on the lock FILE, not table_path — scope
+        # the filename. Range values may contain separators/long values,
+        # so the name carries a digest; collisions only coarsen locking
+        # (two ranges sharing a lock), never weaken it.
+        if scope is None:
+            return self.acquire(meta_dir, table_path, timeout_s)
+        import hashlib
+
+        h = hashlib.sha256(scope.encode()).hexdigest()[:16]
+        return self._acquire_path(
+            os.path.join(meta_dir, f"_commit.lock.p{h}"),
+            f"{table_path}\x1fscope={scope}", timeout_s)
+
+    def _acquire_path(self, lock: str, table_path: str,
+                      timeout_s: float) -> tuple:
         deadline = time.time() + timeout_s
         token = f"{os.getpid()}:{id(self)}:{time.monotonic_ns()}"
         while True:
@@ -276,7 +328,13 @@ class SQLiteLockProvider(LockProvider):
     * TTL: a row older than ``stale_s`` is deleted (crashed committer),
       exactly the reference's TTL expiry.
     * release = DELETE the row (idempotent — a reaped row is fine).
+
+    Scoped locks (partition write locks + the publish micro-lock) ride
+    the same row key: the scope is composed into ``table_path`` by the
+    base acquire_scoped, so each scope is an independent row.
     """
+
+    supports_scopes = True
 
     def __init__(self, db_path: str, stale_s: float = 120.0,
                  poll_s: float = 0.05):
@@ -485,6 +543,8 @@ class TCPLockProvider(LockProvider):
       anyway (arbiter restart without ``persist_path``, network
       partition longer than the TTL) fails its commit instead of
       racing the successor."""
+
+    supports_scopes = True
 
     def __init__(self, host: str, port: int, lease_s: float = 60.0,
                  poll_s: float = 0.05):

@@ -95,6 +95,13 @@ class TableInfo:
     short_name: str | None = None
     is_material_view: bool = False
     mv_info: dict[str, Any] | None = None  # sql_text / fingerprints / auto_update
+    # monotonic CAS counter for table_info updates (the reference's
+    # TableInfo.schema_version, MetaData.scala:66 + takeSchemaLock,
+    # MetaCommit.scala:432-470): every update_table_info bumps it and
+    # refuses to publish over a version the caller never read —
+    # concurrent ALTERs surface as 'Schema has been changed for table'
+    # instead of silently losing one. 0 on pre-feature manifests.
+    schema_version: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
@@ -285,6 +292,31 @@ class Transaction:
     def set_streaming_batch(self, query_id: str, batch_id: int) -> None:
         self.streaming_update = (query_id, batch_id)
 
+    def touched_ranges(self) -> set[str] | None:
+        """The partition ``range_value``s this transaction writes — the
+        commit-lock scope (reference MetaCommit.takePartitionsWriteLock,
+        MetaCommit.scala:334-430, locks exactly the commit's
+        partitionInfoArray). ``None`` means the scope cannot be proven
+        (an expired path outside the read snapshot) and the commit must
+        take the table-wide lock instead."""
+        ranges: set[str] = set()
+        for f in self.add:
+            ranges.add(f.range_value)
+        for d in self.add_dvs:
+            ranges.add(d.range_value)
+        ranges.update(self.expire_partitions)
+        if self.expire:
+            path_to_range = {
+                f.path: f.range_value
+                for f in self.read_snapshot.all_files()
+            }
+            for p in self.expire:
+                rv = path_to_range.get(p)
+                if rv is None:
+                    return None
+                ranges.add(rv)
+        return ranges
+
 
 def _atomic_write(path: str, content: str) -> None:
     """Atomic REPLACE — for genuinely replaceable metadata only
@@ -400,7 +432,34 @@ class ManifestStore:
         return self._info_cache
 
     def update_table_info(self, info: TableInfo) -> None:
-        _atomic_write(os.path.join(self.meta_dir, "table_info.json"), info.to_json())
+        """Publish new table metadata under the table lock with a CAS
+        on ``schema_version`` (reference takeSchemaLock,
+        MetaCommit.scala:432-470): ``info`` must descend from a read of
+        the CURRENT on-disk state — if another updater published since,
+        this raises instead of silently reverting their change. Callers
+        re-read (``table_info(refresh=True)``) and retry."""
+        lock = self._acquire_lock()
+        try:
+            self._update_info_under_lock(info)
+        finally:
+            self._release_lock(lock)
+
+    def _update_info_under_lock(self, info: TableInfo) -> None:
+        """CAS body of :meth:`update_table_info`, for callers already
+        holding the table lock (identity reservation)."""
+        p = os.path.join(self.meta_dir, "table_info.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                disk_version = TableInfo.from_json(f.read()).schema_version
+            if disk_version != info.schema_version:
+                raise MetaError(
+                    f"Schema has been changed for table {self.table_path}: "
+                    f"expected metadata version {info.schema_version}, "
+                    f"found {disk_version} — a concurrent ALTER landed; "
+                    "re-read the table info and retry (reference "
+                    "MetaCommit.takeSchemaLock, MetaCommit.scala:432-470)")
+        info.schema_version += 1
+        _atomic_write(p, info.to_json())
         self._info_cache = info
 
     # ---------- snapshots ----------
@@ -516,77 +575,164 @@ class ManifestStore:
 
         return locking.get_lock_provider().validate(handle)
 
-    COMMIT_OPTIMISTIC_ATTEMPTS = 3
+    # reference meta.commit.max.attempts default = 5
+    # (StarLakeSQLConf.scala:213-220; MetaCommit.scala:86-92 raises
+    # commitFailedReachLimit past it)
+    COMMIT_MAX_ATTEMPTS = 5
+    # beyond this many touched partitions, per-partition locks cost
+    # more than they save (N provider round-trips) — take the table lock
+    PARTITION_LOCK_MAX = 16
+    # scope key of the publish micro-lock; \x00 cannot appear in a
+    # partition range_value (they are "col=value,..." strings)
+    PUBLISH_SCOPE = "\x00publish"
+
+    def _acquire_publish_lock(self):
+        """The PUBLISH micro-lock: every version-file publication —
+        commit() fast path, commit() fallback, _publish_serialized —
+        holds it around the ``_exclusive_write``. It is the universal
+        arbiter that makes progress provable: a builder holding it
+        knows the tip cannot move until it releases, so the commit
+        fallback (build UNDER this lock) always lands in one attempt.
+        Held for ~ms on fast paths; across one O(partitions) build in
+        the rare fallback. With a provider that does NOT support
+        scopes, the plain table lock plays this role (every publisher
+        takes it — the pre-partition-lock protocol)."""
+        from starlake_spark import locking
+
+        provider = locking.get_lock_provider()
+        try:
+            if getattr(provider, "supports_scopes", False):
+                return provider.acquire_scoped(
+                    self.meta_dir, self.table_path, LOCK_TIMEOUT_S,
+                    scope=self.PUBLISH_SCOPE)
+            return provider.acquire(self.meta_dir, self.table_path,
+                                    LOCK_TIMEOUT_S)
+        except TimeoutError as e:
+            raise MetaError(str(e)) from e
+
+    def _acquire_commit_locks(self, txn: Transaction) -> list:
+        """PARTITION-SCOPED write locks (reference
+        MetaCommit.takePartitionsWriteLock, MetaCommit.scala:334-430):
+        one lock per touched range_value, acquired in SORTED order
+        (the reference sorts by range_id — same deadlock avoidance).
+        Writers to disjoint partitions proceed fully in parallel;
+        same-partition writers block instead of burning conflict
+        rebuilds. Falls back to the table-wide lock when the scope
+        cannot be proven, is empty (metadata-only commits), or exceeds
+        PARTITION_LOCK_MAX."""
+        from starlake_spark import locking
+
+        provider = locking.get_lock_provider()
+        if not getattr(provider, "supports_scopes", False):
+            # unscoped provider: the table lock doubles as the publish
+            # lock (_acquire_publish_lock), so no scope locks are
+            # needed — the pre-partition-lock protocol, verbatim
+            return []
+        scopes = txn.touched_ranges()
+        if not scopes or len(scopes) > self.PARTITION_LOCK_MAX:
+            return [self._acquire_lock()]
+        handles: list = []
+        try:
+            for rv in sorted(scopes):
+                handles.append(provider.acquire_scoped(
+                    self.meta_dir, self.table_path, LOCK_TIMEOUT_S,
+                    scope=rv))
+        except TimeoutError as e:
+            for h in reversed(handles):
+                provider.release(h)
+            raise MetaError(str(e)) from e
+        except BaseException:
+            for h in reversed(handles):
+                provider.release(h)
+            raise
+        return handles
 
     def commit(self, txn: Transaction) -> Snapshot:
         """Apply a transaction: one new immutable snapshot version.
 
-        Mirrors MetaCommit.doMetaCommit (MetaCommit.scala:35-100) with
-        the reference's per-range concurrency granularity
-        (MetaCommit.scala:700-712) recovered through OPTIMISTIC
-        publication: the O(table-state) work — snapshot resolution,
-        conflict detection, next-state construction, JSON serialization
-        — runs OUTSIDE the table lock against an optimistic read of the
-        tip; the lock guards only the compare-and-swap publish (is the
-        tip still the version I built against? then one atomic file
-        write). Writers to DISJOINT partitions therefore overlap
-        everything but a ~ms publish; losing the CAS means another
-        commit landed, so the loop rebuilds against the new tip (again
-        outside the lock) and conflict detection decides retry vs
-        CommitConflictError exactly as before. Each failed attempt
-        implies global progress (someone else committed); after
-        COMMIT_OPTIMISTIC_ATTEMPTS losses the commit degrades to the
-        old build-under-lock path, which always publishes — optimistic
-        throughput when writers are disjoint, guaranteed progress when
-        they are not.
+        Mirrors MetaCommit.doMetaCommit (MetaCommit.scala:35-100) at the
+        reference's concurrency granularity: PER-PARTITION write locks
+        (takePartitionsWriteLock, MetaCommit.scala:334-430) are held for
+        the touched ranges only, so writers to DISJOINT partitions
+        overlap the entire commit — build, conflict detection, and
+        publish. Safety never rests on the locks: the version file is
+        published via :func:`_exclusive_write` (a filesystem
+        compare-and-swap — succeeding at version N+1 proves no commit
+        landed after the tip N the payload was built against, which is
+        exactly what makes the build's conflict detection sound). The
+        locks exist for throughput and liveness: same-partition writers
+        BLOCK on each other instead of losing the CAS and rebuilding,
+        matching the reference's lock-then-commit shape. A lost CAS can
+        therefore only come from a writer in a foreign scope — rebuild
+        against the new tip and retry, up to COMMIT_MAX_ATTEMPTS
+        (reference MetaUtils.MAX_COMMIT_ATTEMPTS → commitFailedReachLimit,
+        MetaCommit.scala:86-92), each loss implying another writer's
+        commit landed (global progress).
         """
         if txn.committed:
             raise MetaError("transaction already committed")
-        for _ in range(self.COMMIT_OPTIMISTIC_ATTEMPTS):
-            current = self.snapshot()
-            snap, payload = self._build_commit(txn, current)
-            lock = self._acquire_lock()
-            try:
-                if self.latest_version() == current.version \
-                        and self._validate_lock(lock):
-                    # _exclusive_write is the LAST line of defense: even
-                    # if validate() passed and the lease was lost anyway
-                    # (stalled past TTL after the check), a successor's
-                    # already-published file makes this raise instead of
-                    # being clobbered — treated as a lost CAS, rebuild.
-                    try:
-                        _exclusive_write(self._version_path(snap.version),
-                                         payload)
-                    except VersionExistsError:
-                        continue
-                    self._snap_cache[snap.version] = snap
-                    txn.committed = True
-                    return snap
-            finally:
-                self._release_lock(lock)
-            # lost the CAS: a concurrent commit landed between our read
-            # and the lock — rebuild against the new tip, outside the lock
-        # pessimistic fallback: contention defeated every optimistic
-        # attempt (each loss = someone ELSE committed, so the table is
-        # making progress — but this writer needs a turn). Build under
-        # the lock: guaranteed to publish, at the old serialized cost.
-        lock = self._acquire_lock()
+        locks = self._acquire_commit_locks(txn)
         try:
-            current = self.snapshot()
-            snap, payload = self._build_commit(txn, current)
-            if not self._validate_lock(lock):
-                raise MetaError(
-                    f"commit lock lost during commit on {self.table_path} "
-                    "(lease expired or arbiter restarted) — retry")
-            # under a healthy lock this cannot collide; if it does the
-            # lock was violated (fenced-out holder) — fail the commit
-            # loudly rather than lose the successor's version
-            _exclusive_write(self._version_path(snap.version), payload)
-            self._snap_cache[snap.version] = snap
-            txn.committed = True
-            return snap
+            for _ in range(self.COMMIT_MAX_ATTEMPTS):
+                # optimistic attempt: the O(table-state) build runs with
+                # only the scope locks held, overlapping fully across
+                # disjoint-partition writers; the publish micro-lock
+                # guards just the ~ms tip-check + CAS
+                current = self.snapshot()
+                snap, payload = self._build_commit(txn, current)
+                pub = self._acquire_publish_lock()
+                try:
+                    if self.latest_version() == current.version:
+                        if not all(self._validate_lock(h)
+                                   for h in locks + [pub]):
+                            raise MetaError(
+                                f"commit lock lost during commit on "
+                                f"{self.table_path} (lease expired or "
+                                "arbiter restarted) — retry")
+                        # _exclusive_write is the LAST line of defense:
+                        # a fenced-out holder that bypassed the publish
+                        # lock (stalled past TTL) raises here instead of
+                        # clobbering — treated as a lost CAS, rebuild.
+                        try:
+                            _exclusive_write(
+                                self._version_path(snap.version), payload)
+                        except VersionExistsError:
+                            continue
+                        self._snap_cache[snap.version] = snap
+                        txn.committed = True
+                        return snap
+                finally:
+                    self._release_lock(pub)
+                # tip moved: a foreign-scope commit landed between our
+                # read and the publish lock — rebuild against the new
+                # tip (conflict detection re-runs there and decides
+                # retry vs CommitConflictError)
+            # guaranteed fallback (contention defeated every optimistic
+            # attempt; each loss = someone ELSE committed, so the table
+            # made progress — but this writer needs a turn): build
+            # UNDER the publish lock. Every publisher holds that lock,
+            # so the tip cannot move during the build and this publish
+            # cannot lose the CAS — a VersionExistsError here means a
+            # fenced-out holder violated the lock and is surfaced
+            # loudly rather than retried.
+            pub = self._acquire_publish_lock()
+            try:
+                current = self.snapshot()
+                snap, payload = self._build_commit(txn, current)
+                if not all(self._validate_lock(h) for h in locks + [pub]):
+                    raise MetaError(
+                        f"commit lock lost during commit on "
+                        f"{self.table_path} (lease expired or arbiter "
+                        "restarted) — retry")
+                _exclusive_write(self._version_path(snap.version), payload)
+                self._snap_cache[snap.version] = snap
+                txn.committed = True
+                return snap
+            finally:
+                self._release_lock(pub)
         finally:
-            self._release_lock(lock)
+            for h in reversed(locks):
+                self._release_lock(h)
 
     def _build_commit(self, txn: Transaction,
                       current: Snapshot) -> tuple[Snapshot, str]:
@@ -727,6 +873,43 @@ class ManifestStore:
             state = snap.to_state()
         return snap, json.dumps(state)
 
+    def _publish_serialized(self, build) -> Snapshot:
+        """Publish a TABLE-WIDE snapshot (restore, clone import/sync)
+        under the table lock + the publish micro-lock. Since commit()
+        takes PARTITION-scoped locks, the table lock alone no longer
+        excludes partition committers — building UNDER the publish lock
+        does: every publisher holds it, so the tip cannot move between
+        this build and its ``_exclusive_write``, and the publish lands
+        in one attempt. These builds are O(partitions) dict copies, so
+        the serialization window stays small; admin-op frequency makes
+        it irrelevant. With an unscoped provider the table lock IS the
+        publish lock (every publisher takes it), so no second acquire.
+        ``build(current_snapshot) -> (snap, payload)``."""
+        from starlake_spark import locking
+
+        scoped = getattr(locking.get_lock_provider(),
+                         "supports_scopes", False)
+        lock = self._acquire_lock()
+        try:
+            pub = self._acquire_publish_lock() if scoped else None
+            try:
+                current = self.snapshot()
+                snap, payload = build(current)
+                if not all(self._validate_lock(h)
+                           for h in ([lock, pub] if scoped else [lock])):
+                    raise MetaError(
+                        f"commit lock lost during publish on "
+                        f"{self.table_path} (lease expired or arbiter "
+                        "restarted) — retry")
+                _exclusive_write(self._version_path(snap.version), payload)
+                self._snap_cache[snap.version] = snap
+                return snap
+            finally:
+                if pub is not None:
+                    self._release_lock(pub)
+        finally:
+            self._release_lock(lock)
+
     # ---------- restore / clone ----------
 
     def import_state(
@@ -745,9 +928,7 @@ class ManifestStore:
         new commits while imported files already carry up to N, and the
         MoR max_by collapse would prefer stale source rows over fresh
         upserts (or tie nondeterministically)."""
-        lock = self._acquire_lock()
-        try:
-            current = self.snapshot()
+        def build(current: Snapshot) -> tuple[Snapshot, str]:
             new_version = max(current.version + 1, min_version)
             snap = Snapshot(
                 version=new_version,
@@ -761,11 +942,9 @@ class ManifestStore:
                 commit_type=commit_type,
                 schema_json=self.table_info().schema_json,
             )
-            _exclusive_write(self._version_path(new_version),
-                             json.dumps(snap.to_state()))
-            return snap
-        finally:
-            self._release_lock(lock)
+            return snap, json.dumps(snap.to_state())
+
+        return self._publish_serialized(build)
 
     # ---------- identity columns ----------
 
@@ -788,7 +967,7 @@ class ManifestStore:
             key = f"identity.highwater.{col}"
             base = int((info.configuration or {}).get(key, "1"))
             info.configuration[key] = str(base + self.IDENTITY_BLOCK)
-            self.update_table_info(info)
+            self._update_info_under_lock(info)
             return base, self.IDENTITY_BLOCK
         finally:
             self._release_lock(lock)
@@ -805,7 +984,7 @@ class ManifestStore:
             key = f"identity.highwater.{col}"
             if int((info.configuration or {}).get(key, "1")) == base + block:
                 info.configuration[key] = str(max(observed_max + 1, base))
-                self.update_table_info(info)
+                self._update_info_under_lock(info)
         finally:
             self._release_lock(lock)
 
@@ -817,9 +996,7 @@ class ManifestStore:
         data movement. The published version is floored at the max
         imported write_version so post-sync local commits always stamp
         strictly higher (same discipline as clone/import_state)."""
-        lock = self._acquire_lock()
-        try:
-            current = self.snapshot()
+        def build(current: Snapshot) -> tuple[Snapshot, str]:
             parts = {
                 rv: PartitionSnapshot(rv, list(ps.files),
                                       ps.last_update_version,
@@ -847,12 +1024,9 @@ class ManifestStore:
                 commit_type=commit_type,
                 schema_json=self.table_info().schema_json,
             )
-            _exclusive_write(self._version_path(new_version),
-                             json.dumps(snap.to_state()))
-            self._snap_cache[new_version] = snap
-            return snap
-        finally:
-            self._release_lock(lock)
+            return snap, json.dumps(snap.to_state())
+
+        return self._publish_serialized(build)
 
     def version_at_timestamp(self, ts: float) -> int:
         """Latest committed version whose commit timestamp <= ``ts``
@@ -908,9 +1082,7 @@ class ManifestStore:
             )
         if partition is None:
             return self.import_state(target.partitions, commit_type="restore")
-        lock = self._acquire_lock()
-        try:
-            current = self.snapshot()
+        def build(current: Snapshot) -> tuple[Snapshot, str]:
             new_version = current.version + 1
             parts = {
                 rv: PartitionSnapshot(rv, list(ps.files),
@@ -931,11 +1103,9 @@ class ManifestStore:
                 commit_type="restore",
                 schema_json=self.table_info().schema_json,
             )
-            _exclusive_write(self._version_path(new_version),
-                             json.dumps(snap.to_state()))
-            return snap
-        finally:
-            self._release_lock(lock)
+            return snap, json.dumps(snap.to_state())
+
+        return self._publish_serialized(build)
 
     # ---------- cleanup support ----------
 

@@ -58,6 +58,27 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
 
 def merge_source_schema(src_schema: T.StructType,
                         store: ManifestStore) -> TableInfo:
+    """Concurrency wrapper around :func:`_merge_source_schema_once`:
+    update_table_info CAS-checks against concurrent metadata updates
+    ('Schema has been changed for table', reference takeSchemaLock), so
+    two writers auto-merging at once race benignly — the loser re-reads
+    and re-merges; if its columns are already present (the usual case:
+    both merged the SAME addition) the retry is a no-op read."""
+    from starlake_spark.meta import MetaError
+
+    last: MetaError | None = None
+    for _ in range(10):
+        try:
+            return _merge_source_schema_once(src_schema, store)
+        except MetaError as e:
+            if "Schema has been changed" not in str(e):
+                raise
+            last = e
+    raise last
+
+
+def _merge_source_schema_once(src_schema: T.StructType,
+                              store: ManifestStore) -> TableInfo:
     """Schema auto-merge on write: new source columns are appended as
     nullable fields (reference ImplicitMetadataOperation.scala:66-165 +
     SchemaUtils.mergeSchemas); a source column STRICTLY WIDER in the

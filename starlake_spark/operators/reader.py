@@ -1309,7 +1309,11 @@ def scan(
     MoR-merged row has no single physical position). The DV delete
     path records positions through this flag.
     """
-    info = store.table_info()
+    # refresh=True: a scan must serve the CURRENT declared schema even
+    # on a long-lived handle — another process's ALTER / auto-merged
+    # upsert column appears on the next read (Delta re-reads the log
+    # per query; this is one ~KB driver-side JSON read per scan)
+    info = store.table_info(refresh=True)
     snap = snapshot or store.snapshot(version)
     # Versioned schema (Delta-style): an explicit time-travel read uses
     # the schema AS OF that commit — a column dropped or renamed since

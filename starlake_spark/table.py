@@ -325,33 +325,37 @@ class StarTable:
         same way: when no live file carries a column's pre-rename
         physical name any more (compaction rewrote them), the alias is
         dead weight and the old name frees up for reuse."""
-        info = self.store.table_info(refresh=True)
-        dropped = set(filter(None, (info.configuration or {})
-                             .get("dropped.columns", "").split(",")))
-        alias_props = {k: v for k, v in (info.configuration or {}).items()
-                       if k.startswith("aliases.")}
-        if not dropped and not alias_props:
+        probe = self.store.table_info(refresh=True).configuration or {}
+        if not probe.get("dropped.columns") \
+                and not any(k.startswith("aliases.") for k in probe):
             return
         live = {c.lower() for f in self.store.snapshot().all_files()
                 for c in f.exist_cols}
-        cfg = dict(info.configuration or {})
-        changed = False
-        if dropped:
-            remaining = dropped & live
-            if remaining != dropped:
-                cfg["dropped.columns"] = ",".join(sorted(remaining))
-                changed = True
-        for k, v in alias_props.items():
-            keep = [a for a in v.split(",") if a and a.lower() in live]
-            if keep != [a for a in v.split(",") if a]:
-                if keep:
-                    cfg[k] = ",".join(keep)
-                else:
-                    cfg.pop(k, None)
-                changed = True
-        if changed:
-            info.configuration = cfg
-            self.store.update_table_info(info)
+
+        def mutate(info):
+            cfg = dict(info.configuration or {})
+            dropped = set(filter(None,
+                                 cfg.get("dropped.columns", "").split(",")))
+            changed = False
+            if dropped:
+                remaining = dropped & live
+                if remaining != dropped:
+                    cfg["dropped.columns"] = ",".join(sorted(remaining))
+                    changed = True
+            for k in [k for k in cfg if k.startswith("aliases.")]:
+                v = cfg[k]
+                keep = [a for a in v.split(",") if a and a.lower() in live]
+                if keep != [a for a in v.split(",") if a]:
+                    if keep:
+                        cfg[k] = ",".join(keep)
+                    else:
+                        cfg.pop(k, None)
+                    changed = True
+            if changed:
+                info.configuration = cfg
+            return changed
+
+        self._update_info_retrying(mutate)
 
     def cleanup(self, retention_s: float = dml.CLEANUP_RETENTION_S,
                 dry_run: bool = False,
@@ -1191,16 +1195,45 @@ class StarTable:
                              "uncounted deletion vectors")
         return sum(f.num_rows for f in files) - sum(dv)
 
+    def _update_info_retrying(self, mutate) -> None:
+        """Read-modify-write table_info with CAS retry: ``mutate(info)``
+        edits in place and returns whether anything changed. A
+        'Schema has been changed' conflict (update_table_info's CAS,
+        reference takeSchemaLock) re-reads and re-applies — correct for
+        commutative edits like property sets; explicit ALTERs stay
+        loud-fail instead (reference parity)."""
+        from starlake_spark.meta import MetaError
+
+        last: MetaError | None = None
+        for _ in range(10):
+            info = self.store.table_info(refresh=True)
+            if not mutate(info):
+                return
+            try:
+                self.store.update_table_info(info)
+                return
+            except MetaError as e:
+                if "Schema has been changed" not in str(e):
+                    raise
+                last = e
+        raise last
+
     def set_properties(self, props: dict[str, str]) -> "StarTable":
-        info = self.store.table_info(refresh=True)
-        info.configuration = {**info.configuration, **{k: str(v) for k, v in props.items()}}
-        self.store.update_table_info(info)
+        def mutate(info):
+            info.configuration = {**info.configuration,
+                                  **{k: str(v) for k, v in props.items()}}
+            return True
+
+        self._update_info_retrying(mutate)
         return self
 
     def unset_properties(self, keys: list[str]) -> "StarTable":
-        info = self.store.table_info(refresh=True)
-        info.configuration = {k: v for k, v in info.configuration.items() if k not in set(keys)}
-        self.store.update_table_info(info)
+        def mutate(info):
+            info.configuration = {k: v for k, v in info.configuration.items()
+                                  if k not in set(keys)}
+            return True
+
+        self._update_info_retrying(mutate)
         return self
 
     # ---------- reference-API camelCase surface (tables.py:20-291) ----------

@@ -75,19 +75,44 @@ def test_orphan_data_files_invisible_then_vacuumed(spark, orders, tmp_path):
 
 
 def test_stale_commit_lock_is_broken(spark, orders, tmp_path):
-    """A lock file from a killed writer stalls commits only until
-    STALE_LOCK_S; a backdated lock is broken immediately and the commit
-    proceeds."""
+    """Lock files from a killed writer stall commits only until
+    STALE_LOCK_S: a backdated lock is broken and the commit proceeds.
+    Partition-scoped commits take per-scope lock files plus the publish
+    micro-lock, so ALL of a crashed writer's lock files are backdated
+    here — the next write must break every one it needs and land."""
     path = str(tmp_path / "t")
     t = create_table(spark, orders, path)
-    lock = os.path.join(path, "_star_meta", "_commit.lock")
+    meta = os.path.join(path, "_star_meta")
+    # crash artifacts: the table-wide lock AND every scoped lock the
+    # next commit will contend on (discovered by running a probe write
+    # first, then backdating whatever lock names it used is impossible
+    # post-release — so backdate a fabricated table-wide lock and rerun)
+    lock = os.path.join(meta, "_commit.lock")
     with open(lock, "w") as fh:
         fh.write("99999")
     old = time.time() - 1000  # > STALE_LOCK_S (120)
     os.utime(lock, (old, old))
     t.write(orders.limit(2), mode="append")  # must not raise
     assert t.to_df().count() == orders.count() + 2
+    # partition-scoped commits no longer touch the table-wide lock; the
+    # stale file is broken when the next TABLE-WIDE acquire comes along
+    store = ManifestStore(path)
+    h = store._acquire_lock()  # breaks the stale lock, then holds fresh
+    store._release_lock(h)
     assert not os.path.exists(lock)
+    # and stale SCOPED locks are broken the same way: fabricate the
+    # crashed writer's scoped lock files (the partition scope this
+    # unpartitioned table writes under, plus the publish micro-lock)
+    import hashlib
+
+    for scope in ("", ManifestStore.PUBLISH_SCOPE):
+        h = hashlib.sha256(scope.encode()).hexdigest()[:16]
+        p = os.path.join(meta, f"_commit.lock.p{h}")
+        with open(p, "w") as fh:
+            fh.write("99999")
+        os.utime(p, (old, old))
+    t.write(orders.limit(2), mode="append")  # must not raise
+    assert t.to_df().count() == orders.count() + 4
 
 
 def test_reader_snapshot_isolated_from_concurrent_commits(spark, orders, tmp_path):

@@ -72,32 +72,44 @@ def test_stalled_holder_publish_cannot_clobber_successor(tmp_path):
     assert store.list_versions() == [0, 1, 2]
 
 
-def test_pessimistic_path_raises_instead_of_clobbering(tmp_path):
-    """With optimistic attempts exhausted (forced to 0), the same stall
-    inside the build-under-lock path must surface as MetaError — a
-    fenced-out holder fails its commit; it never silently wins."""
+def test_fenced_bypass_surfaces_after_max_lost_cas(tmp_path):
+    """A publisher that BYPASSES the publish micro-lock (models a
+    fenced-out holder violating its lease) and steals every version
+    number defeats the COMMIT_MAX_ATTEMPTS optimistic attempts
+    (reference MetaUtils.MAX_COMMIT_ATTEMPTS → commitFailedReachLimit,
+    MetaCommit.scala:86-92); the guaranteed fallback then hits the
+    exclusive-create and surfaces VersionExistsError LOUDLY — no stolen
+    version is ever clobbered, and the violator is never silently
+    absorbed."""
     store = _store(tmp_path)
-    successor_payload = json.dumps({
-        "version": 1, "partitions": {}, "streaming": {},
-        "timestamp": 1.0, "commit_type": "write"})
     orig_validate = ManifestStore._validate_lock
-    orig_attempts = ManifestStore.COMMIT_OPTIMISTIC_ATTEMPTS
-    fired = []
+    stolen = []
+    calls = [0]
 
-    def stall_then_pass(self, handle):
-        if not fired:
-            fired.append(True)
-            _exclusive_write(self._version_path(1), successor_payload)
+    def steal_next_version(self, handle):
+        # validate runs once per handle (scope lock + publish lock =
+        # 2/attempt); steal on the first of each pair so exactly one
+        # version is stolen per attempt (modelling one foreign holder
+        # that ignores the publish lock)
+        calls[0] += 1
+        if calls[0] % 2 == 1:
+            v = self.latest_version() + 1
+            payload = json.dumps({
+                "version": v, "partitions": {}, "streaming": {},
+                "timestamp": float(v), "commit_type": "write"})
+            _exclusive_write(self._version_path(v), payload)
+            stolen.append((v, payload))
         return True
 
-    ManifestStore._validate_lock = stall_then_pass
-    ManifestStore.COMMIT_OPTIMISTIC_ATTEMPTS = 0
+    ManifestStore._validate_lock = steal_next_version
     try:
-        with pytest.raises(MetaError, match="already published"):
+        with pytest.raises(VersionExistsError, match="already published"):
             store.commit(store.new_transaction())
     finally:
         ManifestStore._validate_lock = orig_validate
-        ManifestStore.COMMIT_OPTIMISTIC_ATTEMPTS = orig_attempts
-    with open(store._version_path(1)) as f:
-        assert f.read() == successor_payload
-    assert store.list_versions() == [0, 1]
+    # optimistic attempts + the fallback each lost to one steal
+    assert len(stolen) == ManifestStore.COMMIT_MAX_ATTEMPTS + 1
+    for v, payload in stolen:
+        with open(store._version_path(v)) as f:
+            assert f.read() == payload
+    assert store.list_versions() == [0] + [v for v, _ in stolen]

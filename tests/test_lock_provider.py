@@ -595,3 +595,129 @@ def test_file_release_rename_claim_preserves_successor(tmp_path):
         assert f.read().decode() == h2[1]
     p2.release(h2)
     assert not os.path.exists(lock_path)
+
+
+# ---------- partition-scoped locks (MetaCommit.takePartitionsWriteLock,
+# MetaCommit.scala:334-430: one write lock per touched range) ----------
+
+
+def _scoped_contract(provider, meta_dir):
+    """Every scope-supporting provider: disjoint scopes grant
+    concurrently; the same scope excludes; table-wide and scoped locks
+    are independent keys."""
+    assert provider.supports_scopes
+    a = provider.acquire_scoped(meta_dir, "tbl", 5, scope="part=a")
+    b = provider.acquire_scoped(meta_dir, "tbl", 5, scope="part=b")
+    t = provider.acquire(meta_dir, "tbl", 5)  # table-wide: independent
+    with pytest.raises(TimeoutError):
+        provider.acquire_scoped(meta_dir, "tbl", 0.3, scope="part=a")
+    assert provider.validate(a) and provider.validate(b)
+    provider.release(a)
+    # released scope grantable again; b still held
+    a2 = provider.acquire_scoped(meta_dir, "tbl", 5, scope="part=a")
+    with pytest.raises(TimeoutError):
+        provider.acquire_scoped(meta_dir, "tbl", 0.3, scope="part=b")
+    for h in (a2, b, t):
+        provider.release(h)
+
+
+def test_file_provider_scoped_contract(tmp_path):
+    _scoped_contract(FileLockProvider(), str(tmp_path))
+    assert os.listdir(tmp_path) == []  # all scoped lock files removed
+
+
+def test_sqlite_provider_scoped_contract(tmp_path):
+    from starlake_spark.locking import SQLiteLockProvider
+
+    _scoped_contract(SQLiteLockProvider(str(tmp_path / "locks.db")),
+                     str(tmp_path))
+
+
+def test_tcp_provider_scoped_contract(tmp_path):
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    try:
+        _scoped_contract(
+            TCPLockProvider("127.0.0.1", srv.port, lease_s=30.0,
+                            poll_s=0.02),
+            str(tmp_path))
+    finally:
+        srv.shutdown()
+
+
+def test_unscoped_provider_falls_back_to_table_lock(tmp_path):
+    """A third-party provider without supports_scopes gets the
+    pre-partition-lock protocol: acquire_scoped is never called, every
+    commit arbitrates through the plain table-wide lock, and the storm
+    still lands every commit exactly once (this is what keeps the
+    RecordingProvider alternation test meaningful)."""
+
+    class PlainProvider(LockProvider):
+        def __init__(self):
+            self.inner = FileLockProvider()
+            self.scoped_calls = 0
+
+        def acquire(self, meta_dir, table_path, timeout_s):
+            return self.inner.acquire(meta_dir, table_path, timeout_s)
+
+        def release(self, handle):
+            self.inner.release(handle)
+
+        def acquire_scoped(self, *a, **k):  # pragma: no cover - guard
+            self.scoped_calls += 1
+            raise AssertionError("acquire_scoped on unscoped provider")
+
+    prov = PlainProvider()
+    locking.set_lock_provider(prov)
+    try:
+        store = _store(tmp_path)
+        v = _storm(store, n_threads=4, n_commits=2)
+        assert v == 8
+        assert prov.scoped_calls == 0
+    finally:
+        locking.set_lock_provider(None)
+
+
+def test_same_partition_writers_serialize_on_scope_lock(tmp_path):
+    """Two commits to the SAME partition must not overlap their builds:
+    the second blocks on the partition's scope lock until the first
+    releases (reference lockSinglePartition semantics) — prevented, not
+    detected-and-rebuilt."""
+    locking.set_lock_provider(None)
+    store = _store(tmp_path)
+    tp = str(tmp_path / "t")
+    in_build = threading.Event()
+    release_build = threading.Event()
+    overlaps = []
+    orig = ManifestStore._build_commit
+
+    def gated(self, txn, current):
+        if not in_build.is_set():
+            in_build.set()
+            release_build.wait(10)
+        elif not release_build.is_set():
+            overlaps.append(True)  # second build ran while first held
+        return orig(self, txn, current)
+
+    ManifestStore._build_commit = gated
+    try:
+        t1 = threading.Thread(target=store.commit, args=(
+            _add_file_txn(store, tp, "part=x", "one"),))
+        t1.start()
+        in_build.wait(10)
+        t2 = threading.Thread(target=store.commit, args=(
+            _add_file_txn(store, tp, "part=x", "two"),))
+        t2.start()
+        # give t2 time to reach the scope lock and block on it
+        time.sleep(0.5)
+        assert not overlaps, "same-partition build overlapped"
+        release_build.set()
+        t1.join(30)
+        t2.join(30)
+    finally:
+        ManifestStore._build_commit = orig
+    assert not overlaps
+    snap = store.snapshot()
+    assert snap.version == 2
+    assert len(snap.partitions["part=x"].files) == 2

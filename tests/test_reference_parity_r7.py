@@ -1,0 +1,495 @@
+"""Reference MetaCommitSuite parity (MetaCommitSuite.scala:1-412).
+
+The reference arbitrates concurrent commits with per-partition LWT
+write locks + an undo log over Cassandra; here the same observable
+contracts hold over ManifestStore's partition-scoped locks + the
+version-file CAS (meta.py commit protocol):
+
+* every commit type lands add+expire atomically across partitions
+  (commitTest simple/delta/compaction, MetaCommitSuite.scala:100-127);
+* N concurrent committers to one partition / many partitions (in any
+  acquisition order) all land exactly once
+  (concurrentCommit, MetaCommitSuite.scala:130-184);
+* a crashed committer holding partition locks stalls others only until
+  the staleness TTL ("Committing state will roll back when timeout",
+  MetaCommitSuite.scala:215-262);
+* add+expire over files a concurrent commit already expired raises
+  ("Another job added file" / MetaRerunException,
+  MetaCommitSuite.scala:265-290 → CommitConflictError here);
+* the same full-partition rewrite twice from one read snapshot raises
+  ("can't delete file twice", MetaCommitSuite.scala:293-318);
+* a schema change built against a stale table_info raises
+  ("Schema has been changed for table" / takeSchemaLock,
+  MetaCommitSuite.scala:321-373);
+* concurrent upserts CREATING the same new partition all land
+  ("create range partition concurrently", MetaCommitSuite.scala:376-408).
+"""
+
+import json
+import os
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from starlake_spark import locking
+from starlake_spark.locking import FileLockProvider
+from starlake_spark.meta import (CommitConflictError, DataFileInfo,
+                                 ManifestStore, MetaError, TableInfo)
+
+
+@pytest.fixture(autouse=True)
+def _file_provider():
+    locking.set_lock_provider(None)
+    yield
+    locking.set_lock_provider(None)
+
+
+def _store(tmp_path, name="t"):
+    p = str(tmp_path / name)
+    st = ManifestStore(p)
+    st.create(TableInfo(table_path=p, table_id="tid-" + name,
+                        schema_json="{}", range_cols=["key"]))
+    return st
+
+
+def _file(store, partition, name):
+    """Write a real single-row parquet under the table and return its
+    DataFileInfo (the reference's addDataFileInfo fabricates paths; we
+    keep them real so scans stay possible)."""
+    rel = os.path.join("data", "t", partition, f"{name}.parquet")
+    abs_p = os.path.join(store.table_path, rel)
+    os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), abs_p)
+    return DataFileInfo(path=rel, range_value=partition, bucket_id=-1,
+                        size=os.path.getsize(abs_p), write_version=-1,
+                        is_base_file=True, exist_cols=["id"], num_rows=1)
+
+
+def _init_table(store):
+    """initTable analog (MetaCommitSuite.scala:45-49): one base file in
+    each of key=a / key=b / key=c."""
+    txn = store.new_transaction()
+    txn.add_files([_file(store, f"key={k}", "init") for k in "abc"])
+    store.commit(txn)
+
+
+# ---------- commitTest: simple / delta / compaction ----------
+
+
+@pytest.mark.parametrize("commit_type", ["write", "delta", "compact"])
+def test_commit_add_and_expire_every_partition(tmp_path, commit_type):
+    """commitTest (MetaCommitSuite.scala:100-127): one commit that adds
+    a new file AND expires the old one in EVERY partition — afterwards
+    each partition serves exactly the new file and its read version
+    advanced once."""
+    store = _store(tmp_path)
+    _init_table(store)
+    snap = store.snapshot()
+    txn = store.new_transaction()
+    txn.commit_type = commit_type
+    for rv, ps in snap.partitions.items():
+        txn.expire_files([f.path for f in ps.files])
+        txn.add_files([_file(store, rv, "added_1")])
+    store.commit(txn)
+    after = store.snapshot()
+    assert after.version == snap.version + 1
+    for rv, ps in after.partitions.items():
+        assert ps.last_update_version == after.version
+        assert [os.path.basename(f.path) for f in ps.files] \
+            == ["added_1.parquet"]
+    assert after.commit_type == commit_type
+
+
+# ---------- concurrentCommit: single / multiple / deranged ----------
+
+
+def _concurrent_commit(store, task_partitions, task_num):
+    errs: list[Exception] = []
+
+    def work(i: int):
+        try:
+            txn = store.new_transaction()
+            txn.commit_type = "delta"
+            txn.add_files([_file(store, rv, f"task{i}")
+                           for rv in task_partitions(i)])
+            store.commit(txn)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(task_num)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+
+
+def test_concurrent_delta_commit_single_partition(tmp_path):
+    """concurrentCommit 'single' (MetaCommitSuite.scala:130-184): 5
+    concurrent delta commits to ONE partition all land exactly once —
+    the partition's version advanced taskNum times."""
+    store = _store(tmp_path)
+    _init_table(store)
+    base = store.snapshot().version
+    _concurrent_commit(store, lambda i: ["key=a"], 5)
+    snap = store.snapshot()
+    assert snap.version == base + 5
+    assert len(snap.partitions["key=a"].files) == 1 + 5
+    assert snap.partitions["key=a"].last_update_version == snap.version
+
+
+@pytest.mark.parametrize("derange", [False, True])
+def test_concurrent_delta_commit_multiple_partitions(tmp_path, derange):
+    """concurrentCommit 'multiple' (+ deranged acquisition order,
+    MetaCommitSuite.scala:144-151): every task writes ALL partitions;
+    the derange variant shuffles the per-task partition order — the
+    sorted-order scoped acquisition (reference sortBy(range_id)) makes
+    the outcome order-independent and deadlock-free."""
+    store = _store(tmp_path)
+    _init_table(store)
+    base = store.snapshot().version
+    parts = ["key=a", "key=b", "key=c"]
+    task_num = 3 if derange else 5
+
+    def task_partitions(i):
+        if derange:
+            rotated = parts[i % 3:] + parts[:i % 3]
+            return rotated
+        return parts
+
+    _concurrent_commit(store, task_partitions, task_num)
+    snap = store.snapshot()
+    assert snap.version == base + task_num
+    for rv in parts:
+        assert len(snap.partitions[rv].files) == 1 + task_num
+
+
+# ---------- crashed lock holder: stale-break recovery ----------
+
+
+def test_stalled_partition_lock_holder_rolls_back(tmp_path):
+    """'Committing state will roll back when timeout'
+    (MetaCommitSuite.scala:215-262): a committer that took partition
+    write locks and died mid-commit must not wedge the table — a new
+    commit to the same partitions succeeds once the locks go stale, and
+    the dead committer's work is simply absent (nothing half-applied)."""
+    locking.set_lock_provider(FileLockProvider(stale_s=0.3, poll_s=0.02))
+    store = _store(tmp_path)
+    _init_table(store)
+    snap = store.snapshot()
+    # dead committer: scoped locks acquired, never released
+    prov = locking.get_lock_provider()
+    for rv in sorted(snap.partitions):
+        prov.acquire_scoped(store.meta_dir, store.table_path, 5, scope=rv)
+    txn = store.new_transaction()
+    for rv, ps in snap.partitions.items():
+        txn.expire_files([f.path for f in ps.files])
+        txn.add_files([_file(store, rv, "added_2")])
+    store.commit(txn)  # must stale-break and land
+    after = store.snapshot()
+    assert after.version == snap.version + 1
+    for ps in after.partitions.values():
+        assert [os.path.basename(f.path) for f in ps.files] \
+            == ["added_2.parquet"]
+
+
+# ---------- file conflicts ----------
+
+
+def test_files_conflict_expire_raced_raises(tmp_path):
+    """'check files conflict - files change while commit'
+    (MetaCommitSuite.scala:265-290): two committers read the same
+    snapshot and both replace the same files; the loser must raise
+    (reference MetaRerunException 'Another job added file' →
+    CommitConflictError), never double-apply."""
+    store = _store(tmp_path)
+    _init_table(store)
+    snap = store.snapshot()
+
+    def replace_txn(tag):
+        txn = store.new_transaction()
+        for rv, ps in snap.partitions.items():
+            txn.expire_files([f.path for f in ps.files])
+            txn.add_files([_file(store, rv, tag)])
+        return txn
+
+    t1, t2 = replace_txn("first"), replace_txn("second")
+    store.commit(t1)
+    with pytest.raises(CommitConflictError, match="expired by a concurrent"):
+        store.commit(t2)
+    # winner's state intact
+    for ps in store.snapshot().partitions.values():
+        assert [os.path.basename(f.path) for f in ps.files] \
+            == ["first.parquet"]
+
+
+def test_files_conflict_cannot_compact_twice(tmp_path):
+    """'check files conflict - can't delete file twice'
+    (MetaCommitSuite.scala:293-318): two full-partition compactions
+    from one read snapshot — the second must raise, not silently drop
+    the first's output."""
+    store = _store(tmp_path)
+    _init_table(store)
+    snap = store.snapshot()
+
+    def compaction_txn(tag):
+        txn = store.new_transaction()
+        txn.commit_type = "compact"
+        for rv in snap.partitions:
+            txn.expire_partition(rv)
+            txn.add_files([_file(store, rv, tag)])
+        return txn
+
+    t1, t2 = compaction_txn("compact1"), compaction_txn("compact2")
+    store.commit(t1)
+    with pytest.raises(CommitConflictError,
+                       match="changed by a concurrent commit"):
+        store.commit(t2)
+    for ps in store.snapshot().partitions.values():
+        assert [os.path.basename(f.path) for f in ps.files] \
+            == ["compact1.parquet"]
+
+
+# ---------- schema change CAS ----------
+
+
+def test_schema_change_against_stale_info_raises(tmp_path):
+    """'take schema lock concurrently' (MetaCommitSuite.scala:321-373):
+    updater A and updater B both read table_info; A publishes a new
+    schema; B's publish — built against the STALE info — must raise
+    'Schema has been changed for table', and A's schema survives."""
+    store = _store(tmp_path)
+    _init_table(store)
+    info_a = store.table_info(refresh=True)
+    stale = TableInfo.from_json(info_a.to_json())  # independent copy
+    info_a.schema_json = json.dumps({"v": "schema2"})
+    store.update_table_info(info_a)
+    stale.schema_json = json.dumps({"v": "schema3"})
+    with pytest.raises(MetaError, match="Schema has been changed for table"):
+        store.update_table_info(stale)
+    assert json.loads(store.table_info(refresh=True).schema_json) \
+        == {"v": "schema2"}
+    # a fresh read-modify-write retries fine and bumps the CAS counter
+    info_c = store.table_info(refresh=True)
+    v = info_c.schema_version
+    info_c.schema_json = json.dumps({"v": "schema3"})
+    store.update_table_info(info_c)
+    assert store.table_info(refresh=True).schema_version == v + 1
+
+
+def test_concurrent_property_updates_never_lose_one(tmp_path):
+    """The CAS closes the lost-update window for ALL metadata updates:
+    8 writers each read-modify-write their own property with
+    read-retry loops; every property must survive."""
+    store = _store(tmp_path)
+    errs: list[Exception] = []
+
+    def work(i):
+        for attempt in range(20):
+            try:
+                info = store.table_info(refresh=True)
+                info.configuration = {**info.configuration,
+                                      f"prop.{i}": str(i)}
+                store.update_table_info(info)
+                return
+            except MetaError as e:
+                if "Schema has been changed" not in str(e):
+                    errs.append(e)
+                    return
+                time.sleep(0.01)
+        errs.append(AssertionError(f"writer {i} starved"))
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    cfg = store.table_info(refresh=True).configuration
+    for i in range(8):
+        assert cfg.get(f"prop.{i}") == str(i)
+
+
+# ---------- create range partition concurrently (end-to-end) ----------
+
+
+def test_create_range_partition_concurrently(spark, tmp_path):
+    """'create range partition concurrently'
+    (MetaCommitSuite.scala:376-408): 5 concurrent upserts all CREATE
+    the same new partition key=d on a hash table; every one lands
+    (read_version == taskNum) and MoR serves the last value per key."""
+    from starlake_spark.table import StarTable, create_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("b", 1, 2), ("c", 1, 3)], "key string, hash int, value int")
+    # compaction.auto=false so the 5 delta files stay visible (the
+    # reference's read_version == taskNum assertion counts commits)
+    create_table(spark, df, path, range_partitions=["key"],
+                 hash_partitions=["hash"], hash_bucket_num=1,
+                 configuration={"compaction.auto": "false"})
+    table = StarTable.for_path(spark, path)
+    errs: list[Exception] = []
+
+    def work(i):
+        try:
+            table.upsert(spark.createDataFrame(
+                [("d", 1, i)], "key string, hash int, value int"))
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(5)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    store = ManifestStore(path)
+    snap = store.snapshot()
+    assert "key=d" in snap.partitions
+    # all five upserts landed as distinct commits on the new partition
+    assert len(snap.partitions["key=d"].files) == 5
+    rows = table.to_df().filter("key = 'd'").collect()
+    assert len(rows) == 1  # MoR collapse: one row for hash=1
+    assert rows[0]["value"] in range(5)
+
+
+# ---------- UpsertWithDuplicateData* (manual_execute_suites) ----------
+#
+# UpsertWithDuplicateDataBySame.scala / ...ByDifferent.scala /
+# ...AndFields.scala: upsert batches that contain DUPLICATE primary
+# keys collapse to the LAST occurrence in input order (the reference's
+# groupBy(range,hash).agg(last(...)) expectation; writer.py stamps
+# monotonically_increasing_id so "last" is input order here too), and
+# sequential partial-column upserts compose as full-outer-join +
+# newest-non-null-wins per column.
+
+
+def _dup_data(rng, n, only_one_partition, fields):
+    """getDataNew analog (TestUtils.scala:95-109), deterministic."""
+    rows = []
+    for _ in range(n):
+        rows.append((
+            "range1" if only_one_partition
+            else ("range1" if rng.randint(0, 2) == 1 else "range2"),
+            rng.randint(0, 2 * n - 1),
+            *[rng.randint(0, 34) for _ in fields],
+        ))
+    return rows
+
+
+def _last_wins(rows, n_fields):
+    """Expected collapse: last occurrence per (range, hash), column-wise
+    non-null composition handled by the caller."""
+    out = {}
+    for r in rows:
+        out[(r[0], r[1])] = r
+    return out
+
+
+def _check(table, expected, cols):
+    got = {(r["range"], r["hash"]): tuple(r[c] for c in cols)
+           for r in table.to_df().collect()}
+    want = {k: tuple(v) for k, v in expected.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("only_one_partition", [True, False])
+def test_upsert_duplicate_data_by_same_fields(spark, tmp_path,
+                                              only_one_partition):
+    """UpsertWithDuplicateDataBySame: init with (name, age) dup-keyed
+    batch, then upsert the SAME keys with (stu, grade) — every key
+    serves last(name,age) from init composed with last(stu,grade) from
+    the upsert (schema widens in the upsert)."""
+    import random
+
+    from starlake_spark.table import StarTable, create_table
+
+    rng = random.Random(7)
+    n = 600
+    rows = _dup_data(rng, n, only_one_partition, ["name", "age", "stu", "grade"])
+    path = str(tmp_path / "t")
+    init_df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "range string, hash int, name int, age int")
+    create_table(spark, init_df, path, range_partitions=["range"],
+                 hash_partitions=["hash"], hash_bucket_num=2,
+                 configuration={"compaction.auto": "false"})
+    table = StarTable.for_path(spark, path)
+    last = _last_wins(rows, 4)
+    _check(table, {k: (v[2], v[3]) for k, v in last.items()},
+           ["name", "age"])
+    up_df = spark.createDataFrame(
+        [(r[0], r[1], r[4], r[5]) for r in rows],
+        "range string, hash int, stu int, grade int")
+    table.upsert(up_df)
+    _check(table, {k: (v[2], v[3], v[4], v[5]) for k, v in last.items()},
+           ["name", "age", "stu", "grade"])
+
+
+@pytest.mark.parametrize("only_one_partition", [True, False])
+def test_upsert_duplicate_data_by_different_fields(spark, tmp_path,
+                                                   only_one_partition):
+    """UpsertWithDuplicateDataByDifferent: four dup-keyed batches each
+    carrying ONE new column over DIFFERENT key sets — cumulative state
+    composes as full-outer join with last-wins per column."""
+    import random
+
+    from starlake_spark.table import StarTable, create_table
+
+    rng = random.Random(11)
+    n = 400
+    path = str(tmp_path / "t")
+    batches = {c: _dup_data(rng, n, only_one_partition, [c])
+               for c in ["name", "age", "stu", "grade"]}
+    create_table(
+        spark,
+        spark.createDataFrame(batches["name"],
+                              "range string, hash int, name int"),
+        path, range_partitions=["range"], hash_partitions=["hash"],
+        hash_bucket_num=2, configuration={"compaction.auto": "false"})
+    table = StarTable.for_path(spark, path)
+    state: dict = {}
+    for i, col in enumerate(["name", "age", "stu", "grade"]):
+        last = _last_wins(batches[col], 1)
+        for k, v in last.items():
+            cur = state.setdefault(k, [None, None, None, None])
+            cur[i] = v[2]
+        if i > 0:
+            table.upsert(spark.createDataFrame(
+                batches[col], f"range string, hash int, {col} int"))
+        _check(table, {k: tuple(v[:i + 1]) for k, v in state.items()},
+               ["name", "age", "stu", "grade"][:i + 1])
+
+
+def test_upsert_duplicate_data_and_fields(spark, tmp_path):
+    """UpsertWithDuplicateDataAndFields: upserts with OVERLAPPING field
+    sets — (name), then (name, age, grade), then (grade), then
+    (age, grade) — newest non-null wins column-wise, duplicates collapse
+    last-wins in every batch."""
+    import random
+
+    from starlake_spark.table import StarTable, create_table
+
+    rng = random.Random(13)
+    n = 400
+    path = str(tmp_path / "t")
+    field_sets = [["name"], ["name", "age", "grade"], ["grade"],
+                  ["age", "grade"]]
+    all_cols = ["name", "age", "grade"]
+    batches = [_dup_data(rng, n, False, fs) for fs in field_sets]
+    create_table(
+        spark,
+        spark.createDataFrame(batches[0], "range string, hash int, name int"),
+        path, range_partitions=["range"], hash_partitions=["hash"],
+        hash_bucket_num=2, configuration={"compaction.auto": "false"})
+    table = StarTable.for_path(spark, path)
+    state: dict = {}
+    for bi, (fs, rows) in enumerate(zip(field_sets, batches)):
+        last = _last_wins(rows, len(fs))
+        for k, v in last.items():
+            cur = state.setdefault(k, [None] * len(all_cols))
+            for fi, c in enumerate(fs):
+                cur[all_cols.index(c)] = v[2 + fi]
+        if bi > 0:
+            schema = ("range string, hash int, "
+                      + ", ".join(f"{c} int" for c in fs))
+            table.upsert(spark.createDataFrame(rows, schema))
+    _check(table, {k: tuple(v) for k, v in state.items()}, all_cols)
