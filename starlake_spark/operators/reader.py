@@ -128,6 +128,26 @@ _GROUP_SCHEMA_CACHE: dict[tuple, "T.StructType"] = {}
 _GROUP_SCHEMA_CACHE_MAX = 4096
 
 
+def _nested_evolves(have: "T.DataType", want: "T.DataType") -> bool:
+    """True iff ``want`` equals ``have`` plus ADDED nested struct fields
+    — the shape ALTER ADD COLUMNS into complex types produces
+    (AlterTableTests.scala:114-313). Such a type cannot be ``cast``
+    (Spark refuses struct casts of differing arity) but CAN be
+    requested directly from the parquet reader, which backfills the
+    missing nested fields with null natively."""
+    if isinstance(have, T.StructType) and isinstance(want, T.StructType):
+        w = {f.name.lower(): f.dataType for f in want.fields}
+        return all(f.name.lower() in w
+                   and _nested_evolves(f.dataType, w[f.name.lower()])
+                   for f in have.fields)
+    if isinstance(have, T.ArrayType) and isinstance(want, T.ArrayType):
+        return _nested_evolves(have.elementType, want.elementType)
+    if isinstance(have, T.MapType) and isinstance(want, T.MapType):
+        return (_nested_evolves(have.keyType, want.keyType)
+                and _nested_evolves(have.valueType, want.valueType))
+    return have.simpleString() == want.simpleString()
+
+
 def _read_group(
     spark: SparkSession,
     store: ManifestStore,
@@ -168,6 +188,25 @@ def _read_group(
     # alias map (zero cost when the table never renamed).
     schema = _schema(info)
     declared = {f.name: f.dataType for f in schema.fields}
+    # Nested schema evolution: columns whose declared type ADDS nested
+    # struct fields over the file's type are re-requested at the
+    # declared type — the parquet reader backfills the new nested
+    # fields with null (a cast would throw: struct arity differs).
+    adj, nested_evo = [], False
+    for f in file_schema.fields:
+        want = declared.get(f.name)
+        if want is not None \
+                and f.dataType.simpleString() != want.simpleString() \
+                and isinstance(f.dataType,
+                               (T.StructType, T.ArrayType, T.MapType)) \
+                and _nested_evolves(f.dataType, want):
+            adj.append(T.StructField(f.name, want, True, f.metadata))
+            nested_evo = True
+        else:
+            adj.append(f)
+    if nested_evo:
+        file_schema = T.StructType(adj)
+        df = reader.schema(file_schema).parquet(*paths)
     # Fast path: the group's physical schema already carries every
     # declared column under its declared name and type (no rename, no
     # evolution gap, no tombstones, no rowid request) — a bare column

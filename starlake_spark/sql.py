@@ -192,6 +192,30 @@ _ALTER_CHANGETYPE_RE = re.compile(
     r"(?P<col>\w+)\s+TYPE\s+(?P<type>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Hive-form CHANGE COLUMN (reference AlterTableTests.scala:563-927):
+#   CHANGE [COLUMN] <path> <newName> <type> [COMMENT '..'] [FIRST|AFTER c]
+_ALTER_CHANGE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+CHANGE(?:\s+COLUMN)?\s+"
+    r"(?P<path>(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+"
+    r"(?P<new>`[^`]+`|[\w$]+)\s+(?P<type>.+?)"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>`[^`]+`|[\w$]+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# one ADD COLUMNS entry: dotted/backticked path, type, optional COMMENT
+_ADDCOL_ENTRY_RE = re.compile(
+    r"^\s*(?P<path>(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+"
+    r"(?P<type>.+?)(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>`[^`]+`|[\w$]+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _unquote_path(path: str) -> str:
+    """Strip backticks per dotted segment (`a b`.`c` -> 'a b.c')."""
+    return ".".join(
+        seg[1:-1] if seg.startswith("`") and seg.endswith("`") else seg
+        for seg in re.findall(r"`[^`]+`|[^.]+", path))
 _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
     r"`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?\s*$",
@@ -795,9 +819,22 @@ class StarSession:
 
         m = _ALTER_ADD_RE.match(text)
         if m and self._known(m["name"]):
-            cols = [c.rsplit(None, 1) for c in _split_top_level(m["cols"])]
-            self.table(m["name"]).add_columns([(n, ty) for n, ty in
-                                               ((c[0], c[1]) for c in cols)])
+            cols, comments, positions = [], {}, {}
+            for entry in _split_top_level(m["cols"]):
+                em = _ADDCOL_ENTRY_RE.match(entry)
+                if not em:
+                    raise ValueError(f"cannot parse ADD COLUMNS entry: "
+                                     f"{entry!r}")
+                path = _unquote_path(em["path"])
+                cols.append((path, em["type"].strip()))
+                if em["comment"] is not None:
+                    comments[path] = em["comment"]
+                if em["first"]:
+                    positions[path] = "first"
+                elif em["after"]:
+                    positions[path] = f"after:{em['after'].strip('`')}"
+            self.table(m["name"]).add_columns(cols, comments=comments,
+                                              positions=positions)
             return self._empty_df()
 
         m = _ALTER_ADDCHECK_RE.match(text)
@@ -823,6 +860,58 @@ class StarSession:
         m = _ALTER_CHANGETYPE_RE.match(text)
         if m and self._known(m["name"]):
             self.table(m["name"]).change_column_type(m["col"], m["type"].strip())
+            return self._empty_df()
+
+        m = _ALTER_CHANGE_RE.match(text)
+        if m and self._known(m["name"]):
+            from starlake_spark.table import (_parse_dtype,
+                                              _transform_struct_at)
+            from pyspark.sql import types as _T
+
+            path = _unquote_path(m["path"])
+            new = m["new"].strip("`")
+            leaf = path.split(".")[-1]
+            t = self.table(m["name"])
+            if new.lower() != leaf.lower():
+                # reference AlterTableTests.scala:662-667 (change name)
+                raise ValueError(
+                    f"Renaming a column via CHANGE COLUMN is not "
+                    f"supported ('{path}' to '{new}') — use ALTER TABLE "
+                    f"RENAME COLUMN")
+            info = t.store.table_info(refresh=True)
+            schema = _T.StructType.fromJson(json.loads(info.schema_json))
+            found: dict = {}
+
+            def probe(struct: _T.StructType) -> _T.StructType:
+                for f in struct.fields:
+                    if f.name.lower() == leaf.lower():
+                        found["f"] = f
+                if "f" not in found:
+                    raise ValueError(
+                        f"Cannot update missing field {path} in "
+                        f"{struct.simpleString()}")
+                return struct
+
+            _transform_struct_at(schema, path.split(".")[:-1], probe, path)
+            cur = found["f"]
+            want = _parse_dtype(m["type"].strip())
+            if cur.dataType.simpleString() != want.simpleString():
+                # reference AlterTableTests.scala:669-689 (incompatible)
+                # + :994-1022 (complex add/remove through CHANGE): any
+                # type difference through CHANGE COLUMN is refused
+                raise ValueError(
+                    f"Cannot change column type through CHANGE COLUMN: "
+                    f"'{path}' with type "
+                    f"'{type(cur.dataType).__name__} "
+                    f"(nullable = {str(cur.nullable).lower()})' to "
+                    f"'{new}' with type '{type(want).__name__} "
+                    f"(nullable = true)' is not supported — safe "
+                    f"widenings go through ALTER COLUMN ... TYPE")
+            pos = ("first" if m["first"]
+                   else f"after:{m['after'].strip('`')}" if m["after"]
+                   else None)
+            if m["comment"] is not None or pos is not None:
+                t.change_column(path, comment=m["comment"], position=pos)
             return self._empty_df()
 
         m = _ALTER_RENAME_RE.match(text)

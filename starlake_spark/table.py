@@ -43,6 +43,65 @@ def _parse_dtype(d: str) -> T.DataType:
     return T._parse_datatype_string(d)
 
 
+def _transform_struct_at(dtype: T.DataType, steps: list[str], fn,
+                         full_path: str) -> T.DataType:
+    """Apply ``fn(StructType) -> StructType`` to the struct reached by
+    walking ``steps`` from ``dtype``, rebuilding the enclosing type.
+    Steps are struct field names (case-insensitive), or the pseudo-names
+    ``element`` (into an array) and ``key`` / ``value`` (into a map) —
+    Spark's own nested-ALTER path grammar
+    (reference AlterTableTests.scala:114-313)."""
+    if not steps:
+        if not isinstance(dtype, T.StructType):
+            raise ValueError(
+                f"Cannot add or update '{full_path}': its parent is "
+                f"not a StructType ({dtype.simpleString()}) — arrays "
+                f"need an 'element' step, maps a 'key'/'value' step")
+        return fn(dtype)
+    step = steps[0]
+    if isinstance(dtype, T.StructType):
+        tgt = next((f for f in dtype.fields
+                    if f.name.lower() == step.lower()), None)
+        if tgt is None:
+            raise ValueError(
+                f"Cannot update missing field {full_path} in "
+                f"{dtype.simpleString()}")
+        inner = _transform_struct_at(tgt.dataType, steps[1:], fn, full_path)
+        return T.StructType([
+            T.StructField(f.name, inner, f.nullable, f.metadata)
+            if f.name == tgt.name else f
+            for f in dtype.fields])
+    if isinstance(dtype, T.ArrayType):
+        if step.lower() != "element":
+            raise ValueError(
+                f"Cannot add or update '{full_path}': "
+                f"{dtype.simpleString()} is not a StructType — step "
+                f"into an array with 'element'")
+        return T.ArrayType(
+            _transform_struct_at(dtype.elementType, steps[1:], fn,
+                                 full_path),
+            dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        if step.lower() == "key":
+            return T.MapType(
+                _transform_struct_at(dtype.keyType, steps[1:], fn,
+                                     full_path),
+                dtype.valueType, dtype.valueContainsNull)
+        if step.lower() == "value":
+            return T.MapType(
+                dtype.keyType,
+                _transform_struct_at(dtype.valueType, steps[1:], fn,
+                                     full_path),
+                dtype.valueContainsNull)
+        raise ValueError(
+            f"Cannot add or update '{full_path}': "
+            f"{dtype.simpleString()} is not a StructType — step into "
+            f"a map with 'key' or 'value'")
+    raise ValueError(
+        f"Cannot add or update '{full_path}': '{step}' is "
+        f"not a StructType ({dtype.simpleString()})")
+
+
 class StarTable:
     def __init__(self, spark: SparkSession, store: ManifestStore):
         self.spark = spark
@@ -825,35 +884,97 @@ class StarTable:
 
     # ---------- ALTER TABLE (commands/alterTableCommands.scala:58-374) ----------
 
-    def add_columns(self, columns: list[tuple[str, str]] | T.StructType) -> "StarTable":
+    @staticmethod
+    def _insert_at(fields: list, field, pos: str | None,
+                   where: str) -> list:
+        """Insert ``field`` into ``fields`` honoring an ADD/CHANGE
+        position: None (append), 'first', or 'after:<sibling>'."""
+        if pos is None:
+            return list(fields) + [field]
+        if pos.lower() == "first":
+            return [field] + list(fields)
+        if pos.lower().startswith("after:"):
+            anchor = pos[len("after:"):]
+            names = [f.name.lower() for f in fields]
+            if anchor.lower() not in names:
+                raise ValueError(
+                    f"Couldn't resolve positional argument AFTER {anchor} "
+                    f"for '{where}': missing field")
+            i = names.index(anchor.lower()) + 1
+            return list(fields[:i]) + [field] + list(fields[i:])
+        raise ValueError(f"invalid position '{pos}': expected 'first' or "
+                         f"'after:<column>'")
+
+    def add_columns(self, columns: list[tuple] | T.StructType,
+                    comments: dict[str, str] | None = None,
+                    positions: dict[str, str] | None = None) -> "StarTable":
         """ALTER TABLE ADD COLUMNS: new nullable columns appended to the
         stored schema; existing files simply lack them and the scan
-        fills nulls (file_exist_cols semantics)."""
+        fills nulls (file_exist_cols semantics — for NESTED additions
+        the parquet reader backfills missing struct fields natively).
+
+        Dotted names add INTO nested types
+        (AlterTableTests.scala:114-313): struct fields by name,
+        ``element`` steps into an array, ``key``/``value`` into a map —
+        e.g. ``("a.element.v3", "long")`` grows the struct inside
+        array column ``a``. ``comments`` maps column names to COMMENT
+        strings (AlterTableTests.scala:334-352); ``positions`` maps
+        them to ``"first"`` / ``"after:<col>"`` placements, applied in
+        order so a later column may anchor on an earlier one from the
+        same statement (AlterTableTests.scala:428-470)."""
         info = self.store.table_info(refresh=True)
         schema = T.StructType.fromJson(json.loads(info.schema_json))
         existing = {f.name.lower() for f in schema.fields}
-        new_fields = (columns.fields if isinstance(columns, T.StructType)
-                      else [T.StructField(n, _parse_dtype(d), True) for n, d in columns])
+        if isinstance(columns, T.StructType):
+            for f in columns.fields:
+                if not f.nullable:
+                    raise ValueError("added columns must be nullable "
+                                     "(existing files cannot backfill "
+                                     "values)")
+            new_fields = [(f.name, f.dataType) for f in columns.fields]
+        else:
+            new_fields = [(n, _parse_dtype(d) if isinstance(d, str) else d)
+                          for n, d in columns]
         dropped = set(filter(None, (info.configuration or {})
                              .get("dropped.columns", "").split(",")))
-        for f in new_fields:
-            if set(f.name) & set(" ,;{}()\n\t="):
+        comments = comments or {}
+        positions = positions or {}
+        for name, dtype in new_fields:
+            *parents, leaf = name.split(".")
+            if set(leaf) & set(" ,;{}()\n\t="):
                 raise ValueError(
-                    f"invalid column name '{f.name}': parquet field names "
-                    "may not contain \" ,;{}()\\n\\t=\" "
-                    "(SchemaUtils.scala:968-972)")
-            if f.name.lower() in existing:
-                raise ValueError(f"column '{f.name}' already exists")
-            if f.name.lower() in dropped:
-                raise ValueError(
-                    f"column '{f.name}' was dropped but un-compacted files "
-                    f"still hold its bytes (no column-id mapping) — run "
-                    f"compaction(force=True) first, then re-add")
-            if not f.nullable:
-                raise ValueError("added columns must be nullable "
-                                 "(existing files cannot backfill values)")
-            existing.add(f.name.lower())
-            schema = schema.add(f)
+                    f"column name '{leaf}' contains invalid character(s): "
+                    "parquet field names may not contain "
+                    "\" ,;{}()\\n\\t=\" (SchemaUtils.scala:968-972)")
+            meta = ({"comment": comments[name]}
+                    if name in comments else None)
+            field = T.StructField(leaf, dtype, True, meta)
+            pos = positions.get(name)
+            if not parents:
+                if leaf.lower() in existing:
+                    raise ValueError(f"column '{leaf}' already exists")
+                if leaf.lower() in dropped:
+                    raise ValueError(
+                        f"column '{leaf}' was dropped but un-compacted "
+                        f"files still hold its bytes (no column-id "
+                        f"mapping) — run compaction(force=True) first, "
+                        f"then re-add")
+                existing.add(leaf.lower())
+                schema = T.StructType(
+                    self._insert_at(schema.fields, field, pos, name))
+                continue
+
+            def fn(struct: T.StructType, _leaf=leaf, _field=field,
+                   _name=name, _pos=pos) -> T.StructType:
+                if any(f.name.lower() == _leaf.lower()
+                       for f in struct.fields):
+                    raise ValueError(
+                        f"column '{_name}' already exists in "
+                        f"{struct.simpleString()}")
+                return T.StructType(
+                    self._insert_at(struct.fields, _field, _pos, _name))
+
+            schema = _transform_struct_at(schema, parents, fn, name)
         info.schema_json = schema.json()
         self.store.update_table_info(info)
         return self
@@ -907,6 +1028,65 @@ class StarTable:
         cfg["dropped.columns"] = ",".join(
             sorted(set(filter(None, prev.split(","))) | marked))
         info.configuration = cfg
+        self.store.update_table_info(info)
+        return self
+
+    def change_column(self, name: str, comment: str | None = None,
+                      position: str | None = None) -> "StarTable":
+        """ALTER TABLE CHANGE COLUMN — the reference's supported forms
+        (AlterTableTests.scala:563-927): set a column COMMENT and/or
+        move it FIRST / AFTER another column, at any nesting depth
+        (dotted path; ``element`` / ``key`` / ``value`` step into
+        arrays and maps). Renames and type changes through CHANGE are
+        not supported, matching the reference (use
+        :meth:`rename_column` / :meth:`change_column_type`, which are
+        documented supersets). ``position``: ``"first"`` or
+        ``"after:<sibling>"``. Metadata-only — zero bytes rewritten;
+        scans project by name so a reorder is pure schema cosmetics."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        *parents, leaf = name.split(".")
+
+        def fn(struct: T.StructType) -> T.StructType:
+            by_lower = {f.name.lower(): f for f in struct.fields}
+            tgt = by_lower.get(leaf.lower())
+            if tgt is None:
+                raise ValueError(
+                    f"Cannot update missing field {name} in "
+                    f"{struct.simpleString()}")
+            if comment is not None:
+                tgt = T.StructField(
+                    tgt.name, tgt.dataType, tgt.nullable,
+                    {**(tgt.metadata or {}), "comment": comment})
+            rest = [f for f in struct.fields
+                    if f.name.lower() != leaf.lower()]
+            if position is None:
+                out = [tgt if f.name.lower() == leaf.lower() else f
+                       for f in struct.fields]
+            elif position.lower() == "first":
+                out = [tgt] + rest
+            elif position.lower().startswith("after:"):
+                anchor = position[len("after:"):]
+                if anchor.lower() == leaf.lower():
+                    out = [tgt if f.name.lower() == leaf.lower() else f
+                           for f in struct.fields]  # no-op move
+                else:
+                    names = [f.name.lower() for f in rest]
+                    if anchor.lower() not in names:
+                        raise ValueError(
+                            f"Couldn't resolve positional argument AFTER "
+                            f"{anchor}: missing field in "
+                            f"{struct.simpleString()}")
+                    i = names.index(anchor.lower()) + 1
+                    out = rest[:i] + [tgt] + rest[i:]
+            else:
+                raise ValueError(
+                    f"invalid position '{position}': expected 'first' or "
+                    f"'after:<column>'")
+            return T.StructType(out)
+
+        info.schema_json = _transform_struct_at(
+            schema, parents, fn, name).json()
         self.store.update_table_info(info)
         return self
 

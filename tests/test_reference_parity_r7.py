@@ -493,3 +493,219 @@ def test_upsert_duplicate_data_and_fields(spark, tmp_path):
                       + ", ".join(f"{c} int" for c in fs))
             table.upsert(spark.createDataFrame(rows, schema))
     _check(table, {k: tuple(v) for k, v in state.items()}, all_cols)
+
+
+# ---------- AlterTableTests (AlterTableTests.scala:95-1145) ----------
+#
+# Nested ADD COLUMNS (into struct / array element / map key / value),
+# CHANGE COLUMN comment + FIRST/AFTER positions, and the refusal matrix
+# (rename/type-change/complex-edit through CHANGE, duplicate names,
+# invalid names, non-struct parents, unknown move anchors).
+
+
+@pytest.fixture()
+def alter_tbl(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    df = (spark.createDataFrame([(1, "a"), (2, "b")], "v1 int, v2 string")
+          .withColumn("a", F.array(F.struct("v1")))
+          .withColumn("m", F.create_map(F.col("v1"), F.struct("v2")))
+          .withColumn("s", F.struct("v1", "v2")))
+    sess.create_table(df, str(tmp_path / "alter_t"), name="alter_t")
+    return sess
+
+
+def _schema_of(sess, name="alter_t"):
+    t = sess.table(name)
+    info = t.store.table_info(refresh=True)
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(info.schema_json))
+
+
+def test_add_columns_simple_sql(alter_tbl):
+    """'ADD COLUMNS - simple' (AlterTableTests.scala:95-112)."""
+    alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (v3 long, v4 double)")
+    sch = _schema_of(alter_tbl)
+    assert [f.name for f in sch.fields][-2:] == ["v3", "v4"]
+    rows = alter_tbl.table("alter_t").to_df() \
+        .select("v1", "v3", "v4").collect()
+    assert all(r["v3"] is None and r["v4"] is None for r in rows)
+    assert len(rows) == 2
+
+
+def test_add_columns_into_array(alter_tbl):
+    """'ADD COLUMNS into complex types - Array'
+    (AlterTableTests.scala:114-156): grow the struct inside an array,
+    a struct inside that, then a field inside THAT."""
+    alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (a.element.v3 long)")
+    alter_tbl.sql(
+        "ALTER TABLE alter_t ADD COLUMNS (a.element.v4 struct<f1:long>)")
+    alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (a.element.v4.f2 string)")
+    sch = _schema_of(alter_tbl)
+    elem = sch["a"].dataType.elementType
+    assert [f.name for f in elem.fields] == ["v1", "v3", "v4"]
+    assert [f.name for f in elem["v4"].dataType.fields] == ["f1", "f2"]
+    # old rows scan with nulls backfilled inside the array struct
+    row = alter_tbl.table("alter_t").to_df() \
+        .filter("v1 = 1").select("a").collect()[0]["a"][0]
+    assert row["v1"] == 1 and row["v3"] is None and row["v4"] is None
+
+
+def test_add_columns_into_map_value_and_key(alter_tbl):
+    """'ADD COLUMNS into complex types - Map with simple key/value'
+    (AlterTableTests.scala:157-239): value-struct adds work with a
+    simple key; adding into a BASIC key/value fails."""
+    alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (m.value.v5 long)")
+    sch = _schema_of(alter_tbl)
+    assert [f.name for f in sch["m"].dataType.valueType.fields] \
+        == ["v2", "v5"]
+    with pytest.raises(ValueError, match="not a StructType"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (m.key.x long)")
+    row = alter_tbl.table("alter_t").to_df() \
+        .filter("v1 = 1").select("m").collect()[0]["m"]
+    assert row[1]["v2"] == "a" and row[1]["v5"] is None
+
+
+def test_add_columns_map_or_array_without_step_fails(alter_tbl):
+    """'ADD COLUMNS into Map/Array should fail if key/value/element not
+    specified' (AlterTableTests.scala:286-313)."""
+    with pytest.raises(ValueError, match="not a StructType"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (m.x long)")
+    with pytest.raises(ValueError, match="not a StructType"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (a.x long)")
+
+
+def test_add_columns_with_comment(alter_tbl):
+    """'ADD COLUMNS - with a comment' (AlterTableTests.scala:334-352)."""
+    alter_tbl.sql(
+        "ALTER TABLE alter_t ADD COLUMNS (v3 long COMMENT 'new column')")
+    sch = _schema_of(alter_tbl)
+    assert sch["v3"].metadata.get("comment") == "new column"
+
+
+def test_add_columns_refusals(alter_tbl):
+    """'adding to a non-struct column' / 'a duplicate name (nested)' /
+    'an invalid column name (nested)' (AlterTableTests.scala:354-403)."""
+    with pytest.raises(ValueError) as e:
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (v2.x long)")
+    assert "not a StructType" in str(e.value)
+    with pytest.raises(ValueError, match="already exists"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (v2 long)")
+    with pytest.raises(ValueError, match="already exists"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (s.v2 long)")
+    with pytest.raises(ValueError, match="invalid character"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS "
+                      "(`a column name with spaces` long)")
+    with pytest.raises(ValueError, match="invalid character"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS "
+                      "(s.`a column name with spaces` long)")
+
+
+def test_change_column_comment(alter_tbl):
+    """'CHANGE COLUMN - add a comment' (+ nested,
+    AlterTableTests.scala:563-572,977-992)."""
+    alter_tbl.sql(
+        "ALTER TABLE alter_t CHANGE COLUMN v1 v1 integer COMMENT 'a comment'")
+    sch = _schema_of(alter_tbl)
+    assert sch["v1"].metadata.get("comment") == "a comment"
+    alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s.v1 v1 integer "
+                  "COMMENT 'nested comment'")
+    sch = _schema_of(alter_tbl)
+    assert sch["s"].dataType["v1"].metadata.get("comment") \
+        == "nested comment"
+
+
+def test_change_column_positions(alter_tbl):
+    """'CHANGE COLUMN - move to first / after some column / after the
+    same column' (AlterTableTests.scala:691-866), data unchanged."""
+    before = {r["v1"]: r["v2"]
+              for r in alter_tbl.table("alter_t").to_df().collect()}
+    alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN v2 v2 string FIRST")
+    assert [f.name for f in _schema_of(alter_tbl).fields][:2] == ["v2", "v1"]
+    alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN v2 v2 string AFTER v1")
+    assert [f.name for f in _schema_of(alter_tbl).fields][:2] == ["v1", "v2"]
+    # nested move
+    alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s.v2 v2 string FIRST")
+    assert [f.name for f in _schema_of(alter_tbl)["s"].dataType.fields] \
+        == ["v2", "v1"]
+    after = {r["v1"]: r["v2"]
+             for r in alter_tbl.table("alter_t").to_df().collect()}
+    assert after == before
+
+
+def test_change_column_refusals(alter_tbl):
+    """'change name' / 'incompatible' (+nested) / 'complex types not
+    supported' / 'move unknown column'
+    (AlterTableTests.scala:662-689,994-1045)."""
+    with pytest.raises(ValueError, match="not supported"):
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN v2 v3 string")
+    with pytest.raises(ValueError) as e:
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN v1 v1 long")
+    assert "'v1' with type 'IntegerType (nullable = true)'" in str(e.value)
+    assert "'v1' with type 'LongType (nullable = true)'" in str(e.value)
+    with pytest.raises(ValueError) as e:
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s.v1 v1 long")
+    assert "'s.v1' with type 'IntegerType (nullable = true)'" in str(e.value)
+    with pytest.raises(ValueError, match="not supported"):
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s s "
+                      "STRUCT<v1:int, v2:string, sv3:long>")
+    with pytest.raises(ValueError, match="not supported"):
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s s STRUCT<v1:int>")
+    with pytest.raises(ValueError, match="Cannot update missing field"):
+        alter_tbl.sql(
+            "ALTER TABLE alter_t CHANGE COLUMN unknown unknown string FIRST")
+    with pytest.raises(ValueError, match="Cannot update missing field"):
+        alter_tbl.sql("ALTER TABLE alter_t CHANGE COLUMN s.unknown unknown "
+                      "string FIRST")
+    with pytest.raises(ValueError, match="missing field"):
+        alter_tbl.sql(
+            "ALTER TABLE alter_t CHANGE COLUMN v1 v1 integer AFTER unknown")
+
+
+def test_add_columns_case_insensitive_duplicate(alter_tbl):
+    """'ADD COLUMNS - case insensitive' (AlterTableTests.scala:532-545):
+    adding V1 over existing v1 is a duplicate, not a new column."""
+    with pytest.raises(ValueError, match="already exists"):
+        alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS (V1 long)")
+
+
+def test_nested_add_then_write_and_merge_read(spark, tmp_path):
+    """End-to-end nested evolution: old files (pre-ALTER) and new files
+    (post-ALTER, carrying the nested field) merge in one scan with
+    nulls backfilled only where the bytes are genuinely absent."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import StarTable, create_table
+
+    path = str(tmp_path / "t")
+    df = (spark.createDataFrame([(1,), (2,)], "k int")
+          .withColumn("payload", F.struct(F.col("k").alias("x"))))
+    t = create_table(spark, df, path,
+                     configuration={"compaction.auto": "false"})
+    t.add_columns([("payload.y", "long")])
+    new = (spark.createDataFrame([(3, 30)], "k int, yv long")
+           .select("k", F.struct(F.col("k").alias("x"),
+                                 F.col("yv").alias("y")).alias("payload")))
+    t.write(new, mode="append")
+    rows = {r["k"]: r["payload"]
+            for r in t.to_df().select("k", "payload").collect()}
+    assert rows[1]["x"] == 1 and rows[1]["y"] is None
+    assert rows[3]["x"] == 3 and rows[3]["y"] == 30
+
+
+def test_add_columns_with_positions(alter_tbl):
+    """'ADD COLUMNS - with positions' (+ using an added column,
+    AlterTableTests.scala:428-470): FIRST / AFTER placements, including
+    anchoring on a column added earlier in the same statement."""
+    alter_tbl.sql("ALTER TABLE alter_t ADD COLUMNS "
+                  "(v3 long FIRST, v4 long AFTER v3, v5 long)")
+    names = [f.name for f in _schema_of(alter_tbl).fields]
+    assert names[:3] == ["v3", "v4", "v1"]
+    assert names[-1] == "v5"
+    with pytest.raises(ValueError, match="AFTER unknown"):
+        alter_tbl.sql(
+            "ALTER TABLE alter_t ADD COLUMNS (v6 long AFTER unknown)")

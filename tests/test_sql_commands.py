@@ -132,10 +132,13 @@ def test_non_star_statements_fall_through(spark, sess):
 def test_bad_clauses_raise(sess, orders_tbl, tmp_path):
     with pytest.raises(ValueError, match="SET"):
         sess.sql("UPDATE orders_t SET broken")
-    with pytest.raises(ValueError, match="LOCATION"):
-        sess.sql("CREATE TABLE t2 USING star AS SELECT 1")
+    # CTAS without LOCATION defaults to the warehouse (DDL parity since
+    # the path-identifier port) — it creates, it no longer raises
+    sess.sql("CREATE TABLE t2 USING star AS SELECT 1 AS one")
+    assert sess.sql("SELECT * FROM t2").collect()[0]["one"] == 1
+    # LOCATION with neither AS SELECT nor a column list is still invalid
     with pytest.raises(ValueError, match="CTAS"):
-        sess.sql(f"CREATE TABLE t2 USING star LOCATION '{tmp_path}/t2'")
+        sess.sql(f"CREATE TABLE t4 USING star LOCATION '{tmp_path}/t4'")
 
 
 def test_show_describe_compact_vacuum(spark, sess, orders_tbl, sf_dir):
