@@ -205,7 +205,8 @@ _INVARIANT_MSG_RE = re.compile(
     r"|generated column[^\n\"]*)")
 
 
-def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
+def _invariant_guard(df: DataFrame, info: TableInfo,
+                     is_base: bool = False) -> DataFrame:
     """Enforce NOT NULL primary keys + CHECK-expression invariants
     inline, during the write pass itself — the reference wraps the write
     plan in a validating physical node (InvariantCheckerExec.scala:33-107)
@@ -224,6 +225,38 @@ def _invariant_guard(df: DataFrame, info: TableInfo) -> DataFrame:
         conds.append((F.col(c).isNull(),
                       f"NOT NULL invariant violated on partition/hash column '{c}' "
                       f"of {info.range_cols + info.hash_cols}"))
+    # declared NOT NULL columns (reference DDLSuite.scala:58-199:
+    # CREATE TABLE (b STRING NOT NULL) + a null write must fail).
+    # Tombstone delta rows legitimately carry nulls in non-key columns,
+    # so the guard exempts them.
+    try:
+        declared = T.StructType.fromJson(json.loads(info.schema_json))
+    except Exception:
+        declared = T.StructType([])
+    from starlake_spark.operators.reader import TOMBSTONE_COL
+
+    keyed = {c.lower() for c in info.range_cols + info.hash_cols}
+    tomb = (F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            if TOMBSTONE_COL in df.columns else F.lit(False))
+    have = {f.name.lower(): f.dataType for f in df.schema.fields}
+    for f in declared.fields:
+        if f.nullable or f.name.lower() in keyed:
+            continue
+        src_t = have.get(f.name.lower())
+        if src_t is None or isinstance(src_t, T.NullType):
+            # absent (or all-NULL VALUES literal, which the writer drops
+            # as NullType) in a BASE write = every row violates — fail
+            # at plan time. Delta/upsert writes legitimately omit
+            # columns (absent = keep existing under MoR), so only base
+            # writes enforce presence.
+            if is_base:
+                raise ValueError(
+                    f"NOT NULL invariant violated on column '{f.name}': "
+                    f"the write provides no values for it")
+            continue
+        conds.append((F.col(f.name).isNull() & ~tomb,
+                      f"NOT NULL invariant violated on column "
+                      f"'{f.name}'"))
     for k, expr in sorted((info.configuration or {}).items()):
         if k.startswith(CHECK_PREFIX):
             conds.append((~F.coalesce(F.expr(expr), F.lit(False)),
@@ -394,7 +427,7 @@ def write_files(
     if _is_statically_empty(df):
         return []  # schema-only commit: no rows, no job, no files
     if check_invariants:
-        df = _invariant_guard(df, info)
+        df = _invariant_guard(df, info, is_base=is_base)
 
     if sort_columns:
         if info.hash_cols:

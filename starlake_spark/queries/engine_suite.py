@@ -2186,3 +2186,56 @@ FROM orders ORDER BY o_orderkey
 """
 
 ENGINE_QUERIES["star_copy_into"] = (star_copy_into, COPY_INTO_ORACLE)
+
+
+def star_nested_schema_evolution(spark, sf_dir):
+    """Nested ALTER TABLE evolution end-to-end (reference
+    AlterTableTests.scala:95-470): a table whose ``meta`` struct column
+    is grown by ``ADD COLUMNS (meta.score double)`` — plus a positioned
+    top-level add and a CHANGE COLUMN comment/reorder — then appended
+    to with rows that CARRY the new nested field. The scan must merge
+    pre-ALTER files (nested field backfilled null — a cast would throw
+    on the struct arity) with post-ALTER files, and the metadata-only
+    reorder must not disturb values. Oracle replays the union in SQL."""
+    from starlake_spark.sql import StarSession
+
+    o = ld(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "nested_alter")
+    create_table(
+        spark,
+        o.withColumn("meta", F.struct(F.col("o_orderstatus").alias("st"))),
+        path, configuration={"compaction.auto": "false"})
+    ss = StarSession(spark)
+    ss.sql(f"ALTER TABLE star.`{path}` ADD COLUMNS "
+           f"(meta.score double, grade string AFTER o_orderkey)")
+    ss.sql(f"ALTER TABLE star.`{path}` CHANGE COLUMN grade grade string "
+           f"COMMENT 'letter grade' FIRST")
+    extra = (o.filter("o_orderkey % 50 = 0")
+             .withColumn("o_orderkey", F.col("o_orderkey") + 90000000)
+             .withColumn("meta", F.struct(
+                 F.col("o_orderstatus").alias("st"),
+                 (F.col("o_totalprice") / 100).alias("score")))
+             .withColumn("grade", F.lit("A")))
+    StarTable.for_path(spark, path).write(extra, mode="append")
+    return ss.sql(
+        f"SELECT grade, meta.st AS st, count(*) AS n, "
+        f"round(sum(coalesce(meta.score, -1.0)), 2) AS score_sum "
+        f"FROM star.`{path}` GROUP BY grade, meta.st "
+        f"ORDER BY grade, st")
+
+
+NESTED_EVOLUTION_ORACLE = """
+WITH base AS (
+  SELECT CAST(NULL AS VARCHAR) AS grade, o_orderstatus AS st,
+         -1.0 AS score
+  FROM orders
+), extra AS (
+  SELECT 'A' AS grade, o_orderstatus AS st, o_totalprice / 100 AS score
+  FROM orders WHERE o_orderkey % 50 = 0
+), all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+SELECT grade, st, count(*) AS n, round(sum(score), 2) AS score_sum
+FROM all_rows GROUP BY grade, st ORDER BY grade, st
+"""
+
+ENGINE_QUERIES["star_nested_schema_evolution"] = (
+    star_nested_schema_evolution, NESTED_EVOLUTION_ORACLE)

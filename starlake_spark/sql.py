@@ -226,6 +226,19 @@ _ALTER_SETDEFAULT_RE = re.compile(
     r"`?(?P<col>\w+)`?\s+SET\s+DEFAULT\s+(?P<expr>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# nullability ALTERs (reference DDLSuite.scala:111-170): relaxing
+# NOT NULL -> nullable is safe and supported; tightening is refused
+# (existing files cannot be revalidated cheaply)
+_ALTER_DROPNOTNULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?:ALTER|CHANGE)\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+DROP\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SETNOTNULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+(?:ALTER|CHANGE)\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+SET\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
 _ALTER_DROPDEFAULT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
     r"`?(?P<col>\w+)`?\s+DROP\s+DEFAULT\s*$",
@@ -846,6 +859,21 @@ class StarSession:
         if m and self._known(m["name"]):
             self.table(m["name"]).drop_constraint(m["cname"])
             return self._empty_df()
+
+        m = _ALTER_DROPNOTNULL_RE.match(text)
+        if m and self._known(m["name"]):
+            self.table(m["name"]).relax_nullability(m["col"])
+            return self._empty_df()
+
+        m = _ALTER_SETNOTNULL_RE.match(text)
+        if m and self._known(m["name"]):
+            # reference DDLSuite.scala:111-134: nullable -> NOT NULL is
+            # not supported (existing files may already hold nulls, and
+            # proving otherwise means a full validation scan)
+            raise ValueError(
+                f"ALTER COLUMN {m['col']} SET NOT NULL is not supported: "
+                "tightening nullability cannot be enforced on existing "
+                "files without a full scan (DDLSuite.scala:111-134)")
 
         m = _ALTER_SETDEFAULT_RE.match(text)
         if m and self._known(m["name"]):

@@ -1031,6 +1031,33 @@ class StarTable:
         self.store.update_table_info(info)
         return self
 
+    def relax_nullability(self, name: str) -> "StarTable":
+        """ALTER COLUMN ... DROP NOT NULL (reference
+        DDLSuite.scala:136-170): relaxing NOT NULL → nullable is always
+        safe (every existing value satisfies the weaker contract);
+        subsequent writes stop enforcing the invariant. The opposite
+        direction is refused at the SQL layer. Dotted paths relax a
+        nested struct field."""
+        info = self.store.table_info(refresh=True)
+        schema = T.StructType.fromJson(json.loads(info.schema_json))
+        *parents, leaf = name.split(".")
+
+        def fn(struct: T.StructType) -> T.StructType:
+            if not any(f.name.lower() == leaf.lower()
+                       for f in struct.fields):
+                raise ValueError(
+                    f"Cannot update missing field {name} in "
+                    f"{struct.simpleString()}")
+            return T.StructType([
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                if f.name.lower() == leaf.lower() else f
+                for f in struct.fields])
+
+        info.schema_json = _transform_struct_at(
+            schema, parents, fn, name).json()
+        self.store.update_table_info(info)
+        return self
+
     def change_column(self, name: str, comment: str | None = None,
                       position: str | None = None) -> "StarTable":
         """ALTER TABLE CHANGE COLUMN — the reference's supported forms

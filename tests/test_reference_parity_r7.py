@@ -709,3 +709,52 @@ def test_add_columns_with_positions(alter_tbl):
     with pytest.raises(ValueError, match="AFTER unknown"):
         alter_tbl.sql(
             "ALTER TABLE alter_t ADD COLUMNS (v6 long AFTER unknown)")
+
+
+# ---------- DDLSuite nullability (DDLSuite.scala:58-199) ----------
+
+
+def test_not_null_create_and_write_violation(spark, tmp_path):
+    """'create table with NOT NULL - check violation through file
+    writing' + 'through SQL' (DDLSuite.scala:58-199)."""
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE nn_t (a LONG, b STRING NOT NULL) USING star")
+    t = sess.table("nn_t")
+    t.write(spark.createDataFrame([(1, "x")], "a long, b string"),
+            mode="append")
+    with pytest.raises(Exception, match="NOT NULL invariant"):
+        t.write(spark.createDataFrame([(2, None)], "a long, b string"),
+                mode="append")
+    with pytest.raises(Exception, match="NOT NULL invariant"):
+        sess.sql("INSERT INTO nn_t VALUES (3, NULL)")
+    rows = t.to_df().collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x")]
+
+
+def test_not_null_nullability_alters(spark, tmp_path):
+    """'ALTER TABLE CHANGE COLUMN from NOT NULL to nullable' is
+    supported; the tightening direction and NOT NULL adds are refused
+    (DDLSuite.scala:87-170)."""
+    from starlake_spark.sql import StarSession
+    from pyspark.sql import types as T
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE nn_u (a LONG NOT NULL, b STRING) USING star")
+    t = sess.table("nn_u")
+    # NOT NULL adds refused (DDLSuite.scala:87-110)
+    with pytest.raises(ValueError, match="must be nullable"):
+        t.add_columns(T.StructType([T.StructField("c", T.LongType(),
+                                                  False)]))
+    # nullable -> NOT NULL refused (DDLSuite.scala:111-134)
+    with pytest.raises(ValueError, match="not supported"):
+        sess.sql("ALTER TABLE nn_u ALTER COLUMN b SET NOT NULL")
+    # NOT NULL -> nullable supported (DDLSuite.scala:136-170)
+    with pytest.raises(Exception, match="NOT NULL invariant"):
+        t.write(spark.createDataFrame([(None, "x")], "a long, b string"),
+                mode="append")
+    sess.sql("ALTER TABLE nn_u ALTER COLUMN a DROP NOT NULL")
+    t.write(spark.createDataFrame([(None, "x")], "a long, b string"),
+            mode="append")
+    assert t.to_df().count() == 1
