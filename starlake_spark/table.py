@@ -117,7 +117,26 @@ class StarTable:
 
     @staticmethod
     def for_name(spark: SparkSession, name: str, warehouse: str | None = None) -> "StarTable":
-        return StarTable.for_path(spark, catalog.resolve(name, warehouse))
+        """Resolve a SHORT TABLE NAME from the star catalog (reference
+        StarTable.forName, tables/StarTable.scala + StarTableSuite
+        'forName' cases): names that exist only as Spark-catalog tables
+        or temp views, or ``star.`path``` identifiers (forPath's job),
+        are refused with the reference's 'not an Star table' shape
+        rather than a bare lookup miss."""
+        try:
+            return StarTable.for_path(spark, catalog.resolve(name, warehouse))
+        except KeyError:
+            looks_like_path = re.match(r"^star\.`.*`$", name, re.IGNORECASE)
+            try:
+                known_to_spark = spark.catalog.tableExists(name)
+            except Exception:
+                known_to_spark = False
+            if looks_like_path or known_to_spark:
+                raise ValueError(
+                    f"{name} is not an Star table "
+                    f"(StarTableSuite.scala:59-95: forName takes short "
+                    f"table names only — use forPath for paths)")
+            raise KeyError(f"unknown table name '{name}'")
 
     @staticmethod
     def is_star_table(path: str) -> bool:

@@ -758,3 +758,40 @@ def test_not_null_nullability_alters(spark, tmp_path):
     t.write(spark.createDataFrame([(None, "x")], "a long, b string"),
             mode="append")
     assert t.to_df().count() == 1
+
+
+# ---------- StarTableSuite (tables/StarTableSuite.scala:30-120) ----------
+
+
+def test_startable_forname_refusals(spark, tmp_path):
+    """forName on a Spark-catalog (non-star) table, a temp view, or a
+    star.`path` identifier refuses with 'not an Star table'
+    (StarTableSuite.scala:59-95); forPath + alias + isStarTable round
+    out the surface (:30-41, :97-119)."""
+    from starlake_spark.table import StarTable, create_table
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(5)],
+                               "key int, value string")
+    path = str(tmp_path / "st")
+    create_table(spark, df, path)
+    # forPath + as/alias
+    t = StarTable.for_path(spark, path)
+    got = t.alias("tbl").select("tbl.value").collect()
+    assert sorted(r["value"] for r in got) == [str(i) for i in range(5)]
+    # isStarTable on a star path; false on a plain parquet dir
+    assert StarTable.is_star_table(path)
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    assert not StarTable.is_star_table(plain)
+    # temp view name -> refused
+    spark.read.parquet(plain).createOrReplaceTempView("viewOnTable")
+    with pytest.raises(ValueError, match="not an Star table"):
+        StarTable.for_name(spark, "viewOnTable",
+                           str(tmp_path / "wh"))
+    spark.catalog.dropTempView("viewOnTable")
+    # star.`path` identifier -> refused (forPath's job)
+    with pytest.raises(ValueError, match="not an Star table"):
+        StarTable.for_name(spark, f"star.`{path}`", str(tmp_path / "wh"))
+    # truly unknown names keep the plain lookup error
+    with pytest.raises(KeyError, match="unknown table name"):
+        StarTable.for_name(spark, "no_such", str(tmp_path / "wh"))
