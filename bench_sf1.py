@@ -67,11 +67,58 @@ def build(spark):
         for d in parts[1:]:
             out = out.unionByName(d)
         out.write.mode("overwrite").parquet(dst)
-    # docs/embeddings not needed for the TPC-H set; symlink for ld()
-    for tbl in ("documents", "embeddings"):
-        dst = os.path.join(OUT, f"{tbl}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(f"{SRC}/{tbl}.parquet", dst)
+    # documents: 10 replicas with shifted doc_ids; text gets a
+    # replica-specific filler suffix ~half the original token count so
+    # cross-replica Jaccard lands ~0.5 — well under the dedup
+    # thresholds — and replicas are NOT near-duplicates of each other
+    # (pure text copies would collapse the sf1 corpus back to sf0.1
+    # after dedup and turn every LSH band into a 10-way collision)
+    dst = os.path.join(OUT, "documents.parquet")
+    if os.path.islink(dst):
+        os.unlink(dst)  # upgrade older symlink-only builds
+    if not os.path.exists(dst):
+        base = spark.read.parquet(f"{SRC}/documents.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            filler = F.concat_ws(" ", F.array_repeat(
+                F.lit(f"r{r}tok"),
+                F.greatest(F.lit(1),
+                           (F.size(F.split(F.col("text"), r"\s+")) / 2)
+                           .cast("int"))))
+            parts.append(
+                base.withColumn("doc_id",
+                                (F.col("doc_id") + r * 10_000_000)
+                                .cast(dict(base.dtypes)["doc_id"]))
+                    .withColumn("text",
+                                F.concat_ws(" ", F.col("text"), filler))
+                    .withColumn("n_chars", F.length("text")))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        out.write.mode("overwrite").parquet(dst)
+    # embeddings: shifted vec_ids; one dimension nudged per replica so
+    # vectors aren't bit-identical across replicas (ties would make
+    # top-k nondeterministic and recall contracts vacuous)
+    dst = os.path.join(OUT, "embeddings.parquet")
+    if os.path.islink(dst):
+        os.unlink(dst)
+    if not os.path.exists(dst):
+        base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            parts.append(
+                base.withColumn("vec_id",
+                                (F.col("vec_id") + r * 10_000_000)
+                                .cast(dict(base.dtypes)["vec_id"]))
+                    .withColumn("embedding", F.transform(
+                        "embedding",
+                        lambda x, i: x + F.when(i == 0,
+                                                F.lit(r * 1e-3))
+                        .otherwise(F.lit(0.0)))))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        out.write.mode("overwrite").parquet(dst)
 
 
 def main():
@@ -86,6 +133,18 @@ def main():
 
     qs = entry.queries()
     tpch = sorted(n for n in qs if n.startswith("q"))
+    # scale-sensitive LLM-pipeline + DML representatives (round-7):
+    # banded dedup, brute vs IVF ANN (the IVF ratio should be well
+    # UNDER the 10× data ratio — manifest-pruned probes), text battery
+    # folds, index build, and the MoR upsert/ingest DML paths
+    extra = [n for n in (
+        "docs_dedup_exact", "docs_minhash_dedup", "docs_token_stats",
+        "docs_quality", "docs_text_index_build", "docs_dedup_components",
+        "ann_cosine_topk", "ann_ivf_build", "ann_ivf_topk",
+        "embeddings_semantic_dedup", "star_upsert_mor",
+        "star_ingest_dedup",
+    ) if n in qs]
+    tpch = tpch + extra
     # calibration probe: normalizes cross-epoch comparisons
     import numpy as np
     c0 = time.time()
