@@ -96,9 +96,13 @@ def build(spark):
         for d in parts[1:]:
             out = out.unionByName(d)
         out.write.mode("overwrite").parquet(dst)
-    # embeddings: shifted vec_ids; one dimension nudged per replica so
-    # vectors aren't bit-identical across replicas (ties would make
-    # top-k nondeterministic and recall contracts vacuous)
+    # embeddings: shifted vec_ids; each replica's vector is the
+    # original CIRCULARLY SHIFTED by r positions — norm-preserving and
+    # decorrelating (random vectors' rotations are near-orthogonal), so
+    # the sf1 corpus is a genuine 10× population rather than 10-way
+    # near-identical groups (a per-dimension nudge left cosine ≈ 1
+    # across replicas, which collapsed under semantic dedup and made
+    # every ANN cell degenerate)
     dst = os.path.join(OUT, "embeddings.parquet")
     if os.path.islink(dst):
         os.unlink(dst)
@@ -106,15 +110,17 @@ def build(spark):
         base = spark.read.parquet(f"{SRC}/embeddings.parquet")
         parts = []
         for r in range(REPLICAS):
-            parts.append(
-                base.withColumn("vec_id",
+            d = base.withColumn("vec_id",
                                 (F.col("vec_id") + r * 10_000_000)
                                 .cast(dict(base.dtypes)["vec_id"]))
-                    .withColumn("embedding", F.transform(
-                        "embedding",
-                        lambda x, i: x + F.when(i == 0,
-                                                F.lit(r * 1e-3))
-                        .otherwise(F.lit(0.0)))))
+            if r:
+                sz = F.size("embedding")
+                d = d.withColumn(
+                    "embedding",
+                    F.concat(F.slice(F.col("embedding"), r + 1,
+                                     (sz - F.lit(r)).cast("int")),
+                             F.slice(F.col("embedding"), 1, r)))
+            parts.append(d)
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d)

@@ -51,6 +51,7 @@ def cosine_pairs_broadcast(
     vec_col_small: str = "_va",
     vec_col_corpus: str = "_vb",
     require_lt: bool = True,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold between a SMALL side and a corpus.
 
@@ -63,7 +64,10 @@ def cosine_pairs_broadcast(
     arbitrarily large corpora as long as the sampled side stays
     broadcastable (use the LSH path when both sides are huge).
     ``require_lt`` keeps pairs with id_a < id_b (dedup semantics);
-    False keeps all (query × corpus, minus self) pairs."""
+    False keeps all (query × corpus) pairs, minus equal-id ones unless
+    ``exclude_same_id=False`` (the two sides may live in UNRELATED id
+    spaces — decontamination must not skip a corpus row that happens to
+    share an eval row's id)."""
     a_pd = small.select(small_id, vec_col_small).toPandas()
     a_ids = a_pd[small_id].to_numpy()
     A = np.vstack(a_pd[vec_col_small].values).astype(np.float64)
@@ -90,7 +94,7 @@ def cosine_pairs_broadcast(
             hit = sims >= threshold
             if require_lt:
                 hit &= ids_a[None, :] < b_ids[:, None]
-            else:
+            elif exclude_same_id:
                 hit &= ids_a[None, :] != b_ids[:, None]
             bi, ai = np.nonzero(hit)
             if len(bi):
@@ -684,6 +688,14 @@ def semantic_dedup(
         # estimate rows from the optimizer's plan statistics (file sizes
         # for parquet/star scans — zero jobs). nlist only tunes cell
         # granularity; correctness is independent of the estimate.
+        # nlist ∝ rows keeps CELL SIZE (~50) constant: intra-cell pair
+        # work then scales linearly with the corpus and recall quality
+        # (how often a near-dup pair straddles a cell boundary) stays
+        # fixed across scales. Assignment costs N*nlist — quadratic in
+        # principle, but measured ~100× cheaper per op than a pair
+        # evaluation (codegen dot products vs a shuffled pair join), so
+        # on real corpora the pair term dominates until extreme N;
+        # past that, pass nlist explicitly or raise max_cell.
         nlist = max(4, _approx_row_count(df) // 50)
     cents = kmeans_centroids(df, nlist=nlist, iters=iters,
                              id_col=id_col, vec_col=vec_col)
@@ -1305,3 +1317,45 @@ def topic_clusters(
                      .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_cos"))
             .orderBy("cluster_id"))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram ``dedup.decontaminate``: drop corpus rows
+    whose cosine similarity to ANY eval/benchmark vector reaches
+    ``threshold`` (paraphrased or re-tokenized eval leakage that shares
+    no exact shingles still lands next to its source in embedding
+    space). Returns the KEPT corpus rows.
+
+    Scale posture: eval sets are tiny next to a training corpus — the
+    eval side broadcasts as one normalized numpy matrix and the corpus
+    streams through ``cosine_pairs_broadcast``'s Arrow kernel (one
+    (batch × dim) @ (dim × n_eval) matmul per batch). Nothing quadratic
+    leaves an executor, the corpus is never collected, and the
+    hit-id anti-join broadcasts (hits ⊆ corpus rows near an eval
+    vector — a sliver). Zero-norm vectors score cosine 0.0 on both
+    sides, matching the ``cosine`` Column expression.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    small = eval_df.select(
+        F.col(eval_id_col).alias("_eid"),
+        _as_double(F.col(eval_vec_col)).alias("_va"))
+    big = corpus.select(
+        F.col(id_col).alias("_cid"),
+        _as_double(F.col(vec_col)).alias("_vb"))
+    hits = cosine_pairs_broadcast(
+        small, big, threshold, small_id="_eid", corpus_id="_cid",
+        vec_col_small="_va", vec_col_corpus="_vb", require_lt=False,
+        exclude_same_id=False,  # unrelated id spaces: an eval row's id
+        # coinciding with a corpus id must not exempt that corpus row
+    ).select(F.col("_cid").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

@@ -2068,6 +2068,47 @@ ORDER BY id_a
 """
 
 
+def embeddings_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination contract
+    (sim.semantic_decontaminate): the eval set is every vec_id % 17
+    vector; the corpus is the full table PLUS a planted scaled copy
+    (x1.7 — cosine is scale-invariant, so similarity to its source is
+    exactly 1.0) of each nonzero-norm eval vector at +PLANT_ID. At
+    threshold 0.99 the kept set must drop exactly (a) nonzero-norm eval
+    members themselves (self-match, even though their corpus ids EQUAL
+    their eval ids — unrelated id spaces must not exempt them) and
+    (b) every planted copy; zero-norm eval vectors score cosine 0.0
+    against everything and stay, and the synthetic corpus's max natural
+    pair cosine (~0.52) never reaches the threshold. The oracle
+    predicts the surviving id set exactly — granularity-free."""
+    e = ld(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 17 == 0)
+    planted = (
+        ev.filter(sim.norm(F.col("embedding").cast("array<double>")) > 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_ID))
+        .withColumn("embedding",
+                    F.transform("embedding", lambda x: x * F.lit(1.7))))
+    corpus = e.unionByName(planted)
+    kept = sim.semantic_decontaminate(corpus, ev, id_col="vec_id",
+                                      vec_col="embedding", threshold=0.99)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+EMB_SEMANTIC_DECON_SQL = f"""
+WITH normed AS (
+  SELECT vec_id,
+         sqrt(list_reduce([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding], (a,b) -> a+b)) AS nrm
+  FROM embeddings
+), corpus AS (
+  SELECT vec_id, nrm, (vec_id % 17 = 0) AS is_eval FROM normed
+  UNION ALL
+  SELECT vec_id + {PLANT_ID} AS vec_id, nrm, TRUE AS is_eval
+  FROM normed WHERE vec_id % 17 = 0 AND nrm > 0
+)
+SELECT vec_id FROM corpus WHERE NOT (is_eval AND nrm > 0) ORDER BY vec_id
+"""
+
+
 SPAN_K = 8
 
 
@@ -2553,6 +2594,8 @@ LLM_QUERIES = {
     "docs_gopher_filter": (docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_boilerplate": (docs_boilerplate, DOCS_BOILERPLATE_SQL),
     "embeddings_semantic_dedup": (embeddings_semantic_dedup, EMB_SEMANTIC_SQL),
+    "embeddings_semantic_decontaminate": (embeddings_semantic_decontaminate,
+                                          EMB_SEMANTIC_DECON_SQL),
     "docs_substring_spans": (docs_substring_spans, DOCS_SUBSTRING_SQL),
     "docs_unigram_perplexity": (docs_unigram_perplexity, DOCS_PPL_SQL),
     "docs_bigram_perplexity": (docs_bigram_perplexity, DOCS_BIGRAM_PPL_SQL),

@@ -916,3 +916,26 @@ def test_bpe_randomized_vs_python_reference(spark):
             exp = _py_greedy_bpe(text, merges)
             assert got[did] == exp, (trial, did, text, merges,
                                      got[did], exp)
+
+
+def test_semantic_decontaminate_contract(spark):
+    """semantic_decontaminate drops exactly the corpus rows within
+    `threshold` cosine of an eval vector: exact copies under DIFFERENT
+    ids, scaled copies (cosine is scale-invariant), and eval members
+    sharing the SAME id as a corpus row (unrelated id spaces must not
+    exempt them); orthogonal and zero-norm rows survive."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),    # == eval id 1's vector, same id
+         (2, [0.0, 1.0, 0.0]),    # orthogonal -> kept
+         (3, [2.5, 0.0, 0.0]),    # scaled copy of eval -> dropped
+         (4, [0.0, 0.0, 0.0]),    # zero norm -> cosine 0 -> kept
+         (5, [0.7, 0.7, 0.0])],   # cos 0.707 < 0.99 -> kept
+        "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),    # id COLLIDES with corpus row 1
+         (9, [0.0, 0.0, 0.0])],   # zero-norm eval matches nothing
+        "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in
+                  sim.semantic_decontaminate(corpus, ev, threshold=0.99)
+                  .collect())
+    assert kept == [2, 4, 5]
