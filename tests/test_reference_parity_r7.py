@@ -795,3 +795,88 @@ def test_startable_forname_refusals(spark, tmp_path):
     # truly unknown names keep the plain lookup error
     with pytest.raises(KeyError, match="unknown table name"):
         StarTable.for_name(spark, "no_such", str(tmp_path / "wh"))
+
+
+# ---------- DataOperationSuite (meta/DataOperationSuite.scala:50-147) ----------
+
+
+def test_mvcc_visibility_at_version_boundaries(tmp_path):
+    """'write and read data info': file visibility obeys
+    write_version <= read_version < expire_version — snapshot(1) serves
+    only file1, snapshot(2) both, snapshot(3) only the replacement."""
+    store = _store(tmp_path)
+    f1, f2, f3 = (_file(store, "", n) for n in ("file1", "file2", "file3"))
+    for f in (f1, f2):
+        txn = store.new_transaction()
+        txn.add_files([f])
+        store.commit(txn)
+    txn = store.new_transaction()
+    txn.add_files([f3])
+    txn.expire_files([f1.path, f2.path])
+    store.commit(txn)
+
+    def paths(v):
+        return sorted(os.path.basename(f.path)
+                      for f in store.snapshot(v).all_files())
+
+    assert paths(1) == ["file1.parquet"]
+    assert paths(2) == ["file1.parquet", "file2.parquet"]
+    assert paths(3) == ["file3.parquet"]
+    # write_versions stamped per commit (the MoR collapse ordering key)
+    by_name = {os.path.basename(f.path): f.write_version
+               for f in store.snapshot(2).all_files()}
+    assert by_name == {"file1.parquet": 1, "file2.parquet": 2}
+
+
+# ---------- ShuffleJoinSuite (manual_execute_suites) ----------
+
+
+def test_mor_join_adds_no_exchange_beyond_collapse(spark, tmp_path):
+    """ShuffleJoinSuite analog: two hash tables, each base + one
+    partial-column upsert, joined on the hash key. The reference's
+    bucket-reporting scan plans zero Exchange/Sort; the DataFrame
+    translation pays exactly the per-side MoR collapse shuffles and the
+    JOIN must add NO further exchange (both collapses land on the same
+    hashpartitioning, which also satisfies the SMJ). The materialized
+    to_bucketed_table path (star_bucketed_join, plan-pinned elsewhere)
+    removes even the collapse shuffles. Results must equal the
+    last-wins composition."""
+    import random
+
+    from starlake_spark.table import StarTable, create_table
+
+    rng = random.Random(23)
+    n, buckets = 800, 8
+    paths, want = [], []
+    for t in range(2):
+        rows = _dup_data(rng, n, True, ["name", "stu"])
+        path = str(tmp_path / f"t{t}")
+        create_table(
+            spark,
+            spark.createDataFrame([(r[0], r[1], r[2]) for r in rows],
+                                  "range string, hash int, name int"),
+            path, range_partitions=["range"], hash_partitions=["hash"],
+            hash_bucket_num=buckets,
+            configuration={"compaction.auto": "false"})
+        StarTable.for_path(spark, path).upsert(spark.createDataFrame(
+            [(r[0], r[1], r[3]) for r in rows],
+            "range string, hash int, stu int"))
+        paths.append(path)
+        want.append(_last_wins(rows, 2))
+    from pyspark.sql import functions as F
+
+    e1 = StarTable.for_path(spark, paths[0]).to_df().alias("e1")
+    e2 = StarTable.for_path(spark, paths[1]).to_df().alias("e2")
+    j = e1.join(e2, F.col("e1.hash") == F.col("e2.hash")).select(
+        F.col("e1.hash").alias("h"),
+        F.col("e1.name").alias("n1"), F.col("e1.stu").alias("s1"),
+        F.col("e2.name").alias("n2"), F.col("e2.stu").alias("s2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"join added exchanges beyond collapse:\n{plan}"
+    got = {(r["h"]): (r["n1"], r["s1"], r["n2"], r["s2"])
+           for r in j.collect()}
+    w1 = {k[1]: (v[2], v[3]) for k, v in want[0].items()}
+    w2 = {k[1]: (v[2], v[3]) for k, v in want[1].items()}
+    expect = {h: (*w1[h], *w2[h]) for h in set(w1) & set(w2)}
+    assert got == expect
