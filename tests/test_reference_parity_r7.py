@@ -880,3 +880,34 @@ def test_mor_join_adds_no_exchange_beyond_collapse(spark, tmp_path):
     w2 = {k[1]: (v[2], v[3]) for k, v in want[1].items()}
     expect = {h: (*w1[h], *w2[h]) for h in set(w1) & set(w2)}
     assert got == expect
+
+
+# ---------- FragmentValueSuite (meta/FragmentValueSuite.scala) ----------
+
+
+def test_large_schema_roundtrips_without_fragmentation(tmp_path):
+    """FragmentValueSuite analog: the reference fragments >50KB values
+    (schemas, MV queryInfo) around Cassandra's cell limit
+    (FragmentValue.scala:23-103); file manifests have no such limit —
+    a 3000-column schema (~100KB json) must round-trip verbatim through
+    create / update_table_info / commit-stamped snapshot schema."""
+    p = str(tmp_path / "t")
+    store = ManifestStore(p)
+    fields = [{"name": f"col_{i:04d}", "type": "string",
+               "nullable": True, "metadata": {"comment": "x" * 20}}
+              for i in range(3000)]
+    schema_json = json.dumps({"type": "struct", "fields": fields})
+    assert len(schema_json) > 50_000  # past the reference's threshold
+    store.create(TableInfo(table_path=p, table_id="tid-big",
+                           schema_json=schema_json))
+    assert store.table_info(refresh=True).schema_json == schema_json
+    info = store.table_info()
+    info.configuration = {"big": "v" * 60_000}  # >50KB property value
+    store.update_table_info(info)
+    got = ManifestStore(p).table_info(refresh=True)
+    assert got.schema_json == schema_json
+    assert got.configuration["big"] == "v" * 60_000
+    txn = store.new_transaction()
+    txn.add_files([_file(store, "", "one")])
+    snap = store.commit(txn)
+    assert store.snapshot(snap.version).schema_json == schema_json
