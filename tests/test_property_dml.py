@@ -444,3 +444,68 @@ def test_schema_evolution_storm_differential(spark, tmp_path):
         exp = {k: {c: v.get(c) for c in cols if c != "k"}
                for k, v in model.items()}
         assert got == exp, (step, op)
+
+
+def _mp_partition_committer(table_path: str, proc_id: int, n_commits: int):
+    """Child body for the DISJOINT-partition cross-process storm: each
+    process commits only to its own range partition, so the
+    partition-scoped locks (meta._acquire_commit_locks) never contend
+    across processes and every serialization happens at the publish
+    micro-lock CAS."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from starlake_spark.meta import DataFileInfo, ManifestStore
+
+    store = ManifestStore(table_path)
+    rv = f"proc={proc_id}"
+    for i in range(n_commits):
+        rel = _os.path.join("data", f"mpp_{proc_id}_{i}", rv,
+                            "part-0.parquet")
+        abs_p = _os.path.join(table_path, rel)
+        _os.makedirs(_os.path.dirname(abs_p), exist_ok=True)
+        pq.write_table(pa.table({
+            "id": pa.array([(proc_id + 1) * 1000 + i], type=pa.int64()),
+        }), abs_p)
+        txn = store.new_transaction()
+        txn.add_files([DataFileInfo(
+            path=rel, range_value=rv, bucket_id=-1,
+            size=_os.path.getsize(abs_p), write_version=-1,
+            is_base_file=True, exist_cols=["id"], num_rows=1)])
+        store.commit(txn)
+    return proc_id
+
+
+def test_cross_process_disjoint_partition_storm(tmp_path):
+    """Partition-scoped locks across PROCESSES (round-7 protocol): 4
+    spawned writers to 4 DISJOINT partitions, 6 commits each — every
+    commit lands exactly once, versions are dense, each partition holds
+    exactly its writer's files, and no scoped lock file is left
+    behind."""
+    import multiprocessing as mp
+    import os as _os
+
+    from starlake_spark.meta import ManifestStore, TableInfo
+
+    path = str(tmp_path / "t")
+    store = ManifestStore(path)
+    store.create(TableInfo(table_path=path, table_id="tid-mpp",
+                           schema_json="{}", range_cols=["proc"]))
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.starmap(_mp_partition_committer,
+                               [(path, p, 6) for p in range(4)])
+    assert sorted(results) == [0, 1, 2, 3]
+    assert store.latest_version() == 4 * 6
+    snap = store.snapshot()
+    assert set(snap.partitions) == {f"proc={p}" for p in range(4)}
+    for p in range(4):
+        files = snap.partitions[f"proc={p}"].files
+        assert len(files) == 6
+        assert all(f"mpp_{p}_" in f.path for f in files)
+    leftovers = [n for n in _os.listdir(store.meta_dir)
+                 if n.startswith("_commit.lock")]
+    assert leftovers == [], leftovers
