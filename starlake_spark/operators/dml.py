@@ -57,7 +57,8 @@ def maybe_merge_schema(df: DataFrame, store: ManifestStore) -> TableInfo:
 
 
 def merge_source_schema(src_schema: T.StructType,
-                        store: ManifestStore) -> TableInfo:
+                        store: ManifestStore,
+                        allow_merge: bool | None = None) -> TableInfo:
     """Concurrency wrapper around :func:`_merge_source_schema_once`:
     update_table_info CAS-checks against concurrent metadata updates
     ('Schema has been changed for table', reference takeSchemaLock), so
@@ -69,7 +70,8 @@ def merge_source_schema(src_schema: T.StructType,
     last: MetaError | None = None
     for _ in range(10):
         try:
-            return _merge_source_schema_once(src_schema, store)
+            return _merge_source_schema_once(src_schema, store,
+                                             allow_merge=allow_merge)
         except MetaError as e:
             if "Schema has been changed" not in str(e):
                 raise
@@ -78,7 +80,8 @@ def merge_source_schema(src_schema: T.StructType,
 
 
 def _merge_source_schema_once(src_schema: T.StructType,
-                              store: ManifestStore) -> TableInfo:
+                              store: ManifestStore,
+                              allow_merge: bool | None = None) -> TableInfo:
     """Schema auto-merge on write: new source columns are appended as
     nullable fields (reference ImplicitMetadataOperation.scala:66-165 +
     SchemaUtils.mergeSchemas); a source column STRICTLY WIDER in the
@@ -102,11 +105,15 @@ def _merge_source_schema_once(src_schema: T.StructType,
             w = _widened(cur, f.dataType)
             if w is not None:
                 widened[decl] = w
+    merge_ok = (allow_merge if allow_merge is not None else
+                info.configuration.get("schema.autoMerge.enabled",
+                                       "true") == "true")
     if widened:
-        if info.configuration.get("schema.autoMerge.enabled", "true") != "true":
+        if not merge_ok:
             raise ValueError(
-                f"source widens column types {sorted(widened)} and "
-                "schema.autoMerge is disabled")
+                f"source widens column types {sorted(widened)}; schema "
+                "evolution is disabled — pass option mergeSchema=true "
+                "(or table property schema.autoMerge.enabled=true)")
         if info.hash_cols and set(widened) & set(info.hash_cols):
             raise ValueError(
                 f"cannot widen hash partition columns "
@@ -135,9 +142,12 @@ def _merge_source_schema_once(src_schema: T.StructType,
             schema = schema.add(T.StructField(f.name, f.dataType, True))
             by_lower[f.name.lower()] = f.name
             added = True
-    if added and info.configuration.get("schema.autoMerge.enabled",
-                                        "true") != "true":
-        raise ValueError("source has new columns and schema.autoMerge is disabled")
+    if added and not merge_ok:
+        raise ValueError(
+            "source has new columns; schema evolution is disabled — pass "
+            "option mergeSchema=true (or table property "
+            "schema.autoMerge.enabled=true) "
+            "(SchemaEnforcementSuite 'reject schema changes')")
     if added or widened:
         info.schema_json = schema.json()
         store.update_table_info(info)

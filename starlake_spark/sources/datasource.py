@@ -712,23 +712,55 @@ def _validate_write_target(table_path: str, schema: T.StructType,
     # cast_types build below would KeyError on the missing declaration
     writable = [f for f in schema.fields
                 if not isinstance(f.dataType, T.NullType)]
-    extra = [f.name for f in writable
-             if f.name.lower() not in declared_lower]
-    needs_merge = extra or any(
-        f.name.lower() in declared_lower
-        and f.dataType != declared_lower[f.name.lower()].dataType
-        for f in writable)
-    if needs_merge:
-        # same evolution rules as the table API (reference
-        # SchemaEnforcementSuite batch 'allow schema changes when
-        # autoMigrate is enabled'): new columns append nullable, wider
-        # numerics upcast; autoMerge=false raises there with the clear
-        # message
-        from starlake_spark.operators.dml import merge_source_schema
-
-        info = merge_source_schema(schema, store)
-        declared = T.StructType.fromJson(json.loads(info.schema_json))
+    # overwriteSchema (reference SchemaEnforcementSuite 'complete mode
+    # can overwrite schema with option' + SchemaValidationSuite's
+    # overwriteSchema writes): a truncate-overwrite may REPLACE the
+    # declared schema with the source's — partition/hash columns must
+    # survive with their types (layout contracts). The replace itself
+    # publishes at commit time (commit() below), so a failed job leaves
+    # the old schema untouched.
+    ow_schema = str(_opt(options, "overwriteSchema", "false")).lower() \
+        == "true"
+    new_schema_json = None
+    if ow_schema and not created:
+        if not overwrite:
+            raise ValueError(
+                "overwriteSchema requires mode('overwrite') — an append "
+                "cannot replace the table schema")
+        writable_lower = {f.name.lower(): f for f in writable}
+        for c in info.range_cols + info.hash_cols:
+            nf = writable_lower.get(c.lower())
+            old = declared_lower[c.lower()]
+            if nf is None or nf.dataType.simpleString() \
+                    != old.dataType.simpleString():
+                raise ValueError(
+                    f"overwriteSchema cannot drop or retype "
+                    f"partition/hash column '{c}' — its name and type "
+                    "are layout contracts")
+        declared = T.StructType(list(writable))
         declared_lower = {f.name.lower(): f for f in declared.fields}
+        new_schema_json = declared.json()
+    else:
+        extra = [f.name for f in writable
+                 if f.name.lower() not in declared_lower]
+        needs_merge = extra or any(
+            f.name.lower() in declared_lower
+            and f.dataType != declared_lower[f.name.lower()].dataType
+            for f in writable)
+        if needs_merge:
+            # same evolution rules as the table API (reference
+            # SchemaEnforcementSuite batch 'allow schema changes when
+            # autoMigrate is enabled'): new columns append nullable,
+            # wider numerics upcast. Per-write option mergeSchema
+            # OVERRIDES the table property in either direction
+            # (reference: writer option beats session conf).
+            from starlake_spark.operators.dml import merge_source_schema
+
+            ms = _opt(options, "mergeSchema")
+            allow = None if ms is None else str(ms).lower() == "true"
+            info = merge_source_schema(schema, store, allow_merge=allow)
+            declared = T.StructType.fromJson(json.loads(info.schema_json))
+            declared_lower = {f.name.lower(): f for f in declared.fields}
     present_lower = {f.name.lower() for f in writable}
     for c in info.range_cols:
         if c.lower() not in present_lower:
@@ -741,7 +773,25 @@ def _validate_write_target(table_path: str, schema: T.StructType,
                   for f in writable}
     out_names = {f.name: declared_lower[f.name.lower()].name
                  for f in writable}
-    return info, cast_types, out_names, (info if created else None)
+    return (info, cast_types, out_names, (info if created else None),
+            new_schema_json)
+
+
+def _apply_overwrite_schema(store: ManifestStore, schema_json: str) -> None:
+    """Publish the overwriteSchema replacement right before the
+    truncate-overwrite's data commit: the commit stamps the NEW schema
+    into its version file (versioned-schema coherence — the overwrite
+    version's files carry the new columns), while a job that failed
+    before commit leaves the old schema untouched. Dropped-column and
+    rename-alias markers clear — no file of the old schema survives a
+    full overwrite. A concurrent ALTER loses the CAS and surfaces as
+    'Schema has been changed for table' (retryable)."""
+    info = store.table_info(refresh=True)
+    info.schema_json = schema_json
+    cfg = {k: v for k, v in (info.configuration or {}).items()
+           if k != "dropped.columns" and not k.startswith("aliases.")}
+    info.configuration = cfg
+    store.update_table_info(info)
 
 
 def _write_task_batches(iterator, table_path: str, dir_name: str,
@@ -945,9 +995,18 @@ class _StarBatchWriter(DataSourceArrowWriter):
                  options: dict | None = None):
         import uuid
 
-        info, cast_types, out_names, pending = _validate_write_target(
+        (info, cast_types, out_names, pending,
+         new_schema_json) = _validate_write_target(
             table_path, schema, options=options, overwrite=overwrite)
         self.pending_create = pending
+        self.new_schema_json = new_schema_json
+        if new_schema_json is not None and (
+                dynamic_overwrite or _opt(options, "replaceWhere")):
+            raise ValueError(
+                "overwriteSchema requires a FULL overwrite — it is "
+                "mutually exclusive with replaceWhere and "
+                "partitionOverwriteMode=dynamic (partial replacement "
+                "would leave files of the old schema behind)")
         if dynamic_overwrite and not info.range_cols:
             raise ValueError(
                 "partitionOverwriteMode=dynamic requires range partition "
@@ -1004,6 +1063,8 @@ class _StarBatchWriter(DataSourceArrowWriter):
         if self.pending_create is not None:
             _persist_pending_create(self.pending_create)
         store = ManifestStore(self.table_path)
+        if self.new_schema_json is not None:
+            _apply_overwrite_schema(store, self.new_schema_json)
         txn = store.new_transaction()
         if pred is not None:
             for rv in txn.read_snapshot.partitions:
@@ -1043,9 +1104,13 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
                  options: dict | None = None):
         # streaming appends to hash tables stay refused even on the
         # first commit (the reference's stream path owns bucketing)
-        info, cast_types, out_names, pending = _validate_write_target(
+        (info, cast_types, out_names, pending,
+         new_schema_json) = _validate_write_target(
             table_path, schema, options=options, overwrite=overwrite)
         self.pending_create = pending
+        # reference SchemaEnforcementSuite 'complete mode can overwrite
+        # schema with option': applied once, at the first batch commit
+        self.new_schema_json = new_schema_json
         if info.hash_cols and not overwrite:
             raise ValueError(
                 "format('star') streaming append targets non-hash "
@@ -1072,6 +1137,9 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
             _persist_pending_create(self.pending_create)
             self.pending_create = None  # later batches: table exists
         store = ManifestStore(self.table_path)
+        if self.new_schema_json is not None:
+            _apply_overwrite_schema(store, self.new_schema_json)
+            self.new_schema_json = None  # once, on the first commit
         info = store.table_info()
         txn = store.new_transaction()
         files = _collect_file_infos(self.table_path, info, messages,

@@ -911,3 +911,82 @@ def test_large_schema_roundtrips_without_fragmentation(tmp_path):
     txn.add_files([_file(store, "", "one")])
     snap = store.commit(txn)
     assert store.snapshot(snap.version).schema_json == schema_json
+
+
+# ---------- SchemaEnforcementSuite: mergeSchema / overwriteSchema ----------
+
+
+@pytest.fixture()
+def star_source(spark):
+    from starlake_spark import sources
+
+    sources.register(spark)
+    return spark
+
+
+def test_merge_schema_writer_option_overrides_property(star_source, spark,
+                                                       tmp_path):
+    """'reject schema changes by default' / 'allow schema change with
+    option' / 'disallow when enabled but writer config disabled'
+    (SchemaEnforcementSuite.scala:91-136): the per-write mergeSchema
+    option beats the table property in BOTH directions."""
+    from pyspark.sql import functions as F
+
+    from starlake_spark.table import StarTable, create_table
+
+    p1 = str(tmp_path / "deny")
+    create_table(spark, spark.range(10), p1,
+                 configuration={"schema.autoMerge.enabled": "false"})
+    wide = spark.range(10).withColumn("part", F.col("id") + 1)
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("star").mode("append").save(p1)
+    # option=true overrides the disabled property
+    wide.write.format("star").mode("append").option(
+        "mergeSchema", "true").save(p1)
+    assert "part" in StarTable.for_path(spark, p1).to_df().columns
+    # option=false overrides the (default-true) property
+    p2 = str(tmp_path / "allow")
+    create_table(spark, spark.range(10), p2)
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("star").mode("append").option(
+            "mergeSchema", "false").save(p2)
+
+
+def test_overwrite_schema_option(star_source, spark, tmp_path):
+    """'complete mode can overwrite schema with option' (batch form;
+    SchemaEnforcementSuite.scala:783-835) + SchemaValidationSuite's
+    overwriteSchema writes: a truncate-overwrite with
+    overwriteSchema=true REPLACES the declared schema; without the
+    option the write must keep evolving instead; appends refuse; the
+    replacement version's snapshot stamps the new schema and time
+    travel still serves the old one."""
+    from starlake_spark.meta import ManifestStore
+    from starlake_spark.table import StarTable, create_table
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, old_col string"),
+        path, range_partitions=["id"])
+    v_before = ManifestStore(path).latest_version()
+    replacement = spark.createDataFrame([(2, 9.5)], "id long, score double")
+    with pytest.raises(Exception, match="overwriteSchema"):
+        replacement.write.format("star").mode("append").option(
+            "overwriteSchema", "true").save(path)
+    replacement.write.format("star").mode("overwrite").option(
+        "overwriteSchema", "true").save(path)
+    t = StarTable.for_path(spark, path)
+    assert t.to_df().columns == ["id", "score"]
+    assert [(r["id"], r["score"]) for r in t.to_df().collect()] == [(2, 9.5)]
+    # versioned schema: the pre-overwrite version still reads old_col
+    old = t.to_df(version=v_before)
+    assert "old_col" in old.columns and "score" not in old.columns
+    # partition/hash layout columns cannot be dropped or retyped
+    with pytest.raises(Exception, match="layout contract"):
+        spark.createDataFrame([(1.5, 2.0)], "id double, score double") \
+            .write.format("star").mode("overwrite") \
+            .option("overwriteSchema", "true").save(path)
+    with pytest.raises(Exception, match="layout contract"):
+        spark.createDataFrame([("x",)], "score string") \
+            .write.format("star").mode("overwrite") \
+            .option("overwriteSchema", "true").save(path)
