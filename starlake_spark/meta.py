@@ -839,7 +839,11 @@ class ManifestStore:
             streaming=streaming,
             timestamp=time.time(),
             commit_type=txn.commit_type,
-            schema_json=self.table_info().schema_json,
+            # refresh: the versioned-schema stamp must be the CURRENT
+            # declared schema at commit time — a concurrent ALTER landed
+            # between this writer's read and its commit would otherwise
+            # get its schema silently reverted in this version's stamp
+            schema_json=self.table_info(refresh=True).schema_json,
         )
         interval = FULL_SNAPSHOT_INTERVAL
         cfg = self.table_info().configuration.get("meta.checkpoint.interval")
@@ -940,7 +944,7 @@ class ManifestStore:
                 streaming=dict(current.streaming),
                 timestamp=time.time(),
                 commit_type=commit_type,
-                schema_json=self.table_info().schema_json,
+                schema_json=self.table_info(refresh=True).schema_json,
             )
             return snap, json.dumps(snap.to_state())
 
@@ -1022,7 +1026,7 @@ class ManifestStore:
                 streaming=dict(current.streaming),
                 timestamp=time.time(),
                 commit_type=commit_type,
-                schema_json=self.table_info().schema_json,
+                schema_json=self.table_info(refresh=True).schema_json,
             )
             return snap, json.dumps(snap.to_state())
 
@@ -1101,7 +1105,7 @@ class ManifestStore:
                 streaming=dict(current.streaming),
                 timestamp=time.time(),
                 commit_type="restore",
-                schema_json=self.table_info().schema_json,
+                schema_json=self.table_info(refresh=True).schema_json,
             )
             return snap, json.dumps(snap.to_state())
 

@@ -990,3 +990,42 @@ def test_overwrite_schema_option(star_source, spark, tmp_path):
         spark.createDataFrame([("x",)], "score string") \
             .write.format("star").mode("overwrite") \
             .option("overwriteSchema", "true").save(path)
+
+
+# ---------- SchemaValidationSuite (schema change mid-command) ----------
+
+
+def test_concurrent_alter_not_reverted_by_inflight_commit(spark, tmp_path):
+    """SchemaValidationSuite's contract class: a schema-altering commit
+    that lands while another command is between analysis and its
+    transaction must not be corrupted by that command. Here: an ALTER
+    ADD COLUMNS lands after a writer built its transaction but before
+    it commits — the writer's version stamp must carry the POST-alter
+    schema (versioned-schema coherence), the new column reads as null
+    for the written rows, and table_info keeps the alter."""
+    from starlake_spark.table import StarTable, create_table
+
+    path = str(tmp_path / "t")
+    t = create_table(spark, spark.createDataFrame([(1, "a")],
+                                                  "id long, s string"), path)
+    store = ManifestStore(path)
+    orig = ManifestStore._build_commit
+    fired = []
+
+    def alter_mid_commit(self, txn, current):
+        if not fired:
+            fired.append(True)
+            StarTable.for_path(spark, path).add_columns([("added", "long")])
+        return orig(self, txn, current)
+
+    ManifestStore._build_commit = alter_mid_commit
+    try:
+        t.write(spark.createDataFrame([(2, "b")], "id long, s string"),
+                mode="append")
+    finally:
+        ManifestStore._build_commit = orig
+    snap = store.snapshot()
+    sch = json.loads(snap.schema_json)
+    assert "added" in [f["name"] for f in sch["fields"]]
+    rows = {r["id"]: r["added"] for r in t.to_df().collect()}
+    assert rows == {1: None, 2: None}
