@@ -41,9 +41,42 @@ def table_schema(info: TableInfo) -> T.StructType:
     return T.StructType.fromJson(json.loads(info.schema_json))
 
 
+def _has_nested_null_type(dt: T.DataType) -> bool:
+    if isinstance(dt, T.NullType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_nested_null_type(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_nested_null_type(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return (_has_nested_null_type(dt.keyType)
+                or _has_nested_null_type(dt.valueType))
+    return False
+
+
+def reject_nested_null_types(schema: T.StructType) -> None:
+    """A TOP-LEVEL NullType column drops cleanly; a NullType buried in
+    an array/map/struct cannot be dropped column-wise and parquet
+    cannot store it — refuse loudly (reference SchemaEnforcementSuite
+    'JSON ETL workflow, schema merging NullTypes - throw error on
+    complex types': untyped JSON like ``"top":[]`` infers
+    array<null>)."""
+    bad = [f.name for f in schema.fields
+           if not isinstance(f.dataType, T.NullType)
+           and _has_nested_null_type(f.dataType)]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} contain a nested NullType, which cannot "
+            "be stored or dropped column-wise — cast the untyped "
+            "(all-null / empty-collection) JSON fields to a concrete "
+            "type before writing")
+
+
 def _drop_null_type_columns(df: DataFrame) -> DataFrame:
     """NullType columns are dropped on write (reference
-    schema/SchemaUtils.scala:99-143, dropNullTypeColumns)."""
+    schema/SchemaUtils.scala:99-143, dropNullTypeColumns); NESTED
+    NullTypes refuse instead."""
+    reject_nested_null_types(df.schema)
     keep = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.NullType)]
     if len(keep) != len(df.columns):
         df = df.select(*keep)

@@ -549,7 +549,11 @@ def _create_from_write(table_path: str, schema: T.StructType,
 
     # NullType columns never enter a declared schema (same rule as
     # merge_source_schema) — a table created from a frame carrying a
-    # bare lit(None) column simply drops it
+    # bare lit(None) column simply drops it; NESTED NullTypes refuse
+    # (SchemaEnforcementSuite 'throw error on complex types')
+    from starlake_spark.operators.writer import reject_nested_null_types
+
+    reject_nested_null_types(schema)
     schema = T.StructType([f for f in schema.fields
                            if not isinstance(f.dataType, T.NullType)])
     if not schema.fields:
@@ -579,6 +583,14 @@ def _create_from_write(table_path: str, schema: T.StructType,
 
     range_cols = _cols(_opt(options, "rangePartitions"))
     hash_cols = _cols(_opt(options, "hashPartitions"))
+    part_lower = {c.lower() for c in range_cols + hash_cols}
+    if part_lower and all(f.name.lower() in part_lower
+                          for f in schema.fields):
+        raise ValueError(
+            "all data columns were untyped and their NullType have "
+            "been dropped — only partition/hash key columns remain; "
+            "cast the untyped (all-null) fields to concrete types "
+            "(SchemaEnforcementSuite 'NullType being only data column')")
     bucket = _opt(options, "hashBucketNum")
     if hash_cols and bucket is None:
         raise ValueError(

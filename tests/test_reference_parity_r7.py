@@ -1029,3 +1029,45 @@ def test_concurrent_alter_not_reverted_by_inflight_commit(spark, tmp_path):
     assert "added" in [f["name"] for f in sch["fields"]]
     rows = {r["id"]: r["added"] for r in t.to_df().collect()}
     assert rows == {1: None, 2: None}
+
+
+def test_nulltype_edge_cases(star_source, spark, tmp_path):
+    """'JSON ETL workflow' NullType matrix
+    (SchemaEnforcementSuite.scala:185-250): nested NullType (untyped
+    JSON like "top":[]) refuses with a NullType message; a write whose
+    only data columns are NullType refuses with 'NullType have been
+    dropped'; a NullType PARTITION column fails (case-insensitively)."""
+    from pyspark.sql import types as T
+
+    row1 = '{"key":"abc","top":[]}'
+    df1 = spark.read.schema(
+        T.StructType().add("key", "string")
+        .add("top", T.ArrayType(T.NullType()))
+    ).json(spark.createDataFrame([(row1,)], "value string").rdd
+           .map(lambda r: r.value))
+    with pytest.raises(Exception, match="NullType"):
+        df1.write.format("star").mode("append").save(str(tmp_path / "a"))
+    df2 = spark.read.schema(
+        T.StructType().add("key", "string")
+        .add("top", T.ArrayType(T.StructType().add("id", T.NullType())))
+    ).json(spark.createDataFrame([('{"key":"abc","top":[{"id":null}]}',)],
+                                 "value string").rdd.map(lambda r: r.value))
+    with pytest.raises(Exception, match="NullType"):
+        df2.write.format("star").mode("append").save(str(tmp_path / "b"))
+    # NullType as the only data column
+    df3 = spark.read.schema(
+        T.StructType().add("key", "string").add("id", T.NullType())
+    ).json(spark.createDataFrame([('{"key":"abc","id":null}',)],
+                                 "value string").rdd.map(lambda r: r.value))
+    with pytest.raises(Exception, match="NullType have been dropped"):
+        df3.write.format("star").mode("append") \
+            .option("rangePartitions", "key").save(str(tmp_path / "c"))
+    with pytest.raises(Exception, match="NullType have been dropped"):
+        df3.write.format("star").mode("append") \
+            .option("hashPartitions", "key").option("hashBucketNum", "2") \
+            .save(str(tmp_path / "d"))
+    # NullType partition column (case-insensitive resolution)
+    for spec in ("id", "iD"):
+        with pytest.raises(Exception, match="not in data"):
+            df3.write.format("star").mode("append") \
+                .option("rangePartitions", spec).save(str(tmp_path / "e"))
