@@ -444,3 +444,32 @@ def test_ivfpq_probe_is_pure_codegen_over_pruned_scan(spark, tmp_path):
     # pruning: the probe plan reads fewer index files than exist
     n_all = len(idx.to_df().inputFiles())
     assert len(topk.inputFiles()) < n_all, (len(topk.inputFiles()), n_all)
+
+
+def test_semantic_decontaminate_never_shuffles_corpus(spark):
+    """semantic_decontaminate's plan: the corpus streams through ONE
+    mapInPandas matmul (no corpus shuffle, no cartesian product) and
+    the hit-id anti-join is a broadcast — the eval side is the only
+    thing collected."""
+    import numpy as np
+
+    from starlake_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)])
+         for i in range(400)],
+        "vec_id long, embedding array<double>")
+    ev = corpus.filter("vec_id % 29 = 0")
+    kept = sim.semantic_decontaminate(corpus, ev, threshold=0.99)
+    plan = _phys(kept)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    # the anti-join broadcasts the hit ids (a sliver of the corpus)
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
+    # the corpus itself is never exchanged: the ONE hashpartitioning
+    # exchange in the plan is the hits-distinct feeding the broadcast,
+    # and the MapInPandas matmul reads the corpus scan directly
+    assert final.count("Exchange hashpartitioning") <= 1, final
+    map_branch = final[final.index("MapInPandas"):]
+    assert "Exchange" not in map_branch, map_branch
