@@ -1557,6 +1557,30 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
                     removed.append(rel)
                     if not dry_run:
                         os.unlink(p)
+    # STALE scoped lock files: a crashed writer's partition-scoped
+    # lock (`_commit.lock.p<hash>`) is stale-broken by the next acquire
+    # of the SAME scope, but a partition never written again would keep
+    # its crash artifact forever — vacuum sweeps lock files past the
+    # stale-break threshold through the provider's rename-claim breaker
+    # (a plain unlink here would be the exact TOCTOU `_break_stale`
+    # exists to close: it could delete a FRESH lock recreated between
+    # the staleness check and the unlink).
+    from starlake_spark.locking import FileLockProvider
+    from starlake_spark.meta import STALE_LOCK_S
+
+    breaker = FileLockProvider(stale_s=max(STALE_LOCK_S, retention_s))
+    for n in list(os.listdir(store.meta_dir)):
+        if n.startswith("_commit.lock"):
+            p = os.path.join(store.meta_dir, n)
+            try:
+                stale = now - os.path.getmtime(p) > breaker.stale_s
+            except FileNotFoundError:
+                continue
+            if stale:
+                if not dry_run:
+                    breaker._break_stale(p)
+                if dry_run or not os.path.exists(p):
+                    removed.append(os.path.relpath(p, store.table_path))
     # CDC logs age on their own retention clock: default = the data
     # retention (Delta ties change-data retention to log retention the
     # same way), independently shrinkable via the ``cdf.retention``

@@ -129,3 +129,29 @@ def test_reader_snapshot_isolated_from_concurrent_commits(spark, orders, tmp_pat
     assert {f.path for f in again.all_files()} \
         == {f.path for f in before.all_files()}
     assert t.to_df(version=before.version).count() == orders.count()
+
+
+def test_vacuum_sweeps_stale_scoped_locks(spark, orders, tmp_path):
+    """A crashed writer's scoped lock for a never-again-written
+    partition lingers until vacuum sweeps it (rename-claim break, so a
+    live lock can never be taken); fresh locks survive."""
+    path = str(tmp_path / "t")
+    t = create_table(spark, orders, path)
+    meta = os.path.join(path, "_star_meta")
+    stale = os.path.join(meta, "_commit.lock.pdeadbeefdeadbeef")
+    with open(stale, "w") as fh:
+        fh.write("crashed")
+    old = time.time() - 1000
+    os.utime(stale, (old, old))
+    fresh = os.path.join(meta, "_commit.lock.pfreshfreshfresh0")
+    with open(fresh, "w") as fh:
+        fh.write("live")
+    # dry run reports, removes nothing
+    listed = cleanup(ManifestStore(path), retention_s=120, dry_run=True)
+    assert any("pdeadbeef" in p for p in listed)
+    assert os.path.exists(stale)
+    removed = cleanup(ManifestStore(path), retention_s=120)
+    assert any("pdeadbeef" in p for p in removed)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # within staleness window: kept
+    os.unlink(fresh)
