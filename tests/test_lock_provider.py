@@ -721,3 +721,48 @@ def test_same_partition_writers_serialize_on_scope_lock(tmp_path):
     snap = store.snapshot()
     assert snap.version == 2
     assert len(snap.partitions["part=x"].files) == 2
+
+
+def test_tcp_provider_disjoint_partition_storm(tmp_path):
+    """The NETWORKED provider under the full partition-scoped commit
+    protocol: 6 threads × disjoint partitions through a live
+    LeaseServer — every commit lands, versions dense, and every lease
+    (scope locks + publish micro-locks) is released at the end."""
+    from starlake_spark.locking import LeaseServer, TCPLockProvider
+
+    srv = LeaseServer()
+    locking.set_lock_provider(
+        TCPLockProvider("127.0.0.1", srv.port, lease_s=30.0, poll_s=0.02))
+    try:
+        store = _store(tmp_path)
+        tp = str(tmp_path / "t")
+        errs: list[Exception] = []
+
+        def work(w):
+            for i in range(3):
+                try:
+                    store.commit(_add_file_txn(
+                        store, tp, f"part={w}", f"c{i}"))
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+        ts = [threading.Thread(target=work, args=(w,)) for w in range(6)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs, errs
+        snap = store.snapshot()
+        assert snap.version == 18
+        for w in range(6):
+            assert len(snap.partitions[f"part={w}"].files) == 3
+        # all leases released: every scope (and the publish lock) must
+        # grant IMMEDIATELY to a fresh owner — an orphaned lease would
+        # block until its TTL
+        prov = locking.get_lock_provider()
+        for scope in [f"part={w}" for w in range(6)] + [
+                ManifestStore.PUBLISH_SCOPE, None]:
+            h = prov.acquire_scoped(store.meta_dir, store.table_path,
+                                    0.5, scope=scope)
+            prov.release(h)
+    finally:
+        locking.set_lock_provider(None)
+        srv.shutdown()
