@@ -554,6 +554,8 @@ def _create_from_write(table_path: str, schema: T.StructType,
     from starlake_spark.operators.writer import reject_nested_null_types
 
     reject_nested_null_types(schema)
+    dropped_null = any(isinstance(f.dataType, T.NullType)
+                       for f in schema.fields)
     schema = T.StructType([f for f in schema.fields
                            if not isinstance(f.dataType, T.NullType)])
     if not schema.fields:
@@ -586,11 +588,20 @@ def _create_from_write(table_path: str, schema: T.StructType,
     part_lower = {c.lower() for c in range_cols + hash_cols}
     if part_lower and all(f.name.lower() in part_lower
                           for f in schema.fields):
+        if dropped_null:
+            # every data column was untyped and got dropped
+            # (SchemaEnforcementSuite 'NullType being only data column')
+            raise ValueError(
+                "all data columns were untyped and their NullType have "
+                "been dropped — only partition/hash key columns "
+                "remain; cast the untyped (all-null) fields to "
+                "concrete types")
+        # the user declared every column a partition key
+        # (StarSinkSuite 'can't write out with all columns being
+        # partition columns')
         raise ValueError(
-            "all data columns were untyped and their NullType have "
-            "been dropped — only partition/hash key columns remain; "
-            "cast the untyped (all-null) fields to concrete types "
-            "(SchemaEnforcementSuite 'NullType being only data column')")
+            "Cannot use all columns for partition columns — at least "
+            "one data column is required")
     bucket = _opt(options, "hashBucketNum")
     if hash_cols and bucket is None:
         raise ValueError(

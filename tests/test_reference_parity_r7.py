@@ -1071,3 +1071,23 @@ def test_nulltype_edge_cases(star_source, spark, tmp_path):
         with pytest.raises(Exception, match="not in data"):
             df3.write.format("star").mode("append") \
                 .option("rangePartitions", spec).save(str(tmp_path / "e"))
+
+
+def test_all_columns_as_partitions_refused(star_source, spark, tmp_path):
+    """StarSinkSuite 'can't write out with all columns being partition
+    columns' (StarSinkSuite.scala:460-480): a first write declaring
+    every column a partition key refuses with the reference message
+    (distinct from the NullType-drop refusal)."""
+    df = spark.createDataFrame([(1, 2)], "id int, value int")
+    with pytest.raises(Exception,
+                       match="Cannot use all columns for partition"):
+        df.write.format("star").mode("append") \
+            .option("rangePartitions", "id,value") \
+            .save(str(tmp_path / "t"))
+    with pytest.raises(Exception,
+                       match="Cannot use all columns for partition"):
+        df.write.format("star").mode("append") \
+            .option("rangePartitions", "id") \
+            .option("hashPartitions", "value") \
+            .option("hashBucketNum", "2") \
+            .save(str(tmp_path / "t2"))
