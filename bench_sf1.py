@@ -67,12 +67,17 @@ def build(spark):
         for d in parts[1:]:
             out = out.unionByName(d)
         out.write.mode("overwrite").parquet(dst)
-    # documents: 10 replicas with shifted doc_ids; text gets a
-    # replica-specific filler suffix ~half the original token count so
-    # cross-replica Jaccard lands ~0.5 — well under the dedup
-    # thresholds — and replicas are NOT near-duplicates of each other
-    # (pure text copies would collapse the sf1 corpus back to sf0.1
-    # after dedup and turn every LSH band into a 10-way collision)
+    # documents: 10 replicas with shifted doc_ids; text gets a filler
+    # suffix ~half the original token count so cross-replica Jaccard
+    # lands ~0.5 — well under the dedup thresholds — and replicas are
+    # NOT near-duplicates of each other (pure text copies would
+    # collapse the sf1 corpus back to sf0.1 after dedup and turn every
+    # LSH band into a 10-way collision). The filler token is DOC-unique
+    # (r{r}d{doc_id}tok): a replica-wide constant token gave every doc
+    # in a replica shared shingles, which at 500k docs made short docs
+    # cross the Jaccard threshold against half the corpus — the round-8
+    # sf1 ORACLE sweep caught components/minhash answers diverging on
+    # that degenerate graph (and the quadratic duckdb oracle at 847 s)
     dst = os.path.join(OUT, "documents.parquet")
     if os.path.islink(dst):
         os.unlink(dst)  # upgrade older symlink-only builds
@@ -81,7 +86,8 @@ def build(spark):
         parts = []
         for r in range(REPLICAS):
             filler = F.concat_ws(" ", F.array_repeat(
-                F.lit(f"r{r}tok"),
+                F.concat(F.lit(f"r{r}d"), F.col("doc_id").cast("string"),
+                         F.lit("tok")),
                 F.greatest(F.lit(1),
                            (F.size(F.split(F.col("text"), r"\s+")) / 2)
                            .cast("int"))))

@@ -273,6 +273,14 @@ class Transaction:
         # delta versions in the MoR collapse — they keep the
         # caller-stamped write_version instead of the new commit version.
         self.preserve_write_versions = False
+        # overwriteSchema: the REPLACEMENT TableInfo to publish
+        # atomically WITH this commit (reference/Delta replace metadata
+        # and data in one commit). When set, the version file is stamped
+        # with the new schema and table_info.json is swapped in the same
+        # critical section as the version CAS — a commit that fails or
+        # loses the CAS leaves the old schema fully intact, so readers
+        # never see the new schema over the old data files.
+        self.new_table_info: TableInfo | None = None
         self.committed = False
 
     @property
@@ -694,8 +702,7 @@ class ManifestStore:
                         # lock (stalled past TTL) raises here instead of
                         # clobbering — treated as a lost CAS, rebuild.
                         try:
-                            _exclusive_write(
-                                self._version_path(snap.version), payload)
+                            self._publish_version(txn, snap, payload)
                         except VersionExistsError:
                             continue
                         self._snap_cache[snap.version] = snap
@@ -724,7 +731,7 @@ class ManifestStore:
                         f"commit lock lost during commit on "
                         f"{self.table_path} (lease expired or arbiter "
                         "restarted) — retry")
-                _exclusive_write(self._version_path(snap.version), payload)
+                self._publish_version(txn, snap, payload)
                 self._snap_cache[snap.version] = snap
                 txn.committed = True
                 return snap
@@ -733,6 +740,40 @@ class ManifestStore:
         finally:
             for h in reversed(locks):
                 self._release_lock(h)
+
+    def _publish_version(self, txn: Transaction, snap: Snapshot,
+                         payload: str) -> None:
+        """Version-file CAS publish. Schema-overwrite commits
+        (``txn.new_table_info``) swap ``table_info.json`` in the SAME
+        critical section as the version CAS, under the table lock so no
+        concurrent ALTER can interleave: the schema_version guard runs
+        BEFORE anything is published (a concurrent ALTER fails the
+        whole write with nothing visible — files stay unpublished
+        orphans until vacuum), and the info swap runs only AFTER the
+        version CAS succeeded (a lost CAS or crash pre-publish leaves
+        the old schema fully intact, never the new schema over old
+        data files). Reference analogue: Delta/reference replace
+        metadata and data in one atomic commit."""
+        if txn.new_table_info is None:
+            _exclusive_write(self._version_path(snap.version), payload)
+            return
+        lock = self._acquire_lock()
+        try:
+            p = os.path.join(self.meta_dir, "table_info.json")
+            with open(p) as f:
+                disk_version = TableInfo.from_json(f.read()).schema_version
+            if disk_version != txn.new_table_info.schema_version:
+                raise MetaError(
+                    f"Schema has been changed for table {self.table_path}"
+                    f": a concurrent ALTER landed during an "
+                    f"overwriteSchema write (expected metadata version "
+                    f"{txn.new_table_info.schema_version}, found "
+                    f"{disk_version}); nothing was published — "
+                    "re-validate against the new schema and retry")
+            _exclusive_write(self._version_path(snap.version), payload)
+            self._update_info_under_lock(txn.new_table_info)
+        finally:
+            self._release_lock(lock)
 
     def _build_commit(self, txn: Transaction,
                       current: Snapshot) -> tuple[Snapshot, str]:
@@ -842,8 +883,12 @@ class ManifestStore:
             # refresh: the versioned-schema stamp must be the CURRENT
             # declared schema at commit time — a concurrent ALTER landed
             # between this writer's read and its commit would otherwise
-            # get its schema silently reverted in this version's stamp
-            schema_json=self.table_info(refresh=True).schema_json,
+            # get its schema silently reverted in this version's stamp.
+            # A schema-overwrite commit stamps ITS replacement schema
+            # (published with the same CAS in _publish_version).
+            schema_json=(txn.new_table_info.schema_json
+                         if txn.new_table_info is not None
+                         else self.table_info(refresh=True).schema_json),
         )
         interval = FULL_SNAPSHOT_INTERVAL
         cfg = self.table_info().configuration.get("meta.checkpoint.interval")

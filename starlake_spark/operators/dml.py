@@ -1565,10 +1565,20 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
     # (a plain unlink here would be the exact TOCTOU `_break_stale`
     # exists to close: it could delete a FRESH lock recreated between
     # the staleness check and the unlink).
-    from starlake_spark.locking import FileLockProvider
+    from starlake_spark.locking import FileLockProvider, get_lock_provider
     from starlake_spark.meta import STALE_LOCK_S
 
-    breaker = FileLockProvider(stale_s=max(STALE_LOCK_S, retention_s))
+    # breaker threshold honours the REGISTERED provider's configured
+    # staleness: a deployment that set FileLockProvider(stale_s=3600)
+    # to cover long commits must not have a legitimately held lock
+    # broken by a concurrent cleanup(retention_s=0) after only
+    # STALE_LOCK_S seconds
+    provider_stale = 0.0
+    reg = get_lock_provider()
+    if isinstance(reg, FileLockProvider):
+        provider_stale = reg.stale_s
+    breaker = FileLockProvider(
+        stale_s=max(STALE_LOCK_S, retention_s, provider_stale))
     for n in list(os.listdir(store.meta_dir)):
         if n.startswith("_commit.lock"):
             p = os.path.join(store.meta_dir, n)

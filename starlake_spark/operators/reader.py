@@ -80,7 +80,15 @@ def _resolve_physical(name: str, present, amap: dict[str, list[str]]):
     with columns/exist-cols ``present``, or None."""
     if name in present:
         return name
-    for a in amap.get(name.lower(), ()):
+    # case-insensitive direct match (CaseSensitivitySuite: resolution
+    # is case-insensitive, files keep their original casing) — a file
+    # whose physical casing diverged from the declared name must still
+    # serve the column, not silently null-backfill
+    low = name.lower()
+    for p in present:
+        if p.lower() == low:
+            return p
+    for a in amap.get(low, ()):
         if a in present:
             return a
     return None
@@ -192,9 +200,13 @@ def _read_group(
     # struct fields over the file's type are re-requested at the
     # declared type — the parquet reader backfills the new nested
     # fields with null (a cast would throw: struct arity differs).
+    # Case-INSENSITIVE match, like merge/alias/fast-path: a file whose
+    # struct column differs only in case from the declared name must
+    # still take the parquet-level backfill, not the cast path.
+    declared_ci = {f.name.lower(): f.dataType for f in schema.fields}
     adj, nested_evo = [], False
     for f in file_schema.fields:
-        want = declared.get(f.name)
+        want = declared_ci.get(f.name.lower())
         if want is not None \
                 and f.dataType.simpleString() != want.simpleString() \
                 and isinstance(f.dataType,

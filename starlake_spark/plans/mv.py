@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from starlake_spark import catalog
+from starlake_spark.meta import ManifestStore
 from starlake_spark.table import StarTable, create_table
 
 
@@ -704,6 +705,281 @@ def _fingerprints(session, names) -> dict[str, int]:
     return {n: session.table(n).store.latest_version() for n in names}
 
 
+# ---------------------------------------------------------------------------
+# incremental maintenance (round 8; beyond the reference — its refresh
+# is always a full re-run, UpdateMaterialViewCommand.scala:30-76)
+# ---------------------------------------------------------------------------
+#
+# A single-table GROUP BY view whose aggregates are all sum/count/avg is
+# self-maintainable through the SIGNED-partial algebra the rollup module
+# already uses (plans/rollup.py): inserts contribute +1, deletes -1, an
+# update nets (post - pre). The backing table stores, besides the view's
+# declared output columns, HIDDEN partial columns:
+#
+#   _mv_s_<out>  exact signed sum of the aggregate's argument
+#                (bigint for integral inputs, the Spark sum-result
+#                decimal for decimal inputs — floats are NOT eligible:
+#                float retraction is inexact, so float views refresh
+#                full)
+#   _mv_c_<out>  signed count of non-null arguments (NULL-ness + avg
+#                denominators)
+#   _mv_n        signed row count (group liveness: 0 → group deleted)
+#
+# and the declared outputs are FINALIZED from the partials with the
+# same operand types Spark's own Sum/Count/Average use, so an
+# incremental refresh is bit-identical to a full re-run. A refresh
+# reads O(changes): the coalesced range CDC for hash sources / the new
+# files for append-only sources, never the source history; the merge
+# into the backing table is an O(touched groups) upsert + tombstone
+# delete. Anything outside the shape (joins, HAVING, distinct, min/max,
+# float inputs) falls back to the reference-parity full re-run.
+
+_MVH = "_mv_"  # hidden-column prefix on incremental backing tables
+
+
+def _strip_mv_hidden(df: DataFrame) -> DataFrame:
+    keep = [c for c in df.columns if not c.startswith(_MVH)]
+    return df.select(*keep) if len(keep) != len(df.columns) else df
+
+
+def _incremental_spec(session, sql_text: str) -> dict | None:
+    """Eligibility probe + rendered SQL pieces, or None (→ full
+    refresh). Derived from the analyzed plan on every call — never
+    persisted, so registry entries survive schema evolution."""
+    known = set(session._tables) | set(catalog.list_tables(session.warehouse))
+    try:
+        vinfo = extract(session.spark, sql_text, known)
+    except UnsupportedPlan:
+        return None
+    if len(vinfo.tables) != 1 or vinfo.join_conds or vinfo.join_types:
+        return None
+    if not vinfo.has_agg or vinfo.filters_above or not vinfo.group_by:
+        return None
+    src_name = vinfo.tables[0]
+    if "." in src_name:
+        return None  # dotted names have no temp view to probe against
+    try:
+        src_t = session.table(src_name)
+    except Exception:
+        return None
+    # declared schema from the MANIFEST, not a fresh scan plan: spec
+    # derivation must never touch source data paths (the O(changes)
+    # contract starts here — building a full-table file index stats
+    # every historical file)
+    from pyspark.sql import types as T
+
+    src_schema = T.StructType.fromJson(json.loads(src_t.info.schema_json))
+    colmap = {f"{src_name}.{f.name.lower()}": f.name
+              for f in src_schema.fields}
+    group_canons = set(vinfo.group_by)
+    out_canons = {cn for _, cn in vinfo.outputs}
+    if not group_canons <= out_canons:
+        return None  # a group expr the view hides cannot key the upsert
+    groups, aggs = [], []
+    try:
+        for (nm, cn), (_nm, tree) in zip(vinfo.outputs, vinfo.output_trees):
+            if cn in group_canons:
+                groups.append({"out": nm, "sql": to_sql(tree, colmap)})
+                continue
+            t = tree
+            if _cls(t) == "Alias":
+                t = t["_children"][0]
+            if _cls(t) != "AggregateExpression" or t.get("isDistinct"):
+                return None
+            fn = t["_children"][0]
+            kind = {"Sum": "sum", "Count": "count",
+                    "Average": "avg"}.get(_cls(fn))
+            if kind is None or len(fn["_children"]) != 1:
+                return None
+            aggs.append({"out": nm, "kind": kind,
+                         "arg": to_sql(fn["_children"][0], colmap,
+                                       allow_agg=False),
+                         "orig_sql": to_sql(tree, colmap, allow_agg=True)})
+        where = [to_sql(vinfo.residual_by_canon[cn], colmap, allow_agg=False)
+                 for cn in vinfo.filters_below]
+    except UnsupportedPlan:
+        return None
+    if not groups or not aggs:
+        return None
+    spark = session.spark
+    # type probes (analysis-only, no jobs, no source file access): the
+    # view's declared output types come from analyzing the SQL over the
+    # already-registered temp view (a stored plan — no fresh listing);
+    # the sum-result types from an EMPTY frame with the manifest schema
+    try:
+        out_dt = {f.name: f.dataType.simpleString()
+                  for f in spark.sql(sql_text).schema.fields}
+        probe_v = f"_mv_probe_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame([], src_schema).createOrReplaceTempView(probe_v)
+        try:
+            sum_probe = ", ".join(f"sum({a['arg']}) AS _p{i}"
+                                  for i, a in enumerate(aggs))
+            sum_dt = [f.dataType.simpleString() for f in
+                      spark.sql(f"SELECT {sum_probe} FROM {probe_v}")
+                      .schema.fields]
+        finally:
+            spark.catalog.dropTempView(probe_v)
+    except Exception:
+        return None
+    for a, st in zip(aggs, sum_dt):
+        a["sum_dt"], a["out_dt"] = st, out_dt[a["out"]]
+        if a["kind"] in ("sum", "avg") and not (
+                st == "bigint" or st.startswith("decimal")):
+            return None  # float accumulation: retraction is inexact
+    return {"source": src_name, "source_path": src_t.store.table_path,
+            "groups": groups, "aggs": aggs, "where": where}
+
+
+def _mv_hidden_cols(spec) -> list[str]:
+    cols = []
+    for a in spec["aggs"]:
+        if a["kind"] in ("sum", "avg"):
+            cols.append(f"{_MVH}s_{a['out']}")
+        cols.append(f"{_MVH}c_{a['out']}")
+    cols.append(f"{_MVH}n")
+    return cols
+
+
+def _mv_partial_exprs(spec, sgn: str) -> list[str]:
+    ex = []
+    for a in spec["aggs"]:
+        if a["kind"] in ("sum", "avg"):
+            ex.append(f"CAST(sum(CAST(({a['arg']}) AS {a['sum_dt']}) "
+                      f"* {sgn}) AS {a['sum_dt']}) AS `{_MVH}s_{a['out']}`")
+        ex.append(f"CAST(sum(CASE WHEN ({a['arg']}) IS NOT NULL "
+                  f"THEN {sgn} ELSE 0 END) AS BIGINT) "
+                  f"AS `{_MVH}c_{a['out']}`")
+    ex.append(f"CAST(sum({sgn}) AS BIGINT) AS `{_MVH}n`")
+    return ex
+
+
+def _mv_final_exprs(spec) -> list[tuple[str, str]]:
+    """Declared output ← hidden partials, with the operand types
+    Spark's own Sum/Count/Average finalization uses (exactness)."""
+    ex = []
+    for a in spec["aggs"]:
+        s, c = f"`{_MVH}s_{a['out']}`", f"`{_MVH}c_{a['out']}`"
+        if a["kind"] == "count":
+            ex.append((a["out"], c))
+        elif a["kind"] == "sum":
+            ex.append((a["out"],
+                       f"CASE WHEN {c} > 0 THEN CAST({s} AS "
+                       f"{a['out_dt']}) END"))
+        elif a["out_dt"] in ("double", "float"):
+            # integral avg: Spark divides the (exact) double sum by the
+            # double count — identical given exact operands < 2^53
+            ex.append((a["out"],
+                       f"CASE WHEN {c} > 0 THEN CAST({s} AS DOUBLE) / "
+                       f"CAST({c} AS DOUBLE) END"))
+        else:
+            ex.append((a["out"],
+                       f"CASE WHEN {c} > 0 THEN CAST({s} / {c} AS "
+                       f"{a['out_dt']}) END"))
+    return ex
+
+
+def _mv_init_sql(spec) -> str:
+    """Full-compute SQL: declared outputs via the ORIGINAL aggregate
+    expressions (full-re-run semantics) + unsigned hidden partials."""
+    gsel = [f"{g['sql']} AS `{g['out']}`" for g in spec["groups"]]
+    fins = [f"{a['orig_sql']} AS `{a['out']}`" for a in spec["aggs"]]
+    where = f" WHERE {' AND '.join(spec['where'])}" if spec["where"] else ""
+    gb = ", ".join(g["sql"] for g in spec["groups"])
+    return (f"SELECT {', '.join(gsel + fins + _mv_partial_exprs(spec, '1'))}"
+            f" FROM {spec['source']}{where} GROUP BY {gb}")
+
+
+def _mv_delta_sql(spec, change_view: str) -> str:
+    sgn = ("(CASE WHEN `_change_type` IN ('insert', 'update_postimage') "
+           "THEN 1 WHEN `_change_type` IN ('delete', 'update_preimage') "
+           "THEN -1 ELSE 0 END)")
+    gsel = [f"{g['sql']} AS `{g['out']}`" for g in spec["groups"]]
+    where = f" WHERE {' AND '.join(spec['where'])}" if spec["where"] else ""
+    gb = ", ".join(g["sql"] for g in spec["groups"])
+    return (f"SELECT {', '.join(gsel + _mv_partial_exprs(spec, sgn))}"
+            f" FROM {change_view}{where} GROUP BY {gb}")
+
+
+def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
+    """Try the O(changes) refresh; None → caller runs the full path.
+    Returns (mode, consumed_source_version) on success."""
+    from starlake_spark.operators import dml, reader
+    from starlake_spark.sources.datasource import range_changes
+
+    spark = session.spark
+    spec = _incremental_spec(session, ent["sql"])
+    if spec is None:
+        return None
+    src = ManifestStore(spec["source_path"])
+    last = ent["fingerprints"].get(spec["source"])
+    cur = src.latest_version()
+    if last is None or cur < last:
+        return None
+    if cur == last:
+        return ("noop", cur)
+    info = src.table_info()
+    try:
+        last_files = src.snapshot(last).all_files()
+    except Exception:
+        return None  # cursor manifest expired → full rebuild
+    if info.hash_cols:
+        # the window diff reads the cursor snapshot's files (preimages);
+        # a vacuumed one → full rebuild (same guard as refresh_rollup)
+        if not all(os.path.exists(os.path.join(src.table_path, f.path))
+                   for f in last_files):
+            return None
+        ch = range_changes(spark, src.table_path, start_version=last,
+                           end_version=cur)
+    else:
+        prev_paths = {f.path for f in last_files}
+        cur_files = src.snapshot(cur).all_files()
+        if not prev_paths <= {f.path for f in cur_files}:
+            return None  # compaction/delete rewrote history → full
+        new_files = [f for f in cur_files if f.write_version > last]
+        if not new_files:
+            return ("noop", cur)
+        ch = (reader._plain_scan(spark, src, info, new_files)
+              .withColumn("_change_type", F.lit("insert")))
+    cv = f"_mv_ch_{uuid.uuid4().hex[:10]}"
+    ch.createOrReplaceTempView(cv)
+    try:
+        delta = spark.sql(_mv_delta_sql(spec, cv))
+        keys = [g["out"] for g in spec["groups"]]
+        hidden = _mv_hidden_cols(spec)
+        old = t.to_df()
+        old_dt = {f.name: f.dataType for f in old.schema.fields}
+        dd = delta
+        for c in delta.columns:
+            dd = dd.withColumnRenamed(c, c + "__d")
+        cond = None
+        for k in keys:
+            e = F.col(k).eqNullSafe(F.col(k + "__d"))
+            cond = e if cond is None else cond & e
+        # RIGHT join: only delta-touched groups are rewritten —
+        # untouched history is never read past the join probe
+        j = old.join(dd, cond, "right")
+        merged_cols = [F.coalesce(F.col(k), F.col(k + "__d")).alias(k)
+                       for k in keys]
+        merged_cols += [
+            (F.coalesce(F.col(h), F.lit(0))
+             + F.coalesce(F.col(h + "__d"), F.lit(0)))
+            .cast(old_dt[h]).alias(h)
+            for h in hidden]
+        m = j.select(*merged_cols)
+        finals = [F.expr(sql).cast(old_dt[out]).alias(out)
+                  for out, sql in _mv_final_exprs(spec)]
+        full = m.select(*keys, *finals, *[F.col(h) for h in hidden])
+        out_cols = [f.name for f in old.schema.fields]
+        live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
+        dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
+        dml.upsert(spark, t.store, live)
+        if dead.limit(1).count():
+            dml.delete_keys(spark, t.store, dead)
+        return ("incremental", cur)
+    finally:
+        spark.catalog.dropTempView(cv)
+
+
 def create_material_view(session, name: str, path: str, sql_text: str,
                          auto_update: bool = False) -> StarTable:
     """Run the SQL and persist it as a star table + registry entry
@@ -712,10 +988,38 @@ def create_material_view(session, name: str, path: str, sql_text: str,
     known = set(session._tables) | set(catalog.list_tables(session.warehouse))
     session._sync_views()
     vinfo = extract(session.spark, sql_text, known)  # raises if unsupported
-    df = session.spark.sql(sql_text)
-    t = create_table(session.spark, df, path, short_name=name,
-                     warehouse=session.warehouse,
-                     configuration={"is_material_view": "true"})
+    # capture fingerprints BEFORE materializing: the incremental
+    # refresh window must start at a version whose data the backing
+    # table provably contains (a commit racing the build is re-read by
+    # the first refresh instead of silently skipped)
+    fps = _fingerprints(session, set(vinfo.tables))
+    spec = _incremental_spec(session, sql_text)
+    if spec is not None:
+        # incremental-maintainable: backing table carries hidden
+        # partials and hash-partitions on the group keys so refreshes
+        # are key-pruned upserts. The init read is PINNED to the
+        # fingerprinted version (a commit racing the build would
+        # otherwise be both contained in the backing data AND replayed
+        # by the first refresh — double-counted).
+        src_t = session.table(spec["source"])
+        cur = src_t.store.latest_version()
+        fps = {spec["source"]: cur}
+        src_t.to_df(version=cur).createOrReplaceTempView(spec["source"])
+        try:
+            df = session.spark.sql(_mv_init_sql(spec))
+            t = create_table(
+                session.spark, df, path, short_name=name,
+                warehouse=session.warehouse,
+                hash_partitions=[g["out"] for g in spec["groups"]],
+                hash_bucket_num=16,
+                configuration={"is_material_view": "true"})
+        finally:
+            session._sync_views()  # restore the live view
+    else:
+        df = session.spark.sql(sql_text)
+        t = create_table(session.spark, df, path, short_name=name,
+                         warehouse=session.warehouse,
+                         configuration={"is_material_view": "true"})
     reg = _load_registry(session.warehouse)
     if name in reg:
         raise ValueError(f"material view '{name}' already exists")
@@ -723,7 +1027,8 @@ def create_material_view(session, name: str, path: str, sql_text: str,
         "path": os.path.abspath(path),
         "sql": sql_text,
         "auto_update": bool(auto_update),
-        "fingerprints": _fingerprints(session, set(vinfo.tables)),
+        "incremental": spec is not None,
+        "fingerprints": fps,
         "created_at": time.time(),
     }
     _save_registry(reg, session.warehouse)
@@ -760,7 +1065,15 @@ def drop_views_on(session, table_name: str) -> list[str]:
 
 def update_material_view(session, name: str, force: bool = False) -> bool:
     """Refresh iff source-table fingerprints changed
-    (UpdateMaterialViewCommand.scala:46-67). Returns True if refreshed."""
+    (UpdateMaterialViewCommand.scala:46-67). Returns True if refreshed.
+
+    Incremental-maintainable views (single-table sum/count/avg GROUP
+    BY, see _incremental_spec) refresh through the signed-partial path
+    — O(changes) source reads, an upsert + tombstone delete on the
+    backing table — and fall back to the reference-parity full re-run
+    whenever the window is unreadable (vacuumed cursor files,
+    compaction rewrote history, schema drift made the spec
+    ineligible)."""
     reg = _load_registry(session.warehouse)
     if name not in reg:
         raise KeyError(f"unknown material view '{name}'")
@@ -768,9 +1081,46 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
     current = _fingerprints(session, set(ent["fingerprints"]))
     if not force and current == ent["fingerprints"]:
         return False
+    t = StarTable.for_path(session.spark, ent["path"])
+    if ent.get("incremental"):
+        # no _sync_views first: re-materializing every temp view builds
+        # full-table file indexes — the incremental path must plan only
+        # over the change window (+ the backing table)
+        try:
+            got = _incremental_refresh(session, ent, t)
+        except Exception:
+            if os.environ.get("STARLAKE_MV_DEBUG"):
+                raise
+            got = None  # any window hiccup → provably-correct full run
+        if got is not None:
+            mode, cur = got
+            ent["fingerprints"] = {next(iter(ent["fingerprints"])): cur}
+            _save_registry(reg, session.warehouse)
+            return mode != "noop"
+        # full fallback for an incremental backing table: recompute
+        # declared outputs AND hidden partials in one pass, pinned to
+        # the version the new fingerprint records
+        session._sync_views()
+        spec = _incremental_spec(session, ent["sql"])
+        if spec is not None:
+            src_t = session.table(spec["source"])
+            cur = src_t.store.latest_version()
+            src_t.to_df(version=cur).createOrReplaceTempView(spec["source"])
+            try:
+                df = session.spark.sql(_mv_init_sql(spec))
+                t.write(df, mode="overwrite")
+            finally:
+                session._sync_views()
+            ent["fingerprints"] = {spec["source"]: cur}
+            _save_registry(reg, session.warehouse)
+            return True
+        # spec no longer derivable (e.g. the source evolved outside the
+        # maintainable shape): demote permanently — the plain re-run
+        # below null-fills the hidden partials, which must never be
+        # trusted again
+        ent["incremental"] = False
     session._sync_views()
     df = session.spark.sql(ent["sql"])
-    t = StarTable.for_path(session.spark, ent["path"])
     t.write(df, mode="overwrite")
     ent["fingerprints"] = _fingerprints(session, set(ent["fingerprints"]))
     _save_registry(reg, session.warehouse)

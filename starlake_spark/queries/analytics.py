@@ -63,9 +63,16 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
             F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
             F.sum(_charge()).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # averages via exact decimal sums over the exact count —
+            # plain avg() accumulates doubles in partition order, which
+            # drifts past the 6-dp round at sf >= 1 (sf1 oracle sweep);
+            # exact-operand single division is order-free at any SF
+            F.round(F.sum(_money(F.col("l_quantity"))).cast("double")
+                    / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_money(F.col("l_extendedprice"))).cast("double")
+                    / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(_money(F.col("l_discount"))).cast("double")
+                    / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -78,9 +85,9 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2)) * CAST(1+l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -800,21 +800,26 @@ def _validate_write_target(table_path: str, schema: T.StructType,
             new_schema_json)
 
 
-def _apply_overwrite_schema(store: ManifestStore, schema_json: str) -> None:
-    """Publish the overwriteSchema replacement right before the
-    truncate-overwrite's data commit: the commit stamps the NEW schema
-    into its version file (versioned-schema coherence — the overwrite
-    version's files carry the new columns), while a job that failed
-    before commit leaves the old schema untouched. Dropped-column and
-    rename-alias markers clear — no file of the old schema survives a
-    full overwrite. A concurrent ALTER loses the CAS and surfaces as
-    'Schema has been changed for table' (retryable)."""
-    info = store.table_info(refresh=True)
+def _overwrite_schema_info(store: ManifestStore, schema_json: str):
+    """Build (do NOT publish) the overwriteSchema replacement
+    TableInfo. The caller attaches it to the data commit's transaction
+    (``txn.new_table_info``), so the schema swap and the
+    truncate-overwrite's file publish land in ONE atomic commit
+    (ManifestStore._publish_version): a commit that fails, conflicts,
+    or crashes pre-publish leaves the old schema fully intact — the
+    table never serves the new schema over the old data files.
+    Dropped-column and rename-alias markers clear — no file of the old
+    schema survives a full overwrite. A concurrent ALTER fails the
+    schema_version guard inside the publish critical section and
+    surfaces as 'Schema has been changed for table' (retryable)."""
+    from starlake_spark.meta import TableInfo
+
+    info = TableInfo.from_json(store.table_info(refresh=True).to_json())
     info.schema_json = schema_json
     cfg = {k: v for k, v in (info.configuration or {}).items()
            if k != "dropped.columns" and not k.startswith("aliases.")}
     info.configuration = cfg
-    store.update_table_info(info)
+    return info
 
 
 def _write_task_batches(iterator, table_path: str, dir_name: str,
@@ -1086,9 +1091,10 @@ class _StarBatchWriter(DataSourceArrowWriter):
         if self.pending_create is not None:
             _persist_pending_create(self.pending_create)
         store = ManifestStore(self.table_path)
-        if self.new_schema_json is not None:
-            _apply_overwrite_schema(store, self.new_schema_json)
         txn = store.new_transaction()
+        if self.new_schema_json is not None:
+            txn.new_table_info = _overwrite_schema_info(
+                store, self.new_schema_json)
         if pred is not None:
             for rv in txn.read_snapshot.partitions:
                 if pred(rv):
@@ -1160,11 +1166,11 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
             _persist_pending_create(self.pending_create)
             self.pending_create = None  # later batches: table exists
         store = ManifestStore(self.table_path)
-        if self.new_schema_json is not None:
-            _apply_overwrite_schema(store, self.new_schema_json)
-            self.new_schema_json = None  # once, on the first commit
         info = store.table_info()
         txn = store.new_transaction()
+        if self.new_schema_json is not None:
+            txn.new_table_info = _overwrite_schema_info(
+                store, self.new_schema_json)
         files = _collect_file_infos(self.table_path, info, messages,
                                     self.cast_types, self.out_names)
         if self.overwrite:
@@ -1176,6 +1182,9 @@ class _StarStreamWriter(DataSourceStreamArrowWriter):
             store.commit(txn)
         except DuplicateTxnError:
             pass  # a retry already landed this batch; files orphan -> vacuum
+        # once, on the FIRST SUCCESSFUL commit (a DuplicateTxnError
+        # means the earlier attempt of this batch already published it)
+        self.new_schema_json = None
 
     def abort(self, messages, batchId):
         for m in messages or ():

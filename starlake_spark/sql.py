@@ -198,17 +198,23 @@ _ALTER_CHANGE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+CHANGE(?:\s+COLUMN)?\s+"
     r"(?P<path>(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+"
     r"(?P<new>`[^`]+`|[\w$]+)\s+(?P<type>.+?)"
-    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
     r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>`[^`]+`|[\w$]+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # one ADD COLUMNS entry: dotted/backticked path, type, optional COMMENT
 _ADDCOL_ENTRY_RE = re.compile(
     r"^\s*(?P<path>(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+"
-    r"(?P<type>.+?)(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?P<type>.+?)(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
     r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>`[^`]+`|[\w$]+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _unescape_sql_str(s: str | None) -> str | None:
+    """SQL single-quoted literal body: doubled quote '' is an escaped
+    quote (COMMENT 'it''s' stores "it's")."""
+    return None if s is None else s.replace("''", "'")
 
 
 def _unquote_path(path: str) -> str:
@@ -292,13 +298,20 @@ class StarSession:
     # ---------- SQL ----------
 
     def _sync_views(self) -> None:
+        from starlake_spark.plans.mv import _strip_mv_hidden
+
         for name, t in self._tables.items():
             if "." in name:
                 # dotted (database-qualified) names can't be temp views;
                 # sql() rewrites their occurrences to a single-part
                 # alias first (_expand_dotted_names)
                 continue
-            t.to_df().createOrReplaceTempView(name)
+            df = t.to_df()
+            if (t.info.configuration or {}).get("is_material_view") == "true":
+                # incremental MVs carry hidden _mv_* partial columns —
+                # never user-visible
+                df = _strip_mv_hidden(df)
+            df.createOrReplaceTempView(name)
 
     def _load_catalog_names(self, text: str) -> None:
         """Load warehouse-catalog tables the statement mentions into the
@@ -841,7 +854,7 @@ class StarSession:
                 path = _unquote_path(em["path"])
                 cols.append((path, em["type"].strip()))
                 if em["comment"] is not None:
-                    comments[path] = em["comment"]
+                    comments[path] = _unescape_sql_str(em["comment"])
                 if em["first"]:
                     positions[path] = "first"
                 elif em["after"]:
@@ -939,7 +952,8 @@ class StarSession:
                    else f"after:{m['after'].strip('`')}" if m["after"]
                    else None)
             if m["comment"] is not None or pos is not None:
-                t.change_column(path, comment=m["comment"], position=pos)
+                t.change_column(path, comment=_unescape_sql_str(m["comment"]),
+                                position=pos)
             return self._empty_df()
 
         m = _ALTER_RENAME_RE.match(text)

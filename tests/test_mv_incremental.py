@@ -1,0 +1,196 @@
+"""Round-8 verdict task #3: incremental materialized-view refresh.
+
+update_material_view (plans/mv.py) now maintains single-table
+sum/count/avg GROUP BY views through the signed-partial algebra
+(_incremental_refresh) instead of the reference's full re-run. These
+tests pin the three claims:
+
+1. EQUALITY — across a DML storm (appends, upserts, deletes, a group
+   vanishing), the incrementally-maintained view is bit-identical to a
+   full re-run of the SQL.
+2. O(CHANGES) — the refresh provably never reads source history: with
+   an already-consumed source file physically removed, the incremental
+   refresh still succeeds (a full re-run cannot).
+3. HYGIENE — hidden _mv_* partial columns never reach users, and
+   ineligible shapes (joins, min/max) still refresh full, flagged
+   incremental=False.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlake_spark.plans import mv
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    return StarSession(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _orders_frame(spark, sf_dir, lo, hi):
+    """A slice of the driver's orders parquet: decimal money, string
+    group key, int priority — the shapes the exactness contract covers."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("st"),
+                    F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+                    (F.col("o_custkey") % 10).cast("int").alias("prio")))
+
+
+MV_SQL = ("SELECT st, sum(price) AS total, count(*) AS n, "
+          "avg(prio) AS mean_prio, count(price) AS n_price "
+          "FROM src GROUP BY st")
+
+
+def _full_rerun(sess):
+    return {tuple(r) for r in
+            sess.spark.sql(MV_SQL.replace("FROM src", "FROM src"))
+            .collect()}
+
+
+def _view_rows(sess, name="mv_t"):
+    return {tuple(r) for r in sess.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_incremental_equals_full_append_only(sess, spark, sf_dir, tmp_path):
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    reg = mv._load_registry(sess.warehouse)
+    assert reg["mv_t"]["incremental"] is True
+
+    for lo, hi in [(600, 1000), (1000, 1050), (1050, 1500)]:
+        src.write(_orders_frame(spark, sf_dir, lo, hi), mode="append")
+        assert mv.update_material_view(sess, "mv_t") is True
+        t = sess.table("mv_t")
+        # the refresh was the UPSERT path, not an overwrite re-run
+        assert t.store.snapshot().commit_type == "delta"
+        assert _view_rows(sess) == _full_rerun(sess)
+    # steady state: no source change → no-op refresh
+    assert mv.update_material_view(sess, "mv_t") is False
+
+
+def test_incremental_equals_full_dml_storm(sess, spark, sf_dir, tmp_path):
+    """Hash-partitioned source under a storm of upserts and deletes —
+    including one group key vanishing entirely — stays bit-identical
+    to the full re-run through the signed retraction algebra."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    base = _orders_frame(spark, sf_dir, 0, 800)
+    src = create_table(spark, base, str(tmp_path / "src"),
+                       hash_partitions=["k"], hash_bucket_num=4,
+                       short_name="src", warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+
+    # storm 1: price updates on one slice + fresh inserts
+    src.upsert(_orders_frame(spark, sf_dir, 200, 400)
+               .withColumn("price", F.col("price") * 2))
+    src.upsert(_orders_frame(spark, sf_dir, 800, 1200))
+    # storm 2: delete a slice, then move every remaining 'P' order to
+    # group 'F' (a group-key update = retraction + insertion)
+    dml.delete(spark, src.store, condition="k >= 1100", use_delta=True)
+    src.upsert(src.to_df().filter(F.col("st") == "P")
+               .withColumn("st", F.lit("F")))
+    sess._sync_views()
+
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type in (
+        "delta", "delete_delta")
+    got, want = _view_rows(sess), _full_rerun(sess)
+    assert got == want
+    # 'P' groups vanished: the dead group's row must be GONE, not zeroed
+    assert not any(r[0] == "P" for r in got)
+    # registry survives: still incremental after the storm
+    assert mv._load_registry(sess.warehouse)["mv_t"]["incremental"] is True
+
+
+def test_refresh_reads_o_changes_not_history(sess, spark, sf_dir, tmp_path):
+    """With an already-consumed source file physically removed, the
+    incremental refresh still succeeds — it provably reads only the
+    change window (a full re-run over the same table throws)."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 900),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       configuration={"compaction.auto": "false"})
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    before = _view_rows(sess)
+
+    # hide one consumed base file
+    files = src.store.snapshot().all_files()
+    victim = os.path.join(src.store.table_path, files[0].path)
+    hidden = victim + ".hidden"
+    os.rename(victim, hidden)
+    try:
+        src.write(_orders_frame(spark, sf_dir, 900, 1400), mode="append")
+        assert mv.update_material_view(sess, "mv_t") is True
+        # read the backing table directly: sess.sql would re-sync the
+        # src temp view, whose full-table file index stats the hidden
+        # file — exactly what the refresh itself must not (and did not)
+        after = {tuple(r) for r in
+                 mv._strip_mv_hidden(sess.table("mv_t").to_df()).collect()}
+        assert after != before  # the appended slice landed
+    finally:
+        os.rename(hidden, victim)
+    # with the file restored, the incremental result equals the full
+    # re-run over the intact table
+    sess._sync_views()
+    assert _view_rows(sess) == _full_rerun(sess)
+
+
+def test_hidden_partials_invisible_and_rewrite_hits(sess, spark, sf_dir,
+                                                    tmp_path):
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 900),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    cols = sess.sql("SELECT * FROM mv_t").columns
+    assert cols == ["st", "total", "n", "mean_prio", "n_price"]
+    # the backing table DOES carry the partials (that's the machinery)
+    backing = sess.table("mv_t").to_df().columns
+    assert any(c.startswith("_mv_") for c in backing)
+    # query rewrite onto the incremental view still hits and agrees
+    q = "SELECT st, sum(price) AS total FROM src GROUP BY st"
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None
+    assert ({tuple(r) for r in hit.collect()}
+            == {tuple(r) for r in spark.sql(q).collect()})
+
+
+def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    # min() is not retractable → full-refresh MV, no hidden columns
+    mv.create_material_view(
+        sess, "mv_min", str(tmp_path / "mv_min"),
+        "SELECT st, min(price) AS lo FROM src GROUP BY st")
+    assert mv._load_registry(sess.warehouse)["mv_min"]["incremental"] is False
+    assert not any(c.startswith("_mv_")
+                   for c in sess.table("mv_min").to_df().columns)
+    src.write(_orders_frame(spark, sf_dir, 600, 800), mode="append")
+    assert mv.update_material_view(sess, "mv_min") is True
+    assert (_view_rows(sess, "mv_min")
+            == {tuple(r) for r in spark.sql(
+                "SELECT st, min(price) AS lo FROM src GROUP BY st")
+                .collect()})
