@@ -77,7 +77,13 @@ def build(spark):
     # in a replica shared shingles, which at 500k docs made short docs
     # cross the Jaccard threshold against half the corpus — the round-8
     # sf1 ORACLE sweep caught components/minhash answers diverging on
-    # that degenerate graph (and the quadratic duckdb oracle at 847 s)
+    # that degenerate graph (and the quadratic duckdb oracle at 847 s).
+    # doc_id/vec_id replica offsets are 100_000 (not the fact tables'
+    # 10_000_000): the dedup/ANN entries reserve the id space above
+    # PLANT_ID = 1_000_000 for planted twins / recrawls (llm_suite.py
+    # :696, engine_suite.py:1121), so 10M-range real ids masqueraded as
+    # plants — silently filtered off the spark side while the oracle
+    # kept them (round-8 sweep: components 477 vs 50000 rows)
     dst = os.path.join(OUT, "documents.parquet")
     if os.path.islink(dst):
         os.unlink(dst)  # upgrade older symlink-only builds
@@ -93,7 +99,7 @@ def build(spark):
                            .cast("int"))))
             parts.append(
                 base.withColumn("doc_id",
-                                (F.col("doc_id") + r * 10_000_000)
+                                (F.col("doc_id") + r * 100_000)
                                 .cast(dict(base.dtypes)["doc_id"]))
                     .withColumn("text",
                                 F.concat_ws(" ", F.col("text"), filler))
@@ -117,7 +123,7 @@ def build(spark):
         parts = []
         for r in range(REPLICAS):
             d = base.withColumn("vec_id",
-                                (F.col("vec_id") + r * 10_000_000)
+                                (F.col("vec_id") + r * 100_000)
                                 .cast(dict(base.dtypes)["vec_id"]))
             if r:
                 sz = F.size("embedding")

@@ -1519,44 +1519,35 @@ def cleanup(store: ManifestStore, retention_s: float = CLEANUP_RETENTION_S,
     refs = _refs_of(latest)
     for v in keep_versions:
         refs.update(_refs_of(v))
+    # LISTING SEAM (starlake_spark.listing): the only storage
+    # enumeration vacuum does — one LIST per prefix, diffed against the
+    # manifest's referenced set; orphans age-gate on the retention
+    # clock. On an object store this is one paginated ListObjectsV2 per
+    # prefix per vacuum run (see listing.py design note).
+    from starlake_spark.listing import get_lister
+
+    lister = get_lister()
     removed = []
-    data_root = os.path.join(store.table_path, "data")
-    for root, _dirs, names in os.walk(data_root):
-        for n in names:
-            p = os.path.join(root, n)
-            rel = os.path.relpath(p, store.table_path)
-            if rel not in refs and now - os.path.getmtime(p) > retention_s:
+
+    def _sweep_prefix(prefix_root: str) -> None:
+        for ent in lister.list_files(prefix_root):
+            rel = os.path.relpath(ent.path, store.table_path)
+            if rel not in refs and now - ent.mtime > retention_s:
                 removed.append(rel)
                 if not dry_run:
-                    os.unlink(p)
+                    lister.remove(ent.path)
+
+    _sweep_prefix(os.path.join(store.table_path, "data"))
     # deletion-vector sidecars: once compaction materialized a DV (no
     # retained snapshot references it), its sidecar files sweep on the
     # same retention clock as data files.
-    dv_root = os.path.join(store.table_path, "_star_meta", "dv")
-    if os.path.isdir(dv_root):
-        for root, _dirs, names in os.walk(dv_root):
-            for n in names:
-                p = os.path.join(root, n)
-                rel = os.path.relpath(p, store.table_path)
-                if rel not in refs and now - os.path.getmtime(p) > retention_s:
-                    removed.append(rel)
-                    if not dry_run:
-                        os.unlink(p)
+    _sweep_prefix(os.path.join(store.table_path, "_star_meta", "dv"))
     # bloom-filter sidecars: one parquet per commit under
     # `_star_meta/bloom/`; a sidecar whose commit no retained snapshot
     # references is dead weight (readers only ever load
     # manifest-referenced bitmaps) — sweep it on the data retention
     # clock, keyed on retained bloom_refs exactly like dv sidecars.
-    bloom_root = os.path.join(store.table_path, "_star_meta", "bloom")
-    if os.path.isdir(bloom_root):
-        for root, _dirs, names in os.walk(bloom_root):
-            for n in names:
-                p = os.path.join(root, n)
-                rel = os.path.relpath(p, store.table_path)
-                if rel not in refs and now - os.path.getmtime(p) > retention_s:
-                    removed.append(rel)
-                    if not dry_run:
-                        os.unlink(p)
+    _sweep_prefix(os.path.join(store.table_path, "_star_meta", "bloom"))
     # STALE scoped lock files: a crashed writer's partition-scoped
     # lock (`_commit.lock.p<hash>`) is stale-broken by the next acquire
     # of the SAME scope, but a partition never written again would keep

@@ -331,11 +331,16 @@ def _is_statically_empty(df: DataFrame) -> bool:
 
 
 def _list_written_files(abs_dir: str) -> list[str]:
+    # LISTING SEAM (starlake_spark.listing): harvest of THIS commit's
+    # freshly-written task outputs under its unique commit dir — a
+    # single-prefix list, read-after-write consistent on object stores
+    from starlake_spark.listing import get_lister
+
     out = []
-    for root, _dirs, names in os.walk(abs_dir):
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith((".", "_")):
-                out.append(os.path.join(root, n))
+    for ent in get_lister().list_files(abs_dir):
+        n = os.path.basename(ent.path)
+        if n.endswith(".parquet") and not n.startswith((".", "_")):
+            out.append(ent.path)
     return out
 
 

@@ -42,10 +42,16 @@ def _disc_price():
 
 
 def _charge():
+    # the two small factors (discount/tax ∈ [0, ~0.1]) carry 2 decimal
+    # digits; DECIMAL(4,2) keeps the 3-way product at (28,6) — EXACT on
+    # both engines. With DEC(18,2) factors the product hits precision
+    # (56,6) → clamped to 38 with engine-specific rounding, which
+    # drifted sum_charge by 4e-6 at sf1 (round-8 oracle sweep)
+    small = "decimal(4,2)"
     return (
         F.col("l_extendedprice").cast(DEC)
-        * (1 - F.col("l_discount")).cast(DEC)
-        * (1 + F.col("l_tax")).cast(DEC)
+        * (1 - F.col("l_discount")).cast(small)
+        * (1 + F.col("l_tax")).cast(small)
     )
 
 
@@ -59,10 +65,17 @@ def q1_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            # ROUND(…, 2): above 2^53 units the exact decimal sum has
+            # no unique double; engines pick adjacent doubles (sub-ulp
+            # drift seen on sum_charge at sf1). 2 dp is far below the
+            # ulp, so both engines land on the same rounded value.
+            F.round(F.sum(_money(F.col("l_quantity"))).cast("double"),
+                    2).alias("sum_qty"),
+            F.round(F.sum(_money(F.col("l_extendedprice"))).cast("double"),
+                    2).alias("sum_base_price"),
+            F.round(F.sum(_disc_price()).cast("double"), 2)
+            .alias("sum_disc_price"),
+            F.round(F.sum(_charge()).cast("double"), 2).alias("sum_charge"),
             # averages via exact decimal sums over the exact count —
             # plain avg() accumulates doubles in partition order, which
             # drifts past the 6-dp round at sf >= 1 (sf1 oracle sweep);
@@ -81,10 +94,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2)) * CAST(1+l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))) AS DOUBLE), 2) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,

@@ -369,6 +369,9 @@ class StarSession:
             return hit
         text = self._expand_cdf_tvf(text)
         text = self._expand_time_travel(text)
+        hit = self._try_setop_pk_rewrite(text.strip().rstrip(";"))
+        if hit is not None:
+            return hit
         self._sync_views()
         if rewrite is None:
             rewrite = self._mv_enabled
@@ -382,6 +385,40 @@ class StarSession:
             except Exception:
                 pass
         return self.spark.sql(text)
+
+    # INTERSECT/EXCEPT over exactly the hash (primary-key) columns of
+    # two same-bucketed star tables → left-semi/left-anti join with
+    # plain equality and no dedup (reference StarLakePostHocAnalysis
+    # .scala:29-96; suite StarLakePostHocAnalysisSuite.scala). Matches
+    # the reference rule's narrow shape only; anything else falls
+    # through to Spark, whose own ReplaceIntersectWithSemiJoin is
+    # correct but keeps null-safe keys + a Distinct.
+    _SETOP_PK_RE = re.compile(
+        r"^\s*SELECT\s+(?P<c1>[`\w]+(?:\s*,\s*[`\w]+)*)\s+FROM\s+"
+        r"(?P<a>[\w.]+)\s+(?P<op>INTERSECT|EXCEPT)(?:\s+ALL)?\s+"
+        r"SELECT\s+(?P<c2>[`\w]+(?:\s*,\s*[`\w]+)*)\s+FROM\s+"
+        r"(?P<b>[\w.]+)\s*$",
+        re.IGNORECASE)
+
+    def _try_setop_pk_rewrite(self, text: str):
+        m = self._SETOP_PK_RE.match(text)
+        if not m or not (self._known(m["a"]) and self._known(m["b"])):
+            return None
+
+        def cols(s):
+            return [c.strip().strip("`").lower() for c in s.split(",")]
+
+        c1, c2 = cols(m["c1"]), cols(m["c2"])
+        ta, tb = self.table(m["a"]), self.table(m["b"])
+        ha = [c.lower() for c in ta.info.hash_cols]
+        hb = [c.lower() for c in tb.info.hash_cols]
+        if not ha or c1 != ha or c2 != hb or ha != hb \
+                or ta.info.bucket_num != tb.info.bucket_num \
+                or ta.info.bucket_num <= 0:
+            return None  # outside the reference rule's shape
+        if m["op"].upper() == "INTERSECT":
+            return ta.intersect_keys(tb)
+        return ta.except_keys(tb)
 
     # ``star.`/path/to/table``` identifiers (reference
     # DDLUsingPathSuite.scala:89-129: SELECT/DESCRIBE on star.`<path>`;

@@ -507,35 +507,38 @@ class StarTable:
                            for d in ps.dv_files}
             referenced |= {f.bloom_ref for f in sv.all_files()
                            if getattr(f, "bloom_ref", None)}
+        # LISTING SEAM (starlake_spark.listing): the orphan report is a
+        # prefix listing diffed against the manifest set — same shape
+        # and same lister as vacuum's sweep
+        from starlake_spark.listing import get_lister
+
+        lister = get_lister()
         data_root = _os.path.join(store.table_path, "data")
-        for root, _dirs, names in _os.walk(data_root):
-            for n in names:
-                if n.startswith((".", "_")):
-                    continue  # Hadoop bookkeeping (_SUCCESS, .crc)
-                rel = _os.path.relpath(_os.path.join(root, n),
-                                       store.table_path)
-                if rel not in referenced:
-                    issues.append({"kind": "orphan_file", "partition": None,
-                                   "path": rel, "repairable": False,
-                                   "detail": "unreferenced by any retained "
-                                             "version; VACUUM removes it "
-                                             "after retention"})
+        for ent in lister.list_files(data_root):
+            n = _os.path.basename(ent.path)
+            if n.startswith((".", "_")):
+                continue  # Hadoop bookkeeping (_SUCCESS, .crc)
+            rel = _os.path.relpath(ent.path, store.table_path)
+            if rel not in referenced:
+                issues.append({"kind": "orphan_file", "partition": None,
+                               "path": rel, "repairable": False,
+                               "detail": "unreferenced by any retained "
+                                         "version; VACUUM removes it "
+                                         "after retention"})
         # orphaned bloom sidecars: bitmaps whose commit no retained
         # version references (same sweep clock as data orphans —
         # readers only load manifest-referenced bitmaps, so these are
         # pure storage leak, removed by VACUUM after retention)
         bloom_root = _os.path.join(store.table_path, "_star_meta", "bloom")
-        for root, _dirs, names in _os.walk(bloom_root):
-            for n in names:
-                rel = _os.path.relpath(_os.path.join(root, n),
-                                       store.table_path)
-                if rel not in referenced:
-                    issues.append({"kind": "orphan_bloom_sidecar",
-                                   "partition": None,
-                                   "path": rel, "repairable": False,
-                                   "detail": "unreferenced by any retained "
-                                             "version; VACUUM removes it "
-                                             "after retention"})
+        for ent in lister.list_files(bloom_root):
+            rel = _os.path.relpath(ent.path, store.table_path)
+            if rel not in referenced:
+                issues.append({"kind": "orphan_bloom_sidecar",
+                               "partition": None,
+                               "path": rel, "repairable": False,
+                               "detail": "unreferenced by any retained "
+                                         "version; VACUUM removes it "
+                                         "after retention"})
 
         # resolve versions through a COLD store: the live store's
         # snapshot cache would mask on-disk manifest corruption
@@ -684,15 +687,88 @@ class StarTable:
             .sortBy(*cols)
             .option("path", data_path)
             .saveAsTable(name))
-        self.set_properties({"bucketed.table": name, "bucketed.path": data_path})
+        self.set_properties({"bucketed.table": name,
+                             "bucketed.path": data_path,
+                             # snapshot stamp: consumers (set-op
+                             # rewrite) use the materialization only
+                             # while it reflects the CURRENT version
+                             "bucketed.version":
+                                 str(self.store.latest_version())})
         return name
 
+    def _bucketed_df(self):
+        """The bucketed materialization IF it reflects the current
+        snapshot (stamped at to_bucketed_table time), else None."""
+        cfg = self.info.configuration or {}
+        name, ver = cfg.get("bucketed.table"), cfg.get("bucketed.version")
+        if (name and ver is not None
+                and int(ver) == self.store.latest_version()
+                and self.spark.catalog.tableExists(name)):
+            return self.spark.table(name)
+        return None
+
+    def _setop_keys(self, other: "StarTable", how: str) -> DataFrame:
+        """INTERSECT/EXCEPT over the PK columns — the reference's
+        StarLakePostHocAnalysis rewrite
+        (rules/StarLakePostHocAnalysis.scala:29-96, suite
+        StarLakePostHocAnalysisSuite.scala): hash columns are non-null
+        primary keys, so the set-op IS a left-semi/left-anti join with
+        PLAIN equality and needs no post-dedup. Catalyst's own
+        ReplaceIntersectWithSemiJoin keeps null-safe join keys plus a
+        Distinct, which defeats bucket layouts (the keys become
+        coalesce(k,0)/isnull(k) expressions, so the scan's reported
+        partitioning never matches); joining on the raw keys lets two
+        CURRENT to_bucketed_table materializations plan a
+        zero-exchange bucket-aligned SortMergeJoin
+        (test_plan_hygiene pins it)."""
+        a, b = self.info, other.info
+        if not a.hash_cols or not b.hash_cols:
+            raise ValueError(
+                "intersect_keys/except_keys require hash-partitioned "
+                "tables (the rewrite is sound only for primary keys)")
+        if ([c.lower() for c in a.hash_cols]
+                != [c.lower() for c in b.hash_cols]
+                or a.bucket_num != b.bucket_num):
+            raise ValueError(
+                f"hash layouts differ: {a.hash_cols} x{a.bucket_num} "
+                f"vs {b.hash_cols} x{b.bucket_num} — the PK set-op "
+                "rewrite requires identical key columns and bucket "
+                "count (StarLakePostHocAnalysis.scala:79-95)")
+        cols = list(a.hash_cols)
+        left, right = self._bucketed_df(), other._bucketed_df()
+        if left is None or right is None:
+            left, right = self.to_df(), other.to_df()
+        left = left.select(*cols)
+        right = right.select(*[F.col(c).alias(f"__r_{c}") for c in cols])
+        cond = None
+        for c in cols:
+            e = left[c] == right[f"__r_{c}"]
+            cond = e if cond is None else cond & e
+        return left.join(right, cond, how).select(*cols)
+
+    def intersect_keys(self, other: "StarTable") -> DataFrame:
+        """``SELECT <pk> FROM self INTERSECT SELECT <pk> FROM other``
+        as a semi join (see _setop_keys)."""
+        return self._setop_keys(other, "left_semi")
+
+    def except_keys(self, other: "StarTable") -> DataFrame:
+        """``SELECT <pk> FROM self EXCEPT SELECT <pk> FROM other``
+        as an anti join (see _setop_keys)."""
+        return self._setop_keys(other, "left_anti")
+
     def drop_partition(self, range_value: str) -> "StarTable":
-        """DropPartitionCommand (commands/DropTableCommand.scala:150-247)."""
+        """DropPartitionCommand (commands/DropTableCommand.scala:150-247)
+        with the reference's refusal parity (DropTableSuite.scala
+        'drop partition'): exactly ONE partition per call — an OR
+        condition raises 'You can only drop one partition once time',
+        an unmatched condition 'Partition not found by condition'."""
         self._guard_replica_dml("drop_partition")
+        if re.search(r"\bor\b", range_value, re.IGNORECASE):
+            raise ValueError("You can only drop one partition once time")
         txn = self.store.new_transaction()
         if range_value not in txn.read_snapshot.partitions:
-            raise KeyError(f"no such partition: {range_value}")
+            raise KeyError(
+                f"Partition not found by condition: {range_value}")
         txn.expire_partition(range_value)
         self.store.commit(txn)
         return self
@@ -700,7 +776,14 @@ class StarTable:
     def drop_table(self) -> None:
         info = self.store.table_info()
         if info.short_name:
-            catalog.unregister(info.short_name)
+            # the warehouse the name was registered in is stamped at
+            # create/convert/clone time — dropping must unregister from
+            # THAT catalog, not the default (DropTableSuite.scala
+            # tableNotExists parity; pre-round-8 a custom-warehouse
+            # registration dangled forever)
+            catalog.unregister(info.short_name,
+                               (info.configuration or {})
+                               .get("catalog.warehouse"))
         self.store.drop()
 
     def restore(self, version: int | None = None,
@@ -824,6 +907,11 @@ class StarTable:
         dest.import_state(partitions, commit_type="clone", min_version=max_wv)
         if short_name:
             catalog.register(short_name, dest_path, warehouse)
+            if warehouse:
+                di = dest.table_info(refresh=True)
+                di.configuration["catalog.warehouse"] = \
+                    os.path.abspath(warehouse)
+                dest.update_table_info(di)
         return StarTable(self.spark, dest)
 
     def sync_clone(self) -> int:
@@ -1545,35 +1633,41 @@ def convert_to_star(
         if c not in schema.fieldNames():
             raise ValueError(f"partition column '{c}' not found in layout")
 
-    files = []
-    for root, _dirs, names in os.walk(path):
-        if os.path.basename(root).startswith("_star_meta"):
-            continue
-        for n in sorted(names):
-            if not n.endswith(".parquet") or n.startswith((".", "_")):
-                continue
-            fp = os.path.join(root, n)
-            rel = os.path.relpath(fp, path)
-            decoded = {}
-            for part in os.path.dirname(rel).split(os.sep):
-                k, sep, v = part.partition("=")
-                if sep:
-                    decoded[k] = unquote(v)
-            missing = [c for c in range_partitions if c not in decoded]
-            if missing:
-                raise ValueError(
-                    f"file {rel} lacks hive directories for {missing}")
-            rv = ",".join(f"{c}={decoded[c]}" for c in range_partitions)
-            stats, num_rows = _footer_stats(fp)
-            import pyarrow.parquet as pq
+    # LISTING SEAM (starlake_spark.listing): the one-time adoption
+    # inventory of a foreign parquet layout — the only non-maintenance
+    # listing in the engine (every later read is manifest-driven)
+    from starlake_spark.listing import get_lister
 
-            phys_cols = [f for f in pq.ParquetFile(fp).schema_arrow.names
-                         if f in schema.fieldNames()]
-            files.append(DataFileInfo(
-                path=rel, range_value=rv, bucket_id=-1,
-                size=os.path.getsize(fp), write_version=-1,
-                is_base_file=True, exist_cols=phys_cols,
-                stats=stats, num_rows=num_rows))
+    files = []
+    for ent in sorted(get_lister().list_files(path), key=lambda e: e.path):
+        rel = os.path.relpath(ent.path, path)
+        if any(part.startswith("_star_meta")
+               for part in rel.split(os.sep)[:-1]):
+            continue
+        n = os.path.basename(ent.path)
+        if not n.endswith(".parquet") or n.startswith((".", "_")):
+            continue
+        fp = ent.path
+        decoded = {}
+        for part in os.path.dirname(rel).split(os.sep):
+            k, sep, v = part.partition("=")
+            if sep:
+                decoded[k] = unquote(v)
+        missing = [c for c in range_partitions if c not in decoded]
+        if missing:
+            raise ValueError(
+                f"file {rel} lacks hive directories for {missing}")
+        rv = ",".join(f"{c}={decoded[c]}" for c in range_partitions)
+        stats, num_rows = _footer_stats(fp)
+        import pyarrow.parquet as pq
+
+        phys_cols = [f for f in pq.ParquetFile(fp).schema_arrow.names
+                     if f in schema.fieldNames()]
+        files.append(DataFileInfo(
+            path=rel, range_value=rv, bucket_id=-1,
+            size=ent.size, write_version=-1,
+            is_base_file=True, exist_cols=phys_cols,
+            stats=stats, num_rows=num_rows))
     if not files:
         raise ValueError(f"no parquet files found under {path}")
 
@@ -1594,6 +1688,9 @@ def convert_to_star(
     store.commit(txn)
     if short_name:
         catalog.register(short_name, path, warehouse)
+        if warehouse:
+            info.configuration["catalog.warehouse"] = os.path.abspath(warehouse)
+            store.update_table_info(info)
     return StarTable(spark, store)
 
 
@@ -1704,6 +1801,9 @@ def create_table(
     store.commit(txn)
     if short_name:
         catalog.register(short_name, path, warehouse)
+        if warehouse:
+            info.configuration["catalog.warehouse"] = os.path.abspath(warehouse)
+            store.update_table_info(info)
     return StarTable(spark, store)
 
 

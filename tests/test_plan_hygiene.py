@@ -473,3 +473,97 @@ def test_semantic_decontaminate_never_shuffles_corpus(spark):
     assert final.count("Exchange hashpartitioning") <= 1, final
     map_branch = final[final.index("MapInPandas"):]
     assert "Exchange" not in map_branch, map_branch
+
+
+def test_setop_pk_join_rewrite_on_bucketed_tables(spark, tmp_path):
+    """Round-8 verdict task #5 (reference
+    rules/StarLakePostHocAnalysis.scala:29-96 +
+    StarLakePostHocAnalysisSuite.scala): INTERSECT/EXCEPT over the PK
+    columns of two same-bucketed star tables rewrites to a
+    left-semi/left-anti join on PLAIN equality with no dedup
+    (intersect_keys / except_keys + the StarSession SQL route).
+
+    Documented divergence probed here: Catalyst's own
+    ReplaceIntersectWithSemiJoin is correct but emits NULL-SAFE join
+    keys (coalesce(k,0)/isnull(k)) plus a Distinct — expressions a
+    bucketed scan's reported partitioning can never satisfy, so the
+    merge regime shuffles both sides and the dedup again. The engine's
+    rewrite exploits what Catalyst cannot know (hash cols are non-null
+    unique PKs): raw-key join, no dedup — over two CURRENT
+    to_bucketed_table materializations the merge regime plans
+    ZERO exchanges."""
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    t1 = create_table(spark, o.select("o_orderkey", "o_totalprice"),
+                      str(tmp_path / "s1"), short_name="sop_a",
+                      warehouse=sess.warehouse,
+                      hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t2 = create_table(
+        spark,
+        o.select((F.col("o_orderkey") + 3).alias("o_orderkey"),
+                 F.col("o_totalprice")),
+        str(tmp_path / "s2"), short_name="sop_b",
+        warehouse=sess.warehouse,
+        hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t1.to_bucketed_table("sop_bt1")
+    t2.to_bucketed_table("sop_bt2")
+
+    want = {
+        "INTERSECT": ("LeftSemi",
+                      {r[0] for r in o.select("o_orderkey").intersect(
+                          o.select((F.col("o_orderkey") + 3)
+                                   .alias("o_orderkey"))).collect()}),
+        "EXCEPT": ("LeftAnti",
+                   {r[0] for r in o.select("o_orderkey").exceptAll(
+                       o.select((F.col("o_orderkey") + 3)
+                                .alias("o_orderkey"))).distinct()
+                    .collect()}),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op, (join_type, rows) in want.items():
+            df = sess.sql(f"SELECT o_orderkey FROM sop_a {op} "
+                          f"SELECT o_orderkey FROM sop_b")
+            plan = _phys(df)
+            assert join_type in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan          # zero-exchange
+            assert "HashAggregate" not in plan, plan     # no dedup pass
+            assert {r[0] for r in df.collect()} == rows
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # staleness guard: a write invalidates the bucketed stamp — the
+    # rewrite falls back to live MoR scans and stays CORRECT
+    t1.upsert(spark.createDataFrame([(1_000_001, 1.0)],
+                                    "o_orderkey long, o_totalprice double"))
+    df = sess.sql("SELECT o_orderkey FROM sop_a EXCEPT "
+                  "SELECT o_orderkey FROM sop_b")
+    got = {r[0] for r in df.collect()}
+    assert got == want["EXCEPT"][1] | {1_000_001}
+    assert "LeftAnti" in _phys(df)
+
+    # outside the rule (non-PK projection) → falls through to Spark,
+    # still correct
+    df = sess.sql("SELECT o_totalprice FROM sop_a INTERSECT "
+                  "SELECT o_totalprice FROM sop_b")
+    assert df.count() == (o.select("o_totalprice").intersect(
+        o.select("o_totalprice")).count())
+
+
+def test_setop_keys_layout_mismatch_refused(spark, tmp_path):
+    """StarLakePostHocAnalysis.scala:79-95: the rewrite requires
+    identical key columns AND bucket count."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    t1 = create_table(spark, o, str(tmp_path / "m1"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t2 = create_table(spark, o, str(tmp_path / "m2"),
+                      hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    with pytest.raises(ValueError, match="bucket"):
+        t1.intersect_keys(t2)
+    t3 = create_table(spark, o, str(tmp_path / "m3"))
+    with pytest.raises(ValueError, match="hash-partitioned"):
+        t1.intersect_keys(t3)
