@@ -753,8 +753,8 @@ def _incremental_spec(session, sql_text: str) -> dict | None:
         return None
     if len(vinfo.tables) != 1 or vinfo.join_conds or vinfo.join_types:
         return None
-    if not vinfo.has_agg or vinfo.filters_above or not vinfo.group_by:
-        return None
+    if not vinfo.has_agg or vinfo.filters_above:
+        return None  # empty group_by (global aggregate) IS maintainable
     src_name = vinfo.tables[0]
     if "." in src_name:
         return None  # dotted names have no temp view to probe against
@@ -787,9 +787,14 @@ def _incremental_spec(session, sql_text: str) -> dict | None:
             if _cls(t) != "AggregateExpression" or t.get("isDistinct"):
                 return None
             fn = t["_children"][0]
-            kind = {"Sum": "sum", "Count": "count",
-                    "Average": "avg"}.get(_cls(fn))
+            kind = {"Sum": "sum", "Count": "count", "Average": "avg",
+                    "Min": "min", "Max": "max"}.get(_cls(fn))
             if kind is None or len(fn["_children"]) != 1:
+                return None
+            # min/max are monotone under pure APPENDS but a retraction
+            # (upsert/delete on a hash source) can remove the extremum
+            # — only maintainable when the source cannot retract
+            if kind in ("min", "max") and src_t.info.hash_cols:
                 return None
             aggs.append({"out": nm, "kind": kind,
                          "arg": to_sql(fn["_children"][0], colmap,
@@ -799,8 +804,11 @@ def _incremental_spec(session, sql_text: str) -> dict | None:
                  for cn in vinfo.filters_below]
     except UnsupportedPlan:
         return None
-    if not groups or not aggs:
+    if not aggs:
         return None
+    # GROUP BY () — the global aggregate — is maintainable too: the
+    # backing table holds ONE row (no upsert keys needed; refresh is a
+    # 1-row overwrite)
     spark = session.spark
     # type probes (analysis-only, no jobs, no source file access): the
     # view's declared output types come from analyzing the SQL over the
@@ -812,8 +820,10 @@ def _incremental_spec(session, sql_text: str) -> dict | None:
         probe_v = f"_mv_probe_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame([], src_schema).createOrReplaceTempView(probe_v)
         try:
-            sum_probe = ", ".join(f"sum({a['arg']}) AS _p{i}"
-                                  for i, a in enumerate(aggs))
+            sum_probe = ", ".join(
+                f"{'sum' if a['kind'] in ('sum', 'avg', 'count') else a['kind']}"
+                f"({a['arg']}) AS _p{i}"
+                for i, a in enumerate(aggs))
             sum_dt = [f.dataType.simpleString() for f in
                       spark.sql(f"SELECT {sum_probe} FROM {probe_v}")
                       .schema.fields]
@@ -826,26 +836,38 @@ def _incremental_spec(session, sql_text: str) -> dict | None:
         if a["kind"] in ("sum", "avg") and not (
                 st == "bigint" or st.startswith("decimal")):
             return None  # float accumulation: retraction is inexact
+        # min/max keep the value verbatim — any orderable type works
     return {"source": src_name, "source_path": src_t.store.table_path,
             "groups": groups, "aggs": aggs, "where": where}
 
 
-def _mv_hidden_cols(spec) -> list[str]:
+def _mv_hidden_cols(spec) -> list[tuple[str, str]]:
+    """(column, merge_kind): 'sum' partials add across refreshes,
+    'min'/'max' fold via least/greatest (append-only windows only)."""
     cols = []
     for a in spec["aggs"]:
         if a["kind"] in ("sum", "avg"):
-            cols.append(f"{_MVH}s_{a['out']}")
-        cols.append(f"{_MVH}c_{a['out']}")
-    cols.append(f"{_MVH}n")
+            cols.append((f"{_MVH}s_{a['out']}", "sum"))
+        elif a["kind"] in ("min", "max"):
+            cols.append((f"{_MVH}m_{a['out']}", a["kind"]))
+        cols.append((f"{_MVH}c_{a['out']}", "sum"))
+    cols.append((f"{_MVH}n", "sum"))
     return cols
 
 
 def _mv_partial_exprs(spec, sgn: str) -> list[str]:
     ex = []
+    post = "(`_change_type` IN ('insert', 'update_postimage'))" \
+        if sgn != "1" else "TRUE"
     for a in spec["aggs"]:
         if a["kind"] in ("sum", "avg"):
             ex.append(f"CAST(sum(CAST(({a['arg']}) AS {a['sum_dt']}) "
                       f"* {sgn}) AS {a['sum_dt']}) AS `{_MVH}s_{a['out']}`")
+        elif a["kind"] in ("min", "max"):
+            # min/max partials fold postimage rows only — sound solely
+            # on append windows (the refresh refuses otherwise)
+            ex.append(f"{a['kind']}(CASE WHEN {post} THEN ({a['arg']}) "
+                      f"END) AS `{_MVH}m_{a['out']}`")
         ex.append(f"CAST(sum(CASE WHEN ({a['arg']}) IS NOT NULL "
                   f"THEN {sgn} ELSE 0 END) AS BIGINT) "
                   f"AS `{_MVH}c_{a['out']}`")
@@ -861,6 +883,10 @@ def _mv_final_exprs(spec) -> list[tuple[str, str]]:
         s, c = f"`{_MVH}s_{a['out']}`", f"`{_MVH}c_{a['out']}`"
         if a["kind"] == "count":
             ex.append((a["out"], c))
+        elif a["kind"] in ("min", "max"):
+            ex.append((a["out"],
+                       f"CASE WHEN {c} > 0 THEN "
+                       f"CAST(`{_MVH}m_{a['out']}` AS {a['out_dt']}) END"))
         elif a["kind"] == "sum":
             ex.append((a["out"],
                        f"CASE WHEN {c} > 0 THEN CAST({s} AS "
@@ -885,8 +911,9 @@ def _mv_init_sql(spec) -> str:
     fins = [f"{a['orig_sql']} AS `{a['out']}`" for a in spec["aggs"]]
     where = f" WHERE {' AND '.join(spec['where'])}" if spec["where"] else ""
     gb = ", ".join(g["sql"] for g in spec["groups"])
+    gb = f" GROUP BY {gb}" if gb else ""  # global aggregate
     return (f"SELECT {', '.join(gsel + fins + _mv_partial_exprs(spec, '1'))}"
-            f" FROM {spec['source']}{where} GROUP BY {gb}")
+            f" FROM {spec['source']}{where}{gb}")
 
 
 def _mv_delta_sql(spec, change_view: str) -> str:
@@ -896,8 +923,9 @@ def _mv_delta_sql(spec, change_view: str) -> str:
     gsel = [f"{g['sql']} AS `{g['out']}`" for g in spec["groups"]]
     where = f" WHERE {' AND '.join(spec['where'])}" if spec["where"] else ""
     gb = ", ".join(g["sql"] for g in spec["groups"])
+    gb = f" GROUP BY {gb}" if gb else ""  # global aggregate
     return (f"SELECT {', '.join(gsel + _mv_partial_exprs(spec, sgn))}"
-            f" FROM {change_view}{where} GROUP BY {gb}")
+            f" FROM {change_view}{where}{gb}")
 
 
 def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
@@ -951,25 +979,42 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
         dd = delta
         for c in delta.columns:
             dd = dd.withColumnRenamed(c, c + "__d")
-        cond = None
-        for k in keys:
-            e = F.col(k).eqNullSafe(F.col(k + "__d"))
-            cond = e if cond is None else cond & e
-        # RIGHT join: only delta-touched groups are rewritten —
-        # untouched history is never read past the join probe
-        j = old.join(dd, cond, "right")
+        if keys:
+            cond = None
+            for k in keys:
+                e = F.col(k).eqNullSafe(F.col(k + "__d"))
+                cond = e if cond is None else cond & e
+            # RIGHT join: only delta-touched groups are rewritten —
+            # untouched history is never read past the join probe
+            j = old.join(dd, cond, "right")
+        else:
+            # global aggregate: one old row × one delta row
+            j = old.crossJoin(dd)
+
+        def _merge(h, kind):
+            o, d = F.col(h), F.col(h + "__d")
+            if kind == "min":
+                return F.least(o, d)  # least/greatest skip NULLs
+            if kind == "max":
+                return F.greatest(o, d)
+            return F.coalesce(o, F.lit(0)) + F.coalesce(d, F.lit(0))
+
         merged_cols = [F.coalesce(F.col(k), F.col(k + "__d")).alias(k)
                        for k in keys]
-        merged_cols += [
-            (F.coalesce(F.col(h), F.lit(0))
-             + F.coalesce(F.col(h + "__d"), F.lit(0)))
-            .cast(old_dt[h]).alias(h)
-            for h in hidden]
+        merged_cols += [_merge(h, kind).cast(old_dt[h]).alias(h)
+                        for h, kind in hidden]
         m = j.select(*merged_cols)
         finals = [F.expr(sql).cast(old_dt[out]).alias(out)
                   for out, sql in _mv_final_exprs(spec)]
-        full = m.select(*keys, *finals, *[F.col(h) for h in hidden])
+        hcols = [F.col(h) for h, _k in hidden]
+        full = m.select(*keys, *finals, *hcols)
         out_cols = [f.name for f in old.schema.fields]
+        if not keys:
+            # the single row always survives: a global aggregate over an
+            # empty set still yields one row (count 0, NULL extrema)
+            dml.write_into(spark, t.store, full.select(*out_cols),
+                           mode="overwrite")
+            return ("incremental", cur)
         live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
         dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
         dml.upsert(spark, t.store, live)
@@ -1007,11 +1052,13 @@ def create_material_view(session, name: str, path: str, sql_text: str,
         src_t.to_df(version=cur).createOrReplaceTempView(spec["source"])
         try:
             df = session.spark.sql(_mv_init_sql(spec))
+            keys = [g["out"] for g in spec["groups"]]
             t = create_table(
                 session.spark, df, path, short_name=name,
                 warehouse=session.warehouse,
-                hash_partitions=[g["out"] for g in spec["groups"]],
-                hash_bucket_num=16,
+                # global aggregate: single-row table, no upsert keys
+                hash_partitions=keys or None,
+                hash_bucket_num=16 if keys else -1,
                 configuration={"is_material_view": "true"})
         finally:
             session._sync_views()  # restore the live view

@@ -174,6 +174,81 @@ def test_hidden_partials_invisible_and_rewrite_hits(sess, spark, sf_dir,
             == {tuple(r) for r in spark.sql(q).collect()})
 
 
+def test_minmax_incremental_on_append_only_source(sess, spark, sf_dir,
+                                                  tmp_path):
+    """min/max are monotone under pure appends: eligible on an
+    append-only source, incremental, bit-exact vs full re-run."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    q = ("SELECT st, min(price) AS lo, max(price) AS hi, count(*) AS n "
+         "FROM src GROUP BY st")
+    mv.create_material_view(sess, "mv_mm", str(tmp_path / "mv_mm"), q)
+    assert mv._load_registry(sess.warehouse)["mv_mm"]["incremental"] is True
+    for lo, hi in [(600, 1000), (1000, 1500)]:
+        src.write(_orders_frame(spark, sf_dir, lo, hi), mode="append")
+        assert mv.update_material_view(sess, "mv_mm") is True
+        assert sess.table("mv_mm").store.snapshot().commit_type == "delta"
+        got = {tuple(r) for r in sess.sql("SELECT * FROM mv_mm").collect()}
+        want = {tuple(r) for r in spark.sql(q).collect()}
+        assert got == want
+
+
+def test_minmax_on_hash_source_stays_full(sess, spark, sf_dir, tmp_path):
+    """A hash (upsertable) source can RETRACT the extremum — min/max
+    views there must keep the reference-parity full re-run."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    q = "SELECT st, min(price) AS lo FROM src GROUP BY st"
+    mv.create_material_view(sess, "mv_min", str(tmp_path / "mv_min"), q)
+    assert mv._load_registry(sess.warehouse)["mv_min"]["incremental"] is False
+    assert not any(c.startswith("_mv_")
+                   for c in sess.table("mv_min").to_df().columns)
+    # retract the global minimum per group via an upsert, refresh full
+    src.upsert(_orders_frame(spark, sf_dir, 0, 600)
+               .withColumn("price", F.col("price") + 100000))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_min") is True
+    assert (_view_rows(sess, "mv_min")
+            == {tuple(r) for r in spark.sql(q).collect()})
+
+
+def test_global_aggregate_incremental(sess, spark, sf_dir, tmp_path):
+    """GROUP BY () — the single-row global rollup — maintains through
+    a 1-row overwrite per refresh, exact across a hash-source storm."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 800),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    q = ("SELECT sum(price) AS total, count(*) AS n, avg(prio) AS mp "
+         "FROM src")
+    mv.create_material_view(sess, "mv_g", str(tmp_path / "mv_g"), q)
+    assert mv._load_registry(sess.warehouse)["mv_g"]["incremental"] is True
+
+    src.upsert(_orders_frame(spark, sf_dir, 200, 400)
+               .withColumn("price", F.col("price") * 3))
+    src.upsert(_orders_frame(spark, sf_dir, 800, 1200))
+    dml.delete(spark, src.store, condition="k >= 1100", use_delta=True)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_g") is True
+    got = {tuple(r) for r in sess.sql("SELECT * FROM mv_g").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+    assert sess.table("mv_g").to_df().count() == 1
+
+
 def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
     from starlake_spark import create_table
 
@@ -181,16 +256,16 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
                        str(tmp_path / "src"), short_name="src",
                        warehouse=sess.warehouse)
     sess.register("src", src)
-    # min() is not retractable → full-refresh MV, no hidden columns
+    # DISTINCT aggregates are not retractable from partials → full
     mv.create_material_view(
-        sess, "mv_min", str(tmp_path / "mv_min"),
-        "SELECT st, min(price) AS lo FROM src GROUP BY st")
-    assert mv._load_registry(sess.warehouse)["mv_min"]["incremental"] is False
+        sess, "mv_d", str(tmp_path / "mv_d"),
+        "SELECT st, count(DISTINCT prio) AS np FROM src GROUP BY st")
+    assert mv._load_registry(sess.warehouse)["mv_d"]["incremental"] is False
     assert not any(c.startswith("_mv_")
-                   for c in sess.table("mv_min").to_df().columns)
+                   for c in sess.table("mv_d").to_df().columns)
     src.write(_orders_frame(spark, sf_dir, 600, 800), mode="append")
-    assert mv.update_material_view(sess, "mv_min") is True
-    assert (_view_rows(sess, "mv_min")
+    assert mv.update_material_view(sess, "mv_d") is True
+    assert (_view_rows(sess, "mv_d")
             == {tuple(r) for r in spark.sql(
-                "SELECT st, min(price) AS lo FROM src GROUP BY st")
-                .collect()})
+                "SELECT st, count(DISTINCT prio) AS np FROM src "
+                "GROUP BY st").collect()})
