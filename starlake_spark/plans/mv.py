@@ -1007,7 +1007,10 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
         finals = [F.expr(sql).cast(old_dt[out]).alias(out)
                   for out, sql in _mv_final_exprs(spec)]
         hcols = [F.col(h) for h, _k in hidden]
-        full = m.select(*keys, *finals, *hcols)
+        # materialize once: the frame is O(touched groups) small, and
+        # the upsert + dead-group probe + delete below would otherwise
+        # each re-run the change-window scan and the backing-table join
+        full = m.select(*keys, *finals, *hcols).localCheckpoint(eager=True)
         out_cols = [f.name for f in old.schema.fields]
         if not keys:
             # the single row always survives: a global aggregate over an
