@@ -984,9 +984,20 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
             for k in keys:
                 e = F.col(k).eqNullSafe(F.col(k + "__d"))
                 cond = e if cond is None else cond & e
-            # RIGHT join: only delta-touched groups are rewritten —
-            # untouched history is never read past the join probe
-            j = old.join(dd, cond, "right")
+            # scale shape: BROADCAST-semi-prune the backing table to
+            # the touched groups FIRST (scan-filter, no shuffle of the
+            # MV), then right-join the pruned O(touched) slice with the
+            # delta. A naked right join would shuffle (or broadcast)
+            # the WHOLE backing table — O(|MV|) exchange per refresh,
+            # which defeats O(changes) once the MV itself is large.
+            dkeys = dd.select(*[F.col(k + "__d").alias(k)
+                                for k in keys]).distinct()
+            semi = None
+            for k in keys:
+                e = old[k].eqNullSafe(dkeys[k])
+                semi = e if semi is None else semi & e
+            pruned = old.join(F.broadcast(dkeys), semi, "left_semi")
+            j = pruned.join(dd, cond, "right")
         else:
             # global aggregate: one old row × one delta row
             j = old.crossJoin(dd)
