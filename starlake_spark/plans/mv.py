@@ -968,6 +968,20 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
             return ("noop", cur)
         ch = (reader._plain_scan(spark, src, info, new_files)
               .withColumn("_change_type", F.lit("insert")))
+    # EXACTLY-ONCE replay protection: the refresh's writes are gated on
+    # the monotonic txn registry keyed by the backing table id, with the
+    # consumed SOURCE version as the txn version. A crash between the
+    # data commits and the registry-fingerprint save replays the window
+    # on the next refresh; the gate makes that replay a no-op instead of
+    # a double-apply. Ordering matters: the tombstone delete runs
+    # BEFORE the gated upsert — every partial-crash state then replays
+    # correctly (post-delete pre-upsert: recompute over the
+    # already-deleted groups is identical; post-upsert: the gate
+    # short-circuits before any recomputation could mis-classify
+    # already-merged groups).
+    txn_app = f"mv_refresh:{t.info.table_id}"
+    if t.store.snapshot().streaming.get(f"txn:{txn_app}", -1) >= cur:
+        return ("incremental", cur)  # already fully applied
     cv = f"_mv_ch_{uuid.uuid4().hex[:10]}"
     ch.createOrReplaceTempView(cv)
     try:
@@ -1027,13 +1041,17 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
             # the single row always survives: a global aggregate over an
             # empty set still yields one row (count 0, NULL extrema)
             dml.write_into(spark, t.store, full.select(*out_cols),
-                           mode="overwrite")
+                           mode="overwrite",
+                           txn_app_id=txn_app, txn_version=cur)
             return ("incremental", cur)
         live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
         dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
-        dml.upsert(spark, t.store, live)
+        # delete BEFORE the gated upsert (see ordering note above);
+        # tombstoning already-absent keys is idempotent
         if dead.limit(1).count():
             dml.delete_keys(spark, t.store, dead)
+        dml.upsert(spark, t.store, live,
+                   txn_app_id=txn_app, txn_version=cur)
         return ("incremental", cur)
     finally:
         spark.catalog.dropTempView(cv)

@@ -212,13 +212,22 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
                                end_version=cur)
             partials = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
                                         cfg["group_cols"], cfg["aggs"])
-            dml.upsert(spark, t.store, partials)
+            # idempotent: a crash between this commit and the cursor
+            # save replays the window — the txn registry (keyed by the
+            # rollup table id, versioned by the consumed SOURCE
+            # version) makes the replayed upsert a no-op instead of a
+            # double-count
+            dml.upsert(spark, t.store, partials,
+                       txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                       txn_version=cur)
             mode = "incremental"
         else:
             partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                                  cfg["time_col"], cfg["bucket"],
                                  cfg["group_cols"], cfg["aggs"])
-            dml.write_into(spark, t.store, partials, mode="overwrite")
+            dml.write_into(spark, t.store, partials, mode="overwrite",
+                           txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                           txn_version=cur)
             mode = "full"
         t.set_properties({_CFG + "last_version": str(cur)})
         return {"mode": mode, "from": last, "to": cur}
@@ -232,13 +241,18 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         new_rows = reader._plain_scan(spark, src, src.table_info(), new_files)
         partials = _partials(new_rows, cfg["time_col"], cfg["bucket"],
                              cfg["group_cols"], cfg["aggs"])
-        dml.upsert(spark, t.store, partials)
+        # idempotent under cursor-save crashes (see the hash path note)
+        dml.upsert(spark, t.store, partials,
+                   txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                   txn_version=cur)
         mode = "incremental"
     else:
         partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                              cfg["time_col"], cfg["bucket"],
                              cfg["group_cols"], cfg["aggs"])
-        dml.write_into(spark, t.store, partials, mode="overwrite")
+        dml.write_into(spark, t.store, partials, mode="overwrite",
+                       txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                       txn_version=cur)
         mode = "full"
     t.set_properties({_CFG + "last_version": str(cur)})
     return {"mode": mode, "from": last, "to": cur}

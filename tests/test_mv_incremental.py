@@ -269,3 +269,71 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
             == {tuple(r) for r in spark.sql(
                 "SELECT st, count(DISTINCT prio) AS np FROM src "
                 "GROUP BY st").collect()})
+
+
+def test_refresh_replay_is_exactly_once(sess, spark, sf_dir, tmp_path):
+    """Crash-replay contract: a refresh whose data commits landed but
+    whose registry-fingerprint save was lost (simulated by rewinding
+    the registry) must replay as a NO-OP — partials are never
+    double-applied, dead groups never mis-classified. The write gate is
+    the monotonic txn registry keyed by the backing table id."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 800),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    reg = mv._load_registry(sess.warehouse)
+    fps_before = dict(reg["mv_t"]["fingerprints"])
+
+    # window with updates + inserts + a vanishing group
+    src.upsert(_orders_frame(spark, sf_dir, 100, 300)
+               .withColumn("price", F.col("price") * 2))
+    dml.delete(spark, src.store, condition="k >= 700", use_delta=True)
+    src.upsert(src.to_df().filter(F.col("st") == "P")
+               .withColumn("st", F.lit("F")))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    want = _view_rows(sess)
+    assert want == _full_rerun(sess)
+
+    # simulate the crash: rewind the registry fingerprint to the
+    # pre-refresh cursor, as if the save never happened
+    reg = mv._load_registry(sess.warehouse)
+    reg["mv_t"]["fingerprints"] = fps_before
+    mv._save_registry(reg, sess.warehouse)
+
+    assert mv.update_material_view(sess, "mv_t") is True  # replay
+    assert _view_rows(sess) == want  # NOT doubled, groups intact
+    # and a third, normal refresh still sees a consistent cursor
+    assert mv.update_material_view(sess, "mv_t") is False
+
+
+def test_rollup_refresh_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    from starlake_spark import create_table
+    from starlake_spark.plans import rollup as ru
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("event_id").cast("long").alias("event_id"),
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  F.col("user_id").cast("long").alias("v")))
+    src = create_table(spark, ev.limit(2000), str(tmp_path / "src"))
+    t = ru.create_rollup(spark, str(tmp_path / "src"),
+                         str(tmp_path / "ru"), time_col="ts",
+                         bucket="day", aggs={"v": "sum"})
+    src.write(ev.limit(4000), mode="append")  # overlaps + extends
+    got = ru.refresh_rollup(spark, t)
+    assert got["mode"] == "incremental"
+    want = {(r.bucket_ts, r.v_sum) for r in
+            ru.read_rollup(spark, t).collect()}
+
+    # rewind the cursor (simulated lost save) and replay
+    t.set_properties({"rollup.last_version": str(got["from"])})
+    got2 = ru.refresh_rollup(spark, ru.StarTable.for_path(
+        spark, str(tmp_path / "ru")))
+    assert got2["mode"] == "incremental"
+    assert {(r.bucket_ts, r.v_sum) for r in
+            ru.read_rollup(spark, t).collect()} == want
