@@ -2239,3 +2239,117 @@ FROM all_rows GROUP BY grade, st ORDER BY grade, st
 
 ENGINE_QUERIES["star_nested_schema_evolution"] = (
     star_nested_schema_evolution, NESTED_EVOLUTION_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# round 8: incremental MV refresh + PK set-op rewrite, oracle-checked
+# ---------------------------------------------------------------------------
+
+def star_mv_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance end-to-end
+    (plans/mv.py _incremental_refresh; beyond the reference, whose
+    UpdateMaterialViewCommand is always a full re-run): create a
+    sum/count/avg GROUP BY view over a hash source, run a DML storm
+    (price updates, a delta delete, a group-key migration that makes
+    the 'P' group vanish), refresh, and return the view. The refresh is
+    asserted INCREMENTAL (txn-registry stamp present) — the oracle
+    recomputes the post-storm aggregate from scratch in SQL."""
+    from starlake_spark.operators import dml
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_inc_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("st"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+                 (F.col("o_custkey") % 10).cast("int").alias("prio"))
+    src = create_table(spark, d, _scratch(sf_dir, "mv_inc_src"),
+                       short_name="mv_inc_src", warehouse=wh,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("mv_inc_src", src)
+    mv.create_material_view(
+        sess, "mv_inc", _scratch(sf_dir, "mv_inc"),
+        "SELECT st, sum(price) AS total, count(*) AS n, "
+        "avg(prio) AS mp FROM mv_inc_src GROUP BY st")
+    assert mv._load_registry(wh)["mv_inc"]["incremental"] is True
+
+    src.upsert(d.filter(F.col("k") % 5 == 0)
+               .withColumn("price",
+                           (F.col("price") * 2).cast("decimal(18,2)")))
+    dml.delete(spark, src.store, condition="k % 7 = 3", use_delta=True)
+    src.upsert(src.to_df().filter(F.col("st") == "P")
+               .withColumn("st", F.lit("F")))
+    assert mv.update_material_view(sess, "mv_inc") is True
+    t = sess.table("mv_inc")
+    # the refresh went through the gated incremental path
+    assert t.store.snapshot().streaming.get(
+        f"txn:mv_refresh:{t.info.table_id}", -1) >= 0, "refresh was not incremental"
+    return (mv._strip_mv_hidden(t.to_df())
+            .select("st",
+                    # exact decimal; exported as rounded double so the
+                    # compare harness sees one numeric dtype both sides
+                    F.round(F.col("total").cast("double"), 2).alias("total"),
+                    "n", "mp").orderBy("st"))
+
+
+MV_INCREMENTAL_ORACLE = """
+WITH post AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS st,
+         CAST(CASE WHEN o_orderkey % 5 = 0
+              THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+              AS DECIMAL(18,2)) AS price,
+         CAST(o_custkey % 10 AS INT) AS prio
+  FROM orders WHERE o_orderkey % 7 <> 3
+)
+SELECT st, ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total, COUNT(*) AS n, AVG(prio) AS mp
+FROM post GROUP BY st ORDER BY st
+"""
+
+ENGINE_QUERIES["star_mv_incremental"] = (
+    star_mv_incremental, MV_INCREMENTAL_ORACLE)
+
+
+def star_setop_pk(spark, sf_dir):
+    """PK set-op rewrite (reference StarLakePostHocAnalysis.scala:29-96):
+    INTERSECT/EXCEPT over the hash columns of two same-bucketed tables
+    compile to plain-equality semi/anti joins over the bucketed
+    materializations — zero shuffle exchanges (asserted inline; the
+    merge regime is plan-pinned in test_plan_hygiene)."""
+    c = ld(spark, sf_dir, "customer")
+    ta = create_table(spark, c.select("c_custkey", "c_acctbal"),
+                      _scratch(sf_dir, "sop_a"),
+                      hash_partitions=["c_custkey"], hash_bucket_num=4)
+    tb = create_table(spark, c.select(
+        (F.col("c_custkey") + 3).alias("c_custkey"), F.col("c_acctbal")),
+        _scratch(sf_dir, "sop_b"),
+        hash_partitions=["c_custkey"], hash_bucket_num=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ta.to_bucketed_table(f"sop_a_{tag}")
+    tb.to_bucketed_table(f"sop_b_{tag}")
+    inter = ta.intersect_keys(tb)
+    exc = ta.except_keys(tb)
+    for df, jt in ((inter, "LeftSemi"), (exc, "LeftAnti")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert jt in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    return (inter.select(F.lit("intersect").alias("op"),
+                         F.col("c_custkey").alias("k"))
+            .unionByName(exc.select(F.lit("except").alias("op"),
+                                    F.col("c_custkey").alias("k")))
+            .orderBy("op", "k"))
+
+
+SETOP_PK_ORACLE = """
+SELECT 'except' AS op, c_custkey AS k FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey + 3 FROM customer)
+UNION ALL
+SELECT 'intersect', c_custkey FROM customer
+WHERE c_custkey IN (SELECT c_custkey + 3 FROM customer)
+ORDER BY op, k
+"""
+
+ENGINE_QUERIES["star_setop_pk"] = (star_setop_pk, SETOP_PK_ORACLE)
