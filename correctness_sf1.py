@@ -41,7 +41,7 @@ REPRESENTATIVES = [
     "docs_quality", "docs_dedup_components", "ann_cosine_topk",
     "ann_ivf_topk", "embeddings_semantic_dedup", "star_upsert_mor",
     "star_ingest_dedup", "star_compaction_invariance", "star_cow_upsert",
-    "star_part_merge",
+    "star_part_merge", "star_mv_incremental", "star_setop_pk",
 ]
 
 
