@@ -102,7 +102,7 @@ def main():
     # hash join balloon past what the host can give it alongside the
     # 24g Spark JVM — the kernel OOM-kills the sweep. Capped, duckdb
     # spills to disk instead.
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET memory_limit='40GB'")  # recursive-CTE oracles don't spill; 24G pinned out at sf1
     os.makedirs("/tmp/duck_tmp", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_tmp'")
     for t in TABLES:
