@@ -1572,6 +1572,47 @@ class StarTable:
 
     registerMergeOperator = register_merge_operator
 
+    def update_material_view(self) -> bool:
+        """StarTable.updateMaterialView (tables/StarTable.scala:401-409):
+        refresh THIS materialized view through its warehouse registry
+        (incremental when the view's shape allows, plans/mv.py).
+        Refuses on non-MV tables with the reference's message shape
+        (StarLakeErrors.notMaterialViewException)."""
+        info = self.info
+        if (info.configuration or {}).get("is_material_view") != "true":
+            raise ValueError(
+                f"Table `{self.store.table_path}` with short name "
+                f"`{info.short_name or 'None'}` is not a material view")
+        from starlake_spark.plans import mv
+        from starlake_spark.sql import StarSession
+
+        sess = StarSession(
+            self.spark,
+            warehouse=(info.configuration or {}).get("catalog.warehouse"))
+        return mv.update_material_view(sess, info.short_name)
+
+    updateMaterialView = update_material_view
+
+    @staticmethod
+    def create_material_view(spark: SparkSession, view_name: str,
+                             view_path: str, sql_text: str,
+                             auto_update: bool = False,
+                             warehouse: str | None = None) -> "StarTable":
+        """StarTable.createMaterialView (tables/StarTable.scala:483-500):
+        static creation against catalog-registered source tables. The
+        reference's rangePartitions/hashPartitions knobs are owned by
+        the engine here: incremental-maintainable views hash-partition
+        on their group keys automatically (plans/mv.py)."""
+        from starlake_spark.plans import mv
+        from starlake_spark.sql import StarSession
+
+        sess = StarSession(spark, warehouse=warehouse)
+        sess._load_catalog_names(sql_text)
+        return mv.create_material_view(sess, view_name, view_path,
+                                       sql_text, auto_update)
+
+    createMaterialView = create_material_view
+
     def update_expr(self, condition: str | None, set_exprs: dict) -> "StarTable":
         """StarTable.updateExpr (tables/StarTable.scala:36-411): SQL-text
         condition + set expressions — same engine path as ``update``."""

@@ -176,3 +176,38 @@ def test_drop_partition(spark, tmp_path):
     snap = StarTable.for_path(spark, path).store.snapshot()
     ps = snap.partitions.get("key=1")
     assert ps is not None and len(ps.files) == 1
+
+
+# ---------------------------------------------------------------------------
+# StarTable.scala:401-409 updateMaterialView + :483-500 createMaterialView
+# ---------------------------------------------------------------------------
+
+def test_material_view_table_api(spark, tmp_path):
+    from starlake_spark.plans import mv
+
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "k int, g string, v int")
+    src = create_table(spark, df, str(tmp_path / "src"),
+                       short_name="mvapi_src", warehouse=wh)
+
+    t = StarTable.create_material_view(
+        spark, "mvapi_v", str(tmp_path / "v"),
+        "SELECT g, sum(v) AS s, count(*) AS n FROM mvapi_src GROUP BY g",
+        warehouse=wh)
+    assert mv._load_registry(wh)["mvapi_v"]["incremental"] is True
+
+    # notMaterialViewException parity on a plain table
+    with pytest.raises(ValueError, match="is not a material view"):
+        src.update_material_view()
+
+    src.write(spark.createDataFrame([(4, "b", 40)], "k int, g string, v int"),
+              mode="append")
+    assert StarTable.for_path(spark, str(tmp_path / "v")) \
+        .updateMaterialView() is True
+    got = {(r.g, r.s, r.n) for r in
+           mv._strip_mv_hidden(t.to_df()).collect()}
+    assert got == {("a", 40, 2), ("b", 60, 2)}
+    # no source change → no-op
+    assert t.update_material_view() is False
