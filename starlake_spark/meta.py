@@ -432,12 +432,51 @@ class ManifestStore:
 
     def table_info(self, refresh: bool = False) -> TableInfo:
         if self._info_cache is None or refresh:
+            first_read = self._info_cache is None
             p = os.path.join(self.meta_dir, "table_info.json")
             if not os.path.isfile(p):
                 raise TableNotFoundError(f"not a star table: {self.table_path}")
             with open(p) as f:
                 self._info_cache = TableInfo.from_json(f.read())
+            if first_read:
+                # once per store instance: a crashed overwriteSchema is
+                # healed by the first process that opens the table; the
+                # in-process cache stays consistent afterwards, so
+                # refresh reads skip the extra version-file read
+                self._heal_table_info()
         return self._info_cache
+
+    def _heal_table_info(self) -> None:
+        """Self-heal the overwriteSchema crash window (Delta's
+        metadata-in-log model): a schema-overwrite commit embeds its
+        replacement TableInfo in the version file it CASes
+        (_build_commit), and the ``table_info.json`` swap follows in
+        the same critical section (_publish_version). A crash BETWEEN
+        the two leaves the new schema committed in the log but the old
+        info served — so on every cold info read, the latest version
+        file's embedded info, if newer by schema_version, is
+        authoritative and repairs ``table_info.json`` in place."""
+        try:
+            d = self._read_version_state(self.latest_version())
+        except (MetaError, OSError):
+            return
+        emb = d.get("table_info")
+        if not emb or emb.get("schema_version", 0) <= \
+                self._info_cache.schema_version:
+            return
+        lock = self._acquire_lock()
+        try:
+            p = os.path.join(self.meta_dir, "table_info.json")
+            with open(p) as f:
+                disk = TableInfo.from_json(f.read())
+            if emb["schema_version"] > disk.schema_version:
+                healed = TableInfo(**emb)
+                _atomic_write(p, healed.to_json())
+                self._info_cache = healed
+            else:
+                self._info_cache = disk
+        finally:
+            self._release_lock(lock)
 
     def update_table_info(self, info: TableInfo) -> None:
         """Publish new table metadata under the table lock with a CAS
@@ -637,7 +676,16 @@ class ManifestStore:
             # needed — the pre-partition-lock protocol, verbatim
             return []
         scopes = txn.touched_ranges()
-        if not scopes or len(scopes) > self.PARTITION_LOCK_MAX:
+        # schema-overwrite commits take the TABLE lock, always, and take
+        # it HERE — before the publish micro-lock — so (a)
+        # _publish_version's info swap runs under a lock the caller
+        # already holds (never re-acquired: the file provider is
+        # non-reentrant, a second acquire self-deadlocks), and (b) the
+        # lock order is globally table→publish (acquiring the table
+        # lock inside _publish_version, i.e. under the publish lock,
+        # was an ABBA inversion against the fallback path)
+        if txn.new_table_info is not None or not scopes \
+                or len(scopes) > self.PARTITION_LOCK_MAX:
             return [self._acquire_lock()]
         handles: list = []
         try:
@@ -753,27 +801,32 @@ class ManifestStore:
         version CAS succeeded (a lost CAS or crash pre-publish leaves
         the old schema fully intact, never the new schema over old
         data files). Reference analogue: Delta/reference replace
-        metadata and data in one atomic commit."""
+        metadata and data in one atomic commit.
+
+        Lock invariant: for schema-overwrite commits the CALLER already
+        holds the table lock — _acquire_commit_locks returns it for any
+        txn with ``new_table_info`` (scoped providers), and with an
+        unscoped provider the publish lock held around this call IS the
+        table lock. Nothing is (re-)acquired here: the file provider is
+        non-reentrant, so a second acquire would self-deadlock, and
+        taking the table lock under the publish lock inverted the
+        global table→publish order."""
         if txn.new_table_info is None:
             _exclusive_write(self._version_path(snap.version), payload)
             return
-        lock = self._acquire_lock()
-        try:
-            p = os.path.join(self.meta_dir, "table_info.json")
-            with open(p) as f:
-                disk_version = TableInfo.from_json(f.read()).schema_version
-            if disk_version != txn.new_table_info.schema_version:
-                raise MetaError(
-                    f"Schema has been changed for table {self.table_path}"
-                    f": a concurrent ALTER landed during an "
-                    f"overwriteSchema write (expected metadata version "
-                    f"{txn.new_table_info.schema_version}, found "
-                    f"{disk_version}); nothing was published — "
-                    "re-validate against the new schema and retry")
-            _exclusive_write(self._version_path(snap.version), payload)
-            self._update_info_under_lock(txn.new_table_info)
-        finally:
-            self._release_lock(lock)
+        p = os.path.join(self.meta_dir, "table_info.json")
+        with open(p) as f:
+            disk_version = TableInfo.from_json(f.read()).schema_version
+        if disk_version != txn.new_table_info.schema_version:
+            raise MetaError(
+                f"Schema has been changed for table {self.table_path}"
+                f": a concurrent ALTER landed during an "
+                f"overwriteSchema write (expected metadata version "
+                f"{txn.new_table_info.schema_version}, found "
+                f"{disk_version}); nothing was published — "
+                "re-validate against the new schema and retry")
+        _exclusive_write(self._version_path(snap.version), payload)
+        self._update_info_under_lock(txn.new_table_info)
 
     def _build_commit(self, txn: Transaction,
                       current: Snapshot) -> tuple[Snapshot, str]:
@@ -920,6 +973,16 @@ class ManifestStore:
             }
         else:
             state = snap.to_state()
+        if txn.new_table_info is not None:
+            # metadata-in-log (Delta model): the version file carries
+            # the FULL replacement TableInfo at its post-publish
+            # schema_version, so a crash between the version CAS and
+            # the table_info.json swap self-heals on the next cold
+            # read (_heal_table_info) instead of serving stale
+            # aliases/markers until the next successful commit
+            emb = json.loads(txn.new_table_info.to_json())
+            emb["schema_version"] = txn.new_table_info.schema_version + 1
+            state["table_info"] = emb
         return snap, json.dumps(state)
 
     def _publish_serialized(self, build) -> Snapshot:
