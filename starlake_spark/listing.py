@@ -68,6 +68,108 @@ class FileSystemLister:
         return os.path.exists(path)
 
 
+class ObjectStoreLister:
+    """Paginated object-store base: subclasses implement ONE page call
+    shaped exactly like ``ListObjectsV2`` (prefix in, up to
+    ``page_size`` entries + an opaque continuation token out) plus
+    ``_delete``/``_head``; :meth:`list_files` drives the
+    continuation-token loop. There is no directory tree on an object
+    store — the 'recursive walk' is a flat prefix listing, and size +
+    mtime ride along with every page (no per-key HEAD calls).
+
+    The maintenance cadence bounds the cost: vacuum/fsck issue one
+    paginated LIST per table prefix per run, never per query — at a
+    million objects and 1000-key pages that is ~1000 sequential page
+    calls, which is the floor any object-store vacuum pays."""
+
+    page_size = 1000
+
+    # -- subclass surface (ListObjectsV2 contract) --
+    def _list_page(self, prefix: str,
+                   token: str | None) -> tuple[list[FileEntry], str | None]:
+        """One page of keys under ``prefix``. Returns (entries,
+        next_continuation_token-or-None)."""
+        raise NotImplementedError
+
+    def _delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def _head(self, path: str) -> bool:
+        raise NotImplementedError
+
+    # -- seam surface --
+    def list_files(self, root: str) -> Iterator[FileEntry]:
+        prefix = root.rstrip("/") + "/"
+        token: str | None = None
+        while True:
+            entries, token = self._list_page(prefix, token)
+            yield from entries
+            if token is None:
+                return
+
+    def remove(self, path: str) -> None:
+        self._delete(path)
+
+    def exists(self, path: str) -> bool:
+        return self._head(path)
+
+
+class S3Lister(ObjectStoreLister):
+    """ListObjectsV2 lister for s3:// table roots (optional boto3 dep).
+
+    Roots/paths are ``s3://bucket/key`` URIs — the same strings a
+    Spark deployment reading via s3a:// would configure as table
+    paths. ``remove`` is DeleteObject, ``exists`` is HeadObject.
+    Register with ``set_lister(S3Lister())`` or
+    ``STARLAKE_LISTER=starlake_spark.listing:S3Lister``."""
+
+    def __init__(self, page_size: int = 1000, client: Any | None = None):
+        if client is None:
+            try:
+                import boto3  # optional, gated
+            except ImportError as e:  # pragma: no cover - env without boto3
+                raise ImportError(
+                    "S3Lister requires boto3 (pip install boto3), or pass "
+                    "client=<botocore S3 client>") from e
+            client = boto3.client("s3")
+        self._s3 = client
+        self.page_size = int(page_size)
+
+    @staticmethod
+    def _split(uri: str) -> tuple[str, str]:
+        if not uri.startswith("s3://"):
+            raise ValueError(f"S3Lister expects s3://bucket/key, got {uri}")
+        rest = uri[len("s3://"):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _list_page(self, prefix, token):
+        bucket, key = self._split(prefix)
+        kw = {"Bucket": bucket, "Prefix": key, "MaxKeys": self.page_size}
+        if token is not None:
+            kw["ContinuationToken"] = token
+        resp = self._s3.list_objects_v2(**kw)
+        entries = [FileEntry(f"s3://{bucket}/{c['Key']}", c["Size"],
+                             c["LastModified"].timestamp()
+                             if hasattr(c["LastModified"], "timestamp")
+                             else float(c["LastModified"]))
+                   for c in resp.get("Contents", [])]
+        return entries, (resp.get("NextContinuationToken")
+                         if resp.get("IsTruncated") else None)
+
+    def _delete(self, path):
+        bucket, key = self._split(path)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def _head(self, path):
+        bucket, key = self._split(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:
+            return False
+
+
 _default = FileSystemLister()
 _lister: Any | None = None
 

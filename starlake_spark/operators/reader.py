@@ -77,21 +77,33 @@ def alias_map(info: TableInfo) -> dict[str, list[str]]:
 
 def _resolve_physical(name: str, present, amap: dict[str, list[str]]):
     """The physical column serving logical ``name`` in a file group
-    with columns/exist-cols ``present``, or None."""
+    with columns/exist-cols ``present``, or None.
+
+    Precedence: exact match → rename-alias map → case-insensitive
+    fallback. The alias map outranks the case-insensitive probe: an
+    adopted file may carry a physical column that case-collides with a
+    logical name whose bytes actually live under a rename alias —
+    picking the case-collider would serve the wrong column's data.
+    An ambiguous case-insensitive match (two physical columns differing
+    only in case, neither exact nor aliased) raises instead of silently
+    picking whichever iterates first."""
     if name in present:
         return name
+    low = name.lower()
+    for a in amap.get(low, ()):
+        if a in present:
+            return a
     # case-insensitive direct match (CaseSensitivitySuite: resolution
     # is case-insensitive, files keep their original casing) — a file
     # whose physical casing diverged from the declared name must still
     # serve the column, not silently null-backfill
-    low = name.lower()
-    for p in present:
-        if p.lower() == low:
-            return p
-    for a in amap.get(low, ()):
-        if a in present:
-            return a
-    return None
+    cands = [p for p in present if p.lower() == low]
+    if len(cands) > 1:
+        raise ValueError(
+            f"ambiguous case-insensitive resolution for column '{name}': "
+            f"file carries {sorted(cands)}; rename one or declare an "
+            f"alias (aliases.{low})")
+    return cands[0] if cands else None
 
 
 def _empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:

@@ -254,7 +254,18 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
     (Invariants.scala:29-99), violating when NOT coalesce(expr, false).
     """
     conds: list[tuple] = []
-    for c in info.range_cols + info.hash_cols:
+    # MV backing tables opt OUT of the hash-col NOT NULL rule
+    # (invariants.allowNullHashKeys): SQL GROUP BY keys may be NULL,
+    # and the whole merge machinery is already null-safe — bucket
+    # routing hashes NULL to a deterministic bucket, the MoR collapse
+    # is a groupBy (NULL groups with NULL), tombstones match through
+    # the same groupBy. Plain user tables keep the reference's rule
+    # (ImplicitMetadataOperation.scala:148-156). Range cols stay
+    # enforced: partition directory encoding has no NULL form.
+    allow_null_hash = (info.configuration or {}).get(
+        "invariants.allowNullHashKeys", "false").lower() == "true"
+    enforced = info.range_cols + ([] if allow_null_hash else info.hash_cols)
+    for c in enforced:
         conds.append((F.col(c).isNull(),
                       f"NOT NULL invariant violated on partition/hash column '{c}' "
                       f"of {info.range_cols + info.hash_cols}"))

@@ -742,15 +742,68 @@ def _strip_mv_hidden(df: DataFrame) -> DataFrame:
     return df.select(*keep) if len(keep) != len(df.columns) else df
 
 
+def _register_probe_views(session, known: set[str]) -> list[str]:
+    """Register EMPTY temp views (manifest schema, zero rows, zero file
+    access) for every known table the Spark catalog can't resolve yet.
+    This is what keeps a COLD session O(changes): a cron-style
+    new-session-per-refresh deployment has no temp views registered, so
+    without probes the spec analysis fails and the refresh silently
+    degrades to the O(|source|) full re-run — exactly the cost the
+    incremental path exists to avoid. Returns the names registered (the
+    caller drops them)."""
+    from pyspark.sql import types as T
+
+    spark = session.spark
+    out: list[str] = []
+    for n in sorted(known):
+        if "." in n:
+            continue
+        try:
+            if spark.catalog.tableExists(n):
+                continue
+            src_t = session.table(n)
+            schema = T.StructType.fromJson(json.loads(src_t.info.schema_json))
+            spark.createDataFrame([], schema).createOrReplaceTempView(n)
+            out.append(n)
+        except Exception:
+            continue
+    return out
+
+
 def _incremental_spec(session, sql_text: str) -> dict | None:
     """Eligibility probe + rendered SQL pieces, or None (→ full
     refresh). Derived from the analyzed plan on every call — never
     persisted, so registry entries survive schema evolution."""
     known = set(session._tables) | set(catalog.list_tables(session.warehouse))
+    probes: list[str] = []
+    try:
+        return _incremental_spec_inner(session, sql_text, known, probes)
+    finally:
+        for v in probes:
+            try:
+                session.spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+
+
+def _incremental_spec_inner(session, sql_text: str, known: set[str],
+                            probes: list[str]) -> dict | None:
     try:
         vinfo = extract(session.spark, sql_text, known)
     except UnsupportedPlan:
         return None
+    except Exception:
+        # cold session: source temp views not registered — register
+        # empty-frame probes from the manifest schemas and retry
+        # (analysis-only; the refresh itself plans over the change
+        # window + backing table, never these views)
+        probes.extend(_register_probe_views(session, known))
+        if not probes:
+            return None
+        try:
+            vinfo = extract(session.spark, sql_text, known)
+        except Exception:
+            return None
     if len(vinfo.tables) != 1 or vinfo.join_conds or vinfo.join_types:
         return None
     if not vinfo.has_agg or vinfo.filters_above:
@@ -928,6 +981,25 @@ def _mv_delta_sql(spec, change_view: str) -> str:
             f" FROM {change_view}{where}{gb}")
 
 
+def _prune_touched(old: DataFrame, dkeys: DataFrame, keys: list[str],
+                   n_touched: int) -> DataFrame:
+    """Semi-prune the backing table to the window's touched groups —
+    scan-filter shape, never an O(|MV|) shuffle of the backing table.
+    Broadcast budget: a window touching more distinct groups than
+    ``STARLAKE_MV_BROADCAST_KEY_LIMIT`` (default 1M keys ≈ tens of MB)
+    must not fail the refresh on the broadcast size cap — it falls back
+    to a shuffled left-semi, still O(touched + pruned) exchange."""
+    semi = None
+    for k in keys:
+        e = old[k].eqNullSafe(dkeys[k])
+        semi = e if semi is None else semi & e
+    limit = int(os.environ.get("STARLAKE_MV_BROADCAST_KEY_LIMIT",
+                               "1000000"))
+    if n_touched <= limit:
+        return old.join(F.broadcast(dkeys), semi, "left_semi")
+    return old.join(dkeys, semi, "left_semi")
+
+
 def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
     """Try the O(changes) refresh; None → caller runs the full path.
     Returns (mode, consumed_source_version) on success."""
@@ -943,11 +1015,30 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
     cur = src.latest_version()
     if last is None or cur < last:
         return None
+    # EXACTLY-ONCE: the refresh's upsert is gated on the monotonic txn
+    # registry (txn_app_id below) with the consumed SOURCE version as
+    # the txn version, and the registry stamp is the AUTHORITATIVE
+    # window cursor. A crash between the gated upsert (stamp = cur_old)
+    # and _save_registry leaves stamp > fingerprint; restarting the
+    # window at the fingerprint would re-merge the already-applied
+    # [fingerprint, stamp] changes into any NEW window (the gate alone
+    # only stops an IDENTICAL replay) — resume from the stamp instead.
+    # Ordering inside a refresh still matters: the tombstone delete
+    # runs BEFORE the gated upsert, so every partial-crash state
+    # replays correctly (post-delete pre-upsert: stamp unchanged, the
+    # replayed recompute over already-deleted groups is identical).
+    txn_app = f"mv_refresh:{t.info.table_id}"
+    stamp = t.store.snapshot().streaming.get(f"txn:{txn_app}", -1)
+    if stamp > last:
+        last = stamp
+        if cur < last:
+            return None  # source rolled back past the stamp → full
     if cur == last:
         return ("noop", cur)
     info = src.table_info()
     try:
-        last_files = src.snapshot(last).all_files()
+        last_snap = src.snapshot(last)
+        last_files = last_snap.all_files()
     except Exception:
         return None  # cursor manifest expired → full rebuild
     if info.hash_cols:
@@ -960,32 +1051,38 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
                            end_version=cur)
     else:
         prev_paths = {f.path for f in last_files}
-        cur_files = src.snapshot(cur).all_files()
+        cur_snap = src.snapshot(cur)
+        cur_files = cur_snap.all_files()
         if not prev_paths <= {f.path for f in cur_files}:
             return None  # compaction/delete rewrote history → full
+
+        # deletion vectors delete rows WITHOUT touching data-file paths
+        # or write_versions (all_files() excludes the sidecars,
+        # meta.py PartitionSnapshot.dv_files) — a DV-only window would
+        # pass the path guard, see new_files=[], and the deleted rows
+        # would silently never be retracted. Any dv-set change forces
+        # the full-refresh fallback.
+        def _dv_paths(s):
+            return {d.path for p in s.partitions.values()
+                    for d in p.dv_files}
+
+        if _dv_paths(last_snap) != _dv_paths(cur_snap):
+            return None
         new_files = [f for f in cur_files if f.write_version > last]
         if not new_files:
             return ("noop", cur)
         ch = (reader._plain_scan(spark, src, info, new_files)
               .withColumn("_change_type", F.lit("insert")))
-    # EXACTLY-ONCE replay protection: the refresh's writes are gated on
-    # the monotonic txn registry keyed by the backing table id, with the
-    # consumed SOURCE version as the txn version. A crash between the
-    # data commits and the registry-fingerprint save replays the window
-    # on the next refresh; the gate makes that replay a no-op instead of
-    # a double-apply. Ordering matters: the tombstone delete runs
-    # BEFORE the gated upsert — every partial-crash state then replays
-    # correctly (post-delete pre-upsert: recompute over the
-    # already-deleted groups is identical; post-upsert: the gate
-    # short-circuits before any recomputation could mis-classify
-    # already-merged groups).
-    txn_app = f"mv_refresh:{t.info.table_id}"
-    if t.store.snapshot().streaming.get(f"txn:{txn_app}", -1) >= cur:
-        return ("incremental", cur)  # already fully applied
     cv = f"_mv_ch_{uuid.uuid4().hex[:10]}"
     ch.createOrReplaceTempView(cv)
     try:
-        delta = spark.sql(_mv_delta_sql(spec, cv))
+        # materialize the aggregated window ONCE (O(touched groups)
+        # small): the distinct-key prune, the merge join, and the
+        # broadcast-budget count below would otherwise each re-run the
+        # change-window scan
+        delta = spark.sql(_mv_delta_sql(spec, cv)).localCheckpoint(
+            eager=True)
+        n_touched = delta.count()
         keys = [g["out"] for g in spec["groups"]]
         hidden = _mv_hidden_cols(spec)
         old = t.to_df()
@@ -1006,11 +1103,7 @@ def _incremental_refresh(session, ent, t: StarTable) -> tuple[str, int] | None:
             # which defeats O(changes) once the MV itself is large.
             dkeys = dd.select(*[F.col(k + "__d").alias(k)
                                 for k in keys]).distinct()
-            semi = None
-            for k in keys:
-                e = old[k].eqNullSafe(dkeys[k])
-                semi = e if semi is None else semi & e
-            pruned = old.join(F.broadcast(dkeys), semi, "left_semi")
+            pruned = _prune_touched(old, dkeys, keys, n_touched)
             j = pruned.join(dd, cond, "right")
         else:
             # global aggregate: one old row × one delta row
@@ -1091,7 +1184,14 @@ def create_material_view(session, name: str, path: str, sql_text: str,
                 # global aggregate: single-row table, no upsert keys
                 hash_partitions=keys or None,
                 hash_bucket_num=16 if keys else -1,
-                configuration={"is_material_view": "true"})
+                # GROUP BY keys may be NULL (SQL semantics; the
+                # reference's MV suite never refuses them) — the
+                # backing table must accept NULL hash keys or a single
+                # null-keyed source row bricks creation AND every
+                # subsequent refresh (incremental and full fallback
+                # both write into this table)
+                configuration={"is_material_view": "true",
+                               "invariants.allowNullHashKeys": "true"})
         finally:
             session._sync_views()  # restore the live view
     else:

@@ -2262,7 +2262,13 @@ def star_mv_incremental(spark, sf_dir):
     sess = StarSession(spark, warehouse=wh)
     o = ld(spark, sf_dir, "orders")
     d = o.select(F.col("o_orderkey").alias("k"),
-                 F.col("o_orderstatus").alias("st"),
+                 # NULLABLE group key (round-9: SQL GROUP BY keys may be
+                 # NULL; the backing table accepts them via
+                 # invariants.allowNullHashKeys) — one stripe is NULL at
+                 # creation and the storm retracts/reinserts through it
+                 F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+                 .otherwise(F.col("o_orderstatus"))
+                 .cast("string").alias("st"),
                  F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
                  (F.col("o_custkey") % 10).cast("int").alias("prio"))
     src = create_table(spark, d, _scratch(sf_dir, "mv_inc_src"),
@@ -2286,8 +2292,11 @@ def star_mv_incremental(spark, sf_dir):
     # the refresh went through the gated incremental path
     assert t.store.snapshot().streaming.get(
         f"txn:mv_refresh:{t.info.table_id}", -1) >= 0, "refresh was not incremental"
-    return (mv._strip_mv_hidden(t.to_df())
-            .select("st",
+    out = mv._strip_mv_hidden(t.to_df())
+    assert out.filter(F.col("st").isNull()).count() == 1, \
+        "NULL group key missing from the maintained view"
+    return (out
+            .select(F.coalesce(F.col("st"), F.lit("~null~")).alias("st"),
                     # exact decimal; exported as rounded double so the
                     # compare harness sees one numeric dtype both sides
                     F.round(F.col("total").cast("double"), 2).alias("total"),
@@ -2297,7 +2306,9 @@ def star_mv_incremental(spark, sf_dir):
 MV_INCREMENTAL_ORACLE = """
 WITH post AS (
   SELECT o_orderkey AS k,
-         CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              WHEN o_orderstatus = 'P' THEN 'F'
+              ELSE o_orderstatus END AS st,
          CAST(CASE WHEN o_orderkey % 5 = 0
               THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
@@ -2305,7 +2316,9 @@ WITH post AS (
          CAST(o_custkey % 10 AS INT) AS prio
   FROM orders WHERE o_orderkey % 7 <> 3
 )
-SELECT st, ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total, COUNT(*) AS n, AVG(prio) AS mp
+SELECT COALESCE(st, '~null~') AS st,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total, COUNT(*) AS n,
+       AVG(prio) AS mp
 FROM post GROUP BY st ORDER BY st
 """
 

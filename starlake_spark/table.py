@@ -763,7 +763,12 @@ class StarTable:
         condition raises 'You can only drop one partition once time',
         an unmatched condition 'Partition not found by condition'."""
         self._guard_replica_dml("drop_partition")
-        if re.search(r"\bor\b", range_value, re.IGNORECASE):
+        # multi-partition refusal is STRUCTURAL: only an OR that joins
+        # full key=value terms counts ("a=1 or a=2"). A bare
+        # word-boundary match spuriously refused legitimate single
+        # values containing the word ("state=OR", "unit=or").
+        if re.match(r"^\s*[^\s=]+=\S*(\s+or\s+[^\s=]+=\S*)+\s*$",
+                    range_value, re.IGNORECASE):
             raise ValueError("You can only drop one partition once time")
         txn = self.store.new_transaction()
         if range_value not in txn.read_snapshot.partitions:

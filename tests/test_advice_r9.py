@@ -180,3 +180,49 @@ def test_heal_does_not_fire_without_divergence(tmp_path):
     got = fresh.table_info()
     assert got.schema_json == NEW_SCHEMA
     assert got.schema_version == before.schema_version
+
+
+# ---------- ADVICE (low): drop_partition OR detection ----------
+
+def test_drop_partition_value_containing_or(spark, tmp_path):
+    """'state=OR' is ONE partition — the old word-boundary regex
+    refused it as a multi-partition condition."""
+    from starlake_spark import create_table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("OR", 1), ("WA", 2), ("or", 3)], "state string, v int")
+    t = create_table(spark, df, str(tmp_path / "t"),
+                     range_partitions=["state"])
+    t.drop_partition("state=OR")
+    left = {r.state for r in t.to_df().collect()}
+    assert left == {"WA", "or"}
+    # real multi-partition conditions still refuse
+    with pytest.raises(ValueError, match="only drop one partition"):
+        t.drop_partition("state=WA or state=or")
+    with pytest.raises(ValueError, match="only drop one partition"):
+        t.drop_partition("state=WA OR state=or")
+
+
+# ---------- ADVICE (low): _resolve_physical precedence ----------
+
+def test_resolve_physical_alias_beats_case_collision():
+    """A physical column case-colliding with a rename alias's logical
+    name must NOT shadow the alias-mapped column."""
+    from starlake_spark.operators.reader import _resolve_physical
+
+    # logical 'price' was renamed from 'amount'; the file also carries
+    # an unrelated 'PRICE' physical column
+    amap = {"price": ["amount"]}
+    assert _resolve_physical("price", ["PRICE", "amount"], amap) == "amount"
+    # exact match still wins over everything
+    assert _resolve_physical("price", ["price", "amount"], amap) == "price"
+    # no alias present: case-insensitive fallback serves the column
+    assert _resolve_physical("price", ["PRICE"], {}) == "PRICE"
+
+
+def test_resolve_physical_ambiguous_case_raises():
+    from starlake_spark.operators.reader import _resolve_physical
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        _resolve_physical("price", ["PRICE", "Price"], {})

@@ -124,3 +124,144 @@ def test_default_lister_contract(tmp_path):
     FileSystemLister().remove(p)
     assert not os.path.exists(p)
     assert get_lister() is not None
+
+
+# ---------------------------------------------------------------------------
+# round 9 (verdict task #6): the paginated object-store lister contract
+# ---------------------------------------------------------------------------
+
+from starlake_spark.listing import ObjectStoreLister  # noqa: E402
+
+
+class PagingFake(ObjectStoreLister):
+    """ListObjectsV2-shaped lister over the LOCAL filesystem with tiny
+    forced pages: proves vacuum/fsck work end-to-end through the
+    pagination loop (continuation tokens, flat key namespace, no
+    directory recursion on the engine side)."""
+
+    page_size = 3
+
+    def __init__(self):
+        self.pages = 0
+        self.deleted: list[str] = []
+
+    def _snapshot(self, prefix):
+        keys = []
+        for r, _d, names in os.walk(prefix.rstrip("/")):
+            for n in names:
+                p = os.path.join(r, n)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                keys.append(FileEntry(p, st.st_size, st.st_mtime))
+        return sorted(keys, key=lambda e: e.path)
+
+    def _list_page(self, prefix, token):
+        # key-based continuation (S3 semantics: the token marks the
+        # last key served, so deletes behind the cursor never shift
+        # later pages — offset tokens would skip entries when vacuum
+        # removes while iterating)
+        self.pages += 1
+        keys = self._snapshot(prefix)
+        if token is not None:
+            keys = [e for e in keys if e.path > token]
+        page = keys[:self.page_size]
+        nxt = page[-1].path if len(keys) > self.page_size else None
+        return page, nxt
+
+    def _delete(self, path):
+        self.deleted.append(path)
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def _head(self, path):
+        return os.path.exists(path)
+
+
+def test_vacuum_and_fsck_through_paginated_lister(spark, sf_dir, tmp_path):
+    from starlake_spark.operators.dml import cleanup
+
+    t = _mk(spark, str(tmp_path / "t"), sf_dir)
+    t.write(t.to_df().limit(10), mode="append")  # a few commits
+    live_before = {f.path for f in t.store.snapshot().all_files()}
+    assert len(live_before) >= 2  # pagination has something to chew on
+
+    orphans = []
+    for i in range(5):
+        p = os.path.join(t.store.table_path, "data", f"dead{i}",
+                         f"part-orphan{i}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        old = time.time() - 10_000
+        os.utime(p, (old, old))
+        orphans.append(p)
+
+    fake = PagingFake()
+    set_lister(fake)
+    try:
+        removed = cleanup(t.store, retention_s=3600)
+        assert fake.pages > 1, "pagination never exercised"
+        assert {os.path.basename(r) for r in removed} >= {
+            f"part-orphan{i}.parquet" for i in range(5)}
+        assert all(not os.path.exists(p) for p in orphans)
+        # live data intact, table still reads
+        assert {f.path for f in t.store.snapshot().all_files()} \
+            == live_before
+        assert t.to_df().count() > 0
+        # fsck through the same lister: clean report
+        issues = [i for i in t.fsck() if i.get("kind") != "info"]
+        assert issues == []
+    finally:
+        set_lister(None)
+
+
+def test_s3_lister_pagination_contract():
+    """S3Lister against a stubbed ListObjectsV2 client: continuation
+    tokens drive the loop, entries map key->uri, delete/head route to
+    DeleteObject/HeadObject. (boto3 itself is optional and absent in
+    this container — the client is injected.)"""
+    from starlake_spark.listing import S3Lister
+
+    class StubS3:
+        def __init__(self):
+            self.objects = {f"tbl/data/f{i:02d}.parquet": i for i in range(7)}
+            self.deleted = []
+
+        def list_objects_v2(self, Bucket, Prefix, MaxKeys,
+                            ContinuationToken=None):
+            assert Bucket == "bkt"
+            keys = sorted(k for k in self.objects if k.startswith(Prefix))
+            start = int(ContinuationToken or 0)
+            page = keys[start:start + MaxKeys]
+            nxt = start + MaxKeys
+            return {"Contents": [{"Key": k, "Size": self.objects[k],
+                                  "LastModified": 1000.0 + self.objects[k]}
+                                 for k in page],
+                    "IsTruncated": nxt < len(keys),
+                    **({"NextContinuationToken": str(nxt)}
+                       if nxt < len(keys) else {})}
+
+        def delete_object(self, Bucket, Key):
+            self.deleted.append(Key)
+            self.objects.pop(Key, None)
+
+        def head_object(self, Bucket, Key):
+            if Key not in self.objects:
+                raise KeyError(Key)
+
+    stub = StubS3()
+    lst = S3Lister(page_size=3, client=stub)
+    got = list(lst.list_files("s3://bkt/tbl/data"))
+    assert len(got) == 7  # all pages drained (3 + 3 + 1)
+    assert got[0].path == "s3://bkt/tbl/data/f00.parquet"
+    assert got[0].size == 0 and got[0].mtime == 1000.0
+    assert lst.exists("s3://bkt/tbl/data/f03.parquet")
+    lst.remove("s3://bkt/tbl/data/f03.parquet")
+    assert stub.deleted == ["tbl/data/f03.parquet"]
+    assert not lst.exists("s3://bkt/tbl/data/f03.parquet")
+    with pytest.raises(ValueError, match="s3://"):
+        lst.exists("/local/path")

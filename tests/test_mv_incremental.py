@@ -274,9 +274,10 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
 def test_refresh_replay_is_exactly_once(sess, spark, sf_dir, tmp_path):
     """Crash-replay contract: a refresh whose data commits landed but
     whose registry-fingerprint save was lost (simulated by rewinding
-    the registry) must replay as a NO-OP — partials are never
-    double-applied, dead groups never mis-classified. The write gate is
-    the monotonic txn registry keyed by the backing table id."""
+    the registry) must never double-apply partials. The txn-registry
+    stamp is the AUTHORITATIVE cursor: the replay resumes from it,
+    recognizes the window as already applied, heals the registry, and
+    reports 'nothing to refresh'."""
     from starlake_spark import create_table
     from starlake_spark.operators import dml
 
@@ -306,10 +307,53 @@ def test_refresh_replay_is_exactly_once(sess, spark, sf_dir, tmp_path):
     reg["mv_t"]["fingerprints"] = fps_before
     mv._save_registry(reg, sess.warehouse)
 
-    assert mv.update_material_view(sess, "mv_t") is True  # replay
-    assert _view_rows(sess) == want  # NOT doubled, groups intact
-    # and a third, normal refresh still sees a consistent cursor
+    # replay resumes from the txn stamp → already applied, no-op
     assert mv.update_material_view(sess, "mv_t") is False
+    assert _view_rows(sess) == want  # NOT doubled, groups intact
+    # the registry cursor was healed to the stamp
+    assert mv._load_registry(sess.warehouse)["mv_t"]["fingerprints"] \
+        != fps_before
+    assert mv.update_material_view(sess, "mv_t") is False
+
+
+def test_crash_then_new_commit_no_double_apply(sess, spark, sf_dir,
+                                               tmp_path):
+    """The sharper replay hazard: crash after the gated upsert (stamp
+    advanced) but before the registry save, THEN a new source commit.
+    Restarting the window at the stale fingerprint would re-merge the
+    already-applied changes on top of the new window (the gate alone
+    only stops an identical replay, since the new window's txn version
+    exceeds the stamp). The stamp-as-cursor resume makes the next
+    refresh apply ONLY the new commit."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    reg = mv._load_registry(sess.warehouse)
+    fps_before = dict(reg["mv_t"]["fingerprints"])
+
+    # window 1: doubles a slice's prices — exactly the shape whose
+    # partials double visibly if re-applied
+    src.upsert(_orders_frame(spark, sf_dir, 100, 300)
+               .withColumn("price", F.col("price") * 2))
+    assert mv.update_material_view(sess, "mv_t") is True
+
+    # crash: registry save lost
+    reg = mv._load_registry(sess.warehouse)
+    reg["mv_t"]["fingerprints"] = fps_before
+    mv._save_registry(reg, sess.warehouse)
+
+    # window 2: NEW commit after the crash
+    src.upsert(_orders_frame(spark, sf_dir, 600, 700))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    t = sess.table("mv_t")
+    assert t.store.snapshot().commit_type == "delta"  # still incremental
+    assert _view_rows(sess) == _full_rerun(sess)  # window 1 not doubled
 
 
 def test_rollup_refresh_replay_is_exactly_once(spark, sf_dir, tmp_path):
@@ -337,3 +381,207 @@ def test_rollup_refresh_replay_is_exactly_once(spark, sf_dir, tmp_path):
     assert got2["mode"] == "incremental"
     assert {(r.bucket_ts, r.v_sum) for r in
             ru.read_rollup(spark, t).collect()} == want
+
+
+# ---------------------------------------------------------------------------
+# round 9: nullable group keys, DV-delete windows, cold sessions,
+# broadcast budget
+# ---------------------------------------------------------------------------
+
+NULLABLE_MV_SQL = ("SELECT grp, sum(price) AS total, count(*) AS n, "
+                   "avg(prio) AS mp FROM src GROUP BY grp")
+
+
+def _null_grp_frame(spark, sf_dir, lo, hi):
+    """Orders slice whose group key is NULL on a stripe — the single
+    most common MV shape (GROUP BY over a nullable dimension)."""
+    return (_orders_frame(spark, sf_dir, lo, hi)
+            .withColumn("grp", F.when(F.col("k") % 11 == 0, F.lit(None))
+                        .otherwise(F.col("st")).cast("string"))
+            .drop("st"))
+
+
+def _nullable_full(sess):
+    return {tuple(r) for r in sess.spark.sql(NULLABLE_MV_SQL).collect()}
+
+
+def _nullable_view(sess):
+    return {tuple(r) for r in
+            mv._strip_mv_hidden(sess.table("mv_t").to_df()).collect()}
+
+
+def test_nullable_group_key_at_creation(sess, spark, sf_dir, tmp_path):
+    """Round-8 confirmed defect (a): CREATE MATERIALIZED VIEW ... GROUP
+    BY g over a source whose g holds NULL used to raise the NOT NULL
+    hash invariant at creation. Now: creation succeeds, stays
+    incremental, and the NULL group tracks DML bit-identically."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    src = create_table(spark, _null_grp_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"),
+                            NULLABLE_MV_SQL)
+    assert mv._load_registry(sess.warehouse)["mv_t"]["incremental"] is True
+    assert any(r[0] is None for r in _nullable_view(sess))
+
+    # DML storm touching the NULL group: more nulls, price updates on
+    # null-keyed rows, then delete every null-keyed row (group vanishes)
+    src.upsert(_null_grp_frame(spark, sf_dir, 600, 900))
+    src.upsert(_null_grp_frame(spark, sf_dir, 0, 200)
+               .filter(F.col("grp").isNull())
+               .withColumn("price", (F.col("price") * 3)
+                           .cast("decimal(18,2)")))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type == "delta"
+    assert _nullable_view(sess) == _nullable_full(sess)
+
+    dml.delete(spark, src.store, condition="k % 11 = 0", use_delta=True)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    got = _nullable_view(sess)
+    assert got == _nullable_full(sess)
+    assert not any(r[0] is None for r in got)  # NULL group died cleanly
+
+
+def test_nullable_group_key_arrives_later(sess, spark, sf_dir, tmp_path):
+    """Round-8 confirmed defect (b), the brick: create on clean data,
+    later upsert ONE null-keyed row — every subsequent refresh
+    (incremental AND the full fallback) used to raise forever."""
+    from starlake_spark import create_table
+
+    clean = (_orders_frame(spark, sf_dir, 0, 600)
+             .withColumn("grp", F.col("st")).drop("st"))
+    src = create_table(spark, clean, str(tmp_path / "src"),
+                       short_name="src", warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"),
+                            NULLABLE_MV_SQL)
+
+    src.upsert(_null_grp_frame(spark, sf_dir, 600, 700))  # nulls arrive
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert _nullable_view(sess) == _nullable_full(sess)
+    assert any(r[0] is None for r in _nullable_view(sess))
+    # and the NEXT refresh still works (the old failure was permanent)
+    src.upsert(_null_grp_frame(spark, sf_dir, 700, 800))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert _nullable_view(sess) == _nullable_full(sess)
+    assert mv._load_registry(sess.warehouse)["mv_t"]["incremental"] is True
+
+
+def test_dv_delete_forces_full_refresh(sess, spark, sf_dir, tmp_path):
+    """ADVICE (high): a deletion-vector delete on an append-only source
+    adds sidecars without touching data-file paths — the old window
+    guard saw 'no new files', returned noop, and the MV was silently
+    wrong forever. Now any dv-set change forces the full fallback."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 900),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)  # non-hash: DV-eligible
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    before = _view_rows(sess)
+
+    dml.delete(spark, src.store, condition="st = 'P'", use_dv=True)
+    # the DV added a sidecar, no data file changed
+    snap = src.store.snapshot()
+    assert any(p.dv_files for p in snap.partitions.values())
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_t") is True  # NOT a noop
+    got = _view_rows(sess)
+    assert got == _full_rerun(sess)
+    assert got != before
+    assert not any(r[0] == "P" for r in got)  # deleted rows retracted
+
+
+def test_cold_session_refresh_is_o_changes(spark, sf_dir, tmp_path):
+    """Verdict task #2: update_material_view from a FRESH StarSession
+    (cron-style new-session-per-refresh) must stay O(changes) — the
+    spec probe registers empty manifest-schema views instead of
+    degrading to the full re-run. Proven the hard way: a consumed
+    source file is physically removed; the full path would throw."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    wh = str(tmp_path / "wh")
+    sess = StarSession(spark, warehouse=wh)
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 900),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=wh,
+                       configuration={"compaction.auto": "false"})
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    src.write(_orders_frame(spark, sf_dir, 900, 1400), mode="append")
+
+    # hide one consumed base file, drop every temp view: the next
+    # session is as cold as a fresh cron process
+    files = src.store.snapshot(1).all_files()
+    victim = os.path.join(src.store.table_path, files[0].path)
+    os.rename(victim, victim + ".hidden")
+    for v in list(spark.catalog.listTables()):
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    try:
+        cold = StarSession(spark, warehouse=wh)
+        assert mv.update_material_view(cold, "mv_t") is True
+        t = cold.table("mv_t")
+        assert t.store.snapshot().commit_type == "delta"  # incremental
+        # the probe views were dropped again (no residue)
+        assert not any(v.isTemporary and v.name == "src"
+                       for v in spark.catalog.listTables())
+    finally:
+        os.rename(victim + ".hidden", victim)
+    sess2 = StarSession(spark, warehouse=wh)
+    sess2.table("src")
+    sess2._sync_views()
+    got = {tuple(r) for r in
+           mv._strip_mv_hidden(sess2.table("mv_t").to_df()).collect()}
+    assert got == {tuple(r) for r in
+                   sess2.spark.sql(MV_SQL).collect()}
+
+
+def test_broadcast_budget_falls_back_to_shuffled_semi(
+        sess, spark, sf_dir, tmp_path, monkeypatch):
+    """Verdict task #3: above the key-count budget the prune uses a
+    shuffled left-semi (no broadcast hint) — results identical."""
+    from starlake_spark import create_table
+    from starlake_spark.plans.mv import _prune_touched
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    src.upsert(_orders_frame(spark, sf_dir, 600, 800))
+    sess._sync_views()
+    monkeypatch.setenv("STARLAKE_MV_BROADCAST_KEY_LIMIT", "1")
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type == "delta"
+    assert _view_rows(sess) == _full_rerun(sess)
+
+    # plan pin on the helper: under the budget the prune carries the
+    # broadcast hint, over it the hint is gone (Catalyst then picks a
+    # shuffled semi join once the key frame exceeds the auto threshold).
+    # Plain frames — a star-table scan's own plan may carry unrelated
+    # hints that would pollute the string probe.
+    old = spark.createDataFrame([("F",), ("P",), ("O",)], "st string")
+    dk = spark.createDataFrame([("F",), ("O",)], "st string")
+
+    def _hinted(df):
+        return "strategy=broadcast" in \
+            df._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setenv("STARLAKE_MV_BROADCAST_KEY_LIMIT", "1000000")
+    assert _hinted(_prune_touched(old, dk, ["st"], 2))
+    monkeypatch.setenv("STARLAKE_MV_BROADCAST_KEY_LIMIT", "1")
+    assert not _hinted(_prune_touched(old, dk, ["st"], 2))
