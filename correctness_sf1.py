@@ -42,6 +42,8 @@ REPRESENTATIVES = [
     "ann_ivf_topk", "embeddings_semantic_dedup", "star_upsert_mor",
     "star_ingest_dedup", "star_compaction_invariance", "star_cow_upsert",
     "star_part_merge", "star_mv_incremental", "star_setop_pk",
+    # round 9: delta-join MV maintenance + the skew-soak answer shape
+    "star_mv_incremental_join", "star_skew_hotkey_collapse",
 ]
 
 

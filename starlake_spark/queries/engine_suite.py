@@ -2366,3 +2366,151 @@ ORDER BY op, k
 """
 
 ENGINE_QUERIES["star_setop_pk"] = (star_setop_pk, SETOP_PK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# round 9: two-table inner-join incremental MV (delta-join maintenance)
+# ---------------------------------------------------------------------------
+
+def star_mv_incremental_join(spark, sf_dir):
+    """Delta-join MV maintenance (plans/mv.py _incremental_refresh_join;
+    beyond the reference — its refresh is always a full re-run): a
+    fact⋈dim GROUP BY view maintained through TWO one-sided windows —
+    a fact-side DML storm (Δfact ⋈ dim: price doubling + delta delete)
+    and then a dim-side append (fact ⋈ Δdim: the missing third of the
+    dimension arrives late under a new segment). Both refreshes are
+    asserted INCREMENTAL (delta commits, per-source txn stamps); the
+    oracle recomputes the final state from scratch in SQL."""
+    from starlake_spark.operators import dml
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_j_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    fact = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_custkey").alias("ck"),
+                    F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+                    (F.col("o_custkey") % 10).cast("int").alias("prio"))
+    dim0 = (c.filter(F.col("c_custkey") % 3 != 0)
+            .select(F.col("c_custkey").alias("ck2"),
+                    F.col("c_mktsegment").alias("seg")))
+    ft = create_table(spark, fact, _scratch(sf_dir, "mv_j_fact"),
+                      short_name="mv_j_fact", warehouse=wh,
+                      hash_partitions=["k"], hash_bucket_num=4)
+    dt = create_table(spark, dim0, _scratch(sf_dir, "mv_j_dim"),
+                      short_name="mv_j_dim", warehouse=wh)
+    sess.register("mv_j_fact", ft)
+    sess.register("mv_j_dim", dt)
+    mv.create_material_view(
+        sess, "mv_j", _scratch(sf_dir, "mv_j"),
+        "SELECT seg, sum(price) AS total, count(*) AS n, avg(prio) AS mp "
+        "FROM mv_j_fact JOIN mv_j_dim ON mv_j_fact.ck = mv_j_dim.ck2 "
+        "GROUP BY seg")
+    assert mv._load_registry(wh)["mv_j"]["incremental"] is True
+
+    # window 1: fact-side storm
+    ft.upsert(fact.filter(F.col("k") % 5 == 0)
+              .withColumn("price",
+                          (F.col("price") * 2).cast("decimal(18,2)")))
+    dml.delete(spark, ft.store, condition="k % 7 = 3", use_delta=True)
+    assert mv.update_material_view(sess, "mv_j") is True
+    t = sess.table("mv_j")
+    assert t.store.snapshot().commit_type == "delta", \
+        "fact window was not incremental"
+    # window 2: dim-side late arrival
+    dt.write(c.filter(F.col("c_custkey") % 3 == 0)
+             .select(F.col("c_custkey").alias("ck2"),
+                     F.lit("LATE").alias("seg")), mode="append")
+    assert mv.update_material_view(sess, "mv_j") is True
+    assert t.store.snapshot(t.store.latest_version()).commit_type \
+        == "delta", "dim window was not incremental"
+    # both per-source txn stamps present (exactly-once bookkeeping)
+    stamps = t.store.snapshot().streaming
+    assert any(k.startswith(f"txn:mv_refresh:{t.info.table_id}:")
+               for k in stamps), "per-source refresh stamp missing"
+    return (mv._strip_mv_hidden(t.to_df())
+            .select("seg",
+                    F.round(F.col("total").cast("double"), 2).alias("total"),
+                    "n", "mp").orderBy("seg"))
+
+
+MV_INCREMENTAL_JOIN_ORACLE = """
+WITH fact AS (
+  SELECT o_custkey AS ck,
+         CAST(CASE WHEN o_orderkey % 5 = 0
+              THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+              AS DECIMAL(18,2)) AS price,
+         CAST(o_custkey % 10 AS INT) AS prio
+  FROM orders WHERE o_orderkey % 7 <> 3
+), dim AS (
+  SELECT c_custkey AS ck2,
+         CASE WHEN c_custkey % 3 = 0 THEN 'LATE' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total,
+       COUNT(*) AS n, AVG(prio) AS mp
+FROM fact JOIN dim ON fact.ck = dim.ck2
+GROUP BY seg ORDER BY seg
+"""
+
+ENGINE_QUERIES["star_mv_incremental_join"] = (
+    star_mv_incremental_join, MV_INCREMENTAL_JOIN_ORACLE)
+
+
+def star_skew_hotkey_collapse(spark, sf_dir):
+    """The skew-soak shape as an oracle entry (tests/test_skew_soak.py
+    pins the plan; this pins the ANSWER, including at sf1): a wide cold
+    keyspace from lineitem, ONE hot key churned across 12 delta
+    commits, and one in-batch duplicate storm where a whole batch
+    collapses to a single key. The MoR groupBy collapse runs as a
+    two-level aggregate, so the hot key leaves every map task as one
+    combined row — reducer skew is bounded by map parallelism, and the
+    final answer is exact last-wins."""
+    li = ld(spark, sf_dir, "lineitem")
+    # one row per key, deterministically (the synthetic lineitem holds
+    # duplicate (orderkey, linenumber) pairs, and upsert's in-batch
+    # last-wins between non-identical duplicates is write-order)
+    seed = (li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long").alias("k"),
+        F.col("l_quantity").cast("long").alias("v"),
+        F.col("l_returnflag").alias("s"))
+        .groupBy("k").agg(F.max("v").alias("v"), F.max("s").alias("s")))
+    t = create_table(spark, seed, _scratch(sf_dir, "skew_hot"),
+                     hash_partitions=["k"], hash_bucket_num=8,
+                     configuration={"compaction.auto": "false"})
+    # hot key: 12 delta commits churning k=-1 — its collapse group
+    # holds 12 versions while every cold key holds 1
+    for i in range(12):
+        t.upsert(spark.createDataFrame([(-1, i, "H")],
+                                       "k long, v long, s string"))
+    # in-batch duplicate storm: the whole batch shares k=-2 with
+    # identical payloads (deterministic winner)
+    dup = seed.select(F.lit(-2).cast("long").alias("k"),
+                      F.lit(7).cast("long").alias("v"),
+                      F.lit("D").alias("s"))
+    t.upsert(dup)
+    return (t.to_df().groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .orderBy("s"))
+
+
+SKEW_HOTKEY_ORACLE = """
+WITH seed AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+         MAX(CAST(l_quantity AS BIGINT)) AS v, MAX(l_returnflag) AS s
+  FROM lineitem
+  GROUP BY 1
+), final AS (
+  SELECT * FROM seed
+  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(11 AS BIGINT), 'H'
+  UNION ALL SELECT CAST(-2 AS BIGINT), CAST(7 AS BIGINT), 'D'
+)
+SELECT s, COUNT(*) AS n, SUM(v) AS sv FROM final GROUP BY s ORDER BY s
+"""
+
+ENGINE_QUERIES["star_skew_hotkey_collapse"] = (
+    star_skew_hotkey_collapse, SKEW_HOTKEY_ORACLE)
