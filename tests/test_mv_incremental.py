@@ -704,14 +704,8 @@ def test_join_mv_both_changed_full_fallback(sess, spark, sf_dir, tmp_path):
 
 def test_join_mv_replay_and_o_changes(sess, spark, sf_dir, tmp_path):
     """Exactly-once for join views: per-source txn stamps resume the
-    window after a lost registry save, and the fact-side refresh reads
-    only the change window (consumed fact file removed)."""
-    import os as _os
-
+    window after a lost registry save."""
     ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
-    # append-only fact so the O(changes) proof applies
-    from starlake_spark import create_table
-
     mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
     fps_before = dict(mv._load_registry(sess.warehouse)["mv_j"]
                       ["fingerprints"])
@@ -734,4 +728,53 @@ def test_join_mv_replay_and_o_changes(sess, spark, sf_dir, tmp_path):
     ft.upsert(fact.filter(F.col("k") % 13 == 0)
               .withColumn("prio", (F.col("prio") + 3).cast("int")))
     assert mv.update_material_view(sess, "mv_j") is True
+    assert _join_view(sess) == _join_full(sess)
+
+
+def test_join_mv_fact_window_reads_o_changes(spark, sf_dir, tmp_path):
+    """O(changes) proof for the join path: with an APPEND-ONLY fact, a
+    consumed fact file is physically removed and the fact-side refresh
+    still succeeds — it plans only the new files ⋈ dim, never fact
+    history (the full re-run over the same table throws)."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fact0 = (o.filter(F.col("o_orderkey") < 600)
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("ck"),
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("price"),
+                     (F.col("o_orderkey") % 7).cast("int").alias("prio")))
+    dim = c.select(F.col("c_custkey").alias("ck2"),
+                   F.col("c_mktsegment").alias("seg"))
+    ft = create_table(spark, fact0, str(tmp_path / "fact"),
+                      short_name="fact", warehouse=sess.warehouse,
+                      configuration={"compaction.auto": "false"})
+    dt = create_table(spark, dim, str(tmp_path / "dim"),
+                      short_name="dim", warehouse=sess.warehouse)
+    sess.register("fact", ft)
+    sess.register("dim", dt)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+
+    files = ft.store.snapshot().all_files()
+    victim = os.path.join(ft.store.table_path, files[0].path)
+    os.rename(victim, victim + ".hidden")
+    try:
+        more = (o.filter((F.col("o_orderkey") >= 600)
+                         & (F.col("o_orderkey") < 1000))
+                .select(F.col("o_orderkey").alias("k"),
+                        F.col("o_custkey").alias("ck"),
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                        .alias("price"),
+                        (F.col("o_orderkey") % 7).cast("int")
+                        .alias("prio")))
+        ft.write(more, mode="append")
+        assert mv.update_material_view(sess, "mv_j") is True
+        t = sess.table("mv_j")
+        assert t.store.snapshot().commit_type == "delta"
+    finally:
+        os.rename(victim + ".hidden", victim)
     assert _join_view(sess) == _join_full(sess)
