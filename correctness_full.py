@@ -9,7 +9,7 @@ driver's fixed 50-entry CORRECTNESS sample (which never touches the
 Per entry: row count, column-name match, exact value match (the
 repo-wide bit-identical contract); entries without an oracle record a
 rows-only check, exactly like the driver. One JSON line on stdout;
-round number from $STARLAKE_ROUND (default 8).
+round number from $STARLAKE_ROUND (default 9).
 
 Usage:  python correctness_full.py
 """
@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("STARLAKE_SWEEP_SF_DIR", "/root/testdata/sf0.01")
-ROUND = os.environ.get("STARLAKE_ROUND", "8")
+ROUND = os.environ.get("STARLAKE_ROUND", "9")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
