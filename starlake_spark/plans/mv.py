@@ -804,12 +804,12 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
             vinfo = extract(session.spark, sql_text, known)
         except Exception:
             return None
-    if vinfo.join_types or len(vinfo.tables) not in (1, 2):
-        return None
-    is_join = len(vinfo.tables) == 2
+    if vinfo.join_types or not vinfo.tables or len(vinfo.tables) > 6:
+        return None  # outer joins / >6-way joins → full refresh
+    is_join = len(vinfo.tables) >= 2
     if not is_join and vinfo.join_conds:
         return None
-    if is_join and (len(set(vinfo.tables)) != 2
+    if is_join and (len(set(vinfo.tables)) != len(vinfo.tables)
                     or not vinfo.join_attr_pairs):
         return None  # self-join / cartesian-with-WHERE-equality → full
     if not vinfo.has_agg or vinfo.filters_above:
@@ -848,9 +848,25 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
             l, r = pair
             if l not in colmap or r not in colmap:
                 return None
-            if l.split(".", 1)[0] == r.split(".", 1)[0]:
+            lt, rt = l.split(".", 1)[0], r.split(".", 1)[0]
+            if lt == rt:
                 return None  # same-table 'join' equality → full
-            jpairs.append((colmap[l], colmap[r]))
+            jpairs.append({"l": colmap[l], "r": colmap[r],
+                           "lt": lt, "rt": rt})
+        # the equi-join graph must CONNECT every table — a disconnected
+        # component means a hidden cartesian product, which the
+        # incremental join builder must never materialize
+        parent = {n: n for n in src_names}
+
+        def _find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for p in jpairs:
+            parent[_find(p["lt"])] = _find(p["rt"])
+        if len({_find(n) for n in src_names}) != 1:
+            return None
         src_schema = T.StructType(
             [T.StructField(colmap[f"{n}.{f.name.lower()}"], f.dataType,
                            True)
@@ -1227,23 +1243,49 @@ def _flatten(df: DataFrame, tbl: str, keep: tuple = ()) -> DataFrame:
     return df.select(*cols)
 
 
-def _join_frames(frames: dict, spec) -> DataFrame:
-    """Inner-join the two flattened per-table frames on the spec's
-    equi-pairs (plain equality — SQL inner-join NULL semantics)."""
-    a, b = spec["sources"]
-    cond = None
-    for l, r in spec["join_pairs"]:
-        e = F.col(l) == F.col(r)
-        cond = e if cond is None else cond & e
-    return frames[a].join(frames[b], cond, "inner")
+def _join_frames(frames: dict, spec, start: str | None = None) -> DataFrame:
+    """Inner-join the flattened per-table frames on the spec's
+    equi-pairs (plain equality — SQL inner-join NULL semantics).
+    Tables fold in one at a time along the (spec-verified connected)
+    join graph starting from ``start`` (the change frame on refresh, so
+    the delta anchors the tree); cycle edges that connect two
+    already-joined tables apply as post-join filters. Inner joins are
+    associative and commutative, so the fold order is semantics-free —
+    Catalyst/AQE re-plan the physical order."""
+    srcs = spec["sources"]
+    joined = frames[start or srcs[0]]
+    have = {start or srcs[0]}
+    pending = list(spec["join_pairs"])
+    while len(have) < len(srcs):
+        pick = None
+        for p in pending:
+            if (p["lt"] in have) != (p["rt"] in have):
+                pick = p["rt"] if p["lt"] in have else p["lt"]
+                break
+        if pick is None:  # unreachable: spec verified connectivity
+            raise UnsupportedPlan("join graph not connected")
+        edge = [p for p in pending
+                if {p["lt"], p["rt"]} <= have | {pick}
+                and pick in (p["lt"], p["rt"])]
+        cond = None
+        for p in edge:
+            e = F.col(p["l"]) == F.col(p["r"])
+            cond = e if cond is None else cond & e
+        joined = joined.join(frames[pick], cond, "inner")
+        have.add(pick)
+        pending = [p for p in pending if p not in edge]
+    for p in pending:  # cycle edges between already-joined tables
+        joined = joined.filter(F.col(p["l"]) == F.col(p["r"]))
+    return joined
 
 
 def _incremental_refresh_join(session, ent, t: StarTable,
                               spec) -> "tuple[str, dict] | None":
-    """Delta-join maintenance for two-table inner-join views (beyond
-    the reference; the verdict-7 stretch). The full algebra is
-    Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB; this implementation covers
-    the window shapes that stay O(changes)-honest at 100 TB:
+    """Delta-join maintenance for multi-table (2..6-way) inner-join
+    views (beyond the reference; the verdict-7 stretch). The full
+    algebra is Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB; this
+    implementation covers the window shapes that stay O(changes)-honest
+    at 100 TB:
 
     * exactly ONE table changed in the window (either side) → Δview =
       Δchanged ⋈ other_current: the unchanged side equals its _old
@@ -1285,24 +1327,24 @@ def _incremental_refresh_join(session, ent, t: StarTable,
     if len(changed) > 1:
         return None  # ΔA⋈ΔB window → full re-run (see docstring)
     cname = changed[0]
-    other = next(n for n in spec["sources"] if n != cname)
     ch = _change_window(spark, stores[cname], cursors[cname], curs[cname])
     if ch is None:
         return None
     if isinstance(ch, str):  # "noop"
         return ("noop", dict(curs))
-    # Δchanged ⋈ other@pinned-version: preimage rows retract their OLD
+    # Δchanged ⋈ others@pinned-versions: preimage rows retract their OLD
     # join partners, postimage rows add the NEW ones — signs ride the
-    # change frame through the join. The unchanged side is pinned to
+    # change frame through the join. Every unchanged side is pinned to
     # the version the cursor proves the backing table consumed.
-    frames = {
-        cname: _flatten(ch, cname, keep=("_change_type",)),
-        other: _flatten(
+    frames = {cname: _flatten(ch, cname, keep=("_change_type",))}
+    for other in spec["sources"]:
+        if other == cname:
+            continue
+        frames[other] = _flatten(
             StarTable.for_path(spark, spec["source_paths"][other])
-            .to_df(version=curs[other]), other),
-    }
+            .to_df(version=curs[other]), other)
     jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
-    _join_frames(frames, spec).createOrReplaceTempView(jv)
+    _join_frames(frames, spec, start=cname).createOrReplaceTempView(jv)
     try:
         delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
             eager=True)

@@ -778,3 +778,72 @@ def test_join_mv_fact_window_reads_o_changes(spark, sf_dir, tmp_path):
     finally:
         os.rename(victim + ".hidden", victim)
     assert _join_view(sess) == _join_full(sess)
+
+
+def test_join_mv_three_table_star(spark, sf_dir, tmp_path):
+    """N-way delta-join maintenance: fact ⋈ customer-dim ⋈ nation-dim
+    (a real star shape). Fact-side windows maintain incrementally;
+    a disconnected 'join' (no equi-path to one table) is refused at
+    spec time (full refresh, never a cartesian)."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    fact = (o.filter(F.col("o_orderkey") < 800)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_custkey").alias("ck"),
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    .alias("price")))
+    cust = c.select(F.col("c_custkey").alias("ck2"),
+                    F.col("c_nationkey").alias("nk"))
+    nat = n.select(F.col("n_nationkey").alias("nk2"),
+                   F.col("n_name").alias("nation"))
+    ft = create_table(spark, fact, str(tmp_path / "fact"),
+                      short_name="f3", warehouse=sess.warehouse,
+                      hash_partitions=["k"], hash_bucket_num=4)
+    ct = create_table(spark, cust, str(tmp_path / "cust"),
+                      short_name="c3", warehouse=sess.warehouse)
+    nt = create_table(spark, nat, str(tmp_path / "nat"),
+                      short_name="n3", warehouse=sess.warehouse)
+    for nm, t in (("f3", ft), ("c3", ct), ("n3", nt)):
+        sess.register(nm, t)
+    sql3 = ("SELECT nation, sum(price) AS total, count(*) AS cnt "
+            "FROM f3 JOIN c3 ON f3.ck = c3.ck2 "
+            "JOIN n3 ON c3.nk = n3.nk2 GROUP BY nation")
+    mv.create_material_view(sess, "mv3", str(tmp_path / "mv3"), sql3)
+    assert mv._load_registry(sess.warehouse)["mv3"]["incremental"] is True
+
+    def full():
+        sess._sync_views()
+        return {tuple(r) for r in sess.spark.sql(sql3).collect()}
+
+    def view():
+        return {tuple(r) for r in
+                mv._strip_mv_hidden(sess.table("mv3").to_df()).collect()}
+
+    assert view() == full()
+    ft.upsert(fact.filter(F.col("k") % 4 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    dml.delete(spark, ft.store, condition="k % 9 = 2", use_delta=True)
+    assert mv.update_material_view(sess, "mv3") is True
+    assert sess.table("mv3").store.snapshot().commit_type == "delta"
+    assert view() == full()
+    # middle-dim window: customers migrate nations — the change frame
+    # sits in the MIDDLE of the join chain, joining fact on one side
+    # and nation on the other
+    ct.write(cust.limit(30).withColumn("nk", (F.col("nk") + 1) % 25),
+             mode="append")  # duplicate ck2 rows join 2x — still exact
+    assert mv.update_material_view(sess, "mv3") is True
+    assert sess.table("mv3").store.snapshot().commit_type == "delta"
+    assert view() == full()
+
+    # disconnected graph: no equi-path to n3 → spec refuses (full path)
+    bad = ("SELECT nation, sum(price) AS total "
+           "FROM f3 JOIN c3 ON f3.ck = c3.ck2, n3 GROUP BY nation")
+    spec = mv._incremental_spec(sess, bad)
+    assert spec is None
