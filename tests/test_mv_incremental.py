@@ -847,3 +847,98 @@ def test_join_mv_three_table_star(spark, sf_dir, tmp_path):
            "FROM f3 JOIN c3 ON f3.ck = c3.ck2, n3 GROUP BY nation")
     spec = mv._incremental_spec(sess, bad)
     assert spec is None
+
+
+def test_join_mv_where_and_hash_dim_retraction(spark, sf_dir, tmp_path):
+    """Join views with WHERE conjuncts over BOTH tables, and a HASH dim
+    whose window RETRACTS (an upsert rewrites segments — preimages must
+    un-count the old joins)."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fact = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_custkey").alias("ck"),
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    .alias("price"))
+    dim = c.select(F.col("c_custkey").alias("ck2"),
+                   F.col("c_mktsegment").alias("seg"))
+    ft = create_table(spark, fact, str(tmp_path / "fact"),
+                      short_name="fw", warehouse=sess.warehouse,
+                      hash_partitions=["k"], hash_bucket_num=4)
+    dt = create_table(spark, dim, str(tmp_path / "dim"),
+                      short_name="dw", warehouse=sess.warehouse,
+                      hash_partitions=["ck2"], hash_bucket_num=4)
+    sess.register("fw", ft)
+    sess.register("dw", dt)
+    sql = ("SELECT seg, sum(price) AS total, count(*) AS n "
+           "FROM fw JOIN dw ON fw.ck = dw.ck2 "
+           "WHERE price > 1000 AND seg <> 'MACHINERY' GROUP BY seg")
+    mv.create_material_view(sess, "mvw", str(tmp_path / "mv"), sql)
+    assert mv._load_registry(sess.warehouse)["mvw"]["incremental"] is True
+
+    def full():
+        sess._sync_views()
+        return {tuple(r) for r in sess.spark.sql(sql).collect()}
+
+    def view():
+        return {tuple(r) for r in
+                mv._strip_mv_hidden(sess.table("mvw").to_df()).collect()}
+
+    assert view() == full()
+    # hash-dim retraction: a slice of customers migrates INTO the
+    # filtered-out segment (rows leave the view) and another slice out
+    # of it (rows enter)
+    dt.upsert(dim.filter(F.col("ck2") % 5 == 0)
+              .withColumn("seg", F.lit("MACHINERY")))
+    dt.upsert(dim.filter((F.col("ck2") % 5 == 1)
+                         & (F.col("seg") == "MACHINERY"))
+              .withColumn("seg", F.lit("BUILDING")))
+    assert mv.update_material_view(sess, "mvw") is True
+    assert sess.table("mvw").store.snapshot().commit_type == "delta"
+    assert view() == full()
+    # then a fact window under the same WHERE
+    ft.upsert(fact.filter(F.col("k") % 6 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    assert mv.update_material_view(sess, "mvw") is True
+    assert view() == full()
+
+
+def test_join_mv_global_aggregate(spark, sf_dir, tmp_path):
+    """GROUP BY () over a join: single-row backing table maintained by
+    a 1-row overwrite per window."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ft = create_table(
+        spark, o.select(F.col("o_orderkey").alias("k"),
+                        F.col("o_custkey").alias("ck"),
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                        .alias("price")),
+        str(tmp_path / "fact"), short_name="fg",
+        warehouse=sess.warehouse, hash_partitions=["k"],
+        hash_bucket_num=4)
+    dt = create_table(
+        spark, c.select(F.col("c_custkey").alias("ck2")),
+        str(tmp_path / "dim"), short_name="dg", warehouse=sess.warehouse)
+    sess.register("fg", ft)
+    sess.register("dg", dt)
+    sql = ("SELECT sum(price) AS total, count(*) AS n "
+           "FROM fg JOIN dg ON fg.ck = dg.ck2")
+    mv.create_material_view(sess, "mvg", str(tmp_path / "mv"), sql)
+    assert mv._load_registry(sess.warehouse)["mvg"]["incremental"] is True
+    ft.upsert(ft.to_df().limit(200)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    assert mv.update_material_view(sess, "mvg") is True
+    sess._sync_views()
+    got = {tuple(r) for r in
+           mv._strip_mv_hidden(sess.table("mvg").to_df()).collect()}
+    want = {tuple(r) for r in sess.spark.sql(sql).collect()}
+    assert got == want and len(got) == 1
