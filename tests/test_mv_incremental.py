@@ -942,3 +942,29 @@ def test_join_mv_global_aggregate(spark, sf_dir, tmp_path):
            mv._strip_mv_hidden(sess.table("mvg").to_df()).collect()}
     want = {tuple(r) for r in sess.spark.sql(sql).collect()}
     assert got == want and len(got) == 1
+
+
+def test_join_mv_cold_session_incremental(spark, sf_dir, tmp_path):
+    """Cold-session refresh for JOIN views: the probe-view registration
+    covers every source, so a fresh-session refresh of a join MV stays
+    on the delta path."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    wh = str(tmp_path / "wh")
+    sess = StarSession(spark, warehouse=wh)
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+    ft.upsert(fact.filter(F.col("k") % 3 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    for v in list(spark.catalog.listTables()):
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    cold = StarSession(spark, warehouse=wh)
+    assert mv.update_material_view(cold, "mv_j") is True
+    t = cold.table("mv_j")
+    assert t.store.snapshot().commit_type == "delta"  # incremental
+    sess2 = StarSession(spark, warehouse=wh)
+    sess2.table("fact"), sess2.table("dim")
+    assert _join_view(sess2) == _join_full(sess2)
