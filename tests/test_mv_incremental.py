@@ -968,3 +968,88 @@ def test_join_mv_cold_session_incremental(spark, sf_dir, tmp_path):
     sess2 = StarSession(spark, warehouse=wh)
     sess2.table("fact"), sess2.table("dim")
     assert _join_view(sess2) == _join_full(sess2)
+
+
+def test_join_mv_eligibility_boundary(sess, spark, sf_dir, tmp_path):
+    """Shapes OUTSIDE the maintainable join subset must refuse at spec
+    time (incremental=False → reference-parity full refresh), never
+    produce a wrong incremental plan."""
+    from starlake_spark import create_table
+
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
+
+    def spec_of(sql):
+        return mv._incremental_spec(sess, sql)
+
+    # maintainable baseline (sanity)
+    assert spec_of(JOIN_MV_SQL) is not None
+    # outer join
+    assert spec_of(
+        "SELECT seg, count(*) AS n FROM fact LEFT JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg") is None
+    # DISTINCT aggregate
+    assert spec_of(
+        "SELECT seg, count(DISTINCT prio) AS n FROM fact JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg") is None
+    # HAVING (filter above the aggregate)
+    assert spec_of(
+        "SELECT seg, count(*) AS n FROM fact JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg HAVING count(*) > 10") is None
+    # float accumulation (sum over double): retraction is inexact
+    assert spec_of(
+        "SELECT seg, sum(CAST(price AS DOUBLE)) AS s FROM fact JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg") is None
+    # min/max with a retractable (hash) source in the join
+    assert spec_of(
+        "SELECT seg, max(price) AS mx FROM fact JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg") is None
+    # self-join
+    assert spec_of(
+        "SELECT a.st, count(*) AS n FROM "
+        "(SELECT ck AS st, k FROM fact) a JOIN fact b ON a.k = b.k "
+        "GROUP BY a.st") is None
+    # cartesian (no ON equality)
+    assert spec_of(
+        "SELECT seg, count(*) AS n FROM fact CROSS JOIN dim "
+        "GROUP BY seg") is None
+    # group key not in the output (cannot key the upsert)
+    assert spec_of(
+        "SELECT count(*) AS n FROM fact JOIN dim ON fact.ck = dim.ck2 "
+        "GROUP BY seg") is None
+
+
+def test_mv_multi_window_differential_storm(sess, spark, sf_dir, tmp_path):
+    """Six alternating fact/dim windows, refresh after EACH — the
+    incremental view must equal the full re-run at every step (cursor
+    bookkeeping across many windows, not just one)."""
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path,
+                                       fact_hi=500)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+    steps = [
+        lambda: ft.upsert(fact.filter(F.col("k") % 3 == 0)
+                          .withColumn("price", (F.col("price") * 2)
+                                      .cast("decimal(18,2)"))),
+        lambda: dt.write(dim.limit(10).withColumn("seg", F.lit("W1")),
+                         mode="append"),
+        lambda: dml.delete(spark, ft.store, condition="k % 5 = 2",
+                           use_delta=True),
+        lambda: ft.upsert(fact.filter(F.col("k") % 4 == 1)
+                          .withColumn("ck", F.col("ck") + 7)),
+        lambda: dt.write(dim.limit(5).withColumn("seg", F.lit("W2")),
+                         mode="append"),
+        lambda: ft.upsert(fact.filter(F.col("k") % 11 == 0)
+                          .withColumn("prio", (F.col("prio") + 2)
+                                      .cast("int"))),
+    ]
+    for i, step in enumerate(steps):
+        step()
+        assert mv.update_material_view(sess, "mv_j") is True, f"step {i}"
+        # 'compact' = the backing table's own auto-compaction after the
+        # delta landed (healthy); a full fallback would stamp 'write'
+        assert sess.table("mv_j").store.snapshot().commit_type in (
+            "delta", "delete_delta", "compact"), \
+            f"step {i} fell back to full"
+        assert _join_view(sess) == _join_full(sess), f"step {i} diverged"
