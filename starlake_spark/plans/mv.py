@@ -1075,8 +1075,13 @@ def _change_window(spark, src: ManifestStore, last: int,
         return None  # cursor manifest expired → full rebuild
     if info.hash_cols:
         # the window diff reads the cursor snapshot's files (preimages);
-        # a vacuumed one → full rebuild (same guard as refresh_rollup)
-        if not all(os.path.exists(os.path.join(src.table_path, f.path))
+        # a vacuumed one → full rebuild (same guard as refresh_rollup).
+        # Existence probes route through the lister seam so an
+        # object-store deployment answers them with HEADs, not POSIX.
+        from starlake_spark.listing import get_lister
+
+        lister = get_lister()
+        if not all(lister.exists(os.path.join(src.table_path, f.path))
                    for f in last_files):
             return None
         return range_changes(spark, src.table_path, start_version=last,

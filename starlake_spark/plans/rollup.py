@@ -203,9 +203,13 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
 
         # driver-side pre-check, BEFORE any write: the window diff needs
         # the cursor snapshot's files still on disk (cleanup retention ≫
-        # refresh cadence in practice); a vacuumed one → rebuild
+        # refresh cadence in practice); a vacuumed one → rebuild.
+        # Probes route through the lister seam (object-store HEADs).
+        from starlake_spark.listing import get_lister
+
+        _lister = get_lister()
         window_ok = all(
-            _os.path.exists(_os.path.join(src.table_path, f.path))
+            _lister.exists(_os.path.join(src.table_path, f.path))
             for f in src.snapshot(last).all_files())
         if window_ok:
             ch = range_changes(spark, cfg["source"], start_version=last,

@@ -472,22 +472,28 @@ class StarTable:
             return p if _os.path.isabs(p) else _os.path.join(
                 store.table_path, p)
 
+        # existence probes route through the lister seam: on an object
+        # store these are HEADs (or answered from one prefix LIST by a
+        # caching lister), never POSIX stat calls
+        from starlake_spark.listing import get_lister
+
+        _exists = get_lister().exists
         issues: list[dict] = []
         missing_files: list[str] = []
         for ps in snap.partitions.values():
             for f in ps.files:
-                if not _os.path.exists(_abs(f.path)):
+                if not _exists(_abs(f.path)):
                     missing_files.append(f.path)
                     issues.append({"kind": "missing_file",
                                    "partition": ps.range_value,
                                    "path": f.path, "repairable": True})
                 if getattr(f, "bloom_ref", None) and \
-                        not _os.path.exists(_abs(f.bloom_ref)):
+                        not _exists(_abs(f.bloom_ref)):
                     issues.append({"kind": "missing_bloom_sidecar",
                                    "partition": ps.range_value,
                                    "path": f.bloom_ref, "repairable": False})
             for d in ps.dv_files:
-                if not _os.path.exists(_abs(d.path)):
+                if not _exists(_abs(d.path)):
                     issues.append({"kind": "missing_dv_sidecar",
                                    "partition": ps.range_value,
                                    "path": d.path, "repairable": False})

@@ -265,3 +265,27 @@ def test_s3_lister_pagination_contract():
     assert not lst.exists("s3://bkt/tbl/data/f03.parquet")
     with pytest.raises(ValueError, match="s3://"):
         lst.exists("/local/path")
+
+
+def test_fsck_consults_lister_not_posix(spark, sf_dir, tmp_path):
+    """Existence probes go through the seam: a lister that reports one
+    (physically present) file as missing must make fsck flag it — on an
+    object store the lister's HEAD is the truth, not a POSIX stat."""
+    t = _mk(spark, str(tmp_path / "t"), sf_dir)
+    victim = t.store.snapshot().all_files()[0].path
+
+    class Liar(FileSystemLister):
+        def exists(self, path):
+            if path.endswith(victim):
+                return False
+            return super().exists(path)
+
+    set_lister(Liar())
+    try:
+        issues = t.fsck()
+        assert any(i["kind"] == "missing_file" and i["path"] == victim
+                   for i in issues)
+    finally:
+        set_lister(None)
+    assert os.path.exists(os.path.join(t.store.table_path, victim))
+    assert [i for i in t.fsck() if i.get("kind") != "info"] == []
