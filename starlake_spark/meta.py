@@ -263,6 +263,14 @@ class Transaction:
         self.expire: set[str] = set()  # file paths (relative)
         self.expire_partitions: set[str] = set()  # whole range_values
         self.streaming_update: tuple[str, int] | None = None
+        # cursor RECORDS (vs the gated streaming_update): raw registry
+        # keys advanced monotonically (max) in the same commit, with no
+        # duplicate-txn gating. Used by MV/rollup FULL refreshes to
+        # stamp the consumed source versions atomically with the
+        # overwrite — a crash before the caller's own registry save can
+        # then never make a later incremental resume re-apply a window
+        # the overwrite already contains.
+        self.stamp_updates: dict[str, int] = {}
         # 'write' | 'delta' | 'update' | 'delete' | 'compact' — the
         # reference's tc.setCommitType (TransactionCommit.scala:150-156);
         # change-stream readers skip 'compact' (logically a no-op rewrite)
@@ -927,6 +935,9 @@ class ManifestStore:
         if txn.streaming_update is not None:
             qid, bid = txn.streaming_update
             streaming[qid] = bid
+        for k, v in txn.stamp_updates.items():
+            # monotonic cursor records: never move a stamp backward
+            streaming[k] = max(streaming.get(k, -1), v)
         snap = Snapshot(
             version=new_version,
             partitions=partitions,

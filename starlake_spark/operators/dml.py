@@ -1256,7 +1256,8 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
                mode: str = "append", replace_where: str | None = None,
                txn_app_id: str | None = None,
                txn_version: int | None = None,
-               dynamic_partition_overwrite: bool = False) -> None:
+               dynamic_partition_overwrite: bool = False,
+               txn_stamps: dict | None = None) -> None:
     """WriteIntoTable (WriteIntoTable.scala:44-146): append / overwrite /
     partition-scoped overwrite via replaceWhere (predicate over range
     columns, evaluated against manifest partition values — no data read).
@@ -1293,6 +1294,13 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
         return
     info = maybe_merge_schema(df, store)
     txn = store.new_transaction()
+    if txn_stamps:
+        # ungated monotonic cursor records (raw registry keys),
+        # published atomically with this commit — MV/rollup full
+        # refreshes stamp their consumed source versions so a crashed
+        # caller's incremental resume can never re-apply a window this
+        # write already contains
+        txn.stamp_updates.update(txn_stamps)
     files = writer.write_files(spark, df, info, txn, is_base=True,
                                dedup_batch=True)
     if mode == "overwrite":

@@ -1516,8 +1516,25 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
         spec = _incremental_spec(session, ent["sql"])
         if spec is not None:
             df, fps, drop = _mv_init_frame(session, spec)
+            # the overwrite STAMPS the consumed source versions in the
+            # same commit (ungated cursor records): a crash between
+            # this write and the registry save would otherwise leave a
+            # stale fingerprint, and the next INCREMENTAL resume would
+            # re-apply a window whose data this overwrite already
+            # contains — double-counted partials. With the stamps, the
+            # resume's max(fingerprint, stamp) cursor starts after the
+            # overwrite's content.
+            from starlake_spark.operators import dml
+
+            if spec.get("join"):
+                stamps = {f"txn:mv_refresh:{t.info.table_id}:{n}": v
+                          for n, v in fps.items()}
+            else:
+                stamps = {f"txn:mv_refresh:{t.info.table_id}":
+                          fps[spec["source"]]}
             try:
-                t.write(df, mode="overwrite")
+                dml.write_into(session.spark, t.store, df,
+                               mode="overwrite", txn_stamps=stamps)
             finally:
                 for v in drop:
                     session.spark.catalog.dropTempView(v)

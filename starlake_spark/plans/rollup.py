@@ -192,7 +192,17 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
             "refresh would double-count its micro-batches")
     src = ManifestStore(cfg["source"])
     last, cur = cfg["last_version"], src.latest_version()
-    if cur == last:
+    # the txn-registry stamp is the AUTHORITATIVE cursor (same contract
+    # as MV refresh): a crash between the gated write (stamp = cur_old)
+    # and the property save leaves stamp > last_version; restarting the
+    # window at the stale property would re-apply the already-merged
+    # [last, stamp] partials into any NEW window (the gate alone only
+    # stops an identical replay) — resume from the stamp instead
+    stamp = t.store.snapshot().streaming.get(
+        f"txn:rollup_refresh:{t.info.table_id}", -1)
+    if stamp > last:
+        last = stamp
+    if cur <= last:
         return {"mode": "noop", "from": last, "to": cur}
     src_info = src.table_info()
 
@@ -236,9 +246,20 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         t.set_properties({_CFG + "last_version": str(cur)})
         return {"mode": mode, "from": last, "to": cur}
 
-    prev_paths = {f.path for f in src.snapshot(last).all_files()}
-    cur_files = src.snapshot(cur).all_files()
+    last_snap, cur_snap = src.snapshot(last), src.snapshot(cur)
+    prev_paths = {f.path for f in last_snap.all_files()}
+    cur_files = cur_snap.all_files()
     append_only = prev_paths <= {f.path for f in cur_files}
+
+    # deletion vectors delete rows WITHOUT touching data-file paths —
+    # a DV-only window would look append-only with zero new files and
+    # the deleted rows would never be retracted from the rollup. Any
+    # dv-set change forces the full rebuild (same guard as MV refresh).
+    def _dv_paths(s):
+        return {d.path for p in s.partitions.values() for d in p.dv_files}
+
+    if _dv_paths(last_snap) != _dv_paths(cur_snap):
+        append_only = False
 
     if append_only:
         new_files = [f for f in cur_files if f.write_version > last]

@@ -374,11 +374,14 @@ def test_rollup_refresh_replay_is_exactly_once(spark, sf_dir, tmp_path):
     want = {(r.bucket_ts, r.v_sum) for r in
             ru.read_rollup(spark, t).collect()}
 
-    # rewind the cursor (simulated lost save) and replay
+    # rewind the cursor (simulated lost save) and replay: the txn
+    # stamp is the authoritative cursor, so the replay is recognized
+    # as already applied (round-9; the gate alone previously made the
+    # replayed writes no-ops — same end state, honest mode now)
     t.set_properties({"rollup.last_version": str(got["from"])})
     got2 = ru.refresh_rollup(spark, ru.StarTable.for_path(
         spark, str(tmp_path / "ru")))
-    assert got2["mode"] == "incremental"
+    assert got2["mode"] == "noop"
     assert {(r.bucket_ts, r.v_sum) for r in
             ru.read_rollup(spark, t).collect()} == want
 
@@ -1053,3 +1056,82 @@ def test_mv_multi_window_differential_storm(sess, spark, sf_dir, tmp_path):
             "delta", "delete_delta", "compact"), \
             f"step {i} fell back to full"
         assert _join_view(sess) == _join_full(sess), f"step {i} diverged"
+
+
+def test_full_fallback_stamps_cursor_no_double_apply(sess, spark, sf_dir,
+                                                     tmp_path):
+    """The full-fallback overwrite stamps the consumed source versions
+    in its own commit. Scenario: a transient failure forces the full
+    path, the registry save is lost (crash), then new data arrives —
+    the incremental resume must start AFTER the overwrite's content,
+    not at the stale fingerprint (which would re-apply partials the
+    overwrite already contains — doubled aggregates)."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    fps_before = dict(mv._load_registry(sess.warehouse)["mv_t"]
+                      ["fingerprints"])
+
+    # window A lands, but the incremental path hits a transient error →
+    # reference-parity full fallback (overwrite)
+    src.write(_orders_frame(spark, sf_dir, 600, 900), mode="append")
+    with pytest.MonkeyPatch.context() as mp:
+        mp.delenv("STARLAKE_MV_DEBUG", raising=False)
+
+        def _boom(session, ent, t):
+            raise RuntimeError("transient executor loss")
+
+        mp.setattr(mv, "_incremental_refresh", _boom)
+        assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type == "write"
+
+    # crash: the registry fingerprint save is lost
+    reg = mv._load_registry(sess.warehouse)
+    reg["mv_t"]["fingerprints"] = fps_before
+    mv._save_registry(reg, sess.warehouse)
+
+    # window B arrives; the resume must be incremental AND exact
+    src.write(_orders_frame(spark, sf_dir, 900, 1100), mode="append")
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type == "delta", \
+        "resume did not pick up the overwrite's stamp"
+    assert _view_rows(sess) == _full_rerun(sess), \
+        "window A partials were double-applied"
+
+
+def test_join_full_fallback_stamps_all_sources(spark, sf_dir, tmp_path):
+    """Same crash window for JOIN views: the overwrite stamps BOTH
+    per-source cursors atomically."""
+    from starlake_spark import create_table
+    from starlake_spark.sql import StarSession
+
+    sess = StarSession(spark, warehouse=str(tmp_path / "wh"))
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+    fps_before = dict(mv._load_registry(sess.warehouse)["mv_j"]
+                      ["fingerprints"])
+
+    # BOTH tables change in one window → genuine full fallback
+    ft.upsert(fact.filter(F.col("k") % 3 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    dt.write(spark.createDataFrame([(888888, "ZZ")],
+                                   "ck2 bigint, seg string"), mode="append")
+    assert mv.update_material_view(sess, "mv_j") is True
+    assert sess.table("mv_j").store.snapshot().commit_type == "write"
+
+    reg = mv._load_registry(sess.warehouse)
+    reg["mv_j"]["fingerprints"] = fps_before
+    mv._save_registry(reg, sess.warehouse)
+
+    ft.upsert(fact.filter(F.col("k") % 7 == 0)
+              .withColumn("prio", (F.col("prio") + 1).cast("int")))
+    assert mv.update_material_view(sess, "mv_j") is True
+    assert sess.table("mv_j").store.snapshot().commit_type == "delta", \
+        "join resume did not pick up the overwrite's stamps"
+    assert _join_view(sess) == _join_full(sess), \
+        "pre-crash window was double-applied"

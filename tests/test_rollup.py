@@ -295,3 +295,72 @@ def test_dml_source_rollup_fallback_and_guards(spark, tmp_path):
 
     # noop
     assert R.refresh_rollup(spark, t)["mode"] == "noop"
+
+
+def _sum_state(spark, t):
+    return {(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+            for r in R.read_rollup(spark, t)
+            .select("bucket_ts", "event_type", "value_sum", "n_rows")
+            .collect()}
+
+
+def test_rollup_crash_then_new_commit_no_double_apply(spark, events,
+                                                      tmp_path):
+    """Round-9: the txn stamp is the authoritative rollup cursor. Crash
+    after the gated upsert (stamp advanced) but before the property
+    save, THEN a new source commit — the next refresh must apply ONLY
+    the new window, not re-merge the stamped one."""
+    half = events.filter(F.col("event_id") % 3 == 0)
+    src = create_table(spark, half, str(tmp_path / "src"),
+                       hash_partitions=["event_id"], hash_bucket_num=4)
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=4)
+    cfg_before = (t.info.configuration or {})["rollup.last_version"]
+
+    # window 1
+    src.upsert(events.filter(F.col("event_id") % 3 == 1))
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental"
+
+    # crash: property save lost
+    t.set_properties({"rollup.last_version": cfg_before})
+
+    # window 2 (new commit after the crash)
+    src.upsert(events.filter(F.col("event_id") % 3 == 2))
+    t2 = R.StarTable.for_path(spark, str(tmp_path / "ru"))
+    res2 = R.refresh_rollup(spark, t2)
+    assert res2["mode"] == "incremental"
+    assert res2["from"] > int(cfg_before), "resume ignored the txn stamp"
+
+    want = (events.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"),
+                           "event_type")
+            .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+                 .alias("value_sum"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    assert _sum_state(spark, t2) == {
+        (str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+        for r in want.collect()}, "window 1 was double-applied"
+
+
+def test_rollup_dv_delete_forces_rebuild(spark, events, tmp_path):
+    """Round-9: a deletion-vector delete on an append-only rollup
+    source changes no data-file paths — the old append-only check saw
+    zero new files and silently never retracted the deleted rows."""
+    from starlake_spark.operators import dml
+
+    src = create_table(spark, events, str(tmp_path / "src"))
+    t = R.create_rollup(spark, str(tmp_path / "src"), str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=4)
+    before = _sum_state(spark, t)
+
+    dml.delete(spark, src.store, condition="event_type = 'click'",
+               use_dv=True)
+    assert any(p.dv_files for p in src.store.snapshot().partitions.values())
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "full", "DV-only window must force the rebuild"
+    after = _sum_state(spark, t)
+    assert after != before
+    assert not any(r[1] == "click" for r in after), \
+        "DV-deleted rows were never retracted"
