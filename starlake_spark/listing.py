@@ -161,13 +161,35 @@ class S3Lister(ObjectStoreLister):
         bucket, key = self._split(path)
         self._s3.delete_object(Bucket=bucket, Key=key)
 
+    @staticmethod
+    def _is_not_found(exc: Exception) -> bool:
+        """True only for a definitive 404/NoSuchKey ClientError shape.
+
+        Duck-typed on ``exc.response`` (botocore ClientError) so the
+        check works with injected stub clients and without boto3
+        installed. Anything else — throttling/SlowDown, 5xx, expired
+        credentials, network errors — is NOT 'missing'."""
+        resp = getattr(exc, "response", None)
+        if not isinstance(resp, dict):
+            return False
+        err = resp.get("Error") or {}
+        code = str(err.get("Code", ""))
+        status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+        return code in ("404", "NoSuchKey", "NotFound") or status == 404
+
     def _head(self, path):
         bucket, key = self._split(path)
         try:
             self._s3.head_object(Bucket=bucket, Key=key)
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            # Only a definitive not-found may report False: fsck(repair=True)
+            # drops manifest references for 'missing' files, so treating a
+            # transient outage as absence would delete live data. Everything
+            # non-404 re-raises and the caller fails loudly.
+            if self._is_not_found(e):
+                return False
+            raise
 
 
 _default = FileSystemLister()

@@ -186,6 +186,14 @@ class Snapshot:
     # the current projection. ALTERs between commits surface at the
     # NEXT commit; None (pre-feature manifests) falls back to current.
     schema_json: str | None = None
+    # pointer to the newest commit that EMBEDDED a full TableInfo
+    # (schema-overwrite, metadata-in-log) and that info's
+    # schema_version, propagated through every later plain commit.
+    # Lets _heal_table_info find a crashed overwriteSchema even after
+    # later data commits bury its version file, in O(1) reads — no
+    # backscan. 0 = none known (pre-feature manifests).
+    last_info_commit: int = 0
+    last_info_version: int = 0
 
     def all_files(self) -> list[DataFileInfo]:
         return [f for p in self.partitions.values() for f in p.files]
@@ -196,6 +204,8 @@ class Snapshot:
             "timestamp": self.timestamp,
             "commit_type": self.commit_type,
             "schema_json": self.schema_json,
+            "last_info_commit": self.last_info_commit,
+            "last_info_version": self.last_info_version,
             "streaming": self.streaming,
             "partitions": {
                 rv: {
@@ -215,6 +225,8 @@ class Snapshot:
             timestamp=d.get("timestamp", 0.0),
             commit_type=d.get("commit_type", "write"),
             schema_json=d.get("schema_json"),
+            last_info_commit=d.get("last_info_commit", 0),
+            last_info_version=d.get("last_info_version", 0),
             streaming=dict(d.get("streaming", {})),
             partitions={
                 rv: PartitionSnapshot(
@@ -271,6 +283,16 @@ class Transaction:
         # then never make a later incremental resume re-apply a window
         # the overwrite already contains.
         self.stamp_updates: dict[str, int] = {}
+        # cursor RESETS: unconditional assignments applied AFTER the
+        # monotonic stamp_updates merge. Needed when a consumed source
+        # ROLLED BACK (recreated at the same path / versions pruned): a
+        # full-rebuild overwrite pins the rollup/MV content to the new
+        # source version exactly, so the stale higher stamp must come
+        # DOWN with it in the same commit — the max-merge (and the
+        # gated streaming registry, which treats lower versions as
+        # replays and silently no-ops) would otherwise serve the
+        # pre-rollback content forever.
+        self.stamp_resets: dict[str, int] = {}
         # 'write' | 'delta' | 'update' | 'delete' | 'compact' — the
         # reference's tc.setCommitType (TransactionCommit.scala:150-156);
         # change-stream readers skip 'compact' (logically a no-op rewrite)
@@ -404,6 +426,12 @@ class ManifestStore:
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.versions_dir = os.path.join(self.meta_dir, "versions")
         self._info_cache: TableInfo | None = None
+        # table/publish lock handles THIS instance currently holds
+        # (file provider is non-reentrant): _heal_table_info defers its
+        # disk repair when non-empty instead of self-deadlocking on a
+        # second acquire (e.g. _publish_serialized's build reads
+        # table_info(refresh=True) under the table lock)
+        self._held_locks: list = []
         # committed version files are immutable, so resolved snapshots
         # are safe to cache by number (bounded LRU; cleared on
         # create/drop so a same-path recreate can't serve stale state)
@@ -440,18 +468,18 @@ class ManifestStore:
 
     def table_info(self, refresh: bool = False) -> TableInfo:
         if self._info_cache is None or refresh:
-            first_read = self._info_cache is None
             p = os.path.join(self.meta_dir, "table_info.json")
             if not os.path.isfile(p):
                 raise TableNotFoundError(f"not a star table: {self.table_path}")
             with open(p) as f:
                 self._info_cache = TableInfo.from_json(f.read())
-            if first_read:
-                # once per store instance: a crashed overwriteSchema is
-                # healed by the first process that opens the table; the
-                # in-process cache stays consistent afterwards, so
-                # refresh reads skip the extra version-file read
-                self._heal_table_info()
+            # every cold or refresh read re-checks the log: a live
+            # writer whose cache predates a crashed overwriteSchema
+            # would otherwise serve (and stamp) the stale schema until
+            # some other process cold-opens the table. The check is one
+            # small version-file read — commit-path cadence, not
+            # per-row.
+            self._heal_table_info()
         return self._info_cache
 
     def _heal_table_info(self) -> None:
@@ -461,16 +489,41 @@ class ManifestStore:
         (_build_commit), and the ``table_info.json`` swap follows in
         the same critical section (_publish_version). A crash BETWEEN
         the two leaves the new schema committed in the log but the old
-        info served — so on every cold info read, the latest version
-        file's embedded info, if newer by schema_version, is
-        authoritative and repairs ``table_info.json`` in place."""
+        info served — so on every cold/refresh info read, the log's
+        newest embedded info, if newer by schema_version, is
+        authoritative and repairs ``table_info.json`` in place.
+
+        The latest version file need not be the overwrite itself:
+        later plain commits propagate a (last_info_commit,
+        last_info_version) pointer, so the divergence stays detectable
+        in O(1) reads after any number of data commits bury the
+        crashed overwrite. The in-memory heal is unconditional (the
+        log is authoritative); the disk repair takes the table lock,
+        and is deferred when this instance already holds it (the file
+        provider is non-reentrant — the next lock-free read repairs)."""
         try:
             d = self._read_version_state(self.latest_version())
         except (MetaError, OSError):
             return
         emb = d.get("table_info")
+        if emb is None and d.get("last_info_version", 0) > \
+                self._info_cache.schema_version:
+            # a newer embedded info exists in an EARLIER version file
+            # (overwrite crashed, plain commits piled on) — follow the
+            # pointer; the target may be legitimately pruned, in which
+            # case the divergence was healed before the prune
+            try:
+                emb = self._read_version_state(
+                    d["last_info_commit"]).get("table_info")
+            except (MetaError, OSError, KeyError):
+                emb = None
         if not emb or emb.get("schema_version", 0) <= \
                 self._info_cache.schema_version:
+            return
+        # the log's committed info is authoritative for THIS process
+        # regardless of whether the disk repair lands below
+        self._info_cache = TableInfo(**emb)
+        if self._held_locks:
             return
         lock = self._acquire_lock()
         try:
@@ -590,6 +643,8 @@ class ManifestStore:
                 timestamp=top.get("timestamp", 0.0),
                 commit_type=top.get("commit_type", "write"),
                 schema_json=top.get("schema_json"),
+                last_info_commit=top.get("last_info_commit", 0),
+                last_info_version=top.get("last_info_version", 0),
             )
         if len(self._snap_cache) >= 8:
             self._snap_cache.pop(next(iter(self._snap_cache)))
@@ -611,14 +666,20 @@ class ManifestStore:
         from starlake_spark import locking
 
         try:
-            return locking.get_lock_provider().acquire(
+            handle = locking.get_lock_provider().acquire(
                 self.meta_dir, self.table_path, LOCK_TIMEOUT_S)
         except TimeoutError as e:
             raise MetaError(str(e)) from e
+        self._held_locks.append(handle)
+        return handle
 
     def _release_lock(self, handle) -> None:
         from starlake_spark import locking
 
+        for i, h in enumerate(self._held_locks):
+            if h is handle:
+                del self._held_locks[i]
+                break
         locking.get_lock_provider().release(handle)
 
     def _validate_lock(self, handle) -> bool:
@@ -657,13 +718,20 @@ class ManifestStore:
         provider = locking.get_lock_provider()
         try:
             if getattr(provider, "supports_scopes", False):
-                return provider.acquire_scoped(
+                handle = provider.acquire_scoped(
                     self.meta_dir, self.table_path, LOCK_TIMEOUT_S,
                     scope=self.PUBLISH_SCOPE)
-            return provider.acquire(self.meta_dir, self.table_path,
-                                    LOCK_TIMEOUT_S)
+            else:
+                handle = provider.acquire(self.meta_dir, self.table_path,
+                                          LOCK_TIMEOUT_S)
         except TimeoutError as e:
             raise MetaError(str(e)) from e
+        # tracked for the heal-deferral check: with an unscoped
+        # provider this IS the table lock; with scopes, a heal firing
+        # under the publish lock would acquire table-under-publish —
+        # the ABBA inversion — so defer in that case too
+        self._held_locks.append(handle)
+        return handle
 
     def _acquire_commit_locks(self, txn: Transaction) -> list:
         """PARTITION-SCOPED write locks (reference
@@ -938,12 +1006,23 @@ class ManifestStore:
         for k, v in txn.stamp_updates.items():
             # monotonic cursor records: never move a stamp backward
             streaming[k] = max(streaming.get(k, -1), v)
+        for k, v in txn.stamp_resets.items():
+            # unconditional: re-anchors cursors after a source rollback
+            streaming[k] = v
+        if txn.new_table_info is not None:
+            last_info_commit = new_version
+            last_info_version = txn.new_table_info.schema_version + 1
+        else:
+            last_info_commit = current.last_info_commit
+            last_info_version = current.last_info_version
         snap = Snapshot(
             version=new_version,
             partitions=partitions,
             streaming=streaming,
             timestamp=time.time(),
             commit_type=txn.commit_type,
+            last_info_commit=last_info_commit,
+            last_info_version=last_info_version,
             # refresh: the versioned-schema stamp must be the CURRENT
             # declared schema at commit time — a concurrent ALTER landed
             # between this writer's read and its commit would otherwise
@@ -967,6 +1046,8 @@ class ManifestStore:
                 "timestamp": snap.timestamp,
                 "commit_type": snap.commit_type,
                 "schema_json": snap.schema_json,
+                "last_info_commit": snap.last_info_commit,
+                "last_info_version": snap.last_info_version,
                 "streaming": snap.streaming,
                 "base_version": current.version,
                 "removed_partitions": [
@@ -1064,6 +1145,8 @@ class ManifestStore:
                 timestamp=time.time(),
                 commit_type=commit_type,
                 schema_json=self.table_info(refresh=True).schema_json,
+                last_info_commit=current.last_info_commit,
+                last_info_version=current.last_info_version,
             )
             return snap, json.dumps(snap.to_state())
 
@@ -1146,6 +1229,8 @@ class ManifestStore:
                 timestamp=time.time(),
                 commit_type=commit_type,
                 schema_json=self.table_info(refresh=True).schema_json,
+                last_info_commit=current.last_info_commit,
+                last_info_version=current.last_info_version,
             )
             return snap, json.dumps(snap.to_state())
 
@@ -1225,6 +1310,8 @@ class ManifestStore:
                 timestamp=time.time(),
                 commit_type="restore",
                 schema_json=self.table_info(refresh=True).schema_json,
+                last_info_commit=current.last_info_commit,
+                last_info_version=current.last_info_version,
             )
             return snap, json.dumps(snap.to_state())
 

@@ -1257,7 +1257,8 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
                txn_app_id: str | None = None,
                txn_version: int | None = None,
                dynamic_partition_overwrite: bool = False,
-               txn_stamps: dict | None = None) -> None:
+               txn_stamps: dict | None = None,
+               txn_stamp_resets: dict | None = None) -> None:
     """WriteIntoTable (WriteIntoTable.scala:44-146): append / overwrite /
     partition-scoped overwrite via replaceWhere (predicate over range
     columns, evaluated against manifest partition values — no data read).
@@ -1294,6 +1295,13 @@ def write_into(spark: SparkSession, store: ManifestStore, df: DataFrame,
         return
     info = maybe_merge_schema(df, store)
     txn = store.new_transaction()
+    if txn_stamp_resets:
+        # unconditional cursor re-anchors (meta.Transaction
+        # stamp_resets): a full rebuild over a ROLLED-BACK source must
+        # move its cursor DOWN with the overwrite — the monotonic merge
+        # (and the gated registry, which no-ops lower versions as
+        # replays) would pin the pre-rollback content forever
+        txn.stamp_resets.update(txn_stamp_resets)
     if txn_stamps:
         # ungated monotonic cursor records (raw registry keys),
         # published atomically with this commit — MV/rollup full

@@ -705,6 +705,31 @@ def _fingerprints(session, names) -> dict[str, int]:
     return {n: session.table(n).store.latest_version() for n in names}
 
 
+def _source_ids(session, names) -> dict[str, str]:
+    """table_id per source — identity, not just version. A source
+    dropped and recreated at the same path restarts version numbering,
+    so version fingerprints alone can (a) collide — same count, view
+    reads as fresh over unrelated content — or (b) hand the
+    incremental window a [last, cur] range over the NEW incarnation
+    whose deltas have nothing to do with what the view contains."""
+    return {n: session.table(n).store.table_info().table_id
+            for n in names}
+
+
+def _sources_match(session, ent) -> bool:
+    """True when every recorded source table_id still matches the live
+    table (pre-feature entries with no recorded ids pass — identity
+    then unverifiable, behavior unchanged)."""
+    recorded = ent.get("source_ids")
+    if not recorded:
+        return True
+    try:
+        live = _source_ids(session, set(recorded))
+    except Exception:
+        return False  # a source vanished → treat as identity break
+    return live == recorded
+
+
 # ---------------------------------------------------------------------------
 # incremental maintenance (round 8; beyond the reference — its refresh
 # is always a full re-run, UpdateMaterialViewCommand.scala:30-76)
@@ -1188,6 +1213,12 @@ def _incremental_refresh(session, ent,
     """Try the O(changes) refresh; None → caller runs the full path.
     Returns (mode, {source: consumed_version}) on success."""
     spark = session.spark
+    if not _sources_match(session, ent):
+        # a source was dropped/recreated at the same path: every
+        # version cursor (fingerprint AND txn stamp) refers to the OLD
+        # incarnation — a window over the new one would merge unrelated
+        # deltas. Full rebuild re-anchors everything.
+        return None
     spec = _incremental_spec(session, ent["sql"])
     if spec is None:
         return None
@@ -1441,6 +1472,7 @@ def create_material_view(session, name: str, path: str, sql_text: str,
         "auto_update": bool(auto_update),
         "incremental": spec is not None,
         "fingerprints": fps,
+        "source_ids": _source_ids(session, set(fps)),
         "created_at": time.time(),
     }
     _save_registry(reg, session.warehouse)
@@ -1491,7 +1523,11 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
         raise KeyError(f"unknown material view '{name}'")
     ent = reg[name]
     current = _fingerprints(session, set(ent["fingerprints"]))
-    if not force and current == ent["fingerprints"]:
+    if not force and current == ent["fingerprints"] \
+            and _sources_match(session, ent):
+        # identity checked alongside versions: a recreated source can
+        # land on the SAME latest_version and read as fresh while the
+        # view holds the old incarnation's answers
         return False
     t = StarTable.for_path(session.spark, ent["path"])
     if ent.get("incremental"):
@@ -1507,6 +1543,7 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
         if got is not None:
             mode, fps = got
             ent["fingerprints"] = fps
+            ent["source_ids"] = _source_ids(session, set(fps))
             _save_registry(reg, session.warehouse)
             return mode != "noop"
         # full fallback for an incremental backing table: recompute
@@ -1516,14 +1553,18 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
         spec = _incremental_spec(session, ent["sql"])
         if spec is not None:
             df, fps, drop = _mv_init_frame(session, spec)
-            # the overwrite STAMPS the consumed source versions in the
-            # same commit (ungated cursor records): a crash between
-            # this write and the registry save would otherwise leave a
-            # stale fingerprint, and the next INCREMENTAL resume would
-            # re-apply a window whose data this overwrite already
-            # contains — double-counted partials. With the stamps, the
-            # resume's max(fingerprint, stamp) cursor starts after the
-            # overwrite's content.
+            # the overwrite RESETS the consumed-source cursors in the
+            # same commit: a crash between this write and the registry
+            # save would otherwise leave a stale fingerprint, and the
+            # next INCREMENTAL resume would re-apply a window whose
+            # data this overwrite already contains — double-counted
+            # partials. RESET (unconditional), not the monotonic stamp:
+            # after a source rollback/recreate the old stamp is HIGHER
+            # than the consumed version, and a max-merge would pin
+            # every future refresh into the full path (or worse, gate
+            # later incremental upserts into silent no-ops). A full
+            # overwrite pins its content to exactly ``fps`` — the
+            # cursor belongs at exactly ``fps``.
             from starlake_spark.operators import dml
 
             if spec.get("join"):
@@ -1534,12 +1575,20 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
                           fps[spec["source"]]}
             try:
                 dml.write_into(session.spark, t.store, df,
-                               mode="overwrite", txn_stamps=stamps)
+                               mode="overwrite", txn_stamp_resets=stamps)
             finally:
+                # guarded per-view (same as create_material_view): one
+                # failing drop must not skip the remaining drops or
+                # _sync_views — that leaves pinned views shadowing live
+                # ones and masks the original write exception
                 for v in drop:
-                    session.spark.catalog.dropTempView(v)
+                    try:
+                        session.spark.catalog.dropTempView(v)
+                    except Exception:
+                        pass
                 session._sync_views()
             ent["fingerprints"] = fps
+            ent["source_ids"] = _source_ids(session, set(fps))
             _save_registry(reg, session.warehouse)
             return True
         # spec no longer derivable (e.g. the source evolved outside the
@@ -1551,6 +1600,7 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
     df = session.spark.sql(ent["sql"])
     t.write(df, mode="overwrite")
     ent["fingerprints"] = _fingerprints(session, set(ent["fingerprints"]))
+    ent["source_ids"] = _source_ids(session, set(ent["fingerprints"]))
     _save_registry(reg, session.warehouse)
     return True
 
@@ -1702,7 +1752,8 @@ def try_rewrite(session, sql_text: str) -> DataFrame | None:
         if qinfo.tables != vinfo.tables:
             continue
         current = _fingerprints(session, set(ent["fingerprints"]))
-        if current != ent["fingerprints"]:
+        if current != ent["fingerprints"] \
+                or not _sources_match(session, ent):
             if ent.get("auto_update"):
                 update_material_view(session, view_name)
             else:

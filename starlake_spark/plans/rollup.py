@@ -122,6 +122,13 @@ def create_rollup(
             _CFG + "group_cols": json.dumps(group_cols),
             _CFG + "aggs": json.dumps(aggs),
             _CFG + "last_version": str(cur),
+            # source IDENTITY, not just path: a source dropped and
+            # recreated at the same path restarts version numbering —
+            # version-window cursors against the new incarnation would
+            # silently merge unrelated content (or, if the new table
+            # accumulates more versions than the cursor, skip data).
+            # A mismatch at refresh time forces the full rebuild.
+            _CFG + "source_table_id": src_info.table_id,
             # EVERY compaction of this table (including the auto-trigger
             # inside upsert) must merge partials with these operators —
             # a default last-wins collapse would corrupt the sums
@@ -141,6 +148,9 @@ def _cfg(t: StarTable) -> dict:
         "group_cols": json.loads(c[_CFG + "group_cols"]),
         "aggs": json.loads(c[_CFG + "aggs"]),
         "last_version": int(c[_CFG + "last_version"]),
+        # None on pre-feature rollups: identity then unverifiable,
+        # refresh behaves as before (path-only)
+        "source_table_id": c.get(_CFG + "source_table_id"),
     }
 
 
@@ -202,9 +212,37 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         f"txn:rollup_refresh:{t.info.table_id}", -1)
     if stamp > last:
         last = stamp
-    if cur <= last:
-        return {"mode": "noop", "from": last, "to": cur}
     src_info = src.table_info()
+    # identity check, not just version arithmetic: a source dropped and
+    # recreated at the same path restarts version numbering, so its
+    # window [last, cur] is over UNRELATED content even when cur > last
+    recreated = (cfg["source_table_id"] is not None
+                 and src_info.table_id != cfg["source_table_id"])
+    if cur == last and not recreated:
+        return {"mode": "noop", "from": last, "to": cur}
+    # cur < last: the cursor (or txn stamp) is AHEAD of the source's
+    # latest version — the source was recreated at the same path or its
+    # version files pruned. Reporting noop would serve stale data
+    # forever; mirror the MV path (mv.py _change_window) and fall
+    # through to the full rebuild.
+    rolled_back = cur < last or recreated
+
+    def _full_overwrite(partials):
+        key = f"rollup_refresh:{t.info.table_id}"
+        if rolled_back:
+            # the GATED write would silently no-op (the stale stamp is
+            # >= cur, which the registry reads as a replay): commit the
+            # overwrite with an unconditional cursor RESET instead —
+            # same atomicity, re-anchored stamp
+            dml.write_into(spark, t.store, partials, mode="overwrite",
+                           txn_stamp_resets={f"txn:{key}": cur})
+        else:
+            dml.write_into(spark, t.store, partials, mode="overwrite",
+                           txn_app_id=key, txn_version=cur)
+
+    def _save_cursor():
+        t.set_properties({_CFG + "last_version": str(cur),
+                          _CFG + "source_table_id": src_info.table_id})
 
     if src_info.hash_cols:
         import os as _os
@@ -218,7 +256,7 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         from starlake_spark.listing import get_lister
 
         _lister = get_lister()
-        window_ok = all(
+        window_ok = (not rolled_back) and all(
             _lister.exists(_os.path.join(src.table_path, f.path))
             for f in src.snapshot(last).all_files())
         if window_ok:
@@ -239,27 +277,30 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
             partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                                  cfg["time_col"], cfg["bucket"],
                                  cfg["group_cols"], cfg["aggs"])
-            dml.write_into(spark, t.store, partials, mode="overwrite",
-                           txn_app_id=f"rollup_refresh:{t.info.table_id}",
-                           txn_version=cur)
+            _full_overwrite(partials)
             mode = "full"
-        t.set_properties({_CFG + "last_version": str(cur)})
+        _save_cursor()
         return {"mode": mode, "from": last, "to": cur}
 
-    last_snap, cur_snap = src.snapshot(last), src.snapshot(cur)
-    prev_paths = {f.path for f in last_snap.all_files()}
-    cur_files = cur_snap.all_files()
-    append_only = prev_paths <= {f.path for f in cur_files}
+    if rolled_back:
+        append_only = False  # snapshot(last) may not even resolve
+    else:
+        last_snap, cur_snap = src.snapshot(last), src.snapshot(cur)
+        prev_paths = {f.path for f in last_snap.all_files()}
+        cur_files = cur_snap.all_files()
+        append_only = prev_paths <= {f.path for f in cur_files}
 
-    # deletion vectors delete rows WITHOUT touching data-file paths —
-    # a DV-only window would look append-only with zero new files and
-    # the deleted rows would never be retracted from the rollup. Any
-    # dv-set change forces the full rebuild (same guard as MV refresh).
-    def _dv_paths(s):
-        return {d.path for p in s.partitions.values() for d in p.dv_files}
+        # deletion vectors delete rows WITHOUT touching data-file paths
+        # — a DV-only window would look append-only with zero new files
+        # and the deleted rows would never be retracted from the
+        # rollup. Any dv-set change forces the full rebuild (same guard
+        # as MV refresh).
+        def _dv_paths(s):
+            return {d.path for p in s.partitions.values()
+                    for d in p.dv_files}
 
-    if _dv_paths(last_snap) != _dv_paths(cur_snap):
-        append_only = False
+        if _dv_paths(last_snap) != _dv_paths(cur_snap):
+            append_only = False
 
     if append_only:
         new_files = [f for f in cur_files if f.write_version > last]
@@ -275,11 +316,9 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                              cfg["time_col"], cfg["bucket"],
                              cfg["group_cols"], cfg["aggs"])
-        dml.write_into(spark, t.store, partials, mode="overwrite",
-                       txn_app_id=f"rollup_refresh:{t.info.table_id}",
-                       txn_version=cur)
+        _full_overwrite(partials)
         mode = "full"
-    t.set_properties({_CFG + "last_version": str(cur)})
+    _save_cursor()
     return {"mode": mode, "from": last, "to": cur}
 
 

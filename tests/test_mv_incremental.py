@@ -1135,3 +1135,104 @@ def test_join_full_fallback_stamps_all_sources(spark, sf_dir, tmp_path):
         "join resume did not pick up the overwrite's stamps"
     assert _join_view(sess) == _join_full(sess), \
         "pre-crash window was double-applied"
+
+
+# ---------------------------------------------------------------------------
+# round 10: source rollback / recreation re-anchoring
+# ---------------------------------------------------------------------------
+
+
+def test_source_recreated_at_same_path_forces_full_and_recovers(
+        sess, spark, sf_dir, tmp_path):
+    """A source dropped and recreated at the SAME path restarts version
+    numbering: every cursor (fingerprint, txn stamp) refers to the old
+    incarnation. The refresh must (a) detect the identity break via the
+    recorded source table_ids, (b) run the full rebuild, (c) RESET the
+    txn-registry stamp down with the overwrite — the old monotonic
+    stamp would otherwise gate later incremental upserts into silent
+    no-ops — and (d) resume incremental refreshes on the new
+    incarnation."""
+    import shutil
+
+    from starlake_spark import create_table
+
+    src_path = str(tmp_path / "src")
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       src_path, short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    reg = mv._load_registry(sess.warehouse)
+    assert reg["mv_t"]["source_ids"]  # identity recorded at creation
+
+    # build up a real stamp through incremental refreshes
+    for lo, hi in [(600, 900), (900, 1200), (1200, 1400)]:
+        src.write(_orders_frame(spark, sf_dir, lo, hi), mode="append")
+        assert mv.update_material_view(sess, "mv_t") is True
+    t = sess.table("mv_t")
+    key = f"txn:mv_refresh:{t.info.table_id}"
+    assert t.store.snapshot().streaming.get(key, -1) >= 3
+
+    # recreate the source at the same path with DIFFERENT content;
+    # bypass the session (no drop-cascade) — the external-writer case
+    shutil.rmtree(src_path)
+    src2 = create_table(spark, _orders_frame(spark, sf_dir, 0, 250),
+                        src_path, short_name="src",
+                        warehouse=sess.warehouse)
+    sess.register("src", src2)
+
+    assert mv.update_material_view(sess, "mv_t") is True
+    t = sess.table("mv_t")
+    # full rebuild (overwrite), not an incremental window over the
+    # unrelated new incarnation
+    assert t.store.snapshot().commit_type == "write"
+    assert _view_rows(sess) == _full_rerun(sess)
+    # the stamp came DOWN with the overwrite
+    assert t.store.snapshot().streaming.get(key, -1) == \
+        src2.store.latest_version()
+    # registry re-anchored to the new incarnation's identity
+    reg = mv._load_registry(sess.warehouse)
+    assert reg["mv_t"]["source_ids"]["src"] == \
+        src2.store.table_info().table_id
+
+    # incremental refreshes RESUME on the new incarnation (would
+    # silently no-op under the old poisoned stamp)
+    src2.write(_orders_frame(spark, sf_dir, 250, 500), mode="append")
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert sess.table("mv_t").store.snapshot().commit_type == "delta"
+    assert _view_rows(sess) == _full_rerun(sess)
+
+
+def test_recreated_source_same_version_count_reads_stale(
+        sess, spark, sf_dir, tmp_path):
+    """Version-collision case: the recreated source lands on the SAME
+    latest_version as the recorded fingerprint, so version comparison
+    alone says 'fresh'. The identity check must flag the view stale
+    (update returns True, and a non-auto-update rewrite must refuse to
+    serve it)."""
+    import shutil
+
+    from starlake_spark import create_table
+
+    src_path = str(tmp_path / "src")
+    s1 = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                      src_path, short_name="src", warehouse=sess.warehouse)
+    sess.register("src", s1)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+
+    shutil.rmtree(src_path)
+    s2 = create_table(spark, _orders_frame(spark, sf_dir, 0, 300),
+                      src_path, short_name="src", warehouse=sess.warehouse)
+    sess.register("src", s2)
+    # same path, same latest_version (1), different content + identity
+    assert mv._fingerprints(sess, {"src"}) == \
+        mv._load_registry(sess.warehouse)["mv_t"]["fingerprints"]
+
+    # rewrite must NOT serve the stale view (auto_update=False)
+    assert mv.try_rewrite(sess, MV_SQL) is None
+
+    # update must see through the version collision and rebuild
+    assert mv.update_material_view(sess, "mv_t") is True
+    assert _view_rows(sess) == _full_rerun(sess)
+    # steady state restored
+    assert mv.update_material_view(sess, "mv_t") is False

@@ -364,3 +364,48 @@ def test_rollup_dv_delete_forces_rebuild(spark, events, tmp_path):
     assert after != before
     assert not any(r[1] == "click" for r in after), \
         "DV-deleted rows were never retracted"
+
+
+def test_source_rollback_forces_full_rebuild_not_noop(spark, events,
+                                                      tmp_path):
+    """ADVICE r10 (low): cursor AHEAD of the source's latest version
+    (source recreated at the same path) used to report 'noop' and serve
+    stale data forever — it must mirror the MV path and full-rebuild."""
+    import shutil
+
+    src_path = str(tmp_path / "src")
+    src = create_table(spark, events, src_path)
+    src.write(events.withColumn("event_id", F.col("event_id") + 10_000_000),
+              mode="append")
+    src.write(events.withColumn("event_id", F.col("event_id") + 20_000_000),
+              mode="append")
+    t = R.create_rollup(spark, src_path, str(tmp_path / "ru"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=4)
+    assert R.refresh_rollup(spark, t)["mode"] == "noop"
+
+    # recreate the source at the SAME path with fewer commits: its
+    # latest version is now BEHIND the rollup's cursor
+    shutil.rmtree(src_path)
+    half = events.filter(F.col("event_id") % 2 == 0)
+    create_table(spark, half, src_path)
+    from starlake_spark.meta import ManifestStore
+    assert ManifestStore(src_path).latest_version() < \
+        int((t.info.configuration or {})["rollup.last_version"])
+
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "full", f"rolled-back source must rebuild: {res}"
+    got = R.read_rollup(spark, t).select("bucket_ts", "event_type",
+                                         "value_sum", "n_rows")
+    want = (half.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"),
+                         "event_type")
+            .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+                 .alias("value_sum"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    a = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in got.orderBy("bucket_ts", "event_type").collect()]
+    b = [(str(r.bucket_ts), r.event_type, str(r.value_sum), r.n_rows)
+         for r in want.orderBy("bucket_ts", "event_type").collect()]
+    assert a == b
+    # and the cursor re-anchored: next refresh is a clean noop
+    assert R.refresh_rollup(spark, t)["mode"] == "noop"
