@@ -1099,15 +1099,29 @@ def _change_window(spark, src: ManifestStore, last: int,
     except Exception:
         return None  # cursor manifest expired → full rebuild
     if info.hash_cols:
-        # the window diff reads the cursor snapshot's files (preimages);
-        # a vacuumed one → full rebuild (same guard as refresh_rollup).
-        # Existence probes route through the lister seam so an
-        # object-store deployment answers them with HEADs, not POSIX.
+        # the window diff reads preimages; a vacuumed one → full
+        # rebuild (same guard as refresh_rollup). Probes are BOUNDED to
+        # the files the window will actually open that vacuum could
+        # have taken: files EXPIRED inside the window (in the cursor
+        # snapshot, gone from the current one). Files still live at
+        # ``cur`` are never vacuumed, and range_changes cell-prunes its
+        # boundary scans to the touched (partition, bucket) cells, so
+        # no other cursor-snapshot file is opened — probing all of them
+        # (the old behavior) is O(table) serial HEADs on an object
+        # store, minutes of driver stall per refresh at 10^5+ files.
+        # The reference never pre-probes at all (it reads lazily and
+        # lets a missing file fail the scan, DataOperation.scala:52-119);
+        # the caller's full-fallback catch gives the same safety net.
         from starlake_spark.listing import get_lister
 
         lister = get_lister()
+        try:
+            cur_paths = {f.path for f in src.snapshot(cur).all_files()}
+        except Exception:
+            return None
+        expired = [f for f in last_files if f.path not in cur_paths]
         if not all(lister.exists(os.path.join(src.table_path, f.path))
-                   for f in last_files):
+                   for f in expired):
             return None
         return range_changes(spark, src.table_path, start_version=last,
                              end_version=cur)

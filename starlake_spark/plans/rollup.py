@@ -250,15 +250,25 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
         from starlake_spark.sources.datasource import range_changes
 
         # driver-side pre-check, BEFORE any write: the window diff needs
-        # the cursor snapshot's files still on disk (cleanup retention ≫
-        # refresh cadence in practice); a vacuumed one → rebuild.
-        # Probes route through the lister seam (object-store HEADs).
+        # its preimage files still on disk (cleanup retention ≫ refresh
+        # cadence in practice); a vacuumed one → rebuild. Probes are
+        # BOUNDED to files EXPIRED in the window — the only ones vacuum
+        # can have taken (live files are never swept, and range_changes
+        # cell-prunes its scans to touched cells) — not the cursor
+        # snapshot's whole inventory: O(window churn) HEADs, not
+        # O(table). Probes route through the lister seam.
         from starlake_spark.listing import get_lister
 
         _lister = get_lister()
-        window_ok = (not rolled_back) and all(
-            _lister.exists(_os.path.join(src.table_path, f.path))
-            for f in src.snapshot(last).all_files())
+        if rolled_back:
+            window_ok = False
+        else:
+            _cur_paths = {f.path for f in src.snapshot(cur).all_files()}
+            _expired = [f for f in src.snapshot(last).all_files()
+                        if f.path not in _cur_paths]
+            window_ok = all(
+                _lister.exists(_os.path.join(src.table_path, f.path))
+                for f in _expired)
         if window_ok:
             ch = range_changes(spark, cfg["source"], start_version=last,
                                end_version=cur)

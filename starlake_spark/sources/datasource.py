@@ -1492,8 +1492,11 @@ def table_changes(spark, path: str, start_version: int = 0,
             if logged is not None:
                 dfs.append(logged)
             else:
+                p_snap, c_snap = _pruned_boundaries(
+                    store.snapshot(v - 1), snap, new_files)
                 dfs.extend(_preimage_changes(
-                    spark, store, info, keys, v - 1, v, v, new_files))
+                    spark, store, info, keys, v - 1, v, v, new_files,
+                    pre_snap=p_snap, cur_snap=c_snap))
             continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
@@ -1544,16 +1547,19 @@ def range_changes(spark, path: str, start_version: int,
                          "(key-level diffs need merge keys)")
     keys = info.range_cols + info.hash_cols
     end = store.latest_version() if end_version is None else end_version
-    sf = {f.path: f for f in store.snapshot(start_version).all_files()}
-    ef = {f.path: f for f in store.snapshot(end).all_files()}
+    start_snap, end_snap = store.snapshot(start_version), store.snapshot(end)
+    sf = {f.path: f for f in start_snap.all_files()}
+    ef = {f.path: f for f in end_snap.all_files()}
     touched = ([f for p, f in ef.items() if p not in sf]
                + [f for p, f in sf.items() if p not in ef])
     if not touched:
         out = rd._empty_df(spark, info).withColumn(VERSION_COL, F_lit_long(None))
         return out.withColumn(CHANGE_TYPE_COL,
                               F_lit_str_null())
+    pre_snap, cur_snap = _pruned_boundaries(start_snap, end_snap, touched)
     dfs = _preimage_changes(spark, store, info, keys, start_version, end,
-                            end, touched)
+                            end, touched, pre_snap=pre_snap,
+                            cur_snap=cur_snap)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -1566,8 +1572,49 @@ def F_lit_str_null():
     return F.lit(None).cast("string")
 
 
+def _pruned_boundaries(pre, cur, touched):
+    """CELL PRUNING for a window's two boundary MoR scans: a hash
+    key's every version lives in ONE (range partition, hash bucket)
+    cell — range_value is part of the key and bucket_id =
+    pmod(hash(hash cols), bucket_num) is commit-invariant — so every
+    key touched in the window sits in the cells of the touched files,
+    and files in other cells cannot contribute rows to the
+    key-semi-joined scans. Without this the preimage read plans O(all
+    table files) per window; with it the whole window is O(touched
+    cells). Returns (None, None) — scans stay full — if any file lacks
+    a real bucket id."""
+    if not all(f.bucket_id >= 0
+               for s in (pre, cur) for f in s.all_files()):
+        return None, None
+    cells = {(f.range_value, f.bucket_id) for f in touched}
+    return _prune_cells(pre, cells), _prune_cells(cur, cells)
+
+
+def _prune_cells(snap, cells):
+    """Sub-snapshot keeping only files in the given (range_value,
+    bucket_id) cells. Hash-table MoR collapse is per key and a key's
+    versions never leave their cell, so scanning the sub-snapshot
+    yields exactly the full scan's rows for keys living in ``cells``.
+    (Hash tables carry no deletion-vector sidecars — DVs are the
+    non-hash delete path — so dropping a cell drops no DV state.)"""
+    from starlake_spark.meta import PartitionSnapshot, Snapshot
+
+    parts = {}
+    for rv, ps in snap.partitions.items():
+        keep = [f for f in ps.files if (rv, f.bucket_id) in cells]
+        if keep:
+            parts[rv] = PartitionSnapshot(rv, keep, ps.last_update_version,
+                                          dv_files=list(ps.dv_files))
+    return Snapshot(version=snap.version, partitions=parts,
+                    streaming=snap.streaming, timestamp=snap.timestamp,
+                    commit_type=snap.commit_type,
+                    schema_json=snap.schema_json,
+                    last_info_commit=snap.last_info_commit,
+                    last_info_version=snap.last_info_version)
+
+
 def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
-                      new_files):
+                      new_files, pre_snap=None, cur_snap=None):
     """Full-fidelity change rows for a commit window: the window's
     affected KEY SET (read cheaply from the raw delta/tombstone files —
     keys only) prunes two MoR scans, at ``v_pre`` and ``v_cur``; a
@@ -1592,9 +1639,9 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
         d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
         kdf = d if kdf is None else kdf.unionByName(d)
     kdf = kdf.distinct()
-    prev = rd.scan(spark, store, version=v_pre,
+    prev = rd.scan(spark, store, version=v_pre, snapshot=pre_snap,
                    schema_as_of=False).join(kdf, keys, "left_semi")
-    cur = rd.scan(spark, store, version=v_cur,
+    cur = rd.scan(spark, store, version=v_cur, snapshot=cur_snap,
                   schema_as_of=False).join(kdf, keys, "left_semi")
     out_cols = list(prev.columns)
     data_cols = [c for c in out_cols if c not in keys]

@@ -1236,3 +1236,150 @@ def test_recreated_source_same_version_count_reads_stale(
     assert _view_rows(sess) == _full_rerun(sess)
     # steady state restored
     assert mv.update_material_view(sess, "mv_t") is False
+
+
+# ---------------------------------------------------------------------------
+# round 10 (verdict task #1): bounded preimage probes + cell-pruned windows
+# ---------------------------------------------------------------------------
+
+
+class _CountingLister:
+    """Counts existence probes while delegating to the filesystem."""
+
+    def __init__(self):
+        from starlake_spark.listing import FileSystemLister
+
+        self._fs = FileSystemLister()
+        self.exists_calls = []
+
+    def list_files(self, root):
+        return self._fs.list_files(root)
+
+    def remove(self, path):
+        self._fs.remove(path)
+
+    def exists(self, path):
+        self.exists_calls.append(path)
+        return self._fs.exists(path)
+
+
+def test_refresh_probes_o_window_not_o_table(sess, spark, sf_dir, tmp_path):
+    """The hash-window pre-probe must HEAD only files EXPIRED inside
+    the refresh window (what vacuum could have taken), never the whole
+    cursor snapshot — the old O(table) serial probe loop is minutes of
+    driver stall per refresh on an object store."""
+    from starlake_spark import create_table
+    from starlake_spark.listing import set_lister
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), hash_partitions=["k"],
+                       hash_bucket_num=4, short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    last_v = src.store.latest_version()
+
+    # pure-upsert window: files accumulate, none expire
+    for lo, hi in [(600, 700), (700, 800), (100, 200)]:
+        src.upsert(_orders_frame(spark, sf_dir, lo, hi))
+    cursor_files = {f.path for f in src.store.snapshot(last_v).all_files()}
+    cur_files = {f.path for f in src.store.snapshot().all_files()}
+    expected_probes = len(cursor_files - cur_files)
+    assert len(cur_files) >= 4  # something for O(table) to have probed
+
+    cl = _CountingLister()
+    set_lister(cl)
+    try:
+        assert mv.update_material_view(sess, "mv_t") is True
+    finally:
+        set_lister(None)
+    assert sess.table("mv_t").store.snapshot().commit_type in (
+        "delta", "delete_delta")
+    probed = [p for p in cl.exists_calls
+              if src.store.table_path in p]
+    assert len(probed) == expected_probes, \
+        f"probed {len(probed)} files, window expired {expected_probes} " \
+        f"(table has {len(cur_files)})"
+    assert _view_rows(sess) == _full_rerun(sess)
+
+
+def test_compaction_window_probes_only_expired(sess, spark, sf_dir,
+                                               tmp_path):
+    """A compaction inside the window expires files: exactly those may
+    be probed (they are the preimages vacuum could take), and the
+    state-diff window still nets to no row changes."""
+    from starlake_spark import create_table
+    from starlake_spark.listing import set_lister
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 400),
+                       str(tmp_path / "src"), hash_partitions=["k"],
+                       hash_bucket_num=4, short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    src.upsert(_orders_frame(spark, sf_dir, 400, 500))
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+    last_v = src.store.latest_version()
+
+    src.upsert(_orders_frame(spark, sf_dir, 500, 560))
+    src.compaction()
+    cursor_files = {f.path for f in src.store.snapshot(last_v).all_files()}
+    cur_files = {f.path for f in src.store.snapshot().all_files()}
+    expected = len(cursor_files - cur_files)
+    assert expected > 0  # compaction really expired preimages
+
+    cl = _CountingLister()
+    set_lister(cl)
+    try:
+        mv.update_material_view(sess, "mv_t")
+    finally:
+        set_lister(None)
+    probed = [p for p in cl.exists_calls if src.store.table_path in p]
+    assert len(probed) == expected
+    assert _view_rows(sess) == _full_rerun(sess)
+
+
+def test_hash_window_never_opens_untouched_cells(sess, spark, sf_dir,
+                                                 tmp_path):
+    """Cell pruning, proven physically: with a cursor-snapshot file in
+    an UNTOUCHED hash bucket moved off disk, the incremental refresh
+    still succeeds — the window's boundary scans plan only the touched
+    (partition, bucket) cells, so the missing file is neither probed
+    nor read. (A full re-run — or the old unpruned window — would have
+    opened it and failed.)"""
+    import os as _os
+
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml as _dml
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), hash_partitions=["k"],
+                       hash_bucket_num=4, short_name="src",
+                       warehouse=sess.warehouse)
+    sess.register("src", src)
+    mv.create_material_view(sess, "mv_t", str(tmp_path / "mv"), MV_SQL)
+
+    before = {f.path: f for f in src.store.snapshot().all_files()}
+    # touch ONE key → one bucket
+    one = _orders_frame(spark, sf_dir, 7, 8).withColumn(
+        "price", F.col("price") * 3)
+    assert one.count() == 1
+    src.upsert(one)
+    after = src.store.snapshot().all_files()
+    touched_buckets = {f.bucket_id for f in after
+                       if f.path not in before}
+    victims = [f for f in before.values()
+               if f.bucket_id not in touched_buckets]
+    assert victims, "need an untouched bucket for the proof"
+    vp = _os.path.join(src.store.table_path, victims[0].path)
+    _os.rename(vp, vp + ".hidden")
+    try:
+        os.environ["STARLAKE_MV_DEBUG"] = "1"  # no silent full fallback
+        try:
+            assert mv.update_material_view(sess, "mv_t") is True
+        finally:
+            os.environ.pop("STARLAKE_MV_DEBUG", None)
+        assert sess.table("mv_t").store.snapshot().commit_type in (
+            "delta", "delete_delta")
+    finally:
+        _os.rename(vp + ".hidden", vp)
+    assert _view_rows(sess) == _full_rerun(sess)
