@@ -44,6 +44,10 @@ REPRESENTATIVES = [
     "star_part_merge", "star_mv_incremental", "star_setop_pk",
     # round 9: delta-join MV maintenance + the skew-soak answer shape
     "star_mv_incremental_join", "star_skew_hotkey_collapse",
+    # round 10: text-index family representative + the rewrite ∩
+    # maintenance integration (both-changed window served through the
+    # rewriter)
+    "docs_bm25_search", "star_mv_join_rewrite",
 ]
 
 

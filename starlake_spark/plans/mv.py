@@ -1345,15 +1345,27 @@ def _incremental_refresh_join(session, ent, t: StarTable,
       unavoidable O(|fact|) join scan but still save the full
       re-aggregate + overwrite (the merge touches only the groups the
       dim change reaches).
-    * both changed → full re-run: honoring ΔA⋈ΔB with two independent
-      version cursors makes the exactly-once accounting genuinely
-      harder (a partial crash can apply one table's window and not the
-      other's), and the A_old⋈ΔB term already costs a full fact scan —
-      the full re-run is within a constant factor.
+    * several changed → SEQUENTIAL one-sided windows (round-10): the
+      changed sources' windows are processed one at a time, each step
+      pinning already-processed sources at their NEW versions and
+      not-yet-processed ones at their OLD cursors. The composition
+      telescopes: V0 = A@a0⋈B@b0; step B adds A@a0⋈ΔB → A@a0⋈B@b1;
+      step A adds ΔA⋈B@b1 → A@a1⋈B@b1. The ΔA⋈ΔB cross-term is
+      contained in step A (ΔA joins the NEW B), so k changed sources
+      cost k passes of the proven one-sided machinery instead of a
+      full re-run — the difference between 'incremental' and
+      'permanently degraded' under a CDC cadence where fact and dim
+      commit together.
 
-    Exactly-once: per-SOURCE txn registry keys (the two sources'
-    versions advance independently; one shared key would break the
-    monotonic-gate invariant when windows alternate between tables)."""
+    Exactly-once: per-SOURCE txn registry keys (the sources' versions
+    advance independently; one shared key would break the
+    monotonic-gate invariant when windows alternate between tables).
+    Each step's upsert is gated on ITS source's key at that source's
+    consumed version, so a crash BETWEEN steps resumes as a smaller
+    refresh over exactly the unprocessed windows — the stamped sources
+    read as unchanged. A step whose window is unreadable returns None
+    (→ full rebuild), which is safe after earlier committed steps: the
+    full path re-pins every source and RESETS all cursors."""
     spark = session.spark
     stores = {n: ManifestStore(p) for n, p in spec["source_paths"].items()}
     snap_t = t.store.snapshot()
@@ -1374,36 +1386,46 @@ def _incremental_refresh_join(session, ent, t: StarTable,
     changed = [n for n in spec["sources"] if curs[n] > cursors[n]]
     if not changed:
         return ("noop", dict(curs))
-    if len(changed) > 1:
-        return None  # ΔA⋈ΔB window → full re-run (see docstring)
-    cname = changed[0]
-    ch = _change_window(spark, stores[cname], cursors[cname], curs[cname])
-    if ch is None:
-        return None
-    if isinstance(ch, str):  # "noop"
-        return ("noop", dict(curs))
-    # Δchanged ⋈ others@pinned-versions: preimage rows retract their OLD
-    # join partners, postimage rows add the NEW ones — signs ride the
-    # change frame through the join. Every unchanged side is pinned to
-    # the version the cursor proves the backing table consumed.
-    frames = {cname: _flatten(ch, cname, keep=("_change_type",))}
-    for other in spec["sources"]:
-        if other == cname:
+    # ``pinned`` evolves as steps commit: processed (and noop'd)
+    # sources move to their new versions, unprocessed ones stay at the
+    # old cursor — the telescoping invariant (docstring).
+    pinned = dict(cursors)
+    mode = "noop"
+    for cname in spec["sources"]:
+        if cname not in changed:
             continue
-        frames[other] = _flatten(
-            StarTable.for_path(spark, spec["source_paths"][other])
-            .to_df(version=curs[other]), other)
-    jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
-    _join_frames(frames, spec, start=cname).createOrReplaceTempView(jv)
-    try:
-        delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
-            eager=True)
-        txn_app = f"mv_refresh:{t.info.table_id}:{cname}"
-        _apply_delta(spark, t, spec, delta, delta.count(), txn_app,
-                     curs[cname])
-        return ("incremental", dict(curs))
-    finally:
-        spark.catalog.dropTempView(jv)
+        ch = _change_window(spark, stores[cname], cursors[cname],
+                            curs[cname])
+        if ch is None:
+            return None  # window unreadable → full rebuild (safe after
+            # committed steps: full re-pins + resets every cursor)
+        pinned[cname] = curs[cname]
+        if isinstance(ch, str):  # "noop": content identical at both
+            continue             # ends, later steps may pin either
+        # Δchanged ⋈ others@pinned-versions: preimage rows retract
+        # their OLD join partners, postimage rows add the NEW ones —
+        # signs ride the change frame through the join. Each pinned
+        # side reads the version this step's algebra requires: old
+        # cursor if its window is still unprocessed, new if committed.
+        frames = {cname: _flatten(ch, cname, keep=("_change_type",))}
+        for other in spec["sources"]:
+            if other == cname:
+                continue
+            frames[other] = _flatten(
+                StarTable.for_path(spark, spec["source_paths"][other])
+                .to_df(version=pinned[other]), other)
+        jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
+        _join_frames(frames, spec, start=cname).createOrReplaceTempView(jv)
+        try:
+            delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
+                eager=True)
+            txn_app = f"mv_refresh:{t.info.table_id}:{cname}"
+            _apply_delta(spark, t, spec, delta, delta.count(), txn_app,
+                         curs[cname])
+            mode = "incremental"
+        finally:
+            spark.catalog.dropTempView(jv)
+    return (mode, dict(curs))
 
 
 def _mv_init_frame(session, spec) -> tuple:

@@ -2514,3 +2514,96 @@ SELECT s, COUNT(*) AS n, SUM(v) AS sv FROM final GROUP BY s ORDER BY s
 
 ENGINE_QUERIES["star_skew_hotkey_collapse"] = (
     star_skew_hotkey_collapse, SKEW_HOTKEY_ORACLE)
+
+
+def star_mv_join_rewrite(spark, sf_dir):
+    """Rewrite ∩ maintenance integration (round 10): a fact⋈dim GROUP
+    BY view is maintained INCREMENTALLY through a both-changed window
+    (fact upsert + dim late arrival in the SAME window → two sequential
+    one-sided delta steps, plans/mv.py _incremental_refresh_join), and
+    the query is then answered THROUGH the rewriter (try_rewrite, with
+    a compensation HAVING) — so the entry hash-checks the whole chain:
+    delta-join maintenance → staleness gate → rewrite → answer. The
+    staleness gate is asserted both ways: the stale view must NOT serve
+    before the refresh, and the rewrite must HIT after it."""
+    from starlake_spark.operators import dml
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_jr_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    fact = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_custkey").alias("ck"),
+                    F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    dim0 = (c.filter(F.col("c_custkey") % 3 != 0)
+            .select(F.col("c_custkey").alias("ck2"),
+                    F.col("c_mktsegment").alias("seg")))
+    ft = create_table(spark, fact, _scratch(sf_dir, "mv_jr_fact"),
+                      short_name="mv_jr_fact", warehouse=wh,
+                      hash_partitions=["k"], hash_bucket_num=4)
+    dt = create_table(spark, dim0, _scratch(sf_dir, "mv_jr_dim"),
+                      short_name="mv_jr_dim", warehouse=wh)
+    sess.register("mv_jr_fact", ft)
+    sess.register("mv_jr_dim", dt)
+    view_sql = (
+        "SELECT seg, sum(price) AS total, count(*) AS n "
+        "FROM mv_jr_fact JOIN mv_jr_dim ON mv_jr_fact.ck = mv_jr_dim.ck2 "
+        "GROUP BY seg")
+    query_sql = view_sql + " HAVING seg <> 'NOPE'"
+    mv.create_material_view(sess, "mv_jr", _scratch(sf_dir, "mv_jr"),
+                            view_sql)
+    assert mv._load_registry(wh)["mv_jr"]["incremental"] is True
+
+    # ONE window touching BOTH sides: fact storm + dim late arrival
+    ft.upsert(fact.filter(F.col("k") % 5 == 0)
+              .withColumn("price",
+                          (F.col("price") * 2).cast("decimal(18,2)")))
+    dml.delete(spark, ft.store, condition="k % 7 = 3", use_delta=True)
+    dt.write(c.filter(F.col("c_custkey") % 3 == 0)
+             .select(F.col("c_custkey").alias("ck2"),
+                     F.lit("LATE").alias("seg")), mode="append")
+
+    # STALENESS GATE: the stale view must not serve (auto_update=False)
+    assert mv.try_rewrite(sess, query_sql) is None, \
+        "stale join MV served through the rewriter"
+
+    t = sess.table("mv_jr")
+    overwrites0 = sum(1 for v in t.store.list_versions()
+                      if t.store.snapshot(v).commit_type == "write")
+    assert mv.update_material_view(sess, "mv_jr") is True
+    overwrites1 = sum(1 for v in t.store.list_versions()
+                      if t.store.snapshot(v).commit_type == "write")
+    assert overwrites1 == overwrites0, \
+        "both-changed window fell back to a full overwrite"
+
+    hit = mv.try_rewrite(sess, query_sql)
+    assert hit is not None, "refreshed join MV did not serve the rewrite"
+    return (hit.select("seg",
+                       F.round(F.col("total").cast("double"), 2)
+                       .alias("total"), "n")
+            .orderBy("seg"))
+
+
+MV_JOIN_REWRITE_ORACLE = """
+WITH fact AS (
+  SELECT o_custkey AS ck,
+         CAST(CASE WHEN o_orderkey % 5 = 0
+              THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+              AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 7 <> 3
+), dim AS (
+  SELECT c_custkey AS ck2,
+         CASE WHEN c_custkey % 3 = 0 THEN 'LATE' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total,
+       COUNT(*) AS n
+FROM fact JOIN dim ON fact.ck = dim.ck2
+GROUP BY seg HAVING seg <> 'NOPE' ORDER BY seg
+"""
+
+ENGINE_QUERIES["star_mv_join_rewrite"] = (
+    star_mv_join_rewrite, MV_JOIN_REWRITE_ORACLE)

@@ -682,24 +682,133 @@ def test_join_mv_dim_side_window(sess, spark, sf_dir, tmp_path):
     assert not any(r[0] == "NEWSEG" for r in got)  # unmatched didn't
 
 
-def test_join_mv_both_changed_full_fallback(sess, spark, sf_dir, tmp_path):
-    """Both tables changed in one window → the ΔA⋈ΔB cross-term makes
-    the incremental path refuse; the full re-run lands (overwrite) and
-    both fingerprints advance."""
+def test_join_mv_both_changed_sequential_windows(sess, spark, sf_dir,
+                                                 tmp_path):
+    """Round-10 verdict task #2: fact AND dim committed in the same
+    window → TWO sequential one-sided incremental steps (dim at pinned
+    old fact, then fact at new dim), both on the delta path — no full
+    re-run. The ΔA⋈ΔB cross-term is covered because the later step's
+    change frame joins the earlier step's NEW version (telescoping).
+    Bit-identical to the full re-run, including a cross-term pair (a
+    new fact row matching a dim row added in the same window)."""
     ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
     mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+    overwrites_before = _count_overwrites(sess)
 
+    # fact-side churn + a NEW dim row + a NEW fact row matching ONLY
+    # that new dim row — the pure ΔA⋈ΔB case a single one-sided pass
+    # would miss
     ft.upsert(fact.filter(F.col("k") % 4 == 0)
               .withColumn("price", (F.col("price") * 3)
                           .cast("decimal(18,2)")))
+    from decimal import Decimal
+
+    ft.upsert(spark.createDataFrame(
+        [(990001, 999999, Decimal("123.45"), 1)],
+        "k bigint, ck bigint, price decimal(18,2), prio int"))
     dt.write(spark.createDataFrame([(999999, "XSEG")],
                                    "ck2 bigint, seg string"), mode="append")
     assert mv.update_material_view(sess, "mv_j") is True
-    assert sess.table("mv_j").store.snapshot().commit_type == "write"
-    assert _join_view(sess) == _join_full(sess)
-    # still registered incremental: the NEXT fact-only window is a delta
+    # both steps were delta commits — the backing table saw NO overwrite
+    assert _count_overwrites(sess) == overwrites_before
+    assert sess.table("mv_j").store.snapshot().commit_type in (
+        "delta", "delete_delta")
+    got = _join_view(sess)
+    assert got == _join_full(sess)
+    assert any(r[0] == "XSEG" for r in got)  # cross-term pair landed
+    # the NEXT fact-only window still works (per-source cursors intact)
     ft.upsert(fact.filter(F.col("k") % 9 == 0)
               .withColumn("prio", (F.col("prio") + 1).cast("int")))
+    assert mv.update_material_view(sess, "mv_j") is True
+    assert sess.table("mv_j").store.snapshot().commit_type == "delta"
+    assert _join_view(sess) == _join_full(sess)
+
+
+def _count_overwrites(sess, name="mv_j"):
+    st = sess.table(name).store
+    return sum(1 for v in st.list_versions()
+               if st.snapshot(v).commit_type == "write")
+
+
+def test_join_mv_crash_between_sequential_steps(sess, spark, sf_dir,
+                                                tmp_path):
+    """A crash AFTER the first one-sided step committed (its source
+    stamped) but before the registry save: the resumed refresh sees the
+    stamped source as unchanged and applies exactly the remaining
+    window — no double-apply, answers bit-identical."""
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+    fps_before = dict(mv._load_registry(sess.warehouse)["mv_j"]
+                      ["fingerprints"])
+
+    ft.upsert(fact.filter(F.col("k") % 5 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    dt.write(spark.createDataFrame([(888888, "CRSEG")],
+                                   "ck2 bigint, seg string"), mode="append")
+
+    # crash injection: let the FIRST step commit, then die
+    calls = {"n": 0}
+    orig = mv._apply_delta
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        orig(*a, **k)
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between steps")
+
+    mv._apply_delta = boom
+    try:
+        os.environ["STARLAKE_MV_DEBUG"] = "1"
+        with pytest.raises(RuntimeError, match="between steps"):
+            mv.update_material_view(sess, "mv_j")
+    finally:
+        mv._apply_delta = orig
+        os.environ.pop("STARLAKE_MV_DEBUG", None)
+    # registry still at the old fingerprints (crash before save)
+    assert mv._load_registry(sess.warehouse)["mv_j"]["fingerprints"] == \
+        fps_before
+
+    # resume: only the unprocessed window applies; both sources end
+    # consistent and the result matches the full re-run exactly
+    assert mv.update_material_view(sess, "mv_j") is True
+    assert _join_view(sess) == _join_full(sess)
+    # steady state
+    assert mv.update_material_view(sess, "mv_j") is False
+
+
+def test_join_mv_unreadable_window_full_fallback(sess, spark, sf_dir,
+                                                 tmp_path):
+    """If any step's window is unreadable (cursor manifest expired →
+    _change_window None), the whole refresh falls back to the full
+    rebuild — even when another source's window was processable."""
+    ft, dt, fact, dim = _join_fixtures(sess, spark, sf_dir, tmp_path)
+    mv.create_material_view(sess, "mv_j", str(tmp_path / "mv"), JOIN_MV_SQL)
+
+    ft.upsert(fact.filter(F.col("k") % 6 == 0)
+              .withColumn("price", (F.col("price") * 2)
+                          .cast("decimal(18,2)")))
+    dt.write(spark.createDataFrame([(777777, "FSEG")],
+                                   "ck2 bigint, seg string"), mode="append")
+
+    orig = mv._change_window
+
+    def flaky(spark_, src, last, cur):
+        # dim window unreadable; fact window fine
+        if src.table_path == dt.store.table_path:
+            return None
+        return orig(spark_, src, last, cur)
+
+    mv._change_window = flaky
+    try:
+        assert mv.update_material_view(sess, "mv_j") is True
+    finally:
+        mv._change_window = orig
+    assert sess.table("mv_j").store.snapshot().commit_type == "write"
+    assert _join_view(sess) == _join_full(sess)
+    # next fact-only window is incremental again
+    ft.upsert(fact.filter(F.col("k") % 11 == 0)
+              .withColumn("prio", (F.col("prio") + 2).cast("int")))
     assert mv.update_material_view(sess, "mv_j") is True
     assert sess.table("mv_j").store.snapshot().commit_type == "delta"
     assert _join_view(sess) == _join_full(sess)
@@ -1115,13 +1224,20 @@ def test_join_full_fallback_stamps_all_sources(spark, sf_dir, tmp_path):
     fps_before = dict(mv._load_registry(sess.warehouse)["mv_j"]
                       ["fingerprints"])
 
-    # BOTH tables change in one window → genuine full fallback
+    # both tables change AND the fact window is unreadable → genuine
+    # full fallback (both-changed alone now runs sequential one-sided
+    # incremental steps, round 10)
     ft.upsert(fact.filter(F.col("k") % 3 == 0)
               .withColumn("price", (F.col("price") * 2)
                           .cast("decimal(18,2)")))
     dt.write(spark.createDataFrame([(888888, "ZZ")],
                                    "ck2 bigint, seg string"), mode="append")
-    assert mv.update_material_view(sess, "mv_j") is True
+    _orig_cw = mv._change_window
+    mv._change_window = lambda *a, **k: None
+    try:
+        assert mv.update_material_view(sess, "mv_j") is True
+    finally:
+        mv._change_window = _orig_cw
     assert sess.table("mv_j").store.snapshot().commit_type == "write"
 
     reg = mv._load_registry(sess.warehouse)
