@@ -309,7 +309,6 @@ def _from_env() -> None:
     set_lock_provider(cls(**kwargs))
 
 
-_from_env()
 
 
 class SQLiteLockProvider(LockProvider):
@@ -655,6 +654,15 @@ class TCPLockProvider(LockProvider):
             # arbiter unreachable at release time: the lease's TTL will
             # expire it — liveness is preserved, nothing to undo locally
             pass
+
+
+# Installed at the END of the module: an env spec naming a class from
+# THIS module (e.g. starlake_spark.locking:TCPLockProvider, the
+# documented multi-host deployment) resolves through
+# importlib.import_module("starlake_spark.locking"), which returns the
+# partially-initialized module if _from_env ran mid-file — classes
+# defined below the call point were simply absent.
+_from_env()
 
 
 if __name__ == "__main__":  # pragma: no cover - manual deployment entry

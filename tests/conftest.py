@@ -28,3 +28,8 @@ def tmp_table_dir(tmp_path):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running cross-process soak tests")
