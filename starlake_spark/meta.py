@@ -432,6 +432,11 @@ class ManifestStore:
         # second acquire (e.g. _publish_serialized's build reads
         # table_info(refresh=True) under the table lock)
         self._held_locks: list = []
+        # log version the heal last checked: refresh reads happen per
+        # scan, so without this the heal would re-parse the latest
+        # version file on every query — once per tip move is enough
+        # (a crashed overwrite can only appear with a new version)
+        self._heal_checked_v = -1
         # committed version files are immutable, so resolved snapshots
         # are safe to cache by number (bounded LRU; cleared on
         # create/drop so a same-path recreate can't serve stale state)
@@ -502,7 +507,13 @@ class ManifestStore:
         and is deferred when this instance already holds it (the file
         provider is non-reentrant — the next lock-free read repairs)."""
         try:
-            d = self._read_version_state(self.latest_version())
+            v = self.latest_version()
+        except (MetaError, OSError):
+            return
+        if v == self._heal_checked_v:
+            return
+        try:
+            d = self._read_version_state(v)
         except (MetaError, OSError):
             return
         emb = d.get("table_info")
@@ -519,12 +530,16 @@ class ManifestStore:
                 emb = None
         if not emb or emb.get("schema_version", 0) <= \
                 self._info_cache.schema_version:
+            self._heal_checked_v = v
             return
         # the log's committed info is authoritative for THIS process
         # regardless of whether the disk repair lands below
         self._info_cache = TableInfo(**emb)
         if self._held_locks:
+            # disk repair deferred (lock held): leave _heal_checked_v
+            # unset so the next lock-free read persists the repair
             return
+        self._heal_checked_v = v
         lock = self._acquire_lock()
         try:
             p = os.path.join(self.meta_dir, "table_info.json")

@@ -1329,6 +1329,60 @@ def _join_frames(frames: dict, spec, start: str | None = None) -> DataFrame:
     return joined
 
 
+def _join_prune_predicates(ch, spec, cname) -> dict:
+    """Δ-KEY FILE PRUNING for the pinned sides of a join-MV window:
+    for every table with a DIRECT equi-edge to the changed table,
+    collect the window's distinct join-key values (bounded by
+    ``STARLAKE_MV_JOIN_PRUNE_KEY_LIMIT``, default 1024) and return an
+    ``IN``-predicate for that table's scan. The scan layer turns it
+    into partition/bucket/stats/bloom FILE skipping plus a row filter
+    — rows of a pinned table whose edge column matches no Δ key cannot
+    join any change row, so dropping them is exact for inner joins.
+    This is what keeps a dim-side window from paying a full fact scan:
+    with key stats (or blooms / clustering) on the fact's FK column,
+    the O(|fact|) read becomes O(files containing the touched keys).
+    Only DIRECTLY-connected tables are pruned (a transitively-reached
+    table joins through another pinned table's rows, not Δ's keys);
+    over-budget windows and non-int/str key types skip pruning — a
+    pure optimization, never a correctness surface. ``ch`` must be
+    materialized (localCheckpoint) — the collects re-read it."""
+    limit = int(os.environ.get("STARLAKE_MV_JOIN_PRUNE_KEY_LIMIT", "1024"))
+    if limit <= 0:
+        return {}
+    edges: dict[str, list] = {}
+    for p in spec["join_pairs"]:
+        for a, b, ac, bc in ((p["lt"], p["rt"], p["l"], p["r"]),
+                             (p["rt"], p["lt"], p["r"], p["l"])):
+            if a == cname and b != cname:
+                edges.setdefault(b, []).append(
+                    (ac.split("__", 1)[1], bc.split("__", 1)[1]))
+    out: dict[str, str] = {}
+    cache: dict[str, "list | None"] = {}
+    for other, pairs in edges.items():
+        conjs = []
+        for ccol, ocol in pairs:
+            if ccol not in cache:
+                rows = ch.select(ccol).where(
+                    F.col(ccol).isNotNull()).distinct() \
+                    .limit(limit + 1).collect()
+                cache[ccol] = ([r[0] for r in rows]
+                               if len(rows) <= limit else None)
+            vals = cache[ccol]
+            if not vals:  # over budget (None) or empty window slice
+                continue
+            if all(isinstance(v, int) for v in vals):
+                lits = ", ".join(str(v) for v in vals)
+            elif all(isinstance(v, str) for v in vals):
+                lits = ", ".join("'" + v.replace("'", "''") + "'"
+                                 for v in vals)
+            else:
+                continue  # unrenderable literal type → no pruning
+            conjs.append(f"{ocol} IN ({lits})")
+        if conjs:
+            out[other] = " AND ".join(conjs)
+    return out
+
+
 def _incremental_refresh_join(session, ent, t: StarTable,
                               spec) -> "tuple[str, dict] | None":
     """Delta-join maintenance for multi-table (2..6-way) inner-join
@@ -1407,13 +1461,18 @@ def _incremental_refresh_join(session, ent, t: StarTable,
         # signs ride the change frame through the join. Each pinned
         # side reads the version this step's algebra requires: old
         # cursor if its window is still unprocessed, new if committed.
+        # The change frame is materialized ONCE: the Δ-key pruning
+        # collects below and the delta SQL both re-read it.
+        ch = ch.localCheckpoint(eager=True)
+        prune = _join_prune_predicates(ch, spec, cname)
         frames = {cname: _flatten(ch, cname, keep=("_change_type",))}
         for other in spec["sources"]:
             if other == cname:
                 continue
             frames[other] = _flatten(
                 StarTable.for_path(spark, spec["source_paths"][other])
-                .to_df(version=pinned[other]), other)
+                .to_df(version=pinned[other], where=prune.get(other)),
+                other)
         jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
         _join_frames(frames, spec, start=cname).createOrReplaceTempView(jv)
         try:

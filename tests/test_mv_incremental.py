@@ -1499,3 +1499,99 @@ def test_hash_window_never_opens_untouched_cells(sess, spark, sf_dir,
     finally:
         _os.rename(vp + ".hidden", vp)
     assert _view_rows(sess) == _full_rerun(sess)
+
+
+# ---------------------------------------------------------------------------
+# round 10: Δ-key file pruning for pinned join sides
+# ---------------------------------------------------------------------------
+
+
+def test_join_prune_predicates_unit(spark):
+    spec = {"join_pairs": [
+        {"lt": "fact", "rt": "dim", "l": "fact__ck", "r": "dim__ck2"},
+        {"lt": "dim", "rt": "other", "l": "dim__x", "r": "other__y"},
+    ]}
+    ch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None)], "ck2 bigint, x string")
+    got = mv._join_prune_predicates(ch, spec, "dim")
+    assert set(got) == {"fact", "other"}
+    # int keys render bare, in-window distinct, nulls dropped
+    assert sorted(got["fact"].replace("ck IN (", "").rstrip(")")
+                  .split(", ")) == ["1", "2"]
+    # string keys quote + escape
+    assert got["other"] in ("y IN ('a', 'b')", "y IN ('b', 'a')")
+    ch2 = spark.createDataFrame([(9, "it''s")], "ck2 bigint, x string")
+    got2 = mv._join_prune_predicates(ch2, spec, "dim")
+    assert got2["other"] == "y IN ('it''''s')"
+    # over budget → no predicate (pure optimization, silently off)
+    os.environ["STARLAKE_MV_JOIN_PRUNE_KEY_LIMIT"] = "1"
+    try:
+        got3 = mv._join_prune_predicates(ch, spec, "dim")
+        assert "fact" not in got3 and "other" not in got3
+    finally:
+        os.environ.pop("STARLAKE_MV_JOIN_PRUNE_KEY_LIMIT", None)
+    # transitively-connected tables are never pruned
+    got4 = mv._join_prune_predicates(
+        spark.createDataFrame([(5,)], "ck bigint"), spec, "fact")
+    assert set(got4) == {"dim"}  # not "other" (no direct edge to fact)
+
+
+def test_dim_window_prunes_fact_partitions_physically(sess, spark, sf_dir,
+                                                      tmp_path):
+    """With the fact range-partitioned on the join key, a dim-side
+    window must read ONLY the fact partitions holding the Δ keys: a
+    fact file in an untouched partition is moved off disk and the
+    incremental refresh still succeeds — the Δ-key IN predicate prunes
+    that partition at the manifest."""
+    import os as _os
+
+    from starlake_spark import create_table
+
+    from decimal import Decimal
+
+    fact = spark.createDataFrame(
+        [(i, i % 4, Decimal(i)) for i in range(200)],
+        "k bigint, ck bigint, price decimal(18,2)")
+    dim = spark.createDataFrame(
+        [(0, "S0"), (1, "S1"), (2, "S2")], "ck2 bigint, seg string")
+    ft = create_table(spark, fact, str(tmp_path / "factp"),
+                      range_partitions=["ck"], short_name="factp",
+                      warehouse=sess.warehouse)
+    dt = create_table(spark, dim, str(tmp_path / "dimp"),
+                      short_name="dimp", warehouse=sess.warehouse)
+    sess.register("factp", ft)
+    sess.register("dimp", dt)
+    mv.create_material_view(
+        sess, "mv_p", str(tmp_path / "mvp"),
+        "SELECT seg, sum(price) AS total, count(*) AS n "
+        "FROM factp JOIN dimp ON factp.ck = dimp.ck2 GROUP BY seg")
+
+    # dim window touches ONLY ck=3 (previously unmatched fact rows)
+    dt.write(spark.createDataFrame([(3, "S3")], "ck2 bigint, seg string"),
+             mode="append")
+    # hide a fact file from an UNTOUCHED partition (ck=1)
+    victim = next(f for f in ft.store.snapshot().all_files()
+                  if f.range_value == "ck=1")
+    vp = _os.path.join(ft.store.table_path, victim.path)
+    _os.rename(vp, vp + ".hidden")
+    try:
+        os.environ["STARLAKE_MV_DEBUG"] = "1"
+        try:
+            assert mv.update_material_view(sess, "mv_p") is True
+        finally:
+            os.environ.pop("STARLAKE_MV_DEBUG", None)
+        assert sess.table("mv_p").store.snapshot().commit_type in (
+            "delta", "delete_delta")
+    finally:
+        _os.rename(vp + ".hidden", vp)
+    got = {tuple(r) for r in
+           mv._strip_mv_hidden(sess.table("mv_p").to_df()).collect()}
+    sess._sync_views()
+    want = {tuple(r) for r in sess.spark.sql(
+        "SELECT seg, sum(price) AS total, count(*) AS n "
+        "FROM factp JOIN dimp ON factp.ck = dimp.ck2 GROUP BY seg")
+        .collect()}
+    assert got == want
+    from decimal import Decimal as _D
+
+    assert ("S3", _D(sum(i for i in range(200) if i % 4 == 3)), 50) in got
