@@ -379,12 +379,9 @@ def stream_rollup(
     return w.start()
 
 
-def read_rollup(spark: SparkSession, t: StarTable) -> DataFrame:
-    """Finalized rollup view: MoR-merge the partial states (sum/min/max
-    across refresh commits), then derive avg columns. Compaction with
-    the same operators (compact_rollup) leaves this view unchanged."""
-    cfg = _cfg(t)
-    df = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
+def _finalize(df: DataFrame, cfg: dict) -> DataFrame:
+    """Partial-state frame → the rollup's declared output columns
+    (derive avg = sum/cnt; pass the rest through)."""
     out = []
     for c, op in cfg["aggs"].items():
         if op == "sum":
@@ -398,6 +395,103 @@ def read_rollup(spark: SparkSession, t: StarTable) -> DataFrame:
         if op == "avg":
             out.append((F.col(f"{c}_sum") / F.col(f"{c}_cnt")).alias(f"{c}_avg"))
     return df.select("bucket_ts", *cfg["group_cols"], *out, F.col("n_rows"))
+
+
+def read_rollup(spark: SparkSession, t: StarTable) -> DataFrame:
+    """Finalized rollup view: MoR-merge the partial states (sum/min/max
+    across refresh commits), then derive avg columns. Compaction with
+    the same operators (compact_rollup) leaves this view unchanged."""
+    cfg = _cfg(t)
+    return _finalize(t.to_df(merge_operators=_merge_ops_for(cfg["aggs"])),
+                     cfg)
+
+
+def read_rollup_realtime(spark: SparkSession, t: StarTable) -> DataFrame:
+    """REAL-TIME rollup view (TimescaleDB real-time continuous
+    aggregate analog; the reference has nothing like it): the finalized
+    view AS OF the source's LATEST commit, WITHOUT writing a refresh —
+    the materialized partials union the un-refreshed window's partials
+    and the merge-op algebra combines them on the fly. Read cost is the
+    rollup + O(new data since the last refresh): a steady refresh
+    cadence keeps the tail tiny while readers never see stale buckets,
+    and a read-only replica can serve fresh results without write
+    permission. Result-identical to refresh-then-read (differential
+    test); falls back to a full source recompute exactly where a
+    refresh would full-rebuild (rolled-back/recreated source, vacuumed
+    hash window, non-append commits or DV changes on an append-only
+    source)."""
+    import os as _os
+
+    cfg = _cfg(t)
+    src = ManifestStore(cfg["source"])
+    last, cur = cfg["last_version"], src.latest_version()
+    stamp = t.store.snapshot().streaming.get(
+        f"txn:rollup_refresh:{t.info.table_id}", -1)
+    if stamp > last:
+        last = stamp
+    src_info = src.table_info()
+    recreated = (cfg["source_table_id"] is not None
+                 and src_info.table_id != cfg["source_table_id"])
+    if cur == last and not recreated:
+        return read_rollup(spark, t)
+
+    tail = None  # partial frame of the un-refreshed window, or None
+    full = cur < last or recreated
+    if not full and src_info.hash_cols:
+        # same bounded probe as refresh_rollup: only files vacuum could
+        # have taken (expired inside the window) are HEADed
+        from starlake_spark.listing import get_lister
+
+        lister = get_lister()
+        cur_paths = {f.path for f in src.snapshot(cur).all_files()}
+        expired = [f for f in src.snapshot(last).all_files()
+                   if f.path not in cur_paths]
+        if all(lister.exists(_os.path.join(src.table_path, f.path))
+               for f in expired):
+            from starlake_spark.sources.datasource import range_changes
+
+            ch = range_changes(spark, cfg["source"], start_version=last,
+                               end_version=cur)
+            tail = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
+                                    cfg["group_cols"], cfg["aggs"])
+        else:
+            full = True
+    elif not full:
+        last_snap, cur_snap = src.snapshot(last), src.snapshot(cur)
+        cur_files = cur_snap.all_files()
+
+        def _dv(s):
+            return {d.path for p in s.partitions.values()
+                    for d in p.dv_files}
+
+        if {f.path for f in last_snap.all_files()} <= \
+                {f.path for f in cur_files} \
+                and _dv(last_snap) == _dv(cur_snap):
+            new_files = [f for f in cur_files if f.write_version > last]
+            if new_files:
+                rows = reader._plain_scan(spark, src, src.table_info(),
+                                          new_files)
+                tail = _partials(rows, cfg["time_col"], cfg["bucket"],
+                                 cfg["group_cols"], cfg["aggs"])
+        else:
+            full = True  # history rewritten under the cursor
+
+    if full:
+        return _finalize(
+            _partials(reader.scan(spark, src, version=cur,
+                                  schema_as_of=False),
+                      cfg["time_col"], cfg["bucket"], cfg["group_cols"],
+                      cfg["aggs"]), cfg)
+    base = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
+    if tail is None:  # window provably changed nothing
+        return _finalize(base, cfg)
+    ops = _merge_ops_for(cfg["aggs"])
+    keys = ["bucket_ts"] + cfg["group_cols"]
+    merged = (base.select(*keys, *ops)
+              .unionByName(tail.select(*keys, *ops))
+              .groupBy(*keys)
+              .agg(*[getattr(F, op)(c).alias(c) for c, op in ops.items()]))
+    return _finalize(merged, cfg)
 
 
 def compact_rollup(spark: SparkSession, t: StarTable) -> None:

@@ -2607,3 +2607,51 @@ GROUP BY seg HAVING seg <> 'NOPE' ORDER BY seg
 
 ENGINE_QUERIES["star_mv_join_rewrite"] = (
     star_mv_join_rewrite, MV_JOIN_REWRITE_ORACLE)
+
+
+def star_rollup_realtime(spark, sf_dir):
+    """REAL-TIME continuous-aggregate read (plans/rollup.py
+    read_rollup_realtime; round 10, beyond the reference): the source
+    takes an un-refreshed window — inserts, an UPDATE wave, a tombstone
+    DELETE — and the READ serves the up-to-the-commit answer by
+    combining the materialized partials with the live window's signed
+    partials on the fly, committing NOTHING. The inline asserts pin
+    that no refresh ran (rollup version unchanged) and that the tail
+    path (not a full recompute) produced the plan; the answer is
+    oracle-checked against a flat GROUP BY of the source's final
+    state."""
+    from starlake_spark.plans import rollup as R
+
+    e = ld(spark, sf_dir, "events")
+    src_path = _scratch(sf_dir, "rt_rollup_src")
+    src = create_table(spark, e.filter(F.col("event_id") % 10 != 0),
+                       src_path, hash_partitions=["event_id"],
+                       hash_bucket_num=8)
+    t = R.create_rollup(spark, src_path, _scratch(sf_dir, "rt_rollup_agg"),
+                        time_col="ts", group_cols=["event_type"],
+                        aggs={"value": "sum"}, hash_bucket_num=8)
+    # a refreshed prefix...
+    src.upsert(e.filter(F.col("event_id") % 10 == 0))
+    assert R.refresh_rollup(spark, t)["mode"] == "incremental"
+    v_after_refresh = t.store.latest_version()
+    # ...then an UN-refreshed window the read must absorb live
+    src.upsert(e.filter(F.col("event_id") % 7 == 0)
+               .withColumn("value", F.col("value") * 3))
+    src.delete("event_id % 13 = 0", use_delta=True)
+    out = (R.read_rollup_realtime(spark, t)
+           .filter(F.col("n_rows") > 0)
+           .select("bucket_ts", "event_type",
+                   F.col("value_sum").cast("double").alias("value_sum"),
+                   F.col("n_rows").cast("long").alias("n_rows"))
+           .orderBy("bucket_ts", "event_type"))
+    assert t.store.latest_version() == v_after_refresh, \
+        "realtime read must not write"
+    return out
+
+
+# same final state as star_dml_rollup — the read path differs, the
+# answer must not
+REALTIME_ROLLUP_ORACLE = DML_ROLLUP_ORACLE
+
+ENGINE_QUERIES["star_rollup_realtime"] = (
+    star_rollup_realtime, REALTIME_ROLLUP_ORACLE)
