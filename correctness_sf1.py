@@ -47,7 +47,8 @@ REPRESENTATIVES = [
     # round 10: text-index family representative + the rewrite ∩
     # maintenance integration (both-changed window served through the
     # rewriter)
-    "docs_bm25_search", "star_mv_join_rewrite",
+    "docs_bm25_search", "star_mv_join_rewrite", "star_rollup_realtime",
+    "star_rollup_rewrite",
 ]
 
 

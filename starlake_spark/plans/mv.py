@@ -1831,8 +1831,11 @@ def try_rewrite(session, sql_text: str) -> DataFrame | None:
     None = no hit (caller runs the original SQL). Stale views are
     refreshed first when auto_update is set, else skipped
     (StarLakeScanBuilder.scala:103-125 staleness enforcement)."""
+    from starlake_spark.plans import rollup as _rollup
+
     reg = _load_registry(session.warehouse)
-    if not reg:
+    have_rollups = bool(_rollup._load_rollup_registry(session.warehouse))
+    if not reg and not have_rollups:
         return None
     known = set(session._tables) | set(catalog.list_tables(session.warehouse))
     try:
@@ -1856,4 +1859,11 @@ def try_rewrite(session, sql_text: str) -> DataFrame | None:
         hit = _try_match(session, qinfo, view_name, ent, vinfo)
         if hit is not None:
             return hit
+    if have_rollups:
+        # rollup-serving rewrite (plans/rollup.py): no staleness gate —
+        # the served frame is real-time by construction
+        try:
+            return _rollup.try_rollup_rewrite(session, sql_text, qinfo)
+        except Exception:
+            return None
     return None

@@ -420,9 +420,18 @@ def read_rollup_realtime(spark: SparkSession, t: StarTable) -> DataFrame:
     refresh would full-rebuild (rolled-back/recreated source, vacuumed
     hash window, non-append commits or DV changes on an append-only
     source)."""
+    cfg = _cfg(t)
+    return _finalize(_realtime_frame(spark, t, cfg), cfg)
+
+
+def _realtime_frame(spark: SparkSession, t: StarTable,
+                    cfg: dict) -> DataFrame:
+    """The PARTIAL-state frame read_rollup_realtime finalizes —
+    materialized partials combined with the live window's partials.
+    Exposed separately for the rollup-serving rewriter, which must
+    re-aggregate partials (a finalized avg cannot regroup)."""
     import os as _os
 
-    cfg = _cfg(t)
     src = ManifestStore(cfg["source"])
     last, cur = cfg["last_version"], src.latest_version()
     stamp = t.store.snapshot().streaming.get(
@@ -433,7 +442,7 @@ def read_rollup_realtime(spark: SparkSession, t: StarTable) -> DataFrame:
     recreated = (cfg["source_table_id"] is not None
                  and src_info.table_id != cfg["source_table_id"])
     if cur == last and not recreated:
-        return read_rollup(spark, t)
+        return t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
 
     tail = None  # partial frame of the un-refreshed window, or None
     full = cur < last or recreated
@@ -477,21 +486,19 @@ def read_rollup_realtime(spark: SparkSession, t: StarTable) -> DataFrame:
             full = True  # history rewritten under the cursor
 
     if full:
-        return _finalize(
-            _partials(reader.scan(spark, src, version=cur,
-                                  schema_as_of=False),
-                      cfg["time_col"], cfg["bucket"], cfg["group_cols"],
-                      cfg["aggs"]), cfg)
+        return _partials(reader.scan(spark, src, version=cur,
+                                     schema_as_of=False),
+                         cfg["time_col"], cfg["bucket"],
+                         cfg["group_cols"], cfg["aggs"])
     base = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
     if tail is None:  # window provably changed nothing
-        return _finalize(base, cfg)
+        return base
     ops = _merge_ops_for(cfg["aggs"])
     keys = ["bucket_ts"] + cfg["group_cols"]
-    merged = (base.select(*keys, *ops)
-              .unionByName(tail.select(*keys, *ops))
-              .groupBy(*keys)
-              .agg(*[getattr(F, op)(c).alias(c) for c, op in ops.items()]))
-    return _finalize(merged, cfg)
+    return (base.select(*keys, *ops)
+            .unionByName(tail.select(*keys, *ops))
+            .groupBy(*keys)
+            .agg(*[getattr(F, op)(c).alias(c) for c, op in ops.items()]))
 
 
 def compact_rollup(spark: SparkSession, t: StarTable) -> None:
@@ -499,3 +506,284 @@ def compact_rollup(spark: SparkSession, t: StarTable) -> None:
     cfg = _cfg(t)
     dml.compact(spark, t.store, force=True,
                 merge_operators=_merge_ops_for(cfg["aggs"]))
+
+
+# ---------------------------------------------------------------------------
+# rollup-serving query rewrite (round 10; beyond the reference)
+# ---------------------------------------------------------------------------
+# A registered rollup can transparently SERVE aggregate queries over
+# its source — TimescaleDB real-time continuous aggregates meet
+# materialized-view rewrite. Unlike the MV rewriter there is no
+# staleness gate: the served frame is read_rollup_realtime's
+# partials, exact as of the source's latest commit by construction.
+# Regrouping is supported: a query bucketing COARSER than the rollup
+# (day from hour) and/or grouping by a SUBSET of the rollup's group
+# columns re-aggregates the partials (sums of sums, min of mins) —
+# the classic aggregate-rollup property.
+#
+# Float caveat: sums/avgs over float/double columns serve from the
+# rollup's DECIMAL(28,6) partials — deterministic and at least as
+# accurate as raw execution, but the last ulp can differ from a raw
+# run (whose own result already varies with partitioning: Spark's
+# float aggregation order is not stable). Integral and
+# decimal(scale<=6) inputs are bit-identical.
+
+_ROLLUP_REG = "_star_rollups.json"
+
+# date_trunc units a rollup bucket can serve: u servable from b iff
+# b's truncation refines u's calendar partition (every b-bucket lies
+# wholly inside one u-bucket). Weeks straddle months/quarters/years,
+# so 'week' serves only itself; month+ serve only the month chain.
+_UNIT_ALIASES = {
+    "yyyy": "year", "yy": "year", "mon": "month", "mm": "month",
+    "dd": "day", "hh": "hour", "min": "minute", "ss": "second",
+}
+_SERVABLE = {
+    "second": {"second", "minute", "hour", "day", "week", "month",
+               "quarter", "year"},
+    "minute": {"minute", "hour", "day", "week", "month", "quarter",
+               "year"},
+    "hour": {"hour", "day", "week", "month", "quarter", "year"},
+    "day": {"day", "week", "month", "quarter", "year"},
+    "week": {"week"},
+    "month": {"month", "quarter", "year"},
+    "quarter": {"quarter", "year"},
+    "year": {"year"},
+}
+
+
+def _norm_unit(u: str) -> str:
+    u = u.lower()
+    return _UNIT_ALIASES.get(u, u)
+
+
+def register_rollup(session, name: str, t: StarTable) -> None:
+    """Register a rollup for transparent query rewrite through
+    ``session.sql`` (mv.try_rewrite consults the registry after the
+    MV loop misses)."""
+    import os as _os
+
+    _cfg(t)  # validates it IS a rollup table
+    p = _os.path.join(session.warehouse, _ROLLUP_REG)
+    reg = {}
+    if _os.path.exists(p):
+        with open(p) as f:
+            reg = json.load(f)
+    reg[name] = t.store.table_path
+    tmp = f"{p}.tmp-{_os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+    _os.replace(tmp, p)
+
+
+def _load_rollup_registry(warehouse: str) -> dict:
+    import os as _os
+
+    p = _os.path.join(warehouse, _ROLLUP_REG)
+    if not _os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+_TRUNC_RE = None
+
+
+def _parse_trunc(canon_str: str):
+    """('unit', inner_canon) for a TruncTimestamp canon, else None."""
+    import re as _re
+
+    global _TRUNC_RE
+    if _TRUNC_RE is None:
+        _TRUNC_RE = _re.compile(
+            r"^TruncTimestamp\[[^\]]*\]\(lit:string:([A-Za-z]+), (.+)\)$")
+    m = _TRUNC_RE.match(canon_str)
+    if not m:
+        return None
+    return _norm_unit(m.group(1)), m.group(2)
+
+
+def try_rollup_rewrite(session, sql_text: str, qinfo) -> "DataFrame | None":
+    """Serve ``sql_text`` from a registered rollup, or None. ``qinfo``
+    is the mv.extract QueryInfo the MV rewriter already computed."""
+    from starlake_spark.plans import mv as _mv
+
+    reg = _load_rollup_registry(session.warehouse)
+    if not reg or not qinfo.has_agg or len(qinfo.tables) != 1 \
+            or qinfo.join_conds or qinfo.join_types:
+        return None
+    src_name = qinfo.tables[0]
+    try:
+        src_t = session.table(src_name)
+    except Exception:
+        return None
+    spark = session.spark
+    for _name, path in sorted(reg.items()):
+        try:
+            t = StarTable.for_path(spark, path)
+            cfg = _cfg(t)
+        except Exception:
+            continue
+        if cfg["source"] != src_t.store.table_path:
+            continue
+        if cfg["source_table_id"] is not None and \
+                src_t.store.table_info().table_id != cfg["source_table_id"]:
+            continue  # rollup bound to a dead incarnation
+        served = _serve_from_rollup(session, spark, t, cfg, src_name,
+                                    src_t, sql_text, qinfo, _mv)
+        if served is not None:
+            return served
+    return None
+
+
+def _serve_from_rollup(session, spark, t, cfg, src_name, src_t,
+                       sql_text, qinfo, _mv):
+    group_cols = set(cfg["group_cols"])
+    time_inner_ok = {f"{src_name}.{cfg['time_col']}",
+                     f"cast({src_name}.{cfg['time_col']} as timestamp)"}
+    bucket = _norm_unit(cfg["bucket"])
+
+    # every query group expr must map onto the rollup's keys
+    regroup: dict[str, object] = {}  # group canon -> Column over partials
+    for cn in qinfo.group_by:
+        tr = _parse_trunc(cn)
+        if tr is not None:
+            unit, inner = tr
+            if inner not in time_inner_ok:
+                return None
+            if unit not in _SERVABLE.get(bucket, ()):
+                return None
+            regroup[cn] = (F.col("bucket_ts") if unit == bucket
+                           else F.date_trunc(unit, F.col("bucket_ts")))
+            continue
+        m = cn.rsplit(".", 1)
+        if len(m) == 2 and m[0] == src_name and m[1] in group_cols:
+            regroup[cn] = F.col(m[1])
+            continue
+        return None
+
+    # filters: only predicates fully determined by the rollup's GROUP
+    # columns are safe (constant per rollup row → commute with the
+    # re-aggregation); anything touching measures or the raw time
+    # column kills the rewrite
+    gc_canons = {f"{src_name}.{g}" for g in group_cols}
+    colmap = {f"{src_name}.{g}": g for g in group_cols}
+    preds = []
+    for cn in qinfo.filters_below | qinfo.filters_above:
+        tree = qinfo.residual_by_canon.get(cn)
+        if tree is None or _mv._attrs_outside(tree, gc_canons):
+            return None
+        try:
+            preds.append(_mv.to_sql(tree, colmap))
+        except Exception:
+            return None
+
+    # outputs: group passthroughs + derivable aggregates
+    from pyspark.sql import types as T
+
+    src_dt = {f.name: f.dataType
+              for f in T.StructType.fromJson(
+                  json.loads(src_t.info.schema_json)).fields}
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _avg_expr(c):
+        """Replicate Spark's Average evaluate expression exactly per
+        input type, so integral and decimal avgs are bit-identical to
+        raw execution (float inputs keep the documented ulp caveat)."""
+        num, cnt = F.sum(f"{c}_sum"), F.sum(f"{c}_cnt")
+        d = src_dt.get(c)
+        if isinstance(d, T.DecimalType):
+            return (num.cast(T.DecimalType(min(38, d.precision + 10),
+                                           d.scale))
+                    / cnt.cast(T.DecimalType(20, 0)))
+        if isinstance(d, _INTEGRAL):
+            return num.cast("double") / cnt.cast("double")
+        return num / cnt
+
+    aggs_cfg = cfg["aggs"]
+
+    def _derive(body):
+        """aggexpr canon body → Column over the partial frame, or
+        None if the rollup cannot produce it."""
+        kind, _, arg = body.partition("(")
+        arg = arg.rstrip(")")
+        if kind == "count" and arg.startswith("lit:"):
+            return F.sum("n_rows")
+        m = arg.rsplit(".", 1)
+        if len(m) != 2 or m[0] != src_name:
+            return None
+        c = m[1]
+        op = aggs_cfg.get(c)
+        if kind == "sum" and op in ("sum", "avg"):
+            return F.sum(f"{c}_sum")
+        if kind == "count" and op in ("avg", "count"):
+            return F.sum(f"{c}_cnt")
+        if kind == "avg" and op == "avg":
+            return _avg_expr(c)
+        if kind == "min" and op == "min":
+            return F.min(f"{c}_min")
+        if kind == "max" and op == "max":
+            return F.max(f"{c}_max")
+        return None
+
+    def _agg_canons(tree, out):
+        """Canonical strings of every aggregate subtree (scalar math
+        ABOVE aggregates — casts, round, sum/sum ratios — composes on
+        top via to_sql substitution, the _try_match discipline)."""
+        if not isinstance(tree, dict):
+            return
+        try:
+            cn = _mv.canon(tree)
+        except Exception:
+            cn = ""
+        if cn.startswith("aggexpr:"):
+            out.append(cn)
+            return  # aggregates never nest
+        for ch in tree.get("_children", []):
+            _agg_canons(ch, out)
+
+    agg_cols: dict[str, tuple] = {}  # aggexpr canon -> (alias, Column)
+    for _out_name, tree in qinfo.output_trees:
+        found: list = []
+        _agg_canons(tree, found)
+        for cn in found:
+            if cn in agg_cols:
+                continue
+            col = _derive(cn[len("aggexpr:"):])
+            if col is None:
+                return None
+            agg_cols[cn] = (f"_rr_a{len(agg_cols)}", col)
+    if not agg_cols:
+        return None
+
+    base = _realtime_frame(spark, t, cfg)
+    # groups whose rows were ALL deleted persist as zero partials in
+    # the rollup; the raw GROUP BY would not emit them — drop before
+    # regrouping (sums are exact signed zeros, so this only removes
+    # empty groups, never mass)
+    base = base.filter(F.col("n_rows") > 0)
+    for p in preds:
+        base = base.filter(F.expr(p))
+    out_map = dict(colmap)  # group-col canons already mapped
+    gcols = []
+    for i, cn in enumerate(sorted(regroup)):
+        nm = f"_rr_g{i}"
+        gcols.append(regroup[cn].alias(nm))
+        out_map[cn] = nm
+    acols = [col.alias(nm) for nm, col in agg_cols.values()]
+    for cn, (nm, _c) in agg_cols.items():
+        out_map[cn] = nm
+    out = (base.groupBy(*gcols).agg(*acols) if gcols
+           else base.agg(*acols))
+    try:
+        sel = [F.expr(_mv.to_sql(tree, out_map, allow_agg=False))
+               .alias(nm) for nm, tree in qinfo.output_trees]
+    except Exception:
+        return None
+    out = out.select(*sel)
+    # exact output schema of the original query (types + order): the
+    # partial algebra widens decimals and counts are sums — cast back
+    want = spark.sql(sql_text).schema
+    return out.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in want.fields])
+

@@ -2655,3 +2655,67 @@ REALTIME_ROLLUP_ORACLE = DML_ROLLUP_ORACLE
 
 ENGINE_QUERIES["star_rollup_realtime"] = (
     star_rollup_realtime, REALTIME_ROLLUP_ORACLE)
+
+
+def star_rollup_rewrite(spark, sf_dir):
+    """Rollup-serving query rewrite (plans/rollup.py
+    try_rollup_rewrite; round 10): an hourly sum/count rollup over a
+    DECIMAL measure is registered, the source takes an UN-refreshed
+    window (upsert + delta delete), and a DAY-level GROUP BY query is
+    answered THROUGH the rewriter — real-time partials, coarser-bucket
+    regrouping, zero writes. The inline asserts pin that the rewriter
+    (not the raw plan) served the answer and that nothing was
+    refreshed; the oracle recomputes the day aggregate from the
+    source's final state."""
+    from starlake_spark.plans import mv, rollup as R
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "rr_wh")
+    sess = StarSession(spark, warehouse=wh)
+    e = ld(spark, sf_dir, "events")
+    src_df = e.withColumn("value", F.col("value").cast("decimal(18,4)"))
+    src_path = _scratch(sf_dir, "rr_src")
+    src = create_table(spark, src_df.filter(F.col("event_id") % 9 != 0),
+                       src_path, hash_partitions=["event_id"],
+                       hash_bucket_num=8, short_name="rr_events",
+                       warehouse=wh)
+    sess.register("rr_events", src)
+    ru = R.create_rollup(spark, src_path, _scratch(sf_dir, "rr_agg"),
+                         time_col="ts", group_cols=["event_type"],
+                         aggs={"value": "sum"}, hash_bucket_num=8)
+    R.register_rollup(sess, "rr_hourly", ru)
+    # un-refreshed window
+    src.upsert(src_df.filter(F.col("event_id") % 9 == 0))
+    src.upsert(src_df.filter(F.col("event_id") % 5 == 0)
+               .withColumn("value", (F.col("value") * 2)
+                           .cast("decimal(18,4)")))
+    src.delete("event_id % 11 = 0", use_delta=True)
+    v_ru = ru.store.latest_version()
+    q = ("SELECT date_trunc('day', ts) AS bucket_day, "
+         "CAST(sum(value) AS DOUBLE) AS value_sum, "
+         "count(*) AS n_rows FROM rr_events GROUP BY 1")
+    sess._sync_views()
+    hit = mv.try_rewrite(sess, q)
+    assert hit is not None, "rollup rewrite did not serve the query"
+    assert ru.store.latest_version() == v_ru, "the serve wrote a refresh"
+    return hit.orderBy("bucket_day")
+
+
+ROLLUP_REWRITE_ORACLE = """
+WITH final AS (
+  SELECT ts,
+         CAST(CASE WHEN event_id % 5 = 0
+              THEN 2 * CAST(value AS DECIMAL(18,4))
+              ELSE CAST(value AS DECIMAL(18,4)) END
+              AS DECIMAL(18,4)) AS value
+  FROM events
+  WHERE event_id % 11 != 0
+)
+SELECT date_trunc('day', ts) AS bucket_day,
+       CAST(SUM(value) AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+ENGINE_QUERIES["star_rollup_rewrite"] = (
+    star_rollup_rewrite, ROLLUP_REWRITE_ORACLE)

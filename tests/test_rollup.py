@@ -497,3 +497,139 @@ def test_realtime_read_full_fallbacks(spark, events, tmp_path):
     create_table(spark, events.limit(100), src_path)
     got = R.read_rollup_realtime(spark, t)
     assert got.agg(F.sum("n_rows")).collect()[0][0] == 100
+
+
+# ---------------------------------------------------------------------------
+# round 10: rollup-serving query rewrite
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def rsess(spark, tmp_path):
+    from starlake_spark.sql import StarSession
+
+    return StarSession(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk_rewrite_fixture(spark, rsess, tmp_path, events):
+    """Hash source with a DECIMAL measure (bit-exact partial algebra),
+    an hourly sum+count+avg rollup registered for rewrite, and an
+    UN-refreshed window (upsert + delete)."""
+    from decimal import Decimal  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from starlake_spark import create_table
+    from starlake_spark.operators import dml
+
+    src_df = (events.limit(2000)
+              .withColumn("value", F.col("value").cast("decimal(18,4)")))
+    src = create_table(spark, src_df, str(tmp_path / "ev"),
+                       hash_partitions=["event_id"], hash_bucket_num=4,
+                       short_name="ev", warehouse=rsess.warehouse)
+    rsess.register("ev", src)
+    ru = R.create_rollup(spark, str(tmp_path / "ev"), str(tmp_path / "ru"),
+                         time_col="ts", group_cols=["event_type"],
+                         aggs={"value": "avg", "event_id": "count"},
+                         hash_bucket_num=4)
+    R.register_rollup(rsess, "ev_hourly", ru)
+    # un-refreshed window the served answers must absorb
+    src.upsert(src_df.filter(F.col("event_id") % 3 == 0)
+               .withColumn("value", (F.col("value") * 2)
+                           .cast("decimal(18,4)")))
+    dml.delete(spark, src.store, condition="event_id % 7 = 1",
+               use_delta=True)
+    return src, ru
+
+
+def _served(rsess, q):
+    from starlake_spark.plans import mv
+
+    rsess._sync_views()
+    return mv.try_rewrite(rsess, q)
+
+
+def _same(rsess, hit, q):
+    got = sorted(tuple(str(x) for x in r) for r in hit.collect())
+    want = sorted(tuple(str(x) for x in r)
+                  for r in rsess.spark.sql(q).collect())
+    assert got == want, (got[:3], want[:3])
+    assert len(got) > 0
+
+
+def test_rollup_rewrite_exact_and_regrouped(spark, rsess, tmp_path,
+                                            events):
+    _mk_rewrite_fixture(spark, rsess, tmp_path, events)
+    # exact bucket + full group set
+    q1 = ("SELECT date_trunc('hour', ts) AS h, event_type, "
+          "sum(value) AS sv, count(*) AS n FROM ev GROUP BY 1, 2")
+    hit = _served(rsess, q1)
+    assert hit is not None, "rollup rewrite missed the exact shape"
+    _same(rsess, hit, q1)
+    # coarser bucket + dropped group col + avg + count(col)
+    q2 = ("SELECT date_trunc('day', ts) AS d, avg(value) AS av, "
+          "count(event_id) AS ne FROM ev GROUP BY 1")
+    hit = _served(rsess, q2)
+    assert hit is not None
+    _same(rsess, hit, q2)
+    # week is servable from hour; global aggregate too
+    for q in ("SELECT date_trunc('week', ts) AS w, sum(value) AS sv "
+              "FROM ev GROUP BY 1",
+              "SELECT count(*) AS n, sum(value) AS sv FROM ev"):
+        hit = _served(rsess, q)
+        assert hit is not None, q
+        _same(rsess, hit, q)
+    # group-col WHERE compensates on the rollup
+    q5 = ("SELECT date_trunc('day', ts) AS d, count(*) AS n FROM ev "
+          "WHERE event_type IN ('click', 'view') GROUP BY 1")
+    hit = _served(rsess, q5)
+    assert hit is not None
+    _same(rsess, hit, q5)
+
+
+def test_rollup_rewrite_refuses_unsafe_shapes(spark, rsess, tmp_path,
+                                              events):
+    _mk_rewrite_fixture(spark, rsess, tmp_path, events)
+    for q in (
+        # predicate on a measure: not group-determined
+        "SELECT date_trunc('day', ts) AS d, count(*) AS n FROM ev "
+        "WHERE value > 5 GROUP BY 1",
+        # aggregate the rollup does not track
+        "SELECT date_trunc('day', ts) AS d, min(value) AS mv FROM ev "
+        "GROUP BY 1",
+        # finer bucket than materialized
+        "SELECT date_trunc('minute', ts) AS m, count(*) AS n FROM ev "
+        "GROUP BY 1",
+        # grouping by a non-rollup column
+        "SELECT user_id, count(*) AS n FROM ev GROUP BY 1",
+        # raw (unbucketed) time grouping
+        "SELECT ts, count(*) AS n FROM ev GROUP BY 1",
+    ):
+        assert _served(rsess, q) is None, f"unsafely served: {q}"
+
+
+def test_rollup_rewrite_through_session_sql(spark, rsess, tmp_path,
+                                            events):
+    """sess.sql transparently serves from the rollup (the mv rewriter
+    consults the rollup registry after the MV loop misses) and the
+    answer tracks the source's LATEST commit with no refresh."""
+    src, ru = _mk_rewrite_fixture(spark, rsess, tmp_path, events)
+    v_ru = ru.store.latest_version()
+    q = ("SELECT date_trunc('day', ts) AS d, sum(value) AS sv, "
+         "count(*) AS n FROM ev GROUP BY 1")
+    got = {tuple(str(x) for x in r) for r in rsess.sql(q).collect()}
+    want = {tuple(str(x) for x in r)
+            for r in rsess.sql(q, rewrite=False).collect()}
+    assert got == want
+    assert ru.store.latest_version() == v_ru  # the serve wrote nothing
+    # identity guard: a recreated source must not be served from the
+    # stale rollup
+    import shutil
+
+    from starlake_spark import create_table
+
+    shutil.rmtree(src.store.table_path)
+    s2 = create_table(spark, events.limit(50), src.store.table_path,
+                      short_name="ev", warehouse=rsess.warehouse)
+    rsess.register("ev", s2)
+    assert _served(rsess, q) is None
