@@ -916,13 +916,22 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
                     "Min": "min", "Max": "max"}.get(_cls(fn))
             if kind is None or len(fn["_children"]) != 1:
                 return None
-            # min/max are monotone under pure APPENDS but a retraction
-            # (upsert/delete on a hash source) can remove the extremum
-            # — only maintainable when no source can retract
+            # min/max fold monotonically under pure APPENDS; a
+            # retraction (upsert/delete on a hash source) can remove
+            # the stored extremum, which no fold can undo. Mutable
+            # single-table sources stay eligible via the AFFECTED-GROUP
+            # RESCAN path (_apply_delta): groups whose retracted values
+            # threaten the stored extremum are recomputed from a
+            # version-pinned source scan semi-pruned to exactly those
+            # groups — everything else still folds O(changes). Join
+            # views would need the rescan to re-run the join; refuse.
+            rescan = False
             if kind in ("min", "max") and any(
                     src_ts[n].info.hash_cols for n in src_names):
-                return None
-            aggs.append({"out": nm, "kind": kind,
+                if is_join:
+                    return None
+                rescan = True
+            aggs.append({"out": nm, "kind": kind, "rescan": rescan,
                          "arg": to_sql(fn["_children"][0], colmap,
                                        allow_agg=False),
                          "orig_sql": to_sql(tree, colmap, allow_agg=True)})
@@ -996,10 +1005,18 @@ def _mv_partial_exprs(spec, sgn: str) -> list[str]:
             ex.append(f"CAST(sum(CAST(({a['arg']}) AS {a['sum_dt']}) "
                       f"* {sgn}) AS {a['sum_dt']}) AS `{_MVH}s_{a['out']}`")
         elif a["kind"] in ("min", "max"):
-            # min/max partials fold postimage rows only — sound solely
-            # on append windows (the refresh refuses otherwise)
+            # min/max partials fold postimage rows only — sound when no
+            # retraction threatens the stored extremum; threatened
+            # groups rescan (_apply_delta)
             ex.append(f"{a['kind']}(CASE WHEN {post} THEN ({a['arg']}) "
                       f"END) AS `{_MVH}m_{a['out']}`")
+            if a.get("rescan") and sgn != "1":
+                # delta-only threat probe (never stored): the MOST
+                # THREATENING retracted value — min of retractions for
+                # a min view (any retraction ≤ stored min threatens),
+                # max for a max view
+                ex.append(f"{a['kind']}(CASE WHEN NOT {post} THEN "
+                          f"({a['arg']}) END) AS `{_MVH}r_{a['out']}`")
         ex.append(f"CAST(sum(CASE WHEN ({a['arg']}) IS NOT NULL "
                   f"THEN {sgn} ELSE 0 END) AS BIGINT) "
                   f"AS `{_MVH}c_{a['out']}`")
@@ -1149,12 +1166,111 @@ def _change_window(spark, src: ManifestStore, last: int,
             .withColumn("_change_type", F.lit("insert")))
 
 
+def _rescan_inlist(spec, tkeys_rows, cols_dt) -> list[str]:
+    """Best-effort file-prune conjuncts for the rescan scan: when a
+    group expr is a bare source column of a literal-encodable type and
+    the threatened key set is small, an IN-list predicate reaches the
+    manifest's partition/stats/bucket pruning (to_df ``where``).
+    Exactness never depends on this — the semi-join enforces the group
+    set; skipping a column just reads more files."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    out = []
+    for g in spec["groups"]:
+        col = g["sql"]
+        m = _re.fullmatch(r"`([^`]+)`", col)
+        name = m.group(1) if m else col
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            continue
+        dt = cols_dt.get(g["out"])
+        vals, has_null = set(), False
+        for r in tkeys_rows:
+            v = r[g["out"]]
+            if v is None:
+                has_null = True
+            else:
+                vals.add(v)
+        if not vals and not has_null:
+            continue
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            lits = [str(int(v)) for v in sorted(vals)]
+        elif isinstance(dt, T.StringType):
+            lits = ["'" + str(v).replace("'", "''") + "'"
+                    for v in sorted(vals)]
+        elif isinstance(dt, T.DateType):
+            lits = [f"DATE '{v.isoformat()}'" for v in sorted(vals)]
+        else:
+            continue
+        pred = f"`{name}` IN ({', '.join(lits)})" if lits else None
+        if has_null:
+            pred = (f"({pred} OR `{name}` IS NULL)" if pred
+                    else f"`{name}` IS NULL")
+        if pred:
+            out.append(pred)
+    return out
+
+
+def _rescan_frame(spark, spec, pinned_src, tkeys, n_thr: int,
+                  old_dt) -> DataFrame:
+    """Authoritative recompute of THREATENED groups (a retraction hit
+    the stored extremum): the view's own init SQL over the
+    version-pinned source snapshot (the window end — deterministic on
+    crash replay), semi-pruned to exactly the threatened group keys.
+    O(scan of files containing those groups), which the IN-list
+    conjuncts shrink to the touched partitions/buckets whenever the
+    group key prunes; never O(|MV|) and only paid when an extremum was
+    actually retracted."""
+    extra_where = []
+    tk = None
+    if tkeys is not None and spec["groups"]:
+        limit = int(os.environ.get("STARLAKE_MV_BROADCAST_KEY_LIMIT",
+                                   "1000000"))
+        if n_thr <= 1000:
+            rows = tkeys.collect()
+            extra_where = _rescan_inlist(
+                spec, rows,
+                {g["out"]: old_dt[g["out"]] for g in spec["groups"]})
+        tk = tkeys
+        for g in spec["groups"]:
+            tk = tk.withColumnRenamed(g["out"], g["out"] + "__mvtk")
+        if n_thr <= limit:
+            tk = F.broadcast(tk)
+    src_df = pinned_src(list(spec["where"]) + extra_where)
+    if tk is not None:
+        cond = None
+        for g in spec["groups"]:
+            e = F.expr(g["sql"]).eqNullSafe(F.col(g["out"] + "__mvtk"))
+            cond = e if cond is None else cond & e
+        src_df = src_df.join(tk, cond, "left_semi")
+    rv = f"_mv_rs_{uuid.uuid4().hex[:10]}"
+    src_df.createOrReplaceTempView(rv)
+    try:
+        rs = spark.sql(_mv_init_sql(spec, from_view=rv))
+        cast = [F.col(c).cast(old_dt[c]).alias(c) for c in rs.columns
+                if c in old_dt]
+        return rs.select(*cast).localCheckpoint(eager=True)
+    finally:
+        try:
+            spark.catalog.dropTempView(rv)
+        except Exception:
+            pass
+
+
 def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
-                 n_touched: int, txn_app: str, txn_version: int) -> None:
+                 n_touched: int, txn_app: str, txn_version: int,
+                 pinned_src=None) -> None:
     """Merge an aggregated signed-partial delta frame into the backing
     table: semi-prune the backing table to the touched groups, fold
     partials, finalize outputs, tombstone dead groups, gated upsert.
-    ``delta`` must already be materialized (localCheckpoint)."""
+    ``delta`` must already be materialized (localCheckpoint).
+
+    ``pinned_src`` (mutable-extremum specs only): callable
+    ``(where_conjuncts) -> DataFrame`` reading the source pinned at the
+    window-end version — the rescan target for groups whose stored
+    min/max a retraction threatened."""
     from starlake_spark.operators import dml
 
     keys = [g["out"] for g in spec["groups"]]
@@ -1191,28 +1307,83 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
             return F.greatest(o, d)
         return F.coalesce(o, F.lit(0)) + F.coalesce(d, F.lit(0))
 
+    # a fold is UNSOUND for a group when a retracted value ties/beats
+    # the stored extremum (it may have HELD it), or when the group has
+    # no stored row at all (in-window churn: rows arrived AND left
+    # inside this window, so the postimage fold saw values that are
+    # already gone) — those groups rescan below
+    rescan_aggs = [a for a in spec["aggs"] if a.get("rescan")]
+    threat = None
+    for a in rescan_aggs:
+        h = F.col(f"{_MVH}m_{a['out']}")
+        r = F.col(f"{_MVH}r_{a['out']}__d")
+        exists = F.col(f"{_MVH}n").isNotNull()
+        beaten = h.isNotNull() & ((h < r) if a["kind"] == "min"
+                                  else (h > r))
+        ta = r.isNotNull() & ~(exists & beaten)
+        threat = ta if threat is None else (threat | ta)
+    if threat is None:
+        threat = F.lit(False)
+
     merged_cols = [F.coalesce(F.col(k), F.col(k + "__d")).alias(k)
                    for k in keys]
     merged_cols += [_merge(h, kind).cast(old_dt[h]).alias(h)
                     for h, kind in hidden]
-    m = j.select(*merged_cols)
+    m = j.select(*merged_cols, threat.alias("_mv_rescan_"))
     finals = [F.expr(sql).cast(old_dt[out]).alias(out)
               for out, sql in _mv_final_exprs(spec)]
     hcols = [F.col(h) for h, _k in hidden]
     # materialize once: the frame is O(touched groups) small, and
     # the upsert + dead-group probe + delete below would otherwise
     # each re-run the change-window scan and the backing-table join
-    full = m.select(*keys, *finals, *hcols).localCheckpoint(eager=True)
+    full_all = m.select(*keys, *finals, *hcols,
+                        F.col("_mv_rescan_")).localCheckpoint(eager=True)
     out_cols = [f.name for f in old.schema.fields]
     if not keys:
         # the single row always survives: a global aggregate over an
         # empty set still yields one row (count 0, NULL extrema)
-        dml.write_into(spark, t.store, full.select(*out_cols),
+        frame = full_all.drop("_mv_rescan_")
+        if rescan_aggs and full_all.filter("_mv_rescan_").limit(1).count():
+            frame = _rescan_frame(spark, spec, pinned_src, None, 0,
+                                  old_dt)
+        dml.write_into(spark, t.store, frame.select(*out_cols),
                        mode="overwrite",
                        txn_app_id=txn_app, txn_version=txn_version)
         return
+    full = full_all.filter(~F.col("_mv_rescan_"))
     live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
     dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
+    if rescan_aggs:
+        tkeys = full_all.filter(F.col("_mv_rescan_")).select(*keys)
+        n_thr = tkeys.count()
+        if n_thr:
+            rs = _rescan_frame(spark, spec, pinned_src, tkeys, n_thr,
+                               old_dt)
+            live = live.unionByName(rs.select(*out_cols))
+            # threatened groups the rescan returned no row for have no
+            # surviving source rows — tombstone them
+            acond = None
+            for k in keys:
+                e = tkeys[k].eqNullSafe(rs[k])
+                acond = e if acond is None else acond & e
+            dead = dead.unionByName(
+                tkeys.join(rs, acond, "left_anti").select(*keys))
+            # materialize the unions to LogicalRDDs with constraint
+            # propagation OFF: the union children carry filter
+            # constraints on the dropped `_mv_rescan_` column, and
+            # Catalyst's Union.rewriteConstraints crashes on attrs
+            # outside the child output (NoSuchElementException: key
+            # not found) the moment anything — including the
+            # checkpoint's own optimization pass — computes them.
+            # O(touched) rows; propagation restored immediately.
+            ckey = "spark.sql.constraintPropagation.enabled"
+            prev = spark.conf.get(ckey, "true")
+            spark.conf.set(ckey, "false")
+            try:
+                live = live.localCheckpoint(eager=True)
+                dead = dead.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set(ckey, prev)
     # delete BEFORE the gated upsert (ordering note in
     # _incremental_refresh); tombstoning already-absent keys is
     # idempotent
@@ -1277,7 +1448,22 @@ def _incremental_refresh(session, ent,
         # change-window scan
         delta = spark.sql(_mv_delta_sql(spec, cv)).localCheckpoint(
             eager=True)
-        _apply_delta(spark, t, spec, delta, delta.count(), txn_app, cur)
+        pinned_src = None
+        if any(a.get("rescan") for a in spec["aggs"]):
+            # rescan target: the source PINNED at the window end (cur).
+            # Pinning matters for exactness AND replay — a concurrent
+            # commit > cur must not leak into the rescan (the next
+            # window would re-fold it, double-applying), and a crash
+            # replay must recompute the identical frame.
+            src_t = StarTable(spark, src)
+
+            def pinned_src(where, _t=src_t, _v=cur):
+                w = (" AND ".join(f"({c})" for c in where)
+                     if where else None)
+                return _t.to_df(version=_v, where=w)
+
+        _apply_delta(spark, t, spec, delta, delta.count(), txn_app, cur,
+                     pinned_src=pinned_src)
         return ("incremental", {spec["source"]: cur})
     finally:
         spark.catalog.dropTempView(cv)

@@ -2326,6 +2326,90 @@ ENGINE_QUERIES["star_mv_incremental"] = (
     star_mv_incremental, MV_INCREMENTAL_ORACLE)
 
 
+def star_mv_minmax_mutable(spark, sf_dir):
+    """Round-10: min/max materialized views over a MUTABLE (hash)
+    source stay INCREMENTAL via the affected-group rescan
+    (plans/mv.py _rescan_frame; beyond the reference — its
+    UpdateMaterialViewCommand full-re-runs, and rounds ≤9 here refused
+    the shape). Storm: (1) an upsert raises every row tied at its
+    group's minimum by 500000 — retracting every stored min at once;
+    (2) a delete removes every row tied at the post-upsert group
+    maximum. One refresh consumes both commits; threatened groups
+    recompute from the version-pinned source, everything else folds.
+    The oracle replays the same storm in SQL window functions."""
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_mm_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("st"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    src = create_table(spark, d, _scratch(sf_dir, "mv_mm_src"),
+                       short_name="mv_mm_src", warehouse=wh,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("mv_mm_src", src)
+    mv.create_material_view(
+        sess, "mv_mm", _scratch(sf_dir, "mv_mm"),
+        "SELECT st, min(price) AS lo, max(price) AS hi, "
+        "sum(price) AS total, count(*) AS n FROM mv_mm_src GROUP BY st")
+    assert mv._load_registry(wh)["mv_mm"]["incremental"] is True
+
+    # storm 1: retract every group minimum (ties included)
+    mins = src.to_df().groupBy("st").agg(F.min("price").alias("mn"))
+    src.upsert(src.to_df().join(mins, "st")
+               .filter(F.col("price") == F.col("mn"))
+               .select("k", "st",
+                       (F.col("price") + 500000).cast("decimal(18,2)")
+                       .alias("price")))
+    # storm 2: delete every post-upsert group maximum (ties included)
+    maxs = src.to_df().groupBy("st").agg(F.max("price").alias("mx"))
+    src.delete_keys(src.to_df().join(maxs, "st")
+                    .filter(F.col("price") == F.col("mx")).select("k"))
+
+    assert mv.update_material_view(sess, "mv_mm") is True
+    t = sess.table("mv_mm")
+    assert t.store.snapshot().streaming.get(
+        f"txn:mv_refresh:{t.info.table_id}", -1) >= 0, \
+        "refresh was not incremental"
+    out = mv._strip_mv_hidden(t.to_df())
+    return (out.select("st",
+                       F.round(F.col("lo").cast("double"), 2).alias("lo"),
+                       F.round(F.col("hi").cast("double"), 2).alias("hi"),
+                       F.round(F.col("total").cast("double"), 2)
+                       .alias("total"), "n")
+            .orderBy("st"))
+
+
+MV_MINMAX_MUTABLE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+s1 AS (
+  SELECT k, st,
+         CAST(CASE WHEN price = MIN(price) OVER (PARTITION BY st)
+              THEN price + 500000 ELSE price END AS DECIMAL(18,2)) AS price
+  FROM base
+),
+s2 AS (
+  SELECT * FROM s1
+  QUALIFY price <> MAX(price) OVER (PARTITION BY st)
+)
+SELECT st,
+       ROUND(CAST(MIN(price) AS DOUBLE), 2) AS lo,
+       ROUND(CAST(MAX(price) AS DOUBLE), 2) AS hi,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total,
+       COUNT(*) AS n
+FROM s2 GROUP BY st ORDER BY st
+"""
+
+ENGINE_QUERIES["star_mv_minmax_mutable"] = (
+    star_mv_minmax_mutable, MV_MINMAX_MUTABLE_ORACLE)
+
+
 def star_setop_pk(spark, sf_dir):
     """PK set-op rewrite (reference StarLakePostHocAnalysis.scala:29-96):
     INTERSECT/EXCEPT over the hash columns of two same-bucketed tables

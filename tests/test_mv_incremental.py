@@ -12,8 +12,11 @@ tests pin the three claims:
    an already-consumed source file physically removed, the incremental
    refresh still succeeds (a full re-run cannot).
 3. HYGIENE — hidden _mv_* partial columns never reach users, and
-   ineligible shapes (joins, min/max) still refresh full, flagged
-   incremental=False.
+   ineligible shapes (DISTINCT aggregates, HAVING, min/max inside a
+   join) still refresh full, flagged incremental=False. Round 10:
+   single-table min/max over MUTABLE sources became eligible via the
+   affected-group rescan (threatened extrema recompute from a
+   version-pinned source read; everything else folds).
 """
 
 import json
@@ -197,9 +200,196 @@ def test_minmax_incremental_on_append_only_source(sess, spark, sf_dir,
         assert got == want
 
 
-def test_minmax_on_hash_source_stays_full(sess, spark, sf_dir, tmp_path):
-    """A hash (upsertable) source can RETRACT the extremum — min/max
-    views there must keep the reference-parity full re-run."""
+def _minmax_mv(sess, spark, sf_dir, tmp_path, buckets=4):
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "src"), short_name="src",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=buckets)
+    sess.register("src", src)
+    q = ("SELECT st, min(price) AS lo, max(price) AS hi, "
+         "sum(price) AS total, count(*) AS n FROM src GROUP BY st")
+    mv.create_material_view(sess, "mv_mm", str(tmp_path / "mv_mm"), q)
+    assert mv._load_registry(sess.warehouse)["mv_mm"]["incremental"] is True
+    return src, q
+
+
+def _assert_mm(sess, spark, q, name="mv_mm"):
+    got = {tuple(r) for r in sess.sql(f"SELECT * FROM {name}").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+
+
+def test_minmax_rescan_only_when_threatened(sess, spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The rescan is paid ONLY when a retracted value ties/beats the
+    stored extremum: a mid-value retraction folds with zero source
+    scans, an extremum retraction rescans exactly once and stays a
+    delta (incremental) commit with an exact answer."""
+    src, q = _minmax_mv(sess, spark, sf_dir, tmp_path)
+    calls = []
+    real = mv._rescan_frame
+    monkeypatch.setattr(mv, "_rescan_frame",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    # retract mid-pack values: raise prices of NON-extremal rows by 1
+    # cent (still above each group's min, below its max)
+    stats = (src.to_df().groupBy("st")
+             .agg(F.min("price").alias("mn"), F.max("price").alias("mx")))
+    mid = (src.to_df().join(stats, "st")
+           .filter((F.col("price") > F.col("mn") + 1000)
+                   & (F.col("price") < F.col("mx") - 1000))
+           .limit(40)
+           .select("k", "st",
+                   (F.col("price") + F.lit(0.01).cast("decimal(18,2)"))
+                   .cast("decimal(18,2)").alias("price"), "prio"))
+    src.upsert(mid)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    assert calls == []  # fold path: no rescan
+    assert sess.table("mv_mm").store.snapshot().commit_type == "delta"
+    _assert_mm(sess, spark, q)
+    # now retract every group's current minimum
+    mins = src.to_df().groupBy("st").agg(F.min("price").alias("mn"))
+    hold = (src.to_df().join(mins, "st")
+            .filter(F.col("price") == F.col("mn"))
+            .select("k", "st",
+                    (F.col("price") + 500000).cast("decimal(18,2)")
+                    .alias("price"), "prio"))
+    src.upsert(hold)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    assert calls == [1]  # rescan fired exactly once
+    assert sess.table("mv_mm").store.snapshot().commit_type == "delta"
+    _assert_mm(sess, spark, q)
+
+
+def test_minmax_rescan_delete_and_duplicates(sess, spark, sf_dir, tmp_path):
+    """Retracting ONE of several rows tied at the extremum must keep
+    the extremum (multiplicity is invisible to the fold — only the
+    rescan can know); deleting all extremum holders must surface the
+    runner-up."""
+    src, q = _minmax_mv(sess, spark, sf_dir, tmp_path)
+    # plant an exact tie at a brand-new global max in one group
+    st = src.to_df().select("st").first()[0]
+    from decimal import Decimal as D
+
+    plant = spark.createDataFrame(
+        [(9_000_001, st, D("900000.00"), 1),
+         (9_000_002, st, D("900000.00"), 1)],
+        "k long, st string, price decimal(18,2), prio int")
+    src.upsert(plant)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    _assert_mm(sess, spark, q)
+    # delete ONE of the two tied max holders: max must NOT move
+    src.delete_keys(spark.createDataFrame([(9_000_001,)], "k long"))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    _assert_mm(sess, spark, q)
+    assert (sess.sql(f"SELECT hi FROM mv_mm WHERE st = '{st}'")
+            .first()[0] == 900000.00)
+    # delete the second: max falls back to the organic runner-up
+    src.delete_keys(spark.createDataFrame([(9_000_002,)], "k long"))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    _assert_mm(sess, spark, q)
+    assert (sess.sql(f"SELECT hi FROM mv_mm WHERE st = '{st}'")
+            .first()[0] < 900000.00)
+
+
+def test_minmax_rescan_inwindow_churn_new_group(sess, spark, sf_dir,
+                                               tmp_path):
+    """Rows that arrive AND leave inside one refresh window poison the
+    postimage fold (it saw values that are already gone) — the absent
+    stored row forces those groups through the rescan. A brand-new
+    group gets k=5 then k=3 upserted and the 5-holder deleted before
+    any refresh: the max must come out 3, not 5."""
+    src, q = _minmax_mv(sess, spark, sf_dir, tmp_path)
+    from decimal import Decimal as D
+
+    rows = spark.createDataFrame(
+        [(9_100_001, "Z1", D("500.00"), 1), (9_100_002, "Z1", D("300.00"), 1)],
+        "k long, st string, price decimal(18,2), prio int")
+    src.upsert(rows)
+    src.delete_keys(spark.createDataFrame([(9_100_001,)], "k long"))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_mm") is True
+    assert sess.table("mv_mm").store.snapshot().commit_type == "delta"
+    _assert_mm(sess, spark, q)
+    assert (sess.sql("SELECT hi, n FROM mv_mm WHERE st = 'Z1'")
+            .first() == (300.00, 1))
+    # and a group emptied inside the window never materializes
+    rows2 = spark.createDataFrame(
+        [(9_100_003, "Z2", D("42.00"), 1)],
+        "k long, st string, price decimal(18,2), prio int")
+    src.upsert(rows2)
+    src.delete_keys(spark.createDataFrame([(9_100_003,)], "k long"))
+    sess._sync_views()
+    mv.update_material_view(sess, "mv_mm")
+    assert sess.sql("SELECT * FROM mv_mm WHERE st = 'Z2'").count() == 0
+    _assert_mm(sess, spark, q)
+
+
+def test_minmax_rescan_replay_exactly_once(sess, spark, sf_dir, tmp_path):
+    """Crash replay across the rescan path: rewind the registry
+    fingerprint after an extremum-retracting refresh (stamp stays
+    ahead) — the replay must recognize the applied window and change
+    nothing (the rescan pins the window-end version, so even a
+    recomputation would be identical)."""
+    src, q = _minmax_mv(sess, spark, sf_dir, tmp_path)
+    mins = src.to_df().groupBy("st").agg(F.min("price").alias("mn"))
+    hold = (src.to_df().join(mins, "st")
+            .filter(F.col("price") == F.col("mn"))
+            .select("k", "st",
+                    (F.col("price") + 500000).cast("decimal(18,2)")
+                    .alias("price"), "prio"))
+    src.upsert(hold)
+    sess._sync_views()
+    before = mv._load_registry(sess.warehouse)["mv_mm"]["fingerprints"]
+    assert mv.update_material_view(sess, "mv_mm") is True
+    _assert_mm(sess, spark, q)
+    state = _view_rows(sess, "mv_mm")
+    # crash simulation: registry write lost
+    reg = mv._load_registry(sess.warehouse)
+    reg["mv_mm"]["fingerprints"] = before
+    mv._save_registry(reg, sess.warehouse)
+    assert mv.update_material_view(sess, "mv_mm") is False  # noop replay
+    assert _view_rows(sess, "mv_mm") == state
+    _assert_mm(sess, spark, q)
+
+
+def test_minmax_global_aggregate_mutable(sess, spark, sf_dir, tmp_path):
+    """GROUP BY () min/max over a mutable source: an extremum
+    retraction rewrites the single row from the pinned rescan."""
+    from starlake_spark import create_table
+
+    src = create_table(spark, _orders_frame(spark, sf_dir, 0, 400),
+                       str(tmp_path / "srcg"), short_name="srcg",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("srcg", src)
+    q = ("SELECT min(price) AS lo, max(price) AS hi, count(*) AS n "
+         "FROM srcg")
+    mv.create_material_view(sess, "mv_gm", str(tmp_path / "mv_gm"), q)
+    assert mv._load_registry(sess.warehouse)["mv_gm"]["incremental"] is True
+    mx = src.to_df().agg(F.max("price")).first()[0]
+    killer = src.to_df().filter(F.col("price") == mx).select("k")
+    src.delete_keys(killer)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_gm") is True
+    got = sess.sql("SELECT * FROM mv_gm").first()
+    want = spark.sql(q).first()
+    assert tuple(got) == tuple(want)
+
+
+def test_minmax_on_hash_source_incremental_via_rescan(sess, spark, sf_dir,
+                                                      tmp_path):
+    """A hash (upsertable) source can RETRACT the extremum. Round 10:
+    such views are now INCREMENTAL — groups whose retracted values
+    threaten the stored extremum rescan from a version-pinned source
+    read (everything else folds); the answer stays exact even when
+    every group minimum is retracted at once."""
     from starlake_spark import create_table
 
     src = create_table(spark, _orders_frame(spark, sf_dir, 0, 600),
@@ -209,14 +399,17 @@ def test_minmax_on_hash_source_stays_full(sess, spark, sf_dir, tmp_path):
     sess.register("src", src)
     q = "SELECT st, min(price) AS lo FROM src GROUP BY st"
     mv.create_material_view(sess, "mv_min", str(tmp_path / "mv_min"), q)
-    assert mv._load_registry(sess.warehouse)["mv_min"]["incremental"] is False
+    assert mv._load_registry(sess.warehouse)["mv_min"]["incremental"] is True
+    # hidden partials live in the backing table but never reach users
     assert not any(c.startswith("_mv_")
-                   for c in sess.table("mv_min").to_df().columns)
-    # retract the global minimum per group via an upsert, refresh full
+                   for c in sess.sql("SELECT * FROM mv_min").columns)
+    # retract the global minimum per group via an upsert; refresh stays
+    # a delta commit (incremental), answer exact
     src.upsert(_orders_frame(spark, sf_dir, 0, 600)
                .withColumn("price", F.col("price") + 100000))
     sess._sync_views()
     assert mv.update_material_view(sess, "mv_min") is True
+    assert sess.table("mv_min").store.snapshot().commit_type == "delta"
     assert (_view_rows(sess, "mv_min")
             == {tuple(r) for r in spark.sql(q).collect()})
 
