@@ -49,6 +49,8 @@ REPRESENTATIVES = [
     # rewriter)
     "docs_bm25_search", "star_mv_join_rewrite", "star_rollup_realtime",
     "star_rollup_rewrite",
+    # round 10 late: mutable-source min/max rescan + left-join MVs
+    "star_mv_minmax_mutable", "star_mv_leftjoin_incremental",
 ]
 
 

@@ -445,6 +445,12 @@ class QueryInfo:
     # outer join's ON placement and sidedness are semantic, unlike an
     # inner join's, whose ON conjuncts fold into join_conds/filters)
     join_types: tuple = ()
+    # attr=attr equalities of outer-join ON conditions, as canonical
+    # name pairs — kept SEPARATE from join_attr_pairs: a LEFT join's
+    # a.x = b.y holds only on matched rows, so compensation must never
+    # substitute through it, but incremental maintenance needs the
+    # pairs. Empty when any outer ON conjunct is not a plain equality.
+    outer_attr_pairs: frozenset = frozenset()
 
 
 _ALLOWED = {"Project", "Filter", "Join", "Aggregate", "SubqueryAlias", "Sort",
@@ -468,7 +474,8 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
     above: dict[str, dict] = {}
     below: dict[str, dict] = {}
     state = {"agg_seen": False, "out_done": False, "n_joins": 0,
-             "null_side": False}
+             "null_side": False, "outer_impure": False}
+    outer_pairs: set[tuple] = set()
 
     def leaf_name(node: dict) -> str | None:
         """SubqueryAlias chain ending in a known table / View boundary."""
@@ -635,10 +642,21 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
                 walk(node["_children"][1])
                 state["null_side"] = was
                 right = tuple(sorted(tables[n1:]))
-                on = tuple(sorted(
-                    canon_eq_symmetric(cj)
-                    for cj in split_conjuncts(_rexpr(cond)))) if cond else ()
-                outer_joins.append(("leftouter", left, right, on))
+                on_set, on_pairs, pure_eq = [], [], True
+                for cj in (split_conjuncts(_rexpr(cond)) if cond else []):
+                    on_set.append(canon_eq_symmetric(cj))
+                    if (_cls(cj) == "EqualTo"
+                            and all(_is_attr(x) for x in cj["_children"])):
+                        on_pairs.append(tuple(sorted(
+                            canon(x) for x in cj["_children"])))
+                    else:
+                        pure_eq = False
+                outer_joins.append(("leftouter", left, right,
+                                    tuple(sorted(on_set))))
+                if pure_eq:
+                    outer_pairs.update(on_pairs)
+                else:
+                    state["outer_impure"] = True
                 return
             raise UnsupportedPlan(f"join type {jt}")
         if c == "Aggregate":
@@ -667,6 +685,8 @@ def extract(spark, sql_text: str, known_tables: set[str]) -> QueryInfo:
     info.join_conds = frozenset(joins)
     info.join_attr_pairs = frozenset(join_pairs)
     info.join_types = tuple(sorted(outer_joins))
+    info.outer_attr_pairs = (frozenset() if state["outer_impure"]
+                             else frozenset(outer_pairs))
     info.filters_above = frozenset(above)
     info.filters_below = frozenset(below)
     info.residual_by_canon = {**above, **below}
@@ -829,13 +849,26 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
             vinfo = extract(session.spark, sql_text, known)
         except Exception:
             return None
-    if vinfo.join_types or not vinfo.tables or len(vinfo.tables) > 6:
-        return None  # outer joins / >6-way joins → full refresh
+    if not vinfo.tables or len(vinfo.tables) > 6:
+        return None  # >6-way joins → full refresh
+    left_join = None
+    if vinfo.join_types:
+        # LEFT joins are maintainable in the single-join 2-table shape
+        # with a pure-equality ON (the null-extension flip algebra in
+        # _left_dim_window_frame); anything else → full refresh
+        if (len(vinfo.join_types) != 1 or len(vinfo.tables) != 2
+                or not vinfo.outer_attr_pairs or vinfo.join_conds):
+            return None
+        jt, lts, rts, _on = vinfo.join_types[0]
+        if jt != "leftouter" or len(lts) != 1 or len(rts) != 1:
+            return None
+        left_join = (lts[0], rts[0])
     is_join = len(vinfo.tables) >= 2
     if not is_join and vinfo.join_conds:
         return None
     if is_join and (len(set(vinfo.tables)) != len(vinfo.tables)
-                    or not vinfo.join_attr_pairs):
+                    or not (vinfo.join_attr_pairs
+                            or vinfo.outer_attr_pairs)):
         return None  # self-join / cartesian-with-WHERE-equality → full
     if not vinfo.has_agg or vinfo.filters_above:
         return None  # empty group_by (global aggregate) IS maintainable
@@ -869,7 +902,8 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         colmap = {f"{n}.{f.name.lower()}": f"{n}__{f.name}"
                   for n in src_names for f in schemas[n].fields}
         jpairs = []
-        for pair in sorted(vinfo.join_attr_pairs):
+        for pair in sorted(vinfo.join_attr_pairs
+                           or vinfo.outer_attr_pairs):
             l, r = pair
             if l not in colmap or r not in colmap:
                 return None
@@ -878,6 +912,22 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
                 return None  # same-table 'join' equality → full
             jpairs.append({"l": colmap[l], "r": colmap[r],
                            "lt": lt, "rt": rt})
+        if left_join is not None:
+            # the right (null-supplying) side's join columns must be
+            # exactly its hash PK: uniqueness is what lets the change
+            # types of a coalesced window stand in for match-count
+            # flips (insert ⇒ key was absent ⇒ its left rows were
+            # null-extended; delete ⇒ key gone ⇒ they become so)
+            rt_name = left_join[1]
+            rjcols = set()
+            for p in jpairs:
+                if p["lt"] == rt_name:
+                    rjcols.add(p["l"].split("__", 1)[1].lower())
+                if p["rt"] == rt_name:
+                    rjcols.add(p["r"].split("__", 1)[1].lower())
+            pk = {c.lower() for c in src_ts[rt_name].info.hash_cols}
+            if not pk or rjcols != pk:
+                return None
         # the equi-join graph must CONNECT every table — a disconnected
         # component means a hidden cartesian product, which the
         # incremental join builder must never materialize
@@ -974,10 +1024,14 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         # min/max keep the value verbatim — any orderable type works
     base = {"groups": groups, "aggs": aggs, "where": where}
     if is_join:
-        return {**base, "join": True, "sources": src_names,
-                "source_paths": {n: src_ts[n].store.table_path
-                                 for n in src_names},
-                "join_pairs": jpairs}
+        out = {**base, "join": True, "sources": src_names,
+               "source_paths": {n: src_ts[n].store.table_path
+                                for n in src_names},
+               "join_pairs": jpairs}
+        if left_join is not None:
+            out.update(join_type="left", left=left_join[0],
+                       right=left_join[1])
+        return out
     return {**base, "source": src_name,
             "source_path": src_t.store.table_path}
 
@@ -1489,6 +1543,16 @@ def _join_frames(frames: dict, spec, start: str | None = None) -> DataFrame:
     associative and commutative, so the fold order is semantics-free —
     Catalyst/AQE re-plan the physical order."""
     srcs = spec["sources"]
+    if spec.get("join_type") == "left":
+        # single-join 2-table shape (spec-enforced); the left frame
+        # anchors — on refresh it IS the change frame (the dim-side
+        # window never routes here, see _left_dim_window_frame)
+        cond = None
+        for p in spec["join_pairs"]:
+            e = F.col(p["l"]) == F.col(p["r"])
+            cond = e if cond is None else cond & e
+        return frames[spec["left"]].join(frames[spec["right"]], cond,
+                                         "left")
     joined = frames[start or srcs[0]]
     have = {start or srcs[0]}
     pending = list(spec["join_pairs"])
@@ -1513,6 +1577,56 @@ def _join_frames(frames: dict, spec, start: str | None = None) -> DataFrame:
     for p in pending:  # cycle edges between already-joined tables
         joined = joined.filter(F.col(p["l"]) == F.col(p["r"]))
     return joined
+
+
+def _left_dim_window_frame(spark, spec, frames) -> DataFrame:
+    """Signed contribution frame for a RIGHT(dim)-side window of a
+    LEFT-join view — the null-extension flip algebra.
+
+    With the dim's join key = its hash PK, a coalesced change window's
+    types decide match flips exactly: ``insert`` ⇒ the key was absent
+    at the window start ⇒ its left rows were null-extended (retract
+    those, add the matched rows); ``delete`` ⇒ the key is gone ⇒ the
+    matched rows retract and the null-extensions come back; updates
+    swap matched pre- for postimages, null-extension untouched. Two
+    parts, both O(Δdim ⋈ touched left rows):
+
+    * matched: Δdim INNER JOIN left@pinned — signs ride the change
+      frame's ``_change_type`` through the join;
+    * flips: left rows whose key net-appeared get their null-extended
+      contribution retracted (emitted as ``delete``), net-vanished
+      keys re-add it (``insert``); every dim column NULL, exactly the
+      row the view's own left join would produce."""
+    A, B = spec["left"], spec["right"]
+    fa, fb = frames[A], frames[B]
+    cond = None
+    key_cols = []  # (left_flat, right_flat)
+    for p in spec["join_pairs"]:
+        e = F.col(p["l"]) == F.col(p["r"])
+        cond = e if cond is None else cond & e
+        key_cols.append((p["l"], p["r"]) if p["lt"] == A
+                        else (p["r"], p["l"]))
+    matched = fa.join(fb, cond, "inner")
+    flips = (fb.filter(F.col("_change_type").isin("insert", "delete"))
+             .select(*[F.col(b).alias(f"_fk_{i}")
+                       for i, (_a, b) in enumerate(key_cols)],
+                     F.when(F.col("_change_type") == "insert",
+                            F.lit("delete")).otherwise(F.lit("insert"))
+                     .alias("_flip_ct")))
+    fcond = None
+    for i, (a, _b) in enumerate(key_cols):
+        e = F.col(a) == F.col(f"_fk_{i}")
+        fcond = e if fcond is None else fcond & e
+    # every dim-side column of the change frame (data cols AND window
+    # metadata like _commit_version) nulls out — the union must align
+    # with the matched part column-for-column
+    nulls = (fa.join(flips, fcond, "inner")
+             .select(*[F.col(c) for c in fa.columns],
+                     *[F.lit(None).cast(f.dataType).alias(f.name)
+                       for f in fb.schema.fields
+                       if f.name != "_change_type"],
+                     F.col("_flip_ct").alias("_change_type")))
+    return matched.unionByName(nulls.select(*matched.columns))
 
 
 def _join_prune_predicates(ch, spec, cname) -> dict:
@@ -1659,8 +1773,12 @@ def _incremental_refresh_join(session, ent, t: StarTable,
                 StarTable.for_path(spark, spec["source_paths"][other])
                 .to_df(version=pinned[other], where=prune.get(other)),
                 other)
+        if spec.get("join_type") == "left" and cname == spec["right"]:
+            signed = _left_dim_window_frame(spark, spec, frames)
+        else:
+            signed = _join_frames(frames, spec, start=cname)
         jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
-        _join_frames(frames, spec, start=cname).createOrReplaceTempView(jv)
+        signed.createOrReplaceTempView(jv)
         try:
             delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
                 eager=True)

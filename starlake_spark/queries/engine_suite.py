@@ -2410,6 +2410,109 @@ ENGINE_QUERIES["star_mv_minmax_mutable"] = (
     star_mv_minmax_mutable, MV_MINMAX_MUTABLE_ORACLE)
 
 
+def star_mv_leftjoin_incremental(spark, sf_dir):
+    """Round-10: incremental maintenance of a fact LEFT JOIN dim view
+    (plans/mv.py _left_dim_window_frame; beyond the reference, whose
+    MV maintenance is a full re-run and rounds ≤9 here kept outer
+    joins full-refresh). The dim's join key is its hash PK, so a
+    coalesced window's change types drive the null-extension flips
+    exactly. Storm: fact upsert + delete, dim segment migration, dim
+    inserts that flip null-extended fact rows to matched, dim deletes
+    that flip matched rows back. ONE refresh consumes both sources
+    through sequential one-sided windows; both steps are asserted
+    incremental via their per-source txn stamps. The NULL group (fact
+    rows with no dim match) is part of the answer."""
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_lj_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    fact0 = o.select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("ck"),
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("price"))
+    dim0 = (c.filter(F.col("c_custkey") % 3 != 0)
+            .select(F.col("c_custkey").alias("ck2"),
+                    F.col("c_mktsegment").alias("seg")))
+    fact = create_table(spark, fact0, _scratch(sf_dir, "mv_lj_fact"),
+                        short_name="mv_lj_fact", warehouse=wh,
+                        hash_partitions=["k"], hash_bucket_num=4)
+    dim = create_table(spark, dim0, _scratch(sf_dir, "mv_lj_dim"),
+                       short_name="mv_lj_dim", warehouse=wh,
+                       hash_partitions=["ck2"], hash_bucket_num=4)
+    sess.register("mv_lj_fact", fact)
+    sess.register("mv_lj_dim", dim)
+    mv.create_material_view(
+        sess, "mv_lj", _scratch(sf_dir, "mv_lj"),
+        "SELECT seg, sum(price) AS total, count(*) AS n, "
+        "count(seg) AS nm FROM mv_lj_fact LEFT JOIN mv_lj_dim "
+        "ON mv_lj_fact.ck = mv_lj_dim.ck2 GROUP BY seg")
+    assert mv._load_registry(wh)["mv_lj"]["incremental"] is True
+
+    # fact storm
+    fact.upsert(fact0.filter(F.col("k") % 5 == 0)
+                .withColumn("price",
+                            (F.col("price") * 2).cast("decimal(18,2)")))
+    fact.delete("k % 7 = 3")
+    # dim storm — order matters and the oracle mirrors it: (1) migrate
+    # existing %13 keys to MOVED, (2) insert the %3-dropped keys with
+    # %4=1 as NEWSEG (flip null→matched), (3) delete %11 keys (flip
+    # matched→null, including freshly inserted ones)
+    dim.upsert(dim.to_df().filter("ck2 % 13 = 1")
+               .withColumn("seg", F.lit("MOVED")))
+    dim.upsert(c.filter((F.col("c_custkey") % 3 == 0)
+                        & (F.col("c_custkey") % 4 == 1))
+               .select(F.col("c_custkey").alias("ck2"),
+                       F.lit("NEWSEG").alias("seg")))
+    dim.delete("ck2 % 11 = 2")
+
+    assert mv.update_material_view(sess, "mv_lj") is True
+    t = sess.table("mv_lj")
+    snap = t.store.snapshot()
+    for src_name in ("mv_lj_fact", "mv_lj_dim"):
+        assert snap.streaming.get(
+            f"txn:mv_refresh:{t.info.table_id}:{src_name}", -1) >= 0, \
+            f"{src_name} window was not incremental"
+    out = mv._strip_mv_hidden(t.to_df())
+    return (out.select(F.coalesce(F.col("seg"), F.lit("~null~"))
+                       .alias("seg"),
+                       F.round(F.col("total").cast("double"), 2)
+                       .alias("total"), "n", "nm")
+            .orderBy("seg"))
+
+
+MV_LEFTJOIN_ORACLE = """
+WITH fact AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(CASE WHEN o_orderkey % 5 = 0
+              THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+              AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 7 <> 3
+),
+dim AS (
+  SELECT ck2, seg FROM (
+    SELECT c_custkey AS ck2,
+           CASE WHEN c_custkey % 3 = 0 THEN 'NEWSEG'
+                WHEN c_custkey % 13 = 1 THEN 'MOVED'
+                ELSE c_mktsegment END AS seg
+    FROM customer
+    WHERE c_custkey % 3 <> 0 OR c_custkey % 4 = 1
+  ) WHERE ck2 % 11 <> 2
+)
+SELECT COALESCE(seg, '~null~') AS seg,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total,
+       COUNT(*) AS n, COUNT(seg) AS nm
+FROM fact LEFT JOIN dim ON fact.ck = dim.ck2
+GROUP BY COALESCE(seg, '~null~') ORDER BY seg
+"""
+
+ENGINE_QUERIES["star_mv_leftjoin_incremental"] = (
+    star_mv_leftjoin_incremental, MV_LEFTJOIN_ORACLE)
+
+
 def star_setop_pk(spark, sf_dir):
     """PK set-op rewrite (reference StarLakePostHocAnalysis.scala:29-96):
     INTERSECT/EXCEPT over the hash columns of two same-bucketed tables
