@@ -959,13 +959,22 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
             t = tree
             if _cls(t) == "Alias":
                 t = t["_children"][0]
-            if _cls(t) != "AggregateExpression" or t.get("isDistinct"):
+            if _cls(t) != "AggregateExpression":
                 return None
             fn = t["_children"][0]
             kind = {"Sum": "sum", "Count": "count", "Average": "avg",
                     "Min": "min", "Max": "max"}.get(_cls(fn))
             if kind is None or len(fn["_children"]) != 1:
                 return None
+            if t.get("isDistinct"):
+                # count(DISTINCT x): maintainable on SINGLE-TABLE views
+                # through a per-view auxiliary (group, value) → count
+                # table (_sync_distinct_aux) — the distinct cardinality
+                # of a touched group recounts from the aux slice, never
+                # the source. Joins keep the full re-run.
+                if kind != "count" or is_join:
+                    return None
+                kind = "count_distinct"
             # min/max fold monotonically under pure APPENDS; a
             # retraction (upsert/delete on a hash source) can remove
             # the stored extremum, which no fold can undo. Mutable
@@ -1006,7 +1015,7 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         spark.createDataFrame([], src_schema).createOrReplaceTempView(probe_v)
         try:
             sum_probe = ", ".join(
-                f"{'sum' if a['kind'] in ('sum', 'avg', 'count') else a['kind']}"
+                f"{'sum' if a['kind'] in ('sum', 'avg', 'count') else 'count' if a['kind'] == 'count_distinct' else a['kind']}"
                 f"({a['arg']}) AS _p{i}"
                 for i, a in enumerate(aggs))
             sum_dt = [f.dataType.simpleString() for f in
@@ -1022,6 +1031,9 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
                 st == "bigint" or st.startswith("decimal")):
             return None  # float accumulation: retraction is inexact
         # min/max keep the value verbatim — any orderable type works
+    if any(a["kind"] == "count_distinct" for a in aggs) and any(
+            g["out"] in ("_dx", "_dn") for g in groups):
+        return None  # aux-table column names are reserved
     base = {"groups": groups, "aggs": aggs, "where": where}
     if is_join:
         out = {**base, "join": True, "sources": src_names,
@@ -1041,6 +1053,8 @@ def _mv_hidden_cols(spec) -> list[tuple[str, str]]:
     'min'/'max' fold via least/greatest (append-only windows only)."""
     cols = []
     for a in spec["aggs"]:
+        if a["kind"] == "count_distinct":
+            continue  # no fold state: the aux table is the state
         if a["kind"] in ("sum", "avg"):
             cols.append((f"{_MVH}s_{a['out']}", "sum"))
         elif a["kind"] in ("min", "max"):
@@ -1055,6 +1069,8 @@ def _mv_partial_exprs(spec, sgn: str) -> list[str]:
     post = "(`_change_type` IN ('insert', 'update_postimage'))" \
         if sgn != "1" else "TRUE"
     for a in spec["aggs"]:
+        if a["kind"] == "count_distinct":
+            continue  # maintained through the aux table, not partials
         if a["kind"] in ("sum", "avg"):
             ex.append(f"CAST(sum(CAST(({a['arg']}) AS {a['sum_dt']}) "
                       f"* {sgn}) AS {a['sum_dt']}) AS `{_MVH}s_{a['out']}`")
@@ -1084,7 +1100,11 @@ def _mv_final_exprs(spec) -> list[tuple[str, str]]:
     ex = []
     for a in spec["aggs"]:
         s, c = f"`{_MVH}s_{a['out']}`", f"`{_MVH}c_{a['out']}`"
-        if a["kind"] == "count":
+        if a["kind"] == "count_distinct":
+            # placeholder — _apply_delta overwrites it with the
+            # authoritative recount from the aux table slice
+            ex.append((a["out"], f"CAST(NULL AS {a['out_dt']})"))
+        elif a["kind"] == "count":
             ex.append((a["out"], c))
         elif a["kind"] in ("min", "max"):
             ex.append((a["out"],
@@ -1313,6 +1333,139 @@ def _rescan_frame(spark, spec, pinned_src, tkeys, n_thr: int,
             pass
 
 
+def _distinct_aggs(spec) -> list:
+    return [a for a in spec["aggs"] if a["kind"] == "count_distinct"]
+
+
+def _aux_delta_sql(spec, a, change_view: str, signed: bool) -> str:
+    """Aux-table frame for one count(DISTINCT) agg: per
+    (group, value) pair, the (signed) row count. ``signed=False`` is
+    the init/rebuild form over a plain source view."""
+    sgn = ("(CASE WHEN `_change_type` IN ('insert', 'update_postimage') "
+           "THEN 1 WHEN `_change_type` IN ('delete', 'update_preimage') "
+           "THEN -1 ELSE 0 END)") if signed else "1"
+    gsel = [f"{g['sql']} AS `{g['out']}`" for g in spec["groups"]]
+    where = [f"({a['arg']}) IS NOT NULL"] + list(spec["where"])
+    gb = ", ".join([g["sql"] for g in spec["groups"]] + [f"({a['arg']})"])
+    return (f"SELECT {', '.join(gsel)}{', ' if gsel else ''}"
+            f"({a['arg']}) AS `_dx`, CAST(sum({sgn}) AS BIGINT) AS `_dn`"
+            f" FROM {change_view} WHERE {' AND '.join(where)}"
+            f" GROUP BY {gb}")
+
+
+def _merge_aux(spark, aux_t: StarTable, delta2: DataFrame, akeys,
+               txn_app: str, txn_version: int) -> None:
+    """Fold a signed (group, value) count delta into an aux table:
+    broadcast-semi-prune to touched pairs, sum-merge, tombstone dead
+    pairs, gated upsert — the same O(touched) shape as _apply_delta.
+    ``delta2`` must be materialized."""
+    from starlake_spark.operators import dml
+
+    old = aux_t.to_df()
+    dd = delta2
+    for c in delta2.columns:
+        dd = dd.withColumnRenamed(c, c + "__d")
+    cond = None
+    for k in akeys:
+        e = F.col(k).eqNullSafe(F.col(k + "__d"))
+        cond = e if cond is None else cond & e
+    dkeys = dd.select(*[F.col(k + "__d").alias(k) for k in akeys]) \
+        .distinct()
+    pruned = _prune_touched(old, dkeys, akeys, delta2.count())
+    j = pruned.join(dd, cond, "right")
+    merged = j.select(
+        *[F.coalesce(F.col(k), F.col(k + "__d")).alias(k) for k in akeys],
+        (F.coalesce(F.col("_dn"), F.lit(0))
+         + F.coalesce(F.col("_dn__d"), F.lit(0))).cast("bigint")
+        .alias("_dn")).localCheckpoint(eager=True)
+    dead = merged.filter(F.col("_dn") <= 0).select(*akeys)
+    if dead.limit(1).count():
+        dml.delete_keys(spark, aux_t.store, dead)
+    dml.upsert(spark, aux_t.store, merged.filter(F.col("_dn") > 0),
+               txn_app_id=txn_app, txn_version=txn_version)
+
+
+def _sync_distinct_aux(session, spec, src: ManifestStore, t: StarTable,
+                       last: int, cur: int, cv: str) -> bool:
+    """Advance every count(DISTINCT) aux table through the source
+    window, exactly-once per aux: each aux carries its OWN txn stamp
+    (a crash between the aux upsert and the main upsert leaves the aux
+    ahead of the main cursor — its next window starts at ITS stamp, so
+    the overlap is never re-folded). False → caller runs the full
+    path (which rebuilds the aux tables alongside the main overwrite).
+    """
+    spark = session.spark
+    keys = [g["out"] for g in spec["groups"]]
+    for a in _distinct_aggs(spec):
+        aux_t = StarTable.for_path(spark, spec["aux_paths"][a["out"]])
+        app = f"mv_refresh_aux:{t.info.table_id}:{a['out']}"
+        astamp = aux_t.store.snapshot().streaming.get(f"txn:{app}", -1)
+        astart = max(last, astamp)
+        if astart >= cur:
+            continue  # already applied (crash replay)
+        drop_v = None
+        try:
+            if astart == last:
+                ch_v = cv
+            else:
+                ch2 = _change_window(spark, src, astart, cur)
+                if ch2 is None:
+                    return False
+                if isinstance(ch2, str):  # noop tail
+                    continue
+                drop_v = f"_mv_aux_{uuid.uuid4().hex[:10]}"
+                ch2.createOrReplaceTempView(drop_v)
+                ch_v = drop_v
+            delta2 = spark.sql(
+                _aux_delta_sql(spec, a, ch_v, signed=True)) \
+                .localCheckpoint(eager=True)
+            _merge_aux(spark, aux_t, delta2, keys + ["_dx"], app, cur)
+        finally:
+            if drop_v:
+                try:
+                    spark.catalog.dropTempView(drop_v)
+                except Exception:
+                    pass
+    return True
+
+
+def _apply_recounts(spark, spec, full: DataFrame, keys,
+                    old_dt) -> DataFrame:
+    """Overwrite each count(DISTINCT) placeholder column of the folded
+    frame with the authoritative recount from its aux table, semi-
+    pruned to the frame's (touched) groups — O(aux pairs of touched
+    groups), and replay-safe because the aux state is already at the
+    window end when this runs."""
+    n_t = None
+    for a in _distinct_aggs(spec):
+        aux_t = StarTable.for_path(spark, spec["aux_paths"][a["out"]])
+        adf = aux_t.to_df()
+        out = a["out"]
+        if not keys:
+            rec = adf.agg(F.count("_dx").alias(out + "__r"))
+            full = full.drop(out).crossJoin(rec).withColumn(
+                out, F.coalesce(F.col(out + "__r"), F.lit(0))
+                .cast(old_dt[out])).drop(out + "__r")
+            continue
+        if n_t is None:
+            tk = full.select(*keys).localCheckpoint(eager=True)
+            n_t = tk.count()
+        pruned = _prune_touched(adf, tk, keys, n_t)
+        rec = pruned.groupBy(*[F.col(k) for k in keys]) \
+            .agg(F.count("_dx").alias(out + "__r"))
+        for k in keys:
+            rec = rec.withColumnRenamed(k, k + "__r")
+        cond = None
+        for k in keys:
+            e = F.col(k).eqNullSafe(F.col(k + "__r"))
+            cond = e if cond is None else cond & e
+        full = (full.drop(out).join(rec, cond, "left")
+                .withColumn(out, F.coalesce(F.col(out + "__r"), F.lit(0))
+                            .cast(old_dt[out]))
+                .drop(out + "__r", *[k + "__r" for k in keys]))
+    return full
+
+
 def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
                  n_touched: int, txn_app: str, txn_version: int,
                  pinned_src=None) -> None:
@@ -1399,12 +1552,18 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
         frame = full_all.drop("_mv_rescan_")
         if rescan_aggs and full_all.filter("_mv_rescan_").limit(1).count():
             frame = _rescan_frame(spark, spec, pinned_src, None, 0,
-                                  old_dt)
+                                  old_dt)  # recomputes DISTINCT too
+        elif _distinct_aggs(spec):
+            frame = _apply_recounts(spark, spec, frame, [], old_dt)
         dml.write_into(spark, t.store, frame.select(*out_cols),
                        mode="overwrite",
                        txn_app_id=txn_app, txn_version=txn_version)
         return
     full = full_all.filter(~F.col("_mv_rescan_"))
+    if _distinct_aggs(spec):
+        # the rescan slice (if any) recomputes its DISTINCT columns in
+        # _rescan_frame's init SQL — only the folded slice recounts
+        full = _apply_recounts(spark, spec, full, keys, old_dt)
     live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
     dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
     if rescan_aggs:
@@ -1496,6 +1655,19 @@ def _incremental_refresh(session, ent,
     cv = f"_mv_ch_{uuid.uuid4().hex[:10]}"
     ch.createOrReplaceTempView(cv)
     try:
+        if _distinct_aggs(spec):
+            aux_paths = ent.get("aux_paths") or {}
+            if set(aux_paths) != {a["out"]
+                                  for a in _distinct_aggs(spec)}:
+                return None  # view predates its aux tables → full
+            spec["aux_paths"] = aux_paths
+            # aux tables advance FIRST (their own stamps make this
+            # exactly-once); the recount inside _apply_delta then reads
+            # window-end aux state, so a crash anywhere in between
+            # replays to the identical answer
+            if not _sync_distinct_aux(session, spec, src, t, last, cur,
+                                      cv):
+                return None
         # materialize the aggregated window ONCE (O(touched groups)
         # small): the distinct-key prune, the merge join, and the
         # broadcast-budget count below would otherwise each re-run the
@@ -1834,6 +2006,7 @@ def create_material_view(session, name: str, path: str, sql_text: str,
         # otherwise be both contained in the backing data AND replayed
         # by the first refresh — double-counted).
         df, fps, drop = _mv_init_frame(session, spec)
+        aux_paths = {}
         try:
             keys = [g["out"] for g in spec["groups"]]
             t = create_table(
@@ -1850,6 +2023,25 @@ def create_material_view(session, name: str, path: str, sql_text: str,
                 # both write into this table)
                 configuration={"is_material_view": "true",
                                "invariants.allowNullHashKeys": "true"})
+            # count(DISTINCT) state: one (group, value) → count aux
+            # table per distinct agg, built from the SAME pinned view
+            # (still registered until the finally below) so aux and
+            # backing data describe one source version
+            for i, a in enumerate(_distinct_aggs(spec)):
+                apath = os.path.abspath(f"{path}_aux{i}")
+                adf = session.spark.sql(
+                    _aux_delta_sql(spec, a, spec["source"],
+                                   signed=False))
+                create_table(
+                    session.spark, adf, apath,
+                    short_name=f"{name}_aux{i}",
+                    warehouse=session.warehouse,
+                    hash_partitions=keys + ["_dx"],
+                    hash_bucket_num=16,
+                    configuration={"is_material_view": "true",
+                                   "invariants.allowNullHashKeys":
+                                   "true"})
+                aux_paths[a["out"]] = apath
         finally:
             for v in drop:
                 try:
@@ -1874,6 +2066,8 @@ def create_material_view(session, name: str, path: str, sql_text: str,
         "source_ids": _source_ids(session, set(fps)),
         "created_at": time.time(),
     }
+    if spec is not None and _distinct_aggs(spec):
+        reg[name]["aux_paths"] = aux_paths
     _save_registry(reg, session.warehouse)
     session._tables[name] = t
     return t
@@ -1889,6 +2083,11 @@ def drop_material_view(session, name: str) -> None:
             StarTable.for_path(session.spark, ent["path"]).drop_table()
         except Exception:
             pass
+        for apath in (ent.get("aux_paths") or {}).values():
+            try:
+                StarTable.for_path(session.spark, apath).drop_table()
+            except Exception:
+                pass
 
 
 def drop_views_on(session, table_name: str) -> list[str]:
@@ -1975,6 +2174,43 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
             try:
                 dml.write_into(session.spark, t.store, df,
                                mode="overwrite", txn_stamp_resets=stamps)
+                # count(DISTINCT) aux tables rebuild from the SAME
+                # pinned view, cursor reset in-commit (mirror of the
+                # main overwrite's reset: a rollback-then-full must not
+                # leave an aux stamp above the new cursor). Missing aux
+                # tables (legacy views, lost dirs) are created fresh —
+                # their absent stamp already reads as "at the cursor".
+                keys = [g["out"] for g in spec["groups"]]
+                for i, a in enumerate(_distinct_aggs(spec)):
+                    apath = (ent.get("aux_paths") or {}).get(
+                        a["out"]) or os.path.abspath(
+                            f"{ent['path']}_aux{i}")
+                    adf = session.spark.sql(
+                        _aux_delta_sql(spec, a, spec["source"],
+                                       signed=False))
+                    try:
+                        aux_t = StarTable.for_path(session.spark, apath)
+                    except Exception:
+                        aux_t = None
+                    if aux_t is not None:
+                        dml.write_into(
+                            session.spark, aux_t.store, adf,
+                            mode="overwrite",
+                            txn_stamp_resets={
+                                f"txn:mv_refresh_aux:"
+                                f"{t.info.table_id}:{a['out']}":
+                                fps[spec["source"]]})
+                    else:
+                        create_table(
+                            session.spark, adf, apath,
+                            short_name=f"{name}_aux{i}",
+                            warehouse=session.warehouse,
+                            hash_partitions=keys + ["_dx"],
+                            hash_bucket_num=16,
+                            configuration={
+                                "is_material_view": "true",
+                                "invariants.allowNullHashKeys": "true"})
+                    ent.setdefault("aux_paths", {})[a["out"]] = apath
             finally:
                 # guarded per-view (same as create_material_view): one
                 # failing drop must not skip the remaining drops or

@@ -2513,6 +2513,80 @@ ENGINE_QUERIES["star_mv_leftjoin_incremental"] = (
     star_mv_leftjoin_incremental, MV_LEFTJOIN_ORACLE)
 
 
+def star_mv_distinct_incremental(spark, sf_dir):
+    """Round-10: incremental count(DISTINCT) materialized views
+    (plans/mv.py _sync_distinct_aux — beyond the reference, whose MV
+    maintenance always full-re-runs, and beyond rounds ≤9 here, which
+    refused DISTINCT aggregates). Per-(group, value) multiplicities
+    live in an auxiliary star table advanced through the same signed
+    change windows under its own exactly-once stamp; the distinct
+    column recounts the touched groups' aux slices. Storm: a value
+    migration (clerk-bucket rewrite on k%3 rows), a pair-killing
+    delete, and new keys — one refresh, asserted incremental; the
+    mixed sum/count columns fold as usual. DuckDB replays the storm."""
+    from starlake_spark.plans import mv
+    from starlake_spark.sql import StarSession
+
+    wh = _scratch(sf_dir, "mv_cd_wh")
+    sess = StarSession(spark, warehouse=wh)
+    o = ld(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("st"),
+                 (F.col("o_custkey") % 100).cast("int").alias("prio"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    src = create_table(spark, d.filter(F.col("k") % 2 == 0),
+                       _scratch(sf_dir, "mv_cd_src"),
+                       short_name="mv_cd_src", warehouse=wh,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("mv_cd_src", src)
+    mv.create_material_view(
+        sess, "mv_cd", _scratch(sf_dir, "mv_cd"),
+        "SELECT st, count(DISTINCT prio) AS np, sum(price) AS total, "
+        "count(*) AS n FROM mv_cd_src GROUP BY st")
+    assert mv._load_registry(wh)["mv_cd"]["incremental"] is True
+
+    # storm: migrate k%3 rows' prio into a disjoint bucket range,
+    # delete the high-prio tail, add the odd keys
+    src.upsert(src.to_df().filter("k % 3 = 0")
+               .withColumn("prio", (F.col("prio") + 100).cast("int")))
+    src.delete("prio >= 180")
+    src.upsert(d.filter(F.col("k") % 2 == 1))
+    assert mv.update_material_view(sess, "mv_cd") is True
+    t = sess.table("mv_cd")
+    assert t.store.snapshot().streaming.get(
+        f"txn:mv_refresh:{t.info.table_id}", -1) >= 0, \
+        "refresh was not incremental"
+    out = mv._strip_mv_hidden(t.to_df())
+    return (out.select("st", "np",
+                       F.round(F.col("total").cast("double"), 2)
+                       .alias("total"), "n")
+            .orderBy("st"))
+
+
+MV_DISTINCT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_custkey % 100 AS INT) AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+post AS (
+  SELECT k, st,
+         CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN prio + 100
+              ELSE prio END AS prio,
+         price
+  FROM base
+)
+SELECT st, COUNT(DISTINCT prio) AS np,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total, COUNT(*) AS n
+FROM post WHERE prio < 180
+GROUP BY st ORDER BY st
+"""
+
+ENGINE_QUERIES["star_mv_distinct_incremental"] = (
+    star_mv_distinct_incremental, MV_DISTINCT_ORACLE)
+
+
 def star_setop_pk(spark, sf_dir):
     """PK set-op rewrite (reference StarLakePostHocAnalysis.scala:29-96):
     INTERSECT/EXCEPT over the hash columns of two same-bucketed tables

@@ -449,10 +449,11 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
                        str(tmp_path / "src"), short_name="src",
                        warehouse=sess.warehouse)
     sess.register("src", src)
-    # DISTINCT aggregates are not retractable from partials → full
+    # sum(DISTINCT) is not retractable from partials (round 10 made
+    # count(DISTINCT) incremental via its aux table — sum stays full)
     mv.create_material_view(
         sess, "mv_d", str(tmp_path / "mv_d"),
-        "SELECT st, count(DISTINCT prio) AS np FROM src GROUP BY st")
+        "SELECT st, sum(DISTINCT prio) AS sp FROM src GROUP BY st")
     assert mv._load_registry(sess.warehouse)["mv_d"]["incremental"] is False
     assert not any(c.startswith("_mv_")
                    for c in sess.table("mv_d").to_df().columns)
@@ -460,7 +461,7 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
     assert mv.update_material_view(sess, "mv_d") is True
     assert (_view_rows(sess, "mv_d")
             == {tuple(r) for r in spark.sql(
-                "SELECT st, count(DISTINCT prio) AS np FROM src "
+                "SELECT st, sum(DISTINCT prio) AS sp FROM src "
                 "GROUP BY st").collect()})
 
 
