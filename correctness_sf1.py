@@ -51,7 +51,7 @@ REPRESENTATIVES = [
     "star_rollup_rewrite",
     # round 10 late: mutable-source min/max rescan + left-join MVs
     "star_mv_minmax_mutable", "star_mv_leftjoin_incremental",
-    "star_mv_distinct_incremental",
+    "star_mv_distinct_incremental", "star_rollup_minmax",
 ]
 
 

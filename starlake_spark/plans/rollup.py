@@ -100,13 +100,12 @@ def create_rollup(
             raise ValueError(f"agg {op!r} for {c!r}: must be one of {_VALID_AGGS}")
     src = ManifestStore(source_path)
     src_info = src.table_info()
-    if src_info.hash_cols and not set(aggs.values()) <= {"sum", "count", "avg"}:
-        raise ValueError(
-            "rollups over a hash-partitioned (upsertable) source refresh "
-            "through the signed change feed, which can retract sum/count/"
-            "avg but not min/max (a deleted extremum is unrecoverable "
-            f"without a rescan) — got {sorted(set(aggs.values()))}. Use "
-            "an append-only source for min/max rollups")
+    # min/max over a hash (upsertable) source is allowed since round
+    # 10: refresh_rollup / read_rollup_realtime rescan exactly the
+    # cells whose retracted values threaten the stored extremum
+    # (_minmax_threatened + _rescan_cells) and fold everything else —
+    # only stream_rollup refuses the shape (its insert-only
+    # micro-batches cannot see retractions).
     cur = src.latest_version()
     partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                          time_col, bucket, group_cols, aggs)
@@ -166,6 +165,7 @@ def _signed_partials(ch: DataFrame, time_col: str, bucket: str,
              .when(F.col("_change_type").isin("delete", "update_preimage"),
                    F.lit(-1)))
     ch = ch.withColumn("_sign", sign).filter(F.col("_sign").isNotNull())
+    post = F.col("_sign") == 1
     exprs = []
     for c, op in aggs.items():
         if op in ("sum", "avg"):
@@ -174,10 +174,146 @@ def _signed_partials(ch: DataFrame, time_col: str, bucket: str,
         if op in ("avg", "count"):
             exprs.append(F.sum(F.when(F.col(c).isNotNull(), F.col("_sign"))
                                .otherwise(F.lit(0))).cast("long").alias(f"{c}_cnt"))
+        if op in ("min", "max"):
+            # postimage fold + the MOST THREATENING retracted value per
+            # cell (the `_rt_` probe — consumed by _minmax_threatened,
+            # never written to the rollup table)
+            f = F.min if op == "min" else F.max
+            exprs.append(f(F.when(post, F.col(c))).alias(f"{c}_{op}"))
+            exprs.append(f(F.when(~post, F.col(c)))
+                         .alias(f"_rt_{c}_{op}"))
     exprs.append(F.sum("_sign").cast("long").alias("n_rows"))
     return (ch.groupBy(F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
                        *group_cols)
               .agg(*exprs))
+
+
+def _minmax_threatened(spark, t: StarTable, partials: DataFrame,
+                       cfg: dict):
+    """Split a signed hash-window partial frame into (threatened_cells,
+    safe_partials) for min/max rollups. A cell is THREATENED when a
+    retracted value ties/beats its stored extremum — the fold can't
+    undo that — or when the cell has no stored row (in-window churn).
+    The stored state is the MoR-merged rollup pruned to candidate
+    cells (broadcast semi, O(cells with retractions)). ``partials``
+    must be materialized. Returns (None, safe) when nothing threatens;
+    the safe frame always has the `_rt_` probe columns dropped."""
+    mm = [(c, op) for c, op in cfg["aggs"].items()
+          if op in ("min", "max")]
+    keys = ["bucket_ts"] + cfg["group_cols"]
+    probes = [f"_rt_{c}_{op}" for c, op in mm]
+    if not mm:
+        return None, partials
+    clean = partials.drop(*probes)
+    pfilter = None
+    for p in probes:
+        e = F.col(p).isNotNull()
+        pfilter = e if pfilter is None else pfilter | e
+    cand = partials.filter(pfilter)
+    if not cand.limit(1).count():
+        return None, clean
+    # broadcast-semi-prune the stored rollup to the candidate cells
+    # FIRST (scan-filter — never an O(|rollup|) exchange), then join
+    # the O(candidates) slice; renamed frames avoid Spark's ambiguous
+    # dual-reference resolution
+    base = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
+    ckr = cand.select(*keys).distinct()
+    for k in keys:
+        ckr = ckr.withColumnRenamed(k, k + "__p")
+    pcond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(k + "__p"))
+        pcond = e if pcond is None else pcond & e
+    ss = base.join(F.broadcast(ckr), pcond, "left_semi")
+    for k in keys:
+        ss = ss.withColumnRenamed(k, k + "__s")
+    for c, op in mm:
+        ss = ss.withColumnRenamed(f"{c}_{op}", f"{c}_{op}__s")
+    ss = ss.withColumnRenamed("n_rows", "n_rows__s")
+    jcond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(k + "__s"))
+        jcond = e if jcond is None else jcond & e
+    j = cand.join(ss, jcond, "left")
+    threat = None
+    for c, op in mm:
+        s, r = F.col(f"{c}_{op}__s"), F.col(f"_rt_{c}_{op}")
+        exists = F.col("n_rows__s").isNotNull()
+        beats = s.isNotNull() & ((s < r) if op == "min" else (s > r))
+        ta = r.isNotNull() & ~(exists & beats)
+        threat = ta if threat is None else (threat | ta)
+    thr = (j.filter(threat).select(*keys).distinct()
+           .localCheckpoint(eager=True))
+    if not thr.count():
+        return None, clean
+    acond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(k + "__t"))
+        acond = e if acond is None else acond & e
+    tt = thr
+    for k in keys:
+        tt = tt.withColumnRenamed(k, k + "__t")
+    safe = clean.join(F.broadcast(tt), acond, "left_anti")
+    return thr, safe
+
+
+def _rescan_cells(spark, src: ManifestStore, cfg: dict, cur: int,
+                  cells: DataFrame) -> DataFrame:
+    """Authoritative full-cell partials for threatened cells, from the
+    source PINNED at the window end: a coarse time lower bound prunes
+    cold partitions, the broadcast cell semi-join bounds the
+    aggregation to exactly the threatened (bucket, group) cells.
+    Deterministic on crash replay (pinned version)."""
+    lo = cells.agg(F.min("bucket_ts")).first()[0]
+    rows = StarTable(spark, src).to_df(version=cur)
+    if lo is not None:
+        rows = rows.filter(
+            F.date_trunc(cfg["bucket"], F.col(cfg["time_col"]))
+            >= F.lit(lo))
+    keys = ["bucket_ts"] + cfg["group_cols"]
+    cc = cells
+    for k in keys:
+        cc = cc.withColumnRenamed(k, k + "__c")
+    cond = (F.date_trunc(cfg["bucket"], F.col(cfg["time_col"]))
+            .eqNullSafe(F.col("bucket_ts__c")))
+    for g in cfg["group_cols"]:
+        cond = cond & F.col(g).eqNullSafe(F.col(g + "__c"))
+    pruned = rows.join(F.broadcast(cc), cond, "left_semi")
+    return _partials(pruned, cfg["time_col"], cfg["bucket"],
+                     cfg["group_cols"], cfg["aggs"]) \
+        .localCheckpoint(eager=True)
+
+
+def _cell_condition(keys: list[str], rows) -> "str | None":
+    """SQL predicate matching exactly the given (bucket_ts, group)
+    cells — the CoW delete that replaces threatened min/max cells
+    (merge-operator tables refuse tombstone deltas: a null-version
+    tombstone would itself be merged). None → a value type we can't
+    render as a literal (caller falls back to the full rebuild)."""
+    import datetime
+
+    conds = []
+    for r in rows:
+        parts = []
+        for k in keys:
+            v = r[k]
+            if v is None:
+                parts.append(f"`{k}` IS NULL")
+            elif isinstance(v, bool):
+                parts.append(f"`{k}` = {str(v).lower()}")
+            elif isinstance(v, int):
+                parts.append(f"`{k}` = {v}")
+            elif isinstance(v, str):
+                parts.append(f"`{k}` = '" + v.replace("'", "''") + "'")
+            elif isinstance(v, datetime.datetime):
+                parts.append(f"`{k}` = TIMESTAMP "
+                             f"'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+            elif isinstance(v, datetime.date):
+                parts.append(f"`{k}` = DATE '{v.isoformat()}'")
+            else:
+                return None
+        conds.append("(" + " AND ".join(parts) + ")")
+    return " OR ".join(conds)
 
 
 def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
@@ -274,16 +410,54 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
                                end_version=cur)
             partials = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
                                         cfg["group_cols"], cfg["aggs"])
-            # idempotent: a crash between this commit and the cursor
-            # save replays the window — the txn registry (keyed by the
-            # rollup table id, versioned by the consumed SOURCE
-            # version) makes the replayed upsert a no-op instead of a
-            # double-count
-            dml.upsert(spark, t.store, partials,
-                       txn_app_id=f"rollup_refresh:{t.info.table_id}",
-                       txn_version=cur)
-            mode = "incremental"
-        else:
+            has_mm = any(op in ("min", "max")
+                         for op in cfg["aggs"].values())
+            thr = None
+            cond = None
+            if has_mm:
+                partials = partials.localCheckpoint(eager=True)
+                thr, partials = _minmax_threatened(spark, t, partials,
+                                                   cfg)
+            keys = ["bucket_ts"] + cfg["group_cols"]
+            if thr is not None:
+                cap = int(_os.environ.get(
+                    "STARLAKE_ROLLUP_RESCAN_CELL_LIMIT", "512"))
+                rows = thr.limit(cap + 1).collect()
+                cond = (_cell_condition(keys, rows)
+                        if len(rows) <= cap else None)
+                if cond is None:
+                    window_ok = False  # storm-sized threat set or
+                    # unrenderable key type → full rebuild below
+            if window_ok and thr is not None:
+                # threatened cells: replace wholesale with pinned
+                # full-cell recomputes — a CoW predicate delete (the
+                # rollup's hash layout prunes it to the cells' files)
+                # then absolute rows inside the gated upsert. Crash
+                # replay: a deleted cell reads as absent stored state
+                # → threatened again → identical recompute; the safe
+                # fold is gated.
+                rs = _rescan_cells(spark, src, cfg, cur, thr)
+                dml.delete(spark, t.store, condition=cond,
+                           use_delta=False)
+                up = partials.unionByName(rs) \
+                    .localCheckpoint(eager=True)
+                dml.upsert(spark, t.store, up,
+                           txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                           txn_version=cur)
+                mode = "incremental"
+            elif window_ok:
+                # idempotent: a crash between this commit and the
+                # cursor save replays the window — the txn registry
+                # (keyed by the rollup table id, versioned by the
+                # consumed SOURCE version) makes the replayed upsert a
+                # no-op instead of a double-count
+                dml.upsert(spark, t.store, partials,
+                           txn_app_id=f"rollup_refresh:{t.info.table_id}",
+                           txn_version=cur)
+                mode = "incremental"
+        if not window_ok:
+            # vacuumed window, rollback, or a threatened-cell set too
+            # large/unrenderable for the predicate delete
             partials = _partials(reader.scan(spark, src, version=cur, schema_as_of=False),
                                  cfg["time_col"], cfg["bucket"],
                                  cfg["group_cols"], cfg["aggs"])
@@ -358,6 +532,13 @@ def stream_rollup(
     from starlake_spark.streaming.sink import StarStreamSink
 
     cfg = _cfg(t)
+    if ManifestStore(cfg["source"]).table_info().hash_cols and any(
+            op in ("min", "max") for op in cfg["aggs"].values()):
+        raise ValueError(
+            "stream_rollup consumes insert-only micro-batches and "
+            "cannot see retractions — a min/max rollup over an "
+            "upsertable source must refresh through refresh_rollup "
+            "(threatened-cell rescan) instead")
     sources.register(spark)
     t.set_properties({_CFG + "streaming": "true"})
     sink = StarStreamSink(t.store, query_id, "update")
@@ -445,6 +626,7 @@ def _realtime_frame(spark: SparkSession, t: StarTable,
         return t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
 
     tail = None  # partial frame of the un-refreshed window, or None
+    replace_thr = None  # min/max cells the tail's retractions threaten
     full = cur < last or recreated
     if not full and src_info.hash_cols:
         # same bounded probe as refresh_rollup: only files vacuum could
@@ -463,6 +645,13 @@ def _realtime_frame(spark: SparkSession, t: StarTable,
                                end_version=cur)
             tail = _signed_partials(ch, cfg["time_col"], cfg["bucket"],
                                     cfg["group_cols"], cfg["aggs"])
+            if any(op in ("min", "max") for op in cfg["aggs"].values()):
+                # read-only analog of the refresh rescan: threatened
+                # cells are REPLACED by pinned full-cell recomputes in
+                # the merged view instead of folded
+                tail = tail.localCheckpoint(eager=True)
+                replace_thr, tail = _minmax_threatened(spark, t, tail,
+                                                       cfg)
         else:
             full = True
     elif not full:
@@ -491,14 +680,27 @@ def _realtime_frame(spark: SparkSession, t: StarTable,
                          cfg["time_col"], cfg["bucket"],
                          cfg["group_cols"], cfg["aggs"])
     base = t.to_df(merge_operators=_merge_ops_for(cfg["aggs"]))
-    if tail is None:  # window provably changed nothing
-        return base
+    if tail is None and replace_thr is None:
+        return base  # window provably changed nothing
     ops = _merge_ops_for(cfg["aggs"])
     keys = ["bucket_ts"] + cfg["group_cols"]
-    return (base.select(*keys, *ops)
-            .unionByName(tail.select(*keys, *ops))
-            .groupBy(*keys)
-            .agg(*[getattr(F, op)(c).alias(c) for c, op in ops.items()]))
+    merged = (base.select(*keys, *ops)
+              .unionByName(tail.select(*keys, *ops))
+              .groupBy(*keys)
+              .agg(*[getattr(F, op)(c).alias(c) for c, op in ops.items()])
+              ) if tail is not None else base.select(*keys, *ops)
+    if replace_thr is not None:
+        rs = _rescan_cells(spark, src, cfg, cur, replace_thr)
+        tt = replace_thr
+        for k in keys:
+            tt = tt.withColumnRenamed(k, k + "__t")
+        acond = None
+        for k in keys:
+            e = F.col(k).eqNullSafe(F.col(k + "__t"))
+            acond = e if acond is None else acond & e
+        merged = (merged.join(F.broadcast(tt), acond, "left_anti")
+                  .unionByName(rs.select(*keys, *ops)))
+    return merged
 
 
 def compact_rollup(spark: SparkSession, t: StarTable) -> None:

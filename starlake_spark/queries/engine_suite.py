@@ -253,6 +253,72 @@ FROM final GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def star_rollup_minmax(spark, sf_dir):
+    """Round-10: min/max rollups over a MUTABLE (hash) source — the
+    shape rounds ≤9 refused at create (a retracted extremum defeats
+    the min/max merge operators). The signed window now carries
+    per-cell retraction probes; cells whose stored extremum a
+    retraction ties/beats are REPLACED by full-cell recomputes pinned
+    at the window end (CoW predicate delete + absolute rows in the
+    gated upsert, plans/rollup.py _minmax_threatened/_rescan_cells),
+    everything else folds. Storm: an UPDATE wave that lifts every
+    (day, type) cell's maximum holder (retracting all maxima at once)
+    and a DELETE of the minimum tail; ONE incremental refresh."""
+    from starlake_spark.plans import rollup as R
+
+    e = ld(spark, sf_dir, "events")
+    src_path = _scratch(sf_dir, "mm_rollup_src")
+    src = create_table(spark, e, src_path,
+                       hash_partitions=["event_id"], hash_bucket_num=8)
+    t = R.create_rollup(spark, src_path, _scratch(sf_dir, "mm_rollup_agg"),
+                        time_col="ts", bucket="day",
+                        group_cols=["event_type"],
+                        aggs={"value": "min", "user_id": "max"},
+                        hash_bucket_num=8)
+    # retract every cell's max(user_id): lift the holders out of range
+    mx = (src.to_df()
+          .groupBy(F.date_trunc("day", "ts").alias("b"),
+                   F.col("event_type").alias("et"))
+          .agg(F.max("user_id").alias("mx")))
+    sd = src.to_df()
+    src.upsert(sd.join(mx, (F.date_trunc("day", sd["ts"]) == mx["b"])
+                       & (sd["event_type"] == mx["et"]))
+               .filter(F.col("user_id") == F.col("mx"))
+               .select("event_id", "ts",
+                       (F.col("user_id") + 1000000).alias("user_id"),
+                       "event_type", "value", "props"))
+    # and delete the low-value tail (threatens min(value) cells)
+    src.delete("value < 5", use_delta=True)
+    res = R.refresh_rollup(spark, t)
+    assert res["mode"] == "incremental", res
+    return (R.read_rollup(spark, t)
+            .filter(F.col("n_rows") > 0)
+            .select("bucket_ts", "event_type",
+                    F.round(F.col("value_min").cast("double"), 6)
+                    .alias("value_min"),
+                    F.col("user_id_max").cast("long").alias("uid_max"),
+                    F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("bucket_ts", "event_type"))
+
+
+ROLLUP_MINMAX_ORACLE = """
+WITH lifted AS (
+  SELECT event_id, ts, event_type, value,
+         CASE WHEN user_id = MAX(user_id) OVER
+                   (PARTITION BY date_trunc('day', ts), event_type)
+              THEN user_id + 1000000 ELSE user_id END AS user_id
+  FROM events
+),
+final AS (
+  SELECT * FROM lifted WHERE value >= 5
+)
+SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS value_min,
+       CAST(MAX(user_id) AS BIGINT) AS uid_max,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM final GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 def star_stream_rollup(spark, sf_dir):
     """Streaming rollup maintenance: change-stream source → per-batch
     partials → exactly-once sink (update mode). Two appends drained by
@@ -1740,6 +1806,7 @@ FROM all_rows GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 ENGINE_QUERIES = {
+    "star_rollup_minmax": (star_rollup_minmax, ROLLUP_MINMAX_ORACLE),
     "star_sql_path_ident": (star_sql_path_ident, SQL_PATH_IDENT_ORACLE),
     "star_sql_insert": (star_sql_insert, SQL_INSERT_ORACLE),
     "star_rename_column": (star_rename_column, RENAME_COLUMN_ORACLE),

@@ -197,6 +197,42 @@ def test_leftjoin_eligibility_boundary(sess, spark, sf_dir, tmp_path):
     assert spec["left"] == "fact" and spec["right"] == "dim2"
 
 
+def test_leftjoin_rewriter_serves_maintained_view(sess, spark, sf_dir,
+                                                  tmp_path):
+    """rewrite ∩ maintenance for the left-join shape: after storms on
+    both sides and an incremental refresh, a user query matching the
+    view's left join serves FROM THE BACKING TABLE through the SQL
+    entry point (no fact/dim scan in the plan), and a stale view must
+    not serve."""
+    fact, dim, fact0 = _build(sess, spark, sf_dir, tmp_path)
+    fact.delete("k % 7 = 3")
+    dim.delete("ck2 % 11 = 2")
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_lj") is True
+    df = mv.try_rewrite(
+        sess, "SELECT seg, sum(price) AS total FROM fact LEFT JOIN dim "
+              "ON fact.ck = dim.ck2 GROUP BY seg")
+    assert df is not None, "left-join query did not rewrite"
+    files = df.inputFiles()
+    assert files and all("mv_lj" in f for f in files), files
+    assert not any("/fact/" in f or "/dim/" in f for f in files)
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in spark.sql(
+        "SELECT seg, sum(price) AS total FROM fact LEFT JOIN dim "
+        "ON fact.ck = dim.ck2 GROUP BY seg").collect()}
+    assert got == want
+    # an INNER-join query must NOT hit the left-join view (sidedness
+    # is semantic), and a stale view must not serve
+    assert mv.try_rewrite(
+        sess, "SELECT seg, sum(price) AS total FROM fact JOIN dim "
+              "ON fact.ck = dim.ck2 GROUP BY seg") is None
+    fact.delete("k % 13 = 1")
+    sess._sync_views()
+    assert mv.try_rewrite(
+        sess, "SELECT seg, sum(price) AS total FROM fact LEFT JOIN dim "
+              "ON fact.ck = dim.ck2 GROUP BY seg") is None
+
+
 def test_leftjoin_fact_window_reads_o_changes(spark, sf_dir, tmp_path):
     """O(changes) on the fact side: with an APPEND-ONLY fact, a
     consumed fact file is physically hidden and the fact-side refresh

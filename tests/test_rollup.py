@@ -98,13 +98,24 @@ def test_compaction_invariance_and_guards(spark, events, tmp_path):
     R.compact_rollup(spark, t)
     assert _canon_sum(R.read_rollup(spark, t)) == before
 
-    # hash-partitioned source: sum/count/avg supported via the signed
-    # CDC refresh; min/max rejected (retraction can't recover extrema)
+    # hash-partitioned source: sum/count/avg via the signed CDC
+    # refresh; min/max allowed since round 10 (threatened-cell rescan)
     hsrc = create_table(spark, events, str(tmp_path / "hs"),
                         hash_partitions=["event_id"], hash_bucket_num=4)
-    with pytest.raises(ValueError, match="min/max"):
-        R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr_bad"),
-                        time_col="ts", aggs={"value": "min"})
+    hmin = R.create_rollup(spark, str(tmp_path / "hs"),
+                           str(tmp_path / "hr_min"),
+                           time_col="ts", aggs={"value": "min"})
+    # retract the global minimum: the refresh must rescan, not fold
+    vmin = hsrc.to_df().agg(F.min("value")).first()[0]
+    hsrc.upsert(hsrc.to_df().filter(F.col("value") == vmin)
+                .withColumn("value", F.col("value") + 10_000_000))
+    assert R.refresh_rollup(spark, hmin)["mode"] == "incremental"
+    got_min = {(r["bucket_ts"], r["value_min"]) for r in
+               R.read_rollup(spark, hmin).collect()}
+    want_min = {(r["b"], r["m"]) for r in
+                hsrc.to_df().groupBy(F.date_trunc("hour", "ts").alias("b"))
+                .agg(F.min("value").alias("m")).collect()}
+    assert got_min == want_min
     R.create_rollup(spark, str(tmp_path / "hs"), str(tmp_path / "hr"),
                     time_col="ts", aggs={"value": "sum"})
     # non-rollup table rejected by refresh
@@ -242,9 +253,21 @@ def test_dml_source_rollup_fallback_and_guards(spark, tmp_path):
     src = create_table(spark, df, src_path,
                        hash_partitions=["id"], hash_bucket_num=2)
 
-    with _pt.raises(ValueError, match="min/max"):
-        R.create_rollup(spark, src_path, str(tmp_path / "bad"),
-                        time_col="ts", group_cols=["g"], aggs={"x": "max"})
+    # min/max over a hash source creates fine since round 10 (the
+    # refresh rescans threatened cells); deletes that kill a cell's
+    # maximum must surface the runner-up exactly
+    tmax = R.create_rollup(spark, src_path, str(tmp_path / "mm"),
+                           time_col="ts", group_cols=["g"],
+                           aggs={"x": "max"})
+    src.delete("x >= 8")
+    assert R.refresh_rollup(spark, tmax)["mode"] == "incremental"
+    gotm = {(r["bucket_ts"], r["g"], r["x_max"]) for r in
+            R.read_rollup(spark, tmax).collect()}
+    wantm = {(r["b"], r["g"], r["m"]) for r in
+             src.to_df().groupBy(F.date_trunc("hour", "ts").alias("b"),
+                                 "g")
+             .agg(F.max("x").alias("m")).collect()}
+    assert gotm == wantm
 
     t = R.create_rollup(spark, src_path, str(tmp_path / "agg"),
                         time_col="ts", group_cols=["g"],
