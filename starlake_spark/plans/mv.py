@@ -967,14 +967,20 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
             if kind is None or len(fn["_children"]) != 1:
                 return None
             if t.get("isDistinct"):
-                # count(DISTINCT x): maintainable on SINGLE-TABLE views
-                # through a per-view auxiliary (group, value) → count
-                # table (_sync_distinct_aux) — the distinct cardinality
-                # of a touched group recounts from the aux slice, never
-                # the source. Joins keep the full re-run.
-                if kind != "count" or is_join:
+                # count/sum/avg(DISTINCT x): maintainable on
+                # SINGLE-TABLE views through a per-view auxiliary
+                # (group, value) → count table (_sync_distinct_aux) —
+                # a touched group's distinct aggregate recomputes from
+                # its aux slice, never the source. min/max(DISTINCT)
+                # ≡ plain min/max (duplicates can't move an extremum)
+                # so they keep the fold/rescan path; joins keep the
+                # full re-run; float sums stay out (order-dependent).
+                if kind not in ("count", "sum", "avg", "min", "max"):
                     return None
-                kind = "count_distinct"
+                if kind in ("count", "sum", "avg"):
+                    if is_join:
+                        return None
+                    kind = kind + "_distinct"
             # min/max fold monotonically under pure APPENDS; a
             # retraction (upsert/delete on a hash source) can remove
             # the stored extremum, which no fold can undo. Mutable
@@ -1015,7 +1021,7 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         spark.createDataFrame([], src_schema).createOrReplaceTempView(probe_v)
         try:
             sum_probe = ", ".join(
-                f"{'sum' if a['kind'] in ('sum', 'avg', 'count') else 'count' if a['kind'] == 'count_distinct' else a['kind']}"
+                f"{'count' if a['kind'] == 'count_distinct' else 'sum' if a['kind'].startswith(('sum', 'avg', 'count')) else a['kind']}"
                 f"({a['arg']}) AS _p{i}"
                 for i, a in enumerate(aggs))
             sum_dt = [f.dataType.simpleString() for f in
@@ -1027,9 +1033,10 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         return None
     for a, st in zip(aggs, sum_dt):
         a["sum_dt"], a["out_dt"] = st, out_dt[a["out"]]
-        if a["kind"] in ("sum", "avg") and not (
-                st == "bigint" or st.startswith("decimal")):
+        if a["kind"] in ("sum", "avg", "sum_distinct", "avg_distinct") \
+                and not (st == "bigint" or st.startswith("decimal")):
             return None  # float accumulation: retraction is inexact
+            # (and a float distinct re-sum is ordering-dependent)
         # min/max keep the value verbatim — any orderable type works
     if any(a["kind"] == "count_distinct" for a in aggs) and any(
             g["out"] in ("_dx", "_dn") for g in groups):
@@ -1053,7 +1060,7 @@ def _mv_hidden_cols(spec) -> list[tuple[str, str]]:
     'min'/'max' fold via least/greatest (append-only windows only)."""
     cols = []
     for a in spec["aggs"]:
-        if a["kind"] == "count_distinct":
+        if a["kind"].endswith("_distinct"):
             continue  # no fold state: the aux table is the state
         if a["kind"] in ("sum", "avg"):
             cols.append((f"{_MVH}s_{a['out']}", "sum"))
@@ -1069,7 +1076,7 @@ def _mv_partial_exprs(spec, sgn: str) -> list[str]:
     post = "(`_change_type` IN ('insert', 'update_postimage'))" \
         if sgn != "1" else "TRUE"
     for a in spec["aggs"]:
-        if a["kind"] == "count_distinct":
+        if a["kind"].endswith("_distinct"):
             continue  # maintained through the aux table, not partials
         if a["kind"] in ("sum", "avg"):
             ex.append(f"CAST(sum(CAST(({a['arg']}) AS {a['sum_dt']}) "
@@ -1100,7 +1107,7 @@ def _mv_final_exprs(spec) -> list[tuple[str, str]]:
     ex = []
     for a in spec["aggs"]:
         s, c = f"`{_MVH}s_{a['out']}`", f"`{_MVH}c_{a['out']}`"
-        if a["kind"] == "count_distinct":
+        if a["kind"].endswith("_distinct"):
             # placeholder — _apply_delta overwrites it with the
             # authoritative recount from the aux table slice
             ex.append((a["out"], f"CAST(NULL AS {a['out_dt']})"))
@@ -1334,7 +1341,7 @@ def _rescan_frame(spark, spec, pinned_src, tkeys, n_thr: int,
 
 
 def _distinct_aggs(spec) -> list:
-    return [a for a in spec["aggs"] if a["kind"] == "count_distinct"]
+    return [a for a in spec["aggs"] if a["kind"].endswith("_distinct")]
 
 
 def _aux_delta_sql(spec, a, change_view: str, signed: bool) -> str:
@@ -1436,23 +1443,34 @@ def _apply_recounts(spark, spec, full: DataFrame, keys,
     pruned to the frame's (touched) groups — O(aux pairs of touched
     groups), and replay-safe because the aux state is already at the
     window end when this runs."""
+    def _rec_expr(a):
+        fn = {"count_distinct": F.count, "sum_distinct": F.sum,
+              "avg_distinct": F.avg}[a["kind"]]
+        return fn("_dx").alias(a["out"] + "__r")
+
+    def _final(a):
+        # a touched group with no aux rows (all args NULL): COUNT is
+        # 0, SUM/AVG are NULL — SQL aggregate-over-empty semantics
+        c = F.col(a["out"] + "__r")
+        return (F.coalesce(c, F.lit(0)) if a["kind"] == "count_distinct"
+                else c)
+
     n_t = None
     for a in _distinct_aggs(spec):
         aux_t = StarTable.for_path(spark, spec["aux_paths"][a["out"]])
         adf = aux_t.to_df()
         out = a["out"]
         if not keys:
-            rec = adf.agg(F.count("_dx").alias(out + "__r"))
+            rec = adf.agg(_rec_expr(a))
             full = full.drop(out).crossJoin(rec).withColumn(
-                out, F.coalesce(F.col(out + "__r"), F.lit(0))
-                .cast(old_dt[out])).drop(out + "__r")
+                out, _final(a).cast(old_dt[out])).drop(out + "__r")
             continue
         if n_t is None:
             tk = full.select(*keys).localCheckpoint(eager=True)
             n_t = tk.count()
         pruned = _prune_touched(adf, tk, keys, n_t)
         rec = pruned.groupBy(*[F.col(k) for k in keys]) \
-            .agg(F.count("_dx").alias(out + "__r"))
+            .agg(_rec_expr(a))
         for k in keys:
             rec = rec.withColumnRenamed(k, k + "__r")
         cond = None
@@ -1460,8 +1478,7 @@ def _apply_recounts(spark, spec, full: DataFrame, keys,
             e = F.col(k).eqNullSafe(F.col(k + "__r"))
             cond = e if cond is None else cond & e
         full = (full.drop(out).join(rec, cond, "left")
-                .withColumn(out, F.coalesce(F.col(out + "__r"), F.lit(0))
-                            .cast(old_dt[out]))
+                .withColumn(out, _final(a).cast(old_dt[out]))
                 .drop(out + "__r", *[k + "__r" for k in keys]))
     return full
 
@@ -2029,6 +2046,12 @@ def create_material_view(session, name: str, path: str, sql_text: str,
             # backing data describe one source version
             for i, a in enumerate(_distinct_aggs(spec)):
                 apath = os.path.abspath(f"{path}_aux{i}")
+                # aux dirs are derived state owned by this view: a
+                # leftover from a crashed/hand-deleted predecessor
+                # would fail the create — clear it
+                import shutil as _shutil
+
+                _shutil.rmtree(apath, ignore_errors=True)
                 adf = session.spark.sql(
                     _aux_delta_sql(spec, a, spec["source"],
                                    signed=False))

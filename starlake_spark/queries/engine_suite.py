@@ -2608,7 +2608,8 @@ def star_mv_distinct_incremental(spark, sf_dir):
     sess.register("mv_cd_src", src)
     mv.create_material_view(
         sess, "mv_cd", _scratch(sf_dir, "mv_cd"),
-        "SELECT st, count(DISTINCT prio) AS np, sum(price) AS total, "
+        "SELECT st, count(DISTINCT prio) AS np, "
+        "sum(DISTINCT prio) AS sp, sum(price) AS total, "
         "count(*) AS n FROM mv_cd_src GROUP BY st")
     assert mv._load_registry(wh)["mv_cd"]["incremental"] is True
 
@@ -2624,7 +2625,7 @@ def star_mv_distinct_incremental(spark, sf_dir):
         f"txn:mv_refresh:{t.info.table_id}", -1) >= 0, \
         "refresh was not incremental"
     out = mv._strip_mv_hidden(t.to_df())
-    return (out.select("st", "np",
+    return (out.select("st", "np", "sp",
                        F.round(F.col("total").cast("double"), 2)
                        .alias("total"), "n")
             .orderBy("st"))
@@ -2645,6 +2646,7 @@ post AS (
   FROM base
 )
 SELECT st, COUNT(DISTINCT prio) AS np,
+       CAST(SUM(DISTINCT prio) AS BIGINT) AS sp,
        ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total, COUNT(*) AS n
 FROM post WHERE prio < 180
 GROUP BY st ORDER BY st

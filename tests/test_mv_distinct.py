@@ -16,8 +16,10 @@ aux slice of the touched groups. Claims:
 3. LIFECYCLE — the aux tables ride create/drop; a full fallback after
    source recreation rebuilds them and subsequent refreshes stay
    incremental and exact.
-4. ELIGIBILITY — sum(DISTINCT), joined count(DISTINCT), and reserved
-   column names stay full.
+4. ELIGIBILITY — float sum(DISTINCT), joined DISTINCT aggregates, and
+   reserved column names stay full; integer/decimal sum/avg(DISTINCT)
+   are incremental through the same aux machinery (the recount just
+   re-sums / re-averages the aux slice).
 """
 
 import pytest
@@ -173,6 +175,32 @@ def test_distinct_full_fallback_rebuilds_aux(sess, spark, sf_dir,
     _check(sess, spark)
 
 
+def test_sum_avg_distinct_incremental(sess, spark, sf_dir, tmp_path):
+    from starlake_spark import create_table
+
+    src = create_table(spark, _frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "srcs"), short_name="srcs",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("srcs", src)
+    q = ("SELECT st, sum(DISTINCT prio) AS sp, avg(DISTINCT prio) AS ap, "
+         "count(*) AS n FROM srcs GROUP BY st")
+    mv.create_material_view(sess, "mv_sd", str(tmp_path / "mv_sd"), q)
+    ent = mv._load_registry(sess.warehouse)["mv_sd"]
+    assert ent["incremental"] is True
+    assert set(ent["aux_paths"]) == {"sp", "ap"}
+    src.upsert(src.to_df().filter("k % 3 = 0")
+               .withColumn("prio", (F.col("prio") + 10).cast("int")))
+    src.delete("prio >= 15")
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_sd") is True
+    assert sess.table("mv_sd").store.snapshot().commit_type == "delta"
+    got = sorted(tuple(r) for r in
+                 sess.sql("SELECT * FROM mv_sd").collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want
+
+
 def test_distinct_global_aggregate(sess, spark, sf_dir, tmp_path):
     from starlake_spark import create_table
 
@@ -197,8 +225,13 @@ def test_distinct_eligibility_and_drop(sess, spark, sf_dir, tmp_path):
     def spec_of(sql):
         return mv._incremental_spec(sess, sql)
 
-    assert spec_of("SELECT st, sum(DISTINCT prio) AS sp FROM src "
-                   "GROUP BY st") is None
+    # integer sum(DISTINCT) is eligible (aux re-sum is exact)...
+    sd = spec_of("SELECT st, sum(DISTINCT prio) AS sp FROM src "
+                 "GROUP BY st")
+    assert sd is not None and sd["aggs"][0]["kind"] == "sum_distinct"
+    # ...float sum(DISTINCT) is not (order-dependent re-summation)
+    assert spec_of("SELECT st, sum(DISTINCT CAST(prio AS DOUBLE)) AS sp "
+                   "FROM src GROUP BY st") is None
     spec = spec_of(Q)
     assert spec is not None
     assert [a["kind"] for a in spec["aggs"]][0] == "count_distinct"

@@ -449,20 +449,19 @@ def test_ineligible_shapes_stay_full(sess, spark, sf_dir, tmp_path):
                        str(tmp_path / "src"), short_name="src",
                        warehouse=sess.warehouse)
     sess.register("src", src)
-    # sum(DISTINCT) is not retractable from partials (round 10 made
-    # count(DISTINCT) incremental via its aux table — sum stays full)
-    mv.create_material_view(
-        sess, "mv_d", str(tmp_path / "mv_d"),
-        "SELECT st, sum(DISTINCT prio) AS sp FROM src GROUP BY st")
+    # HAVING (a filter above the aggregate) has no partial algebra —
+    # stays full (DISTINCT aggregates went incremental in round 10,
+    # so they no longer serve as the ineligible example)
+    q_d = ("SELECT st, count(*) AS sp FROM src GROUP BY st "
+           "HAVING count(*) > 2")
+    mv.create_material_view(sess, "mv_d", str(tmp_path / "mv_d"), q_d)
     assert mv._load_registry(sess.warehouse)["mv_d"]["incremental"] is False
     assert not any(c.startswith("_mv_")
                    for c in sess.table("mv_d").to_df().columns)
     src.write(_orders_frame(spark, sf_dir, 600, 800), mode="append")
     assert mv.update_material_view(sess, "mv_d") is True
     assert (_view_rows(sess, "mv_d")
-            == {tuple(r) for r in spark.sql(
-                "SELECT st, sum(DISTINCT prio) AS sp FROM src "
-                "GROUP BY st").collect()})
+            == {tuple(r) for r in spark.sql(q_d).collect()})
 
 
 def test_refresh_replay_is_exactly_once(sess, spark, sf_dir, tmp_path):
