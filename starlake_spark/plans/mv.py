@@ -2132,11 +2132,14 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
     """Refresh iff source-table fingerprints changed
     (UpdateMaterialViewCommand.scala:46-67). Returns True if refreshed.
 
-    Incremental-maintainable views (single-table sum/count/avg GROUP
-    BY, see _incremental_spec) refresh through the signed-partial path
-    — O(changes) source reads, an upsert + tombstone delete on the
-    backing table — and fall back to the reference-parity full re-run
-    whenever the window is unreadable (vacuumed cursor files,
+    Incremental-maintainable views (see _incremental_spec: single-table
+    sum/count/avg/min/max and count/sum/avg(DISTINCT) GROUP BY, 2..6-way
+    inner joins, fact-LEFT-JOIN-dim) refresh through the signed-partial
+    path — O(changes) source reads, an upsert + tombstone delete on the
+    backing table, with threatened min/max groups rescanned from a
+    version-pinned source read and DISTINCT aggregates recounted from
+    their aux pair tables — and fall back to the reference-parity full
+    re-run whenever the window is unreadable (vacuumed cursor files,
     compaction rewrote history, schema drift made the spec
     ineligible)."""
     reg = _load_registry(session.warehouse)
