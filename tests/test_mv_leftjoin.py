@@ -197,6 +197,53 @@ def test_leftjoin_eligibility_boundary(sess, spark, sf_dir, tmp_path):
     assert spec["left"] == "fact" and spec["right"] == "dim2"
 
 
+def test_leftjoin_where_on_dim_column(sess, spark, sf_dir, tmp_path):
+    """WHERE over a DIM column after the left join (which kills
+    null-extended rows) is sound under the flip algebra because the
+    same predicate applies to every contribution frame — matched rows
+    filter on their dim values, null-flip rows have dim cols NULL and
+    are killed symmetrically on both the retract and re-add side."""
+    from starlake_spark import create_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fact0 = (o.filter(F.col("o_orderkey") < 3000)
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("ck"),
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("price")))
+    dim0 = (c.filter(F.col("c_custkey") % 3 != 0)
+            .select(F.col("c_custkey").alias("ck2"),
+                    F.col("c_mktsegment").alias("seg"),
+                    (F.col("c_custkey") % 7).cast("int").alias("tier")))
+    fact = create_table(spark, fact0, str(tmp_path / "fact"),
+                        short_name="fact", warehouse=sess.warehouse,
+                        hash_partitions=["k"], hash_bucket_num=4)
+    dim = create_table(spark, dim0, str(tmp_path / "dim"),
+                       short_name="dim", warehouse=sess.warehouse,
+                       hash_partitions=["ck2"], hash_bucket_num=4)
+    sess.register("fact", fact)
+    sess.register("dim", dim)
+    q = ("SELECT seg, sum(price) AS total, count(*) AS n FROM fact "
+         "LEFT JOIN dim ON fact.ck = dim.ck2 WHERE tier >= 2 "
+         "GROUP BY seg")
+    mv.create_material_view(sess, "mv_w", str(tmp_path / "mv_w"), q)
+    assert mv._load_registry(sess.warehouse)["mv_w"]["incremental"] is True
+    fact.upsert(fact0.filter("k % 5 = 0")
+                .withColumn("price",
+                            (F.col("price") * 2).cast("decimal(18,2)")))
+    dim.delete("ck2 % 11 = 2")  # matched→null flips under the filter
+    dim.upsert(dim.to_df().filter("ck2 % 13 = 1")
+               .withColumn("tier", F.lit(1).cast("int")))  # filtered out
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_w") is True
+    assert sess.table("mv_w").store.snapshot().commit_type == "delta"
+    got = sorted((tuple(r) for r in
+                  sess.sql("SELECT * FROM mv_w").collect()), key=str)
+    want = sorted((tuple(r) for r in spark.sql(q).collect()), key=str)
+    assert got == want
+
+
 def test_leftjoin_rewriter_serves_maintained_view(sess, spark, sf_dir,
                                                   tmp_path):
     """rewrite ∩ maintenance for the left-join shape: after storms on
