@@ -197,6 +197,37 @@ def test_leftjoin_eligibility_boundary(sess, spark, sf_dir, tmp_path):
     assert spec["left"] == "fact" and spec["right"] == "dim2"
 
 
+def test_leftjoin_cold_session_incremental(spark, sf_dir, tmp_path):
+    """Cron-style refresh: a FRESH session (no registered temp views)
+    must still refresh a left-join view incrementally — the empty
+    probe-view registration covers the left-join analysis too, and
+    BOTH window kinds (dim flips + fact delta) stay on the delta path.
+    """
+    from starlake_spark.sql import StarSession
+
+    wh = str(tmp_path / "wh")
+    sess = StarSession(spark, warehouse=wh)
+    fact, dim, fact0 = _build(sess, spark, sf_dir, tmp_path)
+    fact.upsert(fact0.filter(F.col("k") % 3 == 0)
+                .withColumn("price",
+                            (F.col("price") * 2).cast("decimal(18,2)")))
+    dim.delete("ck2 % 11 = 2")
+    for v in list(spark.catalog.listTables()):
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    cold = StarSession(spark, warehouse=wh)
+    assert mv.update_material_view(cold, "mv_lj") is True
+    t = cold.table("mv_lj")
+    assert t.store.snapshot().commit_type == "delta"  # incremental
+    sess2 = StarSession(spark, warehouse=wh)
+    sess2.table("fact"), sess2.table("dim")
+    got = sorted((tuple(r) for r in
+                  sess2.sql("SELECT * FROM mv_lj").collect()), key=str)
+    want = sorted((tuple(r) for r in
+                   sess2.spark.sql(VIEW_SQL).collect()), key=str)
+    assert got == want
+
+
 def test_leftjoin_where_on_dim_column(sess, spark, sf_dir, tmp_path):
     """WHERE over a DIM column after the left join (which kills
     null-extended rows) is sound under the flip algebra because the
