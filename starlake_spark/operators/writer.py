@@ -341,6 +341,48 @@ def _is_statically_empty(df: DataFrame) -> bool:
         return False
 
 
+def _aqe_pointless(df: DataFrame) -> bool:
+    """True when adaptive execution cannot improve this write's plan:
+    no Join and no Aggregate anywhere below the write (AQE re-plans
+    join strategies, splits skewed joins, and coalesces shuffle
+    partitions — but it never touches an explicit fixed-N repartition,
+    which is exactly what the bucketed write layout uses). For such
+    narrow scan→project→repartition→sort pipelines AQE only *costs*: it
+    splits the commit into a shuffle-materialization stage plus a write
+    stage — one extra scheduling round-trip and shuffle spill per
+    commit, which doubles the latency of small (CDC-trickle) commits.
+    Probe is O(1): TreeNode caches its pattern bitset, and analysis of
+    the frame has already run (normalize_for_write touched the schema).
+    ``STARLAKE_WRITE_AQE=keep`` disables the optimization."""
+    if os.environ.get("STARLAKE_WRITE_AQE") == "keep":
+        return False
+    try:
+        p = df._jdf.queryExecution().analyzed()
+        tp = df.sparkSession._jvm.org.apache.spark.sql.catalyst.trees.TreePattern
+        return not (p.containsPattern(tp.JOIN())
+                    or p.containsPattern(tp.AGGREGATE()))
+    except Exception:  # noqa: BLE001 - perf probe only, never block a write
+        return False
+
+
+def _save_no_aqe(spark: SparkSession, writer, abs_dir: str) -> None:
+    """Execute the write with AQE off (join/agg-free plans only —
+    see _aqe_pointless). Session-conf flip: a concurrent thread that
+    plans a query inside this window loses AQE for that one plan (a
+    latency matter, never correctness); single-writer sessions — the
+    norm — are unaffected."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    if prev != "true":
+        writer.save(abs_dir)
+        return
+    spark.conf.set(key, "false")
+    try:
+        writer.save(abs_dir)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _list_written_files(abs_dir: str) -> list[str]:
     # LISTING SEAM (starlake_spark.listing): harvest of THIS commit's
     # freshly-written task outputs under its unique commit dir — a
@@ -566,7 +608,10 @@ def write_files(
     if info.range_cols:
         writer = writer.partitionBy(*info.range_cols)
     try:
-        writer.save(abs_dir)
+        if _aqe_pointless(df):
+            _save_no_aqe(spark, writer, abs_dir)
+        else:
+            writer.save(abs_dir)
     except Exception as exc:
         m = _INVARIANT_MSG_RE.search(str(exc))
         if m is None:
