@@ -54,6 +54,16 @@ def main():
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # Targeted re-verification during optimization rounds: run only the
+    # named entries and write to a suffixed file (the full sweep's JSON
+    # is only ever written by an unfiltered run).
+    only = os.environ.get("STARLAKE_SWEEP_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        missing = keep - set(qs)
+        if missing:
+            raise SystemExit(f"unknown entries: {sorted(missing)}")
+        qs = {n: f for n, f in qs.items() if n in keep}
     con = duckdb.connect()
     con.execute("SET memory_limit='24GB'")
     os.makedirs("/tmp/duck_tmp", exist_ok=True)
@@ -113,8 +123,9 @@ def main():
         "total_sec": round(time.time() - t0, 1),
         "entries": results,
     }
+    suffix = "_subset" if only else ""
     dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"CORRECTNESS_FULL_r{ROUND}.json")
+                       f"CORRECTNESS_FULL_r{ROUND}{suffix}.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "entries"}))

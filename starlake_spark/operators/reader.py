@@ -148,6 +148,116 @@ _GROUP_SCHEMA_CACHE: dict[tuple, "T.StructType"] = {}
 _GROUP_SCHEMA_CACHE_MAX = 4096
 
 
+# Flat-scan gate: physical parquet schema per file, mapped to Spark
+# types (driver-side pyarrow footer read, ~ms on local disk — the same
+# footer the writer already stat-harvested). Cached forever: committed
+# files are immutable. None ⇒ the file's arrow schema has no clean
+# Spark mapping (fall back to per-group reads).
+_FILE_SCHEMA_CACHE: dict[str, "T.StructType | None"] = {}
+_FILE_SCHEMA_CACHE_MAX = 65536
+
+
+def _file_spark_schema(abs_path: str) -> "T.StructType | None":
+    if abs_path in _FILE_SCHEMA_CACHE:
+        return _FILE_SCHEMA_CACHE[abs_path]
+    out: "T.StructType | None"
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        pa_schema = pq.ParquetFile(abs_path).schema_arrow
+        out = T.StructType([
+            T.StructField(f.name, from_arrow_type(f.type), True)
+            for f in pa_schema])
+    except Exception:  # unmappable type / unreadable footer → fallback
+        out = None
+    if len(_FILE_SCHEMA_CACHE) >= _FILE_SCHEMA_CACHE_MAX:
+        _FILE_SCHEMA_CACHE.pop(next(iter(_FILE_SCHEMA_CACHE)))
+    _FILE_SCHEMA_CACHE[abs_path] = out
+    return out
+
+
+def _flat_read_plan(store: ManifestStore, info: TableInfo,
+                    groups: dict) -> "tuple[T.StructType, dict, bool] | None":
+    """Gate + inputs for the single-read scan of every commit group at
+    once (optimization round 10): returns ``(read_schema, dir→version
+    map, any_tomb)`` when ALL groups can be served by ONE parquet
+    relation with an explicit schema — every declared column present
+    under its declared name and exact physical type in every group (no
+    renames, no type widening, no nested evolution, no extra live
+    columns), no range partitions (hive dirs need a per-commit
+    basePath), and every group's files flat in one directory mapping to
+    one distinct version. The tombstone flag column may appear in any
+    subset of groups (the reader backfills null ⇒ not tombstoned).
+    None ⇒ caller takes the per-group union path, which handles every
+    evolution case. ``STARLAKE_FLAT_SCAN=off`` disables the fast path.
+
+    Scale note: this is the plan-size lever for MoR reads — the union
+    path plans O(commit groups) parquet relations per scan while this
+    plans exactly one, so plan analysis, py4j chatter and codegen stay
+    O(1) as a partition's delta history grows.
+    """
+    if os.environ.get("STARLAKE_FLAT_SCAN") == "off" or info.range_cols:
+        return None
+    schema = _schema(info)
+    declared = {f.name: f.dataType for f in schema.fields}
+    expected = set(declared)
+    any_tomb = False
+    dir_wv: dict[str, int] = {}
+    seen_wv: set[int] = set()
+    for (wv, _cdir), fs in groups.items():
+        exist = set(fs[0].exist_cols)
+        has_tomb = TOMBSTONE_COL in exist
+        any_tomb |= has_tomb
+        if exist - {TOMBSTONE_COL} != expected:
+            return None  # partial-column commit / rename / dropped col
+        first = fs[0].path
+        first_abs = first if os.path.isabs(first) else \
+            os.path.join(store.table_path, first)
+        d = os.path.dirname(first_abs)
+        for f in fs[1:]:
+            fa = f.path if os.path.isabs(f.path) else \
+                os.path.join(store.table_path, f.path)
+            if os.path.dirname(fa) != d:
+                return None  # nested layout: dir→version map ambiguous
+        if d in dir_wv and dir_wv[d] != wv:
+            return None
+        if wv in seen_wv:
+            return None  # equal-version groups: keep union-path order
+        seen_wv.add(wv)
+        dir_wv[d] = wv
+        ps = _file_spark_schema(first_abs)
+        if ps is None:
+            return None
+        have = {f.name: f.dataType for f in ps.fields}
+        for n, dt in declared.items():
+            h = have.get(n)
+            if h is None or h.simpleString() != dt.simpleString():
+                return None
+        if has_tomb and not isinstance(have.get(TOMBSTONE_COL),
+                                       (T.BooleanType, type(None))):
+            return None
+    fields = [T.StructField(f.name, f.dataType, True, f.metadata)
+              for f in schema.fields]
+    if any_tomb:
+        fields.append(T.StructField(TOMBSTONE_COL, T.BooleanType(), True))
+    return T.StructType(fields), dir_wv, any_tomb
+
+
+def _flat_version_col(dir_wv: dict[str, int]) -> "F.Column":
+    """Per-row commit version from the file's directory: strip the
+    scheme, drop the basename, look the directory up in a tiny literal
+    map (one entry per commit group — bounded by the compaction
+    trigger, so the per-row lookup scans a handful of entries)."""
+    pairs = []
+    for d, wv in dir_wv.items():
+        pairs += [F.lit(d), F.lit(int(wv))]
+    file_dir = F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        "/[^/]+$", "")
+    return F.element_at(F.create_map(*pairs), file_dir)
+
+
 def _nested_evolves(have: "T.DataType", want: "T.DataType") -> bool:
     """True iff ``want`` equals ``have`` plus ADDED nested struct fields
     — the shape ALTER ADD COLUMNS into complex types produces
@@ -308,6 +418,21 @@ def _plain_scan(
 ) -> DataFrame:
     need_id = bool(dv_infos) or with_rowid
     groups = _group_files(files)
+    if not need_id and len(groups) > 1:
+        # one parquet relation for every commit group (gate:
+        # _flat_read_plan) — no version attribution needed here, each
+        # partition holds a single final version, so the only fast-path
+        # extra is refusing tombstone files (single-version tombstone
+        # groups must keep the union path's column surface)
+        flat = _flat_read_plan(store, info, groups)
+        if flat is not None and not flat[2]:
+            read_schema, _dir_wv, _ = flat
+            paths = [f.path if os.path.isabs(f.path)
+                     else os.path.join(store.table_path, f.path)
+                     for f in files]
+            schema = _schema(info)
+            return (spark.read.schema(read_schema).parquet(*paths)
+                    .select(*[f.name for f in schema.fields]))
     dfs = [
         _read_group(spark, store, info, cdir, fs, with_rowid=need_id)
         for (_wv, cdir), fs in groups.items()
@@ -332,6 +457,38 @@ def _merge_scan(
     data_cols = [f for f in schema.fields if f.name not in keys]
 
     groups = _group_files(files)
+    flat = _flat_read_plan(store, info, groups)
+    if flat is not None:
+        # Single-relation MoR collapse: every group's columns exist at
+        # that group's version (uniform exist_cols — checked by the
+        # gate), so the per-column ordering literal degenerates to the
+        # file's commit version and the whole union collapses into ONE
+        # parquet scan + version column + the same keyed aggregation.
+        read_schema, dir_wv, f_tomb = flat
+        paths = [f.path if os.path.isabs(f.path)
+                 else os.path.join(store.table_path, f.path)
+                 for f in files]
+        u = (spark.read.schema(read_schema).parquet(*paths)
+             .withColumn(_WV, _flat_version_col(dir_wv).cast("long")))
+        ordc = F.col(_WV)
+        aggs = []
+        for f in data_cols:
+            op = merge_operators.get(f.name)
+            if op is None:
+                aggs.append(F.max_by(F.col(f.name), ordc).alias(f.name))
+            else:
+                versions = F.sort_array(F.collect_list(F.struct(
+                    ordc.alias("v"), F.col(f.name).alias("x"))))
+                aggs.append(op.column(versions, f.dataType)
+                            .cast(f.dataType).alias(f.name))
+        if f_tomb:
+            aggs.append(F.max_by(F.coalesce(F.col(TOMBSTONE_COL),
+                                            F.lit(False)), ordc)
+                        .alias(TOMBSTONE_COL))
+        merged = u.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        if f_tomb:
+            merged = merged.filter(~F.col(TOMBSTONE_COL))
+        return merged.select(*[F.col(f.name) for f in schema.fields])
     branches = []
     amap = alias_map(info)
     any_tomb = any(TOMBSTONE_COL in fs[0].exist_cols for fs in groups.values())
