@@ -185,6 +185,40 @@ def dedup_batch_last_wins(df: DataFrame, info: TableInfo) -> DataFrame:
               .drop("_sl_batch_ord", "_sl_batch_rn"))
 
 
+def _normalize_is_noop(df: DataFrame, info: TableInfo) -> bool:
+    """True when ``normalize_for_write`` would emit an identity
+    projection: every source column matches a declared column exactly
+    (name AND type — so no case realignment, no casts, no NullType
+    drops: declared schemas never carry NullType), no generated column
+    needs deriving, and every partition/hash column is present. The
+    slow path builds one cast/alias Column per column plus a fresh
+    ``select`` (an eager analyzer pass) — pure py4j/plan fixed cost on
+    every commit when, as in steady-state ingest, the source already
+    has the table's shape."""
+    try:
+        declared = {f.name: f.dataType for f in table_schema(info).fields}
+    except Exception:  # unparseable schema: let the slow path report it
+        return False
+    for k in (info.configuration or {}):
+        if k.startswith("generated."):
+            c = k[len("generated."):]
+            if c in declared and c not in df.columns:
+                return False
+    for c in info.range_cols + info.hash_cols:
+        if c not in df.columns:
+            return False  # slow path raises the declared error
+    seen_lower: set[str] = set()
+    for f in df.schema.fields:
+        dt = declared.get(f.name)
+        if dt is None or dt != f.dataType:
+            return False
+        low = f.name.lower()
+        if low in seen_lower:
+            return False  # case-colliding source columns: align_case raises
+        seen_lower.add(low)
+    return True
+
+
 def normalize_for_write(
     df: DataFrame, info: TableInfo, enforce_schema: bool = True
 ) -> DataFrame:
@@ -197,6 +231,8 @@ def normalize_for_write(
     (``_cast_by_name``); partition/hash columns must be present and
     non-null (schema/ImplicitMetadataOperation.scala:148-156).
     """
+    if _normalize_is_noop(df, info):
+        return df
     df = align_case(_drop_null_type_columns(df), info)
     schema = table_schema(info)
     declared = {f.name: f for f in schema.fields}
@@ -238,6 +274,17 @@ _INVARIANT_MSG_RE = re.compile(
     r"|generated column[^\n\"]*)")
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text rendering."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(s: str) -> str:
+    """Escape a python string into a Spark SQL single-quoted literal
+    body (default parser mode: backslash escapes)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _invariant_guard(df: DataFrame, info: TableInfo,
                      is_base: bool = False) -> DataFrame:
     """Enforce NOT NULL primary keys + CHECK-expression invariants
@@ -246,12 +293,15 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
     for the same reason: a separate pre-write check is a second full scan
     of the source at 100 TB.
 
-    The guard folds a when/raise_error chain into the first projected
-    column, so the violation surfaces as soon as any task hits a bad row
-    and the job aborts; ``write_files`` converts it back to ValueError.
-    NOT NULL covers partition/hash cols (ImplicitMetadataOperation.scala:
-    148-156); CHECKs come from ``check.<name>`` table properties
-    (Invariants.scala:29-99), violating when NOT coalesce(expr, false).
+    The guard folds a CASE WHEN/raise_error chain into the first
+    projected column, so the violation surfaces as soon as any task hits
+    a bad row and the job aborts; ``write_files`` converts it back to
+    ValueError. NOT NULL covers partition/hash cols
+    (ImplicitMetadataOperation.scala:148-156); CHECKs come from
+    ``check.<name>`` table properties (Invariants.scala:29-99),
+    violating when NOT coalesce(expr, false). The chain is rendered as
+    ONE SQL expression (a single parse round-trip) — building it
+    Column-by-Column was ~100 py4j calls of per-commit fixed cost.
     """
     conds: list[tuple] = []
     # MV backing tables opt OUT of the hash-col NOT NULL rule
@@ -266,7 +316,7 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
         "invariants.allowNullHashKeys", "false").lower() == "true"
     enforced = info.range_cols + ([] if allow_null_hash else info.hash_cols)
     for c in enforced:
-        conds.append((F.col(c).isNull(),
+        conds.append((f"{_bt(c)} IS NULL",
                       f"NOT NULL invariant violated on partition/hash column '{c}' "
                       f"of {info.range_cols + info.hash_cols}"))
     # declared NOT NULL columns (reference DDLSuite.scala:58-199:
@@ -280,8 +330,8 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
     from starlake_spark.operators.reader import TOMBSTONE_COL
 
     keyed = {c.lower() for c in info.range_cols + info.hash_cols}
-    tomb = (F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-            if TOMBSTONE_COL in df.columns else F.lit(False))
+    tomb = (f" AND NOT coalesce({_bt(TOMBSTONE_COL)}, false)"
+            if TOMBSTONE_COL in df.columns else "")
     have = {f.name.lower(): f.dataType for f in df.schema.fields}
     for f in declared.fields:
         if f.nullable or f.name.lower() in keyed:
@@ -298,12 +348,12 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
                     f"NOT NULL invariant violated on column '{f.name}': "
                     f"the write provides no values for it")
             continue
-        conds.append((F.col(f.name).isNull() & ~tomb,
+        conds.append((f"({_bt(f.name)} IS NULL{tomb})",
                       f"NOT NULL invariant violated on column "
                       f"'{f.name}'"))
     for k, expr in sorted((info.configuration or {}).items()):
         if k.startswith(CHECK_PREFIX):
-            conds.append((~F.coalesce(F.expr(expr), F.lit(False)),
+            conds.append((f"(NOT coalesce(({expr}), false))",
                           f"CHECK constraint '{k[len(CHECK_PREFIX):]}' ({expr}) violated"))
         elif k.startswith("generated."):
             # caller-provided values must equal the generating expression
@@ -311,16 +361,18 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
             # routing and pruning would silently disagree with the data
             c = k[len("generated."):]
             if c in df.columns:
+                dt = df.schema[c].dataType.simpleString()
                 conds.append((
-                    ~F.col(c).eqNullSafe(F.expr(expr).cast(df.schema[c].dataType)),
+                    f"(NOT ({_bt(c)} <=> CAST(({expr}) AS {dt})))",
                     f"generated column '{c}' does not match its expression ({expr})"))
     if not conds:
         return df
+    # identical evaluation order to the old nested when/otherwise fold:
+    # the LAST appended condition was outermost, so it tests first
     c0 = df.columns[0]
-    guarded = F.col(c0)
-    for cond, msg in conds:
-        guarded = F.when(cond, F.raise_error(F.lit(msg))).otherwise(guarded)
-    return df.withColumn(c0, guarded.alias(c0))
+    whens = "".join(f" WHEN {cond} THEN raise_error('{_sql_str(msg)}')"
+                    for cond, msg in reversed(conds))
+    return df.withColumn(c0, F.expr(f"CASE{whens} ELSE {_bt(c0)} END"))
 
 
 def _is_statically_empty(df: DataFrame) -> bool:
