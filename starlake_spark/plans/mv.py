@@ -1363,9 +1363,20 @@ def _aux_delta_sql(spec, a, change_view: str, signed: bool) -> str:
 def _merge_aux(spark, aux_t: StarTable, delta2: DataFrame, akeys,
                txn_app: str, txn_version: int) -> None:
     """Fold a signed (group, value) count delta into an aux table:
-    broadcast-semi-prune to touched pairs, sum-merge, tombstone dead
-    pairs, gated upsert — the same O(touched) shape as _apply_delta.
-    ``delta2`` must be materialized."""
+    broadcast-semi-prune to touched pairs, sum-merge, ONE gated upsert —
+    the same O(touched) shape as _apply_delta. ``delta2`` must be
+    materialized.
+
+    Dead pairs (multiplicity folded to <= 0) are NOT tombstone-deleted:
+    they stay as ``_dn <= 0`` rows and every aux read filters them
+    (``_live_aux``). One manifest commit per sync instead of two (the
+    probe job + delete commit were pure per-refresh fixed cost —
+    optimization round 10, guide §1.2 "remove passes"), and replay
+    stays exactly-once under the single gated stamp. A later +1 on a
+    dead pair folds it back to 1 — visible again, exactly as a fresh
+    insert after a tombstone would read. The dead rows are O(pairs
+    ever retracted) residue; compaction collapses their MoR versions
+    to one row each."""
     from starlake_spark.operators import dml
 
     old = aux_t.to_df()
@@ -1384,12 +1395,16 @@ def _merge_aux(spark, aux_t: StarTable, delta2: DataFrame, akeys,
         *[F.coalesce(F.col(k), F.col(k + "__d")).alias(k) for k in akeys],
         (F.coalesce(F.col("_dn"), F.lit(0))
          + F.coalesce(F.col("_dn__d"), F.lit(0))).cast("bigint")
-        .alias("_dn")).localCheckpoint(eager=True)
-    dead = merged.filter(F.col("_dn") <= 0).select(*akeys)
-    if dead.limit(1).count():
-        dml.delete_keys(spark, aux_t.store, dead)
-    dml.upsert(spark, aux_t.store, merged.filter(F.col("_dn") > 0),
+        .alias("_dn"))
+    dml.upsert(spark, aux_t.store, merged,
                txn_app_id=txn_app, txn_version=txn_version)
+
+
+def _live_aux(adf: DataFrame) -> DataFrame:
+    """The live (group, value) pairs of an aux table: multiplicity > 0.
+    Dead pairs persist as rows (see _merge_aux) and must never reach a
+    recount."""
+    return adf.filter(F.col("_dn") > 0)
 
 
 def _sync_distinct_aux(session, spec, src: ManifestStore, t: StarTable,
@@ -1403,8 +1418,15 @@ def _sync_distinct_aux(session, spec, src: ManifestStore, t: StarTable,
     """
     spark = session.spark
     keys = [g["out"] for g in spec["groups"]]
+    synced: set[str] = set()
     for a in _distinct_aggs(spec):
-        aux_t = StarTable.for_path(spark, spec["aux_paths"][a["out"]])
+        apath = spec["aux_paths"][a["out"]]
+        if apath in synced:
+            # aggs sharing one distinct argument share one aux table
+            # (same (group, value) pairs) — it advances ONCE per window
+            continue
+        synced.add(apath)
+        aux_t = StarTable.for_path(spark, apath)
         app = f"mv_refresh_aux:{t.info.table_id}:{a['out']}"
         astamp = aux_t.store.snapshot().streaming.get(f"txn:{app}", -1)
         astart = max(last, astamp)
@@ -1455,31 +1477,43 @@ def _apply_recounts(spark, spec, full: DataFrame, keys,
         return (F.coalesce(c, F.lit(0)) if a["kind"] == "count_distinct"
                 else c)
 
-    n_t = None
+    # one recount pass per aux TABLE: aggs sharing a distinct argument
+    # share one aux, so their recounts ride one groupBy + one join
+    # instead of one scan-join pair per agg (optimization round 10)
+    by_path: dict[str, list] = {}
     for a in _distinct_aggs(spec):
-        aux_t = StarTable.for_path(spark, spec["aux_paths"][a["out"]])
-        adf = aux_t.to_df()
-        out = a["out"]
+        by_path.setdefault(spec["aux_paths"][a["out"]], []).append(a)
+    n_t = None
+    tk = None
+    for apath, aggs in by_path.items():
+        adf = _live_aux(StarTable.for_path(spark, apath).to_df())
+        outs = [a["out"] for a in aggs]
         if not keys:
-            rec = adf.agg(_rec_expr(a))
-            full = full.drop(out).crossJoin(rec).withColumn(
-                out, _final(a).cast(old_dt[out])).drop(out + "__r")
+            rec = adf.agg(*[_rec_expr(a) for a in aggs])
+            full = full.drop(*outs).crossJoin(rec)
+            for a in aggs:
+                full = full.withColumn(
+                    a["out"], _final(a).cast(old_dt[a["out"]]))
+            full = full.drop(*[o + "__r" for o in outs])
             continue
-        if n_t is None:
+        if tk is None:
             tk = full.select(*keys).localCheckpoint(eager=True)
             n_t = tk.count()
         pruned = _prune_touched(adf, tk, keys, n_t)
         rec = pruned.groupBy(*[F.col(k) for k in keys]) \
-            .agg(_rec_expr(a))
+            .agg(*[_rec_expr(a) for a in aggs])
         for k in keys:
             rec = rec.withColumnRenamed(k, k + "__r")
         cond = None
         for k in keys:
             e = F.col(k).eqNullSafe(F.col(k + "__r"))
             cond = e if cond is None else cond & e
-        full = (full.drop(out).join(rec, cond, "left")
-                .withColumn(out, _final(a).cast(old_dt[out]))
-                .drop(out + "__r", *[k + "__r" for k in keys]))
+        full = full.drop(*outs).join(rec, cond, "left")
+        for a in aggs:
+            full = full.withColumn(
+                a["out"], _final(a).cast(old_dt[a["out"]]))
+        full = full.drop(*[o + "__r" for o in outs],
+                         *[k + "__r" for k in keys])
     return full
 
 
@@ -2041,10 +2075,17 @@ def create_material_view(session, name: str, path: str, sql_text: str,
                 configuration={"is_material_view": "true",
                                "invariants.allowNullHashKeys": "true"})
             # count(DISTINCT) state: one (group, value) → count aux
-            # table per distinct agg, built from the SAME pinned view
-            # (still registered until the finally below) so aux and
-            # backing data describe one source version
+            # table per distinct ARGUMENT, built from the SAME pinned
+            # view (still registered until the finally below) so aux
+            # and backing data describe one source version. Aggs over
+            # the same argument (count/sum/avg DISTINCT x) hold
+            # identical pair multiplicities — they share one aux table
+            # (one create, one sync per window, one recount pass)
+            arg_paths: dict[str, str] = {}
             for i, a in enumerate(_distinct_aggs(spec)):
+                if a["arg"] in arg_paths:
+                    aux_paths[a["out"]] = arg_paths[a["arg"]]
+                    continue
                 apath = os.path.abspath(f"{path}_aux{i}")
                 # aux dirs are derived state owned by this view: a
                 # leftover from a crashed/hand-deleted predecessor
@@ -2064,6 +2105,7 @@ def create_material_view(session, name: str, path: str, sql_text: str,
                     configuration={"is_material_view": "true",
                                    "invariants.allowNullHashKeys":
                                    "true"})
+                arg_paths[a["arg"]] = apath
                 aux_paths[a["out"]] = apath
         finally:
             for v in drop:
@@ -2207,10 +2249,29 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
                 # tables (legacy views, lost dirs) are created fresh —
                 # their absent stamp already reads as "at the cursor".
                 keys = [g["out"] for g in spec["groups"]]
+                # one rebuild per aux TABLE (aggs sharing a distinct
+                # argument share one aux); the stamp reset lands under
+                # the FIRST out mapped to each path — the key
+                # _sync_distinct_aux consults for that path
+                arg_paths: dict[str, str] = {}
                 for i, a in enumerate(_distinct_aggs(spec)):
+                    shared = arg_paths.get(a["arg"])
+                    if shared is not None:
+                        # legacy per-out aux migrating onto the shared
+                        # table: drop the now-orphaned twin
+                        legacy = (ent.get("aux_paths") or {}).get(a["out"])
+                        if legacy and legacy != shared:
+                            try:
+                                StarTable.for_path(
+                                    session.spark, legacy).drop_table()
+                            except Exception:
+                                pass
+                        ent.setdefault("aux_paths", {})[a["out"]] = shared
+                        continue
                     apath = (ent.get("aux_paths") or {}).get(
                         a["out"]) or os.path.abspath(
                             f"{ent['path']}_aux{i}")
+                    arg_paths[a["arg"]] = apath
                     adf = session.spark.sql(
                         _aux_delta_sql(spec, a, spec["source"],
                                        signed=False))

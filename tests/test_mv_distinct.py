@@ -201,6 +201,59 @@ def test_sum_avg_distinct_incremental(sess, spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_shared_aux_single_table_single_commit(sess, spark, sf_dir,
+                                               tmp_path):
+    """Optimization round 10: (a) distinct aggs over one ARGUMENT share
+    one aux table; (b) an aux sync is ONE gated delta commit — dead
+    pairs are kept as _dn<=0 rows (no tombstone-delete commit) and
+    filtered at recount time; (c) answers stay exact through a
+    pair-killing window."""
+    from starlake_spark import create_table
+    from starlake_spark.table import StarTable
+
+    src = create_table(spark, _frame(spark, sf_dir, 0, 600),
+                       str(tmp_path / "srch"), short_name="srch",
+                       warehouse=sess.warehouse,
+                       hash_partitions=["k"], hash_bucket_num=4)
+    sess.register("srch", src)
+    q = ("SELECT st, count(DISTINCT prio) AS np, sum(DISTINCT prio) "
+         "AS sp, count(*) AS n FROM srch GROUP BY st")
+    mv.create_material_view(sess, "mv_sh", str(tmp_path / "mv_sh"), q)
+    ent = mv._load_registry(sess.warehouse)["mv_sh"]
+    # (a) same argument → same aux table under both out keys
+    assert ent["aux_paths"]["np"] == ent["aux_paths"]["sp"]
+    aux = StarTable.for_path(spark, ent["aux_paths"]["np"])
+    v0 = aux.store.latest_version()
+    # pair-killing window: migrate some values, then delete every
+    # holder of the (pre-window) prio 8/9 pairs — their multiplicities
+    # fold to zero at the window boundary
+    src.upsert(src.to_df().filter("k % 3 = 0")
+               .withColumn("prio", (F.col("prio") + 10).cast("int")))
+    src.delete("prio >= 8")
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_sh") is True
+    # (b) exactly one aux commit for the whole window, type delta
+    assert aux.store.latest_version() == v0 + 1
+    assert aux.store.snapshot().commit_type == "delta"
+    # dead pairs persist in the aux (kept, not tombstoned)...
+    dead = aux.to_df().filter("_dn <= 0").count()
+    assert dead > 0, "expected retracted pairs to persist as _dn<=0 rows"
+    # ...and never leak into a recount
+    got = sorted(tuple(r) for r in
+                 sess.sql("SELECT * FROM mv_sh").collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want
+    # a later re-insert resurrects a dead pair exactly once
+    src.upsert(_frame(spark, sf_dir, 600, 750)
+               .withColumn("prio", (F.col("prio") + 10).cast("int")))
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_sh") is True
+    got = sorted(tuple(r) for r in
+                 sess.sql("SELECT * FROM mv_sh").collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want
+
+
 def test_distinct_global_aggregate(sess, spark, sf_dir, tmp_path):
     from starlake_spark import create_table
 
