@@ -53,6 +53,8 @@ def main() -> None:
              .config("spark.sql.parquet.compression.codec", "snappy")
              .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+             .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                     os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"))
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "24g")
              .config("spark.local.dir", "/dev/shm")
