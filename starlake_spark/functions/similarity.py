@@ -842,9 +842,14 @@ def _index_sync(spark, index, source, prefix: str,
         return index, {"mode": "noop", "from_version": v0, "to_version": v0}
     ch = range_changes(spark, src.store.table_path, v0, v1).persist()
     try:
+        # one aggregate pass fills the cache AND yields both counts —
+        # the former per-filter .count() pair cost an extra job over
+        # the cached window (optimization round 10)
+        cnt = {r[0]: r[1] for r in
+               ch.groupBy(CHANGE_TYPE_COL).count().collect()}
         old = ch.filter(F.col(CHANGE_TYPE_COL)
                         .isin("update_preimage", "delete"))
-        n_del = old.count()
+        n_del = cnt.get("update_preimage", 0) + cnt.get("delete", 0)
         if n_del:
             dead = (old.select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
@@ -855,7 +860,7 @@ def _index_sync(spark, index, source, prefix: str,
             index.delete_keys(dead)
         new = ch.filter(F.col(CHANGE_TYPE_COL)
                         .isin("insert", "update_postimage"))
-        n_up = new.count()
+        n_up = cnt.get("insert", 0) + cnt.get("update_postimage", 0)
         if n_up:
             index.upsert(build_upsert_frame(new, ids, M, id_col, vec_col))
     finally:
