@@ -1519,7 +1519,7 @@ def _apply_recounts(spark, spec, full: DataFrame, keys,
 
 def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
                  n_touched: int, txn_app: str, txn_version: int,
-                 pinned_src=None) -> None:
+                 pinned_src=None, may_die: bool = True) -> None:
     """Merge an aggregated signed-partial delta frame into the backing
     table: semi-prune the backing table to the touched groups, fold
     partials, finalize outputs, tombstone dead groups, gated upsert.
@@ -1528,7 +1528,16 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
     ``pinned_src`` (mutable-extremum specs only): callable
     ``(where_conjuncts) -> DataFrame`` reading the source pinned at the
     window-end version — the rescan target for groups whose stored
-    min/max a retraction threatened."""
+    min/max a retraction threatened.
+
+    ``may_die=False``: the caller proved every delta group's signed
+    row-count contribution is >= 0 (min of the hidden ``n`` partial —
+    one aggregate alongside the count it already needed), so no folded
+    group can reach n <= 0 and the dead-group probe job + tombstone
+    commit are skipped outright — a probe every refresh paid even for
+    pure-append windows (optimization round 10). Rescan paths keep
+    their own dead check (a threatened group whose rescan returns no
+    rows died regardless of the fold arithmetic)."""
     from starlake_spark.operators import dml
 
     keys = [g["out"] for g in spec["groups"]]
@@ -1617,10 +1626,13 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
         full = _apply_recounts(spark, spec, full, keys, old_dt)
     live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
     dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
+    check_dead = may_die
     if rescan_aggs:
         tkeys = full_all.filter(F.col("_mv_rescan_")).select(*keys)
         n_thr = tkeys.count()
         if n_thr:
+            check_dead = True  # a rescan can tombstone groups the
+            # fold arithmetic alone could not kill
             rs = _rescan_frame(spark, spec, pinned_src, tkeys, n_thr,
                                old_dt)
             live = live.unionByName(rs.select(*out_cols))
@@ -1651,7 +1663,7 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
     # delete BEFORE the gated upsert (ordering note in
     # _incremental_refresh); tombstoning already-absent keys is
     # idempotent
-    if dead.limit(1).count():
+    if check_dead and dead.limit(1).count():
         dml.delete_keys(spark, t.store, dead)
     dml.upsert(spark, t.store, live,
                txn_app_id=txn_app, txn_version=txn_version)
@@ -1739,8 +1751,13 @@ def _incremental_refresh(session, ent,
                      if where else None)
                 return _t.to_df(version=_v, where=w)
 
-        _apply_delta(spark, t, spec, delta, delta.count(), txn_app, cur,
-                     pinned_src=pinned_src)
+        # one aggregate yields the broadcast-budget count AND the
+        # minimum signed group contribution (dead-group possibility)
+        st = delta.agg(F.count(F.lit(1)).alias("c"),
+                       F.min(F.col(f"{_MVH}n")).alias("mn")).first()
+        _apply_delta(spark, t, spec, delta, st["c"], txn_app, cur,
+                     pinned_src=pinned_src,
+                     may_die=st["mn"] is not None and st["mn"] < 0)
         return ("incremental", {spec["source"]: cur})
     finally:
         spark.catalog.dropTempView(cv)
@@ -2006,8 +2023,11 @@ def _incremental_refresh_join(session, ent, t: StarTable,
             delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
                 eager=True)
             txn_app = f"mv_refresh:{t.info.table_id}:{cname}"
-            _apply_delta(spark, t, spec, delta, delta.count(), txn_app,
-                         curs[cname])
+            st = delta.agg(F.count(F.lit(1)).alias("c"),
+                           F.min(F.col(f"{_MVH}n")).alias("mn")).first()
+            _apply_delta(spark, t, spec, delta, st["c"], txn_app,
+                         curs[cname],
+                         may_die=st["mn"] is not None and st["mn"] < 0)
             mode = "incremental"
         finally:
             spark.catalog.dropTempView(jv)
