@@ -654,9 +654,25 @@ def write_files(
     # `bloom.index.cols` table property (comma-separated, '' disables).
     bloom_cols = (info.configuration or {}).get(
         "bloom.index.cols", ",".join(info.hash_cols))
+    any_bloom = False
     for c in [c.strip() for c in bloom_cols.split(",") if c.strip()]:
         if c in df.columns:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            any_bloom = True
+    if any_bloom and os.environ.get("STARLAKE_BLOOM_ADAPTIVE", "on") != "off":
+        # Size the bloom bitset to the rows ACTUALLY written
+        # (parquet-mr adaptive mode, PARQUET-2254): the default sizes
+        # every bitset for parquet.bloom.filter.expected.ndv (1M) —
+        # about 1 MB per file — regardless of content, so a small delta
+        # commit (CDC trickle, MoR upsert, IVF cell files) was ~95%
+        # bloom bitset by bytes. Adaptive mode tracks candidate bitsets
+        # during the write and keeps the smallest one meeting the FPP
+        # target, so small files carry KB-scale blooms while large
+        # files keep the full-size bitset (verified: 2M-row file sizes
+        # identically either way). Same FPP, same point-lookup
+        # skipping; only the bitset allocation is right-sized.
+        writer = writer.option("parquet.bloom.filter.adaptive.enabled",
+                               "true")
     if info.range_cols:
         writer = writer.partitionBy(*info.range_cols)
     try:
