@@ -33,6 +33,7 @@ preserves join multiplicity and rows.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
@@ -815,15 +816,62 @@ def _register_probe_views(session, known: set[str]) -> list[str]:
     return out
 
 
+# spec memo: (warehouse, sql) -> (spec, per-source validation signature).
+# The spec is pure rendered data derived from the view SQL + the source
+# tables' declared schemas/layout; re-deriving it costs a Spark parse +
+# analysis pass (~0.3 s) on EVERY create/refresh. The memo returns a
+# deep copy when every source still matches the signature it was derived
+# under (path, schema_json, hash/range layout) — any schema evolution,
+# re-register, or drop/recreate misses and re-derives, so the
+# "never persisted, survives schema evolution" contract holds.
+_SPEC_MEMO: dict[tuple, tuple] = {}
+_SPEC_MEMO_CAP = 256
+
+
+def _spec_sources_sig(session, names) -> "dict | None":
+    sig = {}
+    for n in names:
+        t = session._tables.get(n)
+        if t is None:
+            return None  # not session-registered: skip the memo
+        try:
+            info = t.info
+            sig[n] = (t.store.table_path, info.schema_json,
+                      tuple(info.hash_cols or ()),
+                      tuple(info.range_cols or ()))
+        except Exception:  # noqa: BLE001
+            return None
+    return sig
+
+
 def _incremental_spec(session, sql_text: str) -> dict | None:
     """Eligibility probe + rendered SQL pieces, or None (→ full
-    refresh). Derived from the analyzed plan on every call — never
-    persisted, so registry entries survive schema evolution."""
+    refresh). Derived from the analyzed plan (memoized against the
+    sources' declared schemas/layout) — never persisted, so registry
+    entries survive schema evolution."""
+    key = (session.warehouse, sql_text)
+    hit = _SPEC_MEMO.get(key)
+    if hit is not None:
+        spec, sig = hit
+        names = spec["sources"] if spec.get("join") else [spec["source"]]
+        if _spec_sources_sig(session, names) == sig:
+            return copy.deepcopy(spec)
+        del _SPEC_MEMO[key]
     known = set(session._tables) | set(catalog.list_tables(session.warehouse))
     probes: list[str] = []
     try:
-        return _incremental_spec_inner(session, sql_text, known, probes)
+        spec = _incremental_spec_inner(session, sql_text, known, probes)
+        if spec is not None:
+            names = (spec["sources"] if spec.get("join")
+                     else [spec["source"]])
+            sig = _spec_sources_sig(session, names)
+            if sig is not None:
+                if len(_SPEC_MEMO) >= _SPEC_MEMO_CAP:
+                    _SPEC_MEMO.pop(next(iter(_SPEC_MEMO)))
+                _SPEC_MEMO[key] = (copy.deepcopy(spec), sig)
+        return spec
     finally:
+        session._unsync(probes)
         for v in probes:
             try:
                 session.spark.catalog.dropTempView(v)
@@ -1544,9 +1592,7 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
     hidden = _mv_hidden_cols(spec)
     old = t.to_df()
     old_dt = {f.name: f.dataType for f in old.schema.fields}
-    dd = delta
-    for c in delta.columns:
-        dd = dd.withColumnRenamed(c, c + "__d")
+    dd = delta.select(*[F.col(c).alias(c + "__d") for c in delta.columns])
     if keys:
         cond = None
         for k in keys:
@@ -2128,6 +2174,7 @@ def create_material_view(session, name: str, path: str, sql_text: str,
                 arg_paths[a["arg"]] = apath
                 aux_paths[a["out"]] = apath
         finally:
+            session._unsync(drop)
             for v in drop:
                 try:
                     session.spark.catalog.dropTempView(v)
@@ -2323,6 +2370,7 @@ def update_material_view(session, name: str, force: bool = False) -> bool:
                 # failing drop must not skip the remaining drops or
                 # _sync_views — that leaves pinned views shadowing live
                 # ones and masks the original write exception
+                session._unsync(drop)
                 for v in drop:
                     try:
                         session.spark.catalog.dropTempView(v)

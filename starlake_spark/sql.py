@@ -265,6 +265,10 @@ class StarSession:
         self.warehouse = warehouse
         self._tables: dict[str, StarTable] = {}
         self._mv_enabled = True
+        # name -> state signature of the temp view _sync_views last
+        # built for it (see _sync_views); shadow/drop sites invalidate
+        # through _unsync
+        self._synced: dict[str, tuple] = {}
 
     # ---------- catalog ----------
 
@@ -297,6 +301,14 @@ class StarSession:
 
     # ---------- SQL ----------
 
+    def _unsync(self, names) -> None:
+        """Forget the sync signature for ``names`` — called by every
+        site that drops or shadows a registered name's temp view
+        behind _sync_views' back (MV refresh pins, schema probes, DROP
+        TABLE), so the next _sync_views rebuilds those views."""
+        for n in names:
+            self._synced.pop(n, None)
+
     def _sync_views(self) -> None:
         from starlake_spark.plans.mv import _strip_mv_hidden
 
@@ -306,12 +318,31 @@ class StarSession:
                 # sql() rewrites their occurrences to a single-part
                 # alias first (_expand_dotted_names)
                 continue
+            is_mv = (t.info.configuration or {}
+                     ).get("is_material_view") == "true"
+            # skip rebuilding a view whose table state is unchanged
+            # since we last built it: each rebuild costs a fresh scan
+            # construction (manifest snapshot + plan), ~50-100 ms per
+            # registered table per engine op — pure fixed cost when
+            # nothing moved. The signature pins the object identity,
+            # path, manifest version and schema version; any commit,
+            # alter, or re-register changes it.
+            try:
+                sig = (id(t), t.store.table_path,
+                       t.store.latest_version(),
+                       t.info.schema_version, is_mv)
+            except Exception:  # noqa: BLE001 - fall back to rebuild
+                sig = None
+            if sig is not None and self._synced.get(name) == sig:
+                continue
             df = t.to_df()
-            if (t.info.configuration or {}).get("is_material_view") == "true":
+            if is_mv:
                 # incremental MVs carry hidden _mv_* partial columns —
                 # never user-visible
                 df = _strip_mv_hidden(df)
             df.createOrReplaceTempView(name)
+            if sig is not None:
+                self._synced[name] = sig
 
     def _load_catalog_names(self, text: str) -> None:
         """Load warehouse-catalog tables the statement mentions into the
@@ -875,6 +906,7 @@ class StarSession:
             except Exception:
                 pass
             self.spark.catalog.dropTempView(name)
+            self._unsync([name])
             # cascade: views built on the dropped table go with it
             # (DropTableCommand.scala:30-247)
             _mv.drop_views_on(self, name)
