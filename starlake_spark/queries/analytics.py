@@ -24,6 +24,26 @@ DEC = "decimal(18,2)"
 # it hundreds of times. Plan metadata only — never rows or results.
 _LD_SCHEMA_CACHE: dict[str, T.StructType] = {}
 
+# Row-count memo for the same immutable files: parquet footers carry
+# exact num_rows, so a scenario parameter like "nlist = rows // 50"
+# needs a driver-side footer read, not a Spark count() job (guide §6 —
+# metadata answers metadata questions). Same discipline as the schema
+# memo above: plan/sizing metadata only, never rows or results.
+_LD_COUNT_CACHE: dict[str, int] = {}
+
+
+def ld_count(sf_dir: str, name: str) -> int:
+    """Exact row count of one immutable test parquet file (footer
+    metadata, cached per path)."""
+    path = f"{sf_dir}/{name}.parquet"
+    n = _LD_COUNT_CACHE.get(path)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        _LD_COUNT_CACHE[path] = n
+    return n
+
 
 def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"

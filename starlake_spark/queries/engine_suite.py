@@ -15,7 +15,7 @@ import shutil
 from pyspark.sql import Window as W, functions as F
 
 from starlake_spark.meta import ManifestStore
-from starlake_spark.queries.analytics import ld
+from starlake_spark.queries.analytics import ld, ld_count
 from starlake_spark.table import StarTable, create_table
 
 SUITE_ROOT = os.environ.get(
@@ -1305,7 +1305,7 @@ def star_convert_in_place(spark, sf_dir):
     assert set(adopted) == set(sizes), adopted
     assert all(_os.path.getsize(_os.path.join(path, p)) == sz
                for p, sz in sizes.items()), "conversion rewrote data bytes"
-    expected = 2 * ld(spark, sf_dir, "orders").count()
+    expected = 2 * ld_count(sf_dir, "orders")
     st = spark.sparkContext.statusTracker()
     n_jobs = len(st.getJobIdsForGroup(None) or [])
     assert t.count() == expected

@@ -21,7 +21,7 @@ from starlake_spark.functions import (
     similarity as sim,
     text as tx,
 )
-from starlake_spark.queries.analytics import ld as _ld
+from starlake_spark.queries.analytics import ld as _ld, ld_count
 
 
 def ld(spark, sf_dir, name):
@@ -1019,7 +1019,7 @@ def ann_ivf_sync(spark, sf_dir):
                        hash_partitions=["vec_id"], hash_bucket_num=4)
     idx = sim.build_ivf_index(
         spark, src.to_df(), _scratch(sf_dir, "ivf_sync_idx"),
-        nlist=max(4, e.count() // 50), id_col="vec_id",
+        nlist=max(4, ld_count(sf_dir, "embeddings") // 50), id_col="vec_id",
         vec_col="embedding", source=src)
     # source DML AFTER the build: a delete wave + the planted twins
     src.delete("vec_id % 9 = 1", use_delta=True)
@@ -1067,7 +1067,7 @@ def ann_ivfpq_sync(spark, sf_dir):
                        hash_partitions=["vec_id"], hash_bucket_num=4)
     idx = sim.build_ivfpq_index(
         spark, None, _scratch(sf_dir, "ivfpq_sync_idx"),
-        nlist=max(4, e.count() // 50), m=16, ksub=32,
+        nlist=max(4, ld_count(sf_dir, "embeddings") // 50), m=16, ksub=32,
         id_col="vec_id", vec_col="embedding", source=src)
     src.delete("vec_id % 9 = 1", use_delta=True)
     src.upsert(q.withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_ID)))
