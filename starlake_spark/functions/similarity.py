@@ -881,6 +881,7 @@ def _index_sync(spark, index, source, prefix: str,
         old = ch.filter(F.col(CHANGE_TYPE_COL)
                         .isin("update_preimage", "delete"))
         n_del = cnt.get("update_preimage", 0) + cnt.get("delete", 0)
+        dead = None
         if n_del:
             dead = (old.select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
@@ -888,11 +889,18 @@ def _index_sync(spark, index, source, prefix: str,
                                 nearest_centroid_col(F.col("_v"), ids, M,
                                                      spark))
                     .select("centroid_id", id_col))
-            index.delete_keys(dead)
         new = ch.filter(F.col(CHANGE_TYPE_COL)
                         .isin("insert", "update_postimage"))
         n_up = cnt.get("insert", 0) + cnt.get("update_postimage", 0)
-        if n_up:
+        if n_del and n_up:
+            # one commit for the whole sync transition (tombstones out
+            # of old cells + postimages into new cells) — one write
+            # job + one manifest version instead of two
+            index.upsert_with_tombstones(
+                build_upsert_frame(new, ids, M, id_col, vec_col), dead)
+        elif n_del:
+            index.delete_keys(dead)
+        elif n_up:
             index.upsert(build_upsert_frame(new, ids, M, id_col, vec_col))
     finally:
         ch.unpersist()

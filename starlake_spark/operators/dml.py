@@ -939,6 +939,102 @@ def delete_keys(spark: SparkSession, store: ManifestStore,
     _commit_tombstones(spark, store, info, keys_df.select(*keys).distinct())
 
 
+def upsert_with_tombstones(spark: SparkSession, store: ManifestStore,
+                           source: DataFrame, tomb_keys: DataFrame,
+                           txn_app_id: str | None = None,
+                           txn_version: int | None = None) -> None:
+    """ONE delta commit carrying both a tombstone frame and postimage
+    rows — the refresh/sync cycle shape (CDC index sync, MV window
+    apply, replication): every such cycle used to pay two write jobs +
+    two manifest commits (delete_keys then upsert); at 100 TB cadence
+    that is twice the lock rounds, manifest versions, and scheduling
+    round-trips per cycle for what is logically one state transition.
+
+    Semantics are exactly ``delete_keys(tomb_keys); upsert(source)``:
+
+    * a key in BOTH frames nets to its postimage (the in-batch dedup
+      window orders live rows ahead of tombstones — delete-then-upsert
+      within one cycle means "final state = postimage");
+    * tombstone rows carry explicit nulls for every data column, so a
+      later resurrection behaves identically to the two-commit shape;
+    * with ``txn_app_id``/``txn_version`` the WHOLE transition is gated
+      (strictly stronger than the old sequence, where a crash between
+      the two commits replayed the tombstones).
+
+    Requires the source to carry every declared column (a
+    partial-column source under MoR means "keep existing", which a
+    same-commit tombstone would contradict) — callers with partial
+    sources fall back to the two-commit sequence. Same guards as the
+    parts: hash table, no declared merge operators.
+    """
+    from starlake_spark.meta import DuplicateTxnError
+
+    info = store.table_info()
+    if not info.hash_cols:
+        raise ValueError("upsert requires hash partition columns "
+                         "(UpsertCommand.scala:74-76)")
+    if (info.configuration or {}).get("compaction.merge_operators"):
+        raise ValueError(
+            "tombstones are not supported on tables with declared merge "
+            "operators — the tombstone's null version would be merged")
+    source = writer.align_case(source, info)
+    for c in info.range_cols:
+        if c not in source.columns and \
+                f"generated.{c}" not in (info.configuration or {}):
+            raise ValueError(f"upsert source must carry range column '{c}' "
+                             "(UpsertCommand.scala:83-88)")
+    info = maybe_merge_schema(source, store)
+    keys = info.range_cols + info.hash_cols
+    missing = [k for k in keys if k not in tomb_keys.columns]
+    if missing:
+        raise ValueError(f"tomb_keys is missing merge-key columns {missing}")
+    schema = T.StructType.fromJson(json.loads(info.schema_json))
+    gen_cols = {k[len("generated."):]
+                for k in (info.configuration or {})
+                if k.startswith("generated.")}
+    src_cols = {c.lower() for c in source.columns} | \
+               {c.lower() for c in gen_cols}
+    if any(f.name.lower() not in src_cols for f in schema.fields):
+        # partial-column postimages: absent = keep existing, which the
+        # single-commit shape cannot express — two commits, old shape
+        delete_keys(spark, store, tomb_keys)
+        upsert(spark, store, source, use_delta=True,
+               txn_app_id=txn_app_id, txn_version=txn_version)
+        return
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None
+    if txn_key is not None and \
+            store.snapshot().streaming.get(txn_key, -1) >= txn_version:
+        return
+
+    tomb = tomb_keys.select(*keys).distinct()
+    for f in schema.fields:
+        if f.name not in keys:
+            tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
+    tomb = tomb.withColumn(reader.TOMBSTONE_COL, F.lit(True))
+    live = writer.normalize_for_write(source, info, enforce_schema=False) \
+                 .withColumn(reader.TOMBSTONE_COL, F.lit(False))
+    combined = tomb.select(*live.columns).unionByName(live)
+
+    txn = store.new_transaction()
+    txn.commit_type = "mixed_delta"
+    files = writer.write_files(spark, combined, info, txn, is_base=False,
+                               dedup_batch=True)
+    txn.add_files(files)
+    if txn_key is not None:
+        txn.set_streaming_batch(txn_key, txn_version)
+        try:
+            snap = store.commit(txn)
+        except DuplicateTxnError:
+            return  # concurrent retry already landed this version
+    else:
+        snap = store.commit(txn)
+    _maybe_log_cdc(spark, store, info, files, snap.version)
+    _maybe_auto_compact(spark, store, info)
+
+
 def _part_merge_partition(spark: SparkSession, store: ManifestStore,
                           info: TableInfo, rv: str, max_groups: int,
                           merge_operators: dict | None) -> int:

@@ -1604,7 +1604,13 @@ def scan(
     for rv, ps in snap.partitions.items():
         if partition_filter is not None and not partition_filter(decode_range_value(rv)):
             continue
-        needs_merge = info.hash_cols and len({f.write_version for f in ps.files}) > 1
+        # single-version partitions normally scan plain (in-batch dedup
+        # guarantees unique keys) — but a lone mixed_delta commit
+        # (upsert_with_tombstones on a fresh partition) carries
+        # tombstone rows that only the merge path filters
+        needs_merge = info.hash_cols and (
+            len({f.write_version for f in ps.files}) > 1
+            or any(TOMBSTONE_COL in f.exist_cols for f in ps.files))
         (merge_files if needs_merge else plain_files).extend(ps.files)
         dv_infos.extend(ps.dv_files)  # non-hash tables only (dml guard)
 

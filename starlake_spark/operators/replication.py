@@ -155,9 +155,12 @@ def sync_table(spark: SparkSession, source, target_path: str,
                   .select(*(sinfo.range_cols + sinfo.hash_cols)))
         n_up, n_del = ups.count(), dels.count()
         with _applying():
-            if n_up:
+            if n_up and n_del:
+                # one commit for the window's whole transition
+                t.upsert_with_tombstones(ups, dels)
+            elif n_up:
                 t.upsert(ups)
-            if n_del:
+            elif n_del:
                 t.delete_keys(dels)
     finally:
         ch.unpersist()
@@ -186,9 +189,11 @@ def _full_sync(spark: SparkSession, src, t) -> dict:
     dels = r.select(*keys).join(s.select(*keys), keys, "left_anti")
     n_up, n_del = ups.count(), dels.count()
     with _applying():
-        if n_up:
+        if n_up and n_del:
+            t.upsert_with_tombstones(ups, dels)
+        elif n_up:
             t.upsert(ups)
-        if n_del:
+        elif n_del:
             t.delete_keys(dels)
     return {"upserted": n_up, "deleted": n_del}
 
@@ -250,10 +255,13 @@ def sync_stream(spark: SparkSession, source, target_path: str,
             dels = (net.filter(F.col(CHANGE_TYPE_COL) == "delete")
                     .select(*keys))
             tt = StarTable.for_path(batch.sparkSession, target_path)
+            n_up, n_del = ups.count(), dels.count()
             with _applying():
-                if ups.count():
+                if n_up and n_del:
+                    tt.upsert_with_tombstones(ups, dels)
+                elif n_up:
                     tt.upsert(ups)
-                if dels.count():
+                elif n_del:
                     tt.delete_keys(dels)
         finally:
             batch.unpersist()

@@ -352,8 +352,13 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
                       f"NOT NULL invariant violated on column "
                       f"'{f.name}'"))
     for k, expr in sorted((info.configuration or {}).items()):
+        # tombstone rows (data columns are explicit nulls by
+        # construction) are exempt from CHECK / generated-value
+        # equality exactly as they are from declared NOT NULL above —
+        # a mixed tombstone+postimage commit (dml.upsert_with_tombstones)
+        # runs the guard over both row kinds in one pass
         if k.startswith(CHECK_PREFIX):
-            conds.append((f"(NOT coalesce(({expr}), false))",
+            conds.append((f"((NOT coalesce(({expr}), false)){tomb})",
                           f"CHECK constraint '{k[len(CHECK_PREFIX):]}' ({expr}) violated"))
         elif k.startswith("generated."):
             # caller-provided values must equal the generating expression
@@ -363,7 +368,7 @@ def _invariant_guard(df: DataFrame, info: TableInfo,
             if c in df.columns:
                 dt = df.schema[c].dataType.simpleString()
                 conds.append((
-                    f"(NOT ({_bt(c)} <=> CAST(({expr}) AS {dt})))",
+                    f"((NOT ({_bt(c)} <=> CAST(({expr}) AS {dt}))){tomb})",
                     f"generated column '{c}' does not match its expression ({expr})"))
     if not conds:
         return df
@@ -605,8 +610,16 @@ def write_files(
                                F.monotonically_increasing_id())
             df = df.repartition(info.bucket_num,
                                 *[F.col(c) for c in info.hash_cols])
+            # mixed tombstone+postimage commits (upsert_with_tombstones):
+            # a key carried by BOTH arms nets to the postimage — order
+            # live rows (flag false) ahead of tombstones, then last
+            # input order among live rows as usual
+            ord_cols = [F.col("_sl_batch_ord").desc()]
+            from starlake_spark.operators.reader import TOMBSTONE_COL as _TC
+            if _TC in df.columns:
+                ord_cols.insert(0, F.coalesce(F.col(_TC), F.lit(False)).asc())
             w = Window.partitionBy(*(info.range_cols + info.hash_cols)) \
-                      .orderBy(F.col("_sl_batch_ord").desc())
+                      .orderBy(*ord_cols)
             df = (df.withColumn("_sl_batch_rn", F.row_number().over(w))
                     .filter(F.col("_sl_batch_rn") == 1)
                     .drop("_sl_batch_ord", "_sl_batch_rn"))

@@ -1706,13 +1706,19 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
                 dead = dead.localCheckpoint(eager=True)
             finally:
                 spark.conf.set(ckey, prev)
-    # delete BEFORE the gated upsert (ordering note in
-    # _incremental_refresh); tombstoning already-absent keys is
-    # idempotent
+    # dead + live apply as ONE gated commit (upsert_with_tombstones):
+    # one write job + one manifest version per refresh, and the crash
+    # window between the old delete-then-upsert pair disappears —
+    # replay either sees the whole transition or none of it. The
+    # limit(1) probe stays: windows that provably kill nothing skip
+    # the tombstone arm entirely.
     if check_dead and dead.limit(1).count():
-        dml.delete_keys(spark, t.store, dead)
-    dml.upsert(spark, t.store, live,
-               txn_app_id=txn_app, txn_version=txn_version)
+        dml.upsert_with_tombstones(spark, t.store, live, dead,
+                                   txn_app_id=txn_app,
+                                   txn_version=txn_version)
+    else:
+        dml.upsert(spark, t.store, live,
+                   txn_app_id=txn_app, txn_version=txn_version)
 
 
 def _incremental_refresh(session, ent,

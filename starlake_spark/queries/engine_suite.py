@@ -2045,8 +2045,9 @@ def star_cdc_replication(spark, sf_dir):
     independent replica — its own write path, its own bucket count —
     follows the source by replaying the NET change window since its
     watermark. One sync absorbs a 3-commit DML storm (price update,
-    tombstone delete, new keys) as O(net changed keys): ONE delta-upsert
-    commit plus ONE tombstone commit on the replica, asserted inline,
+    tombstone delete, new keys) as O(net changed keys): ONE mixed
+    tombstone+postimage commit on the replica (upsert_with_tombstones —
+    one write job, one manifest version per window), asserted inline,
     and a repeat sync commits nothing. The logical-replication
     complement to star_clone_sync's metadata re-pointing."""
     from starlake_spark.operators.replication import sync_table
@@ -2063,8 +2064,8 @@ def star_cdc_replication(spark, sf_dir):
                 .withColumn("o_orderkey", F.col("o_orderkey") + 1000000))
     t, st = sync_table(spark, src, dst_path)
     assert st["mode"] == "incremental" and st["deleted"] > 0
-    assert t.store.latest_version() == 3, \
-        "3-commit window must land as exactly 2 replica commits (net)"
+    assert t.store.latest_version() == 2, \
+        "3-commit window must land as ONE net replica commit"
     v = t.store.latest_version()
     _, st2 = sync_table(spark, src, dst_path)
     assert st2["mode"] == "noop" and t.store.latest_version() == v, \

@@ -57,6 +57,10 @@ CHANGE_TYPE_COL = "_change_type"
 _CHANGE_TYPES = {
     "write": "insert",
     "delta": "update_postimage",
+    # one commit carrying tombstones AND postimages
+    # (dml.upsert_with_tombstones — the folded refresh/sync shape);
+    # per-row labels derive from the tombstone flag where it matters
+    "mixed_delta": "update_postimage",
     "delete_delta": "delete",
     "delete_dv": "delete",       # deletion-vector delete: no files added
     "update_dv": "update_postimage",  # DV update: postimages are new files
@@ -98,6 +102,10 @@ class _FilePartition(InputPartition):
     # vectored rows — the CDF delete/preimage shape)
     dv_paths: tuple = ()
     dv_semi: bool = False
+    # mixed tombstone+postimage files (commit_type mixed_delta):
+    # "label" ⇒ per-row _change_type from the tombstone flag,
+    # "drop" ⇒ tombstone rows filtered out (ignoreDeletes view)
+    tomb_mode: str = ""
 
 
 def _typed_part_value(v: str, dtype: T.DataType):
@@ -131,7 +139,8 @@ def _alias_pairs(store: ManifestStore) -> tuple:
 def _file_partitions(store: ManifestStore, files, schema_types: dict,
                      change_type: str = "insert",
                      dv_by_rv: dict | None = None,
-                     dv_semi: bool = False) -> list:
+                     dv_semi: bool = False,
+                     tomb_mode: str = "") -> list:
     aliases = _alias_pairs(store)
     parts = []
     for f in files:
@@ -151,6 +160,7 @@ def _file_partitions(store: ManifestStore, files, schema_types: dict,
                 dv_paths=(tuple(dv_by_rv.get(f.range_value, ()))
                           if dv_by_rv else ()),
                 dv_semi=dv_semi,
+                tomb_mode=tomb_mode,
             )
         )
     return parts
@@ -210,6 +220,18 @@ def _read_aligned(part: _FilePartition, arrow_schema):
         idx = np.asarray([p for p in pos if p < len(tbl)], dtype=np.int64)
         mask[idx] = part.dv_semi
         tbl = tbl.filter(pa.array(mask))
+    tomb_mask = None
+    if part.tomb_mode:
+        from starlake_spark.operators.reader import TOMBSTONE_COL
+
+        if TOMBSTONE_COL in tbl.column_names:
+            import numpy as np
+
+            vals = tbl[TOMBSTONE_COL].to_pylist()
+            tomb_mask = np.array([bool(x) for x in vals], dtype=bool)
+            if part.tomb_mode == "drop" and tomb_mask.any():
+                tbl = tbl.filter(pa.array(~tomb_mask))
+                tomb_mask = None  # survivors are all live rows
     consts = dict(part.const_cols)
     amap = dict(part.aliases)
 
@@ -227,7 +249,13 @@ def _read_aligned(part: _FilePartition, arrow_schema):
         if field.name == VERSION_COL and not from_file:
             cols.append(pa.array([part.version] * len(tbl), type=field.type))
         elif field.name == CHANGE_TYPE_COL and not from_file:
-            cols.append(pa.array([part.change_type] * len(tbl), type=field.type))
+            if tomb_mask is not None and part.tomb_mode == "label":
+                cols.append(pa.array(
+                    ["delete" if t else part.change_type
+                     for t in tomb_mask], type=field.type))
+            else:
+                cols.append(pa.array([part.change_type] * len(tbl),
+                                     type=field.type))
         elif field.name in consts and not from_file:
             cols.append(pa.array([consts[field.name]] * len(tbl), type=field.type))
         else:
@@ -439,16 +467,21 @@ class _StarStreamReader(DataSourceStreamReader):
             ct = _change_type_for(snap.commit_type)
             if ct is None:
                 continue
-            if snap.commit_type in ("delete_delta", "delete_dv") \
+            if snap.commit_type in ("delete_delta", "delete_dv",
+                                    "mixed_delta") \
                     and not self.change_types:
-                if self.ignore_deletes:
+                if not self.ignore_deletes:
+                    raise ValueError(
+                        f"stream source hit a {snap.commit_type} commit at "
+                        f"version {v}: downstream would silently retain "
+                        "deleted rows. Read with .option('changeTypes', "
+                        "'true') to receive delete rows, or .option("
+                        "'ignoreDeletes', 'true') to acknowledge an "
+                        "append-only view")
+                if snap.commit_type != "mixed_delta":
                     continue
-                raise ValueError(
-                    f"stream source hit a {snap.commit_type} commit at "
-                    f"version {v}: downstream would silently retain deleted "
-                    "rows. Read with .option('changeTypes', 'true') to "
-                    "receive delete rows, or .option('ignoreDeletes', "
-                    "'true') to acknowledge an append-only view")
+                # mixed commit under ignoreDeletes: the postimage rows
+                # still flow; tombstone rows drop in the file reader
             if snap.commit_type in ("delete_dv", "update_dv"):
                 # deletion-vector commits: the vectored rows ARE the
                 # deleted/pre-update rows with real values — emit them
@@ -476,7 +509,8 @@ class _StarStreamReader(DataSourceStreamReader):
                 if snap.commit_type == "delete_dv":
                     continue
             if (self.with_preimages
-                    and snap.commit_type in ("delta", "delete_delta")):
+                    and snap.commit_type in ("delta", "delete_delta",
+                                             "mixed_delta")):
                 from starlake_spark.operators.dml import CDC_DIR
 
                 log_dir = os.path.join(store.table_path, CDC_DIR, str(v))
@@ -498,7 +532,14 @@ class _StarStreamReader(DataSourceStreamReader):
                     if n.endswith(".parquet") and not n.startswith((".", "_")))
                 continue
             new_files = [f for f in snap.all_files() if f.write_version == v]
-            parts.extend(_file_partitions(store, new_files, types, change_type=ct))
+            tomb_mode = ""
+            if snap.commit_type == "mixed_delta":
+                # per-row labels when the consumer asked for change
+                # types; tombstone rows dropped under ignoreDeletes
+                tomb_mode = "label" if self.change_types else "drop"
+            parts.extend(_file_partitions(store, new_files, types,
+                                          change_type=ct,
+                                          tomb_mode=tomb_mode))
         return _prune_by_option(parts, self.partition_filter)
 
     def read(self, partition: _FilePartition):
@@ -1431,15 +1472,19 @@ def table_changes(spark, path: str, start_version: int = 0,
         ct = _change_type_for(snap.commit_type)
         if ct is None:
             continue
-        if snap.commit_type in ("delete_delta", "delete_dv") \
+        if snap.commit_type in ("delete_delta", "delete_dv", "mixed_delta") \
                 and not with_change_type:
-            if ignore_deletes:
+            if not ignore_deletes:
+                raise ValueError(
+                    f"table_changes hit a {snap.commit_type} commit at "
+                    f"version {v}: downstream would silently retain deleted "
+                    "rows. Pass with_change_type=True to receive delete "
+                    "rows, or ignore_deletes=True to acknowledge an "
+                    "append-only view")
+            if snap.commit_type != "mixed_delta":
                 continue
-            raise ValueError(
-                f"table_changes hit a {snap.commit_type} commit at version "
-                f"{v}: downstream would silently retain deleted rows. Pass "
-                "with_change_type=True to receive delete rows, or "
-                "ignore_deletes=True to acknowledge an append-only view")
+            # mixed commit under ignore_deletes: postimages still flow;
+            # tombstone rows are filtered in the generic path below
         if snap.commit_type in ("delete_dv", "update_dv"):
             # deletion-vector commits: vectored rows are the exact
             # deleted/pre-update rows — emit them via a semi-join of the
@@ -1480,7 +1525,8 @@ def table_changes(spark, path: str, start_version: int = 0,
         if not new_files:
             continue
         if (with_preimages and info.hash_cols
-                and snap.commit_type in ("delta", "delete_delta")):
+                and snap.commit_type in ("delta", "delete_delta",
+                                         "mixed_delta")):
             # write-time CDC log (cdf.enabled): this commit's change
             # rows were already materialized — read O(changes) bytes
             # instead of re-deriving with two key-pruned MoR scans.
@@ -1500,11 +1546,27 @@ def table_changes(spark, path: str, start_version: int = 0,
             continue
         for (wv, cdir), fs in rd._group_files(new_files).items():
             d = rd._read_group(spark, store, info, cdir, fs)
+            mixed_label = False
             if rd.TOMBSTONE_COL in d.columns:
+                tombc = F.coalesce(F.col(rd.TOMBSTONE_COL), F.lit(False))
+                if snap.commit_type == "mixed_delta":
+                    if with_change_type:
+                        # per-row label below: tombstones are the deletes
+                        d = d.withColumn("_sl_tomb_", tombc)
+                        mixed_label = True
+                    else:
+                        d = d.filter(~tombc)  # ignore_deletes view
                 d = d.drop(rd.TOMBSTONE_COL)
             d = d.withColumn(VERSION_COL, F_lit_long(wv))
             if with_change_type:
-                d = d.withColumn(CHANGE_TYPE_COL, F.lit(ct))
+                if mixed_label:
+                    d = (d.withColumn(CHANGE_TYPE_COL,
+                                      F.when(F.col("_sl_tomb_"),
+                                             F.lit("delete"))
+                                       .otherwise(F.lit(ct)))
+                          .drop("_sl_tomb_"))
+                else:
+                    d = d.withColumn(CHANGE_TYPE_COL, F.lit(ct))
             dfs.append(d)
     if not dfs:
         out = rd._empty_df(spark, info).withColumn(VERSION_COL, F_lit_long(None))

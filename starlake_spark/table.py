@@ -363,6 +363,20 @@ class StarTable:
         dml.delete_keys(self.spark, self.store, keys_df)
         return self
 
+    def upsert_with_tombstones(self, source: DataFrame,
+                               tomb_keys: DataFrame,
+                               txn_app_id: str | None = None,
+                               txn_version: int | None = None) -> "StarTable":
+        """Apply one refresh/sync cycle's deletes AND postimages as a
+        single delta commit (one write job, one manifest version, one
+        lock round) — semantically ``delete_keys(tomb_keys)`` followed
+        by ``upsert(source)``; see dml.upsert_with_tombstones."""
+        self._guard_replica_dml("upsert_with_tombstones")
+        dml.upsert_with_tombstones(self.spark, self.store, source,
+                                   tomb_keys, txn_app_id=txn_app_id,
+                                   txn_version=txn_version)
+        return self
+
     def compaction(self, force: bool = True, merge_operators: dict | None = None,
                    partition: str | None = None,
                    partition_predicate: str | None = None,

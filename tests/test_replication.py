@@ -364,9 +364,11 @@ def test_replication_chain(spark, sf_dir, tmp_path):
 
 def test_crash_between_apply_commits_converges(spark, sf_dir, tmp_path,
                                                monkeypatch):
-    """The apply is two commits (upsert, then tombstones). A crash
-    BETWEEN them leaves the watermark unadvanced; the retry re-applies
-    the whole window and converges — no lost deletes, no dup rows."""
+    """A mixed window applies as ONE commit (upsert_with_tombstones) —
+    the old crash-between-the-pair window is gone by construction. A
+    crash DURING the apply leaves the watermark unadvanced; the retry
+    re-applies the whole window and converges — no lost deletes, no
+    dup rows."""
     from starlake_spark.operators import dml
 
     o, src = _mk_src(spark, sf_dir, str(tmp_path / "src"))
@@ -375,16 +377,16 @@ def test_crash_between_apply_commits_converges(spark, sf_dir, tmp_path,
                 .withColumn("o_totalprice", F.lit(77.0)))
     src.delete("o_orderkey % 8 = 2", use_delta=True)
 
-    real = dml.delete_keys
+    real = dml.upsert_with_tombstones
     calls = {"n": 0}
 
-    def dying(spark_, store, keys_df):
+    def dying(spark_, store, source, tomb_keys, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("simulated crash before tombstone commit")
-        return real(spark_, store, keys_df)
+            raise RuntimeError("simulated crash during window apply")
+        return real(spark_, store, source, tomb_keys, **kw)
 
-    monkeypatch.setattr(dml, "delete_keys", dying)
+    monkeypatch.setattr(dml, "upsert_with_tombstones", dying)
     with pytest.raises(RuntimeError, match="simulated crash"):
         sync_table(spark, src, str(tmp_path / "dst"))
     # watermark must NOT have advanced past the failed apply
