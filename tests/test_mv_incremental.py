@@ -110,7 +110,7 @@ def test_incremental_equals_full_dml_storm(sess, spark, sf_dir, tmp_path):
 
     assert mv.update_material_view(sess, "mv_t") is True
     assert sess.table("mv_t").store.snapshot().commit_type in (
-        "delta", "delete_delta")
+        "delta", "delete_delta", "mixed_delta")
     got, want = _view_rows(sess), _full_rerun(sess)
     assert got == want
     # 'P' groups vanished: the dead group's row must be GONE, not zeroed
@@ -905,7 +905,7 @@ def test_join_mv_both_changed_sequential_windows(sess, spark, sf_dir,
     # both steps were delta commits — the backing table saw NO overwrite
     assert _count_overwrites(sess) == overwrites_before
     assert sess.table("mv_j").store.snapshot().commit_type in (
-        "delta", "delete_delta")
+        "delta", "delete_delta", "mixed_delta")
     got = _join_view(sess)
     assert got == _join_full(sess)
     assert any(r[0] == "XSEG" for r in got)  # cross-term pair landed
@@ -1355,7 +1355,7 @@ def test_mv_multi_window_differential_storm(sess, spark, sf_dir, tmp_path):
         # 'compact' = the backing table's own auto-compaction after the
         # delta landed (healthy); a full fallback would stamp 'write'
         assert sess.table("mv_j").store.snapshot().commit_type in (
-            "delta", "delete_delta", "compact"), \
+            "delta", "delete_delta", "mixed_delta", "compact"), \
             f"step {i} fell back to full"
         assert _join_view(sess) == _join_full(sess), f"step {i} diverged"
 
@@ -1603,7 +1603,7 @@ def test_refresh_probes_o_window_not_o_table(sess, spark, sf_dir, tmp_path):
     finally:
         set_lister(None)
     assert sess.table("mv_t").store.snapshot().commit_type in (
-        "delta", "delete_delta")
+        "delta", "delete_delta", "mixed_delta")
     probed = [p for p in cl.exists_calls
               if src.store.table_path in p]
     assert len(probed) == expected_probes, \
@@ -1688,7 +1688,7 @@ def test_hash_window_never_opens_untouched_cells(sess, spark, sf_dir,
         finally:
             os.environ.pop("STARLAKE_MV_DEBUG", None)
         assert sess.table("mv_t").store.snapshot().commit_type in (
-            "delta", "delete_delta")
+            "delta", "delete_delta", "mixed_delta")
     finally:
         _os.rename(vp + ".hidden", vp)
     assert _view_rows(sess) == _full_rerun(sess)
@@ -1774,7 +1774,7 @@ def test_dim_window_prunes_fact_partitions_physically(sess, spark, sf_dir,
         finally:
             os.environ.pop("STARLAKE_MV_DEBUG", None)
         assert sess.table("mv_p").store.snapshot().commit_type in (
-            "delta", "delete_delta")
+            "delta", "delete_delta", "mixed_delta")
     finally:
         _os.rename(vp + ".hidden", vp)
     got = {tuple(r) for r in
