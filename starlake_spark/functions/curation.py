@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from starlake_spark.local import local_df
+
 from starlake_spark.functions.text import tokens
 
 
@@ -299,7 +301,7 @@ def mixture_sample(
     filter — the corpus itself never shuffles.
     """
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    wdf = local_df(spark,
         [(k, float(v)) for k, v in sorted(weights.items())],
         f"{group_col} string, _w double")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.types import LongType
 
+from starlake_spark.local import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in codegen: zip_with + aggregate (no UDF)."""
@@ -387,7 +389,7 @@ def kmeans_centroids(
     _ids, M = _kmeans_fit(df, nlist=nlist, iters=iters, id_col=id_col,
                           vec_col=vec_col, train_cap=train_cap)
 
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(i), [float(x) for x in row]) for i, row in enumerate(M)],
         f"centroid_id long, {vec_col} array<double>",
     )
@@ -633,7 +635,7 @@ def ivf_index_topk(
         ]
         cells = {cid for _, _, cid in probe_rows}
     qid_type = queries.select(F.col(id_col)).schema[0].dataType
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         probe_rows,
         T.StructType([
             T.StructField("query_id", qid_type),
@@ -1076,7 +1078,7 @@ def pq_topk(
             lut[j] = ((codebooks[j] - qj[None, :]) ** 2).sum(1)
         rows.append((qid_val, [[float(x) for x in row] for row in lut]))
     qid_type = queries.select(F.col(qid)).schema[0].dataType
-    luts = spark.createDataFrame(
+    luts = local_df(spark, 
         rows,
         T.StructType([
             T.StructField("query_id", qid_type),
@@ -1229,7 +1231,7 @@ def ivfpq_topk(
                 cells.add(cid)
                 probe_rows.append((qid, lut_py, cid))
     qid_type = queries.select(F.col(id_col)).schema[0].dataType
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         probe_rows,
         T.StructType([
             T.StructField("query_id", qid_type),

@@ -35,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from starlake_spark.local import local_df
+
 # fixed odd multipliers / offsets (derived once from a seeded RNG and
 # frozen) — determinism across runs and partitionings is what makes the
 # operator oracle-checkable; the no-false-negative property holds for
@@ -135,7 +137,7 @@ def cms_heavy_hitters(
         survivors = []
 
     spark = df.sparkSession
-    cand_df = spark.createDataFrame([(k,) for k in survivors], f"{key_col} long")
+    cand_df = local_df(spark, [(k,) for k in survivors], f"{key_col} long")
     return (
         df.join(F.broadcast(cand_df), key_col, "left_semi")
         .groupBy(key_col)

@@ -17,6 +17,7 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import merge_ops as mo
+from starlake_spark.local import local_df
 from starlake_spark.meta import (DataFileInfo, ManifestStore, TableInfo,
                                  decode_range_value)
 from starlake_spark.operators import reader, writer
@@ -1573,8 +1574,9 @@ def _partitions_matching(spark, store, info, predicate: str) -> set[str]:
         rows.append(tuple(d.get(c) for c in info.range_cols))
     if not rows:
         return set()
-    pdf = spark.createDataFrame(
-        rows, T.StructType([T.StructField(c, T.StringType()) for c in info.range_cols])
+    pdf = local_df(
+        spark, rows,
+        T.StructType([T.StructField(c, T.StringType()) for c in info.range_cols])
     )
     pdf = pdf.select(*[F.col(c).cast(types[c]).alias(c) for c in info.range_cols])
     kept = pdf.filter(F.expr(predicate)).collect()

@@ -40,6 +40,7 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import merge_ops as mo
+from starlake_spark.local import local_df
 from starlake_spark.meta import (
     DataFileInfo,
     ManifestStore,
@@ -107,7 +108,7 @@ def _resolve_physical(name: str, present, amap: dict[str, list[str]]):
 
 
 def _empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
-    return spark.createDataFrame([], _schema(info))
+    return local_df(spark, [], _schema(info))
 
 
 def _group_files(files: list[DataFileInfo]) -> dict[tuple[int, str], list[DataFileInfo]]:
@@ -703,7 +704,7 @@ def _prune_partitions_sql(spark, info, range_values: list[str], predicate: str) 
     fast = _try_prune_partitions_python(info, rows, predicate)
     if fast is not None:
         return fast
-    pdf = spark.createDataFrame(
+    pdf = local_df(spark,
         [[r.get(c) for c in range_cols] for r in rows],
         T.StructType([T.StructField(c, T.StringType()) for c in range_cols]),
     )
@@ -1414,7 +1415,7 @@ def _prune_files_by_stats(spark, info, files, conjuncts, allowed_cols):
                    T.StructField(f"_max_{c}", T.StringType())]
     for c in sorted(null_cols):
         fields.append(T.StructField(f"_nulls_{c}", T.LongType()))
-    pdf = spark.createDataFrame(
+    pdf = local_df(spark,
         [[r.get(f.name) for f in fields] for r in rows], T.StructType(fields))
     for c in need_cols:
         pdf = (pdf.withColumn(f"_min_{c}", F.col(f"_min_{c}").cast(schema_types[c]))

@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from starlake_spark import catalog
+from starlake_spark.local import local_df
 from starlake_spark.meta import ManifestStore
 from starlake_spark.table import StarTable, create_table
 
@@ -809,7 +810,7 @@ def _register_probe_views(session, known: set[str]) -> list[str]:
                 continue
             src_t = session.table(n)
             schema = T.StructType.fromJson(json.loads(src_t.info.schema_json))
-            spark.createDataFrame([], schema).createOrReplaceTempView(n)
+            local_df(spark, [], schema).createOrReplaceTempView(n)
             out.append(n)
         except Exception:
             continue
@@ -1066,7 +1067,7 @@ def _incremental_spec_inner(session, sql_text: str, known: set[str],
         out_dt = {f.name: f.dataType.simpleString()
                   for f in spark.sql(sql_text).schema.fields}
         probe_v = f"_mv_probe_{uuid.uuid4().hex[:8]}"
-        spark.createDataFrame([], src_schema).createOrReplaceTempView(probe_v)
+        local_df(spark, [], src_schema).createOrReplaceTempView(probe_v)
         try:
             sum_probe = ", ".join(
                 f"{'count' if a['kind'] == 'count_distinct' else 'sum' if a['kind'].startswith(('sum', 'avg', 'count')) else a['kind']}"

@@ -33,6 +33,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from starlake_spark.local import local_df
 from starlake_spark.meta import ManifestStore
 from starlake_spark.operators import dml, reader
 from starlake_spark.table import StarTable, create_table
@@ -261,7 +262,7 @@ def _minmax_threatened(spark, t: StarTable, partials: DataFrame,
         return None, clean, []
     if len(rows) > cap:
         return "overflow", clean, None
-    thr = spark.createDataFrame(rows, thr_plan.schema)
+    thr = local_df(spark, rows, thr_plan.schema)
     acond = None
     for k in keys:
         e = F.col(k).eqNullSafe(F.col(k + "__t"))

@@ -14,6 +14,7 @@ import shutil
 
 from pyspark.sql import Window as W, functions as F
 
+from starlake_spark.local import local_df
 from starlake_spark.meta import ManifestStore
 from starlake_spark.queries.analytics import ld, ld_count
 from starlake_spark.table import StarTable, create_table
@@ -661,7 +662,7 @@ def star_streaming_watermark(spark, sf_dir):
              F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
     )
-    empty = spark.createDataFrame([], agg.schema)
+    empty = local_df(spark, [], agg.schema)
     create_table(spark, empty, path, hash_partitions=["hour", "event_type"],
                  hash_bucket_num=4)
     ckpt = path + "_ckpt"
@@ -752,7 +753,7 @@ def star_stateful_sessions(spark, sf_dir):
     import datetime as _dt
 
     sentinel = [(999999999, far + _dt.timedelta(days=30), "sentinel", 0.0)]
-    spark.createDataFrame(sentinel, ev.schema).coalesce(1) \
+    local_df(spark, sentinel, ev.schema).coalesce(1) \
         .write.mode("overwrite").parquet(f"{path}/src/b3")
 
     stream = (spark.readStream.schema(ev.schema)
@@ -1205,7 +1206,7 @@ def star_ingest_dedup(spark, sf_dir):
     sink.write_batch(d, 0)
     recrawl = (d.filter(F.col("doc_id") % 10 == 0)
                .withColumn("doc_id", F.col("doc_id") + F.lit(INGEST_RECRAWL_ID)))
-    novel = spark.createDataFrame(
+    novel = local_df(spark,
         [(INGEST_RECRAWL_ID * 2 + i,
           " ".join(f"zzqx{i}w{j}" for j in range(12))) for i in range(5)],
         "doc_id long, text string")
@@ -2204,7 +2205,7 @@ def star_metadata_agg(spark, sf_dir):
     assert after == before, "metadata_agg must run zero Spark jobs"
     row = [(mp["min"], mp["max"], int(mk["max"]), int(mp["count"]),
             md["min"], md["max"])]
-    return (spark.createDataFrame(
+    return (local_df(spark,
                 row, "min_price double, max_price double, "
                      "max_orderkey long, n_rows long, "
                      "min_date timestamp, max_date timestamp")
@@ -2816,7 +2817,7 @@ def star_skew_hotkey_collapse(spark, sf_dir):
     # hot key: 12 delta commits churning k=-1 — its collapse group
     # holds 12 versions while every cold key holds 1
     for i in range(12):
-        t.upsert(spark.createDataFrame([(-1, i, "H")],
+        t.upsert(local_df(spark, [(-1, i, "H")],
                                        "k long, v long, s string"))
     # in-batch duplicate storm: the whole batch shares k=-2 with
     # identical payloads (deterministic winner)

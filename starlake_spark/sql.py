@@ -18,6 +18,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from starlake_spark import catalog
+from starlake_spark.local import local_df
 from starlake_spark.table import StarTable, create_table
 
 
@@ -544,7 +545,7 @@ class StarSession:
                 fields.append(T.StructField(n, T.LongType()))
             else:
                 fields.append(T.StructField(n, types[im["col"]]))
-        return self.spark.createDataFrame([tuple(row)],
+        return local_df(self.spark, [tuple(row)],
                                           T.StructType(fields))
 
     _CDF_TVF_RE = re.compile(
@@ -665,7 +666,7 @@ class StarSession:
     # ---------- SQL command routing (StarLakeCatalog.scala:51-546) ----------
 
     def _empty_df(self) -> DataFrame:
-        return self.spark.createDataFrame([], T.StructType([]))
+        return local_df(self.spark, [], T.StructType([]))
 
     def _merge_from_sql(self, m) -> DataFrame:
         """MERGE INTO t [AS a] USING (src|(<subquery>)) [AS b] ON cond
@@ -846,7 +847,7 @@ class StarSession:
         if m and self._known(m["name"]):
             n = self.table(m["name"]).copy_into(
                 m["src"], file_format=(m["fmt"] or "parquet").lower())
-            return self.spark.createDataFrame([(n,)],
+            return local_df(self.spark, [(n,)],
                                               "num_inserted_rows long")
 
         m = re.match(r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)"
@@ -1081,11 +1082,10 @@ class StarSession:
         if m and self._known(m["name"]):
             issues = self.table(m["name"]).fsck(
                 deep=bool(m["deep"]), repair=bool(m["repair"]))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(i["kind"], i.get("partition"), i["path"],
                   bool(i["repairable"]), i.get("detail"))
-                 for i in issues] or
-                self.spark.sparkContext.emptyRDD(),
+                 for i in issues],
                 "kind string, partition string, path string, "
                 "repairable boolean, detail string")
 
@@ -1108,7 +1108,7 @@ class StarSession:
             t, st = sync_table(self.spark, self.table(m["src"]), dst_path,
                                full=bool(m["full"]))
             self._tables[m["name"]] = t
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(st["mode"], st["from_version"], st["to_version"],
                   st.get("upserted"), st.get("deleted"))],
                 "mode string, from_version long, to_version long, "
@@ -1139,7 +1139,7 @@ class StarSession:
             rows = [(n, p) for n, p in sorted(catalog.list_tables(self.warehouse).items())]
             rows += [(n, t.store.table_path) for n, t in sorted(self._tables.items())
                      if n not in catalog.list_tables(self.warehouse)]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows or [], "table_name string, location string")
 
         m = re.match(r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$",
@@ -1152,7 +1152,7 @@ class StarSession:
         if m and self._known(m["name"]):
             t = self.table(m["name"])
             info, s = t.info, t.stats()
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(info.table_id, t.store.table_path,
                   list(info.range_cols), list(info.hash_cols),
                   info.bucket_num, t.store.latest_version(),
@@ -1172,7 +1172,7 @@ class StarSession:
                      text, re.IGNORECASE)
         if m and self._known(m["name"]):
             props = self.table(m["name"]).info.configuration or {}
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 sorted(props.items()) or [], "key string, value string")
 
         m = re.match(r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$",
@@ -1180,7 +1180,7 @@ class StarSession:
         if m and self._known(m["name"]):
             schema = T.StructType.fromJson(
                 json.loads(self.table(m["name"]).info.schema_json))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(f.name,) for f in schema.fields], "col_name string")
 
         m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?"
@@ -1206,7 +1206,7 @@ class StarSession:
                     ("Location", t.store.table_path, ""),
                     ("Provider", "star", ""),
                 ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "col_name string, data_type string, comment string")
 
         m = re.match(r"^\s*COMPACT\s+(?:TABLE\s+)?(?P<name>[\w.]+)"
@@ -1232,7 +1232,7 @@ class StarSession:
             if m["mb"]:
                 kw["threshold_bytes"] = int(m["mb"]) * 1024 * 1024
             n = self.table(m["name"]).compact_small_files(**kw)
-            return self.spark.createDataFrame([(n,)], "files_merged int")
+            return local_df(self.spark, [(n,)], "files_merged int")
 
         # OPTIMIZE t [WHERE <range-partition predicate>]
         #            [ZORDER BY (a, b)] — Delta-style alias for the
@@ -1256,7 +1256,7 @@ class StarSession:
                      r"(?P<name>[\w.]+)\s*$", text, re.IGNORECASE)
         if m and self._known(m["name"]):
             root = self.table(m["name"]).generate_symlink_manifest()
-            return self.spark.createDataFrame([(root,)], "manifest_root string")
+            return local_df(self.spark, [(root,)], "manifest_root string")
 
         m = re.match(r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+"
                      r"(?P<hours>[\d.]+)\s+HOURS?)?"
@@ -1271,7 +1271,7 @@ class StarSession:
             if m["mhours"]:
                 kw["manifest_retention_s"] = float(m["mhours"]) * 3600.0
             removed = self.table(m["name"]).cleanup(**kw)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(p,) for p in removed] or [], "removed_file string")
 
         return None
@@ -1322,7 +1322,7 @@ class StarSession:
                      + [f.name for f in schema.fields if f.name in rng])
             schema = T.StructType(
                 sorted(schema.fields, key=lambda f: order.index(f.name)))
-            df = self.spark.createDataFrame([], schema)
+            df = local_df(self.spark, [], schema)
         range_cols = ([c.strip() for c in part.group(1).split(",") if c.strip()]
                       if part else _csv_opt(opts, "rangePartitions"))
         hash_cols = _csv_opt(opts, "hashPartitions")

@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from starlake_spark.local import local_df
 from starlake_spark.meta import DuplicateTxnError, ManifestStore
 from starlake_spark.operators import dml, writer
 
@@ -147,7 +148,7 @@ class DedupIngestSink(StarStreamSink):
         if not os.path.isdir(os.path.join(self.index_path, "_star_meta")):
             id_type = next(f.dataType for f in self._corpus_schema(spark).fields
                            if f.name == self.id_col)
-            empty = spark.createDataFrame([], T.StructType([
+            empty = local_df(spark, [], T.StructType([
                 T.StructField(self.id_col, id_type, True),
                 T.StructField("band", T.IntegerType(), True),
                 T.StructField("bh", T.LongType(), True),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from urllib.parse import unquote
 
 from starlake_spark import catalog
+from starlake_spark.local import local_df
 from starlake_spark.meta import (
     DataFileInfo,
     ManifestStore,
@@ -214,8 +215,8 @@ class StarTable:
                 sum(f.size for f in all_files),
             ))
             prev = files
-        return self.spark.createDataFrame(
-            rows,
+        return local_df(
+            self.spark, rows,
             "version long, commit_type string, committed_at timestamp, "
             "files_added long, files_removed long, rows_added long, "
             "live_files long, live_bytes long",
@@ -237,8 +238,8 @@ class StarTable:
             )
             for p in sorted(snap.partitions.values(), key=lambda p: p.range_value)
         ]
-        return self.spark.createDataFrame(
-            rows,
+        return local_df(
+            self.spark, rows,
             "partition string, n_files long, delta_files long, "
             "bytes long, last_update_version long",
         )
@@ -597,8 +598,8 @@ class StarTable:
                             rows, columns=["path", "partition",
                                            "expected", "actual"])
 
-                adf = self.spark.createDataFrame(
-                    audit, "abs_path string, rel_path string, "
+                adf = local_df(
+                    self.spark, audit, "abs_path string, rel_path string, "
                            "range_value string, expected long")
                 bad = (adf.repartition(
                             max(1, min(len(audit), 64)))
