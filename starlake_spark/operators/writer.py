@@ -389,9 +389,25 @@ def _is_statically_empty(df: DataFrame) -> bool:
     the standard empty-table idiom) — at 100 TB a cluster round-trip
     just to write zero rows is pure fixed cost. Conservative: anything
     the optimizer can't fold (e.g. a parquet scan that HAPPENS to
-    match nothing) returns False and takes the normal write path."""
+    match nothing) returns False and takes the normal write path.
+
+    Gated on the analyzed plan's pattern bitset (O(1), cached): only a
+    plan carrying a LIMIT, a LocalRelation, or a literal TRUE/FALSE
+    somewhere below can constant-fold to empty, so every ordinary
+    commit (scan → project → repartition) skips the full optimizer
+    pass this probe used to run per write (~5-20 ms of driver fixed
+    cost per commit). A miss is never wrong — it just takes the normal
+    write path.
+    """
     try:
-        p = df._jdf.queryExecution().optimizedPlan()
+        qe = df._jdf.queryExecution()
+        a = qe.analyzed()
+        tp = df.sparkSession._jvm.org.apache.spark.sql.catalyst.trees.TreePattern
+        if not (a.containsPattern(tp.LIMIT())
+                or a.containsPattern(tp.LOCAL_RELATION())
+                or a.containsPattern(tp.TRUE_OR_FALSE_LITERAL())):
+            return False
+        p = qe.optimizedPlan()
         return (p.getClass().getSimpleName() == "LocalRelation"
                 and p.data().isEmpty())
     except Exception:
