@@ -520,7 +520,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     short_name: str | None = None,
-    hash_bucket_num: int = 4,
+    hash_bucket_num: int | None = None,
     source=None,
 ):
     """Persist an IVF index as a star table range-partitioned by cell
@@ -559,6 +559,8 @@ def build_ivf_index(
             corpus = source.to_df(version=src_version)
     if nlist is None:
         nlist = max(4, corpus.count() // 50)
+    if hash_bucket_num is None:
+        hash_bucket_num = _adaptive_bucket_num(corpus, nlist)
     ids, M0 = _kmeans_fit(corpus, nlist=nlist, iters=iters,
                           id_col=id_col, vec_col=vec_col)
     M = _normalize_rows(M0)
@@ -683,6 +685,20 @@ def _approx_row_count(df: DataFrame) -> int:
         return max(1, size // 1024)
     except Exception:
         return 1000  # opaque plan: a fixed mid-size default, still no job
+
+
+def _adaptive_bucket_num(corpus: DataFrame, nlist: int) -> int:
+    """Scale-adaptive index bucket count (optimization guide §6, output
+    file sizing): the index write lands one file per (cell, bucket), so
+    a FIXED bucket count multiplies the file count at any corpus size —
+    a bench-scale corpus got 4x the files (and parquet/bloom per-file
+    overhead) it needs, while a 100 TB corpus would get too few buckets
+    for parallel sync writes and per-cell MoR spread. Target ~50k
+    vectors per (cell, bucket) slice, from plan statistics (no job);
+    callers that pass hash_bucket_num explicitly keep exact control."""
+    est = _approx_row_count(corpus)
+    per_cell = max(1, est // max(1, nlist))
+    return max(1, min(64, -(-per_cell // 50_000)))
 
 
 def semantic_dedup(
@@ -1116,7 +1132,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     short_name: str | None = None,
-    hash_bucket_num: int = 4,
+    hash_bucket_num: int | None = None,
     source=None,
 ):
     """IVF-PQ composed index — the FAISS IndexIVFPQ / IVFADC shape
@@ -1141,6 +1157,8 @@ def build_ivfpq_index(
             corpus = source.to_df(version=src_version)
     if nlist is None:
         nlist = max(4, _approx_row_count(corpus) // 50)
+    if hash_bucket_num is None:
+        hash_bucket_num = _adaptive_bucket_num(corpus, nlist)
     ids, M0 = _kmeans_fit(corpus, nlist=nlist, iters=iters,
                           id_col=id_col, vec_col=vec_col)
     M = _normalize_rows(M0)
