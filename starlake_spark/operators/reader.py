@@ -1502,68 +1502,7 @@ def _prune_files_by_bloom(info, table_path, files, conjuncts, allowed_cols):
     return kept
 
 
-#: Plan-construction memo (optimization round 10): a scan of the same
-#: (session, table identity, snapshot version, schema, properties) is a
-#: deterministic immutable DataFrame, but rebuilding it costs 0.1-0.2 s
-#: of driver plan construction per MoR scan (one parquet relation per
-#: commit group plus the alignment projection), and refresh/DML flows
-#: re-derive the same snapshot view several times per cycle. Only the
-#: bare whole-table shape is memoized (no filters, no explicit
-#: operators, no rowids, no caller snapshot); every input that shapes
-#: the plan is in the key — manifest version (every manifest mutation,
-#: including fsck repair and restore, lands as a version-bumping
-#: commit), schema JSON and table properties (ALTER / set_properties),
-#: table_id (drop + recreate at the same path), and the flat-scan env
-#: gate. STARLAKE_SCAN_CACHE=off disables.
-from collections import OrderedDict as _OrderedDict
-
-_SCAN_CACHE: "_OrderedDict[tuple, DataFrame]" = _OrderedDict()
-_SCAN_CACHE_MAX = 256
-
-
 def scan(
-    spark: SparkSession,
-    store: ManifestStore,
-    version: int | None = None,
-    merge_operators: dict | None = None,
-    partition_filter=None,
-    snapshot: Snapshot | None = None,
-    where: str | None = None,
-    schema_as_of: bool = True,
-    with_rowid: bool = False,
-) -> DataFrame:
-    key = None
-    if (merge_operators is None and partition_filter is None
-            and snapshot is None and where is None and not with_rowid
-            and os.environ.get("STARLAKE_SCAN_CACHE", "on") != "off"):
-        try:
-            info = store.table_info(refresh=True)
-            snap = store.snapshot(version)
-            key = (id(spark), store.table_path, info.table_id,
-                   snap.version, schema_as_of, info.schema_json,
-                   tuple(sorted((info.configuration or {}).items())),
-                   os.environ.get("STARLAKE_FLAT_SCAN", "on"),
-                   # the MoR manifest-size broadcast hint is decided at
-                   # construction time against this session conf
-                   spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
-                                  "10485760b"))
-            hit = _SCAN_CACHE.get(key)
-            if hit is not None:
-                _SCAN_CACHE.move_to_end(key)
-                return hit
-        except Exception:  # noqa: BLE001 — memo is best-effort only
-            key = None
-    out = _scan_build(spark, store, version, merge_operators,
-                      partition_filter, snapshot, where, schema_as_of,
-                      with_rowid)
-    if key is not None:
-        _SCAN_CACHE[key] = out
-        if len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
-            _SCAN_CACHE.popitem(last=False)
-    return out
-
-
-def _scan_build(
     spark: SparkSession,
     store: ManifestStore,
     version: int | None = None,
