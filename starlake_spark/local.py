@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _has_naive_ts(dt) -> bool:
+    """True iff the type carries a (possibly nested) TimestampType —
+    the one type whose Arrow conversion is session-time-zone-sensitive
+    (TimestampNTZType is not: both paths treat it as wall-clock)."""
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_naive_ts(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_naive_ts(dt.keyType) or _has_naive_ts(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_naive_ts(f.dataType) for f in dt.fields)
+    return False
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """A JVM-resident DataFrame from driver-local rows.
 
@@ -46,6 +61,19 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         st = (T._parse_datatype_string(schema)
               if isinstance(schema, str) else schema)
         if not st.fields:
+            return spark.createDataFrame(rows, schema)
+        rows = list(rows)
+        if any(isinstance(r, dict) for r in rows):
+            # dict rows map by KEY in createDataFrame; tuple(dict)
+            # would silently take the keys as values — plain path
+            return spark.createDataFrame(rows, schema)
+        if any(_has_naive_ts(f.dataType) for f in st.fields) and \
+                spark.conf.get("spark.sql.session.timeZone",
+                               "UTC") not in ("UTC", "Etc/UTC", "GMT"):
+            # the Arrow path pins naive datetimes to UTC while the
+            # plain path reads them in the session time zone — only
+            # identical when the session zone IS UTC (session.py pins
+            # it; guard any non-UTC caller)
             return spark.createDataFrame(rows, schema)
         data = [tuple(r) for r in rows]
         arrow_schema = to_arrow_schema(st)

@@ -984,6 +984,18 @@ def upsert_with_tombstones(spark: SparkSession, store: ManifestStore,
                 f"generated.{c}" not in (info.configuration or {}):
             raise ValueError(f"upsert source must carry range column '{c}' "
                              "(UpsertCommand.scala:83-88)")
+    # Gate BEFORE any commit path — including the partial-source
+    # two-commit fallback below: a replayed gated call must return
+    # without re-committing tombstones, and an invalid txn pair must
+    # error before any commit lands (the fallback's delete_keys used to
+    # run first, leaking a tombstone commit on both counts).
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None
+    if txn_key is not None and \
+            store.snapshot().streaming.get(txn_key, -1) >= txn_version:
+        return
+
     info = maybe_merge_schema(source, store)
     keys = info.range_cols + info.hash_cols
     missing = [k for k in keys if k not in tomb_keys.columns]
@@ -1001,13 +1013,6 @@ def upsert_with_tombstones(spark: SparkSession, store: ManifestStore,
         delete_keys(spark, store, tomb_keys)
         upsert(spark, store, source, use_delta=True,
                txn_app_id=txn_app_id, txn_version=txn_version)
-        return
-
-    if (txn_app_id is None) != (txn_version is None):
-        raise ValueError("txn_app_id and txn_version must be set together")
-    txn_key = f"txn:{txn_app_id}" if txn_app_id is not None else None
-    if txn_key is not None and \
-            store.snapshot().streaming.get(txn_key, -1) >= txn_version:
         return
 
     tomb = tomb_keys.select(*keys).distinct()

@@ -391,13 +391,20 @@ def _is_statically_empty(df: DataFrame) -> bool:
     the optimizer can't fold (e.g. a parquet scan that HAPPENS to
     match nothing) returns False and takes the normal write path.
 
-    Gated on the analyzed plan's pattern bitset (O(1), cached): only a
-    plan carrying a LIMIT, a LocalRelation, or a literal TRUE/FALSE
-    somewhere below can constant-fold to empty, so every ordinary
-    commit (scan → project → repartition) skips the full optimizer
-    pass this probe used to run per write (~5-20 ms of driver fixed
-    cost per commit). A miss is never wrong — it just takes the normal
-    write path.
+    Gated on the analyzed plan's pattern bitset (O(1), cached): a plan
+    carrying a LIMIT, a LocalRelation, or a literal TRUE/FALSE
+    somewhere below covers the foldable-empty idioms the engine
+    actually produces (``limit(0)``, ``filter(lit(False))``, empty
+    local frames, empty unions of those), so every ordinary commit
+    (scan → project → repartition) skips the full optimizer pass this
+    probe used to run per write (~5-20 ms of driver fixed cost per
+    commit). Known miss, deliberately accepted: a predicate whose
+    literals fold to false only during optimization (``filter("1 = 0")``
+    — analyzed as an int comparison, no TRUE/FALSE literal) takes the
+    normal write path; adding FILTER to the gate would re-run the
+    optimizer probe for virtually every DML write, which costs more
+    across a commit storm than the rare folded write job it would
+    skip. A miss is never wrong — it just takes the normal write path.
     """
     try:
         qe = df._jdf.queryExecution()

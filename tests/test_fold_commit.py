@@ -192,3 +192,26 @@ def test_fold_respects_check_invariants(spark, tmp_path):
     bad = spark.createDataFrame([(5, -5, "b")], "k int, v int, s string")
     with pytest.raises(ValueError, match="CHECK constraint"):
         t.upsert_with_tombstones(bad, spark.createDataFrame([(3,)], "k int"))
+
+
+def test_fold_partial_source_gate_covers_fallback(spark, tmp_path):
+    # ADVICE r10: the txn gate must run BEFORE the partial-source
+    # fallback — a replayed gated call used to re-commit tombstones
+    # (and an invalid txn pair errored only after the tombstone commit)
+    t = create_table(spark, _base(spark, 10), str(tmp_path / "t"),
+                     hash_partitions=["k"], hash_bucket_num=2,
+                     configuration=dict(NO_COMPACT))
+    ups = spark.createDataFrame([(4, 444)], "k int, v int")  # partial
+    dels = spark.createDataFrame([(2,)], "k int")
+    v0 = t.store.latest_version()
+    with pytest.raises(ValueError, match="must be set together"):
+        dml.upsert_with_tombstones(spark, t.store, ups, dels,
+                                   txn_app_id="app")
+    assert t.store.latest_version() == v0  # nothing committed
+    dml.upsert_with_tombstones(spark, t.store, ups, dels,
+                               txn_app_id="app", txn_version=3)
+    v1 = t.store.latest_version()
+    assert v1 == v0 + 2  # the two-commit fallback shape
+    dml.upsert_with_tombstones(spark, t.store, ups, dels,
+                               txn_app_id="app", txn_version=3)
+    assert t.store.latest_version() == v1  # replay = no commits at all

@@ -75,3 +75,36 @@ def test_local_df_falls_back_when_arrow_off(spark):
         assert [tuple(r) for r in df.collect()] == [(5, "z")]
     finally:
         spark.conf.set(key, prev)
+
+
+def test_local_df_dict_rows_map_by_key(spark):
+    """dict rows map by KEY (createDataFrame semantics); the Arrow path
+    must not tuple() them into their keys (ADVICE r10)."""
+    rows = [{"s": "x", "k": 1}, {"k": 2, "s": None}]
+    fast = local_df(spark, rows, "k long, s string")
+    slow = spark.createDataFrame(rows, "k long, s string")
+    assert sorted(tuple(r) for r in fast.collect()) == \
+        sorted(tuple(r) for r in slow.collect()) == [(1, "x"), (2, None)]
+
+
+def test_local_df_non_utc_session_timestamps(spark):
+    """Naive datetimes read in the SESSION time zone on the plain path
+    but pin to UTC on the Arrow path — with a non-UTC session the
+    helper must agree with createDataFrame (ADVICE r10)."""
+    import datetime
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        rows = [(datetime.datetime(2031, 3, 1, 12, 30, 15),), (None,)]
+        fast = local_df(spark, rows, "t timestamp")
+        slow = spark.createDataFrame(rows, "t timestamp")
+        assert fast.collect() == slow.collect()
+        # nested timestamps must take the same guard
+        rows2 = [([datetime.datetime(2031, 6, 1, 1, 2, 3)],)]
+        fast2 = local_df(spark, rows2, "v array<timestamp>")
+        slow2 = spark.createDataFrame(rows2, "v array<timestamp>")
+        assert fast2.collect() == slow2.collect()
+    finally:
+        spark.conf.set(key, prev)
