@@ -69,6 +69,32 @@ def _calibrate(spark) -> dict:
     return {"numpy_matmul_s": cpu_s, "spark_shuffle_s": shuffle_s}
 
 
+def _scaling_probe(spark) -> float:
+    """A parallelism-LIMITED probe (round-10 verdict item #2): the sf0.1
+    query entries are dominated by driver fixed costs, so their 8-core
+    vs 32-core wall times are flat and say nothing about whether the
+    ``$SPARK_GRAFT_CPUS`` knob reached the session. This entry is pure
+    task compute (hash + partial aggregation over 192M rows across
+    2×CPUS input splits) whose wall time tracks core count, so the
+    driver's low-core/high-core ratio column has one row that MUST move
+    when the knob works. Median of 3 — it is scaling evidence, not a
+    workload."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    n_cpus = int(CPUS)
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        (spark.range(0, 192_000_000, 1, n_cpus * 2)
+         .selectExpr("id % 1048576 AS k", "xxhash64(id) AS v")
+         .groupBy("k").agg(F.expr("bit_xor(v) AS x"))
+         .write.format("noop").mode("overwrite").save())
+        runs.append(round(time.monotonic() - t0, 3))
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
     from starlake_spark.session import get_spark
@@ -76,6 +102,20 @@ def main() -> None:
 
     spark = get_spark(app_name="starlake_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Committed-epoch per-entry timings (for the outlier re-run rule):
+    # read BEFORE this run overwrites the file. Missing/garbled → {}.
+    prior_timings: dict[str, float] = {}
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") == _sf_from_dir(SF_DIR):  # same-SF epochs only
+            prior_timings = {k: v for k, v in
+                             (prior.get("queries") or {}).items()
+                             if isinstance(v, (int, float))}
+    except Exception:  # noqa: BLE001
+        prior_timings = {}
 
     # warm up codegen, the python-UDF worker pool, and the noop sink so
     # the first timed query doesn't absorb session startup
@@ -215,9 +255,42 @@ def main() -> None:
         repeat_detail[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 
+    # Outlier re-run rule (round-10 verdict item #3): a single-shot
+    # time that drifted more than 1.5× from the committed epoch's
+    # (BENCH_FULL.json, read before this run overwrote it) is re-run up
+    # to twice and reports the median — one cold-JVM/GC spike on a
+    # small entry otherwise shows up as a fake 3× regression (or a fake
+    # win) that costs a whole round to re-measure.
+    for name, t in sorted(timings.items()):
+        prior = prior_timings.get(name)
+        if (prior is None or prior <= 0 or t <= 0 or name not in queries
+                or name in NON_REPEATABLE or name in repeat_detail):
+            continue
+        if 1 / 1.5 < t / prior < 1.5:
+            continue
+        runs = [t]
+        for _ in range(2):
+            t2 = _run_once(name, queries[name][0])
+            if t2 >= 0:
+                runs.append(t2)
+        repeat_detail[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
     calibration["post"] = _calibrate(spark)
+    timings["calibration_scaling_probe"] = _scaling_probe(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Scaling evidence (round-10 verdict item #2): record the
+    # parallelism the session ACTUALLY ran with, so a flat
+    # low-core/high-core ratio on driver-bound entries can never again
+    # read as "the cpus knob was ignored".
+    sc = spark.sparkContext
+    scaling_evidence = {
+        "cpus_env": int(CPUS),
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
     result = {
         "metric": "total_runtime",
         "value": total,
@@ -228,6 +301,7 @@ def main() -> None:
         "untimed_streaming_demos": excluded,
         "calibration": calibration,
         "median_of_3": repeat_detail,
+        "scaling_evidence": scaling_evidence,
     }
     # The driver's stdout capture keeps only a tail window, which
     # truncated the head of round 1's line. Persist the full JSON in the
@@ -246,6 +320,7 @@ def main() -> None:
         "failed": result["failed"],
         "full_timings_file": "BENCH_FULL.json",
         "calibration": calibration,
+        "scaling_evidence": scaling_evidence,
         "metric": "total_runtime",
         "value": total,
         "unit": "sec",

@@ -1343,6 +1343,40 @@ def _rescan_inlist(spec, tkeys_rows, cols_dt) -> list[str]:
     return out
 
 
+def _mat_touched(spark, df: DataFrame) -> "tuple[DataFrame, list | None]":
+    """Materialize an O(touched-groups)-small refresh intermediate:
+    capped driver collect + Arrow-local relation, so every downstream
+    probe (counts, emptiness, threat splits) is answered from the
+    driver rows with ZERO Spark jobs and every downstream plan roots in
+    a JVM-held LocalRelation instead of a checkpointed RDD scan
+    (optimization round 11, guide §5 — the refresh cycle used to pay a
+    localCheckpoint job plus one job per probe). Returns (frame, rows);
+    rows is None above the cap, where the frame falls back to
+    ``localCheckpoint`` exactly as before (windows touching more than
+    ``STARLAKE_MV_LOCAL_ROW_CAP`` groups keep the cluster-side shape —
+    the cap bounds driver memory, NOT correctness: both arms compute
+    the identical frame)."""
+    from starlake_spark.local import mat_local
+
+    cap = int(os.environ.get("STARLAKE_MV_LOCAL_ROW_CAP", "131072"))
+    return mat_local(spark, df, cap)
+
+
+def _pykey(vals) -> tuple:
+    """Driver-side group-key normalization matching Spark's grouping
+    semantics: NaN groups with NaN (Python NaN != NaN), -0.0 with 0.0
+    (already equal in Python), binary as hashable bytes."""
+    out = []
+    for v in vals:
+        if isinstance(v, float) and v != v:
+            out.append("__starlake_nan__")
+        elif isinstance(v, bytearray):
+            out.append(bytes(v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
 def _rescan_frame(spark, spec, pinned_src, tkeys, n_thr: int,
                   old_dt) -> DataFrame:
     """Authoritative recompute of THREATENED groups (a retraction hit
@@ -1381,7 +1415,7 @@ def _rescan_frame(spark, spec, pinned_src, tkeys, n_thr: int,
         rs = spark.sql(_mv_init_sql(spec, from_view=rv))
         cast = [F.col(c).cast(old_dt[c]).alias(c) for c in rs.columns
                 if c in old_dt]
-        return rs.select(*cast).localCheckpoint(eager=True)
+        return _mat_touched(spark, rs.select(*cast))
     finally:
         try:
             spark.catalog.dropTempView(rv)
@@ -1410,7 +1444,8 @@ def _aux_delta_sql(spec, a, change_view: str, signed: bool) -> str:
 
 
 def _merge_aux(spark, aux_t: StarTable, delta2: DataFrame, akeys,
-               txn_app: str, txn_version: int) -> None:
+               txn_app: str, txn_version: int,
+               n_rows: "int | None" = None) -> None:
     """Fold a signed (group, value) count delta into an aux table:
     broadcast-semi-prune to touched pairs, sum-merge, ONE gated upsert —
     the same O(touched) shape as _apply_delta. ``delta2`` must be
@@ -1438,7 +1473,8 @@ def _merge_aux(spark, aux_t: StarTable, delta2: DataFrame, akeys,
         cond = e if cond is None else cond & e
     dkeys = dd.select(*[F.col(k + "__d").alias(k) for k in akeys]) \
         .distinct()
-    pruned = _prune_touched(old, dkeys, akeys, delta2.count())
+    pruned = _prune_touched(old, dkeys, akeys,
+                            delta2.count() if n_rows is None else n_rows)
     j = pruned.join(dd, cond, "right")
     merged = j.select(
         *[F.coalesce(F.col(k), F.col(k + "__d")).alias(k) for k in akeys],
@@ -1494,10 +1530,10 @@ def _sync_distinct_aux(session, spec, src: ManifestStore, t: StarTable,
                 drop_v = f"_mv_aux_{uuid.uuid4().hex[:10]}"
                 ch2.createOrReplaceTempView(drop_v)
                 ch_v = drop_v
-            delta2 = spark.sql(
-                _aux_delta_sql(spec, a, ch_v, signed=True)) \
-                .localCheckpoint(eager=True)
-            _merge_aux(spark, aux_t, delta2, keys + ["_dx"], app, cur)
+            delta2, d2rows = _mat_touched(spark, spark.sql(
+                _aux_delta_sql(spec, a, ch_v, signed=True)))
+            _merge_aux(spark, aux_t, delta2, keys + ["_dx"], app, cur,
+                       n_rows=len(d2rows) if d2rows is not None else None)
         finally:
             if drop_v:
                 try:
@@ -1508,7 +1544,7 @@ def _sync_distinct_aux(session, spec, src: ManifestStore, t: StarTable,
 
 
 def _apply_recounts(spark, spec, full: DataFrame, keys,
-                    old_dt) -> DataFrame:
+                    old_dt, n_touched: "int | None" = None) -> DataFrame:
     """Overwrite each count(DISTINCT) placeholder column of the folded
     frame with the authoritative recount from its aux table, semi-
     pruned to the frame's (touched) groups — O(aux pairs of touched
@@ -1546,8 +1582,15 @@ def _apply_recounts(spark, spec, full: DataFrame, keys,
             full = full.drop(*[o + "__r" for o in outs])
             continue
         if tk is None:
-            tk = full.select(*keys).localCheckpoint(eager=True)
-            n_t = tk.count()
+            if n_touched is not None:
+                # caller already holds the frame driver-local: a keys
+                # projection over a LocalRelation re-evaluates for free
+                # — no checkpoint job, no count job
+                tk = full.select(*keys)
+                n_t = n_touched
+            else:
+                tk = full.select(*keys).localCheckpoint(eager=True)
+                n_t = tk.count()
         pruned = _prune_touched(adf, tk, keys, n_t)
         rec = pruned.groupBy(*[F.col(k) for k in keys]) \
             .agg(*[_rec_expr(a) for a in aggs])
@@ -1649,17 +1692,24 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
     hcols = [F.col(h) for h, _k in hidden]
     # materialize once: the frame is O(touched groups) small, and
     # the upsert + dead-group probe + delete below would otherwise
-    # each re-run the change-window scan and the backing-table join
-    full_all = m.select(*keys, *finals, *hcols,
-                        F.col("_mv_rescan_")).localCheckpoint(eager=True)
+    # each re-run the change-window scan and the backing-table join.
+    # Capped driver collect (round 11): when the rows fit on the
+    # driver, every probe below is answered from them with no job.
+    full_all, frows = _mat_touched(
+        spark, m.select(*keys, *finals, *hcols, F.col("_mv_rescan_")))
+    fa_cols = full_all.columns
+    ri = fa_cols.index("_mv_rescan_")
     out_cols = [f.name for f in old.schema.fields]
     if not keys:
         # the single row always survives: a global aggregate over an
         # empty set still yields one row (count 0, NULL extrema)
         frame = full_all.drop("_mv_rescan_")
-        if rescan_aggs and full_all.filter("_mv_rescan_").limit(1).count():
-            frame = _rescan_frame(spark, spec, pinned_src, None, 0,
-                                  old_dt)  # recomputes DISTINCT too
+        has_thr = (any(r[ri] for r in frows) if frows is not None
+                   else bool(full_all.filter("_mv_rescan_")
+                             .limit(1).count()))
+        if rescan_aggs and has_thr:
+            frame, _ = _rescan_frame(spark, spec, pinned_src, None, 0,
+                                     old_dt)  # recomputes DISTINCT too
         elif _distinct_aggs(spec):
             frame = _apply_recounts(spark, spec, frame, [], old_dt)
         dml.write_into(spark, t.store, frame.select(*out_cols),
@@ -1667,53 +1717,105 @@ def _apply_delta(spark, t: StarTable, spec, delta: DataFrame,
                        txn_app_id=txn_app, txn_version=txn_version)
         return
     full = full_all.filter(~F.col("_mv_rescan_"))
+    fold_rows = ([r for r in frows if not r[ri]]
+                 if frows is not None else None)
+    fold_cols = fa_cols
     if _distinct_aggs(spec):
         # the rescan slice (if any) recomputes its DISTINCT columns in
         # _rescan_frame's init SQL — only the folded slice recounts
-        full = _apply_recounts(spark, spec, full, keys, old_dt)
+        full = _apply_recounts(
+            spark, spec, full, keys, old_dt,
+            n_touched=len(fold_rows) if fold_rows is not None else None)
+        # the recount joined aux-table scans back in: re-materialize so
+        # the live/dead split below stays row-known (and the write does
+        # not re-run the recount join per consumer)
+        full, fold_rows = _mat_touched(spark, full)
+        fold_cols = full.columns
     live = (full.filter(F.col(f"{_MVH}n") > 0).select(*out_cols))
     dead = full.filter(F.col(f"{_MVH}n") <= 0).select(*keys)
+    ni = fold_cols.index(f"{_MVH}n")
+    dead_nonempty = (any(r[ni] is not None and r[ni] <= 0
+                         for r in fold_rows)
+                     if fold_rows is not None else None)
     check_dead = may_die
     if rescan_aggs:
         tkeys = full_all.filter(F.col("_mv_rescan_")).select(*keys)
-        n_thr = tkeys.count()
+        n_thr = (sum(1 for r in frows if r[ri]) if frows is not None
+                 else tkeys.count())
         if n_thr:
             check_dead = True  # a rescan can tombstone groups the
             # fold arithmetic alone could not kill
-            rs = _rescan_frame(spark, spec, pinned_src, tkeys, n_thr,
-                               old_dt)
-            live = live.unionByName(rs.select(*out_cols))
-            # threatened groups the rescan returned no row for have no
-            # surviving source rows — tombstone them
-            acond = None
-            for k in keys:
-                e = tkeys[k].eqNullSafe(rs[k])
-                acond = e if acond is None else acond & e
-            dead = dead.unionByName(
-                tkeys.join(rs, acond, "left_anti").select(*keys))
-            # materialize the unions to LogicalRDDs with constraint
-            # propagation OFF: the union children carry filter
-            # constraints on the dropped `_mv_rescan_` column, and
-            # Catalyst's Union.rewriteConstraints crashes on attrs
-            # outside the child output (NoSuchElementException: key
-            # not found) the moment anything — including the
-            # checkpoint's own optimization pass — computes them.
-            # O(touched) rows; propagation restored immediately.
-            ckey = "spark.sql.constraintPropagation.enabled"
-            prev = spark.conf.get(ckey, "true")
-            spark.conf.set(ckey, "false")
-            try:
-                live = live.localCheckpoint(eager=True)
-                dead = dead.localCheckpoint(eager=True)
-            finally:
-                spark.conf.set(ckey, prev)
+            rs, rs_rows = _rescan_frame(spark, spec, pinned_src, tkeys,
+                                        n_thr, old_dt)
+            if frows is not None and rs_rows is not None \
+                    and fold_rows is not None:
+                # Every side is driver-local: build live/dead directly
+                # from the rows as fresh LocalRelations. No union of
+                # filter plans — which sidesteps the Catalyst
+                # Union.rewriteConstraints crash (filter constraints on
+                # the dropped `_mv_rescan_` column) that forced the old
+                # path into checkpoints under constraint-propagation
+                # OFF — and no further jobs before the commit.
+                kidx_fa = [fa_cols.index(k) for k in keys]
+                rs_cols = rs.columns
+                rs_kidx = [rs_cols.index(k) for k in keys]
+                rs_oidx = [rs_cols.index(c) for c in out_cols]
+                fold_oidx = [fold_cols.index(c) for c in out_cols]
+                live_rows = [tuple(r[i] for i in fold_oidx)
+                             for r in fold_rows
+                             if r[ni] is not None and r[ni] > 0]
+                live_rows += [tuple(r[i] for i in rs_oidx)
+                              for r in rs_rows]
+                rs_keyset = {_pykey(tuple(r[i] for i in rs_kidx))
+                             for r in rs_rows}
+                # threatened groups the rescan returned no row for have
+                # no surviving source rows — tombstone them
+                dead_rows = [tuple(r[i] for i in kidx_fa)
+                             for r in fold_rows
+                             if r[ni] is not None and r[ni] <= 0]
+                dead_rows += [tuple(r[i] for i in kidx_fa)
+                              for r in frows
+                              if r[ri] and _pykey(tuple(
+                                  r[i] for i in kidx_fa))
+                              not in rs_keyset]
+                live = local_df(spark, live_rows, old.schema)
+                dead = local_df(spark, dead_rows,
+                                full_all.select(*keys).schema)
+                dead_nonempty = bool(dead_rows)
+            else:
+                live = live.unionByName(rs.select(*out_cols))
+                acond = None
+                for k in keys:
+                    e = tkeys[k].eqNullSafe(rs[k])
+                    acond = e if acond is None else acond & e
+                dead = dead.unionByName(
+                    tkeys.join(rs, acond, "left_anti").select(*keys))
+                dead_nonempty = None
+                # materialize the unions to LogicalRDDs with constraint
+                # propagation OFF: the union children carry filter
+                # constraints on the dropped `_mv_rescan_` column, and
+                # Catalyst's Union.rewriteConstraints crashes on attrs
+                # outside the child output (NoSuchElementException: key
+                # not found) the moment anything — including the
+                # checkpoint's own optimization pass — computes them.
+                # O(touched) rows; propagation restored immediately.
+                ckey = "spark.sql.constraintPropagation.enabled"
+                prev = spark.conf.get(ckey, "true")
+                spark.conf.set(ckey, "false")
+                try:
+                    live = live.localCheckpoint(eager=True)
+                    dead = dead.localCheckpoint(eager=True)
+                finally:
+                    spark.conf.set(ckey, prev)
     # dead + live apply as ONE gated commit (upsert_with_tombstones):
     # one write job + one manifest version per refresh, and the crash
     # window between the old delete-then-upsert pair disappears —
     # replay either sees the whole transition or none of it. The
-    # limit(1) probe stays: windows that provably kill nothing skip
+    # dead probe stays (driver rows when known, limit(1) job only in
+    # the over-cap fallback): windows that provably kill nothing skip
     # the tombstone arm entirely.
-    if check_dead and dead.limit(1).count():
+    if check_dead and (dead_nonempty if dead_nonempty is not None
+                       else bool(dead.limit(1).count())):
         dml.upsert_with_tombstones(spark, t.store, live, dead,
                                    txn_app_id=txn_app,
                                    txn_version=txn_version)
@@ -1787,9 +1889,10 @@ def _incremental_refresh(session, ent,
         # materialize the aggregated window ONCE (O(touched groups)
         # small): the distinct-key prune, the merge join, and the
         # broadcast-budget count below would otherwise each re-run the
-        # change-window scan
-        delta = spark.sql(_mv_delta_sql(spec, cv)).localCheckpoint(
-            eager=True)
+        # change-window scan. Driver-local rows (when under the cap)
+        # answer the count/min probe with no extra job.
+        delta, drows = _mat_touched(spark,
+                                    spark.sql(_mv_delta_sql(spec, cv)))
         pinned_src = None
         if any(a.get("rescan") for a in spec["aggs"]):
             # rescan target: the source PINNED at the window end (cur).
@@ -1804,13 +1907,21 @@ def _incremental_refresh(session, ent,
                      if where else None)
                 return _t.to_df(version=_v, where=w)
 
-        # one aggregate yields the broadcast-budget count AND the
-        # minimum signed group contribution (dead-group possibility)
-        st = delta.agg(F.count(F.lit(1)).alias("c"),
-                       F.min(F.col(f"{_MVH}n")).alias("mn")).first()
-        _apply_delta(spark, t, spec, delta, st["c"], txn_app, cur,
+        # broadcast-budget count + minimum signed group contribution
+        # (dead-group possibility): from the driver rows when local,
+        # else one aggregate over the checkpoint
+        if drows is not None:
+            dni = delta.columns.index(f"{_MVH}n")
+            n_delta = len(drows)
+            mns = [r[dni] for r in drows if r[dni] is not None]
+            mn = min(mns) if mns else None
+        else:
+            st = delta.agg(F.count(F.lit(1)).alias("c"),
+                           F.min(F.col(f"{_MVH}n")).alias("mn")).first()
+            n_delta, mn = st["c"], st["mn"]
+        _apply_delta(spark, t, spec, delta, n_delta, txn_app, cur,
                      pinned_src=pinned_src,
-                     may_die=st["mn"] is not None and st["mn"] < 0)
+                     may_die=mn is not None and mn < 0)
         return ("incremental", {spec["source"]: cur})
     finally:
         spark.catalog.dropTempView(cv)
@@ -2055,7 +2166,12 @@ def _incremental_refresh_join(session, ent, t: StarTable,
         # side reads the version this step's algebra requires: old
         # cursor if its window is still unprocessed, new if committed.
         # The change frame is materialized ONCE: the Δ-key pruning
-        # collects below and the delta SQL both re-read it.
+        # collects below and the delta SQL both re-read it. It stays a
+        # cluster-side checkpoint deliberately: it carries the full
+        # source row width, and a driver collect of wide rows pays
+        # py4j pickling that measured SLOWER than the checkpoint
+        # (round-11 A/B) — the capped-collect fast path is for the
+        # narrow O(touched-groups) aggregate frames only.
         ch = ch.localCheckpoint(eager=True)
         prune = _join_prune_predicates(ch, spec, cname)
         frames = {cname: _flatten(ch, cname, keep=("_change_type",))}
@@ -2073,14 +2189,22 @@ def _incremental_refresh_join(session, ent, t: StarTable,
         jv = f"_mv_jch_{uuid.uuid4().hex[:10]}"
         signed.createOrReplaceTempView(jv)
         try:
-            delta = spark.sql(_mv_delta_sql(spec, jv)).localCheckpoint(
-                eager=True)
+            delta, drows = _mat_touched(
+                spark, spark.sql(_mv_delta_sql(spec, jv)))
             txn_app = f"mv_refresh:{t.info.table_id}:{cname}"
-            st = delta.agg(F.count(F.lit(1)).alias("c"),
-                           F.min(F.col(f"{_MVH}n")).alias("mn")).first()
-            _apply_delta(spark, t, spec, delta, st["c"], txn_app,
+            if drows is not None:
+                dni = delta.columns.index(f"{_MVH}n")
+                n_delta = len(drows)
+                mns = [r[dni] for r in drows if r[dni] is not None]
+                mn = min(mns) if mns else None
+            else:
+                st = delta.agg(F.count(F.lit(1)).alias("c"),
+                               F.min(F.col(f"{_MVH}n")).alias("mn")) \
+                    .first()
+                n_delta, mn = st["c"], st["mn"]
+            _apply_delta(spark, t, spec, delta, n_delta, txn_app,
                          curs[cname],
-                         may_die=st["mn"] is not None and st["mn"] < 0)
+                         may_die=mn is not None and mn < 0)
             mode = "incremental"
         finally:
             spark.catalog.dropTempView(jv)

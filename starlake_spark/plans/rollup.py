@@ -189,8 +189,21 @@ def _signed_partials(ch: DataFrame, time_col: str, bucket: str,
               .agg(*exprs))
 
 
+def _mat_rollup(spark, df: DataFrame) -> "tuple[DataFrame, list | None]":
+    """Capped driver-local materialization of an O(touched-cells)
+    partial frame (shared mat_local contract: Arrow collect + local
+    relation under the cap, localCheckpoint above it). Same cap knob
+    as the MV refresh intermediates."""
+    import os as _os
+
+    from starlake_spark.local import mat_local
+
+    cap = int(_os.environ.get("STARLAKE_MV_LOCAL_ROW_CAP", "131072"))
+    return mat_local(spark, df, cap)
+
+
 def _minmax_threatened(spark, t: StarTable, partials: DataFrame,
-                       cfg: dict):
+                       cfg: dict, partial_rows: "list | None" = None):
     """Split a signed hash-window partial frame into (threatened_cells,
     safe_partials, threatened_rows) for min/max rollups. A cell is
     THREATENED when a retracted value ties/beats its stored extremum —
@@ -223,7 +236,15 @@ def _minmax_threatened(spark, t: StarTable, partials: DataFrame,
         e = F.col(p).isNotNull()
         pfilter = e if pfilter is None else pfilter | e
     cand = partials.filter(pfilter)
-    if not cand.limit(1).count():
+    if partial_rows is not None:
+        # the caller holds the frame driver-local: the candidate probe
+        # is a Python any() over the retraction columns — no Spark job
+        pcols = partials.columns
+        pidx = [pcols.index(p) for p in probes]
+        if not any(any(r[i] is not None for i in pidx)
+                   for r in partial_rows):
+            return None, clean, []
+    elif not cand.limit(1).count():
         return None, clean, []
     # broadcast-semi-prune the stored rollup to the candidate cells
     # FIRST (scan-filter — never an O(|rollup|) exchange), then join
@@ -303,9 +324,12 @@ def _rescan_cells(spark, src: ManifestStore, cfg: dict, cur: int,
     for g in cfg["group_cols"]:
         cond = cond & F.col(g).eqNullSafe(F.col(g + "__c"))
     pruned = rows.join(F.broadcast(cc), cond, "left_semi")
+    # single consumer (the upsert / merged-union that follows): lazy —
+    # the rescan computes inside that consumer's job instead of paying
+    # an eager checkpoint job of its own (round-11; determinism comes
+    # from the pinned version, not the materialization)
     return _partials(pruned, cfg["time_col"], cfg["bucket"],
-                     cfg["group_cols"], cfg["aggs"]) \
-        .localCheckpoint(eager=True)
+                     cfg["group_cols"], cfg["aggs"])
 
 
 def _cell_condition(keys: list[str], rows) -> "str | None":
@@ -440,9 +464,9 @@ def refresh_rollup(spark: SparkSession, t: StarTable) -> dict:
             rows = None
             cond = None
             if has_mm:
-                partials = partials.localCheckpoint(eager=True)
+                partials, prows = _mat_rollup(spark, partials)
                 thr, partials, rows = _minmax_threatened(
-                    spark, t, partials, cfg)
+                    spark, t, partials, cfg, partial_rows=prows)
             keys = ["bucket_ts"] + cfg["group_cols"]
             if thr is not None:
                 cond = (_cell_condition(keys, rows)
@@ -672,9 +696,9 @@ def _realtime_frame(spark: SparkSession, t: StarTable,
                 # cells are REPLACED by pinned full-cell recomputes in
                 # the merged view instead of folded; a threat set over
                 # the rescan cap serves the full recompute instead
-                tail = tail.localCheckpoint(eager=True)
+                tail, trows = _mat_rollup(spark, tail)
                 replace_thr, tail, thr_rows = _minmax_threatened(
-                    spark, t, tail, cfg)
+                    spark, t, tail, cfg, partial_rows=trows)
                 if replace_thr == "overflow":
                     full = True
         else:
