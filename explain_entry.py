@@ -27,7 +27,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     here = os.path.dirname(os.path.abspath(__file__))
-    outdir = os.path.join(here, "plans", "r10")
+    outdir = os.path.join(here, "plans", os.environ.get("PLAN_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn = qs[name][0]

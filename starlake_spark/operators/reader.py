@@ -167,8 +167,15 @@ def _file_spark_schema(abs_path: str) -> "T.StructType | None":
         from pyspark.sql.pandas.types import from_arrow_type
 
         pa_schema = pq.ParquetFile(abs_path).schema_arrow
+        # prefer_timestamp_ntz: a tz-naive parquet timestamp
+        # (isAdjustedToUTC=false — what Spark writes for TimestampNTZ
+        # columns) must map to timestamp_ntz, exactly as Spark's own
+        # scan inference does; tz-aware stays TimestampType
         out = T.StructType([
-            T.StructField(f.name, from_arrow_type(f.type), True)
+            T.StructField(f.name,
+                          from_arrow_type(f.type,
+                                          prefer_timestamp_ntz=True),
+                          True)
             for f in pa_schema])
     except Exception:  # unmappable type / unreadable footer → fallback
         out = None
@@ -176,6 +183,33 @@ def _file_spark_schema(abs_path: str) -> "T.StructType | None":
         _FILE_SCHEMA_CACHE.pop(next(iter(_FILE_SCHEMA_CACHE)))
     _FILE_SCHEMA_CACHE[abs_path] = out
     return out
+
+
+# The flat scan reconstructs range values and commit dirs from
+# `_metadata.file_path`. Two encodings sit between the raw partition
+# value and that path: the writer hive-escapes special bytes in the
+# DIR NAME ('%' → %25, ':' → %3A, ...; space stays literal), and the
+# path column is then the URI-encoded form of the disk name (space →
+# %20, '%' → %25, ...; '+' stays literal). Both are plain %XX escapes,
+# so ``_decoded`` (one url_decode with a literal '+' protected first —
+# URLDecoder would otherwise turn it into a space) inverts one layer;
+# range values apply it twice, the commit-dir lookup (no hive layer)
+# once. Gate still refuses values a manifest range_value cannot
+# represent unambiguously (',' is its segment separator) and column
+# names that are not regex-literal safe.
+_RV_SAFE = re.compile(r"^[^,]+$")
+_COL_SAFE = re.compile(r"^[A-Za-z0-9_]+$")
+_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _decoded(col: "F.Column") -> "F.Column":
+    return F.url_decode(F.regexp_replace(col, "[+]", "%2B"))
+
+
+def _unescape_path(s: str) -> str:
+    """Driver-side inverse of the writer's hive dir-name escaping
+    (plain %XX only — no '+' handling)."""
+    return _PCT.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
 def _flat_read_plan(store: ManifestStore, info: TableInfo,
@@ -186,40 +220,90 @@ def _flat_read_plan(store: ManifestStore, info: TableInfo,
     relation with an explicit schema — every declared column present
     under its declared name and exact physical type in every group (no
     renames, no type widening, no nested evolution, no extra live
-    columns), no range partitions (hive dirs need a per-commit
-    basePath), and every group's files flat in one directory mapping to
-    one distinct version. The tombstone flag column may appear in any
-    subset of groups (the reader backfills null ⇒ not tombstoned).
-    None ⇒ caller takes the per-group union path, which handles every
-    evolution case. ``STARLAKE_FLAT_SCAN=off`` disables the fast path.
+    columns), and every group's files mapping to one distinct version.
+    The tombstone flag column may appear in any subset of groups (the
+    reader backfills null ⇒ not tombstoned). None ⇒ caller takes the
+    per-group union path, which handles every evolution case.
+    ``STARLAKE_FLAT_SCAN=off`` disables the fast path.
+
+    Range-partitioned histories (round 11): the hive dirs live UNDER
+    each commit dir, which Spark's partition discovery rejects as
+    conflicting roots across commits — so the flat relation reads with
+    ``recursiveFileLookup`` (no discovery at all) and reconstructs each
+    range column from ``_metadata.file_path`` with one regexp per
+    column. That reconstruction is only byte-exact when the column
+    names and partition values are invariant under both hive escaping
+    and the file-path URI encoding (``_RV_SAFE`` — dates, ints, plain
+    strings; anything else refuses). The returned ``read_schema``
+    covers only the PHYSICAL columns; callers add the range columns
+    via ``_flat_range_exprs``.
 
     Scale note: this is the plan-size lever for MoR reads — the union
     path plans O(commit groups) parquet relations per scan while this
     plans exactly one, so plan analysis, py4j chatter and codegen stay
     O(1) as a partition's delta history grows.
     """
-    if os.environ.get("STARLAKE_FLAT_SCAN") == "off" or info.range_cols:
+    if os.environ.get("STARLAKE_FLAT_SCAN") == "off":
+        return None
+    if info.range_cols and not all(_COL_SAFE.match(c)
+                                   for c in info.range_cols):
         return None
     schema = _schema(info)
     declared = {f.name: f.dataType for f in schema.fields}
-    expected = set(declared)
+    expected = set(declared) - set(info.range_cols)
+    keys = set(info.range_cols) | set(info.hash_cols)
     any_tomb = False
     dir_wv: dict[str, int] = {}
     seen_wv: set[int] = set()
+    absent: dict[str, set] = {}
     for (wv, _cdir), fs in groups.items():
         exist = set(fs[0].exist_cols)
         has_tomb = TOMBSTONE_COL in exist
         any_tomb |= has_tomb
-        if exist - {TOMBSTONE_COL} != expected:
-            return None  # partial-column commit / rename / dropped col
-        first = fs[0].path
-        first_abs = first if os.path.isabs(first) else \
-            os.path.join(store.table_path, first)
-        d = os.path.dirname(first_abs)
-        for f in fs[1:]:
+        present = exist - {TOMBSTONE_COL}
+        if not (present <= expected):
+            return None  # renamed / dropped / extra live column
+        if not (keys - set(info.range_cols) <= present):
+            return None  # merge keys must exist in every commit
+        for c in expected - present:
+            # partial-column commit (round 11): the column reads as
+            # NULL from this group's files via the explicit schema;
+            # the merge path nulls its ORDERING on these versions so
+            # "absent = keep existing" survives (exactly the union
+            # path's per-branch null-ordering literal)
+            absent.setdefault(c, set()).add(wv)
+        d = None
+        for f in fs:
             fa = f.path if os.path.isabs(f.path) else \
                 os.path.join(store.table_path, f.path)
-            if os.path.dirname(fa) != d:
+            fd = os.path.dirname(fa)
+            if info.range_cols:
+                # every file must sit under exactly the hive dirs its
+                # manifest range_value declares (dir segments unescape
+                # to the raw values) — the commit dir is what remains
+                # above them
+                segs = f.range_value.split(",") if f.range_value else []
+                if len(segs) != len(info.range_cols):
+                    return None
+                parts = fd.split("/")
+                if len(parts) <= len(segs):
+                    return None
+                dsegs = parts[-len(segs):]
+                ok = True
+                for c, seg, dseg in zip(info.range_cols, segs, dsegs):
+                    name, eq, val = seg.partition("=")
+                    dname, deq, dval = dseg.partition("=")
+                    if (name != c or dname != c or not eq or not deq
+                            or not _RV_SAFE.match(val)
+                            or _unescape_path(dval) != val):
+                        ok = False
+                        break
+                if not ok:
+                    return None
+                fd = "/".join(parts[: -len(segs)])
+            if d is None:
+                d = fd
+            elif fd != d:
                 return None  # nested layout: dir→version map ambiguous
         if d in dir_wv and dir_wv[d] != wv:
             return None
@@ -227,11 +311,16 @@ def _flat_read_plan(store: ManifestStore, info: TableInfo,
             return None  # equal-version groups: keep union-path order
         seen_wv.add(wv)
         dir_wv[d] = wv
+        first = fs[0].path
+        first_abs = first if os.path.isabs(first) else \
+            os.path.join(store.table_path, first)
         ps = _file_spark_schema(first_abs)
         if ps is None:
             return None
         have = {f.name: f.dataType for f in ps.fields}
         for n, dt in declared.items():
+            if n in info.range_cols or n not in present:
+                continue  # path-reconstructed / null-backfilled
             h = have.get(n)
             if h is None or h.simpleString() != dt.simpleString():
                 return None
@@ -239,23 +328,61 @@ def _flat_read_plan(store: ManifestStore, info: TableInfo,
                                        (T.BooleanType, type(None))):
             return None
     fields = [T.StructField(f.name, f.dataType, True, f.metadata)
-              for f in schema.fields]
+              for f in schema.fields if f.name not in info.range_cols]
     if any_tomb:
         fields.append(T.StructField(TOMBSTONE_COL, T.BooleanType(), True))
-    return T.StructType(fields), dir_wv, any_tomb
+    return T.StructType(fields), dir_wv, any_tomb, absent
 
 
-def _flat_version_col(dir_wv: dict[str, int]) -> "F.Column":
+def _flat_reader(spark: SparkSession, info: TableInfo,
+                 read_schema: "T.StructType"):
+    """The single-relation reader for a flat scan: plain for hash-only
+    tables; ``recursiveFileLookup`` for range layouts so Spark skips
+    partition discovery entirely (which would reject hive dirs nested
+    under per-commit dirs as conflicting roots)."""
+    reader = spark.read.schema(read_schema)
+    if info.range_cols:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader
+
+
+def _norm_path_col() -> "F.Column":
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def _flat_range_exprs(info: TableInfo,
+                      declared: dict) -> "list[F.Column]":
+    """Range columns rebuilt from the file path: one regexp per column
+    (gate guarantees URI/hive-invariant values), NULL for the hive
+    default-partition sentinel, cast to the declared type — the same
+    cast an explicit read schema would apply to the dir value."""
+    out = []
+    p = _norm_path_col()
+    for c in info.range_cols:
+        # decode twice: URI layer (path column), then the writer's
+        # hive dir-name escaping — both plain %XX (see _decoded)
+        raw = _decoded(_decoded(
+            F.regexp_extract(p, "/" + c + "=([^/]+)/", 1)))
+        v = (F.when((raw == "") | (raw == "__HIVE_DEFAULT_PARTITION__"),
+                    F.lit(None))
+             .otherwise(raw).cast(declared[c]))
+        out.append(v.alias(c))
+    return out
+
+
+def _flat_version_col(dir_wv: dict[str, int],
+                      strip_levels: int = 1) -> "F.Column":
     """Per-row commit version from the file's directory: strip the
-    scheme, drop the basename, look the directory up in a tiny literal
-    map (one entry per commit group — bounded by the compaction
-    trigger, so the per-row lookup scans a handful of entries)."""
+    scheme, drop the basename (plus one level per range column — hive
+    dirs sit between the file and its commit dir), look the directory
+    up in a tiny literal map (one entry per commit group — bounded by
+    the compaction trigger, so the per-row lookup scans a handful of
+    entries)."""
     pairs = []
     for d, wv in dir_wv.items():
         pairs += [F.lit(d), F.lit(int(wv))]
-    file_dir = F.regexp_replace(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-        "/[^/]+$", "")
+    file_dir = _decoded(F.regexp_replace(
+        _norm_path_col(), "(/[^/]+){%d}$" % strip_levels, ""))
     return F.element_at(F.create_map(*pairs), file_dir)
 
 
@@ -427,13 +554,18 @@ def _plain_scan(
         # groups must keep the union path's column surface)
         flat = _flat_read_plan(store, info, groups)
         if flat is not None and not flat[2]:
-            read_schema, _dir_wv, _ = flat
+            read_schema, _dir_wv, _, _absent = flat
             paths = [f.path if os.path.isabs(f.path)
                      else os.path.join(store.table_path, f.path)
                      for f in files]
             schema = _schema(info)
-            return (spark.read.schema(read_schema).parquet(*paths)
-                    .select(*[f.name for f in schema.fields]))
+            u = _flat_reader(spark, info, read_schema).parquet(*paths)
+            declared = {f.name: f.dataType for f in schema.fields}
+            rng_exprs = dict(zip(info.range_cols,
+                                 _flat_range_exprs(info, declared)))
+            cols = [rng_exprs.get(f.name, F.col(f.name))
+                    for f in schema.fields]
+            return u.select(*cols)
     dfs = [
         _read_group(spark, store, info, cdir, fs, with_rowid=need_id)
         for (_wv, cdir), fs in groups.items()
@@ -465,26 +597,44 @@ def _merge_scan(
         # gate), so the per-column ordering literal degenerates to the
         # file's commit version and the whole union collapses into ONE
         # parquet scan + version column + the same keyed aggregation.
-        read_schema, dir_wv, f_tomb = flat
+        read_schema, dir_wv, f_tomb, absent = flat
         paths = [f.path if os.path.isabs(f.path)
                  else os.path.join(store.table_path, f.path)
                  for f in files]
-        u = (spark.read.schema(read_schema).parquet(*paths)
-             .withColumn(_WV, _flat_version_col(dir_wv).cast("long")))
-        ordc = F.col(_WV)
+        declared = {f.name: f.dataType for f in schema.fields}
+        extra = _flat_range_exprs(info, declared)
+        extra.append(_flat_version_col(
+            dir_wv, strip_levels=1 + len(info.range_cols))
+            .cast("long").alias(_WV))
+        u = (_flat_reader(spark, info, read_schema).parquet(*paths)
+             .select("*", *extra))
+
+        def _ord(col_name):
+            # per-column ordering: NULL on commits where the column is
+            # absent (max_by / the when-collect skip null orderings) —
+            # the single-relation equivalent of the union path's
+            # per-branch null-ordering literal
+            miss = absent.get(col_name)
+            if not miss:
+                return F.col(_WV)
+            return F.when(~F.col(_WV).isin(*[int(v) for v in miss]),
+                          F.col(_WV))
+
         aggs = []
         for f in data_cols:
+            ordc = _ord(f.name)
             op = merge_operators.get(f.name)
             if op is None:
                 aggs.append(F.max_by(F.col(f.name), ordc).alias(f.name))
             else:
-                versions = F.sort_array(F.collect_list(F.struct(
-                    ordc.alias("v"), F.col(f.name).alias("x"))))
+                versions = F.sort_array(F.collect_list(
+                    F.when(ordc.isNotNull(), F.struct(
+                        ordc.alias("v"), F.col(f.name).alias("x")))))
                 aggs.append(op.column(versions, f.dataType)
                             .cast(f.dataType).alias(f.name))
         if f_tomb:
             aggs.append(F.max_by(F.coalesce(F.col(TOMBSTONE_COL),
-                                            F.lit(False)), ordc)
+                                            F.lit(False)), F.col(_WV))
                         .alias(TOMBSTONE_COL))
         merged = u.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
         if f_tomb:
