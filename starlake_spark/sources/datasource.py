@@ -1696,11 +1696,7 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
     from pyspark.sql import functions as F
     from starlake_spark.operators import reader as rd
 
-    kdf = None
-    for (_wv, cdir), fs in rd._group_files(new_files).items():
-        d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
-        kdf = d if kdf is None else kdf.unionByName(d)
-    kdf = kdf.distinct()
+    kdf = _window_key_frame(spark, store, info, keys, new_files)
     prev = rd.scan(spark, store, version=v_pre, snapshot=pre_snap,
                    schema_as_of=False).join(kdf, keys, "left_semi")
     cur = rd.scan(spark, store, version=v_cur, snapshot=cur_snap,
@@ -1715,42 +1711,110 @@ def _preimage_changes(spark, store, info, keys, v_pre, v_cur, tag_version,
     if P_HAS in keys or C_HAS in keys:
         raise ValueError(f"key column collides with the internal CDC "
                          f"presence flags ({P_HAS}/{C_HAS}); rename it")
-    p = prev.select(*keys,
-                    *[F.col(c).alias(f"_p_{c}") for c in data_cols],
-                    F.lit(True).alias(P_HAS))
-    c = cur.select(*keys,
-                   *[F.col(c).alias(f"_c_{c}") for c in data_cols],
-                   F.lit(True).alias(C_HAS))
+
+    # one parsed SQL string per projection instead of one py4j Column
+    # construction per column: this plan is built fresh for every CDC
+    # window (feed, range_changes, MV/rollup refresh, index sync), so
+    # its construction chatter is per-refresh driver fixed cost
+    # (optimization round 11; the r10 invariant-guard rewrite, same
+    # reasoning)
+    def bt(name):
+        return "`" + name.replace("`", "``") + "`"
+
+    def sq(name):
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    p = prev.selectExpr(*[bt(k) for k in keys],
+                        *[f"{bt(c)} AS {bt('_p_' + c)}"
+                          for c in data_cols],
+                        f"TRUE AS {bt(P_HAS)}")
+    c = cur.selectExpr(*[bt(k) for k in keys],
+                       *[f"{bt(c)} AS {bt('_c_' + c)}"
+                         for c in data_cols],
+                       f"TRUE AS {bt(C_HAS)}")
     j = p.join(c, keys, "full_outer")
-    same = F.lit(True)
-    for col in data_cols:
-        same = same & F.col(f"_p_{col}").eqNullSafe(F.col(f"_c_{col}"))
-    both = F.col(P_HAS).isNotNull() & F.col(C_HAS).isNotNull()
-    j = j.filter(~(both & same))  # no-op pairs are not changes
+    same = " AND ".join(f"({bt('_p_' + col)} <=> {bt('_c_' + col)})"
+                        for col in data_cols) or "TRUE"
+    both = f"({bt(P_HAS)} IS NOT NULL AND {bt(C_HAS)} IS NOT NULL)"
+    j = j.filter(f"NOT ({both} AND ({same}))")  # no-op pairs: no change
     if data_cols:
-        pre_row = F.struct(*[F.col(f"_p_{c}").alias(c) for c in data_cols])
-        post_row = F.struct(*[F.col(f"_c_{c}").alias(c) for c in data_cols])
+        pre_row = ("named_struct(" + ", ".join(
+            f"{sq(col)}, {bt('_p_' + col)}" for col in data_cols) + ")")
+        post_row = ("named_struct(" + ", ".join(
+            f"{sq(col)}, {bt('_c_' + col)}" for col in data_cols) + ")")
 
         def ev(ct, row):
-            return F.struct(F.lit(ct).alias("ct"), row.alias("row"))
+            return f"named_struct('ct', '{ct}', 'row', {row})"
 
         events = (
-            F.when(F.col(P_HAS).isNull(),
-                   F.array(ev("insert", post_row)))
-             .when(F.col(C_HAS).isNull(),
-                   F.array(ev("delete", pre_row)))
-             .otherwise(F.array(ev("update_preimage", pre_row),
-                                ev("update_postimage", post_row))))
-        out = (j.select(*keys, F.explode(events).alias("_e"))
+            f"CASE WHEN {bt(P_HAS)} IS NULL THEN "
+            f"array({ev('insert', post_row)}) "
+            f"WHEN {bt(C_HAS)} IS NULL THEN "
+            f"array({ev('delete', pre_row)}) "
+            f"ELSE array({ev('update_preimage', pre_row)}, "
+            f"{ev('update_postimage', post_row)}) END")
+        out = (j.selectExpr(*[bt(k) for k in keys],
+                            f"explode({events}) AS _e")
                 .select(*keys, "_e.row.*",
                         F_lit_long(tag_version).alias(VERSION_COL),
                         F.col("_e.ct").alias(CHANGE_TYPE_COL)))
     else:
         # key-only table: updates are impossible (both-present rows are
         # always no-ops, filtered above) — classify insert vs delete
-        ct = F.when(F.col(P_HAS).isNull(), F.lit("insert")) \
-              .otherwise(F.lit("delete"))
-        out = j.select(*keys,
-                       F_lit_long(tag_version).alias(VERSION_COL),
-                       ct.alias(CHANGE_TYPE_COL))
+        out = j.selectExpr(
+            *[bt(k) for k in keys],
+            f"CAST({tag_version if tag_version is not None else 'NULL'} "
+            f"AS BIGINT) AS {bt(VERSION_COL)}",
+            f"CASE WHEN {bt(P_HAS)} IS NULL THEN 'insert' "
+            f"ELSE 'delete' END AS {bt(CHANGE_TYPE_COL)}")
     return [out.select(*out_cols, VERSION_COL, CHANGE_TYPE_COL)]
+
+
+def _window_key_frame(spark, store, info, keys, new_files):
+    """DISTINCT merge keys of a window's raw delta/tombstone files.
+    One schema-pinned parquet relation over every file when the keys
+    are physically present at their declared types in every commit
+    (hash tables — the manifest-listed exist_cols and the cached
+    footers prove it); else the per-group union (range keys live in
+    dir names, odd shapes keep the alias-aware path). Keys-only read
+    schema ⇒ column pruning reaches the parquet scan either way."""
+    from pyspark.sql import types as T
+
+    from starlake_spark.operators import reader as rd
+
+    groups = rd._group_files(new_files)
+    flat_ok = (not info.range_cols and len(groups) > 1
+               and os.environ.get("STARLAKE_FLAT_SCAN") != "off")
+    if flat_ok:
+        schema = rd._schema(info)
+        declared = {f.name: f.dataType for f in schema.fields}
+        key_fields = []
+        for k in keys:
+            key_fields.append(T.StructField(k, declared[k], True))
+        for fs in groups.values():
+            if not set(keys) <= set(fs[0].exist_cols):
+                flat_ok = False
+                break
+            fa = fs[0].path if os.path.isabs(fs[0].path) else \
+                os.path.join(store.table_path, fs[0].path)
+            ps = rd._file_spark_schema(fa)
+            if ps is None:
+                flat_ok = False
+                break
+            have = {f.name: f.dataType for f in ps.fields}
+            if not all(have.get(k) is not None
+                       and have[k].simpleString()
+                       == declared[k].simpleString() for k in keys):
+                flat_ok = False
+                break
+    if flat_ok:
+        paths = [f.path if os.path.isabs(f.path)
+                 else os.path.join(store.table_path, f.path)
+                 for f in new_files]
+        return (spark.read.schema(T.StructType(key_fields))
+                .parquet(*paths).distinct())
+    kdf = None
+    for (_wv, cdir), fs in groups.items():
+        d = rd._read_group(spark, store, info, cdir, fs).select(*keys)
+        kdf = d if kdf is None else kdf.unionByName(d)
+    return kdf.distinct()
