@@ -432,15 +432,18 @@ def _postings_frame(df: DataFrame, id_col: str, text_col: str,
                     num_buckets: int) -> DataFrame:
     """(bucket, term, id, tf, dl) postings for a batch of documents —
     shared by the full build and the incremental append."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     doc_word = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = doc_word.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    return (
-        doc_word.join(doclen, id_col)
-        .select(
-            F.pmod(F.hash("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
-            "term", F.col(id_col), "tf", "dl"))
+    # document length as a window sum over the per-doc partition: one
+    # exchange of doc_word instead of a second aggregate + join back
+    # (round 11; ~30% on the postings compute, identical rows)
+    dl = F.sum("tf").over(Window.partitionBy(id_col))
+    return doc_word.select(
+        F.pmod(F.hash("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        "term", F.col(id_col), "tf", dl.alias("dl"))
 
 
 

@@ -2318,11 +2318,16 @@ def docs_incremental_dedup(spark, sf_dir):
                .withColumn("doc_id", F.col("doc_id") + F.lit(INC_PLANT)))
     new = (d.filter(F.col("doc_id") % INC_MOD == 0).select("doc_id", "text")
            .unionByName(planted))
-    kept = dd.minhash_dedup_against(new, old, "doc_id", "text",
-                                    threshold=0.5, num_hashes=64, bands=16,
-                                    shingle_n=SHINGLE_N)
+    # ONE shingle materialization per corpus side: the minhash path and
+    # the independent exact-verify path consume the same (doc_id, _sh)
+    # frames (round 11 — the entry used to shingle new+old twice)
     sh_new = _shingled(new)
     sh_old = _shingled(old)
+    kept = dd.minhash_dedup_against(new, old, "doc_id", "text",
+                                    threshold=0.5, num_hashes=64, bands=16,
+                                    shingle_n=SHINGLE_N,
+                                    new_shingled=sh_new,
+                                    old_shingled=sh_old)
     pairs = dd.ngram_jaccard_pairs_shingled(
         sh_new.unionByName(sh_old), "doc_id", "_sh", 0.5
     ).localCheckpoint(eager=True)
