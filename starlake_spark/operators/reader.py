@@ -212,8 +212,9 @@ def _unescape_path(s: str) -> str:
     return _PCT.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
-def _flat_read_plan(store: ManifestStore, info: TableInfo,
-                    groups: dict) -> "tuple[T.StructType, dict, bool] | None":
+def _flat_read_plan(store: ManifestStore, info: TableInfo, groups: dict,
+                    per_row_cost: bool = True,
+                    ) -> "tuple[T.StructType, dict, bool] | None":
     """Gate + inputs for the single-read scan of every commit group at
     once (optimization round 10): returns ``(read_schema, dir→version
     map, any_tomb)`` when ALL groups can be served by ONE parquet
@@ -248,6 +249,23 @@ def _flat_read_plan(store: ManifestStore, info: TableInfo,
     if info.range_cols and not all(_COL_SAFE.match(c)
                                    for c in info.range_cols):
         return None
+    if per_row_cost or info.range_cols:
+        # The flat relation derives the commit version / range values
+        # from _metadata.file_path PER ROW, while the union path gets
+        # them as per-branch literals / partition metadata. Cost model
+        # (measured, round 11): union ≈ groups × plan cost
+        # (~0.1-0.3 s each), flat overhead ≈ rows × ~0.25 s/M. So the
+        # flat path engages for delta-shaped histories (small average
+        # group — refresh windows, CDC boundaries, commit storms) and
+        # for DEEP histories (where union's plan size is the cliff the
+        # fast path exists to remove), but hands row-heavy shallow
+        # scans back to the union path.
+        avg_cap = int(os.environ.get("STARLAKE_FLAT_SCAN_AVG_GROUP_BYTES",
+                                     str(8 << 20)))
+        deep = int(os.environ.get("STARLAKE_FLAT_SCAN_DEEP_GROUPS", "24"))
+        total = sum(f.size for fs in groups.values() for f in fs)
+        if len(groups) < deep and total > avg_cap * len(groups):
+            return None
     schema = _schema(info)
     declared = {f.name: f.dataType for f in schema.fields}
     expected = set(declared) - set(info.range_cols)
@@ -357,7 +375,9 @@ def _flat_range_exprs(info: TableInfo,
     default-partition sentinel, cast to the declared type — the same
     cast an explicit read schema would apply to the dir value."""
     out = []
-    p = _norm_path_col()
+    # extract against the RAW path — the '/col=value/' pattern is
+    # scheme-agnostic, so the per-row normalization regex is skipped
+    p = F.col("_metadata.file_path")
     for c in info.range_cols:
         # decode twice: URI layer (path column), then the writer's
         # hive dir-name escaping — both plain %XX (see _decoded)
@@ -372,18 +392,37 @@ def _flat_range_exprs(info: TableInfo,
 
 def _flat_version_col(dir_wv: dict[str, int],
                       strip_levels: int = 1) -> "F.Column":
-    """Per-row commit version from the file's directory: strip the
-    scheme, drop the basename (plus one level per range column — hive
-    dirs sit between the file and its commit dir), look the directory
-    up in a tiny literal map (one entry per commit group — bounded by
-    the compaction trigger, so the per-row lookup scans a handful of
-    entries)."""
+    """Per-row commit version from the file's directory: drop the
+    basename (plus one level per range column — hive dirs sit between
+    the file and its commit dir), look the directory up in a tiny
+    literal map (one entry per commit group — bounded by the
+    compaction trigger, so the per-row lookup scans a handful of
+    entries).
+
+    Per-row cost matters here — this expression runs once per ROW of
+    every flat MoR scan. The segment strip is substring arithmetic
+    (``substring_index``), NOT a backtracking regex (a
+    ``(/[^/]+){k}$`` replace measured ~0.8 s per million rows), and
+    the scheme prefix is handled by keying the map under the plain,
+    ``file:`` and ``file://`` renderings of each dir instead of
+    normalizing the path per row. An exotic scheme falls back —
+    per-row lazily, via coalesce — to the normalized slow form rather
+    than silently missing the map."""
     pairs = []
     for d, wv in dir_wv.items():
-        pairs += [F.lit(d), F.lit(int(wv))]
-    file_dir = _decoded(F.regexp_replace(
+        for k in (d, "file:" + d, "file://" + d):
+            pairs += [F.lit(k), F.lit(int(wv))]
+    m = F.create_map(*pairs)
+    p = F.col("_metadata.file_path")
+    stripped = F.expr(
+        "substring(_metadata.file_path, 1, "
+        "length(_metadata.file_path) - "
+        f"length(substring_index(_metadata.file_path, '/', -{strip_levels}))"
+        " - 1)")
+    slow = _decoded(F.regexp_replace(
         _norm_path_col(), "(/[^/]+){%d}$" % strip_levels, ""))
-    return F.element_at(F.create_map(*pairs), file_dir)
+    return F.coalesce(F.element_at(m, _decoded(stripped)),
+                      F.element_at(m, slow))
 
 
 def _nested_evolves(have: "T.DataType", want: "T.DataType") -> bool:
@@ -552,7 +591,9 @@ def _plain_scan(
         # partition holds a single final version, so the only fast-path
         # extra is refusing tombstone files (single-version tombstone
         # groups must keep the union path's column surface)
-        flat = _flat_read_plan(store, info, groups)
+        # no version column here — hash-only plain scans carry zero
+        # per-row path work, so only range reconstruction gates on size
+        flat = _flat_read_plan(store, info, groups, per_row_cost=False)
         if flat is not None and not flat[2]:
             read_schema, _dir_wv, _, _absent = flat
             paths = [f.path if os.path.isabs(f.path)
