@@ -260,7 +260,13 @@ def main() -> None:
     # (BENCH_FULL.json, read before this run overwrote it) is re-run up
     # to twice and reports the median — one cold-JVM/GC spike on a
     # small entry otherwise shows up as a fake 3× regression (or a fake
-    # win) that costs a whole round to re-measure.
+    # win) that costs a whole round to re-measure. Guard: several
+    # entries fan out from session-scoped shared intermediates
+    # (llm_suite._FRAMES), so their RE-RUNS hit a warm memo and are not
+    # comparable round-over-round — when the re-runs collapse below
+    # half the epoch time, keep the cold first run instead of the warm
+    # median (a warm 0.1 s reported for a 2 s entry would read as
+    # gaming, not as a measurement).
     for name, t in sorted(timings.items()):
         prior = prior_timings.get(name)
         if (prior is None or prior <= 0 or t <= 0 or name not in queries
@@ -274,7 +280,10 @@ def main() -> None:
             if t2 >= 0:
                 runs.append(t2)
         repeat_detail[name] = runs
-        timings[name] = round(statistics.median(runs), 3)
+        med = round(statistics.median(runs), 3)
+        if len(runs) > 1 and med < prior / 2:
+            med = t  # warm-state re-runs: keep the comparable cold run
+        timings[name] = med
 
     calibration["post"] = _calibrate(spark)
     timings["calibration_scaling_probe"] = _scaling_probe(spark)
