@@ -121,3 +121,38 @@ def test_fast_path_runs_zero_checkpoints(sess, spark, sf_dir, tmp_path,
     assert calls == []
     assert _rows(sess, "mv_z") == sorted(
         tuple(r) for r in spark.sql(q).collect())
+
+
+def test_minmax_rescan_nan_double_group_key(sess, spark, sf_dir, tmp_path):
+    """The driver-side threatened-minus-rescanned anti-join must group
+    NaN with NaN (Spark grouping semantics; Python NaN != NaN) — a NaN
+    double group key with a retracted extremum exercises _pykey
+    end-to-end."""
+    from starlake_spark import create_table
+    from pyspark.sql import functions as F
+
+    rows = [(i, float("nan") if i % 3 == 0 else float(i % 2),
+             (i * 7) % 50 + 1) for i in range(60)]
+    src = create_table(
+        spark, spark.createDataFrame(rows, "k int, g double, v int"),
+        str(tmp_path / "src"), short_name="src", warehouse=sess.warehouse,
+        hash_partitions=["k"], hash_bucket_num=2)
+    sess.register("src", src)
+    q = "SELECT g, min(v) AS lo, count(*) AS n FROM src GROUP BY g"
+    mv.create_material_view(sess, "mv_nan", str(tmp_path / "mv_nan"), q)
+    # retract every group's minimum (threatens stored extrema in the
+    # NaN group too), and kill one whole group
+    cur = src.to_df()
+    mins = (cur.groupBy("g").agg(F.min("v").alias("mn"))
+            .withColumnRenamed("g", "g2"))
+    hold = (cur.join(mins, cur.g.eqNullSafe(mins.g2), "inner")
+            .filter("v = mn")
+            .select("k", "g", (F.col("v") + 1000).alias("v")))
+    src.upsert(hold)
+    src.delete("g = 1.0", use_delta=True)
+    sess._sync_views()
+    assert mv.update_material_view(sess, "mv_nan") is True
+    got = sorted((str(r[0]), r[1], r[2]) for r in
+                 sess.sql("SELECT * FROM mv_nan").collect())
+    want = sorted((str(r[0]), r[1], r[2]) for r in spark.sql(q).collect())
+    assert got == want
